@@ -1,0 +1,24 @@
+"""PySpark-native analytics engine with the query & data-processing
+capabilities of AngelDHackerman/Lottery_End_To_End_ETL_Data_Pipeline.
+
+Architecture is Spark-first: the logical plan is declared through the
+DataFrame / Spark SQL API and Catalyst + Tungsten choose the physical
+strategy. The medallion flow of the reference (Bronze raw text →
+Silver typed tables → 7 Gold aggregates → EDA analytics) becomes one
+driver program over a single SparkSession:
+
+    raw .txt  ──bronze.parse_draws──▶  sorteos / premios DataFrames
+              ──silver.conform/write─▶  partitioned parquet + catalog
+              ──gold.build_all───────▶  7 gold tables (overwrite)
+              ──operators.analytics──▶  ad-hoc EDA surface
+
+Beyond reference parity, `operators/` carries the large-scale
+training-data toolbox (dedup, similarity search, text analysis,
+multimodal column plumbing) designed for 100 TB-class inputs:
+partition-aware, shuffle-minimal, no driver-side collects.
+"""
+
+from lottery_end_to_end_etl_data_pipeline_spark.session import get_session
+
+__all__ = ["get_session"]
+__version__ = "0.1.0"

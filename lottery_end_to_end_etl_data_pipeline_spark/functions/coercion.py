@@ -1,0 +1,59 @@
+"""Type-coercion column builders mirroring the reference contract.
+
+Parity targets (SURVEY §1.2, §7 "hard parts"):
+- `pd.to_numeric(errors="coerce")` → Spark `try_cast`-style cast:
+  malformed strings become NULL, never raise
+  (`transformer.py:55-70`).
+- optional default: NA→default then non-null dtype
+  (`numero_sorteo`→0, `monto`→0.0; everything else stays nullable).
+- `pd.to_datetime(format="%d/%m/%Y", errors="coerce")` →
+  `to_date(col, 'dd/MM/yyyy')` with NULL on mismatch
+  (`transformer.py:213-222`).
+- literal `"N/A"`, `"n/a"`, `""` normalized to NULL *before* coercion
+  (`transformer.py:166`).
+
+All builders are pure Column expressions — JVM-side, codegen-friendly,
+no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: String literals the reference treats as missing (transformer.py:166).
+NA_LITERALS = ("N/A", "n/a", "")
+
+
+def normalize_na(col: Column | str) -> Column:
+    """Map the reference's NA literals to NULL, pass everything else through."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isin(*NA_LITERALS), F.lit(None)).otherwise(c)
+
+
+def coerce_long(col: Column | str, default: int | None = None) -> Column:
+    """Nullable long cast; malformed → NULL; optional NA→default."""
+    c = F.col(col) if isinstance(col, str) else col
+    casted = normalize_na(c.cast("string")).cast("long")
+    if default is not None:
+        casted = F.coalesce(casted, F.lit(default).cast("long"))
+    return casted
+
+
+def coerce_double(col: Column | str, default: float | None = 0.0) -> Column:
+    """Double cast; malformed → NULL; NA→default (reference default 0.0)."""
+    c = F.col(col) if isinstance(col, str) else col
+    casted = normalize_na(c.cast("string")).cast("double")
+    if default is not None:
+        casted = F.coalesce(casted, F.lit(float(default)))
+    return casted
+
+
+def coerce_date_ddmmyyyy(col: Column | str) -> Column:
+    """Parse dd/MM/yyyy to DateType, NULL on mismatch.
+
+    `try_to_timestamp` + cast keeps `errors="coerce"` semantics even
+    under ANSI mode, matching pandas' NaT-on-failure.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_to_timestamp(normalize_na(c), F.lit("dd/MM/yyyy")).cast("date")

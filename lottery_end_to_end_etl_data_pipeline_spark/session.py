@@ -1,0 +1,71 @@
+"""SparkSession factory.
+
+Reference parity note: the reference has no session concept (Lambda +
+Glue Python Shell + Athena, SURVEY §3.1); in the Spark-native design a
+single session owns the whole lifecycle. Defaults here are chosen for
+the 100 TB north star but degrade gracefully on local[*]:
+
+- AQE on (runtime re-plan: coalesce shuffle partitions, skew-join
+  split, demote bad broadcasts).
+- Shuffle partitions sized via env (32 locally; a real cluster
+  overrides to ~2-3x total cores — AQE coalesces the excess).
+- UTC session timezone so date parsing / `year()` extraction is
+  deterministic across driver locales.
+- In-memory catalog + local warehouse so `saveAsTable` works without a
+  Hive metastore (replaces the reference's Glue crawlers,
+  terraform/modules/catalog/main.tf:37-94).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "lottery-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Args:
+        app_name: Spark application name.
+        master: override master URL; defaults to ``local[N]`` with
+            ``N = $SPARK_GRAFT_CPUS`` (or ``*``).
+        shuffle_partitions: number of shuffle partitions; defaults to
+            ``$SPARK_GRAFT_SHUFFLE_PARTITIONS`` or 32. On a real
+            cluster set ≈ 2-3x total executor cores (AQE coalesces).
+        extra_conf: additional ``spark.*`` settings applied last.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime shuffle-partition coalescing + skew-join handling.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas_udf / applyInPandas / toPandas hop.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast threshold: sorteos-like dims (1 row/draw) always fit.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Partition discovery + pruning friendly scan sizing.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Overwrite only the partitions present in the write, not the table.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,6 @@
+from lottery_end_to_end_etl_data_pipeline_spark.sources.bronze import (
+    parse_draws,
+    read_raw_draws,
+)
+
+__all__ = ["parse_draws", "read_raw_draws"]

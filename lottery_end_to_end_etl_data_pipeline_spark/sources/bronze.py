@@ -1,0 +1,290 @@
+"""Bronze → typed DataFrames: the raw-draw text parser (P1-P6).
+
+This is the reference's only genuinely custom operator family
+(`/root/reference/src/loteria/parser/parser.py:7-144`, SURVEY §2.2).
+The reference parses one file at a time with an imperative, stateful
+Python loop; here the same semantics are expressed as a distributed
+DataFrame plan:
+
+1.  `spark.read.text(path, wholetext=True)` — one row per file, so a
+    draw's lines never straddle partitions (S2, `transformer.py:123-126`).
+2.  `posexplode(split(...))` — (file, pos, line) with a stable
+    per-file line ordinal; blank lines dropped after trim
+    (P1, `parser.py:16`).
+3.  Sentinel location — min(pos) of the literal `HEADER` / `BODY`
+    lines per file via a grouped aggregate (P1, `parser.py:19-28`).
+4.  Header fields — `regexp_extract` over the order-preserving
+    re-join of the header lines (P2, `parser.py:43-52`).
+5.  Body lines — classified by regex; the stateful "attach VENDIDO
+    POR / NO VENDIDO to the most recent prize line"
+    (P3, `parser.py:106-119`) becomes a forward-fill:
+    `last(prize_pos, ignoreNulls=True) OVER (PARTITION BY file
+    ORDER BY pos)`, then a per-(file, prize) `max_by(seller, pos)` so
+    the *last* seller line wins, exactly like the reference's
+    overwrite-in-place.
+6.  `split_vendido_por` (P4, `parser.py:129-144`) and the
+    `DE ESTA CAPITAL` → `GUATEMALA` normalization
+    (`transformer.py:147-148`) as native column ops.
+
+Scale notes (100 TB design): everything is JVM-side (regex, windows);
+the only shuffles are the per-file window/aggregate, keyed by file —
+high cardinality, no skew (each draw ≤ ~2,000 lines). No driver-side
+loops; strict-mode validation inspects only *file names* of malformed
+inputs (bounded by failure count, not data volume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Regexes lifted semantically from the reference so parsing matches
+# byte-for-byte (parser.py:43-52, 89; java.util.regex dialect).
+RE_NUMERO_SORTEO = r"NO. (\d+)"
+RE_TIPO_SORTEO = r"(?i)SORTEO (\w+)"
+RE_FECHA_SORTEO = r"FECHA DEL SORTEO: ([\d/]+)"
+RE_FECHA_CADUCIDAD = r"FECHA DE CADUCIDAD: ([\d/]+)"
+RE_PREMIOS = r"PRIMER PREMIO (\d+) \|\|\| SEGUNDO PREMIO (\d+) \|\|\| TERCER PREMIO (\d+)"
+RE_REINTEGROS = r"REINTEGROS ([\d, ]+)"
+# re.match is start-anchored (parser.py:89) — add ^ since Spark's
+# regexp_extract is unanchored.
+RE_PRIZE_LINE = r"^(\d+)\s+(\w+)\s+\.+\s+([\d,]+\.?\d*)"
+
+_RAW_COLS = ("file", "content")
+
+
+def read_raw_draws(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Scan raw draw documents: one row per file (S2/S3).
+
+    `wholetext=True` keeps 1 file = 1 draw = 1 row, the exact grouping
+    the reference relies on (`transformer.py:108-126`). Globs work:
+    ``raw/year=*/sorteo=*/*.txt``.
+    """
+    paths = path if isinstance(path, list) else [path]
+    return (
+        spark.read.text(paths, wholetext=True)
+        .select(F.input_file_name().alias("file"), F.col("value").alias("content"))
+    )
+
+
+def _lines(raw: DataFrame) -> DataFrame:
+    """(file, pos, line): trimmed, blank-free, per-file ordinal kept."""
+    return (
+        raw.select(
+            "file",
+            F.posexplode(F.split(F.col("content"), r"\r?\n")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+    )
+
+
+def _sentinels(raw: DataFrame, lines: DataFrame) -> DataFrame:
+    """First HEADER/BODY sentinel position per file (parser.py:19-23).
+
+    Files missing either sentinel surface with a NULL position — the
+    caller decides (strict raise vs reject routing). Anchored on the
+    raw file list (not `lines`) so an entirely-blank file still shows
+    up as malformed instead of silently vanishing.
+    """
+    per_file = lines.groupBy("file").agg(
+        F.min(F.when(F.col("line") == "HEADER", F.col("pos"))).alias("header_pos"),
+        F.min(F.when(F.col("line") == "BODY", F.col("pos"))).alias("body_pos"),
+    )
+    return raw.select("file").join(per_file, "file", "left")
+
+
+def parse_headers(lines: DataFrame, sentinels: DataFrame) -> DataFrame:
+    """P2: one row per file with raw header fields (strings).
+
+    The reference applies `NO.`/`SORTEO` to the first header line and
+    the remaining patterns to `" ".join(header)` (parser.py:43-52);
+    both are reproduced via an order-preserving array_sort + array_join
+    (collect_list order is not guaranteed, the sort on pos is).
+    """
+    header_lines = (
+        lines.join(sentinels, "file")
+        .filter(
+            F.col("header_pos").isNotNull()
+            & F.col("body_pos").isNotNull()
+            & (F.col("pos") > F.col("header_pos"))
+            & (F.col("pos") < F.col("body_pos"))
+        )
+        .groupBy("file")
+        .agg(
+            F.min_by("line", "pos").alias("first_line"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("joined"),
+        )
+    )
+    nn = lambda c: F.nullif(c, F.lit(""))  # regexp_extract misses → '' → NULL
+    return header_lines.select(
+        "file",
+        nn(F.regexp_extract("first_line", RE_NUMERO_SORTEO, 1)).alias("numero_sorteo"),
+        nn(F.regexp_extract("first_line", RE_TIPO_SORTEO, 1)).alias("tipo_sorteo"),
+        nn(F.regexp_extract("joined", RE_FECHA_SORTEO, 1)).alias("fecha_sorteo"),
+        nn(F.regexp_extract("joined", RE_FECHA_CADUCIDAD, 1)).alias("fecha_caducidad"),
+        nn(F.regexp_extract("joined", RE_PREMIOS, 1)).alias("primer_premio"),
+        nn(F.regexp_extract("joined", RE_PREMIOS, 2)).alias("segundo_premio"),
+        nn(F.regexp_extract("joined", RE_PREMIOS, 3)).alias("tercer_premio"),
+        F.replace(
+            nn(F.regexp_extract("joined", RE_REINTEGROS, 1)), F.lit(" "), F.lit("")
+        ).alias("reintegros"),
+    )
+
+
+def parse_bodies(lines: DataFrame, sentinels: DataFrame) -> DataFrame:
+    """P3+P4: prize rows with seller attribution, one row per prize line.
+
+    The reference's mutable-state loop (parser.py:77-126) maps to:
+      is_prize      := start-anchored prize regex matches
+      prize_pos     := forward-fill of the last prize line's pos
+      seller lines  := VENDIDO POR → text after the marker;
+                       NO VENDIDO → literal (checked in that order,
+                       mirroring the elif chain parser.py:108-119)
+      per prize     := max_by(seller, pos)  — last assignment wins
+    """
+    body = (
+        lines.join(sentinels, "file")
+        .filter(
+            F.col("header_pos").isNotNull()
+            & F.col("body_pos").isNotNull()
+            & (F.col("pos") > F.col("body_pos"))
+        )
+        .select("file", "pos", "line")
+    )
+    classified = body.select(
+        "file",
+        "pos",
+        "line",
+        (F.regexp_extract("line", RE_PRIZE_LINE, 1) != "").alias("is_prize"),
+        F.when(
+            F.col("line").contains("VENDIDO POR"),
+            F.trim(F.element_at(F.split("line", "VENDIDO POR", 2), 2)),
+        )
+        .when(F.col("line").contains("NO VENDIDO"), F.lit("NO VENDIDO"))
+        .alias("seller"),
+    )
+    w = Window.partitionBy("file").orderBy("pos")
+    attributed = classified.withColumn(
+        "prize_pos",
+        F.last(F.when(F.col("is_prize"), F.col("pos")), ignorenulls=True).over(w),
+    )
+
+    prizes = attributed.filter("is_prize").select(
+        "file",
+        F.col("pos").alias("prize_pos"),
+        F.regexp_extract("line", RE_PRIZE_LINE, 1).alias("numero_premiado"),
+        F.regexp_extract("line", RE_PRIZE_LINE, 2).alias("letras"),
+        # comma-strip money (parser.py:92)
+        F.replace(
+            F.regexp_extract("line", RE_PRIZE_LINE, 3), F.lit(","), F.lit("")
+        )
+        .cast("double")
+        .alias("monto"),
+    )
+    # A seller line *between* prizes attaches to the preceding prize;
+    # seller lines before any prize have NULL prize_pos and are dropped
+    # (parser.py:108 `last_premio_index is not None`). The prize line
+    # itself is not a seller line (is_prize excludes it).
+    sellers = (
+        attributed.filter((~F.col("is_prize")) & F.col("seller").isNotNull()
+                          & F.col("prize_pos").isNotNull())
+        .groupBy("file", "prize_pos")
+        .agg(F.max_by("seller", "pos").alias("vendido_por"))
+    )
+
+    joined = prizes.join(sellers, ["file", "prize_pos"], "left")
+    parts = F.split("vendido_por", ",")
+    with_split = joined.select(
+        "file",
+        "prize_pos",
+        "numero_premiado",
+        "letras",
+        "monto",
+        # F.get (not getItem): NULL past the end, matching the
+        # reference's pad-with-None expand (parser.py:139-142) and
+        # safe under ANSI mode.
+        F.trim(F.get(parts, 0)).alias("vendedor"),
+        F.trim(F.get(parts, 1)).alias("ciudad"),
+        F.trim(F.get(parts, 2)).alias("departamento"),
+    )
+    # DE ESTA CAPITAL → departamento GUATEMALA (transformer.py:147-148)
+    return with_split.withColumn(
+        "departamento",
+        F.when(
+            F.upper(F.coalesce(F.col("ciudad"), F.lit(""))) == "DE ESTA CAPITAL",
+            F.lit("GUATEMALA"),
+        ).otherwise(F.col("departamento")),
+    )
+
+
+def parse_draws(
+    raw: DataFrame, strict: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Parse raw draw documents into (sorteos_raw, premios_raw).
+
+    Output columns are still strings where the reference's parser
+    emits strings; `operators.silver.conform_*` applies the typed
+    Silver contract. ``strict=True`` reproduces the reference's
+    ValueError on files missing HEADER/BODY sentinels or required
+    header fields (parser.py:21-23, 53-55) by inspecting only the
+    offending *file names*.
+    """
+    for col in _RAW_COLS:
+        if col not in raw.columns:
+            raise ValueError(f"raw draws DataFrame must have columns {_RAW_COLS}")
+
+    lines = _lines(raw)
+    sentinels = _sentinels(raw, lines)
+
+    if strict:
+        bad = (
+            sentinels.filter(
+                F.col("header_pos").isNull() | F.col("body_pos").isNull()
+            )
+            .select("file")
+            .limit(20)
+            .collect()
+        )
+        if bad:
+            names = ", ".join(r["file"] for r in bad)
+            raise ValueError(
+                f"The file does not contain expected HEADER or BODY sections: {names}"
+            )
+
+    headers = parse_headers(lines, sentinels)
+
+    if strict:
+        required = [
+            "numero_sorteo",
+            "tipo_sorteo",
+            "fecha_sorteo",
+            "fecha_caducidad",
+            "primer_premio",
+            "reintegros",
+        ]
+        cond = None
+        for c in required:
+            expr = F.col(c).isNull()
+            cond = expr if cond is None else (cond | expr)
+        bad = headers.filter(cond).select("file").limit(20).collect()
+        if bad:
+            names = ", ".join(r["file"] for r in bad)
+            raise ValueError(
+                f"The HEADER does not contain the expected format: {names}"
+            )
+
+    # Header fan-out (P6): attach the draw id to every prize row.
+    # 1 header row per file — AQE broadcasts when the header side is
+    # small; at 100 TB (millions of files) it stays a co-keyed
+    # shuffle join on `file`, same key as the parse shuffles.
+    premios = parse_bodies(lines, sentinels).join(
+        headers.select("file", "numero_sorteo"), "file", "left"
+    )
+    return headers, premios

@@ -1,0 +1,48 @@
+"""Result comparison helpers: Spark DF vs Spark DF / DuckDB relation.
+
+Mirrors the driver's compare discipline: sort columns by name, sort
+rows, compare values with float tolerance.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+
+def normalize_rows(columns, rows, float_places: int = 6):
+    """Rows → sorted list of tuples in column-name order."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_val(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, float_places)
+        if isinstance(v, datetime.datetime):
+            return v.date().isoformat() if v.time() == datetime.time() else v.isoformat()
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        return v
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def spark_rows(df, float_places: int = 6):
+    return normalize_rows(df.columns, [tuple(r) for r in df.collect()], float_places)
+
+
+def duck_rows(rel, float_places: int = 6):
+    cols = [c.lower() for c in rel.columns]
+    return normalize_rows(cols, rel.fetchall(), float_places)
+
+
+def assert_same(df, rel, float_places: int = 6, label: str = ""):
+    left = spark_rows(df, float_places)
+    right = duck_rows(rel, float_places)
+    assert len(left) == len(right), f"{label}: row count {len(left)} != {len(right)}"
+    mismatches = [(l, r) for l, r in zip(left, right) if l != r]
+    assert not mismatches, f"{label}: first mismatches: {mismatches[:5]}"

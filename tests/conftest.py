@@ -1,0 +1,9 @@
+import pytest
+
+from lottery_end_to_end_etl_data_pipeline_spark.session import get_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session("tests", master="local[4]", shuffle_partitions=4)
+    yield s

@@ -1,0 +1,165 @@
+"""Deterministic lottery draw fixture generator.
+
+Produces raw draw documents in the Bronze format documented in
+FIXTURES.md §1 (HEADER/BODY sentinels, regex-parsable header, prize
+lines with dot leaders, VENDIDO POR / NO VENDIDO attribution lines,
+section-marker noise lines). Seeded → byte-stable across runs.
+"""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+
+DEPARTMENTS = [
+    "GUATEMALA",
+    "QUETZALTENANGO",
+    "ESCUINTLA",
+    "SACATEPEQUEZ",
+    "PETEN",
+    "IZABAL",
+    "JUTIAPA",
+    "SOLOLA",
+]
+CITIES = [
+    "DE ESTA CAPITAL",
+    "QUETZALTENANGO",
+    "ESCUINTLA",
+    "ANTIGUA",
+    "FLORES",
+    "PUERTO BARRIOS",
+    "ASUNCION MITA",
+]
+SELLERS = [
+    "YECENIA MAZARIEGOS",
+    "JUAN PEREZ",
+    "MARIA LOPEZ",
+    "PEDRO GONZALEZ",
+    "ANA GARCIA",
+    "LUIS HERNANDEZ",
+    "CARMEN MORALES",
+    "JOSE RAMIREZ",
+]
+LETRAS = ["P", "DT", "TT", "PR", "PDT", "C"]
+
+
+def _fmt_money(value: float) -> str:
+    """Thousands-comma money like the scraped pages: 1,250.50."""
+    return f"{value:,.2f}"
+
+
+def make_draw_text(
+    rng: random.Random,
+    numero_sorteo: int,
+    fecha: str,
+    caducidad: str,
+    tipo: str = "ORDINARIO",
+    n_premios: int = 50,
+) -> str:
+    lines = [
+        "HEADER",
+        f"SORTEO {tipo} NO. {numero_sorteo} FECHA DEL SORTEO: {fecha}",
+        f"FECHA DE CADUCIDAD: {caducidad}",
+        (
+            f"PRIMER PREMIO {rng.randint(1, 109964)} ||| "
+            f"SEGUNDO PREMIO {rng.randint(1, 109964)} ||| "
+            f"TERCER PREMIO {rng.randint(1, 109964)} "
+            f"REINTEGROS {rng.randint(0, 9)}, {rng.randint(0, 9)}, {rng.randint(0, 9)}"
+        ),
+        "",
+        "BODY",
+        "CENTENARES" if rng.random() < 0.5 else "00MIL",
+    ]
+    for _ in range(n_premios):
+        numero = rng.randint(1, 109964)
+        letras = rng.choice(LETRAS)
+        monto = rng.choice([500.0, 750.0, 800.0, 1250.5, 5000.0, 50000.0, 2000000.0])
+        lines.append(f"{numero}   {letras}   ........   {_fmt_money(monto)}")
+        roll = rng.random()
+        if roll < 0.55:
+            lines.append("NO VENDIDO")
+        elif roll < 0.9:
+            seller = rng.choice(SELLERS)
+            city = rng.choice(CITIES)
+            if rng.random() < 0.2:
+                lines.append(f"VENDIDO POR {seller}")
+            elif city == "DE ESTA CAPITAL" or rng.random() < 0.3:
+                lines.append(f"VENDIDO POR {seller}, {city}")
+            else:
+                lines.append(f"VENDIDO POR {seller}, {city}, {rng.choice(DEPARTMENTS)}")
+        # else: prize with no attribution line at all
+        if rng.random() < 0.05:
+            lines.append("CENTENARES")  # ignored section marker mid-body
+    return "\n".join(lines) + "\n"
+
+
+def write_fixture_corpus(root: Path, n_draws: int = 20, seed: int = 7) -> list[Path]:
+    """A corpus of draws across 2 years, Hive-style raw layout."""
+    rng = random.Random(seed)
+    paths = []
+    for i in range(n_draws):
+        numero = 3000 + i
+        year = 2024 if i < n_draws // 2 else 2025
+        month = rng.randint(1, 12)
+        day = rng.randint(1, 28)
+        fecha = f"{day:02d}/{month:02d}/{year}"
+        caducidad = f"{day:02d}/{month:02d}/{year + 1}"
+        tipo = "EXTRAORDINARIO" if i % 5 == 4 else "ORDINARIO"
+        text = make_draw_text(
+            rng, numero, fecha, caducidad, tipo, n_premios=rng.randint(30, 120)
+        )
+        p = root / f"year={year}" / f"sorteo={numero}" / f"sorteo_{numero}.txt"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(text, encoding="utf-8")
+        paths.append(p)
+    return paths
+
+
+# A handcrafted draw covering every parser edge case, with its exact
+# expected Silver rows (the unit-test golden pair).
+HANDCRAFTED_DRAW = """
+HEADER
+SORTEO ORDINARIO NO. 3046 FECHA DEL SORTEO: 15/12/2024
+FECHA DE CADUCIDAD: 15/03/2025
+PRIMER PREMIO 13956 ||| SEGUNDO PREMIO 40210 ||| TERCER PREMIO 88012 REINTEGROS 6, 0, 2
+
+BODY
+CENTENARES
+VENDIDO POR GHOST SELLER, NOWHERE
+13956   P   ........   5,000,000.00
+VENDIDO POR YECENIA MAZARIEGOS, DE ESTA CAPITAL
+40210   PR  ........   500.00
+NO VENDIDO
+7       DT  ........   1,250.50
+VENDIDO POR JUAN PEREZ, QUETZALTENANGO, QUETZALTENANGO
+109964  PDT ......     2,000,000.00
+VENDIDO POR MARIA LOPEZ
+999     C   ....       100.00
+VENDIDO POR FIRST GUY, CITY1, DEPT1
+NO VENDIDO
+2024    TT  ........   10,000.00
+SOME GARBAGE LINE
+"""
+
+# (numero_premiado, letras, monto, vendedor, ciudad, departamento)
+HANDCRAFTED_EXPECTED_PREMIOS = [
+    (13956, "P", 5000000.0, "YECENIA MAZARIEGOS", "DE ESTA CAPITAL", "GUATEMALA"),
+    (40210, "PR", 500.0, "NO VENDIDO", None, None),
+    (7, "DT", 1250.5, "JUAN PEREZ", "QUETZALTENANGO", "QUETZALTENANGO"),
+    (109964, "PDT", 2000000.0, "MARIA LOPEZ", None, None),
+    (999, "C", 100.0, "NO VENDIDO", None, None),  # NO VENDIDO overwrites
+    (2024, "TT", 10000.0, None, None, None),  # no attribution line
+]
+
+HANDCRAFTED_EXPECTED_SORTEO = {
+    "numero_sorteo": 3046,
+    "tipo_sorteo": "ORDINARIO",
+    "fecha_sorteo": "2024-12-15",
+    "fecha_caducidad": "2025-03-15",
+    "primer_premio": 13956,
+    "segundo_premio": 40210,
+    "tercer_premio": 88012,
+    "reintegro_primer_premio": 6,
+    "reintegro_segundo_premio": 0,
+    "reintegro_tercer_premio": 2,
+}
