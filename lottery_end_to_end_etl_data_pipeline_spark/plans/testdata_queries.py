@@ -1,0 +1,920 @@
+"""The driver-facing query catalog over /root/testdata tables.
+
+Each entry exercises one (or a cluster of) operators from SURVEY §2,
+re-expressed over the synthetic TPC-H-ish star schema so the driver's
+DuckDB oracle can verify it at sf0.01. Registry shape:
+
+    QUERIES[name] = fn(spark, sf_dir) -> DataFrame
+    ORACLE[name]  = ANSI SQL for DuckDB over the same tables
+                    (absent → driver does a rows-only check)
+
+Determinism discipline (the driver hash-compares values):
+- every aggregate/computed column aliased identically in both forms;
+- double aggregates wrapped in ROUND(...,2..6) — inputs are 2-decimal
+  money-like doubles, so the true sums sit ON 2-decimal values, far
+  from round-half boundaries in either engine;
+- every top-k has a total deterministic ORDER BY (unique tie-break
+  key) in both forms, and ranks on a *rounded* score so last-ulp
+  engine differences cannot reorder the cut line.
+
+Scale notes are per-query docstrings: which side broadcasts, what
+shuffles, what prunes. These queries are the bench workload too.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.functions.expressions import (
+    safe_pct,
+    terminacion,
+    ticket_price,
+)
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
+        # read nanos as long and downcast to microsecond timestamps
+        # (same truncation DuckDB applies to its TIMESTAMP type).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Gold-table analogs (SURVEY §2.5 A1-A7) — the reference's 7 aggregate
+# queries, same operator shapes, over orders/lineitem.
+# ---------------------------------------------------------------------------
+
+@query(
+    "gold_draw_summary_shape",
+    oracle="""
+    SELECT o.o_orderstatus AS orderstatus,
+           o.o_orderpriority AS orderpriority,
+           COUNT(l.l_partkey) AS total_items,
+           COUNT(l.l_partkey) FILTER (WHERE l.l_returnflag <> 'R') AS items_kept,
+           COUNT(l.l_partkey) FILTER (WHERE l.l_returnflag = 'R') AS items_returned,
+           ROUND(100.0 * COUNT(l.l_partkey) FILTER (WHERE l.l_returnflag <> 'R')
+                 / NULLIF(COUNT(l.l_partkey), 0), 2) AS pct_kept,
+           ROUND(SUM(l.l_extendedprice), 2) AS total_price,
+           ROUND(SUM(l.l_extendedprice) FILTER (WHERE l.l_returnflag <> 'R'), 2) AS price_kept,
+           ROUND(MAX(l.l_extendedprice), 2) AS top_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus, o.o_orderpriority
+    """,
+)
+def gold_draw_summary_shape(spark, sf_dir):
+    """A1: COUNT-FILTER / SUM-FILTER / NULLIF-pct rollup (sql/gold/01).
+    Scale: hash agg w/ map-side partial; join shuffles on orderkey —
+    at 100 TB both sides co-shuffle; AQE handles skew."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    kept = F.col("l_returnflag") != "R"
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("o_orderstatus").alias("orderstatus"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.count("l_partkey").alias("total_items"),
+            F.count(F.when(kept, F.col("l_partkey"))).alias("items_kept"),
+            F.count(F.when(~kept, F.col("l_partkey"))).alias("items_returned"),
+            safe_pct(
+                F.count(F.when(kept, F.col("l_partkey"))), F.count("l_partkey")
+            ).alias("pct_kept"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.sum(F.when(kept, F.col("l_extendedprice"))), 2).alias("price_kept"),
+            F.round(F.max("l_extendedprice"), 2).alias("top_price"),
+        )
+    )
+
+
+@query(
+    "gold_frequency_shape",
+    oracle="""
+    SELECT l_partkey AS partkey,
+           COUNT(*) AS times_seen,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem WHERE l_partkey IS NOT NULL
+    GROUP BY l_partkey
+    """,
+)
+def gold_frequency_shape(spark, sf_dir):
+    """A2: frequency table (sql/gold/02). Single hash agg, no join."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey").isNotNull())
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("times_seen"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "gold_terminations_shape",
+    oracle="""
+    SELECT LPAD(CAST(l_partkey % 100 AS VARCHAR), 2, '0') AS terminacion,
+           COUNT(*) AS times_seen,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem WHERE l_partkey IS NOT NULL
+    GROUP BY LPAD(CAST(l_partkey % 100 AS VARCHAR), 2, '0')
+    """,
+)
+def gold_terminations_shape(spark, sf_dir):
+    """A3+F13: modulo+lpad derived grouping key (sql/gold/03:28)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey").isNotNull())
+        .groupBy(terminacion("l_partkey").alias("terminacion"))
+        .agg(
+            F.count(F.lit(1)).alias("times_seen"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "gold_letters_shape",
+    oracle="""
+    SELECT l_returnflag AS flag, COUNT(*) AS times_seen,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem WHERE l_returnflag IS NOT NULL
+    GROUP BY l_returnflag
+    """,
+)
+def gold_letters_shape(spark, sf_dir):
+    """A4: low-cardinality categorical rollup (sql/gold/04)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isNotNull())
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("times_seen"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "gold_geo_shape",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS year,
+           COUNT(*) AS num_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus <> 'F' AND o.o_orderdate IS NOT NULL
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def gold_geo_shape(spark, sf_dir):
+    """A5+J1+F14: fact⋈dim⋈dim with year extraction (sql/gold/05).
+    Scale: customer/nation broadcast (dims ≪ fact); single shuffle
+    for the final agg."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        o.filter((F.col("o_orderstatus") != "F") & F.col("o_orderdate").isNotNull())
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "gold_leaderboard_shape",
+    oracle="""
+    SELECT s.s_name AS supplier, year(l.l_shipdate) AS year,
+           COUNT(*) AS num_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_name IS NOT NULL AND l.l_shipdate IS NOT NULL
+    GROUP BY s.s_name, year(l.l_shipdate)
+    """,
+)
+def gold_leaderboard_shape(spark, sf_dir):
+    """A6: leaderboard by entity x year (sql/gold/06). Supplier dim
+    broadcast."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        l.filter(F.col("l_shipdate").isNotNull())
+        .join(F.broadcast(s.filter(F.col("s_name").isNotNull())), l.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier"), F.year("l_shipdate").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("num_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "gold_time_series_shape",
+    oracle="""
+    SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+           COUNT(DISTINCT o_custkey) AS num_customers,
+           COUNT(o_orderkey) AS num_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderdate IS NOT NULL
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    """,
+)
+def gold_time_series_shape(spark, sf_dir):
+    """A7: monthly time series w/ COUNT DISTINCT (sql/gold/07).
+    Scale: distinct-agg expands then re-aggregates; Spark plans
+    partial distinct automatically."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("num_customers"),
+            F.count("o_orderkey").alias("num_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EDA operator surface (SURVEY §2.3, §2.5 A8-A18, §2.7, §2.8)
+# ---------------------------------------------------------------------------
+
+@query(
+    "value_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS count
+    FROM events GROUP BY event_type
+    """,
+)
+def value_counts(spark, sf_dir):
+    """A8: value_counts (order-insensitive here; see top_k for the
+    ordered variant)."""
+    return t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+@query(
+    "top_k_customers",
+    oracle="""
+    SELECT o_custkey AS custkey, COUNT(*) AS num_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY num_orders DESC, custkey ASC
+    LIMIT 10
+    """,
+)
+def top_k_customers(spark, sf_dir):
+    """A8+O2: top-k after count — Spark plans TakeOrderedAndProject
+    (true top-k, no global sort). Unique tie-break key keeps the cut
+    line deterministic across engines."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("num_orders"))
+        .orderBy(F.desc("num_orders"), F.asc("custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "nunique_per_group",
+    oracle="""
+    SELECT o_orderstatus AS orderstatus, COUNT(DISTINCT o_custkey) AS unique_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def nunique_per_group(spark, sf_dir):
+    """A9: groupby().nunique()."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("orderstatus"))
+        .agg(F.countDistinct("o_custkey").alias("unique_customers"))
+    )
+
+
+@query(
+    "group_size_having",
+    oracle="""
+    SELECT l_orderkey AS orderkey, COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 5
+    """,
+)
+def group_size_having(spark, sf_dir):
+    """A11: group size + HAVING filter."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") > 5)
+    )
+
+
+@query(
+    "multi_col_mean",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(SUM(l_discount), 2) AS sum_disc,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def multi_col_mean(spark, sf_dir):
+    """A12: multi-column aggregate by key (means derivable as
+    sum/count; sums compared exactly — means of doubles are not
+    engine-stable at the last ulp)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "collect_set_per_group",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def collect_set_per_group(spark, sf_dir):
+    """A13+U4: collect_set, sorted + joined so the value is
+    order-stable across engines."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            )
+        )
+    )
+
+
+@query(
+    "null_counts",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE props IS NULL) AS null_props,
+           COUNT(*) FILTER (WHERE value IS NULL) AS null_value,
+           COUNT(*) FILTER (WHERE user_id IS NULL) AS null_user,
+           COUNT(*) AS n_rows
+    FROM events
+    """,
+)
+def null_counts(spark, sf_dir):
+    """A15: per-column null audit in one pass."""
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.when(F.col("props").isNull(), 1)).alias("null_props"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("null_value"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_user"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "duplicate_rows",
+    oracle="""
+    SELECT text, COUNT(*) AS n_copies FROM documents
+    GROUP BY text HAVING COUNT(*) > 1
+    """,
+)
+def duplicate_rows(spark, sf_dir):
+    """A16: duplicate detection = groupBy all key cols + HAVING>1."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "global_distincts",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(l_orderkey) AS n_rows
+    FROM lineitem
+    """,
+)
+def global_distincts(spark, sf_dir):
+    """A17/A18: global nunique + non-null count."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count("l_orderkey").alias("n_rows"),
+    )
+
+
+@query(
+    "describe_stats",
+    oracle="""
+    SELECT COUNT(o_totalprice) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    """,
+)
+def describe_stats(spark, sf_dir):
+    """A14: describe()-style whole-table stats (exact members only)."""
+    return t(spark, sf_dir, "orders").agg(
+        F.count("o_totalprice").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / scalar expressions (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "iqr_filter",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem
+    )
+    SELECT COUNT(*) AS n_inliers, ROUND(SUM(l.l_extendedprice), 2) AS sum_inliers
+    FROM lineitem l, q
+    WHERE l.l_extendedprice >= q.q1 - 1.5 * (q.q3 - q.q1)
+      AND l.l_extendedprice <= q.q3 + 1.5 * (q.q3 - q.q1)
+    """,
+)
+def iqr_filter(spark, sf_dir):
+    """F10+F20: exact-percentile IQR outlier filter
+    (EDA_premios.ipynb cell 22). Exact `percentile` (not approx) for
+    oracle parity; at 100 TB swap to approx_percentile and accept
+    the tolerance."""
+    l = t(spark, sf_dir, "lineitem")
+    q = l.agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    j = l.crossJoin(F.broadcast(q))
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        j.filter(
+            (F.col("l_extendedprice") >= F.col("q1") - 1.5 * iqr)
+            & (F.col("l_extendedprice") <= F.col("q3") + 1.5 * iqr)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_inliers"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_inliers"),
+        )
+    )
+
+
+@query(
+    "histogram_bins",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 500) * 500 AS DOUBLE) AS bucket,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY 1
+    """,
+)
+def histogram_bins(spark, sf_dir):
+    """F18: uniform-width binning (pd.cut analog)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.expressions import bin_by_width
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(bin_by_width("l_extendedprice", 500).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "case_tiers",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 500000 THEN 150.0
+                WHEN o_totalprice >= 50000 THEN 100.0
+                WHEN o_totalprice >= 5000 THEN 50.0
+                ELSE 25.0 END AS tier,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def case_tiers(spark, sf_dir):
+    """F19: tiered CASE ladder (notebook ticket_price) as native
+    `when` chain — no UDF."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(ticket_price("o_totalprice").alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "date_range_filter",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2024-03-01'
+      AND l_shipdate <  TIMESTAMP '2024-09-01'
+    """,
+)
+def date_range_filter(spark, sf_dir):
+    """F10 range predicate on dates — pushed to the parquet scan
+    (verify with .explain: PushedFilters)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("2024-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2024-09-01").cast("timestamp"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "isin_membership",
+    oracle="""
+    SELECT l_returnflag AS flag, COUNT(*) AS n_rows
+    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """,
+)
+def isin_membership(spark, sf_dir):
+    """F11: isin membership filter."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "null_fill_replace",
+    oracle="""
+    SELECT COALESCE(props, 'N/A') AS props_filled, COUNT(*) AS n_rows
+    FROM events GROUP BY 1 ORDER BY n_rows DESC, props_filled ASC LIMIT 5
+    """,
+)
+def null_fill_replace(spark, sf_dir):
+    """F12+F3: fillna / replace round-trip."""
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("props_filled", F.coalesce(F.col("props"), F.lit("N/A")))
+        .groupBy("props_filled")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.desc("n_rows"), F.asc("props_filled"))
+        .limit(5)
+    )
+
+
+@query(
+    "event_time_buckets",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_time_buckets(spark, sf_dir):
+    """Event-time tumbling buckets (batch form of the streaming
+    windowed agg): date_trunc grouping over the event stream table."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n_rows, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract(spark, sf_dir):
+    """Semi-structured props column: JSON field extraction
+    (get_json_object, JVM-side) then numeric grouping."""
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn(
+            "k_mod",
+            (F.get_json_object("props", "$.k").cast("bigint") % 10),
+        )
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "star_join_revenue",
+    oracle="""
+    SELECT r.r_name AS region, year(o.o_orderdate) AS year,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, year(o.o_orderdate)
+    """,
+)
+def star_join_revenue(spark, sf_dir):
+    """J1 at full star depth — the flagship query. Scale: lineitem⋈
+    orders is the only big shuffle; customer/nation/region broadcast.
+    Catalyst pushes the revenue projection into the scan."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.year("o_orderdate").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "anti_join_unmatched",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_unmatched(spark, sf_dir):
+    """J3/S4: left-anti join — the engine's incremental-scan guard and
+    reconciliation-diff primitive."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+
+
+@query(
+    "semi_join_matched",
+    oracle="""
+    SELECT COUNT(*) AS n_customers FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    """,
+)
+def semi_join_matched(spark, sf_dir):
+    """J4: left-semi join (isin at scale — no duplication of the left
+    side, right side never materialized into the output)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "reconcile_diff",
+    oracle="""
+    SELECT 'only_in_orders' AS side, COUNT(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders
+      EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    )
+    UNION ALL
+    SELECT 'only_in_customer' AS side, COUNT(*) AS n FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      EXCEPT SELECT DISTINCT o_custkey FROM orders
+    )
+    ORDER BY side
+    """,
+)
+def reconcile_diff(spark, sf_dir):
+    """U3/J3: two-directional set difference — the
+    processed_vs_downloaded reconciliation notebook as a query."""
+    o = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    left_only = o.exceptAll(c).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_in_orders").alias("side"), "n"
+    )
+    right_only = c.exceptAll(o).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_in_customer").alias("side"), "n"
+    )
+    return left_only.unionByName(right_only).orderBy("side")
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT metric, ROUND(SUM(v), 2) AS total, COUNT(*) AS n
+    FROM (
+      SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem
+    ) GROUP BY metric
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """U1: melt 3 measure columns into (metric, value) — the
+    reintegros-unpivot shape, via the stack() expression (single scan,
+    no self-union)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.expr(
+                "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+            ).alias("metric", "v")
+        )
+        .groupBy("metric")
+        .agg(F.round(F.sum("v"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def explode_tokens(spark, sf_dir):
+    """U4: explode(split()) token counts, deterministic top-20."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "dropdup_pairs",
+    oracle="""
+    SELECT COUNT(*) AS n_pairs FROM
+      (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+    """,
+)
+def dropdup_pairs(spark, sf_dir):
+    """U5: dropDuplicates on a column subset."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .dropDuplicates(["l_suppkey", "l_partkey"])
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.6 — Spark-native upgrades)
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_per_group_window",
+    oracle="""
+    SELECT year, supplier, total_price, rk FROM (
+      SELECT year(l.l_shipdate) AS year, s.s_name AS supplier,
+             ROUND(SUM(l.l_extendedprice), 2) AS total_price,
+             ROW_NUMBER() OVER (
+               PARTITION BY year(l.l_shipdate)
+               ORDER BY ROUND(SUM(l.l_extendedprice), 2) DESC, s.s_name ASC
+             ) AS rk
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY year(l.l_shipdate), s.s_name
+    ) WHERE rk <= 3
+    """,
+)
+def topk_per_group_window(spark, sf_dir):
+    """§2.6: per-group top-k via row_number window (the Spark-native
+    upgrade of value_counts().head()). Ranks on the rounded measure +
+    unique tie-break so both engines cut identically."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    agg = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("l_shipdate").alias("year"), F.col("s_name").alias("supplier"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+    )
+    w = Window.partitionBy("year").orderBy(F.desc("total_price"), F.asc("supplier"))
+    return agg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@query(
+    "running_total_window",
+    oracle="""
+    SELECT year, month, monthly, ROUND(SUM(monthly) OVER (
+             PARTITION BY year ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+    FROM (
+      SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+             ROUND(SUM(o_totalprice), 2) AS monthly
+      FROM orders GROUP BY 1, 2
+    )
+    """,
+)
+def running_total_window(spark, sf_dir):
+    """§2.6: cumulative sum over an ordered frame — time-series
+    running total (gold_time_series upgrade)."""
+    monthly = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly"))
+    )
+    w = (
+        Window.partitionBy("year")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.withColumn("running", F.round(F.sum("monthly").over(w), 2))

@@ -1,0 +1,113 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet tables, then compares row count, column
+names, and order-insensitive values (columns sorted by name, rows
+sorted, floats rounded). Exit code 1 on any mismatch.
+
+Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [-q name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import decimal
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from lottery_end_to_end_etl_data_pipeline_spark import get_session  # noqa: E402
+from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import TABLES  # noqa: E402
+
+
+def _norm(v, places=6):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, places)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def normalize(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i].lower())
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("-q", "--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{args.sf}/{tbl}.parquet')"
+        )
+
+    spark = get_session("check-oracle")
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = args.queries or list(queries)
+
+    failures = []
+    for name in names:
+        fn = queries[name]
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, args.sf)
+            s_cols = [c.lower() for c in df.columns]
+            s_rows = normalize(s_cols, [tuple(r) for r in df.collect()])
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle — rows-only check)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = [c.lower() for c in rel.columns]
+            d_rows = normalize(d_cols, rel.fetchall())
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        dt = time.monotonic() - t0
+        if sorted(s_cols) != sorted(d_cols):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {sorted(s_cols)} != {sorted(d_cols)}")
+        elif len(s_rows) != len(d_rows):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount {len(s_rows)} != {len(d_rows)}")
+        elif s_rows != d_rows:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+        else:
+            print(f"OK    {name}: {len(s_rows)} rows  ({dt:.2f}s)")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
