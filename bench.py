@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+
+Timing excludes session startup; each query is materialized via
+collect() (results are aggregate-sized). Run order is fixed; first
+query absorbs JVM warm-up, so headline totals are conservative.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from lottery_end_to_end_etl_data_pipeline_spark import get_session  # noqa: E402
+from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import QUERIES  # noqa: E402
+
+HEADLINE = [
+    "star_join_revenue",
+    "gold_draw_summary_shape",
+    "gold_frequency_shape",
+    "gold_geo_shape",
+    "gold_time_series_shape",
+    "topk_per_group_window",
+    "iqr_filter",
+    "explode_tokens",
+    "json_extract",
+    "reconcile_diff",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + file listing outside the timed region.
+    QUERIES["gold_letters_shape"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

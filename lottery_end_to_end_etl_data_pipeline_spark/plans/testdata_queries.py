@@ -502,21 +502,15 @@ def iqr_filter(spark, sf_dir):
     oracle parity; at 100 TB swap to approx_percentile and accept
     the tolerance."""
     l = t(spark, sf_dir, "lineitem")
-    q = l.agg(
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
-        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
-    )
-    j = l.crossJoin(F.broadcast(q))
-    iqr = F.col("q3") - F.col("q1")
-    return (
-        j.filter(
-            (F.col("l_extendedprice") >= F.col("q1") - 1.5 * iqr)
-            & (F.col("l_extendedprice") <= F.col("q3") + 1.5 * iqr)
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_inliers"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_inliers"),
-        )
+    q1, q3 = l.agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)))
+    ).first()[0]
+    # Two scalars to the driver, then literal bounds — the second scan
+    # gets parquet predicate pushdown instead of a crossJoin recompute.
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    return l.filter(F.col("l_extendedprice").between(lo, hi)).agg(
+        F.count(F.lit(1)).alias("n_inliers"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_inliers"),
     )
 
 
