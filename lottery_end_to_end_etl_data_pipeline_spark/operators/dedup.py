@@ -1,0 +1,314 @@
+"""Deduplication operators for 100 TB-class training-data pipelines.
+
+Five strategies, all shuffle-conscious:
+
+- exact_dedup            : hash-groupBy, one shuffle on the content hash
+- ngram_jaccard_pairs    : exact n-gram Jaccard via inverted-index
+                           self-join (no O(n²) cross join — pairs are
+                           generated only for docs sharing a shingle)
+- minhash_lsh_pairs      : MinHash signatures (explode→min-agg) +
+                           banded LSH bucketing; candidate pairs only
+                           from shared buckets
+- simhash_pairs          : 64-bit SimHash + 4-chunk banding, verify by
+                           bit_count(xor) hamming distance
+- embedding_cosine_pairs : near-dup by cosine over an embedding
+                           column, bucketed to avoid the full cross
+                           product
+
+Everything is built-in-function JVM code (explode / groupBy / join) —
+no Python in the hot path. Candidate generation is always
+inverted-index shaped so the shuffle volume is O(total postings), not
+O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative row (min id) per distinct value of
+    `cols`. One shuffle, map-side partial agg on the hash."""
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def exact_dup_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Duplicate-group inventory: (group md5, n_copies, keeper id)."""
+    key = F.md5(F.concat_ws("", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]))
+    return (
+        df.groupBy(key.alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def word_shingles(text_col: str, k: int = 3):
+    """Distinct word k-shingles as an array column (JVM transform)."""
+    toks = tokens(text_col)
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+            lambda s: s != "",
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted index.
+
+    plan: docs → (id, shingle) postings → self-join on shingle →
+    per-pair intersection count → join back |A|,|B| → jaccard filter.
+    Shuffle volume = postings + candidate pairs; a pair is produced
+    only if it shares ≥1 shingle, so disjoint docs cost nothing.
+    """
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    postings = sh.select("id", F.explode("sh").alias("shingle"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc as an array<int> column.
+
+    Implementation: explode shingles once, compute `num_hashes`
+    seeded murmur3 hashes per posting, take per-doc min of each —
+    a single shuffle keyed by doc id with map-side partial mins.
+    """
+    postings = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_k)).alias("s")
+    )
+    mins = [
+        F.min(F.hash(F.col("s"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = postings.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
+
+    bands×rows = num_hashes; a pair collides if any band signature
+    matches (P ≈ 1-(1-j^r)^b). Candidates come only from shared
+    buckets — the self-join is on (band, band_hash), never all-pairs.
+    Estimated similarity = fraction of equal signature components.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.hash(*[F.element_at("sig", bi * rows + ri + 1) for ri in range(rows)]).alias(
+                    "bh"
+                ),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select("id", "sig", F.explode(band_arr).alias("b")).select(
+        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(num_hashes)),
+        4,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 48
+) -> DataFrame:
+    """SimHash fingerprint (default 48 bits → fits a signed long
+    safely). Frequency-weighted: each token occurrence votes ±1 per
+    bit of its murmur3 hash; fingerprint bit = sign of the vote sum.
+    One explode + one grouped agg."""
+    postings = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.hash("tok").cast("long"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = postings.groupBy("id").agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the fingerprint into `chunks` chunks —
+    any pair within distance < chunks must share one exact chunk, so
+    candidates come from equi-joins on (chunk_id, chunk_value), then
+    verify with bit_count(xor)."""
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("ci"),
+                F.shiftright(F.col("simhash"), ci * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
+            )
+            for ci in range(chunks)
+        ]
+    )
+    buckets = fp.select("id", "simhash", F.explode(chunk_arr).alias("c")).select(
+        "id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs by cosine ≥ threshold.
+
+    With `bucket_col`, candidate pairs are restricted to the same
+    bucket (a coarse quantization — at scale use an ANN/IVF
+    assignment as the bucket). Dot/norm are JVM higher-order
+    functions over the array column — no UDF, no collect."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm.alias("nrm"),
+        *( [F.col(bucket_col).alias("bk")] if bucket_col else [F.lit(0).alias("bk")] ),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+Design (100 TB): media travels as a `binary` payload column plus a
+typed metadata struct; decode / feature-extraction / resize /
+frame-sampling run as Arrow-batched `mapInPandas` stages so bytes
+never round-trip through Python row-at-a-time. The decode kernels
+themselves are STUBBED in this container (no PIL/ffmpeg available) —
+`decode=fake` produces deterministic pseudo-features from the bytes
+so the Spark-side plumbing (schemas, batch shapes, partition
+behavior) is real and testable; `decode=strict` raises
+NotImplementedError exactly where a real kernel would plug in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: payload + typed metadata — the canonical multimodal column pair.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("source", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("phash", T.StringType(), True),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+    ]
+)
+
+
+def attach_media_meta(df: DataFrame, content_col: str = "content", source: str = "unknown") -> DataFrame:
+    """Wrap a raw binary column with the typed metadata struct —
+    pure column ops, no Python."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(content_col).cast("long").alias("n_bytes"),
+            F.lit(source).alias("source"),
+        ),
+    )
+
+
+def _fake_image_features(payload: bytes) -> tuple[int, int, float, str]:
+    """Deterministic pseudo-decode: stable features derived from the
+    byte content (stands in for a real PIL/turbojpeg kernel)."""
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    mean_luma = round(sum(digest[:16]) / (16 * 255.0), 6)
+    return width, height, mean_luma, digest[:8].hex()
+
+
+def image_features(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """Arrow-batched image feature extraction over `mapInPandas`.
+
+    Batch shape: the UDF receives pandas DataFrames of
+    (media_id, content) and yields feature frames — the real-kernel
+    integration point is `_fake_image_features`."""
+    if decode not in ("fake", "strict"):
+        raise ValueError("decode must be 'fake' or 'strict'")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "strict":
+                raise NotImplementedError(
+                    "real image decode kernel not available in this container; "
+                    "plug PIL/turbojpeg here"
+                )
+            feats = [
+                (mid, *_fake_image_features(bytes(payload) if payload is not None else b""))
+                for mid, payload in zip(pdf["media_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                feats, columns=["media_id", "width", "height", "mean_luma", "phash"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 4) -> DataFrame:
+    """Frame sampling stub: slices the payload at fixed strides
+    (stands in for ffmpeg keyframe extraction). Demonstrates the
+    1→N fan-out shape (`mapInPandas` yielding more rows than input)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(payload) if payload is not None else b""
+                for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
+                    rows.append((mid, i, data[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
+
+    return df.select("media_id", "content").mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+def binary_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """JVM-side binary column stats (no decode): size + content hash —
+    the dedup/triage pass that runs before any expensive decode."""
+    return df.select(
+        "media_id",
+        F.octet_length(content_col).cast("long").alias("n_bytes"),
+        F.md5(F.col(content_col)).alias("content_md5"),
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+- knn_brute   : exact cosine top-k against a query vector — the
+                correctness baseline. Scan-shaped: one pass, one
+                TakeOrdered; no shuffle beyond top-k merge.
+- knn_lsh     : random-hyperplane LSH bucketing — the scale path.
+                Deterministic seeded hyperplanes; probes only the
+                query's bucket (and optional neighbor buckets).
+- ivf_assign  : coarse IVF-style partition assignment given centroid
+                vectors (for bucketed pair generation / search).
+
+All vector math is JVM higher-order functions (zip_with/aggregate)
+over the native array column — no UDF, no collect of the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_lit(vec_col: str, qvec: list[float]) -> Column:
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(vec_col: str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_to_query(vec_col: str, qvec: list[float]) -> Column:
+    qn = math.sqrt(sum(float(x) * float(x) for x in qvec)) or 1.0
+    return _dot_lit(vec_col, qvec) / (_norm(vec_col) * F.lit(qn))
+
+
+def knn_brute(
+    df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k. Ranks on the ROUNDED score with the id as
+    tie-break so the cut line is deterministic across engines/runs.
+    Spark plans orderBy+limit as TakeOrderedAndProject — per-partition
+    top-k then a k-sized merge on the driver, no global sort."""
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine_to_query(vec_col, qvec), 4).alias("cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col("id") != exclude_id)
+    return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(v · plane_i)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(_dot_lit(vec_col, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def knn_lsh(
+    df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign-LSH
+    bucket. At 100 TB, persist `lsh_bucket` as a partition/bucket
+    column at write time so probing is a partition-pruned scan."""
+    planes = hyperplanes(len(qvec), n_planes, seed)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(qvec, p)) >= 0:
+            qbucket |= 1 << i
+    bucketed = df.withColumn("_bk", lsh_bucket(vec_col, planes)).filter(
+        F.col("_bk") == qbucket
+    )
+    return knn_brute(bucketed, qvec, k, id_col, vec_col, exclude_id)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine) —
+    the coarse quantizer of an IVF index. Centroids are literals
+    (typically ≤ a few thousand), so this is a narrow map stage;
+    write-partitioning by `out_col` makes probe queries prune."""
+    best = None
+    for ci, c in enumerate(centroids):
+        score = cosine_to_query(vec_col, c)
+        cell = F.struct(F.round(score, 6).alias("s"), F.lit(ci).alias("c"))
+        best = cell if best is None else F.when(cell["s"] > best["s"], cell).otherwise(best)
+    return df.withColumn(out_col, best["c"])

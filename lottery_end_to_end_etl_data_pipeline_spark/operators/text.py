@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is built-in `pyspark.sql.functions` (JVM-side,
+whole-stage codegen): tokenization via split, ratios via regexp
+counts, language ID via lexicon intersection, fingerprints via md5 of
+a canonical token form. No Python UDFs anywhere — at 100 TB these run
+at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lexicons for the language-ID heuristic.
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "von"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "he2", "wo3", "ta1"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (lower-cased)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: word-piece regex split — words, digits
+    runs, and individual punctuation count separately (a cheap proxy
+    for subword tokenizers when budgeting training data)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.filter(
+            F.split(c, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), lambda x: F.trim(x) != ""
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach quality-scoring features: length, token stats,
+    punctuation/digit/stopword ratios, and a composite [0,1] score
+    (length-normalized heuristic in the C4/Gopher lineage)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).cast("double")
+    digits = F.regexp_count(F.col(text_col), F.lit(r"\d")).cast("double")
+    out = (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("avg_token_len", F.round(n_chars / F.greatest(n_tok, F.lit(1.0)), 4))
+        .withColumn("punct_ratio", F.round(punct / F.greatest(n_chars, F.lit(1.0)), 4))
+        .withColumn("digit_ratio", F.round(digits / F.greatest(n_chars, F.lit(1.0)), 4))
+        .withColumn(
+            "stopword_hits", n_stop.cast("double")
+        )
+    )
+    score = (
+        F.when(F.col("n_tokens") < 5, 0.0)
+        .when(F.col("punct_ratio") > 0.3, 0.2)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    0.5
+                    + 0.5 * F.least(F.col("n_tokens") / 200.0, F.lit(1.0))
+                    - F.col("digit_ratio"),
+                    4,
+                ),
+            )
+        )
+    )
+    return out.withColumn("quality_score", score)
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: count lexicon hits per language (distinct
+    token intersection), argmax with deterministic lexicographic
+    tie-break. Pure column expressions → runs at scan speed."""
+    toks = F.array_distinct(tokens(text_col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in lex]))
+                ).alias("hits"),
+                # negative-ordering trick: array_max picks highest hits,
+                # ties broken by lexicographically SMALLEST language via
+                # reversed comparison field
+                F.lit(lang).alias("lang"),
+            )
+            for lang, lex in sorted(LANG_LEXICONS.items())
+        ]
+    )
+    # array_max on struct compares fields in order: (hits, lang) —
+    # ties pick the lexicographically LAST lang; flip by sorting desc
+    # on hits then asc on lang via filter-max idiom:
+    best_hits = F.array_max(F.transform(scored, lambda s: s["hits"]))
+    best_lang = F.array_min(
+        F.transform(
+            F.filter(scored, lambda s: s["hits"] == best_hits), lambda s: s["lang"]
+        )
+    )
+    return df.withColumn(out_col, F.when(best_hits > 0, best_lang).otherwise(F.lit("und")))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical-form document fingerprint: md5 over the sorted
+    distinct token multiset — engine-portable (unlike xxhash64) and
+    stable under token reordering, the property near-dup triage wants."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def rolling_hash_fingerprint(text_col: str, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: minimum xxhash64 over character
+    n-grams — the classic rolling-hash document signature. Engine-
+    specific hash → verify rows-only (no SQL oracle). Takes a column
+    NAME (composed via expr for the dynamic-start substring)."""
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {window} + 1, 1)), "
+        f"i -> xxhash64(substring({text_col}, i, {window}))))"
+    )

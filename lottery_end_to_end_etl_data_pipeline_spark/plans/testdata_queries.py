@@ -912,3 +912,282 @@ def running_total_window(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return monthly.withColumn("running", F.round(F.sum("monthly").over(w), 2))
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (north-star extensions): dedup, similarity
+# search, text analysis, multimodal plumbing.
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_id
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup inventory: hash-groupBy duplicate groups with the
+    kept representative. One shuffle on the content hash."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                              i -> array_to_string(tk[i:i+2], ' ')),
+               x -> x <> '')) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via inverted-index
+    self-join — candidates only for docs sharing a shingle, never a
+    cross product."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
+    )
+
+
+@query("dedup_minhash_lsh")  # engine-specific hash → rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands) near-dup candidates. Validated in
+    tests against exact Jaccard (recall on true dups = 1.0 for
+    identical texts); no SQL oracle because murmur3 seeds are
+    engine-specific."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=64, bands=16, threshold=0.5,
+    )
+
+
+@query("dedup_simhash")  # engine-specific hash → rows-only check
+def dedup_simhash(spark, sf_dir):
+    """SimHash(48-bit) near-dup pairs, hamming ≤ 3 via 4-chunk
+    pigeonhole banding."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", bits=48, max_hamming=3
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*x)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*x)))),
+           4) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*x)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*x)))),
+           4) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs (cosine ≥ 0.3) bucketed by label —
+    the coarse-quantization pattern that avoids the full cross join."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    return embedding_cosine_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", threshold=0.3
+    )
+
+
+@query(
+    "knn_brute_cosine",
+    oracle="""
+    WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id AS id,
+           round(
+             list_sum(list_transform(list_zip(embedding, q.e),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x)))
+                * sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE)*x)))),
+           4) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, id ASC
+    LIMIT 10
+    """,
+)
+def knn_brute_cosine(spark, sf_dir):
+    """Brute-force cosine top-10 for the vec_id=0 query vector —
+    the exact ANN baseline. TakeOrderedAndProject: per-partition
+    top-k, k-row driver merge, no global sort."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import knn_brute
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return knn_brute(emb, qvec, k=10, id_col="vec_id", vec_col="embedding", exclude_id=0)
+
+
+@query("knn_lsh_cosine")  # approximate — rows-only check
+def knn_lsh_cosine(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-10 (the 100 TB scale path:
+    bucket persisted as a partition column → probe = pruned scan).
+    Recall vs brute force validated in tests."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import knn_lsh
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return knn_lsh(emb, qvec, k=10, n_planes=4, exclude_id=0)
+
+
+@query(
+    "text_stats_by_lang",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS total_tokens,
+           SUM(length(text)) AS total_chars,
+           SUM(n_chars) AS total_chars_meta
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats_by_lang(spark, sf_dir):
+    """Token counting + length audit per language bucket."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import token_count
+
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum("n_chars").alias("total_chars_meta"),
+        )
+    )
+
+
+@query(
+    "lang_id_confusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tk
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+        len(list_intersect(tk, ['der','die','das','und','ist','ein','nicht','von'])) AS h_de,
+        len(list_intersect(tk, ['the','and','of','to','a','in','is','it'])) AS h_en,
+        len(list_intersect(tk, ['el','la','de','que','y','en','un','es'])) AS h_es,
+        len(list_intersect(tk, ['le','la','de','et','un','une','est','que'])) AS h_fr,
+        len(list_intersect(tk, ['de5','shi4','le5','zai4','you3','he2','wo3','ta1'])) AS h_zh
+      FROM toks
+    )
+    SELECT lang,
+      CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+           WHEN h_de >= greatest(h_en,h_es,h_fr,h_zh) THEN 'de'
+           WHEN h_en >= greatest(h_es,h_fr,h_zh) THEN 'en'
+           WHEN h_es >= greatest(h_fr,h_zh) THEN 'es'
+           WHEN h_fr >= h_zh THEN 'fr'
+           ELSE 'zh' END AS lang_pred,
+      COUNT(*) AS n_docs
+    FROM hits GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark, sf_dir):
+    """Heuristic language-ID confusion matrix: lexicon-intersection
+    argmax (deterministic lexicographic tie-break) vs the labeled
+    lang column."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import lang_id
+
+    return (
+        lang_id(t(spark, sf_dir, "documents"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "doc_fingerprint_dups",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' ')) AS fp,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def doc_fingerprint_dups(spark, sf_dir):
+    """Canonical-form fingerprint dedup: md5 over the sorted distinct
+    token set — catches token-reordered near-dups that exact-hash
+    misses, portably across engines."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import fingerprint
+
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(fingerprint("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "binary_features",
+    oracle="""
+    SELECT source, COUNT(*) AS n_media,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           COUNT(DISTINCT md5(text)) AS distinct_payloads
+    FROM documents GROUP BY source
+    """,
+)
+def binary_features(spark, sf_dir):
+    """Multimodal plumbing surface: treat text bytes as an opaque
+    binary payload; JVM-side size + hash triage (the pass that runs
+    before any expensive decode kernel)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.encode("text", "UTF-8").alias("content"),
+            F.md5("text").alias("content_md5"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.octet_length("content")).alias("total_bytes"),
+            F.countDistinct("content_md5").alias("distinct_payloads"),
+        )
+    )
