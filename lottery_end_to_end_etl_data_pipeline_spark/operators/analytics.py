@@ -1,0 +1,117 @@
+"""The EDA operator surface (SURVEY §2 A8-A18, F10-F20, U1-U5, O1-O3).
+
+Each helper is a thin, composable wrapper over the Spark primitive the
+reference's notebooks reach for via pandas — value_counts, top-k,
+null audits, duplicate scans, IQR filters, binning, unpivots,
+reconciliation diffs, odds/percentage calcs. All JVM-side; the only
+driver-side values are scalar statistics (quantile bounds), never rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.functions.expressions import (
+    bin_by_width,
+    calculate_odds,
+    calculate_winning_percentage,
+)
+
+
+def value_counts(df: DataFrame, col: str, desc: bool = True) -> DataFrame:
+    """`series.value_counts()` — count per key, sorted.
+    (EDA_premios.ipynb cell 35)."""
+    out = df.groupBy(col).agg(F.count(F.lit(1)).alias("count"))
+    order = [F.desc("count"), F.asc(col)] if desc else [F.asc("count"), F.asc(col)]
+    return out.orderBy(*order)
+
+
+def top_k(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """`value_counts().head(k)` — planned as TakeOrderedAndProject."""
+    return value_counts(df, col).limit(k)
+
+
+def null_counts(df: DataFrame) -> DataFrame:
+    """`df.isnull().sum()` — one pass, one row
+    (EDA_premios.ipynb cell 11)."""
+    return df.agg(
+        *[F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in df.columns]
+    )
+
+
+def duplicates(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Rows appearing more than once (`df.duplicated(keep=False)`,
+    EDA_premios.ipynb cells 9-10): group on all/subset cols, keep
+    groups of ≥2 with their multiplicity."""
+    cols = subset or df.columns
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def iqr_bounds(df: DataFrame, col: str) -> tuple[float, float]:
+    """Exact Q1/Q3 → (lo, hi) Tukey fences (EDA_premios.ipynb cell
+    22). Two scalars to the driver; at 100 TB use approx_percentile."""
+    q1, q3 = df.agg(F.percentile(col, F.array(F.lit(0.25), F.lit(0.75)))).first()[0]
+    iqr = q3 - q1
+    return q1 - 1.5 * iqr, q3 + 1.5 * iqr
+
+
+def iqr_filter(df: DataFrame, col: str) -> DataFrame:
+    """Drop Tukey outliers."""
+    lo, hi = iqr_bounds(df, col)
+    return df.filter(F.col(col).between(lo, hi))
+
+
+def bin_counts(df: DataFrame, col: str, width: float) -> DataFrame:
+    """Histogram feed: uniform bins + counts (pd.cut, cell 52)."""
+    return (
+        df.groupBy(bin_by_width(col, width).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("bucket")
+    )
+
+
+def unpivot(df: DataFrame, id_cols: list[str], value_cols: list[str],
+            var_name: str = "variable", value_name: str = "value") -> DataFrame:
+    """Melt value columns into (variable, value) rows — the
+    reintegros-unpivot (EDA_sorteos.ipynb cell 12) via a single-scan
+    stack() expression."""
+    pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    stack_expr = f"stack({len(value_cols)}, {pairs}) as (`{var_name}`, `{value_name}`)"
+    return df.select(*id_cols, F.expr(stack_expr))
+
+
+def reconcile_diff(left: DataFrame, right: DataFrame,
+                   on: list[str] | None = None) -> DataFrame:
+    """Two-directional bag difference with a side indicator — the
+    outer-merge-indicator reconciliation (processed_vs_downloaded
+    cells 9-12) as anti-join-shaped exceptAll."""
+    cols = on or left.columns
+    l = left.select(*cols)
+    r = right.select(*cols)
+    return (
+        l.exceptAll(r).withColumn("side", F.lit("left_only"))
+        .unionByName(r.exceptAll(l).withColumn("side", F.lit("right_only")))
+    )
+
+
+def odds_table(df: DataFrame, group_col: str, winners_col: str,
+               tickets_issued: int) -> DataFrame:
+    """Winning percentage + '1 in N' odds per group
+    (visualization notebook cells 45-49)."""
+    return df.select(
+        group_col,
+        calculate_winning_percentage(winners_col, F.lit(tickets_issued)).alias(
+            "winning_pct"
+        ),
+        calculate_odds(F.lit(tickets_issued), winners_col).alias("odds_1_in"),
+    )
+
+
+def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """`df.describe()` passthrough (A14)."""
+    return df.describe(*(cols or []))

@@ -1,0 +1,79 @@
+"""Batch pipeline runner — replaces the reference's Step Functions
+orchestration (SURVEY §3.1) with one driver program over one session:
+
+    discover raw → incremental filter → parse → conform → silver
+    writes → catalog registration → gold rebuild
+
+Idempotent and re-runnable: the incremental guard is a left-anti join
+against existing silver (S4); writes use dynamic partition overwrite
+(no purge machinery); gold is rebuilt with overwrite semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators import gold as gold_mod
+from lottery_end_to_end_etl_data_pipeline_spark.operators.silver import (
+    conform_premios,
+    conform_sorteos,
+    filter_unprocessed,
+    register_silver,
+    with_partitions,
+    write_silver,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.sources.bronze import (
+    parse_draws,
+    read_raw_draws,
+)
+
+
+@dataclass
+class PipelineResult:
+    new_draws: int
+    new_premios: int
+    gold_tables: list[str] = field(default_factory=list)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw_glob: str,
+    silver_path: str,
+    gold_path: str | None = None,
+    simple_path: str | None = None,
+    incremental: bool = True,
+    strict: bool = True,
+) -> PipelineResult:
+    """One end-to-end batch run (the weekly cron body, minus AWS)."""
+    raw = read_raw_draws(spark, raw_glob)
+    sorteos_raw, premios_raw = parse_draws(raw, strict=strict)
+    sorteos = conform_sorteos(sorteos_raw)
+    premios = conform_premios(premios_raw)
+
+    if incremental:
+        try:
+            existing = spark.read.parquet(f"{silver_path}/sorteos")
+        except Exception:  # first run: nothing processed yet
+            existing = None
+        sorteos = filter_unprocessed(sorteos, existing)
+        premios = filter_unprocessed(premios, existing)
+
+    sorteos, premios = with_partitions(sorteos, premios, strict=strict)
+    n_draws = sorteos.count()
+    n_premios = premios.count()
+    if n_draws:
+        write_silver(
+            sorteos, premios, silver_path, simple_path=simple_path, mode="overwrite"
+        )
+
+    register_silver(spark, silver_path)
+    result = PipelineResult(new_draws=n_draws, new_premios=n_premios)
+
+    if gold_path is not None:
+        golds = gold_mod.build_all(
+            spark.table("silver_premios"), spark.table("silver_sorteos"), gold_path
+        )
+        result.gold_tables = sorted(golds)
+    return result

@@ -1,0 +1,65 @@
+"""Generic source surface (SURVEY §2.1 S9-S12).
+
+Thin wrappers over Spark's built-in readers with the engine's
+defaults; no custom DataSource needed anywhere (the reference's
+sources are files + a retired JDBC path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """Multi-path parquet with partition discovery (S11) — replaces
+    the notebooks' concat-of-read_parquet loop."""
+    return spark.read.parquet(*paths)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV source (S10). Prefer an explicit schema at scale —
+    inferSchema costs a full extra pass over the data."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source (S12 — the reference's retired MySQL export path).
+
+    With `partition_column` + bounds the read is split into
+    `num_partitions` parallel range queries instead of a single
+    connection — the only scalable way to lift a big table over JDBC.
+    Requires the JDBC driver jar on the classpath (not bundled here).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

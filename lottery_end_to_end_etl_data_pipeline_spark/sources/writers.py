@@ -1,0 +1,48 @@
+"""Generic sink surface (SURVEY §2.1 S5-S8, S10).
+
+Overwrite semantics replace the reference's entire purge-Lambda dance
+(sql/gold/README.md:31-45): Spark's dynamic partition overwrite
+rewrites only the partitions present in the incoming data, and
+`saveAsTable`/`CREATE OR REPLACE` keep the catalog in sync without
+crawlers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet sink (S6). With the session's
+    `partitionOverwriteMode=dynamic`, overwrite touches only incoming
+    partitions — idempotent incremental re-runs."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_parquet_flat(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Flat parquet sink (S5 — the reference's 'simple bucket')."""
+    df.write.mode(mode).parquet(path)
+
+
+def save_as_table(
+    df: DataFrame,
+    table: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """CTAS + catalog registration in one step (S7) — subsumes the
+    reference's CTAS + crawler + purge trio."""
+    writer = df.write.mode(mode).format("parquet")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.saveAsTable(table)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    """CSV sink (S10)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

@@ -1,0 +1,73 @@
+"""Structured-Streaming incremental ingest (optional extension).
+
+The reference is batch-only (DoD.md:224); its substitute for
+streaming is the skip-processed anti-join (S4). This module offers
+the Spark-native upgrade: `readStream` over the raw directory with
+`Trigger.AvailableNow` — exactly-once file tracking via checkpoint,
+drain-and-stop semantics, same parse path as batch. Plus the generic
+event-stream surface (watermarked tumbling-window aggregation) that a
+training-data pipeline needs for telemetry tables like `events`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_raw_draws(spark: SparkSession, raw_dir: str) -> DataFrame:
+    """File-stream of raw draw documents (one row per file via
+    wholetext). New files are discovered incrementally; the
+    checkpoint replaces the reference's processed-set bookkeeping."""
+    return (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(raw_dir)
+        .select(F.input_file_name().alias("file"), F.col("value").alias("content"))
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    query_name: str = "incremental-ingest",
+):
+    """Drain all currently-available files through `batch_fn(df, epoch)`
+    and stop — the idempotent weekly-cron shape with exactly-once file
+    tracking. `batch_fn` gets a *batch* DataFrame, so the full batch
+    parse path (parse_draws → conform → write) applies unchanged."""
+    return (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream —
+    late rows beyond the watermark are dropped, state is bounded.
+    Works on a readStream DataFrame; on a batch DataFrame it degrades
+    to a plain window() groupBy (same results, no state)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

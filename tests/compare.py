@@ -7,6 +7,7 @@ rows, compare values with float tolerance.
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 
 
@@ -17,6 +18,8 @@ def normalize_rows(columns, rows, float_places: int = 6):
     def norm_val(v):
         if v is None:
             return None
+        if isinstance(v, decimal.Decimal):
+            v = float(v)
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"

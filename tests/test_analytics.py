@@ -1,0 +1,74 @@
+"""EDA analytics surface tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+    bin_counts,
+    duplicates,
+    iqr_filter,
+    null_counts,
+    odds_table,
+    reconcile_diff,
+    top_k,
+    unpivot,
+    value_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 12.0), ("b", 3, 11.0),
+        ("b", 3, 11.0), ("c", 4, 1000.0), ("a", 5, None),
+    ]
+    return spark.createDataFrame(rows, ["k", "id", "v"])
+
+
+def test_value_counts_and_topk(df):
+    vc = value_counts(df, "k").collect()
+    assert (vc[0]["k"], vc[0]["count"]) == ("a", 3)
+    assert [r["k"] for r in top_k(df, "k", 2).collect()] == ["a", "b"]
+
+
+def test_null_counts(df):
+    row = null_counts(df).collect()[0]
+    assert row["v"] == 1 and row["k"] == 0
+
+
+def test_duplicates(df):
+    dups = duplicates(df).collect()
+    assert len(dups) == 1 and dups[0]["n_copies"] == 2
+
+
+def test_iqr_filter_drops_outlier(df):
+    kept = iqr_filter(df.filter(F.col("v").isNotNull()), "v")
+    assert 1000.0 not in {r["v"] for r in kept.collect()}
+
+
+def test_bin_counts(df):
+    bins = {r["bucket"]: r["count"] for r in bin_counts(df.na.drop(), "v", 5.0).collect()}
+    assert bins[10.0] == 4
+    assert bins[1000.0] == 1
+
+
+def test_unpivot(spark):
+    df = spark.createDataFrame([(1, 4, 7), (2, 5, 8)], ["id", "x", "y"])
+    melted = unpivot(df, ["id"], ["x", "y"])
+    assert melted.count() == 4
+    got = {(r["id"], r["variable"]): r["value"] for r in melted.collect()}
+    assert got[(1, "x")] == 4 and got[(2, "y")] == 8
+
+
+def test_reconcile_diff(spark):
+    left = spark.createDataFrame([(1,), (2,), (2,), (3,)], ["id"])
+    right = spark.createDataFrame([(2,), (3,), (4,)], ["id"])
+    got = {(r["id"], r["side"]) for r in reconcile_diff(left, right).collect()}
+    assert got == {(1, "left_only"), (2, "left_only"), (4, "right_only")}
+
+
+def test_odds_table(spark):
+    df = spark.createDataFrame([("ORDINARIO", 400)], ["tipo", "winners"])
+    row = odds_table(df, "tipo", "winners", tickets_issued=80000).collect()[0]
+    assert row["winning_pct"] == 0.5
+    assert row["odds_1_in"] == 200.0

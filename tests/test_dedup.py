@@ -1,0 +1,92 @@
+"""Dedup operator tests: exactness where exact, recall where
+approximate (LSH families must find planted duplicates)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # 1-token edit → high jaccard
+FAR = "completely different content about spark shuffles and partitions everywhere"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact dup of 0
+        (2, NEAR),          # near dup of 0/1
+        (3, FAR),
+        (4, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = exact_dedup(docs, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {0, 2, 3, 4}
+
+
+def test_exact_dup_groups(docs):
+    groups = exact_dup_groups(docs, ["text"], "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_copies"] == 2
+    assert groups[0]["keeper_id"] == 0
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_minhash_lsh_recall_on_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.4).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical signatures
+    assert (0, 2) in pairs  # near dup found by banding
+
+
+def test_simhash_finds_exact_and_near(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 6
+    assert (0, 3) not in pairs
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], 0),   # near dup of 0
+        (2, [0.0, 1.0, 0.0], 0),     # orthogonal
+        (3, [1.0, 0.0, 0.0], 1),     # same vector, different bucket
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs            # below threshold
+    assert (0, 3) not in pairs            # bucket-restricted

@@ -1,0 +1,76 @@
+"""Gold end-to-end: fixture corpus → silver parquet → 7 gold tables,
+cross-checked three ways: DataFrame builder vs Spark SQL vs DuckDB
+oracle running the identical SQL on the same parquet (the reference's
+intended correctness contract, SURVEY §5)."""
+
+import duckdb
+import pytest
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.gold import (
+    GOLD_BUILDERS,
+    gold_sql,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.plans.pipeline import run_pipeline
+
+from tests.compare import assert_same, spark_rows
+
+from tests.fixture_gen import write_fixture_corpus
+
+
+@pytest.fixture(scope="module")
+def silver(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("gold_e2e")
+    write_fixture_corpus(root / "raw", n_draws=20, seed=7)
+    result = run_pipeline(
+        spark,
+        str(root / "raw" / "*" / "*" / "*.txt"),
+        str(root / "silver"),
+        gold_path=str(root / "gold"),
+    )
+    assert result.new_draws == 20
+    assert result.new_premios > 500
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW silver_sorteos AS SELECT * FROM read_parquet('{root}/silver/sorteos/**/*.parquet', hive_partitioning=1)"
+    )
+    con.execute(
+        f"CREATE VIEW silver_premios AS SELECT * FROM read_parquet('{root}/silver/premios/**/*.parquet', hive_partitioning=1)"
+    )
+    return spark, con
+
+
+@pytest.mark.parametrize("name", sorted(GOLD_BUILDERS))
+def test_gold_three_way(silver, name):
+    spark, con = silver
+    df_form = GOLD_BUILDERS[name](
+        spark.table("silver_premios"), spark.table("silver_sorteos")
+    )
+    sql_text = gold_sql()[name]
+    sql_form = spark.sql(sql_text)
+    # DataFrame vs Spark SQL
+    assert spark_rows(df_form) == spark_rows(sql_form), f"{name}: DF != SQL form"
+    # Spark vs DuckDB oracle (same SQL text, Presto-free dialect)
+    duck_sql = sql_text.replace(" AS STRING", " AS VARCHAR")
+    assert_same(df_form, con.sql(duck_sql), label=name)
+
+
+def test_incremental_rerun_is_noop(spark, tmp_path):
+    write_fixture_corpus(tmp_path / "raw", n_draws=4, seed=3)
+    args = (str(tmp_path / "raw" / "*" / "*" / "*.txt"), str(tmp_path / "silver"))
+    first = run_pipeline(spark, *args)
+    assert first.new_draws == 4
+    second = run_pipeline(spark, *args)
+    assert second.new_draws == 0
+    assert second.new_premios == 0
+
+
+def test_incremental_picks_up_new_draw(spark, tmp_path):
+    write_fixture_corpus(tmp_path / "raw", n_draws=4, seed=3)
+    args = (str(tmp_path / "raw" / "*" / "*" / "*.txt"), str(tmp_path / "silver"))
+    run_pipeline(spark, *args)
+    # a 5th draw arrives
+    write_fixture_corpus(tmp_path / "raw", n_draws=5, seed=3)
+    third = run_pipeline(spark, *args)
+    assert third.new_draws == 1
+    # silver now holds all 5 exactly once
+    assert spark.read.parquet(str(tmp_path / "silver/sorteos")).count() == 5

@@ -1,0 +1,108 @@
+"""Multimodal plumbing + streaming extension tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.multimodal import (
+    attach_media_meta,
+    binary_stats,
+    frame_sample,
+    image_features,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
+    run_available_now,
+    stream_raw_draws,
+    windowed_event_counts,
+)
+
+from tests.fixture_gen import write_fixture_corpus
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, bytes(range(i % 7, i % 7 + 40)) * (i + 1)) for i in range(5)]
+    return spark.createDataFrame(rows, ["media_id", "content"])
+
+
+def test_attach_media_meta(media):
+    got = attach_media_meta(media, source="unit").collect()
+    assert all(r["meta"]["n_bytes"] == len(r["content"]) for r in got)
+    assert got[0]["meta"]["source"] == "unit"
+
+
+def test_image_features_fake_decode_deterministic(media):
+    a = {r["media_id"]: r for r in image_features(media).collect()}
+    b = {r["media_id"]: r for r in image_features(media).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert (a[k]["width"], a[k]["height"], a[k]["phash"]) == (
+            b[k]["width"], b[k]["height"], b[k]["phash"],
+        )
+        assert 64 <= a[k]["width"] < 256
+
+
+def test_image_features_strict_raises(media):
+    with pytest.raises(Exception, match="NotImplementedError|decode kernel"):
+        image_features(media, decode="strict").collect()
+
+
+def test_frame_sample_fanout(media):
+    frames = frame_sample(media, every_n_bytes=64, max_frames=3).collect()
+    assert len(frames) > media.count()  # 1→N fan-out
+    assert all(len(r["frame_bytes"]) <= 64 for r in frames)
+
+
+def test_binary_stats(media):
+    got = binary_stats(media).collect()
+    assert all(r["n_bytes"] > 0 and len(r["content_md5"]) == 32 for r in got)
+
+
+def test_streaming_available_now_ingest(spark, tmp_path):
+    """Drain the raw dir through Structured Streaming, re-using the
+    batch parse path via foreachBatch — the S4 upgrade."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.silver import (
+        conform_premios,
+        conform_sorteos,
+        with_partitions,
+        write_silver,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.bronze import parse_draws
+
+    write_fixture_corpus(tmp_path / "raw", n_draws=3, seed=5)
+
+    def ingest(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        s_raw, p_raw = parse_draws(batch_df, strict=False)
+        s, p = with_partitions(conform_sorteos(s_raw), conform_premios(p_raw), strict=False)
+        write_silver(s, p, str(tmp_path / "silver"), mode="append")
+
+    stream = stream_raw_draws(spark, str(tmp_path / "raw" / "*" / "*"))
+    q = run_available_now(stream, ingest, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "silver/sorteos")).count() == 3
+    # second drain: checkpoint remembers the files → no new rows
+    q2 = run_available_now(
+        stream_raw_draws(spark, str(tmp_path / "raw" / "*" / "*")),
+        ingest,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "silver/sorteos")).count() == 3
+
+
+def test_windowed_event_counts_batch_degrade(spark):
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 1, 1, 10, 5), "click", 1.0),
+        (datetime.datetime(2024, 1, 1, 10, 55), "click", 2.0),
+        (datetime.datetime(2024, 1, 1, 11, 5), "view", 3.0),
+    ]
+    events = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+    assert got[(10, "click")] == (2, 3.0)
+    assert got[(11, "view")] == (1, 3.0)

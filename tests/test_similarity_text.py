@@ -1,0 +1,96 @@
+"""Similarity-search and text-analysis operator tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+    ivf_assign,
+    knn_brute,
+    knn_lsh,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_knn_brute_exact_order(vectors):
+    got = [(r["id"], r["cosine"]) for r in knn_brute(vectors, [1.0, 0.0, 0.0, 0.0], k=3, exclude_id=0).collect()]
+    ids = [g[0] for g in got]
+    assert ids == [1, 4, 2]
+    assert got[0][1] == round(0.9 / math.sqrt(0.81 + 0.01), 4)
+
+
+def test_knn_lsh_subset_of_corpus(vectors):
+    got = knn_lsh(vectors, [1.0, 0.0, 0.0, 0.0], k=5, n_planes=2, exclude_id=0).collect()
+    # approximate: returns only same-bucket vectors, scored exactly
+    assert all(r["cosine"] <= 1.0 for r in got)
+    assert len(got) >= 1  # at least the exact near neighbor shares a bucket
+    assert got[0]["id"] == 1
+
+
+def test_ivf_assign_nearest_centroid(vectors):
+    cells = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in ivf_assign(vectors, [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]).collect()
+    }
+    assert cells[0] == 0 and cells[1] == 0 and cells[3] == 1
+    assert cells[2] == 1
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    rows = [
+        (0, "the cat and the dog sat in the warm sun of a long day", "en"),
+        (1, "el perro y la casa de la ciudad es un lugar en que vivo", "es"),
+        (2, "x", "short"),
+        (3, "der hund und die katze das ist ein schönes haus von uns", "de"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_token_count(texts):
+    counts = {r["doc_id"]: r["n"] for r in texts.select("doc_id", token_count("text").alias("n")).collect()}
+    assert counts[0] == 14
+    assert counts[2] == 1
+
+
+def test_lang_id_heuristic(texts):
+    preds = {r["doc_id"]: r["lang_pred"] for r in lang_id(texts).collect()}
+    assert preds[0] == "en"
+    assert preds[1] == "es"
+    assert preds[3] == "de"
+    assert preds[2] == "und"  # no lexicon hits
+
+
+def test_quality_features(texts):
+    rows = {r["doc_id"]: r for r in quality_features(texts).collect()}
+    assert rows[2]["quality_score"] == 0.0  # < 5 tokens
+    assert 0.0 < rows[0]["quality_score"] <= 1.0
+    assert rows[0]["n_tokens"] == 14.0
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma alpha beta"), (2, "alpha beta delta")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[0] == fps[1]      # token reorder → same canonical form
+    assert fps[0] != fps[2]
