@@ -1,0 +1,45 @@
+"""Generic source/sink surface tests (S10-S12, U2)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from lottery_end_to_end_etl_data_pipeline_spark.sources.readers import (
+    read_csv,
+    read_jdbc,
+    read_parquet,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.sources.writers import (
+    write_csv,
+    write_parquet_partitioned,
+)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    write_csv(df, str(tmp_path / "csv"))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    back = read_csv(spark, str(tmp_path / "csv"), schema=schema)
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_multipath_parquet_union(spark, tmp_path):
+    spark.createDataFrame([(1,)], ["x"]).write.parquet(str(tmp_path / "p1"))
+    spark.createDataFrame([(2,)], ["x"]).write.parquet(str(tmp_path / "p2"))
+    got = read_parquet(spark, str(tmp_path / "p1"), str(tmp_path / "p2"))
+    assert sorted(r["x"] for r in got.collect()) == [1, 2]
+
+
+def test_partitioned_write_layout(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2024), (2, 2025)], ["id", "year"])
+    write_parquet_partitioned(df, str(tmp_path / "part"), ["year"])
+    assert (tmp_path / "part" / "year=2024").exists()
+    # partition pruning read-back
+    got = spark.read.parquet(str(tmp_path / "part")).filter("year = 2025")
+    assert [r["id"] for r in got.collect()] == [2]
+
+
+def test_jdbc_requires_bounds(spark):
+    with pytest.raises(ValueError, match="lower_bound and upper_bound"):
+        read_jdbc(spark, "jdbc:mysql://x/db", "t", partition_column="id")
