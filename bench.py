@@ -33,6 +33,10 @@ HEADLINE = [
     "explode_tokens",
     "json_extract",
     "reconcile_diff",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "knn_brute_cosine",
+    "text_stats_by_lang",
 ]
 
 

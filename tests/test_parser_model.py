@@ -1,0 +1,77 @@
+"""Model-based parser check: a randomized corpus is parsed by the
+Spark plan and by a compact in-test Python model of the documented
+Bronze contract (FIXTURES.md §1); row sets must match exactly.
+
+The model is intentionally independent of the engine code — it
+follows the documented semantics (sentinel split, start-anchored
+prize regex, last-prize attachment with last-write-wins, comma-split
+seller fields, DE ESTA CAPITAL normalization)."""
+
+import re
+
+import pytest
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.silver import (
+    conform_premios,
+    conform_sorteos,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.sources.bronze import (
+    parse_draws,
+    read_raw_draws,
+)
+
+from tests.fixture_gen import write_fixture_corpus
+
+PRIZE = re.compile(r"(\d+)\s+(\w+)\s+\.+\s+([\d,]+\.?\d*)")
+
+
+def model_premios(text: str) -> list[tuple]:
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    body = lines[lines.index("BODY") + 1 :]
+    header0 = lines[lines.index("HEADER") + 1]
+    sorteo = int(re.search(r"NO. (\d+)", header0).group(1))
+    rows: list[dict] = []
+    for ln in body:
+        m = PRIZE.match(ln)
+        if m:
+            rows.append(
+                {
+                    "n": int(m.group(1)),
+                    "letras": m.group(2),
+                    "monto": float(m.group(3).replace(",", "")),
+                    "vp": None,
+                }
+            )
+        elif "VENDIDO POR" in ln and rows:
+            rows[-1]["vp"] = ln.split("VENDIDO POR", 1)[1].strip()
+        elif "NO VENDIDO" in ln and rows:
+            rows[-1]["vp"] = "NO VENDIDO"
+    out = []
+    for r in rows:
+        parts = [p.strip() for p in r["vp"].split(",")] if r["vp"] else []
+        vendedor = parts[0] if len(parts) > 0 else None
+        ciudad = parts[1] if len(parts) > 1 else None
+        depto = parts[2] if len(parts) > 2 else None
+        if ciudad is not None and ciudad.upper() == "DE ESTA CAPITAL":
+            depto = "GUATEMALA"
+        out.append((sorteo, r["n"], r["letras"], r["monto"], vendedor, ciudad, depto))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_spark_parse_matches_model(spark, tmp_path, seed):
+    paths = write_fixture_corpus(tmp_path, n_draws=10, seed=seed)
+    expected = []
+    for p in paths:
+        expected.extend(model_premios(p.read_text()))
+
+    raw = read_raw_draws(spark, str(tmp_path / "*" / "*" / "*.txt"))
+    s_raw, p_raw = parse_draws(raw)
+    got = [
+        (
+            r["numero_sorteo"], r["numero_premiado"], r["letras"], r["monto"],
+            r["vendedor"], r["ciudad"], r["departamento"],
+        )
+        for r in conform_premios(p_raw).collect()
+    ]
+    assert sorted(got, key=repr) == sorted(expected, key=repr)
