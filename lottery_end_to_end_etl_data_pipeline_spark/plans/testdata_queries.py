@@ -1191,3 +1191,61 @@ def binary_features(spark, sf_dir):
             F.countDistinct("content_md5").alias("distinct_payloads"),
         )
     )
+
+
+@query(
+    "multipath_union_scan",
+    oracle="""
+    SELECT l_returnflag AS flag, COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def multipath_union_scan(spark, sf_dir):
+    """U2/S11: multi-path scan (same file twice = a 2-path union) —
+    the notebooks' concat-of-parquet pattern as one reader call."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet", f"{sf_dir}/lineitem.parquet")
+    return df.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "quality_score_buckets",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+             length(text) AS n_chars,
+             CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS digit_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+        CASE WHEN n_tokens < 5 THEN 0.0
+             WHEN round(punct_ratio, 4) > 0.3 THEN 0.2
+             ELSE least(1.0, round(0.5 + 0.5 * least(n_tokens / 200.0, 1.0)
+                                   - round(digit_ratio, 4), 4))
+        END AS quality_score
+      FROM feats
+    )
+    SELECT round(quality_score, 1) AS score_bucket, COUNT(*) AS n_docs
+    FROM scored GROUP BY 1
+    """,
+)
+def quality_score_buckets(spark, sf_dir):
+    """Quality-score distribution: the composite heuristic scorer
+    bucketed to one decimal — driver-checked against a SQL
+    re-derivation of the same formula."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import quality_features
+
+    return (
+        quality_features(t(spark, sf_dir, "documents"))
+        .groupBy(F.round(F.col("quality_score"), 1).alias("score_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1,0 +1,68 @@
+"""Physical-plan shape regressions: the scale properties we rely on
+(broadcasts, pushdown, pruned scans, top-k, no cartesian products)
+must survive refactors. `.explain` text is the contract."""
+
+import io
+import contextlib
+
+import pytest
+
+from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = plan_of(QUERIES["star_join_revenue"](spark, SF))
+    # customer/nation/region must be broadcast, never shuffled
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # dims are broadcast-sized here
+
+
+def test_star_join_prunes_lineitem_columns(spark):
+    plan = plan_of(QUERIES["star_join_revenue"](spark, SF))
+    # lineitem scan must read only the 3 needed columns
+    assert "l_orderkey:bigint,l_extendedprice:double,l_discount:double" in plan.replace(
+        " ", ""
+    ).replace("struct<", "struct<")
+
+
+def test_date_range_pushdown(spark):
+    plan = plan_of(QUERIES["date_range_filter"](spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(QUERIES["top_k_customers"](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_then_final(spark):
+    plan = plan_of(QUERIES["gold_frequency_shape"](spark, SF), "simple")
+    assert "partial_count" in plan or "partial" in plan  # map-side combine
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    """Signature computation itself must stay a narrow map plan."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs), "simple")
+    assert "Exchange" not in plan
+
+
+def test_anti_join_no_cartesian(spark):
+    plan = plan_of(QUERIES["anti_join_unmatched"](spark, SF), "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

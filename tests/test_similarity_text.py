@@ -94,3 +94,28 @@ def test_fingerprint_order_invariant(spark):
     fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()}
     assert fps[0] == fps[1]      # token reorder → same canonical form
     assert fps[0] != fps[2]
+
+
+def test_bpe_ish_token_count(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import bpe_ish_token_count
+
+    df = spark.createDataFrame([(0, "hello, world! x2")], ["doc_id", "text"])
+    n = df.select(bpe_ish_token_count("text").alias("n")).first()["n"]
+    # hello | , | world | ! | x2  (punctuation split out, digits kept in run)
+    assert n == 5
+
+
+def test_rolling_hash_fingerprint_deterministic(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+        rolling_hash_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "abcdefghij"), (2, "zzzzzzzzzz")], ["doc_id", "text"]
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", rolling_hash_fingerprint("text").alias("fp")).collect()
+    }
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
