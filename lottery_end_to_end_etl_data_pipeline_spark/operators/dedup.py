@@ -336,3 +336,67 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def verify_pairs_exact(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (id_a, id_b).
+
+    The LSH stages are recall-oriented; this join computes the true
+    shingle-set Jaccard for just the candidates — O(candidates), not
+    O(n²) — and filters to ``threshold``. The canonical
+    candidate→verify shape for production dedup."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.withColumn(
+            "jaccard", F.round(inter / F.greatest(union, F.lit(1)).cast("double"), 4)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash+LSH candidates →
+    exact-Jaccard verify → keep the min-id representative of each
+    duplicate cluster (union by representative propagation).
+
+    Cluster resolution uses the standard min-representative
+    approximation (one hop: every doc maps to the smallest id it
+    pairs with). For chained clusters deeper than one hop, iterate —
+    at dedup thresholds ≥0.8 chains are rare; full connected
+    components would be an iterative join loop.
+    Returns the deduplicated DataFrame (all original columns)."""
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_k=shingle_k, threshold=max(0.0, threshold - 0.2),
+    )
+    verified = verify_pairs_exact(cand, df, id_col, text_col, shingle_k, threshold)
+    # min representative per member (id_b side always has a smaller id_a)
+    reps = verified.groupBy(F.col("id_b").alias("dup_id")).agg(
+        F.min("id_a").alias("rep_id")
+    )
+    return df.join(
+        reps, df[id_col] == reps["dup_id"], "left_anti"
+    )

@@ -1249,3 +1249,14 @@ def quality_score_buckets(spark, sf_dir):
         .groupBy(F.round(F.col("quality_score"), 1).alias("score_bucket"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query("dedup_near_e2e")  # LSH inside → rows-only check
+def dedup_near_e2e(spark, sf_dir):
+    """End-to-end near-dedup: MinHash+LSH candidates → exact-Jaccard
+    verify → drop non-representative members. Returns the kept-docs
+    inventory (count per source) so the result is small and stable."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import near_dedup
+
+    kept = near_dedup(t(spark, sf_dir, "documents"), threshold=0.8)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

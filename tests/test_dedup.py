@@ -90,3 +90,27 @@ def test_embedding_cosine_pairs(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert (0, 2) not in pairs            # below threshold
     assert (0, 3) not in pairs            # bucket-restricted
+
+
+def test_verify_pairs_exact(docs, spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_exact,
+    )
+
+    cand = minhash_lsh_pairs(docs, threshold=0.3)
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in verify_pairs_exact(cand, docs, threshold=0.5).collect()
+    }
+    assert verified[(0, 1)] == 1.0          # exact dup → true jaccard 1
+    assert (0, 2) in verified               # near dup survives verify
+    assert all(v >= 0.5 for v in verified.values())
+
+
+def test_near_dedup_end_to_end(docs):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import near_dedup
+
+    kept = sorted(r["doc_id"] for r in near_dedup(docs, threshold=0.5).collect())
+    # doc1 (exact dup of 0) and doc2 (near dup) collapse into doc0
+    assert kept == [0, 3, 4]
