@@ -158,19 +158,17 @@ def minhash_lsh_pairs(
     # A repartition Exchange is the cheap middle ground: the fold runs
     # once, both join sides reuse the shuffle output.
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).repartition("id")
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.hash(*[F.element_at("sig", bi * rows + ri + 1) for ri in range(rows)]).alias(
-                    "bh"
-                ),
-            )
-            for bi in range(bands)
-        ]
+    # Band bucket ids as one compact expression: hash the signature
+    # slice per band (posexplode supplies the band index). Buckets
+    # carry only (id, band, bh) — the 64-component signature itself is
+    # joined back just for the surviving candidate pairs, not dragged
+    # through the 16x exploded bucket table.
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.hash(F.slice("sig", bi * F.lit(rows) + 1, rows)),
     )
-    buckets = sig.select("id", "sig", F.explode(band_arr).alias("b")).select(
-        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    buckets = sig.select(
+        "id", F.posexplode(band_hashes).alias("band", "bh")
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -181,14 +179,11 @@ def minhash_lsh_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.round(
         F.aggregate(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -199,7 +194,9 @@ def minhash_lsh_pairs(
         4,
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
