@@ -1260,3 +1260,100 @@ def dedup_near_e2e(spark, sf_dir):
 
     kept = near_dedup(t(spark, sf_dir, "documents"), threshold=0.8)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# OLAP breadth beyond the reference (rollup / cube / pivot / grouped
+# percentiles) — standard analytics surface an engine user expects.
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           COUNT(*) AS n_rows, ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_flag_status(spark, sf_dir):
+    """ROLLUP hierarchy totals: (flag, status) → (flag) → ()."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup(F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "cube_priority_status",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_priority_status(spark, sf_dir):
+    """CUBE: all grouping-set combinations in one pass."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "pivot_flag_by_status",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           ROUND(SUM(l_extendedprice) FILTER (WHERE l_linestatus = 'F'), 2) AS price_f,
+           ROUND(SUM(l_extendedprice) FILTER (WHERE l_linestatus = 'O'), 2) AS price_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_flag_by_status(spark, sf_dir):
+    """Pivot (wide aggregation) with a fixed value list — fixed values
+    keep the plan single-pass (no distinct-values pre-scan)."""
+    out = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_extendedprice"), 2))
+    )
+    return out.select(
+        "flag", F.col("F").alias("price_f"), F.col("O").alias("price_o")
+    )
+
+
+@query(
+    "percentiles_by_group",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_by_group(spark, sf_dir):
+    """Exact interpolated percentiles per group (F20 at group grain).
+    At 100 TB switch to approx_percentile and accept the error bound."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
