@@ -66,6 +66,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
@@ -73,10 +74,26 @@ def ngram_jaccard_pairs(
     per-pair intersection count → join back |A|,|B| → jaccard filter.
     Shuffle volume = postings + candidate pairs; a pair is produced
     only if it shares ≥1 shingle, so disjoint docs cost nothing.
+
+    ``max_df``: the scale guard — the join cost is O(Σ df²) over
+    shingle document frequencies, and boilerplate shingles (df in the
+    millions at 100 TB) dominate it while contributing ~nothing to
+    Jaccard discrimination. Setting ``max_df`` drops postings for
+    shingles appearing in more than that many docs *before* the
+    self-join (changes results from exact to slightly conservative:
+    intersection counts shrink by the dropped shingles only).
     """
     sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     postings = sh.select("id", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        rare = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        postings = postings.join(rare, "shingle", "left_semi")
     a = postings.alias("a")
     b = postings.alias("b")
     inter = (

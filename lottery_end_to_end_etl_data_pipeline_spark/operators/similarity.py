@@ -124,3 +124,47 @@ def ivf_assign(
         cell = F.struct(F.round(score, 6).alias("s"), F.lit(ci).alias("c"))
         best = cell if best is None else F.when(cell["s"] > best["s"], cell).otherwise(best)
     return df.withColumn(out_col, best["c"])
+
+
+def write_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus partitioned by IVF cell — the scale-path
+    index build. A probe query then reads only the probed cells'
+    partitions (partition pruning at the file-listing level), turning
+    per-query cost from O(corpus) into O(corpus/cells x n_probe)."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    assigned.write.mode(mode).partitionBy("ivf_cell").parquet(path)
+
+
+def knn_ivf(
+    spark,
+    index_path: str,
+    centroids: list[list[float]],
+    qvec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe an IVF-partitioned index: rank centroids by cosine to
+    the query, scan only the top `n_probe` cells (partition-pruned),
+    exact-score within them."""
+
+    def cos(c: list[float]) -> float:
+        import math
+
+        dot = sum(a * b for a, b in zip(qvec, c))
+        na = math.sqrt(sum(a * a for a in qvec)) or 1.0
+        nb = math.sqrt(sum(b * b for b in c)) or 1.0
+        return dot / (na * nb)
+
+    ranked = sorted(range(len(centroids)), key=lambda ci: -cos(centroids[ci]))
+    probe = ranked[:n_probe]
+    df = spark.read.parquet(index_path).filter(F.col("ivf_cell").isin(probe))
+    return knn_brute(df, qvec, k, id_col, vec_col, exclude_id)

@@ -119,3 +119,52 @@ def test_rolling_hash_fingerprint_deterministic(spark):
     }
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path, vectors):
+    """The IVF probe must be a partition-pruned scan (the 100 TB
+    design), and return the same neighbors as brute force when the
+    query's cell is probed."""
+    import contextlib
+    import io
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_brute,
+        knn_ivf,
+        write_ivf_index,
+    )
+
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    write_ivf_index(vectors, centroids, str(tmp_path / "ivf"))
+    q = [1.0, 0.05, 0.0, 0.0]
+    got = knn_ivf(spark, str(tmp_path / "ivf"), centroids, q, k=2, n_probe=1)
+    plan_buf = io.StringIO()
+    with contextlib.redirect_stdout(plan_buf):
+        got.explain("formatted")
+    assert "PartitionFilters" in plan_buf.getvalue()
+    ids = [r["id"] for r in got.collect()]
+    brute = [r["id"] for r in knn_brute(vectors, q, k=2).collect()]
+    assert ids == brute  # nearest vectors live in the probed cell
+
+
+def test_ngram_jaccard_max_df_conservative(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (0, "aa bb cc dd ee ff gg"),
+        (1, "aa bb cc dd ee ff gg"),
+        (2, "zz yy xx ww vv uu tt"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9, max_df=10).collect()
+    }
+    assert full == {(0, 1)}
+    assert capped == {(0, 1)}  # cap above all dfs → identical result
+    # cap of 1 drops every shared shingle → no candidates at all
+    none = ngram_jaccard_pairs(docs, threshold=0.9, max_df=1).count()
+    assert none == 0
