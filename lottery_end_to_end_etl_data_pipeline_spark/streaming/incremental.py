@@ -71,3 +71,89 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+SESSION_OUTPUT_SCHEMA = "user_id LONG, session_start TIMESTAMP, session_end TIMESTAMP, n_events INT, sum_value DOUBLE"
+SESSION_STATE_SCHEMA = "session_start LONG, last_ts LONG, n_events INT, sum_value DOUBLE"
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization
+    via `applyInPandasWithState` (SURVEY §2.10 extension — the
+    reference is batch-only; this is the Spark-native stateful path).
+
+    Semantics: consecutive events of a key belong to one session
+    while gaps stay under `gap_seconds`; a session is emitted when a
+    larger gap arrives in-stream or when the event-time watermark
+    passes `last_ts + gap` (state timeout). State per key is O(1):
+    (start, last_ts, count, sum).
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+
+    gap_ms = gap_seconds * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(last, unit="ms")],
+                    "n_events": [n],
+                    "sum_value": [sv],
+                }
+            )
+            return
+
+        rows = []
+        for pdf in pdfs:
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                rows.append((int(pd.Timestamp(ts).value // 1_000_000), float(v)))
+        rows.sort()
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start, last, n, sv = rows[0][0], rows[0][0], 0, 0.0
+        closed = []
+        for ts_ms, v in rows:
+            if ts_ms - last > gap_ms and n > 0:
+                closed.append((start, last, n, sv))
+                start, n, sv = ts_ms, 0, 0.0
+            last = max(last, ts_ms)
+            n += 1
+            sv += v
+        state.update((start, last, n, sv))
+        state.setTimeoutTimestamp(last + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="ms") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="ms") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

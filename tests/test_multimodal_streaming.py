@@ -106,3 +106,49 @@ def test_windowed_event_counts_batch_degrade(spark):
     }
     assert got[(10, "click")] == (2, 3.0)
     assert got[(11, "view")] == (1, 3.0)
+
+
+def test_sessionize_stateful_streaming(spark, tmp_path):
+    """applyInPandasWithState sessionization: session closed by an
+    in-stream gap is emitted; watermark-timeout closes the rest."""
+    import datetime
+    import json
+
+    from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import sessionize
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_batch(name, rows):
+        (tmp_path / "in").mkdir(exist_ok=True)
+        with open(tmp_path / "in" / name, "w") as f:
+            for ts, uid, v in rows:
+                f.write(json.dumps({"ts": ts.isoformat(), "user_id": uid, "value": v}) + "\n")
+
+    # batch 1: user 7 has two events 5 min apart (one session), then
+    # batch 2 arrives 3 h later → in-stream gap closes session 1 and
+    # the advancing watermark times out nothing else yet.
+    write_batch("b1.json", [(t0, 7, 1.0), (t0 + datetime.timedelta(minutes=5), 7, 2.0)])
+    write_batch("b2.json", [(t0 + datetime.timedelta(hours=3), 7, 5.0)])
+
+    schema = "ts TIMESTAMP, user_id LONG, value DOUBLE"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
+        str(tmp_path / "in")
+    )
+    sessions = sessionize(stream, gap_seconds=1800, watermark="1 minute")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM sessions_out ORDER BY session_start").collect()
+    assert len(got) >= 1
+    first = got[0]
+    assert first["user_id"] == 7
+    assert first["n_events"] == 2
+    assert first["sum_value"] == 3.0
+    assert first["session_start"] == t0
+    assert first["session_end"] == t0 + datetime.timedelta(minutes=5)
