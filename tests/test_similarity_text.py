@@ -168,3 +168,35 @@ def test_ngram_jaccard_max_df_conservative(spark):
     # cap of 1 drops every shared shingle → no candidates at all
     none = ngram_jaccard_pairs(docs, threshold=0.9, max_df=1).count()
     assert none == 0
+
+
+def test_pandas_udf_registration_parity(spark):
+    """§2.11: the engine exposes the standard pandas_udf path; a
+    vectorized UDF must agree with the native when-chain (which
+    remains the recommended hot-path form)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.expressions import ticket_price
+
+    @pandas_udf("double")
+    def ticket_price_udf(monto: pd.Series) -> pd.Series:
+        def tier(m):
+            if m >= 500000:
+                return 150.0
+            if m >= 50000:
+                return 100.0
+            if m >= 5000:
+                return 50.0
+            return 25.0
+
+        return monto.map(tier)
+
+    spark.udf.register("ticket_price_udf", ticket_price_udf)
+    df = spark.createDataFrame(
+        [(1.0,), (6000.0,), (60000.0,), (600000.0,)], ["monto"]
+    )
+    native = [r["p"] for r in df.select(ticket_price("monto").alias("p")).collect()]
+    vectorized = [r["p"] for r in df.selectExpr("ticket_price_udf(monto) AS p").collect()]
+    assert native == vectorized == [25.0, 50.0, 100.0, 150.0]
