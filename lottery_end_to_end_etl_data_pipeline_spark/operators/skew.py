@@ -1,0 +1,57 @@
+"""Skew-handling join helpers (brief: "skewed keys hurt … salting for
+skew, AQE for runtime re-plan").
+
+AQE's skew-join split handles most sort-merge skew automatically
+(`session.py` enables it). These helpers cover the cases AQE can't:
+a *broadcastable* skewed aggregation, and the classic salted
+replicate-join for when one key dominates a shuffle join against a
+medium-sized right side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the LEFT side.
+
+    Left rows get a random salt in [0, salt_buckets); the right side
+    is replicated once per salt value (explode of a literal range —
+    right must be the smaller side). The join key becomes
+    (key, salt), so a hot key's rows spread over `salt_buckets`
+    shuffle partitions instead of one.
+
+    Cost model: right side is duplicated `salt_buckets`× — use when
+    right ≪ left but exceeds the broadcast threshold (else just
+    broadcast), and AQE's skew split isn't available (e.g. the join
+    feeds a co-partitioned downstream op).
+    """
+    salted_left = left.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_left.join(salted_right, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def top_keys(df: DataFrame, key_col: str, n: int = 10) -> DataFrame:
+    """Skew diagnosis: the n heaviest keys with their row counts and
+    share of the table — run this before deciding on salting."""
+    total = df.count()
+    return (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("share", F.round(F.col("n_rows") / F.lit(float(total)), 4))
+        .orderBy(F.desc("n_rows"), F.asc(key_col))
+        .limit(n)
+    )

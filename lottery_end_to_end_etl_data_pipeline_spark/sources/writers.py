@@ -46,3 +46,25 @@ def save_as_table(
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
     """CSV sink (S10)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table — the co-located-join
+    layout. Two tables bucketed on the same key with the same bucket
+    count join WITHOUT a shuffle (Exchange-free SortMergeJoin): the
+    bucketing metadata proves co-partitioning to the planner. The
+    right layout for fact tables that are repeatedly joined on the
+    same key at 100 TB."""
+    writer = df.write.mode(mode).format("parquet")
+    if sort_col is not None:
+        writer = writer.bucketBy(num_buckets, bucket_col).sortBy(sort_col)
+    else:
+        writer = writer.bucketBy(num_buckets, bucket_col)
+    writer.saveAsTable(table)

@@ -66,3 +66,41 @@ def test_anti_join_no_cartesian(spark):
     plan = plan_of(QUERIES["anti_join_unmatched"](spark, SF), "simple")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key must join without an
+    Exchange on either side — the co-located layout contract."""
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    left = spark.range(0, 10000).withColumnRenamed("id", "k")
+    right = spark.range(0, 1000).withColumnRenamed("id", "k")
+    write_bucketed_table(left, "bkt_left", "k", 8)
+    write_bucketed_table(right, "bkt_right", "k", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = plan_of(joined, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.skew import salted_join
+
+    # skewed left: key 1 dominates
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 0), (3, 0)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], ["k", "name"])
+    plain = left.join(right, "k").groupBy("k").count().collect()
+    salted = salted_join(left, right, "k").groupBy("k").count().collect()
+    assert sorted((r["k"], r["count"]) for r in plain) == sorted(
+        (r["k"], r["count"]) for r in salted
+    )
