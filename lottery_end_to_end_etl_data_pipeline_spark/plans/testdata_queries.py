@@ -1357,3 +1357,53 @@ def percentiles_by_group(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query(
+    "salted_join_skew",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS sum_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def salted_join_skew(spark, sf_dir):
+    """Skew-resilient salted join (operators/skew.py): hot keys
+    spread over 8 salt buckets; result must equal the plain join —
+    which is exactly what the oracle asserts."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.skew import salted_join
+
+    c = t(spark, sf_dir, "customer").withColumnRenamed("c_nationkey", "nk")
+    n = t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "nk")
+    return (
+        salted_join(c, n, "nk", salt_buckets=8)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "sql_string_interface",
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_string_interface(spark, sf_dir):
+    """Entry point 3 (SURVEY §3.3): the ad-hoc SQL surface — register
+    a temp view, run a SQL string through Catalyst."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders_v WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        """
+    )
