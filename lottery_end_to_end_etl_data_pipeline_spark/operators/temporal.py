@@ -1,0 +1,121 @@
+"""Temporal join operators Spark lacks natively: as-of and range.
+
+Both are compositions of existing DataFrame ops (the brief's
+preferred strategy (a)) — no Pandas UDFs, no mapPartitions:
+
+- asof_join: the union-and-forward-fill construction. Tag right rows,
+  union with left, window per key ordered by time, `last(...,
+  ignoreNulls)` propagates the most recent right row to each left
+  row. One shuffle (the window), no non-equi join at all.
+- range_join_binned: point-in-interval equi-ization. Intervals are
+  exploded to the fixed-width bins they cover; points join their own
+  bin (equi!), then the exact range predicate filters. Turns a
+  nested-loop non-equi join into a hash join + cheap filter; shuffle
+  volume is O(points + interval-bins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row of the same key
+    with right_ts <= left_ts (backward as-of join, pandas
+    `merge_asof` / DuckDB `ASOF JOIN` semantics).
+
+    Construction: union (left ∪ right) sorted per key by (ts,
+    right-first tie-break), forward-fill the right payload with
+    `last(ignoreNulls)`, keep left rows. Ties (right_ts == left_ts)
+    match, like DuckDB's `>=`.
+
+    `tolerance_seconds` nulls matches older than the window (pandas
+    `tolerance`).
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_cols, F.col(right_ts)).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*right_cols, F.col(right_ts)).alias("_r"),
+    )
+    # right rows sort BEFORE left rows at equal ts (_is_left asc) so
+    # an exactly-simultaneous right row is visible to the left row.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_rmatch", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_is_left") == 1)
+    )
+    if tolerance_seconds is not None:
+        in_window = (
+            F.col("_ts").cast("long") - F.col(f"_rmatch.{right_ts}").cast("long")
+        ) <= tolerance_seconds
+        filled = filled.withColumn(
+            "_rmatch", F.when(in_window, F.col("_rmatch"))
+        )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in lcols] + [
+        F.col(f"_rmatch.{c}").alias(c) for c in right_cols
+    ]
+    return filled.select(*out_cols)
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_seconds: int = 86400,
+) -> DataFrame:
+    """Equi-ized point-in-interval join: points.`point_ts` ∈
+    [start_ts, end_ts] with key equality on `on`.
+
+    Intervals explode into the `bin_seconds`-wide bins they cover
+    (sequence over the epoch-bin range); points compute their single
+    bin. The join is then a plain hash equi-join on (key, bin) plus
+    the exact BETWEEN filter. Each (point, interval) pair meets in
+    exactly one bin — the point's — so no post-join dedup is needed.
+    Choose `bin_seconds` ≈ typical interval length: shuffle volume is
+    O(points + Σ interval_len/bin).
+    """
+    p_bin = (F.col(point_ts).cast("long") / bin_seconds).cast("long")
+    i_bins = F.sequence(
+        (F.col(start_ts).cast("long") / bin_seconds).cast("long"),
+        (F.col(end_ts).cast("long") / bin_seconds).cast("long"),
+    )
+    p = points.withColumn("_bin", p_bin).withColumnRenamed(on, "_pk")
+    i = intervals.withColumn("_bin", F.explode(i_bins)).withColumnRenamed(on, "_ik")
+    joined = p.join(
+        i,
+        (F.col("_pk") == F.col("_ik")) & (p["_bin"] == i["_bin"]),
+    ).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("_bin", "_ik").withColumnRenamed("_pk", on)

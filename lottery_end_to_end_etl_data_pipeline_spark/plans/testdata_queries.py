@@ -1407,3 +1407,79 @@ def sql_string_interface(spark, sf_dir):
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "asof_join_latest_order",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey AS user_id, o_orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    )
+    SELECT e.user_id, l.o_orderkey AS orderkey, COUNT(*) AS n_events
+    FROM events e LEFT JOIN latest l ON e.user_id = l.user_id
+    GROUP BY e.user_id, l.o_orderkey
+    """,
+)
+def asof_join_latest_order(spark, sf_dir):
+    """Backward as-of join (operators/temporal.py): each event gets
+    the most recent order of its user as of the event time. All
+    orders predate the events window, so the match is each user's
+    latest order — which the oracle derives independently with a
+    window. Right side deduped per (key, ts) so ties are
+    deterministic."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import asof_join
+
+    events = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        events, orders, "user_id", "ts", "o_orderdate", ["o_orderkey"]
+    )
+    return joined.groupBy("user_id", F.col("o_orderkey").alias("orderkey")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@query(
+    "range_join_signup_windows",
+    oracle="""
+    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT e.event_id) AS n_events_in_windows
+    FROM events s
+    JOIN events e ON e.user_id = s.user_id
+                 AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    """,
+)
+def range_join_signup_windows(spark, sf_dir):
+    """Point-in-interval range join, equi-ized via time binning
+    (operators/temporal.py): events landing in the hour after any
+    signup of the same user. Oracle is the plain non-equi predicate."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+        range_join_binned,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    points = ev.select("user_id", "ts", "event_id")
+    windows = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+        )
+    )
+    pairs = range_join_binned(
+        points, windows, "user_id", "ts", "w_start", "w_end", bin_seconds=3600
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("event_id").alias("n_events_in_windows"),
+    )

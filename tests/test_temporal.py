@@ -1,0 +1,129 @@
+"""As-of and range join operator tests, including a DuckDB ASOF JOIN
+oracle comparison."""
+
+import datetime
+
+import duckdb
+import pandas as pd
+import pytest
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+)
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ts(minutes):
+    return T0 + datetime.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, ts(0), 10.0),
+            (1, ts(10), 11.0),
+            (1, ts(30), 12.0),
+            (2, ts(5), 100.0),
+        ],
+        ["k", "qts", "price"],
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, ts(4), 7),     # matches quote @0
+            (1, ts(10), 8),    # ties quote @10 → matches it
+            (1, ts(31), 9),    # matches quote @30
+            (2, ts(4), 5),     # before any quote → NULL
+            (3, ts(9), 4),     # key with no quotes → NULL
+        ],
+        ["k", "tts", "qty"],
+    )
+    return trades, quotes
+
+
+def test_asof_join_semantics(frames):
+    trades, quotes = frames
+    got = {
+        (r["k"], r["tts"].minute): r["price"]
+        for r in asof_join(trades, quotes, "k", "tts", "qts", ["price"]).collect()
+    }
+    assert got[(1, 4)] == 10.0
+    assert got[(1, 10)] == 11.0   # equal timestamps match
+    assert got[(1, 31)] == 12.0
+    assert got[(2, 4)] is None
+    assert got[(3, 9)] is None
+
+
+def test_asof_join_matches_duckdb(frames):
+    trades, quotes = frames
+    con = duckdb.connect()
+    con.register("trades", trades.toPandas())
+    con.register("quotes", quotes.toPandas())
+    oracle = {
+        (k, t.minute): p
+        for k, t, p in con.sql(
+            """
+            SELECT t.k, t.tts, q.price
+            FROM trades t ASOF LEFT JOIN quotes q
+              ON t.k = q.k AND t.tts >= q.qts
+            """
+        ).fetchall()
+    }
+    got = {
+        (r["k"], r["tts"].minute): r["price"]
+        for r in asof_join(trades, quotes, "k", "tts", "qts", ["price"]).collect()
+    }
+    assert got == oracle
+
+
+def test_asof_join_tolerance(frames):
+    trades, quotes = frames
+    got = {
+        (r["k"], r["tts"].minute): r["price"]
+        for r in asof_join(
+            trades, quotes, "k", "tts", "qts", ["price"], tolerance_seconds=120
+        ).collect()
+    }
+    assert got[(1, 31)] == 12.0      # 1 min old → within tolerance
+    assert got[(1, 4)] is None       # 4 min old → too stale
+
+
+def test_range_join_binned(spark):
+    points = spark.createDataFrame(
+        [(1, ts(5)), (1, ts(50)), (2, ts(5)), (1, ts(200))], ["k", "pts"]
+    )
+    intervals = spark.createDataFrame(
+        [(1, ts(0), ts(30), "a"), (1, ts(40), ts(60), "b"), (2, ts(100), ts(120), "c")],
+        ["k", "s", "e", "tag"],
+    )
+    got = sorted(
+        (r["k"], r["pts"].minute, r["tag"])
+        for r in range_join_binned(points, intervals, "k", "pts", "s", "e", bin_seconds=600).collect()
+    )
+    assert got == [(1, 5, "a"), (1, 50, "b")]
+
+
+def test_range_join_matches_plain_predicate(spark):
+    import random
+
+    rng = random.Random(9)
+    points = spark.createDataFrame(
+        [(rng.randint(1, 5), ts(rng.randint(0, 500))) for _ in range(200)],
+        ["k", "pts"],
+    )
+    iv_rows = []
+    for i in range(40):
+        s = rng.randint(0, 480)
+        iv_rows.append((rng.randint(1, 5), ts(s), ts(s + rng.randint(5, 60)), i))
+    intervals = spark.createDataFrame(iv_rows, ["k", "s", "e", "iv_id"])
+    plain = (
+        points.join(intervals, "k")
+        .filter("pts >= s AND pts <= e")
+        .select("k", "pts", "iv_id")
+    )
+    binned = range_join_binned(points, intervals, "k", "pts", "s", "e", bin_seconds=900).select(
+        "k", "pts", "iv_id"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, binned.collect()))
