@@ -1,0 +1,110 @@
+"""Hypertable-style continuous aggregates + sketch surface.
+
+continuous aggregate = a materialized coarse-grain rollup of the
+cold past + the same aggregation applied to the raw tail at query
+time, unioned. The materialized part is partitioned by the time
+bucket, so refresh rewrites only recent partitions (dynamic
+partition overwrite) and reads prune to the queried range.
+
+Sketches: Spark's built-in DataSketches HLL (hll_sketch_agg /
+hll_sketch_estimate / hll_union_agg) wrapped as mergeable
+distinct-count summaries — the pattern for pre-aggregating
+COUNT(DISTINCT) at 100 TB (sketches merge across partitions/days;
+exact distinct does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts_col: str, bucket: str = "1 day"):
+    """Tumbling bucket start timestamp (window() without the struct)."""
+    return F.window(ts_col, bucket)["start"]
+
+
+def build_continuous_aggregate(
+    events: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "1 day",
+) -> None:
+    """Materialize the coarse rollup, partitioned by bucket date.
+
+    Stored measures are mergeable (count / sum / min / max + an HLL
+    sketch for distinct users), so any coarser grain can be derived
+    from this table without touching raw data."""
+    agg = (
+        events.groupBy(
+            time_bucket(ts_col, bucket).alias("bucket_start"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.hll_sketch_agg("user_id").alias("users_hll"),
+        )
+        .withColumn("bucket_date", F.to_date("bucket_start"))
+    )
+    agg.write.mode("overwrite").partitionBy("bucket_date").parquet(path)
+
+
+def query_continuous_aggregate(
+    spark: SparkSession,
+    path: str,
+    tail: DataFrame | None = None,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Serve the rollup: materialized past ∪ same-shape aggregation
+    of the raw tail (rows newer than the materialized high-water
+    mark). Returns per (bucket_start, key): counts, sums, and the
+    HLL-estimated distinct users (merged across parts)."""
+    mat = spark.read.parquet(path)
+    parts = mat.select(
+        "bucket_start", key_col, "n_events", "sum_value", "min_value",
+        "max_value", "users_hll",
+    )
+    if tail is not None:
+        hwm = mat.agg(F.max("bucket_start")).first()[0]
+        fresh = tail.filter(F.col(ts_col) > F.lit(hwm)) if hwm else tail
+        fresh_agg = (
+            fresh.groupBy(
+                time_bucket(ts_col, bucket).alias("bucket_start"), F.col(key_col)
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(value_col).alias("sum_value"),
+                F.min(value_col).alias("min_value"),
+                F.max(value_col).alias("max_value"),
+                F.hll_sketch_agg("user_id").alias("users_hll"),
+            )
+        )
+        parts = parts.unionByName(fresh_agg)
+    return (
+        parts.groupBy("bucket_start", key_col)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.hll_sketch_estimate(F.hll_union_agg("users_hll")).alias("approx_users"),
+        )
+    )
+
+
+def approx_distinct_by_key(
+    df: DataFrame, key_col: str, distinct_col: str, rsd: float = 0.02
+) -> DataFrame:
+    """HLL++ distinct-count per key (approx_count_distinct) — the
+    one-shot sketch form when no pre-aggregation table exists."""
+    return df.groupBy(key_col).agg(
+        F.approx_count_distinct(distinct_col, rsd).alias("approx_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1483,3 +1483,45 @@ def range_join_signup_windows(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("event_id").alias("n_events_in_windows"),
     )
+
+
+@query(
+    "hypertable_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate (operators/rollup.py):
+    materialize the day-bucket rollup partitioned by bucket_date,
+    then serve from the materialization. The oracle recomputes the
+    same grain directly from raw — proving the materialize→serve
+    round trip is lossless for the mergeable measures. (The HLL
+    distinct-user sketch column is engine-specific and excluded.)"""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.rollup import (
+        build_continuous_aggregate,
+        query_continuous_aggregate,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_cagg_{tag}"
+    events = t(spark, sf_dir, "events")
+    build_continuous_aggregate(events, path)
+    served = query_continuous_aggregate(spark, path, tail=None)
+    return served.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        "sum_value",
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )

@@ -1,0 +1,63 @@
+"""Continuous-aggregate (hypertable rollup) + sketch tests."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.rollup import (
+    approx_distinct_by_key,
+    build_continuous_aggregate,
+    query_continuous_aggregate,
+)
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(rows, ["ts", "event_type", "user_id", "value"])
+
+
+def test_continuous_aggregate_merges_tail(spark, tmp_path):
+    past = ev(
+        spark,
+        [
+            (T0, "click", 1, 1.0),
+            (T0 + datetime.timedelta(hours=2), "click", 2, 2.0),
+            (T0 + datetime.timedelta(days=1), "view", 1, 5.0),
+        ],
+    )
+    build_continuous_aggregate(past, str(tmp_path / "cagg"))
+    # raw tail: new day, plus a late event merged at query time
+    tail = ev(
+        spark,
+        [
+            (T0 + datetime.timedelta(days=2), "click", 3, 7.0),
+            (T0 + datetime.timedelta(days=2, hours=1), "click", 1, 1.0),
+        ],
+    )
+    got = {
+        (r["bucket_start"].day, r["event_type"]): (
+            r["n_events"], r["sum_value"], r["approx_users"]
+        )
+        for r in query_continuous_aggregate(spark, str(tmp_path / "cagg"), tail).collect()
+    }
+    assert got[(1, "click")] == (2, 3.0, 2)
+    assert got[(2, "view")] == (1, 5.0, 1)
+    assert got[(3, "click")] == (2, 8.0, 2)  # tail-only bucket
+
+
+def test_continuous_aggregate_prunes_partitions(spark, tmp_path):
+    past = ev(spark, [(T0, "click", 1, 1.0), (T0 + datetime.timedelta(days=5), "view", 2, 2.0)])
+    build_continuous_aggregate(past, str(tmp_path / "cagg"))
+    assert (tmp_path / "cagg" / "bucket_date=2024-01-01").exists()
+    assert (tmp_path / "cagg" / "bucket_date=2024-01-06").exists()
+
+
+def test_approx_distinct_close_to_exact(spark):
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 4).alias("k"), (F.col("id") % 977).alias("u")
+    )
+    got = {r["k"]: r["approx_distinct"] for r in approx_distinct_by_key(df, "k", "u").collect()}
+    for k, est in got.items():
+        assert abs(est - 977) / 977 < 0.05
