@@ -37,6 +37,9 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "knn_brute_cosine",
     "text_stats_by_lang",
+    "asof_join_latest_order",
+    "range_join_signup_windows",
+    "hypertable_rollup",
 ]
 
 
