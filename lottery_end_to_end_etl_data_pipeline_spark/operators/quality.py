@@ -1,0 +1,92 @@
+"""Data-quality gate — the reference's planned Great-Expectations
+suites (roadmap.md:685-708, SURVEY §5.4) as DataFrame checks.
+
+Each expectation is one aggregate pass returning (check, ok,
+n_violations); `validate_silver` bundles the reference's documented
+suite and `enforce` raises on failure — the "blocking pipeline gate"
+wiring of PR-033. All checks are single-pass aggregates: at 100 TB
+each costs one scan (or share one via `run_checks`' unioned plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.schemas import GUATEMALA_DEPARTMENTS
+
+
+class DataQualityError(ValueError):
+    """Raised by enforce=True when any expectation fails."""
+
+
+def _check(df: DataFrame, name: str, violation: Column) -> DataFrame:
+    return df.agg(
+        F.lit(name).alias("check"),
+        F.count(F.when(violation, 1)).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).withColumn("ok", F.col("n_violations") == 0)
+
+
+def expect_not_null(df: DataFrame, col: str) -> DataFrame:
+    return _check(df, f"{col}_not_null", F.col(col).isNull())
+
+
+def expect_unique(df: DataFrame, col: str) -> DataFrame:
+    """Uniqueness via count vs distinct-count — one aggregate, no
+    self-join."""
+    agg = df.agg(
+        F.count(col).alias("n"), F.countDistinct(col).alias("nd")
+    )
+    return agg.select(
+        F.lit(f"{col}_unique").alias("check"),
+        (F.col("n") - F.col("nd")).alias("n_violations"),
+        F.col("n").alias("n_rows"),
+        (F.col("n") == F.col("nd")).alias("ok"),
+    )
+
+
+def expect_non_negative(df: DataFrame, col: str) -> DataFrame:
+    return _check(df, f"{col}_non_negative", F.col(col) < 0)
+
+
+def expect_in_set(df: DataFrame, col: str, allowed: list[str], allow_null: bool = True) -> DataFrame:
+    cond = ~F.col(col).isin(allowed)
+    if allow_null:
+        cond = F.col(col).isNotNull() & cond
+    return _check(df, f"{col}_in_set", cond)
+
+
+def run_checks(checks: list[DataFrame]) -> DataFrame:
+    """Union the one-row check results into a single report frame."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def validate_silver(
+    sorteos: DataFrame, premios: DataFrame, enforce: bool = False
+) -> DataFrame:
+    """The reference's documented silver DQ suite (roadmap.md:693-697):
+    sorteos — numero_sorteo not-null & unique, fecha_sorteo and
+    primer_premio not-null; premios — numero_sorteo / monto not-null,
+    monto >= 0, departamento within the 22 departments."""
+    report = run_checks(
+        [
+            expect_not_null(sorteos, "numero_sorteo"),
+            expect_unique(sorteos, "numero_sorteo"),
+            expect_not_null(sorteos, "fecha_sorteo"),
+            expect_not_null(sorteos, "primer_premio"),
+            expect_not_null(premios, "numero_sorteo"),
+            expect_not_null(premios, "monto"),
+            expect_non_negative(premios, "monto"),
+            expect_in_set(premios, "departamento", GUATEMALA_DEPARTMENTS),
+        ]
+    )
+    if enforce:
+        bad = report.filter(~F.col("ok")).collect()
+        if bad:
+            names = ", ".join(f"{r['check']} ({r['n_violations']} rows)" for r in bad)
+            raise DataQualityError(f"silver DQ gate failed: {names}")
+    return report

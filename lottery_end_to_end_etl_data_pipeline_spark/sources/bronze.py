@@ -288,3 +288,39 @@ def parse_draws(
         headers.select("file", "numero_sorteo"), "file", "left"
     )
     return headers, premios
+
+
+def format_bronze_document(
+    numero_sorteo: int,
+    tipo_sorteo: str,
+    fecha_sorteo: str,
+    fecha_caducidad: str,
+    primer_premio: int,
+    segundo_premio: int,
+    tercer_premio: int,
+    reintegros: tuple[int, int, int],
+    body_rows: list[str],
+) -> str:
+    """Compose a Bronze draw document in the scraper's output format
+    (scraping.py:145-151): HEADER sentinel + header lines, blank
+    separator, BODY sentinel + body rows. Mirrors the scraper's
+    section-marker rule (scraping.py:149-150): when the body does not
+    open with the `00MIL` marker, a `CENTENARES` marker line is
+    inserted first. Round-trips through `parse_draws` — the engine
+    can both emit and ingest its own Bronze layer."""
+    r1, r2, r3 = reintegros
+    lines = [
+        "HEADER",
+        f"SORTEO {tipo_sorteo} NO. {numero_sorteo} FECHA DEL SORTEO: {fecha_sorteo}",
+        f"FECHA DE CADUCIDAD: {fecha_caducidad}",
+        (
+            f"PRIMER PREMIO {primer_premio} ||| SEGUNDO PREMIO {segundo_premio} "
+            f"||| TERCER PREMIO {tercer_premio} REINTEGROS {r1}, {r2}, {r3}"
+        ),
+        "",
+        "BODY",
+    ]
+    if not (body_rows and body_rows[0].strip().startswith("00MIL")):
+        lines.append("CENTENARES")
+    lines.extend(body_rows)
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,76 @@
+"""DQ gate + bronze round-trip tests."""
+
+import pytest
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.quality import (
+    DataQualityError,
+    validate_silver,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.operators.silver import (
+    conform_premios,
+    conform_sorteos,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.sources.bronze import (
+    format_bronze_document,
+    parse_draws,
+    read_raw_draws,
+)
+
+
+def test_bronze_document_round_trip(spark, tmp_path):
+    text = format_bronze_document(
+        5001, "ORDINARIO", "01/02/2024", "01/05/2024",
+        111, 222, 333, (1, 2, 3),
+        ["111   P   ........   5,000.00", "VENDIDO POR LUIS SOTO, ESCUINTLA, ESCUINTLA"],
+    )
+    assert "CENTENARES" in text  # marker rule applied
+    p = tmp_path / "d.txt"
+    p.write_text(text)
+    s_raw, p_raw = parse_draws(read_raw_draws(spark, str(p)))
+    s = conform_sorteos(s_raw).collect()[0]
+    assert s["numero_sorteo"] == 5001
+    assert s["reintegro_tercer_premio"] == 3
+    prem = conform_premios(p_raw).collect()[0]
+    assert (prem["numero_premiado"], prem["monto"], prem["departamento"]) == (
+        111, 5000.0, "ESCUINTLA",
+    )
+
+
+def test_bronze_document_00mil_no_marker():
+    text = format_bronze_document(
+        1, "ORDINARIO", "01/02/2024", "01/05/2024", 1, 2, 3, (0, 0, 0),
+        ["00MIL", "1  P  ....  100.00"],
+    )
+    assert "CENTENARES" not in text
+
+
+@pytest.fixture()
+def silver_pair(spark):
+    sorteos = spark.createDataFrame(
+        [(1, "2024-01-01", 111), (2, "2024-01-08", 222)],
+        ["numero_sorteo", "fecha_sorteo", "primer_premio"],
+    )
+    premios = spark.createDataFrame(
+        [(1, 100.0, "GUATEMALA"), (1, 50.0, None), (2, 75.0, "SOLOLA")],
+        ["numero_sorteo", "monto", "departamento"],
+    )
+    return sorteos, premios
+
+
+def test_validate_silver_all_green(silver_pair):
+    sorteos, premios = silver_pair
+    report = validate_silver(sorteos, premios)
+    assert report.filter("NOT ok").count() == 0
+    assert report.count() == 8
+
+
+def test_validate_silver_enforce_raises(spark, silver_pair):
+    sorteos, premios = silver_pair
+    bad_premios = premios.unionByName(
+        spark.createDataFrame([(3, -5.0, "NARNIA")], premios.columns)
+    )
+    report = validate_silver(sorteos, bad_premios)
+    failing = {r["check"] for r in report.filter("NOT ok").collect()}
+    assert failing == {"monto_non_negative", "departamento_in_set"}
+    with pytest.raises(DataQualityError, match="monto_non_negative"):
+        validate_silver(sorteos, bad_premios, enforce=True)
