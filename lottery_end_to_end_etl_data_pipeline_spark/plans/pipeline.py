@@ -45,8 +45,14 @@ def run_pipeline(
     simple_path: str | None = None,
     incremental: bool = True,
     strict: bool = True,
+    dq_enforce: bool = False,
 ) -> PipelineResult:
-    """One end-to-end batch run (the weekly cron body, minus AWS)."""
+    """One end-to-end batch run (the weekly cron body, minus AWS).
+
+    ``dq_enforce=True`` runs the silver expectation suite as a
+    blocking gate before any write (the reference's planned PR-033
+    wiring) — a DataQualityError aborts the run with nothing written.
+    """
     raw = read_raw_draws(spark, raw_glob)
     sorteos_raw, premios_raw = parse_draws(raw, strict=strict)
     sorteos = conform_sorteos(sorteos_raw)
@@ -61,6 +67,10 @@ def run_pipeline(
         premios = filter_unprocessed(premios, existing)
 
     sorteos, premios = with_partitions(sorteos, premios, strict=strict)
+    if dq_enforce:
+        from lottery_end_to_end_etl_data_pipeline_spark.operators.quality import validate_silver
+
+        validate_silver(sorteos, premios, enforce=True)
     n_draws = sorteos.count()
     n_premios = premios.count()
     if n_draws:

@@ -74,3 +74,17 @@ def test_validate_silver_enforce_raises(spark, silver_pair):
     assert failing == {"monto_non_negative", "departamento_in_set"}
     with pytest.raises(DataQualityError, match="monto_non_negative"):
         validate_silver(sorteos, bad_premios, enforce=True)
+
+
+def test_pipeline_dq_gate(spark, tmp_path):
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.pipeline import run_pipeline
+    from tests.fixture_gen import write_fixture_corpus
+
+    write_fixture_corpus(tmp_path / "raw", n_draws=3, seed=13)
+    result = run_pipeline(
+        spark,
+        str(tmp_path / "raw" / "*" / "*" / "*.txt"),
+        str(tmp_path / "silver"),
+        dq_enforce=True,
+    )
+    assert result.new_draws == 3  # clean corpus passes the gate
