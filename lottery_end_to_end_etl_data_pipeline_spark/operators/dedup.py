@@ -414,3 +414,43 @@ def near_dedup(
     return df.join(
         reps, df[id_col] == reps["dup_id"], "left_anti"
     )
+
+
+def embedding_cosine_pairs_pandas(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Gram-matrix variant of `embedding_cosine_pairs`: one
+    Arrow-batched `applyInPandas` per bucket computes all within-
+    bucket cosines as a single numpy matmul.
+
+    This is the documented "Pandas UDF where built-ins genuinely
+    lose" case: the HOF form evaluates an interpreted lambda per
+    (pair, component); the BLAS matmul does the same arithmetic at
+    memory bandwidth. Same outputs (verified in tests) — choose by
+    bucket size: matmul needs the bucket's vectors in one worker's
+    memory (fine for IVF-sized cells; not for a degenerate giant
+    bucket)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # enforce id_a < id_b regardless of row order in the batch
+        a, b = ids[iu], ids[ju]
+        swap = a > b
+        a[swap], b[swap] = b[swap].copy(), a[swap].copy()
+        cos = np.round(sims[iu, ju], 4)
+        keep = cos >= threshold
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep], "cosine": cos[keep]})
+
+    out_schema = "id_a LONG, id_b LONG, cosine DOUBLE"
+    return df.groupBy(bucket_col).applyInPandas(per_bucket, out_schema)

@@ -114,3 +114,21 @@ def test_near_dedup_end_to_end(docs):
     kept = sorted(r["doc_id"] for r in near_dedup(docs, threshold=0.5).collect())
     # doc1 (exact dup of 0) and doc2 (near dup) collapse into doc0
     assert kept == [0, 3, 4]
+
+
+def test_embedding_pandas_variant_matches_hof(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_pandas,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hof = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, threshold=0.3).collect()
+    }
+    pdu = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs_pandas(emb, threshold=0.3).collect()
+    }
+    assert hof == pdu
