@@ -939,7 +939,7 @@ def dedup_exact(spark, sf_dir):
     "dedup_ngram_jaccard",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
       FROM documents
     ),
     sh AS (
@@ -1080,9 +1080,10 @@ def knn_lsh_cosine(spark, sf_dir):
     "text_stats_by_lang",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS total_tokens,
-           SUM(length(text)) AS total_chars,
-           SUM(n_chars) AS total_chars_meta
+           CAST(SUM(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars_meta
     FROM documents GROUP BY lang
     """,
 )
@@ -1095,9 +1096,9 @@ def text_stats_by_lang(spark, sf_dir):
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(token_count("text")).alias("total_tokens"),
-            F.sum(F.length("text")).alias("total_chars"),
-            F.sum("n_chars").alias("total_chars_meta"),
+            F.sum(token_count("text")).cast("long").alias("total_tokens"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars_meta"),
         )
     )
 
@@ -1107,7 +1108,7 @@ def text_stats_by_lang(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang,
-             list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tk
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tk
       FROM documents
     ),
     hits AS (
@@ -1147,7 +1148,7 @@ def lang_id_confusion(spark, sf_dir):
     "doc_fingerprint_dups",
     oracle="""
     SELECT md5(array_to_string(list_sort(list_distinct(
-             list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' ')) AS fp,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))), ' ')) AS fp,
            COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
     FROM documents
     GROUP BY 1 HAVING COUNT(*) > 1
@@ -1171,7 +1172,7 @@ def doc_fingerprint_dups(spark, sf_dir):
     "binary_features",
     oracle="""
     SELECT source, COUNT(*) AS n_media,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT md5(text)) AS distinct_payloads
     FROM documents GROUP BY source
     """,
@@ -1190,7 +1191,7 @@ def binary_features(spark, sf_dir):
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
-            F.sum(F.octet_length("content")).alias("total_bytes"),
+            F.sum(F.octet_length("content")).cast("long").alias("total_bytes"),
             F.countDistinct("content_md5").alias("distinct_payloads"),
         )
     )
@@ -1220,7 +1221,7 @@ def multipath_union_scan(spark, sf_dir):
     oracle="""
     WITH feats AS (
       SELECT doc_id,
-             len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tokens,
              length(text) AS n_chars,
              CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
                / greatest(length(text), 1) AS punct_ratio,
