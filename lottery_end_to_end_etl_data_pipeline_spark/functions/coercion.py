@@ -1,8 +1,9 @@
 """Type-coercion column builders mirroring the reference contract.
 
 Parity targets (SURVEY §1.2, §7 "hard parts"):
-- `pd.to_numeric(errors="coerce")` → Spark `try_cast`-style cast:
-  malformed strings become NULL, never raise
+- `pd.to_numeric(errors="coerce")` → Spark `try_cast`: malformed
+  strings become NULL, never raise — a plain `cast` would throw
+  CAST_INVALID_INPUT under Spark 4's default ANSI mode
   (`transformer.py:55-70`).
 - optional default: NA→default then non-null dtype
   (`numero_sorteo`→0, `monto`→0.0; everything else stays nullable).
@@ -34,7 +35,7 @@ def normalize_na(col: Column | str) -> Column:
 def coerce_long(col: Column | str, default: int | None = None) -> Column:
     """Nullable long cast; malformed → NULL; optional NA→default."""
     c = F.col(col) if isinstance(col, str) else col
-    casted = normalize_na(c.cast("string")).cast("long")
+    casted = normalize_na(c.cast("string")).try_cast("long")
     if default is not None:
         casted = F.coalesce(casted, F.lit(default).cast("long"))
     return casted
@@ -43,7 +44,7 @@ def coerce_long(col: Column | str, default: int | None = None) -> Column:
 def coerce_double(col: Column | str, default: float | None = 0.0) -> Column:
     """Double cast; malformed → NULL; NA→default (reference default 0.0)."""
     c = F.col(col) if isinstance(col, str) else col
-    casted = normalize_na(c.cast("string")).cast("double")
+    casted = normalize_na(c.cast("string")).try_cast("double")
     if default is not None:
         casted = F.coalesce(casted, F.lit(float(default)))
     return casted

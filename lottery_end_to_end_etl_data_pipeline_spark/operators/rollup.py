@@ -63,8 +63,14 @@ def query_continuous_aggregate(
     bucket: str = "1 day",
 ) -> DataFrame:
     """Serve the rollup: materialized past ∪ same-shape aggregation
-    of the raw tail (rows newer than the materialized high-water
-    mark). Returns per (bucket_start, key): counts, sums, and the
+    of the raw tail. The final materialized bucket may be partial
+    (materialization ran mid-bucket), so it is treated as incomplete:
+    it is dropped from the served past and recomputed entirely from
+    the raw tail (`ts >= hwm`, the final bucket's start). This makes
+    the split disjoint — no event is counted in both branches, and no
+    HLL sketch merges twice. Contract: `tail` must contain ALL raw
+    rows with `ts >= hwm` (the natural "recent raw data" slice).
+    Returns per (bucket_start, key): counts, sums, and the
     HLL-estimated distinct users (merged across parts)."""
     mat = spark.read.parquet(path)
     parts = mat.select(
@@ -73,7 +79,9 @@ def query_continuous_aggregate(
     )
     if tail is not None:
         hwm = mat.agg(F.max("bucket_start")).first()[0]
-        fresh = tail.filter(F.col(ts_col) > F.lit(hwm)) if hwm else tail
+        if hwm is not None:
+            parts = parts.filter(F.col("bucket_start") < F.lit(hwm))
+        fresh = tail.filter(F.col(ts_col) >= F.lit(hwm)) if hwm else tail
         fresh_agg = (
             fresh.groupBy(
                 time_bucket(ts_col, bucket).alias("bucket_start"), F.col(key_col)

@@ -33,7 +33,17 @@ def salted_join(
     right ≪ left but exceeds the broadcast threshold (else just
     broadcast), and AQE's skew split isn't available (e.g. the join
     feeds a co-partitioned downstream op).
+
+    Only ``inner`` and ``left`` are supported: the right side is
+    replicated per salt value, so right/full outer joins would emit
+    `salt_buckets` copies of each unmatched right row.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated right side duplicates unmatched right rows "
+            "under right/full outer semantics"
+        )
     salted_left = left.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )
@@ -46,12 +56,17 @@ def salted_join(
 
 def top_keys(df: DataFrame, key_col: str, n: int = 10) -> DataFrame:
     """Skew diagnosis: the n heaviest keys with their row counts and
-    share of the table — run this before deciding on salting."""
-    total = df.count()
+    share of the table — run this before deciding on salting.
+
+    One scan of the base table: the total comes from an unpartitioned
+    window-sum over the (small, one-row-per-key) aggregate, not a
+    second `df.count()` pass."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = F.sum("n_rows").over(Window.partitionBy())
     return (
-        df.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(float(total)), 4))
+        counts.withColumn("share", F.round(F.col("n_rows") / total, 4))
         .orderBy(F.desc("n_rows"), F.asc(key_col))
         .limit(n)
     )

@@ -939,7 +939,7 @@ def dedup_exact(spark, sf_dir):
     "dedup_ngram_jaccard",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
       FROM documents
     ),
     sh AS (
@@ -1108,7 +1108,7 @@ def text_stats_by_lang(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang,
-             list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tk
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tk
       FROM documents
     ),
     hits AS (
@@ -1148,7 +1148,7 @@ def lang_id_confusion(spark, sf_dir):
     "doc_fingerprint_dups",
     oracle="""
     SELECT md5(array_to_string(list_sort(list_distinct(
-             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))), ' ')) AS fp,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))), ' ')) AS fp,
            COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
     FROM documents
     GROUP BY 1 HAVING COUNT(*) > 1
@@ -1221,7 +1221,7 @@ def multipath_union_scan(spark, sf_dir):
     oracle="""
     WITH feats AS (
       SELECT doc_id,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
              length(text) AS n_chars,
              CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
                / greatest(length(text), 1) AS punct_ratio,

@@ -1,0 +1,44 @@
+"""Coercion contract tests (SURVEY §1.2): pd.to_numeric/to_datetime
+errors="coerce" parity — malformed input must become NULL (then the
+default, where one is defined), never raise, even under Spark 4's
+default ANSI mode where a plain cast() throws CAST_INVALID_INPUT.
+"""
+
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.functions.coercion import (
+    coerce_date_ddmmyyyy,
+    coerce_double,
+    coerce_long,
+)
+
+
+def test_malformed_numerics_coerce_to_null_under_ansi(spark):
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.createDataFrame(
+        [("12a",), ("7",), ("N/A",), ("",), ("3.5",), (None,)], ["v"]
+    )
+    rows = df.select(
+        coerce_long("v").alias("as_long"),
+        coerce_double("v", default=None).alias("as_double"),
+    ).collect()
+    assert [r["as_long"] for r in rows] == [None, 7, None, None, None, None]
+    assert [r["as_double"] for r in rows] == [None, 7.0, None, None, 3.5, None]
+
+
+def test_defaults_fill_after_coercion(spark):
+    df = spark.createDataFrame([("bad",), ("N/A",), ("42",)], ["v"])
+    rows = df.select(
+        coerce_long("v", default=0).alias("l"),
+        coerce_double("v").alias("d"),  # reference default 0.0
+    ).collect()
+    assert [r["l"] for r in rows] == [0, 0, 42]
+    assert [r["d"] for r in rows] == [0.0, 0.0, 42.0]
+
+
+def test_malformed_dates_coerce_to_null(spark):
+    df = spark.createDataFrame([("31/12/2023",), ("99/99/9999",), ("nope",)], ["v"])
+    rows = df.select(coerce_date_ddmmyyyy("v").alias("d")).collect()
+    assert rows[0]["d"] is not None
+    assert rows[1]["d"] is None
+    assert rows[2]["d"] is None

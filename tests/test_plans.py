@@ -104,3 +104,20 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted((r["k"], r["count"]) for r in plain) == sorted(
         (r["k"], r["count"]) for r in salted
     )
+    # left join keeps unmatched LEFT rows exactly once
+    plain_l = left.join(right, "k", "left").groupBy("k").count().collect()
+    salted_l = salted_join(left, right, "k", how="left").groupBy("k").count().collect()
+    assert sorted((r["k"], r["count"]) for r in plain_l) == sorted(
+        (r["k"], r["count"]) for r in salted_l
+    )
+
+
+def test_salted_join_rejects_outer_right(spark):
+    import pytest
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(df, df, "k", how=how)

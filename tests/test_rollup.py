@@ -24,14 +24,19 @@ def test_continuous_aggregate_merges_tail(spark, tmp_path):
         [
             (T0, "click", 1, 1.0),
             (T0 + datetime.timedelta(hours=2), "click", 2, 2.0),
-            (T0 + datetime.timedelta(days=1), "view", 1, 5.0),
+            (T0 + datetime.timedelta(days=1, hours=1), "view", 1, 5.0),
         ],
     )
     build_continuous_aggregate(past, str(tmp_path / "cagg"))
-    # raw tail: new day, plus a late event merged at query time
+    # Contract: tail = ALL raw rows with ts >= hwm (the final bucket's
+    # start). It overlaps the already-materialized day-2 view row —
+    # the final bucket is recomputed entirely from raw, so the overlap
+    # must NOT double-count.
     tail = ev(
         spark,
         [
+            (T0 + datetime.timedelta(days=1, hours=1), "view", 1, 5.0),
+            (T0 + datetime.timedelta(days=1, hours=3), "view", 3, 2.0),  # late arrival
             (T0 + datetime.timedelta(days=2), "click", 3, 7.0),
             (T0 + datetime.timedelta(days=2, hours=1), "click", 1, 1.0),
         ],
@@ -42,8 +47,8 @@ def test_continuous_aggregate_merges_tail(spark, tmp_path):
         )
         for r in query_continuous_aggregate(spark, str(tmp_path / "cagg"), tail).collect()
     }
-    assert got[(1, "click")] == (2, 3.0, 2)
-    assert got[(2, "view")] == (1, 5.0, 1)
+    assert got[(1, "click")] == (2, 3.0, 2)  # served from materialization
+    assert got[(2, "view")] == (2, 7.0, 2)  # recomputed final bucket + late row, no double count
     assert got[(3, "click")] == (2, 8.0, 2)  # tail-only bucket
 
 
