@@ -1,11 +1,17 @@
 """Data-quality gate — the reference's planned Great-Expectations
 suites (roadmap.md:685-708, SURVEY §5.4) as DataFrame checks.
 
-Each expectation is one aggregate pass returning (check, ok,
-n_violations); `validate_silver` bundles the reference's documented
-suite and `enforce` raises on failure — the "blocking pipeline gate"
-wiring of PR-033. All checks are single-pass aggregates: at 100 TB
-each costs one scan (or share one via `run_checks`' unioned plan).
+Two API levels:
+
+- `expect_*` — one expectation as a standalone one-row report frame
+  (one aggregate scan each); handy for ad-hoc checks.
+- `fused_report` — a whole expectation suite for one table computed in
+  a SINGLE `.agg()` (one scan), then stack-unpivoted to the report
+  shape. `validate_silver` uses this: the full 8-check silver suite
+  costs exactly 2 scans (one per table), not 8 — the difference
+  between one pass and eight over a 100 TB table.
+
+Report shape everywhere: (check, n_violations, n_rows, ok).
 """
 
 from __future__ import annotations
@@ -20,10 +26,50 @@ class DataQualityError(ValueError):
     """Raised by enforce=True when any expectation fails."""
 
 
+# --- aggregate-expression builders (compose into one .agg()) ---------------
+
+def violations_when(cond: Column) -> Column:
+    """Violation count for a row-level predicate."""
+    return F.count(F.when(cond, 1)).cast("long")
+
+
+def violations_duplicate(col: str) -> Column:
+    """Duplicate count via count - countDistinct — no self-join."""
+    return (F.count(col) - F.countDistinct(col)).cast("long")
+
+
+def not_in_set_cond(col: str, allowed: list[str], allow_null: bool = True) -> Column:
+    cond = ~F.col(col).isin(allowed)
+    if allow_null:
+        cond = F.col(col).isNotNull() & cond
+    return cond
+
+
+def fused_report(df: DataFrame, specs: list[tuple[str, Column]]) -> DataFrame:
+    """Run a whole expectation suite in ONE aggregate scan.
+
+    `specs` is [(check_name, violation_count_agg_expr), ...]. The
+    single .agg() computes every violation count plus n_rows; a
+    `stack` unpivot then yields one report row per check. Plan: one
+    scan, one (partial+final) aggregate, then a width-N projection of
+    a single row — nothing rescans the source.
+    """
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[expr.alias(f"_v{i}") for i, (_, expr) in enumerate(specs)],
+    )
+    pairs = ", ".join(f"'{name}', _v{i}" for i, (name, _) in enumerate(specs))
+    return agg.selectExpr(
+        f"stack({len(specs)}, {pairs}) AS (check, n_violations)", "n_rows"
+    ).withColumn("ok", F.col("n_violations") == 0)
+
+
+# --- standalone single-expectation forms -----------------------------------
+
 def _check(df: DataFrame, name: str, violation: Column) -> DataFrame:
     return df.agg(
         F.lit(name).alias("check"),
-        F.count(F.when(violation, 1)).alias("n_violations"),
+        violations_when(violation).alias("n_violations"),
         F.count(F.lit(1)).alias("n_rows"),
     ).withColumn("ok", F.col("n_violations") == 0)
 
@@ -36,13 +82,14 @@ def expect_unique(df: DataFrame, col: str) -> DataFrame:
     """Uniqueness via count vs distinct-count — one aggregate, no
     self-join."""
     agg = df.agg(
-        F.count(col).alias("n"), F.countDistinct(col).alias("nd")
+        violations_duplicate(col).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
     return agg.select(
         F.lit(f"{col}_unique").alias("check"),
-        (F.col("n") - F.col("nd")).alias("n_violations"),
-        F.col("n").alias("n_rows"),
-        (F.col("n") == F.col("nd")).alias("ok"),
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("ok"),
     )
 
 
@@ -51,14 +98,13 @@ def expect_non_negative(df: DataFrame, col: str) -> DataFrame:
 
 
 def expect_in_set(df: DataFrame, col: str, allowed: list[str], allow_null: bool = True) -> DataFrame:
-    cond = ~F.col(col).isin(allowed)
-    if allow_null:
-        cond = F.col(col).isNotNull() & cond
-    return _check(df, f"{col}_in_set", cond)
+    return _check(df, f"{col}_in_set", not_in_set_cond(col, allowed, allow_null))
 
 
 def run_checks(checks: list[DataFrame]) -> DataFrame:
-    """Union the one-row check results into a single report frame."""
+    """Union standalone check frames into a single report. Note: each
+    input frame is its own aggregate scan — for a full suite over one
+    table prefer `fused_report` (one scan total)."""
     out = checks[0]
     for c in checks[1:]:
         out = out.unionByName(c)
@@ -71,18 +117,25 @@ def validate_silver(
     """The reference's documented silver DQ suite (roadmap.md:693-697):
     sorteos — numero_sorteo not-null & unique, fecha_sorteo and
     primer_premio not-null; premios — numero_sorteo / monto not-null,
-    monto >= 0, departamento within the 22 departments."""
-    report = run_checks(
-        [
-            expect_not_null(sorteos, "numero_sorteo"),
-            expect_unique(sorteos, "numero_sorteo"),
-            expect_not_null(sorteos, "fecha_sorteo"),
-            expect_not_null(sorteos, "primer_premio"),
-            expect_not_null(premios, "numero_sorteo"),
-            expect_not_null(premios, "monto"),
-            expect_non_negative(premios, "monto"),
-            expect_in_set(premios, "departamento", GUATEMALA_DEPARTMENTS),
-        ]
+    monto >= 0, departamento within the 22 departments.
+
+    Cost: exactly one aggregate scan per table (2 total) — all checks
+    for a table are fused into a single .agg()."""
+    sorteos_specs = [
+        ("numero_sorteo_not_null", violations_when(F.col("numero_sorteo").isNull())),
+        ("numero_sorteo_unique", violations_duplicate("numero_sorteo")),
+        ("fecha_sorteo_not_null", violations_when(F.col("fecha_sorteo").isNull())),
+        ("primer_premio_not_null", violations_when(F.col("primer_premio").isNull())),
+    ]
+    premios_specs = [
+        ("numero_sorteo_not_null", violations_when(F.col("numero_sorteo").isNull())),
+        ("monto_not_null", violations_when(F.col("monto").isNull())),
+        ("monto_non_negative", violations_when(F.col("monto") < 0)),
+        ("departamento_in_set",
+         violations_when(not_in_set_cond("departamento", GUATEMALA_DEPARTMENTS))),
+    ]
+    report = fused_report(sorteos, sorteos_specs).unionByName(
+        fused_report(premios, premios_specs)
     )
     if enforce:
         bad = report.filter(~F.col("ok")).collect()

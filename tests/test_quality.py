@@ -76,6 +76,17 @@ def test_validate_silver_enforce_raises(spark, silver_pair):
         validate_silver(sorteos, bad_premios, enforce=True)
 
 
+def test_fused_suite_scans_each_table_once(spark, tmp_path, silver_pair):
+    """The whole 8-check suite costs 2 scans (one .agg() per table)."""
+    sorteos, premios = silver_pair
+    sorteos.write.mode("overwrite").parquet(str(tmp_path / "s"))
+    premios.write.mode("overwrite").parquet(str(tmp_path / "p"))
+    s = spark.read.parquet(str(tmp_path / "s"))
+    p = spark.read.parquet(str(tmp_path / "p"))
+    plan = validate_silver(s, p)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2
+
+
 def test_pipeline_dq_gate(spark, tmp_path):
     from lottery_end_to_end_etl_data_pipeline_spark.plans.pipeline import run_pipeline
     from tests.fixture_gen import write_fixture_corpus
