@@ -125,16 +125,23 @@ def write_silver(
     simple_path: str | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """S5/S6 sinks: Hive-partitioned canonical + optional flat copy."""
+    """S5/S6 sinks: Hive-partitioned canonical + optional flat copy.
+
+    Dynamic partition overwrite is set per-write so incremental
+    re-runs only rewrite the partitions present in the batch, even
+    under a foreign SparkSession whose `partitionOverwriteMode` is
+    left at the static default (which would wipe the whole table)."""
     (
         sorteos.select(*SORTEOS_COLUMNS, "year", "sorteo")
         .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("year", "sorteo")
         .parquet(f"{silver_path}/sorteos")
     )
     (
         premios.select(*PREMIOS_COLUMNS, "year", "sorteo")
         .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("year", "sorteo")
         .parquet(f"{silver_path}/premios")
     )

@@ -18,10 +18,17 @@ def write_parquet_partitioned(
     partition_cols: list[str],
     mode: str = "overwrite",
 ) -> None:
-    """Hive-partitioned parquet sink (S6). With the session's
-    `partitionOverwriteMode=dynamic`, overwrite touches only incoming
-    partitions — idempotent incremental re-runs."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    """Hive-partitioned parquet sink (S6). Dynamic partition overwrite
+    is set per-write (not inherited from the session), so overwrite
+    touches only the partitions present in `df` — idempotent
+    incremental re-runs even under a foreign SparkSession that left
+    `partitionOverwriteMode` at its static default."""
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def write_parquet_flat(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -40,6 +40,25 @@ def test_partitioned_write_layout(spark, tmp_path):
     assert [r["id"] for r in got.collect()] == [2]
 
 
+def test_dynamic_overwrite_under_foreign_session(spark, tmp_path):
+    """Overwriting one partition must not wipe the others, even when
+    the session's partitionOverwriteMode is the static default — the
+    writers set dynamic mode per-write (DataFrameWriter option beats
+    session conf)."""
+    foreign = spark.newSession()
+    foreign.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    full = foreign.createDataFrame([(1, 2024), (2, 2025)], ["id", "year"])
+    write_parquet_partitioned(full, str(tmp_path / "part"), ["year"])
+    # re-run only the 2025 slice
+    slice_2025 = foreign.createDataFrame([(3, 2025)], ["id", "year"])
+    write_parquet_partitioned(slice_2025, str(tmp_path / "part"), ["year"])
+    got = sorted(
+        (r["id"], r["year"])
+        for r in foreign.read.parquet(str(tmp_path / "part")).collect()
+    )
+    assert got == [(1, 2024), (3, 2025)]
+
+
 def test_jdbc_requires_bounds(spark):
     with pytest.raises(ValueError, match="lower_bound and upper_bound"):
         read_jdbc(spark, "jdbc:mysql://x/db", "t", partition_column="id")
