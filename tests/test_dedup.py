@@ -116,6 +116,37 @@ def test_near_dedup_end_to_end(docs):
     assert kept == [0, 3, 4]
 
 
+def test_resolve_components_merges_chains(spark):
+    """A chain 1-2-3-4 plus an isolated pair (10,11): every chain
+    member must resolve to 1 (not its one-hop min), so the kept set is
+    {1, 10} — single-hop min-id resolution would under-merge and keep
+    3 or 4."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        resolve_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    reps = {r["id"]: r["rep"] for r in resolve_components(pairs, rounds=3).collect()}
+    assert reps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_from_pairs_chained_cluster(spark):
+    """End-to-end drop over a chained cluster: A~B, B~C (A≁C) must
+    still collapse to just A."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        dedup_from_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in dedup_from_pairs(df, pairs).collect())
+    assert kept == [0, 3, 4]
+
+
 def test_embedding_pandas_variant_matches_hof(spark):
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
         embedding_cosine_pairs,
