@@ -34,6 +34,7 @@ HEADLINE = [
     "json_extract",
     "reconcile_diff",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_capped",
     "dedup_embedding_cosine",
     "knn_brute_cosine",
     "text_stats_by_lang",

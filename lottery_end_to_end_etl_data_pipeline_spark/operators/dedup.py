@@ -136,8 +136,17 @@ def minhash_signatures(
     `array_min(transform(...))` components, and ~10x faster than the
     explode+groupBy formulation it replaced (which shuffled 1.5M
     postings at sf0.1).
+
+    The input is repartitioned (explicit partition count — exempt
+    from AQE coalescing) BEFORE the fold: higher-order functions run
+    interpreted, so the fold is CPU-bound and must be spread across
+    all cores even when the source is a single small file (measured
+    7x at sf0.1, where the one-file parquet otherwise pins the whole
+    fold to one task). At 100 TB the scan parallelism makes this
+    shuffle redundant-but-harmless relative to the fold cost.
     """
-    sh = df.select(
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
     )
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
@@ -228,8 +237,11 @@ def simhash_fingerprints(
 
     Computed as one nested higher-order fold per row (hash once per
     token, vote into a `bits`-wide accumulator, then pack the sign
-    bits) — narrow map stage, zero shuffle, compact codegen."""
-    hashed = df.select(
+    bits) — compact codegen; input repartitioned first so the
+    interpreted fold parallelizes even off a one-file source (see
+    minhash_signatures note)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    hashed = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.transform(tokens(text_col), lambda t: F.hash(t).cast("long")).alias("hs"),
     )

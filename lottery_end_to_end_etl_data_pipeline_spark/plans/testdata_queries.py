@@ -976,6 +976,55 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_ngram_jaccard_capped",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                              i -> array_to_string(tk[i:i+2], ' ')),
+               x -> x <> '')) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM post GROUP BY shingle HAVING COUNT(*) <= 20),
+    postf AS (SELECT p.doc_id, p.shingle FROM post p JOIN keep USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM postf a JOIN postf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """The 100 TB form of exact-Jaccard dedup: postings for shingles
+    with document frequency > max_df are dropped BEFORE the self-join.
+    The join cost is O(Σ df²) — boilerplate shingles (df in the
+    millions on a real corpus) dominate it while contributing nothing
+    to Jaccard discrimination, so the cap is what makes this operator
+    survive a 100x scale-up. Slightly conservative vs the uncapped
+    twin (`dedup_ngram_jaccard`, kept for the exact-semantics oracle):
+    intersection counts shrink only by the dropped high-df shingles.
+    The oracle mirrors the cap, so this entry is still hash-checked."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8, max_df=20
+    )
+
+
 @query("dedup_minhash_lsh")  # engine-specific hash → rows-only check
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) near-dup candidates. Validated in

@@ -51,15 +51,21 @@ def test_agg_is_partial_then_final(spark):
     assert "partial_count" in plan or "partial" in plan  # map-side combine
 
 
-def test_minhash_signatures_no_shuffle(spark):
-    """Signature computation itself must stay a narrow map plan."""
+def test_minhash_signatures_one_parallelizing_shuffle(spark):
+    """The signature fold is CPU-bound interpreted HOF work, so the
+    plan must contain exactly ONE Exchange — the deliberate input
+    repartition that spreads the fold across cores — as an explicit
+    REPARTITION_BY_NUM (exempt from AQE coalescing, which would fold
+    a small input back to one task). The fold itself stays narrow on
+    top of that exchange."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
         minhash_signatures,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = plan_of(minhash_signatures(docs), "simple")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "REPARTITION_BY_NUM" in plan
 
 
 def test_anti_join_no_cartesian(spark):
