@@ -66,6 +66,28 @@ def iqr_filter(df: DataFrame, col: str) -> DataFrame:
     return df.filter(F.col(col).between(lo, hi))
 
 
+def approx_iqr_bounds(
+    df: DataFrame, col: str, accuracy: int = 10000
+) -> tuple[float, float]:
+    """The 100 TB form of `iqr_bounds`: approx_percentile
+    (Greenwald-Khanna sketch) keeps per-partition state at
+    O(accuracy) instead of buffering every value, so the quantile agg
+    is mergeable and memory-bounded no matter the table size. Error
+    ≤ n/accuracy ranks — at accuracy=10000 the Tukey fences move by
+    at most 0.01% of the rank range, far inside the 1.5*IQR slack."""
+    q1, q3 = df.agg(
+        F.approx_percentile(col, F.array(F.lit(0.25), F.lit(0.75)), F.lit(accuracy))
+    ).first()[0]
+    iqr = q3 - q1
+    return q1 - 1.5 * iqr, q3 + 1.5 * iqr
+
+
+def approx_iqr_filter(df: DataFrame, col: str, accuracy: int = 10000) -> DataFrame:
+    """Drop Tukey outliers with sketch-based fences (scale path)."""
+    lo, hi = approx_iqr_bounds(df, col, accuracy)
+    return df.filter(F.col(col).between(lo, hi))
+
+
 def bin_counts(df: DataFrame, col: str, width: float) -> DataFrame:
     """Histogram feed: uniform bins + counts (pd.cut, cell 52)."""
     return (

@@ -499,8 +499,8 @@ def describe_stats(spark, sf_dir):
 def iqr_filter(spark, sf_dir):
     """F10+F20: exact-percentile IQR outlier filter
     (EDA_premios.ipynb cell 22). Exact `percentile` (not approx) for
-    oracle parity; at 100 TB swap to approx_percentile and accept
-    the tolerance."""
+    oracle parity; the registered 100 TB path is `iqr_filter_approx`
+    (sketch-based, memory-bounded)."""
     l = t(spark, sf_dir, "lineitem")
     q1, q3 = l.agg(
         F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)))
@@ -508,6 +508,26 @@ def iqr_filter(spark, sf_dir):
     # Two scalars to the driver, then literal bounds — the second scan
     # gets parquet predicate pushdown instead of a crossJoin recompute.
     lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    return l.filter(F.col("l_extendedprice").between(lo, hi)).agg(
+        F.count(F.lit(1)).alias("n_inliers"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_inliers"),
+    )
+
+
+@query("iqr_filter_approx")  # sketch-based → rows-only; tolerance vs exact in pytest
+def iqr_filter_approx(spark, sf_dir):
+    """The 100 TB twin of `iqr_filter`: approx_percentile
+    (Greenwald-Khanna sketch, mergeable, O(accuracy) state per
+    partition) replaces exact `percentile`, which buffers every value
+    per group and OOMs a 100 TB aggregation. Values carry the sketch's
+    rank-error bound → rows-only driver check + a pytest tolerance
+    gate against the exact form."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        approx_iqr_bounds,
+    )
+
+    l = t(spark, sf_dir, "lineitem")
+    lo, hi = approx_iqr_bounds(l, "l_extendedprice")
     return l.filter(F.col("l_extendedprice").between(lo, hi)).agg(
         F.count(F.lit(1)).alias("n_inliers"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_inliers"),
@@ -1482,13 +1502,36 @@ def pivot_flag_by_status(spark, sf_dir):
 )
 def percentiles_by_group(spark, sf_dir):
     """Exact interpolated percentiles per group (F20 at group grain).
-    At 100 TB switch to approx_percentile and accept the error bound."""
+    The registered 100 TB path is `percentiles_by_group_approx`
+    (mergeable sketches, O(groups x accuracy) memory)."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_returnflag").alias("flag"))
         .agg(
             F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
             F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query("percentiles_by_group_approx")  # sketch-based → rows-only; tolerance in pytest
+def percentiles_by_group_approx(spark, sf_dir):
+    """Scale twin of `percentiles_by_group`: per-group
+    approx_percentile sketches merge map-side, so memory stays
+    O(groups x accuracy) instead of O(rows) — the difference between
+    a working and an OOMing percentile at 100 TB. Rows-only driver
+    check; pytest bounds the drift vs the exact form."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.round(
+                F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)), 4
+            ).alias("p50"),
+            F.round(
+                F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)), 4
+            ).alias("p90"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )

@@ -46,6 +46,45 @@ def test_iqr_filter_drops_outlier(df):
     assert 1000.0 not in {r["v"] for r in kept.collect()}
 
 
+def test_approx_iqr_tracks_exact(spark):
+    """Sketch fences must sit within the sketch's rank-error bound of
+    the exact fences (here: indistinguishable at accuracy=10000 on
+    20k rows), and the filtered row count must match the exact path."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        approx_iqr_bounds,
+        approx_iqr_filter,
+        iqr_bounds,
+    )
+
+    big = spark.range(0, 20000).select((F.col("id") % 1000).cast("double").alias("v"))
+    lo_e, hi_e = iqr_bounds(big, "v")
+    lo_a, hi_a = approx_iqr_bounds(big, "v")
+    spread = hi_e - lo_e
+    assert abs(lo_a - lo_e) <= 0.01 * spread
+    assert abs(hi_a - hi_e) <= 0.01 * spread
+    assert approx_iqr_filter(big, "v").count() == iqr_filter(big, "v").count()
+
+
+def test_approx_percentile_by_group_tracks_exact(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import QUERIES
+
+    exact = {
+        r["flag"]: (r["p50"], r["p90"])
+        for r in QUERIES["percentiles_by_group"](spark, "/root/testdata/sf0.001").collect()
+    }
+    approx = {
+        r["flag"]: (r["p50"], r["p90"])
+        for r in QUERIES["percentiles_by_group_approx"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, (p50_e, p90_e) in exact.items():
+        p50_a, p90_a = approx[flag]
+        assert abs(p50_a - p50_e) / max(abs(p50_e), 1.0) < 0.01
+        assert abs(p90_a - p90_e) / max(abs(p90_e), 1.0) < 0.01
+
+
 def test_bin_counts(df):
     bins = {r["bucket"]: r["count"] for r in bin_counts(df.na.drop(), "v", 5.0).collect()}
     assert bins[10.0] == 4
