@@ -1145,6 +1145,37 @@ def knn_lsh_cosine(spark, sf_dir):
     return knn_lsh(emb, qvec, k=10, n_planes=4, exclude_id=0)
 
 
+@query("knn_ivf_cosine")  # approximate (IVF probe) — rows-only check
+def knn_ivf_cosine(spark, sf_dir):
+    """IVF-indexed approximate top-10 (operators/similarity.py): the
+    corpus is written partitioned by nearest-centroid cell, the probe
+    ranks centroids and scans only the top n_probe cells — partition
+    pruning turns per-query cost from O(corpus) into
+    O(corpus/cells x n_probe). Centroids here are 8 deterministic
+    sample vectors (vec_id 1..8); recall properties are pytest-gated
+    (probe-all == brute exactly; recall grows with n_probe)."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_ivf,
+        write_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(list(range(1, 9))))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_ivf_{tag}"
+    write_ivf_index(emb, cents, path)
+    return knn_ivf(spark, path, cents, qvec, k=10, n_probe=4, exclude_id=0)
+
+
 @query(
     "text_stats_by_lang",
     oracle="""

@@ -147,6 +147,42 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path, vectors):
     assert ids == brute  # nearest vectors live in the probed cell
 
 
+def test_ivf_probe_all_equals_brute(spark, tmp_path):
+    """Deterministic IVF invariant on real testdata: probing ALL cells
+    scans the whole index, so the result must equal brute force
+    exactly; partial probes must not beat a full probe's recall."""
+    from pyspark.sql import functions as F
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_brute,
+        knn_ivf,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([1, 2, 3, 4])).orderBy("vec_id").collect()
+    ]
+    write_ivf_index(emb, cents, str(tmp_path / "ivf"))
+    brute = [r["id"] for r in knn_brute(emb, qvec, 10, exclude_id=0).collect()]
+    probe_all = [
+        r["id"]
+        for r in knn_ivf(
+            spark, str(tmp_path / "ivf"), cents, qvec, 10, n_probe=4, exclude_id=0
+        ).collect()
+    ]
+    assert probe_all == brute
+    partial = [
+        r["id"]
+        for r in knn_ivf(
+            spark, str(tmp_path / "ivf"), cents, qvec, 10, n_probe=2, exclude_id=0
+        ).collect()
+    ]
+    assert len(set(partial) & set(brute)) <= 10
+
+
 def test_ngram_jaccard_max_df_conservative(spark):
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
         ngram_jaccard_pairs,
