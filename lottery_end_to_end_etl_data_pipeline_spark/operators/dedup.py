@@ -82,18 +82,36 @@ def ngram_jaccard_pairs(
     shingles appearing in more than that many docs *before* the
     self-join (changes results from exact to slightly conservative:
     intersection counts shrink by the dropped shingles only).
+
+    Same two-exchange layout as `minhash_signatures`: repartition the
+    input BEFORE the shingle fold (higher-order functions run
+    interpreted — off a one-file source the fold otherwise pins to a
+    single task), and repartition AFTER it as a materialization
+    barrier — `sh` is referenced by four plan branches (sizes,
+    postings a/b sides, the df-filter semi-join side) and without the
+    barrier Catalyst inlines the whole fold into each (measured 8x
+    total slowdown at sf0.1: 27s -> ~3s).
     """
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        df.repartition(n_part, F.col(id_col))
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+        .repartition(n_part, "id")
+    )
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     postings = sh.select("id", F.explode("sh").alias("shingle"))
     if max_df is not None:
-        rare = (
-            postings.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("shingle")
+        # df cap as a count-over-window, not a groupBy+semi-join: one
+        # shuffle on shingle (whose Exchange the self-join below then
+        # reuses — both sides are already hash-partitioned on the join
+        # key) instead of two extra shuffles for the df table + the
+        # semi-join.
+        w = Window.partitionBy("shingle")
+        postings = (
+            postings.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
         )
-        postings = postings.join(rare, "shingle", "left_semi")
     a = postings.alias("a")
     b = postings.alias("b")
     inter = (
