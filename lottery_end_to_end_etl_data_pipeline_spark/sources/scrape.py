@@ -1,0 +1,215 @@
+"""Award-page HTML extraction (SURVEY §2 S1) as an engine operator.
+
+Reference behavior: ``src/loteria/extractor/scraping.py:60-160`` —
+fetch the draw page, take the text of ``div.heading_s1.text-center``
+as the header (lines stripped, blanks dropped, joined by a space),
+the first ``<h2>`` as the title (draw number via
+``SORTEO.*?NO\\.?\\s+(\\d+)``), ``FECHA DEL SORTEO:`` from the header
+for the year partition, the third ``div.row`` under ``div.card-body``
+as the body (lines stripped/joined by newline), then write the raw
+document ``HEADER\\n{header}\\n\\nBODY\\n[CENTENARES\\n]{body}`` with a
+slugged filename.
+
+Engine split: the network fetch / proxy / bucket upload are
+driver-side ingestion (out of engine scope per SURVEY §2 S1). The
+engine operator takes a DataFrame of already-fetched page HTML and
+produces exactly the raw document text the Bronze parser consumes —
+so scrape→parse parity is testable end-to-end without a network.
+
+Spark shape: HTML parsing is not expressible in Catalyst expressions,
+so this is an Arrow-batched ``mapInPandas`` kernel over Python's
+stdlib ``html.parser`` (same "Pandas kernel where built-ins genuinely
+can't" rule as the multimodal decode stages — but here the kernel is
+real, not stubbed). Narrow stage, no shuffle: each page row maps to
+one output row.
+
+Delta vs the reference: the reference raises ``ValueError`` on a
+malformed page, aborting the run; a distributed extractor must not
+let one bad page kill a million-page job, so failures land in an
+``error`` column with the other fields NULL (filter/route them — the
+reference's raise is recoverable by ``.filter("error IS NOT
+NULL")``). The year field keeps the reference's stringly "unknown"
+sentinel (``scraping.py:117-122``).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+AWARD_PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("page_id", T.LongType(), False),
+        T.StructField("header_text", T.StringType(), True),
+        T.StructField("header_title", T.StringType(), True),
+        T.StructField("numero_sorteo", T.IntegerType(), True),
+        T.StructField("fecha_sorteo", T.StringType(), True),
+        T.StructField("year", T.StringType(), True),
+        T.StructField("body_results", T.StringType(), True),
+        T.StructField("document", T.StringType(), True),
+        T.StructField("file_name", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+#: void elements never get a closing tag — don't push them on the stack
+_VOID = {"br", "hr", "img", "input", "link", "meta", "area", "base", "col", "embed", "source", "track", "wbr"}
+
+RE_SORTEO_NO = re.compile(r"SORTEO.*?NO\.?\s+(\d+)", re.IGNORECASE)
+RE_FECHA = re.compile(r"FECHA DEL SORTEO:\s*([\d/]+)")
+
+
+class _PageExtractor(HTMLParser):
+    """Stack-based text collector for the three selectors the
+    reference uses: ``div.heading_s1.text-center``, the first ``h2``,
+    and ``div.row`` descendants of ``div.card-body``.
+
+    Text semantics mirror ``get_text(separator="\\n")``: every text
+    node becomes a line; downstream cleaning strips and drops blanks,
+    so whitespace differences wash out.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list[tuple[str, set[str]]] = []
+        # (kind, depth_at_open, chunks) for captures still open
+        self.active: list[list] = []
+        self.heading: list[str] | None = None
+        self.h2: list[str] | None = None
+        self.rows: list[list[str]] = []
+        self._card_depths: list[int] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID:
+            return
+        classes = set()
+        for k, v in attrs:
+            if k == "class" and v:
+                classes = set(v.split())
+        self.stack.append((tag, classes))
+        depth = len(self.stack)
+        if tag == "div" and {"heading_s1", "text-center"} <= classes and self.heading is None:
+            self.heading = []
+            self.active.append(["heading", depth, self.heading])
+        if tag == "h2" and self.h2 is None:
+            self.h2 = []
+            self.active.append(["h2", depth, self.h2])
+        if tag == "div" and "card-body" in classes:
+            self._card_depths.append(depth)
+        if tag == "div" and "row" in classes and self._card_depths:
+            chunks: list[str] = []
+            self.rows.append(chunks)
+            self.active.append(["row", depth, chunks])
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID:
+            return
+        # pop to the nearest matching open tag (tolerates unclosed tags)
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i][0] == tag:
+                depth_after = i
+                self.stack = self.stack[:i]
+                self.active = [a for a in self.active if a[1] <= depth_after]
+                self._card_depths = [d for d in self._card_depths if d <= depth_after]
+                break
+
+    def handle_data(self, data: str) -> None:
+        for a in self.active:
+            a[2].append(data)
+
+
+def _clean_lines(chunks: list[str]) -> list[str]:
+    lines: list[str] = []
+    for chunk in chunks:
+        for line in chunk.replace("\r", "").split("\n"):
+            line = line.strip()
+            if line:
+                lines.append(line)
+    return lines
+
+
+def extract_award_page(page_id: int, html: str) -> dict:
+    """Extract one award page to the raw-document fields (pure
+    function — the mapInPandas kernel and unit tests share it)."""
+    out = {
+        "page_id": page_id,
+        "header_text": None,
+        "header_title": None,
+        "numero_sorteo": None,
+        "fecha_sorteo": None,
+        "year": None,
+        "body_results": None,
+        "document": None,
+        "file_name": None,
+        "error": None,
+    }
+    parser = _PageExtractor()
+    try:
+        parser.feed(html or "")
+        parser.close()
+    except Exception as exc:  # malformed beyond recovery
+        out["error"] = f"parse: {exc}"
+        return out
+
+    header_text = " ".join(_clean_lines(parser.heading or []))
+    out["header_text"] = header_text
+    if parser.h2 is None:
+        out["error"] = "no h2 title"
+        return out
+    title = " ".join(_clean_lines(parser.h2))
+    out["header_title"] = title
+
+    m = RE_SORTEO_NO.search(title)
+    if not m:
+        out["error"] = "no draw number in title"
+        return out
+    out["numero_sorteo"] = int(m.group(1))
+
+    fecha = RE_FECHA.search(header_text)
+    if fecha:
+        out["fecha_sorteo"] = fecha.group(1)
+        parts = fecha.group(1).split("/")
+        out["year"] = parts[-1] if parts[-1].isdigit() else "unknown"
+    else:
+        out["year"] = "unknown"
+
+    if len(parser.rows) < 3:
+        out["error"] = "no results section"
+        return out
+    body = "\n".join(_clean_lines(parser.rows[2]))
+    out["body_results"] = body
+
+    centenares = "" if body.startswith("00MIL") else "CENTENARES\n"
+    out["document"] = f"HEADER\n{header_text}\n\nBODY\n{centenares}{body}"
+
+    clean_title = re.sub(r"\s{2,}", " ", title.lower()).strip()
+    slug = re.sub(r"[^\w\.]+", "_", clean_title).strip("_")
+    out["file_name"] = f"results_raw_lottery_url_id_{page_id}_{slug}.txt"
+    return out
+
+
+def extract_award_pages(
+    df: DataFrame, html_col: str = "html", id_col: str = "page_id"
+) -> DataFrame:
+    """Fan HTML pages out to raw draw documents (S1, engine side).
+
+    Input: rows of (id, page HTML). Output: AWARD_PAGE_SCHEMA rows;
+    `document` feeds straight into the Bronze parser (`parse_draws`
+    over (file_name, document) matches `read_raw_draws` output).
+    Narrow Arrow-batched stage — scales with the scan.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                extract_award_page(int(pid), html)
+                for pid, html in zip(pdf[id_col], pdf[html_col])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in AWARD_PAGE_SCHEMA.fields])
+
+    return df.select(id_col, html_col).mapInPandas(kernel, AWARD_PAGE_SCHEMA)
