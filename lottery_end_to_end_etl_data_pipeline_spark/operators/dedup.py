@@ -493,6 +493,81 @@ def near_dedup(
     return dedup_from_pairs(df, verified, id_col, rounds)
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination detection: (corpus doc, benchmark doc)
+    pairs whose shingle CONTAINMENT |C∩B| / |B| ≥ threshold — the
+    asymmetric cousin of Jaccard used for eval-set decontamination
+    (a training doc that embeds a whole benchmark item is flagged
+    even when the doc is 100x longer than the item).
+
+    Plan shape mirrors `ngram_jaccard_pairs` but the join is
+    corpus-postings ⋈ benchmark-postings (not a self-join): cost is
+    O(Σ_shingle df_corpus · df_bench), and the benchmark side is
+    tiny by definition, so the inverted-index join stays narrow even
+    when the corpus is 100 TB. Benchmark postings are broadcast when
+    the benchmark fits (eval suites: thousands of items, not
+    billions) — zero shuffle on the corpus side beyond the fold
+    barrier."""
+    n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    c_sh = (
+        corpus.repartition(n_part, F.col(corpus_id))
+        .select(F.col(corpus_id).alias("cid"), word_shingles(text_col, k).alias("sh"))
+        .repartition(n_part, "cid")
+    )
+    b_sh = benchmark.select(
+        F.col(bench_id).alias("bid"), word_shingles(text_col, k).alias("sh")
+    )
+    c_post = c_sh.select("cid", F.explode("sh").alias("shingle"))
+    b_post = b_sh.select("bid", F.explode("sh").alias("shingle"))
+    b_sizes = b_sh.select("bid", F.size("sh").alias("n_b"))
+    inter = (
+        c_post.join(F.broadcast(b_post), "shingle")
+        .groupBy("cid", "bid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(b_sizes), "bid")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.greatest("n_b", F.lit(1)).cast("double"), 4),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select(
+            F.col("cid").alias(corpus_id + "_corpus"),
+            F.col("bid").alias(bench_id + "_bench"),
+            "n_common",
+            "containment",
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Drop every corpus doc flagged by `contamination_pairs` — the
+    anti-join form a training pipeline actually runs before export."""
+    flagged = contamination_pairs(
+        corpus, benchmark, corpus_id, bench_id, text_col, k, min_containment
+    ).select(F.col(corpus_id + "_corpus").alias("_contam_id")).distinct()
+    return corpus.join(
+        flagged, corpus[corpus_id] == flagged["_contam_id"], "left_anti"
+    )
+
+
 def embedding_cosine_pairs_pandas(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1,0 +1,109 @@
+"""Sequence packing: assemble documents into fixed token-budget bins
+(context windows) for LLM training.
+
+Two variants with different semantics/scale trade-offs:
+
+- ``pack_contiguous``: closed-form window expression — bin =
+  floor(exclusive-prefix-sum(tokens) / budget) over a deterministic
+  order. A document may straddle a bin boundary (the training-side
+  "concat then chunk" layout, where the tokenizer stream is split
+  every `budget` tokens regardless of document edges). Pure SQL →
+  DuckDB-oracle-checkable.
+- ``pack_greedy_first_fit``: true greedy "open a new bin when the next
+  doc would overflow" semantics (document-aligned packing, no
+  straddling). That decision is a running *state* fold, not a window
+  expression, so it runs as an Arrow-batched ``applyInPandas`` per
+  shard — the documented Pandas-kernel escape hatch.
+
+Both partition the work by a shard column first: packing is
+order-sensitive, and a global order would serialize at 100 TB. Bins
+are local to a shard (`shard` is part of the bin key), so shards pack
+in parallel and the only shuffle is the hash exchange on shard id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_shard(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+    """Deterministic shard assignment: md5-derived, engine-portable
+    (same hex-prefix trick as operators.sampling)."""
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    return df.withColumn("shard", F.conv(prefix, 16, 10).cast("long") % n_shards)
+
+
+def pack_contiguous(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign each doc a bin id by exclusive prefix sum of token
+    counts over (shard, key order): bin = floor(cum_before / budget).
+
+    One shuffle (hash by shard for the window); within a shard the
+    window sort is the only work. Deterministic given the key order."""
+    w = Window.partitionBy(shard_col).orderBy(key_col)
+    cum_before = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return df.withColumn("bin_id", F.floor(cum_before / F.lit(budget)))
+
+
+def pack_greedy_first_fit(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Document-aligned greedy packing: walk the shard in key order,
+    close the current bin whenever adding the next doc would exceed
+    the budget (docs longer than the budget get a bin of their own).
+
+    Output: input columns + bin_id (long, per-shard). State is O(1)
+    per shard walk; each shard's docs must fit one worker's Arrow
+    batch stream — shard count controls that."""
+    fields = df.select(shard_col, key_col, token_col).schema.fields
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    out_schema += ", bin_id long"
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+        bins = []
+        bin_id, used = 0, 0
+        for tok in pdf[token_col]:
+            tok = int(tok)
+            if used > 0 and used + tok > budget:
+                bin_id += 1
+                used = 0
+            used += tok
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return (
+        df.select(shard_col, key_col, token_col)
+        .groupBy(shard_col)
+        .applyInPandas(walk, out_schema)
+    )
+
+
+def bin_stats(packed: DataFrame, token_col: str, budget: int, shard_col: str = "shard") -> DataFrame:
+    """Packing efficiency report per (shard, bin): docs, tokens, fill
+    ratio. The aggregate that tells you whether the budget/shard
+    choice wastes context window."""
+    return (
+        packed.groupBy(shard_col, "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).cast("long").alias("n_tokens"),
+        )
+        .withColumn("fill_ratio", F.round(F.col("n_tokens") / F.lit(float(budget)), 4))
+    )

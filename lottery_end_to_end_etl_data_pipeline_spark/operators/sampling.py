@@ -1,0 +1,109 @@
+"""Deterministic sampling / splitting / shuffling for training-data
+pipelines.
+
+Every operator here is a pure column expression over a content-derived
+hash — no RNG state, no seed plumbing, no driver coordination — so at
+100 TB:
+
+- results are reproducible run-to-run and engine-to-engine (the hash
+  is md5 of the key, not an engine-private murmur seed — which is what
+  makes these the rare *sampling* operators with a DuckDB oracle);
+- sampling is a narrow map stage: the filter is pushed into the scan,
+  no shuffle, no global coordination (contrast `df.sample`, whose
+  per-partition RNG changes membership under repartitioning);
+- membership is stable under re-partitioning, retries, and incremental
+  re-runs — a row's fate depends only on its key.
+
+The uniformity trick: the first 8 hex chars of ``md5(key)`` are a
+uniform 32-bit value; comparing that *hex string* against the hex
+literal of ``floor(fraction * 16^8)`` keeps the whole predicate in
+string-land, which every engine collates identically (lowercase hex is
+lexicographically ordered by value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(key: Column) -> Column:
+    """First 8 md5 hex chars of the key — uniform, engine-portable."""
+    return F.substring(F.md5(key.cast("string")), 1, 8)
+
+
+def fraction_to_hex(fraction: float) -> str:
+    """Hex threshold t such that P[md5_prefix < t] == fraction (to
+    1/2^32). Exposed so oracles can embed the same literal."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction >= 1.0:
+        # 16^8 would be 9 hex chars, which breaks the 8-char string
+        # compare; 'g' sorts after every hex char, so `prefix < 'g'`
+        # keeps everything.
+        return "g"
+    return format(int(fraction * 16**8), "08x")
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep ~`fraction` of rows, chosen by content hash of `key_col`.
+
+    Narrow stage; membership is a pure function of the key, so the
+    sample is stable across runs/partitionings and composable
+    (sampling at 0.1 then 0.5 == sampling the 0.1 set at 0.5 only if
+    you re-salt — compose by nesting thresholds instead)."""
+    return df.filter(_hash_bucket(F.col(key_col)) < F.lit(fraction_to_hex(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float], key_col: str
+) -> DataFrame:
+    """Per-stratum deterministic sampling (domain/language rebalancing:
+    down-sample over-represented strata to a target mix). Strata absent
+    from `fractions` are dropped — pass 1.0 to keep whole."""
+    bucket = _hash_bucket(F.col(key_col))
+    pred = F.lit(False)
+    for stratum, frac in fractions.items():
+        pred = pred | (
+            (F.col(strata_col) == stratum) & (bucket < F.lit(fraction_to_hex(frac)))
+        )
+    return df.filter(pred)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.1, out_col: str = "split"
+) -> DataFrame:
+    """Tag rows 'test' / 'train' by key hash. Deterministic: a given id
+    lands in the same split in every run and every engine — the
+    property that prevents train/test leakage across pipeline
+    re-executions (a re-run of `df.randomSplit` re-deals the rows)."""
+    return df.withColumn(
+        out_col,
+        F.when(
+            _hash_bucket(F.col(key_col)) < F.lit(fraction_to_hex(test_fraction)),
+            F.lit("test"),
+        ).otherwise(F.lit("train")),
+    )
+
+
+def shuffle_key(key: Column) -> Column:
+    """Full md5 of the key — the deterministic global shuffle order."""
+    return F.md5(key.cast("string"))
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str, out_partitions: int | None = None) -> DataFrame:
+    """Deterministic global pseudo-shuffle for training-data serving:
+    order rows by md5(key).
+
+    Scale shape: `repartitionByRange` on the shuffle key gives a
+    RangePartitioning exchange — each output partition is an
+    independent sorted slice, files come out globally ordered WITHOUT
+    a single-reducer sort (the classic `orderBy` + write trap).
+    Epoch re-shuffles = prepend an epoch salt to the key."""
+    sk = shuffle_key(F.col(key_col)).alias("_shuffle_key")
+    out = df.withColumn("_shuffle_key", sk)
+    if out_partitions:
+        out = out.repartitionByRange(out_partitions, "_shuffle_key")
+    else:
+        out = out.repartitionByRange("_shuffle_key")
+    return out.sortWithinPartitions("_shuffle_key")

@@ -131,3 +131,42 @@ def rolling_hash_fingerprint(text_col: str, window: int = 8) -> Column:
         f"array_min(transform(sequence(1, greatest(length({text_col}) - {window} + 1, 1)), "
         f"i -> xxhash64(substring({text_col}, i, {window}))))"
     )
+
+
+# PII patterns written in the RE2∩java.util.regex common dialect (no
+# backrefs, no lookaround) so the Spark expressions and a DuckDB/RE2
+# oracle see identical matches.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Chained regexp_replace scrub: each PII class becomes a typed
+    placeholder token (``<EMAIL>``, ``<IPV4>``, ...). Pure JVM column
+    ops — runs at scan speed; order is dict order (email before phone
+    so digit-bearing local parts are consumed as emails first)."""
+    col = F.col(text_col)
+    for name, pat in (patterns or PII_PATTERNS).items():
+        col = F.regexp_replace(col, pat, f"<{name.upper()}>")
+    return df.withColumn(out_col or text_col, col)
+
+
+def pii_counts(df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None) -> DataFrame:
+    """Per-row PII occurrence counts (one long column per class) —
+    the audit/triage pass that decides whether a source needs
+    scrubbing at all."""
+    out = df
+    for name, pat in (patterns or PII_PATTERNS).items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+    return out

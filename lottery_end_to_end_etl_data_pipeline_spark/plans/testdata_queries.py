@@ -1734,3 +1734,234 @@ def hypertable_rollup(spark, sf_dir):
         F.round("min_value", 2).alias("min_value"),
         F.round("max_value", 2).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus curation operators (round 2): deterministic sampling /
+# splitting / shuffling, sequence packing, decontamination, PII scrub.
+# All hash-verified — the sampling hash is md5 (engine-portable), which
+# is what makes these rare *sampling* queries with a value oracle.
+
+
+@query(
+    "stratified_sample_counts",
+    oracle=r"""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+       OR (lang = 'es' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
+       OR (lang = 'fr')
+    GROUP BY lang
+    """,
+)
+def stratified_sample_counts(spark, sf_dir):
+    """Deterministic stratified sampling (operators/sampling.py):
+    domain/language rebalancing by per-stratum md5-hash thresholds.
+    Membership is a pure function of doc_id — no RNG, stable under
+    repartitioning, and the filter is a narrow scan-side predicate
+    (zero shuffle before the count agg). The oracle re-derives the
+    exact sample because the hash is engine-portable md5, not an
+    engine-private murmur seed."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import stratified_sample
+
+    docs = t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, "lang", {"en": 0.5, "es": 0.25, "fr": 1.0}, key_col="doc_id"
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "train_test_split_counts",
+    oracle=r"""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def train_test_split_counts(spark, sf_dir):
+    """Deterministic train/test split (operators/sampling.py): a doc
+    lands in the same split in every run and engine — the property
+    that prevents cross-run eval leakage (randomSplit re-deals)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import train_test_split
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", test_fraction=0.25)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "det_shuffle_head",
+    oracle=r"""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents ORDER BY shuffle_key LIMIT 15
+    """,
+)
+def det_shuffle_head(spark, sf_dir):
+    """Deterministic global pseudo-shuffle for training-data serving
+    (operators/sampling.py): order by md5(id). The operator's write
+    path uses repartitionByRange (globally ordered files WITHOUT a
+    single-reducer sort); the verifiable surface here is the head of
+    the total order, which Spark executes as TakeOrderedAndProject
+    (top-k per partition + driver merge — no full sort)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        deterministic_shuffle(docs, "doc_id")
+        .withColumnRenamed("_shuffle_key", "shuffle_key")
+        .orderBy("shuffle_key")
+        .limit(15)
+        .select("doc_id", "shuffle_key")
+    )
+
+
+@query(
+    "sequence_packing_stats",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tok
+      FROM documents),
+    binned AS (
+      SELECT shard, doc_id, n_tok,
+             CAST(floor(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin_id
+      FROM tk)
+    SELECT shard, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(n_tok) AS DOUBLE) / 2048.0, 4) AS fill_ratio
+    FROM binned GROUP BY shard, bin_id
+    """,
+)
+def sequence_packing_stats(spark, sf_dir):
+    """Sequence packing (operators/packing.py): contiguous token-
+    budget binning for LLM context windows, sharded so packing
+    parallelizes (bin ids are per-shard; the only shuffle is the hash
+    exchange on shard for the window). The closed-form variant is
+    SQL-expressible hence oracle-checked; the document-aligned greedy
+    variant (applyInPandas state fold) is pytest-verified against
+    this one's invariants."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.packing import (
+        bin_stats,
+        pack_contiguous,
+        with_shard,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import token_count
+
+    docs = with_shard(t(spark, sf_dir, "documents"), "doc_id", 8).withColumn(
+        "n_tok", token_count("text")
+    )
+    packed = pack_contiguous(docs, "doc_id", "n_tok", budget=2048)
+    return bin_stats(packed, "n_tok", budget=2048)
+
+
+@query(
+    "decontaminate_containment",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                              i -> array_to_string(tk[i:i+2], ' ')),
+               x -> x <> '')) AS s
+      FROM toks),
+    cpost AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 50 <> 0),
+    bpost AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 50 = 0),
+    bsize AS (SELECT doc_id, len(s) AS n_b FROM sh WHERE doc_id % 50 = 0),
+    inter AS (
+      SELECT c.doc_id AS cid, b.doc_id AS bid, COUNT(*) AS n_common
+      FROM cpost c JOIN bpost b USING (shingle) GROUP BY 1, 2)
+    SELECT cid AS doc_id_corpus, bid AS doc_id_bench, n_common,
+           round(n_common / CAST(greatest(n_b, 1) AS DOUBLE), 4) AS containment
+    FROM inter JOIN bsize ON bsize.doc_id = bid
+    WHERE round(n_common / CAST(greatest(n_b, 1) AS DOUBLE), 4) >= 0.5
+    """,
+)
+def decontaminate_containment(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py): corpus docs
+    whose shingle CONTAINMENT of a benchmark item ≥ 0.5 — the
+    asymmetric overlap eval-set scrubbing needs (a 100x-longer doc
+    that embeds a whole benchmark item still flags). Benchmark side
+    (doc_id % 50 = 0 stands in for an eval suite) is broadcast —
+    zero corpus-side shuffle beyond the fold barrier."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import contamination_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_pairs(corpus, bench, min_containment=0.5)
+
+
+@query(
+    "pii_redaction_counts",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.0.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END
+             AS text2
+      FROM documents)
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS total_email,
+           CAST(SUM(len(regexp_extract_all(text2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))) AS BIGINT) AS total_phone,
+           CAST(SUM(len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS total_ipv4,
+           COUNT(*) FILTER (WHERE regexp_replace(text2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') LIKE '%<PHONE>%') AS n_docs_with_phone
+    FROM seeded
+    """,
+)
+def pii_redaction_counts(spark, sf_dir):
+    """PII scrub audit (operators/text.py): seed synthetic PII into
+    the corpus (the testdata is PII-free word soup — identical
+    construction in both engines keeps the check honest), then count
+    per-class occurrences and phone-redacted docs. Patterns live in
+    the RE2∩java.util.regex common dialect so Spark and the DuckDB
+    oracle see identical matches. Scan-speed column ops, no UDF."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+        PII_PATTERNS,
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" ip 10.0.0."), (F.col("doc_id") % 200).cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    counted = pii_counts(docs, "text2")
+    redacted = redact_pii(counted, "text2", out_col="scrubbed",
+                          patterns={"phone": PII_PATTERNS["phone"]})
+    return redacted.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("long").alias("total_email"),
+        F.sum("n_phone").cast("long").alias("total_phone"),
+        F.sum("n_ipv4").cast("long").alias("total_ipv4"),
+        F.count_if(F.col("scrubbed").contains("<PHONE>")).alias("n_docs_with_phone"),
+    )

@@ -1,0 +1,155 @@
+"""Sampling / packing / decontamination / PII operators."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.packing import (
+    bin_stats,
+    pack_contiguous,
+    pack_greedy_first_fit,
+    with_shard,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_shuffle,
+    fraction_to_hex,
+    stratified_sample,
+    train_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"doc {i} body " + "tok " * (i % 37), ["en", "es", "fr"][i % 3], 10 + i % 90)
+            for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, n_tok int")
+
+
+def test_fraction_to_hex_edges():
+    assert fraction_to_hex(0.0) == "00000000"
+    assert fraction_to_hex(0.25) == "40000000"
+    assert fraction_to_hex(1.0) == "g"  # sorts after every hex digit
+    with pytest.raises(ValueError):
+        fraction_to_hex(1.5)
+
+
+def test_deterministic_sample_is_stable_and_unbiased(docs):
+    s1 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.5).collect()}
+    s2 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.5).select("doc_id").collect()}
+    assert s1 == s2  # pure function of the key
+    assert 120 <= len(s1) <= 280  # ~200 expected
+    # nesting: a 0.25 sample is a subset of the 0.5 sample (same hash)
+    s_quarter = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.25).collect()}
+    assert s_quarter <= s1
+
+
+def test_deterministic_sample_no_shuffle(docs):
+    plan = deterministic_sample(docs, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow scan-side predicate
+
+
+def test_stratified_sample_drops_unlisted_strata(docs):
+    out = stratified_sample(docs, "lang", {"en": 1.0}, key_col="doc_id")
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert out.count() == docs.filter("lang = 'en'").count()  # 1.0 keeps all
+
+
+def test_train_test_split_partitions_every_row(docs):
+    out = train_test_split(docs, "doc_id", 0.25)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] + counts["train"] == 400
+    assert 50 <= counts["test"] <= 150
+
+
+def test_deterministic_shuffle_is_total_and_stable(docs):
+    out = deterministic_shuffle(docs, "doc_id", out_partitions=4)
+    ordered = [r.doc_id for r in out.select("doc_id", "_shuffle_key").collect()]
+    keys = [r._shuffle_key for r in out.select("_shuffle_key").collect()]
+    assert keys == sorted(keys)  # range partitions + in-partition sort = global order
+    again = [r.doc_id for r in deterministic_shuffle(docs, "doc_id", out_partitions=4)
+             .select("doc_id").collect()]
+    assert ordered == again
+    assert ordered != sorted(ordered)  # actually shuffled vs id order
+
+
+def test_pack_contiguous_bins_are_budget_sized(docs):
+    sharded = with_shard(docs, "doc_id", 4)
+    packed = pack_contiguous(sharded, "doc_id", "n_tok", budget=500)
+    stats = bin_stats(packed, "n_tok", budget=500).collect()
+    # every bin except possibly each shard's last one reaches the budget
+    # (a doc may straddle the boundary, so bins can exceed it too)
+    by_shard = {}
+    for r in stats:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_bins in by_shard.values():
+        for r in sorted(shard_bins, key=lambda x: x.bin_id)[:-1]:
+            assert r.n_tokens >= 500 - 89  # short only by part of one doc
+    total = sum(r.n_tokens for r in stats)
+    assert total == sharded.agg(F.sum("n_tok")).collect()[0][0]  # nothing lost
+
+
+def test_pack_greedy_never_overflows_budget(docs):
+    sharded = with_shard(docs, "doc_id", 4)
+    packed = pack_greedy_first_fit(sharded, "doc_id", "n_tok", budget=500)
+    stats = bin_stats(packed, "n_tok", budget=500)
+    assert stats.filter("n_tokens > 500").count() == 0  # document-aligned: no straddle
+    assert packed.count() == 400  # every doc assigned
+    # bins are contiguous runs in key order within each shard
+    pdf = packed.toPandas().sort_values(["shard", "doc_id"])
+    for _, grp in pdf.groupby("shard"):
+        bins = grp["bin_id"].tolist()
+        assert bins == sorted(bins)
+
+
+def test_greedy_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(0, 100), (1, 999), (2, 100)], "doc_id long, n_tok int"
+    ).withColumn("shard", F.lit(0))
+    packed = {r.doc_id: r.bin_id for r in
+              pack_greedy_first_fit(df, "doc_id", "n_tok", budget=500).collect()}
+    assert packed[0] != packed[1] and packed[1] != packed[2]
+
+
+def test_decontaminate_drops_contaminated_doc(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally unrelated words here only"),
+         (3, "alpha beta gamma delta something else entirely longer text")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    pairs = contamination_pairs(corpus, bench, min_containment=0.5)
+    flagged = {r.doc_id_corpus for r in pairs.collect()}
+    assert flagged == {1, 3}  # doc 3 is longer than the item but contains it
+    kept = {r.doc_id for r in decontaminate(corpus, bench, min_containment=0.5).collect()}
+    assert kept == {2}
+
+
+def test_redact_pii_and_counts(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@ex-a.co and 10.0.0.1 call 555-123-4567 ssn 123-45-6789"),
+         (1, "clean text")],
+        "id long, text string",
+    )
+    counted = pii_counts(df, "text")
+    r0 = counted.filter("id = 0").collect()[0]
+    assert (r0.n_email, r0.n_ipv4, r0.n_phone, r0.n_ssn) == (1, 1, 1, 1)
+    red = redact_pii(df, "text").filter("id = 0").collect()[0].text
+    assert "<EMAIL>" in red and "<IPV4>" in red and "<PHONE>" in red and "<SSN>" in red
+    assert "a.b+c@ex-a.co" not in red and "555-123-4567" not in red
+    # idempotent: re-scrubbing changes nothing
+    red2 = redact_pii(redact_pii(df, "text"), "text").filter("id = 0").collect()[0].text
+    assert red2 == red
+    clean = redact_pii(df, "text").filter("id = 1").collect()[0].text
+    assert clean == "clean text"
