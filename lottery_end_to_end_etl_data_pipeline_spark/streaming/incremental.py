@@ -157,3 +157,22 @@ def sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    `dropDuplicatesWithinWatermark` keeps a key's fingerprint only
+    until the watermark passes it, so state size is O(keys per
+    watermark window), not O(all keys ever) — the property that keeps
+    a forever-running ingest job alive (plain `dropDuplicates` on a
+    stream accretes state without bound). Duplicates arriving within
+    the watermark of the first occurrence are dropped; later ones are
+    a new row, which is the at-least-once ingest contract
+    deduplication actually needs (retries cluster near the original).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

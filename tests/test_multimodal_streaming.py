@@ -152,3 +152,39 @@ def test_sessionize_stateful_streaming(spark, tmp_path):
     assert first["sum_value"] == 3.0
     assert first["session_start"] == t0
     assert first["session_end"] == t0 + datetime.timedelta(minutes=5)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    window are dropped, state stays bounded (the forever-running
+    ingest contract)."""
+    import datetime
+    import json
+
+    from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import stream_dedup
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    (tmp_path / "in").mkdir()
+    rows = [
+        (t0, "evt-1", 1.0),
+        (t0 + datetime.timedelta(seconds=30), "evt-1", 1.0),  # dup within watermark
+        (t0 + datetime.timedelta(minutes=2), "evt-2", 2.0),
+    ]
+    with open(tmp_path / "in" / "b1.json", "w") as f:
+        for ts, eid, v in rows:
+            f.write(json.dumps({"ts": ts.isoformat(), "event_id": eid, "value": v}) + "\n")
+
+    schema = "ts TIMESTAMP, event_id STRING, value DOUBLE"
+    stream = spark.readStream.schema(schema).json(str(tmp_path / "in"))
+    deduped = stream_dedup(stream, ["event_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
+    assert [r.event_id for r in got] == ["evt-1", "evt-2"]
