@@ -41,6 +41,10 @@ HEADLINE = [
     "asof_join_latest_order",
     "range_join_signup_windows",
     "hypertable_rollup",
+    "stratified_sample_counts",
+    "sequence_packing_stats",
+    "decontaminate_containment",
+    "pii_redaction_counts",
 ]
 
 

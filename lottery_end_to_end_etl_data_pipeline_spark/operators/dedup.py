@@ -101,17 +101,25 @@ def ngram_jaccard_pairs(
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     postings = sh.select("id", F.explode("sh").alias("shingle"))
     if max_df is not None:
-        # df cap as a count-over-window, not a groupBy+semi-join: one
-        # shuffle on shingle (whose Exchange the self-join below then
-        # reuses — both sides are already hash-partitioned on the join
-        # key) instead of two extra shuffles for the df table + the
-        # semi-join.
-        w = Window.partitionBy("shingle")
-        postings = (
-            postings.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
+        # Cap by broadcast ANTI-join against the FREQUENT set, not by
+        # count-over-window on shingle: the boilerplate shingle the
+        # cap exists to remove has df in the millions, and a window
+        # partitioned by shingle would buffer that entire partition in
+        # one task (skew a window can't split, AQE can't rescue). The
+        # groupBy here is immune — map-side partial aggregation
+        # collapses the hot key per input partition before the
+        # shuffle — and the surviving frequent set is small by
+        # construction (boilerplate only), so it broadcasts. Postings
+        # themselves never shuffle for the cap; their only exchange is
+        # the self-join's, computed once and read by both sides
+        # (ReuseExchange).
+        frequent = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
         )
+        postings = postings.join(F.broadcast(frequent), "shingle", "left_anti")
     a = postings.alias("a")
     b = postings.alias("b")
     inter = (
