@@ -1,0 +1,159 @@
+"""Table-maintenance operators: keyed upsert (MERGE semantics over
+plain parquet) and small-file compaction.
+
+The reference's mutation story is destructive re-create (SURVEY §2.1
+S8 — purge Lambda + CTAS, `src/loteria/gold/purge_and_load.py:65-160`);
+dynamic partition overwrite already subsumes that (`sources/writers.py`).
+These operators finish the lifecycle:
+
+- ``upsert_by_key``: MERGE INTO–equivalent last-writer-wins upsert
+  without a table format. With a partition column, only the
+  partitions *touched by the updates* are read, merged, and
+  rewritten — at 100 TB an update batch touching 3 of 10,000
+  partitions costs 3 partitions of IO, not a table rewrite.
+- ``compact_small_files``: rewrite a (partition of a) table into
+  target-sized files. Small-file accretion is the classic failure
+  mode of incremental ingest (every micro-batch appends a sliver;
+  a year later the scan is metadata-bound on 10M tiny files).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """Last-writer-wins upsert of `updates` into the parquet table at
+    `path` (created if absent). Semantics = ``MERGE INTO t USING u ON
+    keys WHEN MATCHED UPDATE ALL WHEN NOT MATCHED INSERT ALL``.
+
+    Plan: existing rows of the touched partitions (partition-pruned
+    scan via an IN filter on collected partition values — updates
+    batches touch few partitions by construction) are anti-joined
+    against the update keys (matched rows die), unioned with the
+    updates, and written back with dynamic partition overwrite so
+    untouched partitions are never rewritten. The anti-join shuffles
+    only the touched partitions' rows; broadcast kicks in when the
+    update batch is small.
+
+    In-batch duplicate keys are the caller's contract to resolve
+    (dedupe `updates` first); the operator only guarantees that
+    existing rows matching an update key are replaced.
+
+    Caveat (documented trade vs a real table format): the
+    read-modify-write is not transactional — a concurrent writer to
+    the same partition can be lost. Single-writer pipelines (this
+    engine's ingest model, like the reference's) are safe.
+    """
+    try:
+        existing = spark.read.parquet(path)
+        table_exists = True
+    except Exception:
+        table_exists = False
+
+    if not table_exists:
+        writer = updates.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
+        return
+
+    if partition_col:
+        touched = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        existing = existing.filter(F.col(partition_col).isin(touched))
+
+    survivors = existing.join(
+        updates.select(*key_cols).dropDuplicates(key_cols), key_cols, "left_anti"
+    )
+    merged = survivors.unionByName(updates.select(*existing.columns))
+
+    # Self-referential write: materialize through a barrier is not
+    # enough for overwrite-what-you-read on the file source — stage
+    # to a temp subdir, then swap via a second dynamic overwrite.
+    staging = path.rstrip("/") + "__upsert_staging"
+    wr = merged.write.mode("overwrite")
+    if partition_col:
+        wr = wr.partitionBy(partition_col)
+    wr.parquet(staging)
+    staged = spark.read.parquet(staging)
+    wr2 = staged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    if partition_col:
+        wr2 = wr2.partitionBy(partition_col)
+    wr2.parquet(path)
+    _delete_path(spark, staging)
+
+
+def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of a parquet table via the Hadoop
+    FileSystem API — distributed-FS-correct listing, no local-FS
+    assumptions."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    n_files, total = 0, 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.endswith(".parquet"):
+            n_files += 1
+            total += status.getLen()
+    return n_files, total
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
+) -> tuple[int, int]:
+    """Rewrite the table at `path` into ~target-sized files; returns
+    (files_before, files_after). Uses a round-robin repartition to
+    ceil(bytes/target) — even output sizes, no key skew inheritance.
+    With `partition_col`, file counts are balanced per partition via
+    repartition on the partition key (each Hive partition gets its
+    rows in as few tasks as the global count allows; a per-partition
+    file-count contract would need repartitionByRange on
+    (partition, rand) — overkill here).
+
+    At 100 TB run this per-partition (pass a pruned path like
+    `.../year=2024`) on a maintenance schedule, not table-wide.
+    """
+    before, total_bytes = table_file_stats(spark, path)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compact_staging"
+    wr = df.repartition(n_out) if not partition_col else df.repartition(n_out, partition_col)
+    w = wr.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(staging)
+    staged = spark.read.parquet(staging)
+    w2 = staged.write.mode("overwrite")
+    if partition_col:
+        w2 = w2.partitionBy(partition_col)
+    w2.parquet(path)
+    _delete_path(spark, staging)
+    after, _ = table_file_stats(spark, path)
+    return before, after

@@ -1,0 +1,91 @@
+"""Keyed upsert (MERGE semantics) and small-file compaction."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import (
+    compact_small_files,
+    table_file_stats,
+    upsert_by_key,
+)
+
+
+def _rows(spark, path):
+    return {
+        (r.k, r.part): r.v
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_upsert_creates_then_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "k long, part string, v double"
+    )
+    upsert_by_key(spark, path, base, ["k"], partition_col="part")
+    assert _rows(spark, path) == {(1, "a"): 10.0, (2, "a"): 20.0, (3, "b"): 30.0}
+
+    # update k=2, insert k=4 — both in partition 'a'
+    updates = spark.createDataFrame(
+        [(2, "a", 99.0), (4, "a", 40.0)], "k long, part string, v double"
+    )
+    upsert_by_key(spark, path, updates, ["k"], partition_col="part")
+    assert _rows(spark, path) == {
+        (1, "a"): 10.0, (2, "a"): 99.0, (3, "b"): 30.0, (4, "a"): 40.0,
+    }
+
+
+def test_upsert_leaves_untouched_partitions_alone(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, part string, v double"
+    )
+    upsert_by_key(spark, path, base, ["k"], partition_col="part")
+    # record partition b's file set
+    b_dir = os.path.join(path, "part=b")
+    before_files = sorted(os.listdir(b_dir))
+
+    updates = spark.createDataFrame([(1, "a", 5.0)], "k long, part string, v double")
+    upsert_by_key(spark, path, updates, ["k"], partition_col="part")
+    assert sorted(os.listdir(b_dir)) == before_files  # b never rewritten
+    assert _rows(spark, path) == {(1, "a"): 5.0, (2, "b"): 2.0}
+    assert not os.path.exists(path + "__upsert_staging")
+
+
+def test_upsert_unpartitioned_table(spark, tmp_path):
+    path = str(tmp_path / "tbl3")
+    base = spark.createDataFrame([(1, "x", 1.0)], "k long, part string, v double")
+    upsert_by_key(spark, path, base, ["k"])
+    updates = spark.createDataFrame([(1, "x", 7.0)], "k long, part string, v double")
+    upsert_by_key(spark, path, updates, ["k"])
+    assert _rows(spark, path) == {(1, "x"): 7.0}
+
+
+def test_compact_small_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.rand(seed=7))
+    df.repartition(64).write.parquet(path)  # 64 slivers
+    before, after = compact_small_files(spark, path, target_file_bytes=10**9)
+    assert before == 64
+    assert after == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000
+    assert out.agg(F.countDistinct("id")).collect()[0][0] == 10_000
+    n, total = table_file_stats(spark, path)
+    assert n == 1 and total > 0
+    assert not os.path.exists(path + "__compact_staging")
+
+
+def test_compact_partitioned_preserves_partitions(spark, tmp_path):
+    path = str(tmp_path / "fragp")
+    df = spark.range(0, 1000).withColumn("part", (F.col("id") % 2).cast("string"))
+    df.repartition(16).write.partitionBy("part").parquet(path)
+    before, after = compact_small_files(
+        spark, path, target_file_bytes=10**9, partition_col="part"
+    )
+    assert after < before
+    out = spark.read.parquet(path)
+    assert out.count() == 1000
+    # partition-column type inference reads the dir values back as ints
+    assert {str(r.part) for r in out.select("part").distinct().collect()} == {"0", "1"}
