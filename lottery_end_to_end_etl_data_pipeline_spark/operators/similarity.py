@@ -168,3 +168,63 @@ def knn_ivf(
     probe = ranked[:n_probe]
     df = spark.read.parquet(index_path).filter(F.col("ivf_cell").isin(probe))
     return knn_brute(df, qvec, k, id_col, vec_col, exclude_id)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Train IVF centroids with Lloyd's k-means, Spark-shaped.
+
+    Init: deterministic sample — the k vectors with the smallest
+    md5(id) (engine-portable, no RNG state). Each iteration: assign
+    via `ivf_assign` (centroids as literals, narrow), then average
+    per (cell, dim) via posexplode + groupBy. The groupBy's partial
+    aggregation means the shuffle carries k x dim partial sums PER
+    INPUT PARTITION — not n x dim rows — so an iteration over 100 TB
+    shuffles megabytes, same shape MLlib uses. Only k x dim floats
+    ever reach the driver (they must: the next assign needs them as
+    broadcast literals).
+
+    Empty cells keep their previous centroid (standard Lloyd detail)
+    so k is stable."""
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(n_iters):
+        assigned = ivf_assign(df, centroids, vec_col)
+        means = (
+            assigned.select("ivf_cell", F.posexplode(vec_col).alias("dim", "val"))
+            .groupBy("ivf_cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["ivf_cell"], {})[r["dim"]] = float(r["m"])
+        for ci, dims in by_cell.items():
+            new[ci] = [dims[d] for d in sorted(dims)]
+        centroids = new
+    return centroids
+
+
+def kmeans_cost(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> float:
+    """Mean (1 - cosine-to-nearest-centroid) — the quantization error
+    the IVF probe pays. One narrow pass."""
+    best = None
+    for c in centroids:
+        s = cosine_to_query(vec_col, c)
+        best = s if best is None else F.greatest(best, s)
+    return float(
+        df.select(F.avg(F.lit(1.0) - best).alias("cost")).collect()[0]["cost"]
+    )

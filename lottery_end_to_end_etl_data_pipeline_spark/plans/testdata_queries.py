@@ -1151,25 +1151,24 @@ def knn_ivf_cosine(spark, sf_dir):
     corpus is written partitioned by nearest-centroid cell, the probe
     ranks centroids and scans only the top n_probe cells — partition
     pruning turns per-query cost from O(corpus) into
-    O(corpus/cells x n_probe). Centroids here are 8 deterministic
-    sample vectors (vec_id 1..8); recall properties are pytest-gated
-    (probe-all == brute exactly; recall grows with n_probe)."""
+    O(corpus/cells x n_probe). Centroids are trained with 2 Lloyd
+    iterations of the distributed k-means (`kmeans_fit`: partial-agg
+    shuffle of k x dim sums per input partition, k x dim floats to
+    the driver); recall properties are pytest-gated (probe-all ==
+    brute exactly; recall grows with n_probe; cost non-increasing
+    per iteration)."""
     import hashlib
     import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        kmeans_fit,
         knn_ivf,
         write_ivf_index,
     )
 
     emb = t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id").isin(list(range(1, 9))))
-        .orderBy("vec_id")
-        .collect()
-    ]
+    cents = kmeans_fit(emb, k=8, n_iters=2)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"{tempfile.gettempdir()}/spark_graft_ivf_{tag}"
     write_ivf_index(emb, cents, path)

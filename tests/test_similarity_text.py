@@ -236,3 +236,45 @@ def test_pandas_udf_registration_parity(spark):
     native = [r["p"] for r in df.select(ticket_price("monto").alias("p")).collect()]
     vectorized = [r["p"] for r in df.selectExpr("ticket_price_udf(monto) AS p").collect()]
     assert native == vectorized == [25.0, 50.0, 100.0, 150.0]
+
+
+def test_kmeans_fit_reduces_quantization_cost(spark):
+    """Lloyd iterations must not increase cost; trained centroids
+    should beat the raw seed sample on a clustered corpus."""
+    import math
+    import random
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_cost,
+        kmeans_fit,
+    )
+
+    rng = random.Random(11)
+    # 3 well-separated direction clusters in 8-d
+    protos = [[1, 0, 0, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0, 0, 0], [0, 0, 1, 0, 0, 0, 0, 0]]
+    rows = []
+    for i in range(240):
+        p = protos[i % 3]
+        rows.append((i, [v + rng.gauss(0, 0.05) for v in p]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seeds = kmeans_fit(df, k=3, n_iters=0)
+    trained = kmeans_fit(df, k=3, n_iters=4)
+    c0 = kmeans_cost(df, seeds)
+    c1 = kmeans_cost(df, trained)
+    assert c1 <= c0 + 1e-9
+    assert c1 < 0.01  # tight clusters -> near-zero quantization error
+
+    # every trained centroid is near one distinct prototype direction
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    matched = {max(range(3), key=lambda pi: cos(c, protos[pi])) for c in trained}
+    assert matched == {0, 1, 2}
+    # assignment uses every cell
+    cells = {r.ivf_cell for r in ivf_assign(df, trained).select("ivf_cell").distinct().collect()}
+    assert cells == {0, 1, 2}
