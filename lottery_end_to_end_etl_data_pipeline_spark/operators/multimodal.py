@@ -134,3 +134,80 @@ def binary_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
         F.octet_length(content_col).cast("long").alias("n_bytes"),
         F.md5(F.col(content_col)).alias("content_md5"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 256, decode: str = "fake") -> DataFrame:
+    """Resize kernel over `mapInPandas` (1→1, Arrow-batched). The
+    real integration point is the body (PIL/turbojpeg thumbnail);
+    the container-stub path derives deterministic output dims by
+    scaling the fake-decoded dims to `max_side` and re-hashes the
+    payload so downstream sees genuinely different bytes."""
+    if decode not in ("fake", "strict"):
+        raise ValueError("decode must be 'fake' or 'strict'")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "strict":
+                raise NotImplementedError(
+                    "real image resize kernel not available in this container; "
+                    "plug PIL.Image.thumbnail here"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, _, _ = _fake_image_features(data)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                out = hashlib.sha256(data + f"{nw}x{nh}".encode()).digest()
+                rows.append((mid, nw, nh, out))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
+
+    return df.select("media_id", "content").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def audio_features(df: DataFrame, decode: str = "fake", sample_rate: int = 16000) -> DataFrame:
+    """Audio feature extraction stub (`mapInPandas`): duration from
+    byte length at the nominal rate (16-bit mono), RMS from a
+    deterministic digest — stands in for an ffmpeg/soundfile kernel;
+    the Spark-side schema/batching is the real contract."""
+    if decode not in ("fake", "strict"):
+        raise ValueError("decode must be 'fake' or 'strict'")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "strict":
+                raise NotImplementedError(
+                    "real audio decode kernel not available in this container; "
+                    "plug ffmpeg/soundfile here"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(data).digest()
+                duration = round(len(data) / (2.0 * sample_rate), 6)
+                rms = round(sum(digest[16:32]) / (16 * 255.0), 6)
+                rows.append((mid, duration, sample_rate, rms))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "duration_s", "sample_rate", "rms"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

@@ -188,3 +188,36 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(180)
     got = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
     assert [r.event_id for r in got] == ["evt-1", "evt-2"]
+
+
+def test_resize_images_deterministic_and_bounded(media):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.multimodal import resize_images
+
+    out = {r.media_id: r for r in resize_images(media, max_side=64).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    for r in out.values():
+        assert 1 <= max(r.width, r.height) <= 64
+        assert isinstance(r.content, (bytes, bytearray)) and len(r.content) > 0
+    again = {r.media_id: r for r in resize_images(media, max_side=64).collect()}
+    assert all(bytes(out[i].content) == bytes(again[i].content) for i in out)
+    # different target -> different payload (the fake kernel really re-encodes)
+    other = {r.media_id: r for r in resize_images(media, max_side=32).collect()}
+    assert any(bytes(out[i].content) != bytes(other[i].content) for i in out)
+
+
+def test_resize_strict_raises(media):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.multimodal import resize_images
+
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        resize_images(media, decode="strict").collect()
+
+
+def test_audio_features_duration_scales_with_bytes(media):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.multimodal import audio_features
+
+    out = {r.media_id: r for r in audio_features(media).collect()}
+    sizes = {r.media_id: len(r.content) for r in media.collect()}
+    for mid, r in out.items():
+        assert r.duration_s == round(sizes[mid] / 32000.0, 6)
+        assert r.sample_rate == 16000
+        assert 0.0 <= r.rms <= 1.0

@@ -127,3 +127,43 @@ def test_salted_join_rejects_outer_right(spark):
     for how in ("right", "full", "outer"):
         with pytest.raises(ValueError, match="inner"):
             salted_join(df, df, "k", how=how)
+
+
+def test_deterministic_sample_pushes_filter_to_scan(spark):
+    """Sampling must be a scan-side predicate: no Exchange anywhere,
+    filter applied before the aggregate in the stratified entry."""
+    plan = plan_of(QUERIES["stratified_sample_counts"](spark, SF), "simple")
+    # only the final groupBy shuffles; sampling adds no exchange of its own
+    assert plan.count("Exchange") == 1
+    assert "md5" in plan  # membership predicate present pre-agg
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark postings and sizes must be broadcast — corpus
+    postings never shuffle for the join."""
+    plan = plan_of(QUERIES["decontaminate_containment"](spark, SF), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_single_shard_exchange(spark):
+    """Packing = one hash exchange on shard for the window, then the
+    bin agg reuses that partitioning (partial agg on (shard, bin))."""
+    plan = plan_of(QUERIES["sequence_packing_stats"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_ngram_capped_frequent_set_is_broadcast_anti_join(spark):
+    """The df cap must be a broadcast anti-join (skew-immune), never a
+    window over the shingle key (one hot shingle = one straggler)."""
+    plan = plan_of(QUERIES["dedup_ngram_jaccard_capped"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Window" not in plan
+
+
+def test_det_shuffle_head_is_take_ordered(spark):
+    """The verifiable head of the deterministic shuffle must be
+    top-k-per-partition + merge, not a global sort."""
+    plan = plan_of(QUERIES["det_shuffle_head"](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
