@@ -1964,3 +1964,85 @@ def pii_redaction_counts(spark, sf_dir):
         F.sum("n_ipv4").cast("long").alias("total_ipv4"),
         F.count_if(F.col("scrubbed").contains("<PHONE>")).alias("n_docs_with_phone"),
     )
+
+
+@query(
+    "lag_lead_inter_event",
+    oracle=r"""
+    WITH d AS (
+      SELECT user_id, ts,
+             lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN prev_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+           CAST(SUM(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+           CAST(SUM(date_diff('millisecond', prev_ts, ts)) AS BIGINT) AS total_gap_ms,
+           CAST(MAX(date_diff('millisecond', prev_ts, ts)) AS BIGINT) AS max_gap_ms
+    FROM d GROUP BY user_id
+    """,
+)
+def lag_lead_inter_event(spark, sf_dir):
+    """lag/lead window surface: inter-event gaps per user. One hash
+    exchange on user_id, one sort, both offsets computed in the same
+    Window frame (single Window node — lag and lead share the spec).
+    Gap arithmetic in integer milliseconds keeps the hash integral."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = (F.col("ts").cast("double") * 1000).cast("long")
+    prev_ms = F.lag(ms).over(w)
+    next_ms = F.lead(ms).over(w)
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .withColumn("prev_ms", prev_ms)
+        .withColumn("next_ms", next_ms)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("prev_ms").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_first"),
+            F.sum(F.when(F.col("next_ms").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_last"),
+            F.sum(ms - F.col("prev_ms")).cast("long").alias("total_gap_ms"),
+            F.max(ms - F.col("prev_ms")).cast("long").alias("max_gap_ms"),
+        )
+    )
+
+
+@query(
+    "ntile_price_deciles",
+    oracle=r"""
+    WITH d AS (
+      SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+             o_totalprice
+      FROM orders)
+    SELECT decile, COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM d GROUP BY decile
+    """,
+)
+def ntile_price_deciles(spark, sf_dir):
+    """ntile window surface: global deciles of order value. The
+    unpartitioned window is the documented anti-pattern at scale —
+    one reducer sorts everything — so this entry exists for surface
+    parity; the scale path for quantiles is approx_percentile
+    (`percentiles_by_group_approx`). Tie-break on o_orderkey makes
+    ntile deterministic."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
