@@ -464,6 +464,54 @@ def resolve_components(pairs: DataFrame, rounds: int = 3) -> DataFrame:
     return labels.select(F.col("src").alias("id"), "rep")
 
 
+def resolve_components_converged(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """`resolve_components` iterated to FIXPOINT: rounds continue until
+    no label changes (checked with a cheap count action per round), so
+    arbitrarily deep chains merge — the guarantee the fixed-rounds
+    variant trades away. Each round label lineage is truncated with
+    `localCheckpoint` (eager): without it the iterated join plan grows
+    exponentially and Catalyst re-derives every prior round per
+    reference. Label propagation halves the distance to each
+    component's minimum per round in the worst path graph, so rounds ≈
+    O(diameter); near-dup graphs at production thresholds are
+    near-cliques with diameter ≤ 3-4. The per-round cost is one join +
+    one agg over the edge list (orders of magnitude smaller than the
+    corpus), plus the count."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.first("src"), F.min("dst")).alias("rep"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(
+                labels.select(F.col("src").alias("dst"), F.col("rep").alias("dst_rep")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_rep").alias("nbr_rep"))
+        )
+        new_labels = labels.join(nbr, "src", "left").select(
+            "src", F.least("rep", F.coalesce("nbr_rep", F.col("rep"))).alias("rep")
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("id"), "rep")
+
+
 def dedup_from_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", rounds: int = 3
 ) -> DataFrame:

@@ -119,3 +119,46 @@ def range_join_binned(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )
     return joined.drop("_bin", "_ik").withColumnRenamed("_pk", on)
+
+
+def sessionize_batch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Batch gap-based sessionization — the value-checkable analog of
+    the streaming `sessionize` (streaming/incremental.py): a new
+    session starts where the gap to the previous event exceeds
+    `gap_minutes`; session id = running count of session starts.
+
+    Plan: ONE hash exchange on the key and one sort feed both the lag
+    and the running sum (same window spec → a single Window node);
+    the per-session aggregate reuses the (key)-partitioning. State is
+    nothing — this is a pure window pipeline, so at 100 TB it scales
+    with the shuffle, not with session count. Gap arithmetic in
+    integer milliseconds; ordering tie-broken on `order_tiebreak` for
+    cross-engine determinism.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    ms = (F.col(ts_col).cast("double") * 1000).cast("long")
+    gap_ms = gap_minutes * 60 * 1000
+    new_sess = F.when(
+        F.lag(ms).over(w).isNull() | ((ms - F.lag(ms).over(w)) > gap_ms), 1
+    ).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = events.withColumn("_new", new_sess).withColumn(
+        "session_id", F.sum("_new").over(run)
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+    return sess.groupBy(key_col, "session_id").agg(*aggs)

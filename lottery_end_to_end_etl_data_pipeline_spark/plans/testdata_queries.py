@@ -2046,3 +2046,38 @@ def ntile_price_deciles(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "sessionize_batch_30m",
+    oracle=r"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch_30m(spark, sf_dir):
+    """Gap-based batch sessionization (operators/temporal.py) — the
+    oracle-checked twin of the streaming applyInPandasWithState
+    sessionizer: one exchange + one sort drive lag, the running
+    session-id sum, and the per-session aggregate."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import sessionize_batch
+
+    return sessionize_batch(
+        t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value"),
+        gap_minutes=30,
+    )

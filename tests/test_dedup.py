@@ -163,3 +163,37 @@ def test_embedding_pandas_variant_matches_hof(spark):
         for r in embedding_cosine_pairs_pandas(emb, threshold=0.3).collect()
     }
     assert hof == pdu
+
+
+def test_resolve_components_converged_merges_deep_chains(spark):
+    """A 12-node path graph: bounded rounds=3 under-merges by design;
+    the converged variant must collapse it to a single component."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        resolve_components,
+        resolve_components_converged,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    bounded = {r.rep for r in resolve_components(pairs, rounds=3).collect()}
+    assert len(bounded) > 1  # the documented trade of fixed rounds
+    conv = resolve_components_converged(pairs)
+    labels = {r.id: r.rep for r in conv.collect()}
+    assert set(labels.values()) == {0}
+    assert set(labels) == set(range(12))
+
+
+def test_resolve_components_converged_matches_bounded_on_cliques(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        resolve_components,
+        resolve_components_converged,
+    )
+
+    # two separate triangles
+    tri = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    pairs = spark.createDataFrame(tri, "id_a long, id_b long")
+    a = {(r.id, r.rep) for r in resolve_components(pairs, rounds=3).collect()}
+    b = {(r.id, r.rep) for r in resolve_components_converged(pairs).collect()}
+    assert a == b
+    assert {rep for _, rep in b} == {0, 10}
