@@ -45,6 +45,8 @@ HEADLINE = [
     "sequence_packing_stats",
     "decontaminate_containment",
     "pii_redaction_counts",
+    "sessionize_batch_30m",
+    "lag_lead_inter_event",
 ]
 
 
