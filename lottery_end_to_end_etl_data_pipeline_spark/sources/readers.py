@@ -63,3 +63,25 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines source. Pass an explicit schema at scale — without
+    one Spark runs a full inference pass first; with `multiline`
+    each file is ONE JSON document and cannot be split across tasks
+    (fine for configs, wrong for data files)."""
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, *paths: str) -> DataFrame:
+    """ORC source — same columnar/pushdown properties as parquet
+    (predicate pushdown, column pruning, partition discovery)."""
+    return spark.read.orc(*paths)

@@ -75,3 +75,22 @@ def write_bucketed_table(
     else:
         writer = writer.bucketBy(num_buckets, bucket_col)
     writer.saveAsTable(table)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (interchange exports; columnar formats remain
+    the analytics layout)."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink, optionally Hive-partitioned."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)

@@ -153,3 +153,26 @@ def test_redact_pii_and_counts(spark):
     assert red2 == red
     clean = redact_pii(df, "text").filter("id = 1").collect()[0].text
     assert clean == "clean text"
+
+
+def test_fraction_to_hex_properties():
+    """Property: threshold is monotone in the fraction and the
+    keep-predicate is nested — sample(f1) ⊆ sample(f2) whenever
+    f1 ≤ f2 — for arbitrary fractions, which is what makes the
+    deterministic sample composable."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.floats(min_value=0.0, max_value=1.0),
+           st.floats(min_value=0.0, max_value=1.0))
+    def check(f1, f2):
+        t1, t2 = fraction_to_hex(f1), fraction_to_hex(f2)
+        if f1 <= f2:
+            assert t1 <= t2
+        # every 8-hex-char bucket value sorts below the 1.0 sentinel
+        assert "ffffffff" < fraction_to_hex(1.0)
+        # threshold strings are comparable with bucket strings
+        assert len(t1) == 8 or t1 == "g"
+
+    check()

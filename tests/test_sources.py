@@ -62,3 +62,37 @@ def test_dynamic_overwrite_under_foreign_session(spark, tmp_path):
 def test_jdbc_requires_bounds(spark):
     with pytest.raises(ValueError, match="lower_bound and upper_bound"):
         read_jdbc(spark, "jdbc:mysql://x/db", "t", partition_column="id")
+
+
+def test_json_round_trip(spark, tmp_path):
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.readers import read_json
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.writers import write_json
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "k long, s string, v double"
+    )
+    path = str(tmp_path / "j")
+    write_json(df, path)
+    back = read_json(spark, path, schema="k long, s string, v double")
+    assert {(r.k, r.s, r.v) for r in back.collect()} == {(1, "a", 1.5), (2, "b", None)}
+
+
+def test_orc_round_trip_partitioned_with_pushdown(spark, tmp_path):
+    import io, contextlib
+
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.readers import read_orc
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(i, "p%d" % (i % 2), float(i)) for i in range(100)],
+        "k long, part string, v double",
+    )
+    path = str(tmp_path / "o")
+    write_orc(df, path, partition_cols=["part"])
+    back = read_orc(spark, path).filter("v >= 90.0")
+    assert back.count() == 10
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain(True)
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "v" in plan  # predicate reaches the ORC scan
