@@ -83,20 +83,25 @@ def ngram_jaccard_pairs(
     self-join (changes results from exact to slightly conservative:
     intersection counts shrink by the dropped shingles only).
 
-    Same two-exchange layout as `minhash_signatures`: repartition the
-    input BEFORE the shingle fold (higher-order functions run
-    interpreted — off a one-file source the fold otherwise pins to a
-    single task), and repartition AFTER it as a materialization
-    barrier — `sh` is referenced by four plan branches (sizes,
-    postings a/b sides, the df-filter semi-join side) and without the
-    barrier Catalyst inlines the whole fold into each (measured 8x
-    total slowdown at sf0.1: 27s -> ~3s).
+    Fold materialization: repartition the input BEFORE the shingle
+    fold (higher-order functions run interpreted — off a one-file
+    source the fold otherwise pins to a single task), then
+    `localCheckpoint` the folded frame. An Exchange barrier is NOT
+    enough here: ColumnPruning pushes the fold projection past the
+    repartition (to shrink the shuffle), so every downstream branch —
+    and worse, the `explode` Generate node — re-derives the
+    interpreted fold (measured: explode over the un-materialized fold
+    is ~15x the fold's own cost at sf0.1; checkpoint + explode is
+    ~0.8s vs ~5s). The checkpoint is executor-local block storage: a
+    lost executor recomputes that slice from lineage-free blocks'
+    replicas or fails the stage — the standard trade for truncating
+    an expensive expression out of a multi-consumer plan.
     """
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sh = (
         df.repartition(n_part, F.col(id_col))
         .select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
-        .repartition(n_part, "id")
+        .localCheckpoint(eager=True)
     )
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     postings = sh.select("id", F.explode("sh").alias("shingle"))
@@ -202,14 +207,17 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    # Materialization barrier: downstream projections reference `sig`
-    # dozens of times (16 band hashes x 4 element_at + the pair
-    # estimate); without a barrier Catalyst inlines a copy of the
-    # whole signature fold at every reference (measured 2x total
-    # slowdown), and a .persist() pays ~6s of columnar-cache codegen.
-    # A repartition Exchange is the cheap middle ground: the fold runs
-    # once, both join sides reuse the shuffle output.
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).repartition("id")
+    # Materialization: downstream projections reference `sig` dozens
+    # of times (16 band hashes + the posexplode Generate + the pair
+    # estimate); without a hard barrier Catalyst inlines a copy of
+    # the whole signature fold at every reference, and ColumnPruning
+    # pushes the fold past a repartition Exchange so even that soft
+    # barrier leaks under the Generate (see ngram_jaccard_pairs).
+    # localCheckpoint truncates the lineage for real; a .persist()
+    # would pay ~6s of columnar-cache codegen instead.
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(
+        eager=True
+    )
     # Band bucket ids as one compact expression: hash the signature
     # slice per band (posexplode supplies the band index). Buckets
     # carry only (id, band, bh) — the 64-component signature itself is
@@ -307,8 +315,8 @@ def simhash_pairs(
     any pair within distance < chunks must share one exact chunk, so
     candidates come from equi-joins on (chunk_id, chunk_value), then
     verify with bit_count(xor)."""
-    # repartition = cheap materialization barrier (see minhash note)
-    fp = simhash_fingerprints(df, id_col, text_col, bits).repartition("id")
+    # localCheckpoint = real materialization barrier (see minhash note)
+    fp = simhash_fingerprints(df, id_col, text_col, bits).localCheckpoint(eager=True)
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
     chunk_arr = F.array(
@@ -573,10 +581,12 @@ def contamination_pairs(
     billions) — zero shuffle on the corpus side beyond the fold
     barrier."""
     n_part = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # localCheckpoint, not a repartition barrier: the explode would
+    # otherwise re-derive the interpreted fold (see ngram_jaccard_pairs)
     c_sh = (
         corpus.repartition(n_part, F.col(corpus_id))
         .select(F.col(corpus_id).alias("cid"), word_shingles(text_col, k).alias("sh"))
-        .repartition(n_part, "cid")
+        .localCheckpoint(eager=True)
     )
     b_sh = benchmark.select(
         F.col(bench_id).alias("bid"), word_shingles(text_col, k).alias("sh")
