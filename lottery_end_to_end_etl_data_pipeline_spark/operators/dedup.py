@@ -411,9 +411,16 @@ def verify_pairs_exact(
     The LSH stages are recall-oriented; this join computes the true
     shingle-set Jaccard for just the candidates — O(candidates), not
     O(n²) — and filters to ``threshold``. The canonical
-    candidate→verify shape for production dedup."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    candidate→verify shape for production dedup.
+
+    The shingle fold is localCheckpointed: both join sides (a and b)
+    reference it, and without a hard barrier each side re-derives the
+    interpreted fold (see ngram_jaccard_pairs)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        df.repartition(n_part, F.col(id_col))
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+        .localCheckpoint(eager=True)
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -444,15 +451,17 @@ def resolve_components(pairs: DataFrame, rounds: int = 3) -> DataFrame:
     magnitude smaller than the corpus (only near-dups appear), so the
     per-round shuffle is tiny relative to the candidate generation
     that produced `pairs`."""
-    # Repartition barrier: the label lineage references `edges` once
-    # per round; without a barrier each reference re-derives the full
+    # localCheckpoint: the label lineage references `edges` once per
+    # round; without a hard barrier each reference re-derives the full
     # candidate-generation plan that produced `pairs` (measured ~4x
-    # blowup at 3 rounds). The Exchange is computed once and reused
-    # (ReuseExchange) across all rounds.
+    # blowup at 3 rounds), and a repartition Exchange only dedupes
+    # when every consuming branch prunes to identical columns
+    # (ReuseExchange keys on the exact subplan).
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .repartition("src")
+        .localCheckpoint(eager=True)
     )
     labels = edges.groupBy("src").agg(
         F.least(F.first("src"), F.min("dst")).alias("rep")
