@@ -47,6 +47,8 @@ HEADLINE = [
     "pii_redaction_counts",
     "sessionize_batch_30m",
     "lag_lead_inter_event",
+    "bm25_topk",
+    "full_outer_user_totals",
 ]
 
 

@@ -170,3 +170,62 @@ def pii_counts(df: DataFrame, text_col: str = "text", patterns: dict[str, str] |
             f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
         )
     return out
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a bag-of-terms query —
+    the classic corpus-ranking primitive (quality/relevance filtering
+    in training-data pipelines, retrieval eval sets).
+
+    Plan shape: one explode of the tokenized corpus filtered to the
+    query terms (postings for non-query terms never materialize),
+    groupBy (doc, term) for tf, a broadcast of the tiny per-term df
+    table for idf, and a broadcast of the 1-row avgdl aggregate —
+    so the corpus shuffles once, on (doc, term), and everything else
+    is broadcast-joined. Returns (id, score) for docs matching ≥1
+    term; idf uses the Robertson-Sparck-Jones form
+    ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    The tokenization is localCheckpointed: three branches (doc
+    length, postings explode, the count) would otherwise each
+    re-derive the interpreted split/filter (see
+    operators/dedup.py::ngram_jaccard_pairs for the mechanism)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        df.repartition(n_part, F.col(id_col))
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+        .localCheckpoint(eager=True)
+    )
+    dl = toks.select("id", F.size("tk").cast("double").alias("dl"))
+    n_docs = toks.count()
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    postings = (
+        toks.select("id", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin([t.lower() for t in query_terms]))
+    )
+    tf = postings.groupBy("id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = dfreq.select(
+        "term",
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )

@@ -2081,3 +2081,130 @@ def sessionize_batch_30m(spark, sf_dir):
         t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value"),
         gap_minutes=30,
     )
+
+
+@query(
+    "bm25_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM toks),
+    stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM dl),
+    postings AS (
+      SELECT doc_id, unnest(tk) AS term FROM toks),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM postings WHERE term IN ('spark', 'table', 'window')
+      GROUP BY doc_id, term),
+    idf AS (
+      SELECT term, ln((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+      FROM (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term), stats s),
+    scored AS (
+      SELECT tf.doc_id AS id,
+             round(SUM(idf.idf * (tf.tf * 2.2) /
+                       (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+      FROM tf JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats s
+      GROUP BY tf.doc_id)
+    SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 10
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    """BM25 corpus ranking (operators/text.py): postings for
+    non-query terms never materialize, the per-term df/idf table and
+    the 1-row avgdl aggregate broadcast, the corpus shuffles once on
+    (doc, term). Top-k on the ROUNDED score with id tie-break (the
+    catalog's float-determinism discipline)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import bm25_scores
+
+    docs = t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, ["spark", "table", "window"])
+    return scored.orderBy(F.col("score").desc(), F.col("id")).limit(10)
+
+
+@query(
+    "full_outer_user_totals",
+    oracle=r"""
+    WITH e AS (
+      SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      FROM events GROUP BY user_id),
+    o AS (
+      SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(sum_value, 0.0) AS sum_value,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(sum_price, 0.0) AS sum_price
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+)
+def full_outer_user_totals(spark, sf_dir):
+    """Full-outer reconciliation of two aggregates — the join type
+    that preserves rows from BOTH sides (event-active users without
+    orders AND customers without telemetry). Both inputs pre-aggregate
+    before the join, so the shuffle carries one row per key per side
+    — the cheapest correct full-outer shape."""
+    e = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+    return (
+        e.join(o, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("sum_price", F.lit(0.0)).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "correlated_exists_sql",
+    oracle=r"""
+    SELECT
+      COUNT(*) FILTER (WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)) AS n_big_spenders,
+      COUNT(*) FILTER (WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_never_ordered,
+      COUNT(*) AS n_customers
+    FROM customer c
+    """,
+)
+def correlated_exists_sql(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS through the SQL interface:
+    Catalyst rewrites them to left-semi / left-anti joins (no
+    row-at-a-time subquery execution) — the declarative form of the
+    incremental-scan guard family."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT
+          COUNT(CASE WHEN EXISTS (
+            SELECT 1 FROM orders_v o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+            THEN 1 END) AS n_big_spenders,
+          COUNT(CASE WHEN NOT EXISTS (
+            SELECT 1 FROM orders_v o WHERE o.o_custkey = c.c_custkey)
+            THEN 1 END) AS n_never_ordered,
+          COUNT(*) AS n_customers
+        FROM customer_v c
+        """
+    )

@@ -278,3 +278,22 @@ def test_kmeans_fit_reduces_quantization_cost(spark):
     # assignment uses every cell
     cells = {r.ivf_cell for r in ivf_assign(df, trained).select("ivf_cell").distinct().collect()}
     assert cells == {0, 1, 2}
+
+
+def test_bm25_scores_rank_by_relevance(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark spark spark table"),          # heavy on both terms
+            (1, "spark and other words entirely"),   # one hit
+            (2, "no relevant terms at all here"),    # no hits
+            (3, "table table spark"),                # dense, short doc
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r.id: r.score for r in bm25_scores(df, ["spark", "table"]).collect()}
+    assert 2 not in scores          # zero-hit docs never materialize
+    assert scores[0] > scores[1]    # more matching terms -> higher
+    assert scores[3] > scores[1]
+    assert all(s > 0 for s in scores.values())
