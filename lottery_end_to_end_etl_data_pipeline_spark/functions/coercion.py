@@ -19,8 +19,9 @@ no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: String literals the reference treats as missing (transformer.py:166).
 NA_LITERALS = ("N/A", "n/a", "")
@@ -58,3 +59,24 @@ def coerce_date_ddmmyyyy(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.try_to_timestamp(normalize_na(c), F.lit("dd/MM/yyyy")).cast("date")
+
+
+def align_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Schema-drift conformance: project `df` onto `target` — missing
+    columns materialize as typed NULLs, present columns try_cast
+    (malformed values go NULL, never abort a 100 TB job), extra
+    columns drop, order follows the target. The generic form of the
+    Silver conform contract; pure projection, no shuffle. Pair with
+    `spark.read.option('mergeSchema', 'true')` when unioning drifted
+    parquet generations."""
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            src = F.col(f.name)
+            if have[f.name].dataType != f.dataType:
+                src = src.try_cast(f.dataType)
+            cols.append(src.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -3,12 +3,14 @@
 All hot-path logic is built-in `pyspark.sql.functions` (JVM-side,
 whole-stage codegen): tokenization via split, ratios via regexp
 counts, language ID via lexicon intersection, fingerprints via md5 of
-a canonical token form. No Python UDFs anywhere — at 100 TB these run
-at scan speed.
+a canonical token form. The lone Python kernel is `normalize_text`
+(unicodedata has no JVM builtin) — Arrow-batched, never row-at-a-time;
+everything else runs at scan speed in whole-stage codegen.
 """
 
 from __future__ import annotations
 
+import pandas as pd  # Arrow-batched kernels only (normalize_text)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -229,3 +231,44 @@ def bm25_scores(
         .groupBy("id")
         .agg(F.round(F.sum("contrib"), 4).alias("score"))
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization + control-char strip + whitespace
+    collapse — the canonicalization pass that runs before hashing/
+    dedup so visually-identical strings (composed vs decomposed
+    accents, zero-width junk) hash identically.
+
+    Unicode normalization has no JVM built-in, so this is the
+    documented Pandas-kernel case: an Arrow-batched Series.map over
+    `unicodedata.normalize` (C implementation). The control/zero-width
+    strip and whitespace collapse stay in the same kernel to avoid a
+    second pass."""
+    import re as _re
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    ctrl = _re.compile(
+        "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f"
+        "\u200b\u200c\u200d\ufeff]"
+    )
+    ws = _re.compile(r"\s+")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            x = unicodedata.normalize(form, x)
+            x = ctrl.sub("", x)
+            return ws.sub(" ", x).strip()
+
+        return s.map(one)
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))

@@ -2208,3 +2208,64 @@ def correlated_exists_sql(spark, sf_dir):
         FROM customer_v c
         """
     )
+
+
+@query(
+    "rolling_zscore_anomalies",
+    oracle=r"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             SUM(value) AS v
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, bucket, v,
+             AVG(v) OVER w AS mu,
+             stddev_pop(v) OVER w AS sigma,
+             COUNT(*) OVER w AS n_win
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, bucket, ROUND(v, 2) AS v,
+           ROUND((v - mu) / sigma, 2) AS z
+    FROM stats
+    WHERE n_win >= 6 AND sigma > 0.001 AND abs((v - mu) / sigma) > 2.0
+    """,
+)
+def rolling_zscore_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly detection over hourly event volumes:
+    a 6-bucket trailing window (excluding the current bucket) gives
+    mu/sigma per event_type; buckets whose volume deviates > 2 sigma
+    flag. One exchange on event_type for the window after a
+    map-side-combined hourly pre-aggregate. Determinism: z ROUNDED
+    to 2dp, windows with sigma ~ 0 excluded (division noise), full
+    trailing windows only (n_win >= 6)."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.sum("value").alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-6, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "bucket",
+        "v",
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_pop("v").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter(
+            (F.col("n_win") >= 6) & (F.col("sigma") > 0.001) & (F.abs(z) > 2.0)
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.round("v", 2).alias("v"),
+            F.round(z, 2).alias("z"),
+        )
+    )

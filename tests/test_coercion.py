@@ -42,3 +42,49 @@ def test_malformed_dates_coerce_to_null(spark):
     assert rows[0]["d"] is not None
     assert rows[1]["d"] is None
     assert rows[2]["d"] is None
+
+
+def test_align_schema_conforms_drifted_frames(spark):
+    from pyspark.sql import types as T
+
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.coercion import align_schema
+
+    target = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("tag", T.StringType()),
+        ]
+    )
+    # drifted frame: k as string (one malformed), extra column, missing tag
+    df = spark.createDataFrame(
+        [("1", 1.5, "x"), ("oops", 2.5, "y")], "k string, v double, junk string"
+    )
+    out = align_schema(df, target)
+    assert [f.name for f in out.schema.fields] == ["k", "v", "tag"]
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    rows = out.collect()
+    assert {r.k for r in rows} == {1, None}  # malformed coerces, never throws
+    assert all(r.tag is None for r in rows)
+    assert "junk" not in out.columns
+
+
+def test_align_schema_unions_drifted_generations(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.coercion import align_schema
+
+    gen1 = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    gen2 = spark.createDataFrame([(2, 20.0, "b")], "k long, v double, tag string")
+    gen1.write.parquet(str(tmp_path / "t"), mode="append")
+    gen2.write.parquet(str(tmp_path / "t"), mode="append")
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    target = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("tag", T.StringType()),
+        ]
+    )
+    out = align_schema(merged, target)
+    assert {(r.k, r.tag) for r in out.collect()} == {(1, None), (2, "b")}

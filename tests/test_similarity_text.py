@@ -297,3 +297,21 @@ def test_bm25_scores_rank_by_relevance(spark):
     assert scores[0] > scores[1]    # more matching terms -> higher
     assert scores[3] > scores[1]
     assert all(s > 0 for s in scores.values())
+
+
+def test_normalize_text_nfc_and_junk_strip(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import normalize_text
+
+    decomposed = "cafe\u0301"        # e + combining acute
+    composed = "caf\u00e9"           # precomposed
+    df = spark.createDataFrame(
+        [
+            (0, decomposed + "  \u200b tail "),
+            (1, composed + " tail"),
+            (2, None),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.text for r in normalize_text(df).collect()}
+    assert out[0] == out[1] == composed + " tail"  # NFC + junk strip converge
+    assert out[2] is None
