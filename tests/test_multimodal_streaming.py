@@ -89,6 +89,24 @@ def test_streaming_available_now_ingest(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "silver/sorteos")).count() == 3
+    # third drain after a NEW draw arrives: exactly the delta is ingested
+    import random
+
+    from tests.fixture_gen import make_draw_text
+
+    new = tmp_path / "raw" / "year=2025" / "sorteo=3099" / "sorteo_3099.txt"
+    new.parent.mkdir(parents=True)
+    new.write_text(
+        make_draw_text(random.Random(99), 3099, "05/06/2025", "05/09/2025"),
+        encoding="utf-8",
+    )
+    q3 = run_available_now(
+        stream_raw_draws(spark, str(tmp_path / "raw" / "*" / "*")),
+        ingest,
+        str(tmp_path / "ckpt"),
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "silver/sorteos")).count() == 4
 
 
 def test_windowed_event_counts_batch_degrade(spark):
