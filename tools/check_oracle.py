@@ -69,6 +69,27 @@ def main() -> int:
     names = args.queries or list(queries)
 
     failures = []
+    # Dtype-hazard gate: the driver's comparator hashes raw value
+    # reprs, so a DuckDB HUGEINT/UBIGINT output column (any un-CAST
+    # SUM over integers) hash-mismatches even when values are equal —
+    # the exact cause of round 1's two failures. Catch it statically.
+    for name in names:
+        if name not in oracles:
+            continue
+        try:
+            described = con.execute(
+                f"DESCRIBE SELECT * FROM ({oracles[name]})"
+            ).fetchall()
+        except Exception:
+            continue  # the run loop below reports real SQL errors
+        hazards = [
+            (c, t) for c, t, *_ in described
+            if "HUGEINT" in t.upper() or t.upper() == "UBIGINT"
+        ]
+        if hazards:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle emits driver-hostile dtypes {hazards} — CAST to BIGINT")
+
     for name in names:
         fn = queries[name]
         t0 = time.monotonic()
