@@ -45,14 +45,15 @@ def upsert_by_key(
     `path` (created if absent). Semantics = ``MERGE INTO t USING u ON
     keys WHEN MATCHED UPDATE ALL WHEN NOT MATCHED INSERT ALL``.
 
-    Plan: existing rows of the touched partitions (partition-pruned
-    scan via an IN filter on collected partition values — updates
-    batches touch few partitions by construction) are anti-joined
-    against the update keys (matched rows die), unioned with the
-    updates, and written back with dynamic partition overwrite so
-    untouched partitions are never rewritten. The anti-join shuffles
-    only the touched partitions' rows; broadcast kicks in when the
-    update batch is small.
+    Plan: existing rows of the touched partitions are selected with a
+    broadcast semi-join on the distinct update partition values —
+    dynamic partition pruning turns that into a partition-pruned scan
+    at runtime, with no driver-side collect and no literal IN list
+    (correct even when an update batch touches thousands of
+    partitions). Those rows are anti-joined against the update keys
+    (matched rows die), unioned with the updates, and written back
+    with dynamic partition overwrite so untouched partitions are
+    never rewritten.
 
     In-batch duplicate keys are the caller's contract to resolve
     (dedupe `updates` first); the operator only guarantees that
@@ -77,10 +78,8 @@ def upsert_by_key(
         return
 
     if partition_col:
-        touched = [
-            r[0] for r in updates.select(partition_col).distinct().collect()
-        ]
-        existing = existing.filter(F.col(partition_col).isin(touched))
+        touched = updates.select(partition_col).distinct()
+        existing = existing.join(F.broadcast(touched), partition_col, "left_semi")
 
     survivors = existing.join(
         updates.select(*key_cols).dropDuplicates(key_cols), key_cols, "left_anti"
