@@ -530,14 +530,22 @@ def resolve_components_converged(pairs: DataFrame, max_rounds: int = 20) -> Data
 
 
 def dedup_from_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", rounds: int = 3
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    rounds: int = 3,
+    converged: bool = False,
 ) -> DataFrame:
     """Drop every non-representative member of the pair-graph clusters
-    (rep resolved by `resolve_components`); keep all untouched rows."""
-    dupes = (
-        resolve_components(pairs, rounds)
-        .filter(F.col("rep") != F.col("id"))
-        .select(F.col("id").alias("_dup_id"))
+    (rep resolved by `resolve_components`, or iterated to fixpoint
+    with `converged=True`); keep all untouched rows."""
+    labels = (
+        resolve_components_converged(pairs)
+        if converged
+        else resolve_components(pairs, rounds)
+    )
+    dupes = labels.filter(F.col("rep") != F.col("id")).select(
+        F.col("id").alias("_dup_id")
     )
     return df.join(dupes, df[id_col] == dupes["_dup_id"], "left_anti")
 
@@ -551,6 +559,7 @@ def near_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     rounds: int = 3,
+    converged: bool = False,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: MinHash+LSH candidates →
     exact-Jaccard verify → drop non-representatives, with cluster
@@ -563,7 +572,7 @@ def near_dedup(
         shingle_k=shingle_k, threshold=max(0.0, threshold - 0.2),
     )
     verified = verify_pairs_exact(cand, df, id_col, text_col, shingle_k, threshold)
-    return dedup_from_pairs(df, verified, id_col, rounds)
+    return dedup_from_pairs(df, verified, id_col, rounds, converged=converged)
 
 
 def contamination_pairs(

@@ -86,12 +86,21 @@ def train_test_split(
     )
 
 
-def shuffle_key(key: Column) -> Column:
-    """Full md5 of the key — the deterministic global shuffle order."""
+def shuffle_key(key: Column, epoch: int | None = None) -> Column:
+    """Full md5 of the key — the deterministic global shuffle order.
+    `epoch` salts the key so each training epoch gets an independent
+    (but still reproducible) permutation."""
+    if epoch is not None:
+        key = F.concat(F.lit(f"{epoch}:"), key.cast("string"))
     return F.md5(key.cast("string"))
 
 
-def deterministic_shuffle(df: DataFrame, key_col: str, out_partitions: int | None = None) -> DataFrame:
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    out_partitions: int | None = None,
+    epoch: int | None = None,
+) -> DataFrame:
     """Deterministic global pseudo-shuffle for training-data serving:
     order rows by md5(key).
 
@@ -99,8 +108,8 @@ def deterministic_shuffle(df: DataFrame, key_col: str, out_partitions: int | Non
     RangePartitioning exchange — each output partition is an
     independent sorted slice, files come out globally ordered WITHOUT
     a single-reducer sort (the classic `orderBy` + write trap).
-    Epoch re-shuffles = prepend an epoch salt to the key."""
-    sk = shuffle_key(F.col(key_col)).alias("_shuffle_key")
+    Pass `epoch` for per-epoch reshuffles."""
+    sk = shuffle_key(F.col(key_col), epoch).alias("_shuffle_key")
     out = df.withColumn("_shuffle_key", sk)
     if out_partitions:
         out = out.repartitionByRange(out_partitions, "_shuffle_key")

@@ -176,3 +176,15 @@ def test_fraction_to_hex_properties():
         assert len(t1) == 8 or t1 == "g"
 
     check()
+
+
+def test_epoch_salt_produces_independent_shuffles(docs):
+    e0 = [r.doc_id for r in deterministic_shuffle(docs, "doc_id", 4, epoch=0)
+          .select("doc_id").collect()]
+    e1 = [r.doc_id for r in deterministic_shuffle(docs, "doc_id", 4, epoch=1)
+          .select("doc_id").collect()]
+    assert e0 != e1                      # different permutation per epoch
+    assert sorted(e0) == sorted(e1)      # same membership
+    again = [r.doc_id for r in deterministic_shuffle(docs, "doc_id", 4, epoch=1)
+             .select("doc_id").collect()]
+    assert e1 == again                   # still reproducible
