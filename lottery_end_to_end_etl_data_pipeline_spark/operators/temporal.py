@@ -139,14 +139,17 @@ def sessionize_batch(
     the per-session aggregate reuses the (key)-partitioning. State is
     nothing — this is a pure window pipeline, so at 100 TB it scales
     with the shuffle, not with session count. Gap arithmetic in
-    integer milliseconds; ordering tie-broken on `order_tiebreak` for
-    cross-engine determinism.
+    exact integer microseconds (`unix_micros`); ordering tie-broken
+    on `order_tiebreak` for cross-engine determinism.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
-    ms = (F.col(ts_col).cast("double") * 1000).cast("long")
-    gap_ms = gap_minutes * 60 * 1000
+    # unix_micros is EXACT (a double cast of the timestamp carries
+    # ~1e-7 s representation error — enough to flip a gap comparison
+    # sitting on the boundary, i.e. a cross-engine hash flake)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = gap_minutes * 60 * 1_000_000
     new_sess = F.when(
-        F.lag(ms).over(w).isNull() | ((ms - F.lag(ms).over(w)) > gap_ms), 1
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
     ).otherwise(0)
     run = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

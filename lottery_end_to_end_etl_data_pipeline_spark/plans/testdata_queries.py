@@ -1978,8 +1978,8 @@ def pii_redaction_counts(spark, sf_dir):
            COUNT(*) AS n_events,
            CAST(SUM(CASE WHEN prev_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
            CAST(SUM(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
-           CAST(SUM(date_diff('millisecond', prev_ts, ts)) AS BIGINT) AS total_gap_ms,
-           CAST(MAX(date_diff('millisecond', prev_ts, ts)) AS BIGINT) AS max_gap_ms
+           CAST(SUM(date_diff('microsecond', prev_ts, ts)) AS BIGINT) AS total_gap_us,
+           CAST(MAX(date_diff('microsecond', prev_ts, ts)) AS BIGINT) AS max_gap_us
     FROM d GROUP BY user_id
     """,
 )
@@ -1987,27 +1987,27 @@ def lag_lead_inter_event(spark, sf_dir):
     """lag/lead window surface: inter-event gaps per user. One hash
     exchange on user_id, one sort, both offsets computed in the same
     Window frame (single Window node — lag and lead share the spec).
-    Gap arithmetic in integer milliseconds keeps the hash integral."""
+    Gap arithmetic in exact integer microseconds (unix_micros)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = (F.col("ts").cast("double") * 1000).cast("long")
-    prev_ms = F.lag(ms).over(w)
-    next_ms = F.lead(ms).over(w)
+    us = F.unix_micros(F.col("ts"))  # exact; a double cast ms path can flake at boundaries
+    prev_us = F.lag(us).over(w)
+    next_us = F.lead(us).over(w)
     return (
         t(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id")
-        .withColumn("prev_ms", prev_ms)
-        .withColumn("next_ms", next_ms)
+        .withColumn("prev_us", prev_us)
+        .withColumn("next_us", next_us)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.when(F.col("prev_ms").isNull(), 1).otherwise(0))
+            F.sum(F.when(F.col("prev_us").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_first"),
-            F.sum(F.when(F.col("next_ms").isNull(), 1).otherwise(0))
+            F.sum(F.when(F.col("next_us").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_last"),
-            F.sum(ms - F.col("prev_ms")).cast("long").alias("total_gap_ms"),
-            F.max(ms - F.col("prev_ms")).cast("long").alias("max_gap_ms"),
+            F.sum(us - F.col("prev_us")).cast("long").alias("total_gap_us"),
+            F.max(us - F.col("prev_us")).cast("long").alias("max_gap_us"),
         )
     )
 
@@ -2054,7 +2054,7 @@ def ntile_price_deciles(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
