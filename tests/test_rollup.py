@@ -66,3 +66,55 @@ def test_approx_distinct_close_to_exact(spark):
     got = {r["k"]: r["approx_distinct"] for r in approx_distinct_by_key(df, "k", "u").collect()}
     for k, est in got.items():
         assert abs(est - 977) / 977 < 0.05
+
+
+def test_refresh_continuous_aggregate_is_incremental(spark, tmp_path):
+    """Refresh folds new raw into the materialization: recomputed
+    final bucket + new buckets land; cold partitions' files are
+    untouched; served results equal a from-scratch rebuild."""
+    import datetime
+    import os
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.rollup import (
+        build_continuous_aggregate,
+        query_continuous_aggregate,
+        refresh_continuous_aggregate,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 6, 0, 0)
+    rows = [
+        (1, t0, 10, "click", 1.0),
+        (2, t0 + datetime.timedelta(hours=2), 11, "click", 2.0),
+        (3, t0 + datetime.timedelta(days=1), 10, "view", 3.0),   # day-2 (partial at build)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    path = str(tmp_path / "cagg")
+    build_continuous_aggregate(spark.createDataFrame(rows, schema), path)
+
+    day1_dir = os.path.join(path, "bucket_date=2024-03-01")
+    day1_files = sorted(os.listdir(day1_dir))
+
+    # new arrivals: one more day-2 event, one day-3 event
+    new_rows = rows[2:] + [
+        (4, t0 + datetime.timedelta(days=1, hours=3), 12, "view", 4.0),
+        (5, t0 + datetime.timedelta(days=2), 13, "click", 5.0),
+    ]
+    refresh_continuous_aggregate(spark, spark.createDataFrame(new_rows, schema), path)
+
+    assert sorted(os.listdir(day1_dir)) == day1_files  # cold partition untouched
+    served = {
+        (r["bucket_start"].date().isoformat(), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in query_continuous_aggregate(spark, path, tail=None).collect()
+    }
+    # equals a from-scratch rebuild over the full corpus
+    full = str(tmp_path / "cagg_full")
+    build_continuous_aggregate(
+        spark.createDataFrame(rows + new_rows[1:], schema), full
+    )
+    expected = {
+        (r["bucket_start"].date().isoformat(), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in query_continuous_aggregate(spark, full, tail=None).collect()
+    }
+    assert served == expected
+    assert served[("2024-03-02", "view")] == (2, 7.0)
+    assert served[("2024-03-03", "click")] == (1, 5.0)
