@@ -59,6 +59,13 @@ def upsert_by_key(
     (dedupe `updates` first); the operator only guarantees that
     existing rows matching an update key are replaced.
 
+    Partition-stability contract: with `partition_col`, a key's
+    partition value must not CHANGE in the update (partition key =
+    stable function of the upsert key). A cross-partition move would
+    leave the stale row in its old, never-visited partition. For
+    mutable partition values pass `partition_col=None` (whole-table
+    merge) or include the old partitions' rows in `updates`.
+
     Caveat (documented trade vs a real table format): the
     read-modify-write is not transactional — a concurrent writer to
     the same partition can be lost. Single-writer pipelines (this

@@ -2269,3 +2269,114 @@ def rolling_zscore_anomalies(spark, sf_dir):
             F.round(z, 2).alias("z"),
         )
     )
+
+
+@query(
+    "hypertable_refresh",
+    oracle=r"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hypertable_refresh(spark, sf_dir):
+    """Incremental continuous-aggregate refresh, value-checked: build
+    the materialization from events BEFORE 2024-01-20, refresh it
+    with the raw slice at/after the high-water bucket, serve with no
+    tail. The oracle is the FULL aggregate over all events — so the
+    driver hash proves the incremental fold (recompute hwm bucket,
+    dynamic-overwrite only its partitions) equals a from-scratch
+    rebuild. HLL sketch column excluded (engine-specific bytes)."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.rollup import (
+        build_continuous_aggregate,
+        query_continuous_aggregate,
+        refresh_continuous_aggregate,
+    )
+
+    events = t(spark, sf_dir, "events")
+    cutoff = "2024-01-20 00:00:00"
+    tag = hashlib.md5(f"{sf_dir}refresh".encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_cagg_refresh_{tag}"
+    build_continuous_aggregate(events.filter(F.col("ts") < cutoff), path)
+    # refresh contract: all raw rows >= hwm (the last built bucket
+    # start, 01-19) — pass everything from the day before the cutoff
+    refresh_continuous_aggregate(
+        spark, events.filter(F.col("ts") >= "2024-01-19 00:00:00"), path
+    )
+    served = query_continuous_aggregate(spark, path, tail=None)
+    return served.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        "sum_value",
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+@query(
+    "upsert_merge_counts",
+    oracle=r"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 7 <> 0),
+    updates AS (
+      SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice + 1.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey, 'X' AS o_orderstatus, ROUND(o_totalprice + 1.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 = 0),
+    merged AS (
+      SELECT * FROM updates
+      UNION ALL
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates))
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def upsert_merge_counts(spark, sf_dir):
+    """Keyed upsert (operators/maintenance.py), value-checked: seed a
+    parquet table with orders whose key % 7 != 0, upsert a batch that
+    UPDATES overlapping keys in place (price + 1, partition value
+    unchanged — the partition-stability contract partition-scoped
+    upsert requires) and INSERTS the %35 keys into a new 'X'
+    partition. The oracle derives MERGE semantics relationally, so
+    the driver hash proves update-wins + insert + survivor semantics.
+    Price bump is +1.00 (2dp-exact), not *1.1 — a multiplier lands on
+    3-decimal half-way points where engines round differently."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import upsert_by_key
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    tag = hashlib.md5(f"{sf_dir}upsert".encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_upsert_{tag}"
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0)
+    updates = upd.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") + 1.0, 2).alias("o_totalprice"),
+    )
+    upsert_by_key(spark, path, updates, ["o_orderkey"], partition_col="o_orderstatus")
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
