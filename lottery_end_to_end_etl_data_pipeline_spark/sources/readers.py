@@ -48,7 +48,9 @@ def read_jdbc(
     With `partition_column` + bounds the read is split into
     `num_partitions` parallel range queries instead of a single
     connection — the only scalable way to lift a big table over JDBC.
-    Requires the JDBC driver jar on the classpath (not bundled here).
+    Needs the target's JDBC driver jar on the classpath; the test
+    suite exercises the full path (flat + partitioned-range) against
+    the Derby embedded driver Spark already bundles.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:

@@ -96,3 +96,36 @@ def test_orc_round_trip_partitioned_with_pushdown(spark, tmp_path):
         back.explain(True)
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "v" in plan  # predicate reaches the ORC scan
+
+
+def test_jdbc_round_trip_with_partitioned_read(spark, tmp_path):
+    """S12 exercised live: Spark bundles the Derby embedded driver
+    (its metastore engine), so the JDBC source/sink path runs for
+    real — including the partitioned-range read that splits the
+    table into parallel range queries."""
+    from pyspark.sql import functions as F
+
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.readers import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.range(0, 500).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS v")
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t_jdbc")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    plain = read_jdbc(spark, url, "t_jdbc", driver=driver)
+    assert plain.count() == 500
+
+    ranged = read_jdbc(
+        spark, url, "t_jdbc",
+        partition_column="id", num_partitions=4,
+        lower_bound=0, upper_bound=500, driver=driver,
+    )
+    assert ranged.rdd.getNumPartitions() == 4  # really split into range queries
+    assert ranged.count() == 500
+    assert ranged.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
