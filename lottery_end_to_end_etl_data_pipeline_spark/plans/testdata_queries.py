@@ -2380,3 +2380,63 @@ def upsert_merge_counts(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "corr_cov_stats",
+    oracle=r"""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(stddev_samp(l_quantity), 4) AS std_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def corr_cov_stats(spark, sf_dir):
+    """Statistical aggregate surface: grouped Pearson correlation,
+    sample covariance/stddev/variance — single-pass hash aggregate
+    with map-side partial moments (Spark and DuckDB both use
+    numerically-stable co-moment updates; results rounded to absorb
+    last-ulp accumulation-order differences)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "string_functions_surface",
+    oracle=r"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(levenshtein(substr(c_name, 1, 12), 'Customer#000')) AS BIGINT) AS lev_total,
+           MIN(reverse(c_name)) AS rev_min,
+           MAX(lpad(CAST(c_custkey % 997 AS VARCHAR), 6, '0')) AS pad_max,
+           MIN(translate(c_mktsegment, 'AEIOU', 'aeiou')) AS translated
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def string_functions_surface(spark, sf_dir):
+    """Portable string-function surface in one aggregate pass:
+    levenshtein (edit distance — fuzzy-match primitive), reverse,
+    lpad, translate. All JVM built-ins at scan speed; aggregates
+    chosen deterministic (SUM/MIN/MAX)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.levenshtein(F.substring("c_name", 1, 12), F.lit("Customer#000"))
+        ).cast("long").alias("lev_total"),
+        F.min(F.reverse("c_name")).alias("rev_min"),
+        F.max(F.lpad((F.col("c_custkey") % 997).cast("string"), 6, "0")).alias("pad_max"),
+        F.min(F.translate("c_mktsegment", "AEIOU", "aeiou")).alias("translated"),
+    )
