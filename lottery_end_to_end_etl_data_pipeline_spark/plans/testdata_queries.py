@@ -2440,3 +2440,60 @@ def string_functions_surface(spark, sf_dir):
         F.max(F.lpad((F.col("c_custkey") % 997).cast("string"), 6, "0")).alias("pad_max"),
         F.min(F.translate("c_mktsegment", "AEIOU", "aeiou")).alias("translated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation. The driver's CORRECTNESS gate hashes exactly the
+# first 50 entries of queries() in registry order; with 79+ registered,
+# 29 entries sat outside the window in rounds 1-2 and had only
+# mirror/pytest evidence (VERDICT r2, "Next round #1"). Promote those to
+# the front so CORRECTNESS_r03 carries hard driver rows for them; the
+# previously-green entries move behind and keep tools/check_oracle.py
+# (mirror) coverage, which runs the FULL registry every round.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW_PRIORITY = [
+    # never driver-checked through round 2 (registry order preserved):
+    "dedup_near_e2e",
+    "dedup_near_exact_cluster",
+    "rollup_flag_status",
+    "cube_priority_status",
+    "pivot_flag_by_status",
+    "percentiles_by_group",
+    "percentiles_by_group_approx",
+    "salted_join_skew",
+    "sql_string_interface",
+    "asof_join_latest_order",
+    "range_join_signup_windows",
+    "hypertable_rollup",
+    "stratified_sample_counts",
+    "train_test_split_counts",
+    "det_shuffle_head",
+    "sequence_packing_stats",
+    "decontaminate_containment",
+    "pii_redaction_counts",
+    "lag_lead_inter_event",
+    "ntile_price_deciles",
+    "sessionize_batch_30m",
+    "bm25_topk",
+    "full_outer_user_totals",
+    "correlated_exists_sql",
+    "rolling_zscore_anomalies",
+    "hypertable_refresh",
+    "upsert_merge_counts",
+    "corr_cov_stats",
+    "string_functions_surface",
+]
+
+
+def _promote_driver_window() -> None:
+    global QUERIES
+    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in QUERIES]
+    if missing:  # fail loudly at import — a typo here would silently
+        raise KeyError(f"driver-window priority names not registered: {missing}")
+    front = {n: QUERIES[n] for n in _DRIVER_WINDOW_PRIORITY}
+    rest = {n: fn for n, fn in QUERIES.items() if n not in front}
+    QUERIES = {**front, **rest}
+
+
+_promote_driver_window()
