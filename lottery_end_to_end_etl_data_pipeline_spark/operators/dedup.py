@@ -67,6 +67,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    frequent_broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
@@ -118,13 +119,26 @@ def ngram_jaccard_pairs(
         # themselves never shuffle for the cap; their only exchange is
         # the self-join's, computed once and read by both sides
         # (ReuseExchange).
+        #
+        # Broadcast guard: each frequent shingle owns > max_df
+        # postings, so |frequent| <= total_postings / max_df — a
+        # provable bound costing one cheap scan of the checkpointed
+        # frame, no extra shuffle. A tiny max_df (or a corpus of
+        # near-identical docs) can push the frequent set toward the
+        # full vocabulary; past the limit we drop the broadcast hint
+        # and let AQE pick the join strategy from runtime stats
+        # (auto-broadcast if actually small, skew-split sort-merge
+        # anti-join otherwise).
         frequent = (
             postings.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        postings = postings.join(F.broadcast(frequent), "shingle", "left_anti")
+        total_postings = sh.agg(F.sum(F.size("sh"))).first()[0] or 0
+        if total_postings // max(max_df, 1) <= frequent_broadcast_limit:
+            frequent = F.broadcast(frequent)
+        postings = postings.join(frequent, "shingle", "left_anti")
     a = postings.alias("a")
     b = postings.alias("b")
     inter = (

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,10 +72,13 @@ def upsert_by_key(
     the same partition can be lost. Single-writer pipelines (this
     engine's ingest model, like the reference's) are safe.
     """
+    # Catch AnalysisException ONLY (path absent / not a table): a bare
+    # except here would treat a corrupt footer or transient FS error as
+    # "table absent" and overwrite the table with just the update batch.
     try:
         existing = spark.read.parquet(path)
         table_exists = True
-    except Exception:
+    except AnalysisException:
         table_exists = False
 
     if not table_exists:

@@ -67,7 +67,10 @@ def pack_greedy_first_fit(
     close the current bin whenever adding the next doc would exceed
     the budget (docs longer than the budget get a bin of their own).
 
-    Output: input columns + bin_id (long, per-shard). State is O(1)
+    Output: (shard_col, key_col, token_col) + bin_id (long,
+    per-shard) — other input columns are dropped before the Arrow
+    transfer to keep batches narrow; callers re-join assignments on
+    the key. State is O(1)
     per shard walk; each shard's docs must fit one worker's Arrow
     batch stream — shard count controls that."""
     fields = df.select(shard_col, key_col, token_col).schema.fields

@@ -138,13 +138,25 @@ def refresh_continuous_aggregate(
     the difference between a refresh costing O(new data) and a
     rebuild costing O(history).
 
-    Contract (same as `query_continuous_aggregate`'s tail): `events`
-    must contain ALL raw rows with `ts >= hwm`. Rows older than the
-    hwm bucket are ignored (late data beyond the refresh horizon
-    needs a wider reprocess window — pass the full affected slice)."""
+    The recompute slice is widened to the full DAY containing the
+    hwm (the partition grain), not just `ts >= hwm`: dynamic
+    overwrite replaces whole `bucket_date` partitions, so with a
+    sub-day `bucket` (e.g. '1 hour') a bucket-grain slice would
+    replace the hwm day with only its tail hours, silently dropping
+    that day's earlier materialized buckets. With `bucket='1 day'`
+    the day floor equals the hwm and the slice is unchanged.
+
+    Contract: `events` must contain ALL raw rows with
+    `ts >= date_trunc('day', hwm)`. Rows older than that are ignored
+    (late data beyond the refresh horizon needs a wider reprocess
+    window — pass the full affected slice)."""
     mat = spark.read.parquet(path)
     hwm = mat.agg(F.max("bucket_start")).first()[0]
-    fresh = events.filter(F.col(ts_col) >= F.lit(hwm)) if hwm is not None else events
+    if hwm is not None:
+        day_floor = hwm.replace(hour=0, minute=0, second=0, microsecond=0)
+        fresh = events.filter(F.col(ts_col) >= F.lit(day_floor))
+    else:
+        fresh = events
     agg = (
         fresh.groupBy(
             time_bucket(ts_col, bucket).alias("bucket_start"), F.col(key_col)

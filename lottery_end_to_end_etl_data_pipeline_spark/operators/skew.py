@@ -58,15 +58,19 @@ def top_keys(df: DataFrame, key_col: str, n: int = 10) -> DataFrame:
     """Skew diagnosis: the n heaviest keys with their row counts and
     share of the table — run this before deciding on salting.
 
-    One scan of the base table: the total comes from an unpartitioned
-    window-sum over the (small, one-row-per-key) aggregate, not a
-    second `df.count()` pass."""
-    from pyspark.sql import Window
-
+    The total is a scalar aggregate of the per-key counts,
+    broadcast-cross-joined back onto them. NOT a
+    `Window.partitionBy()` sum: an unpartitioned window moves every
+    distinct key into a single task — the exact straggler shape this
+    module exists to diagnose, fatal when the key is high-cardinality.
+    The per-key aggregate's exchange is shared by both branches
+    (ReuseExchange), so the base table is still scanned once."""
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = F.sum("n_rows").over(Window.partitionBy())
+    total = counts.agg(F.sum("n_rows").alias("_total"))
     return (
-        counts.withColumn("share", F.round(F.col("n_rows") / total, 4))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 4))
+        .drop("_total")
         .orderBy(F.desc("n_rows"), F.asc(key_col))
         .limit(n)
     )

@@ -39,7 +39,11 @@ def asof_join(
     match, like DuckDB's `>=`.
 
     `tolerance_seconds` nulls matches older than the window (pandas
-    `tolerance`).
+    `tolerance`). The comparison is microsecond-exact
+    (`unix_micros`, the repo's timestamp-arithmetic discipline —
+    see `sessionize_batch`): a second-truncating cast would let a
+    sub-second overshoot (gap = tolerance + 0.4 s) still match,
+    diverging from pandas/DuckDB tolerance semantics.
     """
     lcols = left.columns
     l_tagged = left.select(
@@ -74,8 +78,8 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         in_window = (
-            F.col("_ts").cast("long") - F.col(f"_rmatch.{right_ts}").cast("long")
-        ) <= tolerance_seconds
+            F.unix_micros("_ts") - F.unix_micros(f"_rmatch.{right_ts}")
+        ) <= int(tolerance_seconds * 1_000_000)
         filled = filled.withColumn(
             "_rmatch", F.when(in_window, F.col("_rmatch"))
         )

@@ -118,3 +118,37 @@ def test_refresh_continuous_aggregate_is_incremental(spark, tmp_path):
     assert served == expected
     assert served[("2024-03-02", "view")] == (2, 7.0)
     assert served[("2024-03-03", "click")] == (1, 5.0)
+
+
+def test_refresh_subday_bucket_keeps_earlier_buckets(spark, tmp_path):
+    """Regression (ADVICE r2): with an hourly bucket, dynamic
+    overwrite replaces the whole hwm DAY partition — the refresh must
+    recompute from the start of that day, not just from the hwm
+    bucket, or the day's earlier hours are silently dropped."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.rollup import (
+        refresh_continuous_aggregate,
+    )
+
+    t0 = datetime.datetime(2024, 3, 1, 6, 0, 0)
+    rows = [
+        (t0, "click", 10, 1.0),                                  # 06:00 bucket
+        (t0 + datetime.timedelta(hours=4), "click", 11, 2.0),    # 10:00 bucket (hwm)
+    ]
+    path = str(tmp_path / "cagg_hourly")
+    build_continuous_aggregate(ev(spark, rows), path, bucket="1 hour")
+
+    # Refresh contract: events ⊇ all raw rows with ts >= day-floor(hwm)
+    # — same-day rows BEFORE the hwm bucket must be present and survive.
+    new_rows = rows + [
+        (t0 + datetime.timedelta(hours=4, minutes=30), "click", 12, 3.0),  # hwm bucket late row
+        (t0 + datetime.timedelta(hours=6), "view", 13, 4.0),               # new 12:00 bucket
+    ]
+    refresh_continuous_aggregate(spark, ev(spark, new_rows), path, bucket="1 hour")
+
+    served = {
+        (r["bucket_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in query_continuous_aggregate(spark, path, tail=None, bucket="1 hour").collect()
+    }
+    assert served[(6, "click")] == (1, 1.0)   # earlier-hour bucket survived the overwrite
+    assert served[(10, "click")] == (2, 5.0)  # hwm bucket recomputed with the late row
+    assert served[(12, "view")] == (1, 4.0)   # new bucket landed

@@ -90,6 +90,37 @@ def test_asof_join_tolerance(frames):
     assert got[(1, 4)] is None       # 4 min old → too stale
 
 
+def test_asof_tolerance_microsecond_boundary(spark):
+    """Tolerance must compare at microsecond grain: a gap of
+    tolerance + 0.4 s (or + 1 µs) is OUT, a gap of exactly tolerance
+    (or tolerance - 1 µs) is IN. A second-truncating cast would pass
+    the sub-second overshoots."""
+    us = datetime.timedelta(microseconds=1)
+    tol = 60  # seconds
+    quotes = spark.createDataFrame([(1, T0, 10.0)], ["k", "qts", "price"])
+    trades = spark.createDataFrame(
+        [
+            (1, T0 + datetime.timedelta(seconds=tol), 1),            # gap == tol → IN
+            (1, T0 + datetime.timedelta(seconds=tol) - us, 2),       # tol - 1 µs → IN
+            (1, T0 + datetime.timedelta(seconds=tol) + us, 3),       # tol + 1 µs → OUT
+            (1, T0 + datetime.timedelta(seconds=tol, milliseconds=400), 4),  # +0.4 s → OUT
+            (1, T0 + datetime.timedelta(seconds=tol, milliseconds=500), 5),  # +0.5 s → OUT
+        ],
+        ["k", "tts", "qty"],
+    )
+    got = {
+        r["qty"]: r["price"]
+        for r in asof_join(
+            trades, quotes, "k", "tts", "qts", ["price"], tolerance_seconds=tol
+        ).collect()
+    }
+    assert got[1] == 10.0
+    assert got[2] == 10.0
+    assert got[3] is None
+    assert got[4] is None
+    assert got[5] is None
+
+
 def test_range_join_binned(spark):
     points = spark.createDataFrame(
         [(1, ts(5)), (1, ts(50)), (2, ts(5)), (1, ts(200))], ["k", "pts"]
