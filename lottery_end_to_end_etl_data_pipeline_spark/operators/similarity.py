@@ -95,8 +95,10 @@ def knn_lsh(
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's sign-LSH
-    bucket. At 100 TB, persist `lsh_bucket` as a partition/bucket
-    column at write time so probing is a partition-pruned scan."""
+    bucket, computed in-flight (ad-hoc form — one full scan). For
+    repeated queries at 100 TB use `write_lsh_index` +
+    `knn_lsh_indexed`, which persist the bucket as a partition column
+    so probing is a partition-pruned scan instead."""
     planes = hyperplanes(len(qvec), n_planes, seed)
     qbucket = 0
     for i, p in enumerate(planes):
@@ -106,6 +108,70 @@ def knn_lsh(
         F.col("_bk") == qbucket
     )
     return knn_brute(bucketed, qvec, k, id_col, vec_col, exclude_id)
+
+
+def query_bucket(qvec: list[float], planes: list[list[float]]) -> int:
+    """The query vector's sign-LSH bucket id (driver-side scalar)."""
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(qvec, p)) >= 0:
+            qbucket |= 1 << i
+    return qbucket
+
+
+def hamming_neighbors(bucket: int, n_planes: int, radius: int = 1) -> list[int]:
+    """Bucket ids within Hamming distance `radius` of `bucket`
+    (multi-probe set: a vector near a hyperplane lands on either
+    side, so probing bit-flip neighbors recovers recall).
+    radius 0 → [bucket]; radius 1 → bucket + n_planes flips."""
+    out = {bucket}
+    frontier = {bucket}
+    for _ in range(radius):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(n_planes)} - out
+        out |= frontier
+    return sorted(out)
+
+
+def write_lsh_index(
+    df: DataFrame,
+    planes: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus partitioned by sign-LSH bucket — the
+    write-time index build the `knn_lsh` docstring promises
+    (mirrors `write_ivf_index`). Bucket assignment is a narrow map
+    stage (no shuffle: partitionBy on write splits files within each
+    task's partitions); a probe then reads ONLY the query bucket's
+    (± multi-probe neighbors') partitions via file-level partition
+    pruning, turning per-query cost from O(corpus) into
+    O(corpus / 2^n_planes x n_buckets_probed)."""
+    bucketed = df.withColumn("lsh_bucket", lsh_bucket(vec_col, planes))
+    bucketed.write.mode(mode).partitionBy("lsh_bucket").parquet(path)
+
+
+def knn_lsh_indexed(
+    spark,
+    index_path: str,
+    planes: list[list[float]],
+    qvec: list[float],
+    k: int = 10,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe a `write_lsh_index` table: exact cosine top-k over only
+    the query's bucket plus its Hamming-`probe_radius` neighbor
+    buckets (multi-probe LSH). The `isin` filter on the partition
+    column prunes at file-listing time — at 100 TB the scan touches
+    1 + n_planes of 2^n_planes partitions at radius 1, never the
+    corpus."""
+    qb = query_bucket(qvec, planes)
+    probe = hamming_neighbors(qb, len(planes), probe_radius)
+    df = spark.read.parquet(index_path).filter(F.col("lsh_bucket").isin(probe))
+    return knn_brute(df, qvec, k, id_col, vec_col, exclude_id)
 
 
 def ivf_assign(

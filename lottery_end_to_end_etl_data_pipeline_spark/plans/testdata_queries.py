@@ -1145,6 +1145,33 @@ def knn_lsh_cosine(spark, sf_dir):
     return knn_lsh(emb, qvec, k=10, n_planes=4, exclude_id=0)
 
 
+@query("knn_lsh_indexed_cosine")  # approximate (pruned probe) — rows-only check
+def knn_lsh_indexed_cosine(spark, sf_dir):
+    """Persisted sign-LSH index probe (the 100 TB scale path the
+    ad-hoc `knn_lsh` docstring names): corpus written partitioned by
+    `lsh_bucket` once, then the query reads ONLY its bucket plus
+    Hamming-1 neighbor buckets (multi-probe) via file-level partition
+    pruning — per-query cost O(corpus/2^n_planes x probes), never a
+    full scan. Pruning + recall are pytest-gated
+    (`test_lsh_index_probe_prunes_partitions`)."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        hyperplanes,
+        knn_lsh_indexed,
+        write_lsh_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planes = hyperplanes(len(qvec), n_planes=4, seed=42)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_lshidx_{tag}"
+    write_lsh_index(emb, planes, path)
+    return knn_lsh_indexed(spark, path, planes, qvec, k=10, probe_radius=1, exclude_id=0)
+
+
 @query("knn_ivf_cosine")  # approximate (IVF probe) — rows-only check
 def knn_ivf_cosine(spark, sf_dir):
     """IVF-indexed approximate top-10 (operators/similarity.py): the
@@ -2483,6 +2510,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "upsert_merge_counts",
     "corr_cov_stats",
     "string_functions_surface",
+    # new in round 3 — needs a driver row from day one:
+    "knn_lsh_indexed_cosine",
 ]
 
 

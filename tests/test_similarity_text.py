@@ -315,3 +315,90 @@ def test_normalize_text_nfc_and_junk_strip(spark):
     out = {r.id: r.text for r in normalize_text(df).collect()}
     assert out[0] == out[1] == composed + " tail"  # NFC + junk strip converge
     assert out[2] is None
+
+
+def test_hamming_neighbors():
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        hamming_neighbors,
+    )
+
+    assert hamming_neighbors(0b101, 3, radius=0) == [0b101]
+    assert hamming_neighbors(0b101, 3, radius=1) == sorted(
+        [0b101, 0b100, 0b111, 0b001]
+    )
+    # radius 2 over 3 planes = all but the bitwise complement
+    assert len(hamming_neighbors(0b101, 3, radius=2)) == 7
+
+
+def test_lsh_index_probe_prunes_partitions(spark, tmp_path):
+    """The persisted-LSH probe must be a partition-pruned scan (the
+    100 TB path promised by the knn_lsh docstring) and, at probe
+    radius 1 on a well-separated corpus, recover the brute-force
+    top-k."""
+    import contextlib
+    import io
+    import os
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        hamming_neighbors,
+        hyperplanes,
+        knn_brute,
+        knn_lsh_indexed,
+        query_bucket,
+        write_lsh_index,
+    )
+
+    rows = [
+        (i, [float(i % 7) / 7.0 - 0.5, float(i % 5) / 5.0 - 0.5,
+             float(i % 3) / 3.0 - 0.5, float(i % 11) / 11.0 - 0.5])
+        for i in range(200)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = hyperplanes(4, n_planes=3, seed=7)
+    path = str(tmp_path / "lsh")
+    write_lsh_index(corpus, planes, path)
+
+    # the write produced one directory per occupied bucket
+    parts = [d for d in os.listdir(path) if d.startswith("lsh_bucket=")]
+    assert len(parts) > 2
+
+    q = rows[13][1]
+    got = knn_lsh_indexed(spark, path, planes, q, k=5, probe_radius=1, exclude_id=13)
+    plan_buf = io.StringIO()
+    with contextlib.redirect_stdout(plan_buf):
+        got.explain("formatted")
+    plan = plan_buf.getvalue()
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan
+
+    # radius-1 multi-probe over 3 planes reads ≤ 4 of the buckets
+    probed = set(hamming_neighbors(query_bucket(q, planes), 3, 1))
+    assert len(probed) == 4
+
+    brute = [r["id"] for r in knn_brute(corpus, q, k=5, exclude_id=13).collect()]
+    ids = [r["id"] for r in got.collect()]
+    assert len(set(ids) & set(brute)) >= 3  # recall ≥ 0.6 at radius 1
+
+
+def test_lsh_index_probe_all_equals_brute(spark, tmp_path):
+    """Probing every bucket (radius = n_planes) must reproduce brute
+    force exactly — the index is a partition of the corpus."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        hyperplanes,
+        knn_brute,
+        knn_lsh_indexed,
+        write_lsh_index,
+    )
+
+    rows = [
+        (i, [float((i * 37) % 13) - 6.0, float((i * 17) % 11) - 5.0,
+             float((i * 7) % 5) - 2.0, float(i % 3) - 1.0])
+        for i in range(60)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = hyperplanes(4, n_planes=3, seed=3)
+    path = str(tmp_path / "lsh_all")
+    write_lsh_index(corpus, planes, path)
+    q = [1.0, -0.5, 0.25, 0.0]
+    got = [r["id"] for r in knn_lsh_indexed(spark, path, planes, q, k=8, probe_radius=3).collect()]
+    brute = [r["id"] for r in knn_brute(corpus, q, k=8).collect()]
+    assert got == brute
