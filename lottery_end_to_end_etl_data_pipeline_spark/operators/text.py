@@ -189,11 +189,12 @@ def bm25_scores(
     Plan shape: one explode of the tokenized corpus filtered to the
     query terms (postings for non-query terms never materialize),
     groupBy (doc, term) for tf, a broadcast of the tiny per-term df
-    table for idf, and a broadcast of the 1-row avgdl aggregate —
-    so the corpus shuffles once, on (doc, term), and everything else
-    is broadcast-joined. Returns (id, score) for docs matching ≥1
-    term; idf uses the Robertson-Sparck-Jones form
-    ln(1 + (N - df + 0.5)/(df + 0.5)).
+    table for idf, and a broadcast of the 1-row (avgdl, n_docs)
+    aggregate — both corpus scalars come out of ONE pass over the
+    doc lengths (no separate count job) — so the corpus shuffles
+    once, on (doc, term), and everything else is broadcast-joined.
+    Returns (id, score) for docs matching ≥1 term; idf uses the
+    Robertson-Sparck-Jones form ln(1 + (N - df + 0.5)/(df + 0.5)).
 
     The tokenization is localCheckpointed: three branches (doc
     length, postings explode, the count) would otherwise each
@@ -206,25 +207,26 @@ def bm25_scores(
         .localCheckpoint(eager=True)
     )
     dl = toks.select("id", F.size("tk").cast("double").alias("dl"))
-    n_docs = toks.count()
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    corpus_stats = dl.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
     postings = (
         toks.select("id", F.explode("tk").alias("term"))
         .filter(F.col("term").isin([t.lower() for t in query_terms]))
     )
     tf = postings.groupBy("id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = dfreq.select(
-        "term",
-        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     return (
-        tf.join(F.broadcast(idf), "term")
+        tf.join(F.broadcast(dfreq), "term")
         .join(dl, "id")
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(corpus_stats))
         .withColumn(
             "contrib",
-            F.col("idf")
+            idf
             * (F.col("tf") * (k1 + 1))
             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
