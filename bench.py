@@ -39,7 +39,9 @@ HEADLINE = [
     "knn_brute_cosine",
     "text_stats_by_lang",
     "asof_join_latest_order",
+    "asof_event_to_prior_purchase",
     "range_join_signup_windows",
+    "knn_lsh_indexed_cosine",
     "hypertable_rollup",
     "stratified_sample_counts",
     "sequence_packing_stats",

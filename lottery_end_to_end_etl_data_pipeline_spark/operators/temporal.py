@@ -46,13 +46,16 @@ def asof_join(
     diverging from pandas/DuckDB tolerance semantics.
     """
     lcols = left.columns
+    # the right payload carries right_ts for the tolerance check; don't
+    # duplicate the field when the caller also asks for it in right_cols
+    rfields = list(right_cols) + ([right_ts] if right_ts not in right_cols else [])
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*lcols).alias("_l"),
         F.lit(None).cast(
-            right.select(F.struct(*right_cols, F.col(right_ts)).alias("s")).schema["s"].dataType
+            right.select(F.struct(*rfields).alias("s")).schema["s"].dataType
         ).alias("_r"),
     )
     r_tagged = right.select(
@@ -62,7 +65,7 @@ def asof_join(
         F.lit(None).cast(
             left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
         ).alias("_l"),
-        F.struct(*right_cols, F.col(right_ts)).alias("_r"),
+        F.struct(*rfields).alias("_r"),
     )
     # right rows sort BEFORE left rows at equal ts (_is_left asc) so
     # an exactly-simultaneous right row is visible to the left row.
@@ -138,9 +141,13 @@ def sessionize_batch(
     session starts where the gap to the previous event exceeds
     `gap_minutes`; session id = running count of session starts.
 
-    Plan: ONE hash exchange on the key and one sort feed both the lag
-    and the running sum (same window spec → a single Window node);
-    the per-session aggregate reuses the (key)-partitioning. State is
+    Plan: ONE hash exchange on the key and ONE sort feed the whole
+    pipeline. The lag and the running sum plan as two Window nodes —
+    necessarily, since the running sum consumes the lag's output —
+    but both share the same partition/order spec, so the second
+    pipelines over the first's sorted partitions with no further
+    exchange or sort (plan-asserted in test_plans.py); the
+    per-session aggregate then reuses the (key)-partitioning. State is
     nothing — this is a pure window pipeline, so at 100 TB it scales
     with the shuffle, not with session count. Gap arithmetic in
     exact integer microseconds (`unix_micros`); ordering tie-broken

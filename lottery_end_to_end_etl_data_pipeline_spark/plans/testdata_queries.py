@@ -1684,6 +1684,65 @@ def asof_join_latest_order(spark, sf_dir):
 
 
 @query(
+    "asof_event_to_prior_purchase",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts AS pts, MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), j AS (
+      SELECT e.event_type,
+             CASE WHEN p.pts IS NOT NULL
+                   AND date_diff('microsecond', p.pts, e.ts) <= 3600000000
+                  THEN date_diff('microsecond', p.pts, e.ts) END AS gap_us
+      FROM events e ASOF LEFT JOIN purchases p
+        ON e.user_id = p.user_id AND e.ts >= p.pts
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_matched,
+           COUNT(*) - COUNT(gap_us) AS n_unmatched,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM j GROUP BY event_type
+    """,
+)
+def asof_event_to_prior_purchase(spark, sf_dir):
+    """Events-scale backward as-of join with tolerance: every event
+    (100k rows at sf0.1) attaches the same user's most recent
+    purchase within the last hour — left and right timestamps
+    genuinely interleave, so per-key forward-fill depth varies (the
+    construction the small `asof_join_latest_order` entry can't
+    exercise). Gap arithmetic is microsecond-exact (`unix_micros`
+    both engines); the oracle is DuckDB's native ASOF JOIN with the
+    tolerance applied as a post-filter, mirroring pandas
+    `merge_asof(tolerance=...)` semantics. All output measures are
+    exact integers — no float hash risk.
+
+    Scale: one window shuffle on user_id (union construction,
+    operators/temporal.py) feeding a hash aggregate — no non-equi
+    join anywhere."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id", "event_type")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    joined = asof_join(
+        left, right, "user_id", "ts", "pts",
+        ["purchase_id", "pts"], tolerance_seconds=3600,
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("pts")
+    return joined.groupBy("event_type").agg(
+        F.count("pts").alias("n_matched"),
+        (F.count(F.lit(1)) - F.count("pts")).alias("n_unmatched"),
+        F.sum(gap).cast("long").alias("sum_gap_us"),
+        F.max(gap).cast("long").alias("max_gap_us"),
+    )
+
+
+@query(
     "range_join_signup_windows",
     oracle="""
     SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT e.event_id) AS n_events_in_windows
@@ -2510,8 +2569,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "upsert_merge_counts",
     "corr_cov_stats",
     "string_functions_surface",
-    # new in round 3 — needs a driver row from day one:
+    # new in round 3 — need driver rows from day one:
     "knn_lsh_indexed_cosine",
+    "asof_event_to_prior_purchase",
 ]
 
 

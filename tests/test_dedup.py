@@ -197,3 +197,57 @@ def test_resolve_components_converged_matches_bounded_on_cliques(spark):
     b = {(r.id, r.rep) for r in resolve_components_converged(pairs).collect()}
     assert a == b
     assert {rep for _, rep in b} == {0, 10}
+
+
+def test_lsh_band_join_skew_split(spark):
+    """SCALE.md claims a pathological hot LSH bucket (boilerplate
+    corpus → every doc in one band bucket) is AQE skew-split rather
+    than one straggler task. Evidence at test scale: shrink the skew
+    thresholds so a 15x-skewed fixture trips the same
+    OptimizeSkewedJoin path that 256 MB partitions trip in
+    production, and assert the executed band join was split
+    (SortMergeJoin(skew=true) / AQEShuffleRead skewed) while the
+    pair output stays correct."""
+    from pyspark.sql import functions as F
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep the SMJ
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # enough partitions that the 4 hot band buckets concentrate in
+        # a few of them (with 4 partitions every partition carries a
+        # hot bucket and none exceeds the median — no skew to split)
+        "spark.sql.shuffle.partitions": "16",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        hot = [(i, "the exact same boilerplate text repeated everywhere") for i in range(1500)]
+        cold = [(10_000 + i, f"unique document {i} words {i * 7} {i * 13} nebula {i}") for i in range(40)]
+        df = spark.createDataFrame(hot + cold, ["doc_id", "text"])
+        pairs = minhash_lsh_pairs(df, num_hashes=16, bands=4, threshold=0.5)
+        out = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+        n_pairs = out.collect()[0]["n_pairs"]
+        # all identical docs pair up; no cross hot/cold pairs required
+        assert n_pairs >= 1500 * 1499 // 2
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        band_join = [
+            line for line in plan.splitlines()
+            if "SortMergeJoin" in line and "band" in line and "Final" not in line
+        ]
+        assert any("skew=true" in line for line in band_join), band_join
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

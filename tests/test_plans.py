@@ -167,3 +167,26 @@ def test_det_shuffle_head_is_take_ordered(spark):
     top-k-per-partition + merge, not a global sort."""
     plan = plan_of(QUERIES["det_shuffle_head"](spark, SF), "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sessionize_single_exchange_and_sort(spark):
+    """The lag and the running session-count must share one
+    partition/order spec: two Window nodes are inherent (the sum
+    consumes the lag's output) but they must pipeline over a SINGLE
+    exchange and a SINGLE sort — a second of either means a
+    duplicate-spec edit silently doubled the shuffle."""
+    plan = plan_of(QUERIES["sessionize_batch_30m"](spark, SF), "simple")
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort [") == 1
+
+
+def test_asof_events_single_window_no_nonequi_join(spark):
+    """The union–forward-fill as-of construction at events scale:
+    exactly one Window (per-key fill), no join of any kind for the
+    temporal match itself — the only joins allowed are none (union +
+    window + aggregate)."""
+    plan = plan_of(QUERIES["asof_event_to_prior_purchase"](spark, SF), "simple")
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
