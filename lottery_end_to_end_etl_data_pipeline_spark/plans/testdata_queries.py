@@ -1684,6 +1684,62 @@ def asof_join_latest_order(spark, sf_dir):
 
 
 @query(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def streaming_windowed_counts(spark, sf_dir):
+    """Structured Streaming, driver-checked end-to-end: events flow
+    through a real `readStream` file source into the watermarked
+    tumbling-window aggregation (`streaming/incremental.py::
+    windowed_event_counts`), drained with an AvailableNow trigger
+    into a complete-mode memory sink. A single-batch AvailableNow run
+    admits every row before any state eviction, so the streaming
+    result must equal the batch aggregate — which is exactly what the
+    DuckDB oracle computes, making this the hash-checked correctness
+    gate for the streaming path (previously pytest-only evidence).
+
+    Scale: the same plan runs unbounded with the 2 h watermark
+    bounding state; sinks swap for kafka/parquet in production."""
+    import hashlib
+
+    from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, "
+        "event_type string, value double, props string"
+    )
+    # the file stream source wants a directory; glob-filter to events
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = windowed_event_counts(stream)
+    name = "stream_wc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    spark.catalog.dropTempView(name)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
     "asof_event_to_prior_purchase",
     oracle="""
     WITH purchases AS (
@@ -2572,6 +2628,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # new in round 3 — need driver rows from day one:
     "knn_lsh_indexed_cosine",
     "asof_event_to_prior_purchase",
+    "streaming_windowed_counts",
 ]
 
 
