@@ -48,6 +48,7 @@ HEADLINE = [
     "decontaminate_containment",
     "pii_redaction_counts",
     "sessionize_batch_30m",
+    "streaming_windowed_counts",
     "lag_lead_inter_event",
     "bm25_topk",
     "full_outer_user_totals",

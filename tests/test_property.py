@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis): the composed-DataFrame operators
+are checked against independent reference implementations — pandas
+`merge_asof` for the as-of join, a pure-Python walk for sessionize,
+arithmetic invariants for packing — on randomized inputs, covering the
+edge shapes hand-written fixtures miss (empty sides, all-ties, single
+keys, boundary gaps)."""
+
+import datetime
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.packing import (
+    pack_contiguous,
+    pack_greedy_first_fit,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    sessionize_batch,
+)
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def ts(seconds: int) -> datetime.datetime:
+    return T0 + datetime.timedelta(seconds=seconds)
+
+
+# (key, ts-offset-seconds, payload)
+EVENT_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.integers(0, 1000)),
+    min_size=0,
+    max_size=30,
+)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(left=EVENT_ROWS, right=EVENT_ROWS, tol=st.one_of(st.none(), st.integers(1, 5000)))
+    def check(left, right, tol):
+        # unique left ids; right deduped per (key, ts) — the operator's
+        # documented tie contract (last-writer undefined otherwise)
+        lrows = [(k, ts(s), i) for i, (k, s, _) in enumerate(left)]
+        rseen = {}
+        for k, s, p in right:
+            rseen[(k, s)] = max(p, rseen.get((k, s), -1))
+        rrows = [(k, ts(s), p) for (k, s), p in rseen.items()]
+
+        ldf = spark.createDataFrame(lrows, "k int, lts timestamp, lid long") if lrows else None
+        if ldf is None:
+            return  # empty left: nothing to compare
+        if rrows:
+            rdf = spark.createDataFrame(rrows, "k int, rts timestamp, payload long")
+        else:
+            rdf = spark.createDataFrame([], "k int, rts timestamp, payload long")
+        got = {
+            r["lid"]: r["payload"]
+            for r in asof_join(
+                ldf, rdf, "k", "lts", "rts", ["payload"], tolerance_seconds=tol
+            ).collect()
+        }
+
+        lpd = pd.DataFrame(lrows, columns=["k", "lts", "lid"]).sort_values("lts", kind="mergesort")
+        rpd = pd.DataFrame(rrows, columns=["k", "rts", "payload"]).sort_values("rts", kind="mergesort")
+        if rpd.empty:
+            expected = {lid: None for lid in lpd["lid"]}
+        else:
+            merged = pd.merge_asof(
+                lpd,
+                rpd,
+                left_on="lts",
+                right_on="rts",
+                by="k",
+                direction="backward",
+                tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+            )
+            expected = {
+                row.lid: (None if pd.isna(row.payload) else int(row.payload))
+                for row in merged.itertuples()
+            }
+        assert got == expected
+
+    check()
+
+
+def test_sessionize_matches_python_reference(spark):
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(rows=EVENT_ROWS, gap_minutes=st.integers(1, 30))
+    def check(rows, gap_minutes):
+        # unique event ids for a deterministic order tie-break
+        events = [(k, ts(s), i, float(v)) for i, (k, s, v) in enumerate(rows)]
+        if not events:
+            return
+        df = spark.createDataFrame(
+            events, "user_id int, ts timestamp, event_id long, value double"
+        )
+        got = {
+            (r["user_id"], r["session_id"]): (
+                r["session_start"], r["session_end"], r["n_events"], r["sum_value"]
+            )
+            for r in sessionize_batch(df, gap_minutes=gap_minutes).collect()
+        }
+
+        # reference: per-key walk in (ts, event_id) order
+        expected = {}
+        by_key = {}
+        for k, t, eid, v in events:
+            by_key.setdefault(k, []).append((t, eid, v))
+        for k, evs in by_key.items():
+            evs.sort()
+            sid, start, last, n, sv = 0, None, None, 0, 0.0
+            for t, _eid, v in evs:
+                if last is None or (t - last) > datetime.timedelta(minutes=gap_minutes):
+                    if start is not None:
+                        expected[(k, sid)] = (start, last, n, round(sv, 2))
+                    sid, start, n, sv = sid + 1, t, 0, 0.0
+                last = t
+                n += 1
+                sv += v
+            expected[(k, sid)] = (start, last, n, round(sv, 2))
+        assert got == expected
+
+    check()
+
+
+def test_packing_invariants(spark):
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(
+        docs=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(1, 500)), min_size=1, max_size=40
+        ),
+        budget=st.integers(32, 512),
+    )
+    def check(docs, budget):
+        rows = [(shard, i, tok) for i, (shard, tok) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "shard int, key long, n_tokens long")
+
+        # contiguous packing: bin id == floor(exclusive prefix sum / budget)
+        got = {
+            r["key"]: r["bin_id"]
+            for r in pack_contiguous(df, "key", "n_tokens", budget).collect()
+        }
+        cum = {}
+        for shard, key, tok in sorted(rows, key=lambda r: (r[0], r[1])):
+            before = cum.get(shard, 0)
+            assert got[key] == before // budget
+            cum[shard] = before + tok
+
+        # greedy FFD: no bin over budget unless it is a single oversize
+        # doc; every doc assigned; bins contiguous per shard walk
+        packed = pack_greedy_first_fit(df, "key", "n_tokens", budget).collect()
+        assert len(packed) == len(rows)
+        bins = {}
+        for r in packed:
+            bins.setdefault((r["shard"], r["bin_id"]), []).append(r["n_tokens"])
+        for (_, _), toks in bins.items():
+            assert sum(toks) <= budget or len(toks) == 1
+
+    check()
