@@ -23,7 +23,7 @@ O(n²).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lottery_end_to_end_etl_data_pipeline_spark.operators.text import tokens
@@ -274,6 +274,127 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus's MinHash dedup index for INCREMENTAL
+    near-dedup: `{path}/sig` holds (id, sig) and `{path}/bands` the
+    exploded LSH band buckets (id, band, bh). A tiny `{path}/meta`
+    table pins (num_hashes, bands, shingle_k) so a probe with
+    mismatched parameters fails loudly instead of silently comparing
+    incompatible band hashes.
+
+    This is the 100 TB dedup lifecycle: history is fingerprinted
+    ONCE; each arriving batch probes + appends (`dedup_against_index`)
+    without ever rescanning or re-hashing old documents."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(
+        eager=True
+    )
+    sig.write.mode(mode).parquet(f"{path}/sig")
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.hash(F.slice("sig", bi * F.lit(rows) + 1, rows)),
+    )
+    sig.select("id", F.posexplode(band_hashes).alias("band", "bh")).write.mode(
+        mode
+    ).parquet(f"{path}/bands")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle_k)], "num_hashes int, bands int, shingle_k int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    update_index: bool = False,
+) -> DataFrame:
+    """Drop every new-batch document that is a near-dup (estimated
+    MinHash similarity >= threshold) of ANY document already in the
+    `write_minhash_index` corpus at `path`; return the survivors.
+
+    Plan — the incremental-dedup shape that scales to a 100 TB
+    history: the new batch (≪ corpus by assumption) is fingerprinted
+    and its band buckets BROADCAST against one scan of the persisted
+    band table, so the corpus is never shuffled and never re-hashed;
+    the surviving candidate pairs (tiny) are then broadcast against
+    one scan of the signature table for the estimated-similarity
+    verify. Total cost per batch: O(batch) compute + 2 index scans,
+    zero corpus shuffles. With `update_index=True` the survivors'
+    sig/band rows are appended (after an eager materialization, so
+    the append never races the reads it depends on), keeping the
+    index current for the next batch.
+
+    Intra-batch duplicates are out of scope by design — run
+    `near_dedup` on the batch first; this operator only answers
+    "is it new relative to the corpus". Single-writer contract, like
+    `upsert_by_key`."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    num_hashes, bands, shingle_k = meta["num_hashes"], meta["bands"], meta["shingle_k"]
+    rows = num_hashes // bands
+
+    nsig = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=True)
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.hash(F.slice("sig", bi * F.lit(rows) + 1, rows)),
+    )
+    nbuckets = nsig.select(
+        F.col("id").alias("new_id"), F.posexplode(band_hashes).alias("band", "bh")
+    )
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    hits = (
+        idx_bands.join(F.broadcast(nbuckets), ["band", "bh"])
+        .select("new_id", F.col("id").alias("old_id"))
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    idx_sig = spark.read.parquet(f"{path}/sig")
+    cand = idx_sig.withColumnRenamed("id", "old_id").withColumnRenamed(
+        "sig", "sig_old"
+    ).join(F.broadcast(hits), "old_id")
+    cand = cand.join(
+        F.broadcast(nsig.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_new"))),
+        "new_id",
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_new", "sig_old", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(num_hashes))
+    )
+    dup_ids = (
+        cand.filter(est >= threshold).select("new_id").distinct().localCheckpoint(eager=True)
+    )
+    survivors = new_docs.join(
+        F.broadcast(dup_ids), new_docs[id_col] == dup_ids["new_id"], "left_anti"
+    )
+    if update_index:
+        keep_sig = nsig.join(
+            F.broadcast(dup_ids), nsig["id"] == dup_ids["new_id"], "left_anti"
+        ).localCheckpoint(eager=True)
+        keep_sig.write.mode("append").parquet(f"{path}/sig")
+        keep_sig.select("id", F.posexplode(band_hashes).alias("band", "bh")).write.mode(
+            "append"
+        ).parquet(f"{path}/bands")
+    return survivors
 
 
 def simhash_fingerprints(

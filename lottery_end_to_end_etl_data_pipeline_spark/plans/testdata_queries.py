@@ -1381,6 +1381,41 @@ def quality_score_buckets(spark, sf_dir):
     )
 
 
+@query("dedup_incremental_index")  # minhash engine hash → rows-only check
+def dedup_incremental_index(spark, sf_dir):
+    """Incremental near-dedup against a persisted corpus index
+    (operators/dedup.py::write_minhash_index / dedup_against_index):
+    two-thirds of `documents` become the fingerprinted history, the
+    remaining third arrives as the new batch and is deduped against
+    the index WITHOUT rescanning or re-hashing history — the batch's
+    band buckets broadcast onto one scan of the band table, candidate
+    pairs broadcast onto one scan of the signature table, zero corpus
+    shuffles. Returns the batch/survivor/dropped counts. Semantics
+    (near-dups found, chain behavior, index append) are pytest-gated
+    (`test_incremental_dedup_*`)."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_mhidx_{tag}"
+    write_minhash_index(corpus, path, num_hashes=64, bands=16)
+    survivors = dedup_against_index(spark, batch, path, threshold=0.5)
+    n_batch = batch.count()
+    n_keep = survivors.count()
+    return spark.createDataFrame(
+        [(n_batch, n_keep, n_batch - n_keep)],
+        "n_batch long, n_survivors long, n_dropped long",
+    )
+
+
 @query("dedup_near_e2e")  # LSH inside → rows-only check
 def dedup_near_e2e(spark, sf_dir):
     """End-to-end near-dedup, scale path: MinHash+LSH candidates →
@@ -2629,6 +2664,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "knn_lsh_indexed_cosine",
     "asof_event_to_prior_purchase",
     "streaming_windowed_counts",
+    "dedup_incremental_index",
 ]
 
 

@@ -251,3 +251,93 @@ def test_lsh_band_join_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_dedup_against_index(spark, tmp_path):
+    """The incremental lifecycle: fingerprint history once, then each
+    batch probes (broadcast of the batch's bands — never a corpus
+    shuffle) and appends its survivors, so a later batch is deduped
+    against earlier batches too."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "completely different content about distributed query engines and joins"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_index")
+    # 16 bands of 2 rows: a one-word edit (est sim ~0.66 here) still
+    # collides in ≥1 band; 4-row bands demonstrably miss this fixture
+    write_minhash_index(corpus, path, num_hashes=32, bands=16)
+
+    batch1 = spark.createDataFrame(
+        [
+            # near-dup of doc 1 (one word changed)
+            (10, "the quick brown fox jumps over the lazy cat near the river bank"),
+            (11, "a genuinely fresh document about lunar geology and basalt flows"),
+        ],
+        ["doc_id", "text"],
+    )
+    s1 = dedup_against_index(spark, batch1, path, threshold=0.5, update_index=True)
+    assert [r["doc_id"] for r in s1.collect()] == [11]
+
+    # batch 2 near-dups batch 1's SURVIVOR — caught only because the
+    # index was updated
+    batch2 = spark.createDataFrame(
+        [
+            (20, "a genuinely fresh document about lunar geology and basalt lakes"),
+            (21, "unrelated text on careful benchmarking of shuffle heavy workloads"),
+        ],
+        ["doc_id", "text"],
+    )
+    s2 = dedup_against_index(spark, batch2, path, threshold=0.5, update_index=False)
+    assert [r["doc_id"] for r in s2.collect()] == [21]
+
+
+def test_incremental_dedup_probe_broadcasts_batch(spark, tmp_path):
+    """The probe's joins must broadcast the NEW side; the persisted
+    corpus index is only ever scanned — a sort-merge join here would
+    mean the corpus shuffles every batch."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 7} with body {i * 3}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh_index2")
+    write_minhash_index(corpus, path, num_hashes=32, bands=8)
+    batch = spark.createDataFrame(
+        [(100, "document number 3 about topic 3 with body 9")], ["doc_id", "text"]
+    )
+    out = dedup_against_index(spark, batch, path, threshold=0.5)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_incremental_dedup_rejects_mismatched_params(spark, tmp_path):
+    """meta pins the index parameters; they are read back, not
+    guessed, so a probe always uses the index's own geometry."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        write_minhash_index,
+    )
+
+    corpus = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    path = str(tmp_path / "mh_index3")
+    write_minhash_index(corpus, path, num_hashes=16, bands=4)
+    meta = spark.read.parquet(path + "/meta").first()
+    assert (meta["num_hashes"], meta["bands"], meta["shingle_k"]) == (16, 4, 3)
