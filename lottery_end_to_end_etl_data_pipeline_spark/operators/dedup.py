@@ -23,6 +23,7 @@ O(n²).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -298,6 +299,25 @@ def write_minhash_index(
     without ever rescanning or re-hashing old documents."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
+    spark = df.sparkSession
+    if mode == "append":
+        # validate BEFORE any write: appending rows of a DIFFERENT
+        # geometry would silently mix incomparable band hashes, and a
+        # late failure would leave the index partially appended
+        try:
+            meta = spark.read.parquet(f"{path}/meta").first()
+        except AnalysisException:  # no meta yet: first write
+            meta = None
+        if meta is not None and (
+            meta["num_hashes"],
+            meta["bands"],
+            meta["shingle_k"],
+        ) != (num_hashes, bands, shingle_k):
+            raise ValueError(
+                f"index at {path} has geometry (num_hashes={meta['num_hashes']}, "
+                f"bands={meta['bands']}, shingle_k={meta['shingle_k']}); "
+                f"append requested ({num_hashes}, {bands}, {shingle_k})"
+            )
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(
         eager=True
     )
@@ -309,7 +329,6 @@ def write_minhash_index(
     sig.select("id", F.posexplode(band_hashes).alias("band", "bh")).write.mode(
         mode
     ).parquet(f"{path}/bands")
-    spark = df.sparkSession
     spark.createDataFrame(
         [(num_hashes, bands, shingle_k)], "num_hashes int, bands int, shingle_k int"
     ).write.mode("overwrite").parquet(f"{path}/meta")

@@ -341,3 +341,23 @@ def test_incremental_dedup_rejects_mismatched_params(spark, tmp_path):
     write_minhash_index(corpus, path, num_hashes=16, bands=4)
     meta = spark.read.parquet(path + "/meta").first()
     assert (meta["num_hashes"], meta["bands"], meta["shingle_k"]) == (16, 4, 3)
+
+
+def test_index_append_rejects_mismatched_geometry(spark, tmp_path):
+    """Appending rows with a different (num_hashes, bands, shingle_k)
+    would silently mix incomparable band hashes — it must raise."""
+    import pytest as _pytest
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        write_minhash_index,
+    )
+
+    corpus = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    path = str(tmp_path / "mh_geom")
+    write_minhash_index(corpus, path, num_hashes=16, bands=4)
+    more = spark.createDataFrame([(2, "i j k l m n o p")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="geometry"):
+        write_minhash_index(more, path, num_hashes=32, bands=8, mode="append")
+    # same geometry appends fine
+    write_minhash_index(more, path, num_hashes=16, bands=4, mode="append")
+    assert spark.read.parquet(path + "/sig").count() == 2
