@@ -86,6 +86,23 @@ def train_test_split(
     )
 
 
+def k_fold(df: DataFrame, key_col: str, k: int = 5, out_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment by key hash: fold i ∈ [0, k)
+    holds ~1/k of the keys, and a key lands in the same fold in every
+    run and every engine (cross-validation without leakage across
+    pipeline re-executions). Narrow map stage — fold is a pure
+    function of the key.
+
+    Arithmetic is engine-portable EXACT math: md5-prefix value v <
+    2^32, so v*k < 2^53 is exact in a double, and v*k / 2^32 is a
+    power-of-two division (exact); floor of it matches integer
+    division in any engine."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = F.conv(_hash_bucket(F.col(key_col)), 16, 10).cast("long")
+    return df.withColumn(out_col, F.floor(v * k / F.lit(2**32)).cast("int"))
+
+
 def shuffle_key(key: Column, epoch: int | None = None) -> Column:
     """Full md5 of the key — the deterministic global shuffle order.
     `epoch` salts the key so each training epoch gets an independent

@@ -1977,6 +1977,35 @@ def train_test_split_counts(spark, sf_dir):
 
 
 @query(
+    "k_fold_counts",
+    oracle=r"""
+    SELECT CAST(FLOOR(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                      * 5 / 4294967296.0) AS INT) AS fold,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def k_fold_counts(spark, sf_dir):
+    """Deterministic k-fold assignment (operators/sampling.py::k_fold)
+    for leakage-free cross-validation: fold is a pure function of the
+    key (md5-prefix integer, exact power-of-two arithmetic in both
+    engines), so folds are stable across runs, partitionings, and
+    engines. Narrow stage + one aggregate shuffle."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import k_fold
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        k_fold(docs, "doc_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
     "det_shuffle_head",
     oracle=r"""
     SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
@@ -2665,6 +2694,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "asof_event_to_prior_purchase",
     "streaming_windowed_counts",
     "dedup_incremental_index",
+    "k_fold_counts",
 ]
 
 

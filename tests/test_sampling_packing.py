@@ -188,3 +188,22 @@ def test_epoch_salt_produces_independent_shuffles(docs):
     again = [r.doc_id for r in deterministic_shuffle(docs, "doc_id", 4, epoch=1)
              .select("doc_id").collect()]
     assert e1 == again                   # still reproducible
+
+
+def test_k_fold_deterministic_balanced(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import k_fold
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    folds = k_fold(df, "doc_id", k=5)
+    counts = {
+        r["fold"]: r["n"]
+        for r in folds.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == {0, 1, 2, 3, 4}
+    for n in counts.values():
+        assert abs(n - 1000) / 1000 < 0.1       # uniform to ~10%
+    again = {r["doc_id"]: r["fold"] for r in k_fold(df, "doc_id", k=5).collect()}
+    first = {r["doc_id"]: r["fold"] for r in folds.collect()}
+    assert first == again                       # pure function of the key
+    # folds partition the table: same keys, disjoint by construction
+    assert sum(counts.values()) == 5000
