@@ -18,7 +18,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -172,6 +172,65 @@ def knn_lsh_indexed(
     probe = hamming_neighbors(qb, len(planes), probe_radius)
     df = spark.read.parquet(index_path).filter(F.col("lsh_bucket").isin(probe))
     return knn_brute(df, qvec, k, id_col, vec_col, exclude_id)
+
+
+def cosine_cols(a_col: Column, b_col: Column) -> Column:
+    """Cosine between two array columns (both cast to double) — the
+    column-column analog of `cosine_to_query`, all JVM higher-order
+    functions, no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a_col, b_col, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return dot / (norm(a_col) * norm(b_col))
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Bulk exact kNN — the retrieval-eval shape: for EVERY query row,
+    the top-k corpus rows by cosine, in one pass.
+
+    Plan: the query table broadcasts (queries ≪ corpus by
+    assumption), every corpus partition scores its rows against all
+    queries locally (one corpus scan, no shuffle to score), then a
+    per-query window row_number on (ROUNDED cosine desc, corpus id)
+    takes the deterministic top-k — the only shuffle is the window's,
+    over the scored pairs. At 100 TB don't brute-force: pre-restrict
+    the corpus per query batch with the persisted index probes
+    (`knn_ivf` / `knn_lsh_indexed`) and feed the union of probed
+    cells here; this operator is the exact scorer + ranker either
+    way."""
+    q = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("_qv"))
+    c = corpus.select(F.col(c_id).alias("cid"), F.col(c_vec).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_same_id:
+        scored = scored.filter(F.col("qid") != F.col("cid"))
+    scored = scored.withColumn(
+        "cosine", F.round(cosine_cols(F.col("_cv"), F.col("_qv")), 4)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", "rnk")
+    )
 
 
 def ivf_assign(

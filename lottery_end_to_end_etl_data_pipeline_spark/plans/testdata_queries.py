@@ -1145,6 +1145,46 @@ def knn_lsh_cosine(spark, sf_dir):
     return knn_lsh(emb, qvec, k=10, n_planes=4, exclude_id=0)
 
 
+@query(
+    "knn_join_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.qid, c.vec_id AS cid,
+             round(
+               list_sum(list_transform(list_zip(c.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*x)))),
+             4) AS cosine
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.qid
+    ), ranked AS (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+      FROM scored
+    )
+    SELECT qid, cid, cosine, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def knn_join_topk(spark, sf_dir):
+    """Bulk exact kNN (operators/similarity.py::knn_join): every query
+    vector gets its top-3 corpus neighbors in ONE corpus scan —
+    queries broadcast, scoring is scan-local, the only shuffle is the
+    per-query window over scored pairs. Ranks on the ROUNDED cosine
+    with the corpus id as tie-break, so the cut line is deterministic
+    across engines (the repo's float-determinism discipline)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import knn_join
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = knn_join(queries, emb, k=3, exclude_same_id=True)
+    return out.withColumn("rnk", F.col("rnk").cast("int"))
+
+
 @query("knn_lsh_indexed_cosine")  # approximate (pruned probe) — rows-only check
 def knn_lsh_indexed_cosine(spark, sf_dir):
     """Persisted sign-LSH index probe (the 100 TB scale path the
@@ -2695,6 +2735,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "streaming_windowed_counts",
     "dedup_incremental_index",
     "k_fold_counts",
+    "knn_join_topk",
 ]
 
 

@@ -402,3 +402,43 @@ def test_lsh_index_probe_all_equals_brute(spark, tmp_path):
     got = [r["id"] for r in knn_lsh_indexed(spark, path, planes, q, k=8, probe_radius=3).collect()]
     brute = [r["id"] for r in knn_brute(corpus, q, k=8).collect()]
     assert got == brute
+
+
+def test_knn_join_matches_knn_brute_per_query(spark, vectors):
+    """knn_join restricted to one query row must reproduce knn_brute
+    exactly (same rounded scores, same deterministic order)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_brute,
+        knn_join,
+    )
+
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    joined = knn_join(q, vectors, k=3, exclude_same_id=True).collect()
+    got = [(r["cid"], r["cosine"]) for r in sorted(joined, key=lambda r: r["rnk"])]
+    qvec = [1.0, 0.0, 0.0, 0.0]
+    brute = [
+        (r["id"], r["cosine"])
+        for r in knn_brute(vectors, qvec, k=3, exclude_id=0).collect()
+    ]
+    assert got == brute
+
+
+def test_knn_join_broadcasts_queries(spark, vectors):
+    """The query side must broadcast — a shuffle join here would
+    reshuffle the corpus per query batch."""
+    import contextlib
+    import io
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import knn_join
+
+    q = vectors.limit(2).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = knn_join(q, vectors, k=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window [") == 1
