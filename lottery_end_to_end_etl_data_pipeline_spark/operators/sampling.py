@@ -133,3 +133,60 @@ def deterministic_shuffle(
     else:
         out = out.repartitionByRange("_shuffle_key")
     return out.sortWithinPartitions("_shuffle_key")
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Downsample to a target source/language mixture: keep as much
+    data as possible while the kept groups match `weights` (which
+    need not sum to 1 — only ratios matter). The binding group (the
+    one that runs out first at the target ratios) is kept whole;
+    every other group is hash-downsampled to match. Groups absent
+    from `weights` are dropped.
+
+    This is the corpus-mixing step of a training-data pipeline
+    (e.g. rebalancing web/books/code sources to a recipe): given
+    per-group counts n_g and weights w_g, the kept total is
+    N = min(n_g / w_g) and each group keeps fraction
+    f_g = min(1, w_g * N / n_g).
+
+    Scale shape: one aggregate pass for the per-group counts (tiny
+    result — group cardinality), a broadcast join of counts x
+    weights, a 1-row broadcast aggregate for the binding cap, then
+    the main scan filters on an md5-prefix threshold — membership is
+    a pure function of the key, so the sample is retry-stable,
+    engine-portable (the oracle runs the same predicate), and adds
+    ZERO shuffles to the data path (the per-group fraction arrives
+    by broadcast). The input is scanned twice (count + emit), same
+    as any SQL formulation; persist upstream if the input is itself
+    expensive.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, float(w)) for g, w in weights.items()],
+        f"{group_col} string, _w double",
+    )
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    j = counts.join(F.broadcast(wdf), on=group_col)
+    cap = j.filter(F.col("_w") > 0).agg(
+        F.min(F.col("_n") / F.col("_w")).alias("_cap")
+    )
+    frac = (
+        j.crossJoin(F.broadcast(cap))
+        .withColumn(
+            "_f",
+            F.least(F.lit(1.0), F.col("_w") * F.col("_cap") / F.col("_n")),
+        )
+        .select(group_col, "_f")
+    )
+    hash60 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    threshold = F.floor(F.col("_f") * F.lit(float(2**60))).cast("long")
+    return df.join(F.broadcast(frac), on=group_col).filter(hash60 < threshold).drop("_f")

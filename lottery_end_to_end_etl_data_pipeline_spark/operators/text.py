@@ -274,3 +274,81 @@ def normalize_text(
         return s.map(one)
 
     return df.withColumn(out_col or text_col, _norm(F.col(text_col)))
+
+
+def word_bigrams(text: Column | str) -> Column:
+    """Adjacent word 2-grams of the whitespace tokenization, joined
+    with a single space. Pure JVM higher-order functions (transform
+    with index + F.get), no explode and no UDF — a narrow per-row
+    expression. Empty array for docs with < 2 words."""
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.slice(toks, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.get(toks, i + 1)),
+    )
+    return grams
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-lineage repetition stats per document (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 repetition filters — public
+    paper): the boilerplate/loop detector that runs before training.
+
+    Adds:
+      - ``n_words``          whitespace token count
+      - ``dup_word_frac``    1 - distinct_words/total_words (narrow,
+                             per-row `array_distinct` — no shuffle)
+      - ``top_bigram_count`` occurrences of the most frequent word
+                             2-gram (ties broken by lexicographically
+                             greatest gram, so the result is
+                             deterministic across engines)
+      - ``top_bigram_frac``  top_bigram_count / (n_words - 1)
+
+    Scale shape: the bigram counts need a per-(doc, gram) aggregate —
+    explode feeds ONE hash aggregate keyed by (id, gram) with map-side
+    partial aggregation (a hot gram collapses within each task before
+    the exchange), then a second per-id aggregate and a keyed join
+    back to the narrow stats. Two exchanges total, both on keys whose
+    cardinality grows with the data (no single-reducer stage); AQE
+    handles a skewed doc. Docs with < 2 words get count 0 / frac 0.
+    """
+    base = df.withColumn("_toks", tokens(text_col)).withColumn(
+        "n_words", F.size("_toks")
+    )
+    narrow = base.withColumn(
+        "dup_word_frac",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                1.0
+                - F.size(F.array_distinct("_toks"))
+                / F.col("n_words").cast("double"),
+                4,
+            ),
+        ).otherwise(F.lit(0.0)),
+    ).drop("_toks")
+
+    grams = base.select(
+        F.col(id_col), F.explode(word_bigrams(F.col(text_col))).alias("gram")
+    )
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_top"),
+            F.sum("cnt").alias("_n_bigrams"),
+        )
+        .select(
+            id_col,
+            F.col("_top.cnt").alias("top_bigram_count"),
+            F.round(
+                F.col("_top.cnt") / F.col("_n_bigrams").cast("double"), 4
+            ).alias("top_bigram_frac"),
+        )
+    )
+    out = narrow.join(top, on=id_col, how="left")
+    return out.fillna({"top_bigram_count": 0, "top_bigram_frac": 0.0})

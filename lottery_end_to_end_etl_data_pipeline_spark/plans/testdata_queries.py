@@ -1421,6 +1421,82 @@ def quality_score_buckets(spark, sf_dir):
     )
 
 
+@query(
+    "repetition_filter_stats",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), narrow AS (
+      SELECT doc_id, lang, len(t) AS n_words,
+             CASE WHEN len(t) > 0
+                  THEN round(1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 4)
+                  ELSE 0.0 END AS dup_word_frac
+      FROM tk
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(list_zip(t[1:len(t) - 1], t[2:len(t)]),
+                                   p -> p[1] || ' ' || p[2])) AS gram
+      FROM tk WHERE len(t) >= 2
+    ), cnts AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, round(cnt / CAST(nb AS DOUBLE), 4) AS top_frac
+      FROM (SELECT doc_id, cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram DESC) AS rn,
+                   sum(cnt) OVER (PARTITION BY doc_id) AS nb
+            FROM cnts)
+      WHERE rn = 1
+    )
+    SELECT lang, band, count(*) AS n_docs,
+           round(avg(n_words), 2) AS avg_words,
+           CAST(SUM(CASE WHEN dup_word_frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive
+    FROM (
+      SELECT n.lang, n.n_words, n.dup_word_frac,
+             CASE WHEN coalesce(t.top_frac, 0) >= 0.2 THEN 'high'
+                  WHEN coalesce(t.top_frac, 0) >= 0.1 THEN 'mid'
+                  ELSE 'low' END AS band
+      FROM narrow n LEFT JOIN top t USING (doc_id))
+    GROUP BY 1, 2
+    """,
+)
+def repetition_filter_stats(spark, sf_dir):
+    """Gopher-lineage repetition filters
+    (operators/text.py::repetition_features): per-language bands by
+    top-bigram fraction plus the count of high-duplicate-word docs —
+    the boilerplate detector a training pipeline runs before
+    tokenization. Per-doc fractions are single-division doubles
+    rounded to 4dp (engine-deterministic), so the band cut lines and
+    the >= 0.5 dup-word count match DuckDB exactly; the only
+    cross-row aggregates are integer counts and an avg over exact
+    integer sums."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+        repetition_features,
+    )
+
+    feats = repetition_features(t(spark, sf_dir, "documents"))
+    band = (
+        F.when(F.col("top_bigram_frac") >= 0.2, "high")
+        .when(F.col("top_bigram_frac") >= 0.1, "mid")
+        .otherwise("low")
+    )
+    return (
+        feats.withColumn("band", band)
+        .groupBy("lang", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_words"), 2).alias("avg_words"),
+            F.sum(
+                F.when(F.col("dup_word_frac") >= 0.5, 1).otherwise(0)
+            ).alias("n_repetitive"),
+        )
+    )
+
+
 @query("dedup_incremental_index")  # minhash engine hash → rows-only check
 def dedup_incremental_index(spark, sf_dir):
     """Incremental near-dedup against a persisted corpus index
@@ -1986,6 +2062,51 @@ def stratified_sample_counts(spark, sf_dir):
     )
     return sampled.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "mixture_downsample_counts",
+    oracle=r"""
+    WITH w(lang, wt) AS (
+      VALUES ('en', 0.4), ('es', 0.2), ('fr', 0.2), ('de', 0.2)
+    ), c AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+    ), j AS (
+      SELECT c.lang, c.n, w.wt FROM c JOIN w USING (lang)
+    ), cap AS (
+      SELECT min(n / wt) AS cap FROM j WHERE wt > 0
+    ), f AS (
+      SELECT lang, LEAST(1.0, wt * (SELECT cap FROM cap) / n) AS f FROM j
+    )
+    SELECT d.lang, count(*) AS n_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN f ON d.lang = f.lang
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+          < CAST(floor(f.f * POW(2, 60)) AS UBIGINT)
+    GROUP BY 1
+    """,
+)
+def mixture_downsample_counts(spark, sf_dir):
+    """Corpus-mixture resampling
+    (operators/sampling.py::sample_to_mixture): rebalance `documents`
+    to a 40/20/20/20 en/es/fr/de recipe (zh dropped), keeping the
+    binding language whole and hash-downsampling the rest. The
+    per-group fraction f_g = min(1, w_g * min(n/w) / n_g) is the
+    same IEEE double arithmetic in both engines, and membership is
+    the same md5-prefix threshold — so the oracle reproduces the
+    EXACT kept set, not an approximation of it."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        sample_to_mixture,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    kept = sample_to_mixture(
+        docs, "lang", "doc_id", {"en": 0.4, "es": 0.2, "fr": 0.2, "de": 0.2}
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
 
@@ -2736,6 +2857,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_incremental_index",
     "k_fold_counts",
     "knn_join_topk",
+    "repetition_filter_stats",
+    "mixture_downsample_counts",
 ]
 
 

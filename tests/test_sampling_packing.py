@@ -207,3 +207,46 @@ def test_k_fold_deterministic_balanced(spark):
     assert first == again                       # pure function of the key
     # folds partition the table: same keys, disjoint by construction
     assert sum(counts.values()) == 5000
+
+
+def test_sample_to_mixture_recipe(spark):
+    """The binding group survives whole, other groups land near the
+    target ratios, unweighted groups are dropped, and the sample is
+    a pure function of the key (stable across runs)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        sample_to_mixture,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    weights = {"en": 0.4, "es": 0.2, "fr": 0.2, "de": 0.2}
+    kept = sample_to_mixture(docs, "lang", "doc_id", weights)
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    assert set(counts) == set(weights)  # zh dropped
+    orig = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    cap = min(orig[g] / w for g, w in weights.items())
+    binding = min(weights, key=lambda g: orig[g] / weights[g])
+    assert counts[binding] == orig[binding]  # kept whole
+    total = sum(counts.values())
+    for g, w in weights.items():
+        # hash sampling is exact-in-membership, approximate-in-count:
+        # expected w*cap docs, allow generous tolerance at n=500
+        assert abs(counts[g] - w * cap) <= 0.25 * w * cap + 3
+
+    again = {r["lang"]: r["n"] for r in sample_to_mixture(docs, "lang", "doc_id", weights)
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
+
+
+def test_sample_to_mixture_is_subset(spark):
+    """Every kept row is an input row (filter, never resample with
+    replacement) and all input columns survive."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        sample_to_mixture,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = sample_to_mixture(docs, "lang", "doc_id", {"en": 0.5, "es": 0.5})
+    assert set(kept.columns) == set(docs.columns)
+    assert kept.join(docs, on="doc_id", how="left_anti").count() == 0
+    assert kept.select("doc_id").distinct().count() == kept.count()

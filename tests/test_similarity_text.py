@@ -442,3 +442,50 @@ def test_knn_join_broadcasts_queries(spark, vectors):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Window [") == 1
+
+
+def test_repetition_features_exact_values(spark):
+    """Hand-checked Gopher repetition stats, including the <2-word
+    edge cases and the deterministic tie-break on the top bigram."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),  # bigrams: ab,ba,ab,ba,ab -> top 3/5
+            (1, "x y z"),  # all distinct; top bigram ties -> 'y z'
+            (2, "w"),  # no bigrams
+            (3, ""),  # no words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert rows[0]["dup_word_frac"] == 0.6667
+    assert rows[0]["top_bigram_count"] == 3
+    assert rows[0]["top_bigram_frac"] == 0.6
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[1]["top_bigram_count"] == 1
+    assert rows[2]["top_bigram_count"] == 0
+    assert rows[2]["top_bigram_frac"] == 0.0
+    assert rows[3]["n_words"] == 0
+    assert rows[3]["dup_word_frac"] == 0.0
+
+
+def test_repetition_features_bounded(spark):
+    """All fractions land in [0, 1] on real corpus text."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+        repetition_features,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = repetition_features(docs)
+    bad = feats.filter(
+        (F.col("dup_word_frac") < 0)
+        | (F.col("dup_word_frac") > 1)
+        | (F.col("top_bigram_frac") < 0)
+        | (F.col("top_bigram_frac") > 1)
+        | (F.col("top_bigram_count") > F.col("n_words"))
+    )
+    assert bad.count() == 0
+    assert feats.count() == docs.count()
