@@ -1,0 +1,141 @@
+"""Data-layout operators: Z-order (Morton) multi-dimensional
+clustering for scan pruning.
+
+At 100 TB the dominant cost of a query is how much of the table it
+must READ. A linear sort on one column gives perfect file/row-group
+pruning on that column and none on any other; interleaving the bits
+of two columns before range-partitioning gives every output file
+bounded min/max ranges on BOTH columns, so parquet min/max statistics
+prune selective predicates on either dimension. This is the layout
+trick behind Delta/Iceberg `OPTIMIZE ZORDER BY` (public docs), built
+here from Spark primitives: a pure bit-arithmetic z-value column
+(whole-stage codegen, no UDF) + `repartitionByRange` (distributed
+range exchange via sampling — NO single-reducer global sort) +
+`sortWithinPartitions`.
+
+Everything is deterministic integer math, so the z-value itself is
+oracle-checkable in any engine with shift/and/or operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Magic-number masks that spread the low 16 bits of an int across the
+# even bit positions of a 32-bit lane (classic Morton encoding).
+_SPREAD_STEPS = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _spread_bits(c: Column) -> Column:
+    x = c.cast("long").bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_STEPS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def z_value(a: Column | str, b: Column | str) -> Column:
+    """Morton z-value of two non-negative ints (low 16 bits each,
+    interleaved into 32 bits: a in even positions, b in odd). Pure
+    JVM bit arithmetic — a narrow codegen'd expression, identical in
+    every engine with shift/and/or ops."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _spread_bits(ca).bitwiseOR(F.shiftleft(_spread_bits(cb), 1))
+
+
+def scale_to_16bit(c: Column, lo: Column, hi: Column) -> Column:
+    """Linearly rescale `c` from [lo, hi] onto [0, 65535]. Exact
+    double arithmetic on integer inputs (< 2^53), so the bucket id is
+    engine-deterministic. Interleaving RAW values would let the
+    wider-range column dominate every high bit of the z-value
+    (degrading to a linear sort on it) — both dimensions must occupy
+    the same bit width first. For heavily SKEWED columns substitute a
+    quantile rank for the linear scale before calling `z_value`."""
+    span = (hi - lo + 1).cast("double")
+    return F.least(
+        F.lit(65535),
+        F.floor((c - lo).cast("double") * 65536.0 / span).cast("long"),
+    )
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    z_col: str = "_zvalue",
+) -> None:
+    """Write `df` clustered by the z-order of (col_a, col_b).
+
+    Plan: the global min/max of both columns come from ONE small
+    aggregate broadcast back onto the scan (no driver collect); the
+    normalized z-value is a narrow projection; `repartitionByRange`
+    on it is ONE range exchange (boundaries from a driver-side
+    sample — distributed, no single-reducer global sort);
+    `sortWithinPartitions` sorts each output task independently.
+    Every written file then covers a compact z-range, i.e. a bounded
+    rectangle in (col_a, col_b) space — parquet min/max stats prune
+    reads on EITHER column. The z column is kept in the files so
+    readers/maintenance can verify the layout."""
+    bounds = df.agg(
+        F.min(col_a).alias("_lo_a"),
+        F.max(col_a).alias("_hi_a"),
+        F.min(col_b).alias("_lo_b"),
+        F.max(col_b).alias("_hi_b"),
+    )
+    out = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            z_col,
+            z_value(
+                scale_to_16bit(F.col(col_a), F.col("_lo_a"), F.col("_hi_a")),
+                scale_to_16bit(F.col(col_b), F.col("_lo_b"), F.col("_hi_b")),
+            ),
+        )
+        .drop("_lo_a", "_hi_a", "_lo_b", "_hi_b")
+        .repartitionByRange(n_files, z_col)
+        .sortWithinPartitions(z_col)
+    )
+    out.write.mode("overwrite").parquet(path)
+
+
+def file_ranges(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max of each column plus its normalized span
+    (range / global range) — the pruning-power diagnostic: a column
+    whose average per-file span is << 1 can skip most files under a
+    selective predicate. One scan, one small aggregate keyed by file
+    name (file cardinality, not row cardinality)."""
+    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    per_file = df.groupBy("_file").agg(*aggs)
+    glob = df.agg(
+        *[
+            e
+            for c in cols
+            for e in (F.min(c).alias(f"_g_{c}_min"), F.max(c).alias(f"_g_{c}_max"))
+        ]
+    )
+    out = per_file.crossJoin(F.broadcast(glob))
+    for c in cols:
+        span = (F.col(f"{c}_max") - F.col(f"{c}_min")).cast("double")
+        gspan = (F.col(f"_g_{c}_max") - F.col(f"_g_{c}_min")).cast("double")
+        out = out.withColumn(f"{c}_span_frac", F.round(span / gspan, 4))
+    return out.drop(*[f"_g_{c}_min" for c in cols], *[f"_g_{c}_max" for c in cols])
+
+
+def avg_span_frac(ranges: DataFrame, col: str) -> float:
+    """Mean normalized per-file span for `col` — 1.0 means every file
+    covers the whole value range (no pruning possible), ~1/n_files
+    means near-perfect clustering. Driver-side scalar over a
+    file-cardinality DataFrame (bounded)."""
+    row = ranges.agg(F.avg(f"{col}_span_frac").alias("a")).collect()[0]
+    return float(row["a"])

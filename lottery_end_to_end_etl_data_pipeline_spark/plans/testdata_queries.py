@@ -2112,6 +2112,69 @@ def mixture_downsample_counts(spark, sf_dir):
 
 
 @query(
+    "zorder_cell_stats",
+    oracle=r"""
+    WITH b AS (
+      SELECT min(o_custkey) AS loa, max(o_custkey) AS hia,
+             min(o_orderkey) AS lob, max(o_orderkey) AS hib
+      FROM orders
+    ), n AS (
+      SELECT o_orderkey, o_custkey,
+        LEAST(65535, CAST(floor((o_custkey - loa) * 65536.0 / (hia - loa + 1)) AS BIGINT)) AS xa,
+        LEAST(65535, CAST(floor((o_orderkey - lob) * 65536.0 / (hib - lob + 1)) AS BIGINT)) AS xb
+      FROM orders, b
+    ), s1 AS (SELECT o_orderkey, o_custkey,
+        ((xa | (xa << 8)) & 16711935) AS a1, ((xb | (xb << 8)) & 16711935) AS b1 FROM n
+    ), s2 AS (SELECT o_orderkey, o_custkey,
+        ((a1 | (a1 << 4)) & 252645135) AS a2, ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1
+    ), s3 AS (SELECT o_orderkey, o_custkey,
+        ((a2 | (a2 << 2)) & 858993459) AS a3, ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2
+    ), s4 AS (SELECT o_orderkey, o_custkey,
+        ((a3 | (a3 << 1)) & 1431655765) AS a4, ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3
+    ), z AS (SELECT o_orderkey, o_custkey, (a4 | (b4 << 1)) AS zv FROM s4)
+    SELECT (zv >> 26) AS cell, count(*) AS n_rows,
+           min(o_custkey) AS c_min, max(o_custkey) AS c_max,
+           min(o_orderkey) AS o_min, max(o_orderkey) AS o_max
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_cell_stats(spark, sf_dir):
+    """Z-order layout cells (operators/layout.py::z_value +
+    scale_to_16bit): both order keys normalized to 16-bit lanes,
+    Morton-interleaved, grouped by the top 6 z bits — each cell is a
+    bounded rectangle in (custkey, orderkey) space, which is exactly
+    why a z-clustered write prunes scans on EITHER key. The whole
+    chain is integer/exact-double bit arithmetic, so DuckDB
+    reproduces the per-row z-value bit-for-bit."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.layout import (
+        scale_to_16bit,
+        z_value,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_custkey").alias("_loa"),
+        F.max("o_custkey").alias("_hia"),
+        F.min("o_orderkey").alias("_lob"),
+        F.max("o_orderkey").alias("_hib"),
+    )
+    z = orders.crossJoin(F.broadcast(bounds)).withColumn(
+        "_z",
+        z_value(
+            scale_to_16bit(F.col("o_custkey"), F.col("_loa"), F.col("_hia")),
+            scale_to_16bit(F.col("o_orderkey"), F.col("_lob"), F.col("_hib")),
+        ),
+    )
+    return z.groupBy(F.shiftright("_z", 26).alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_custkey").alias("c_min"),
+        F.max("o_custkey").alias("c_max"),
+        F.min("o_orderkey").alias("o_min"),
+        F.max("o_orderkey").alias("o_max"),
+    )
+
+
+@query(
     "train_test_split_counts",
     oracle=r"""
     SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
@@ -2859,6 +2922,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "knn_join_topk",
     "repetition_filter_stats",
     "mixture_downsample_counts",
+    "zorder_cell_stats",
 ]
 
 

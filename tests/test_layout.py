@@ -1,0 +1,107 @@
+"""Z-order layout: bit-level unit checks and the locality property
+that justifies the operator — every written file bounds BOTH
+dimensions, unlike a linear sort."""
+
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.layout import (
+    avg_span_frac,
+    file_ranges,
+    write_zorder,
+    z_value,
+)
+
+
+def test_z_value_bit_exact(spark):
+    rows = (
+        spark.range(1)
+        .select(
+            z_value(F.lit(1), F.lit(0)).alias("a"),
+            z_value(F.lit(0), F.lit(1)).alias("b"),
+            z_value(F.lit(3), F.lit(3)).alias("c"),
+            z_value(F.lit(0xFFFF), F.lit(0)).alias("d"),
+            z_value(F.lit(0), F.lit(0xFFFF)).alias("e"),
+            z_value(F.lit(0xFFFF), F.lit(0xFFFF)).alias("f"),
+        )
+        .collect()[0]
+    )
+    assert rows["a"] == 1  # a occupies even bits
+    assert rows["b"] == 2  # b occupies odd bits
+    assert rows["c"] == 15  # 0b1111
+    assert rows["d"] == 0x55555555
+    assert rows["e"] == 0xAAAAAAAA
+    assert rows["f"] == 0xFFFFFFFF
+
+
+def test_z_value_preserves_locality_ordering(spark):
+    """Nearby (a, b) points share z-prefixes: the four quadrants of
+    the normalized space map to the four top-bit cells in order."""
+    df = spark.createDataFrame(
+        [(0, 0), (0x7FFF, 0x7FFF), (0xFFFF, 0), (0, 0xFFFF), (0xFFFF, 0xFFFF)],
+        "a long, b long",
+    )
+    out = df.withColumn("z", z_value("a", "b")).collect()
+    quad = {(r["a"], r["b"]): r["z"] >> 30 for r in out}
+    assert quad[(0, 0)] == 0
+    assert quad[(0x7FFF, 0x7FFF)] == 0
+    assert quad[(0xFFFF, 0)] == 1  # high a, low b -> bit 30
+    assert quad[(0, 0xFFFF)] == 2  # low a, high b -> bit 31
+    assert quad[(0xFFFF, 0xFFFF)] == 3
+
+
+def test_write_zorder_bounds_both_dimensions(spark, tmp_path):
+    """Z-clustered files bound both columns; a linear sort bounds one
+    and leaves the other unprunable (span ~ 1.0 per file)."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    zp, lp = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zorder(orders, zp, "o_custkey", "o_orderkey", n_files=8)
+    (
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lp)
+    )
+    zr = file_ranges(spark, zp, ["o_custkey", "o_orderkey"])
+    lr = file_ranges(spark, lp, ["o_custkey", "o_orderkey"])
+
+    # no rows lost, z column present for layout verification
+    zread = spark.read.parquet(zp)
+    assert zread.count() == orders.count()
+    assert "_zvalue" in zread.columns
+
+    # both dimensions bounded under z-order (8 files -> theory 0.5 / 0.25)
+    assert avg_span_frac(zr, "o_custkey") < 0.7
+    assert avg_span_frac(zr, "o_orderkey") < 0.5
+    # the linear layout cannot prune the second column
+    assert avg_span_frac(lr, "o_orderkey") > 0.9
+    # and z-order beats it on that column by a wide margin
+    assert avg_span_frac(zr, "o_orderkey") < 0.5 * avg_span_frac(lr, "o_orderkey")
+
+
+def test_zorder_files_prunable_on_either_predicate(spark, tmp_path):
+    """Min/max file stats under z-order let a selective predicate on
+    EITHER column skip at least half the files."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "z")
+    write_zorder(orders, path, "o_custkey", "o_orderkey", n_files=8)
+    ranges = file_ranges(
+        spark, path, ["o_custkey", "o_orderkey"]
+    ).collect()
+    n_files = len(ranges)
+    assert n_files >= 4
+
+    lo_c = min(r["o_custkey_min"] for r in ranges)
+    hi_c = max(r["o_custkey_max"] for r in ranges)
+    lo_o = min(r["o_orderkey_min"] for r in ranges)
+    hi_o = max(r["o_orderkey_max"] for r in ranges)
+    probe_c = lo_c + (hi_c - lo_c) // 10  # a point near the low decile
+    probe_o = lo_o + (hi_o - lo_o) // 10
+
+    hit_c = sum(
+        1 for r in ranges if r["o_custkey_min"] <= probe_c <= r["o_custkey_max"]
+    )
+    hit_o = sum(
+        1 for r in ranges if r["o_orderkey_min"] <= probe_o <= r["o_orderkey_max"]
+    )
+    assert hit_c <= n_files // 2
+    assert hit_o <= n_files // 2
