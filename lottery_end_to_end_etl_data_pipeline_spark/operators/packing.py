@@ -110,3 +110,46 @@ def bin_stats(packed: DataFrame, token_col: str, budget: int, shard_col: str = "
         )
         .withColumn("fill_ratio", F.round(F.col("n_tokens") / F.lit(float(budget)), 4))
     )
+
+
+def write_token_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Materialize the training-serving layout: pack documents into
+    token-budget bins and write them Hive-partitioned by shard, with
+    a `_manifest` table of per-bin stats beside the data.
+
+    Pipeline: deterministic md5 shard assignment (narrow) → greedy
+    document-aligned packing per shard (one hash exchange on shard)
+    → re-join the bin assignment to the FULL rows on the key (the
+    packing kernel keeps Arrow batches narrow; the join restores
+    every input column) → `partitionBy(shard)` write, so a trainer
+    reading shard k touches exactly one directory, and bins inside a
+    file are contiguous (sorted by bin_id). The manifest is
+    file-count-sized, written last so its presence marks a complete
+    layout.
+
+    Returns the manifest DataFrame (shard, bin_id, n_docs, n_tokens,
+    fill_ratio)."""
+    sharded = with_shard(df, key_col, n_shards)
+    assignment = pack_greedy_first_fit(
+        sharded, key_col, token_col, budget
+    ).select("shard", key_col, "bin_id")
+    full = sharded.join(assignment, on=["shard", key_col])
+    (
+        full.repartition("shard")
+        .sortWithinPartitions("bin_id", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    packed = spark.read.parquet(path)
+    manifest = bin_stats(packed, token_col, budget)
+    manifest.write.mode("overwrite").parquet(f"{path}_manifest")
+    return spark.read.parquet(f"{path}_manifest")

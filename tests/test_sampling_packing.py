@@ -250,3 +250,51 @@ def test_sample_to_mixture_is_subset(spark):
     assert set(kept.columns) == set(docs.columns)
     assert kept.join(docs, on="doc_id", how="left_anti").count() == 0
     assert kept.select("doc_id").distinct().count() == kept.count()
+
+
+def test_write_token_shards_roundtrip(spark, tmp_path):
+    """Shard writer materializes every doc exactly once with all its
+    columns, respects the token budget per bin (oversized docs get a
+    bin of their own), and the manifest matches the data."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.packing import (
+        write_token_shards,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import token_count
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("n_tokens", token_count("text"))
+    )
+    path = str(tmp_path / "shards")
+    budget = 200
+    manifest = write_token_shards(
+        docs, path, key_col="doc_id", token_col="n_tokens", budget=budget, n_shards=4
+    )
+
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    assert set(back.columns) == set(docs.columns) | {"shard", "bin_id"}
+
+    # no bin over budget unless it holds a single oversized doc
+    bad = (
+        back.groupBy("shard", "bin_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("tot") > budget) & (F.col("n") > 1))
+    )
+    assert bad.count() == 0
+
+    # manifest agrees with the written data
+    m = {(r["shard"], r["bin_id"]): (r["n_docs"], r["n_tokens"]) for r in manifest.collect()}
+    d = {
+        (r["shard"], r["bin_id"]): (r["n"], r["tot"])
+        for r in back.groupBy("shard", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").cast("long").alias("tot"))
+        .collect()
+    }
+    assert m == d
+
+    # hive layout: one directory per shard
+    import os
+    dirs = [e for e in os.listdir(path) if e.startswith("shard=")]
+    assert len(dirs) == 4
