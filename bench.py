@@ -52,6 +52,10 @@ HEADLINE = [
     "lag_lead_inter_event",
     "bm25_topk",
     "full_outer_user_totals",
+    "knn_join_topk",
+    "repetition_filter_stats",
+    "mixture_downsample_counts",
+    "zorder_cell_stats",
 ]
 
 

@@ -190,3 +190,40 @@ def test_asof_events_single_window_no_nonequi_join(spark):
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_sampling_no_extra_shuffle_on_data_path(spark):
+    """The per-group fraction must reach the main scan by broadcast:
+    the big side is filtered, never hash-exchanged."""
+    plan = plan_of(QUERIES["mixture_downsample_counts"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_two_keyed_exchanges(spark):
+    """Bigram counting is two hash aggregates plus one keyed join —
+    no global (single-partition) exchange anywhere."""
+    plan = plan_of(QUERIES["repetition_filter_stats"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_single_window_no_shuffle_scoring(spark):
+    """Scoring is scan-local (queries broadcast); the window over
+    scored pairs is the only wide stage before the final agg."""
+    plan = plan_of(QUERIES["knn_join_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_cell_stats_broadcast_bounds(spark):
+    """Global min/max bounds arrive by broadcast (1-row aggregate) —
+    the z projection itself is narrow whole-stage codegen."""
+    plan = plan_of(QUERIES["zorder_cell_stats"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds cross join
+    # one hash exchange (final groupBy); the only SinglePartition
+    # exchange is the 1-row bounds aggregate
+    assert plan.count("hashpartitioning") == 1
+    assert plan.count("SinglePartition") == 1
+    assert "SortMergeJoin" not in plan
