@@ -353,3 +353,78 @@ def kmeans_cost(
     return float(
         df.select(F.avg(F.lit(1.0) - best).alias("cost")).collect()[0]["cost"]
     )
+
+
+def l2_normalize(vec_col: Column | str) -> Column:
+    """Unit-norm an array column (all-double HOFs, narrow, no UDF).
+    After L2 normalization cosine == dot product, which lets ANN
+    probes and the gram-matrix kernel skip the per-pair norm
+    divisions. Zero vectors pass through unchanged (no divide-by-
+    zero NaN poisoning)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return F.when(nrm == 0.0, F.transform(c, lambda x: x.cast("double"))).otherwise(
+        F.transform(c, lambda x: x.cast("double") / nrm)
+    )
+
+
+def dimension_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension mean/std/min/max across the corpus — the
+    feature-health diagnostic (dead dimensions, scale drift between
+    embedding-model versions) and the input to z-score whitening.
+
+    Scale shape: `posexplode` fans each vector into (dim, value)
+    rows, then ONE hash aggregate keyed by dim — map-side partial
+    aggregation reduces each task to at most `dim` rows before the
+    exchange, so shuffle volume is executors x dims regardless of
+    corpus size. Output cardinality = dims."""
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("val").alias("mean"),
+        F.stddev_pop("val").alias("std"),
+        F.min("val").alias("vmin"),
+        F.max("val").alias("vmax"),
+    )
+
+
+def zscore_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """Whiten each dimension to zero mean / unit variance using
+    corpus statistics: per-dim stats (dims-cardinality aggregate)
+    are collapsed to mean/std ARRAYS in a 1-row broadcast, then one
+    narrow `zip_with` pass rescales every vector — the corpus is
+    scanned twice (stats + rescale) but shuffled never. Dimensions
+    with zero variance map to 0.0 (not NaN)."""
+    stats = dimension_stats(df, vec_col)
+    packed = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mean", "std"))
+        ).alias("_s")
+    ).select(
+        F.transform("_s", lambda s: s["mean"]).alias("_means"),
+        F.transform("_s", lambda s: s["std"]).alias("_stds"),
+    )
+    rescaled = F.zip_with(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.col("_means"),
+            lambda x, m: x - m,
+        ),
+        F.col("_stds"),
+        lambda d, s: F.when(s == 0.0, F.lit(0.0)).otherwise(d / s),
+    )
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn(out_col or vec_col, rescaled)
+        .drop("_means", "_stds")
+    )

@@ -1185,6 +1185,44 @@ def knn_join_topk(spark, sf_dir):
     return out.withColumn("rnk", F.col("rnk").cast("int"))
 
 
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT (generate_subscripts(embedding, 1) - 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    )
+    SELECT dim, count(*) AS n,
+           round(avg(val), 6) AS mean,
+           round(stddev_pop(val), 6) AS std,
+           round(min(val), 6) AS vmin,
+           round(max(val), 6) AS vmax
+    FROM e GROUP BY 1
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension corpus statistics
+    (operators/similarity.py::dimension_stats): the embedding-health
+    diagnostic and z-score-whitening input. posexplode feeds ONE
+    hash aggregate keyed by dim — partial aggregation caps shuffle
+    volume at executors x dims independent of corpus size."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        dimension_stats,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    st = dimension_stats(emb)
+    return st.select(
+        "dim",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+    )
+
+
 @query("knn_lsh_indexed_cosine")  # approximate (pruned probe) — rows-only check
 def knn_lsh_indexed_cosine(spark, sf_dir):
     """Persisted sign-LSH index probe (the 100 TB scale path the
@@ -2992,6 +3030,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "mixture_downsample_counts",
     "zorder_cell_stats",
     "streaming_enriched_counts",
+    "embedding_dim_stats",
 ]
 
 

@@ -489,3 +489,63 @@ def test_repetition_features_bounded(spark):
     )
     assert bad.count() == 0
     assert feats.count() == docs.count()
+
+
+def test_l2_normalize_unit_norms_and_zero_safe(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        l2_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "id long, embedding array<double>",
+    )
+    out = {r["id"]: r["e"] for r in df.select("id", l2_normalize("embedding").alias("e")).collect()}
+    assert out[0] == [0.6, 0.8]
+    assert out[1] == [0.0, 0.0]  # zero vector untouched, no NaN
+    assert out[2] == [1.0, 0.0]
+
+
+def test_l2_normalize_makes_cosine_a_dot_product(spark, vectors):
+    """After L2 normalization the cosine ranking equals the raw-dot
+    ranking — the identity ANN probes rely on."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_brute,
+        l2_normalize,
+    )
+
+    normed = vectors.withColumn("embedding", l2_normalize("embedding"))
+    q = [1.0, 0.0, 0.0, 0.0]
+    a = [(r["id"], r["cosine"]) for r in knn_brute(vectors, q, k=5).collect()]
+    b = [(r["id"], r["cosine"]) for r in knn_brute(normed, q, k=5).collect()]
+    assert a == b  # cosine is scale-invariant
+
+
+def test_zscore_normalize_whitens_dimensions(spark):
+    from pyspark.sql import functions as F
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        dimension_stats,
+        zscore_normalize,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    z = zscore_normalize(emb)
+    assert z.count() == emb.count()
+    st = dimension_stats(z).collect()
+    for r in st:
+        assert abs(r["mean"]) < 1e-9
+        assert abs(r["std"] - 1.0) < 1e-9
+
+
+def test_zscore_constant_dimension_maps_to_zero(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        zscore_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, 7.0])], "id long, embedding array<double>"
+    )
+    out = {r["id"]: r["embedding"] for r in zscore_normalize(df).collect()}
+    assert out[0][0] == 0.0 and out[1][0] == 0.0  # zero-variance dim
+    assert out[0][1] == -1.0 and out[1][1] == 1.0
