@@ -2585,6 +2585,94 @@ def ntile_price_deciles(spark, sf_dir):
 
 
 @query(
+    "window_function_surface",
+    oracle=r"""
+    WITH w AS (
+      SELECT c_nationkey,
+             percent_rank() OVER win AS pr,
+             cume_dist() OVER win AS cd,
+             first_value(c_custkey) OVER winf AS fv,
+             last_value(c_custkey) OVER winf AS lv,
+             nth_value(c_custkey, 3) OVER winf AS nv
+      FROM customer
+      WINDOW win AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+             winf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT c_nationkey, COUNT(*) AS n,
+           round(avg(pr), 6) AS avg_pr,
+           round(avg(cd), 6) AS avg_cd,
+           min(fv) AS first_cust, min(lv) AS last_cust, min(nv) AS third_cust
+    FROM w GROUP BY 1
+    """,
+)
+def window_function_surface(spark, sf_dir):
+    """Ranking/navigation window surface in one partitioned pass:
+    percent_rank, cume_dist (running frame) and first/last/nth_value
+    (explicit full frame — the default running frame makes
+    last_value the current row, a classic cross-engine trap this
+    entry pins down). One hash exchange on the partition key; the
+    unique (acctbal, custkey) sort order makes every value
+    deterministic."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    enriched = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first_value("c_custkey").over(wf).alias("fv"),
+        F.last_value("c_custkey").over(wf).alias("lv"),
+        F.nth_value("c_custkey", 3).over(wf).alias("nv"),
+    )
+    return enriched.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("pr"), 6).alias("avg_pr"),
+        F.round(F.avg("cd"), 6).alias("avg_cd"),
+        F.min("fv").alias("first_cust"),
+        F.min("lv").alias("last_cust"),
+        F.min("nv").alias("third_cust"),
+    )
+
+
+@query(
+    "set_ops_surface",
+    oracle="""
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+      SELECT c_custkey FROM customer
+      INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'intersect_all', COUNT(*) FROM (
+      SELECT c_nationkey FROM customer
+      INTERSECT ALL SELECT n_nationkey FROM nation)
+    UNION ALL
+    SELECT 'except_all', COUNT(*) FROM (
+      SELECT o_custkey FROM orders
+      EXCEPT ALL SELECT c_custkey FROM customer)
+    """,
+)
+def set_ops_surface(spark, sf_dir):
+    """Set-operation surface: INTERSECT (distinct), INTERSECT ALL
+    (bag semantics — duplicates survive to multiplicity), EXCEPT ALL
+    (per-occurrence subtraction). Each is one shuffle on the full
+    row key; Spark plans them as aggregates/joins under the hood —
+    the entry pins the bag-vs-set semantics against DuckDB."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    a = cust.select("c_custkey").intersect(orders.select("o_custkey"))
+    b = cust.select("c_nationkey").intersectAll(
+        nation.select("n_nationkey")
+    )
+    c = orders.select("o_custkey").exceptAll(cust.select("c_custkey"))
+    rows = [
+        ("intersect", a.count()),
+        ("intersect_all", b.count()),
+        ("except_all", c.count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n long")
+
+
+@query(
     "sessionize_batch_30m",
     oracle=r"""
     WITH flagged AS (
@@ -3031,6 +3119,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "zorder_cell_stats",
     "streaming_enriched_counts",
     "embedding_dim_stats",
+    "window_function_surface",
+    "set_ops_surface",
 ]
 
 
