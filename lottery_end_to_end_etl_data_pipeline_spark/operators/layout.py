@@ -139,3 +139,65 @@ def avg_span_frac(ranges: DataFrame, col: str) -> float:
     file-cardinality DataFrame (bounded)."""
     row = ranges.agg(F.avg(f"{col}_span_frac").alias("a")).collect()[0]
     return float(row["a"])
+
+
+def rank_bucket(df: DataFrame, col: str, bits: int = 8) -> Column:
+    """Quantile-rank bucket of a (possibly skewed) numeric column:
+    values map to their approximate rank bucket in [0, 2^bits), so
+    every bucket holds ~the same row count no matter how skewed the
+    distribution — the pre-step that keeps a z-order balanced when a
+    dimension is heavy-tailed (linear min/max scaling would cram most
+    rows into a few codes and starve the interleave of entropy).
+
+    Boundaries come from `approxQuantile` (Greenwald-Khanna sketch:
+    one pass, mergeable partials, driver receives 2^bits scalars —
+    bounded). Assignment is a per-row O(2^bits) JVM fold over the
+    broadcast boundary array — no shuffle, no UDF. Ties across a
+    boundary share a bucket (quantiles of heavily-duplicated values
+    collapse), which is correct for layout purposes."""
+    n_b = 1 << bits
+    probs = [i / n_b for i in range(1, n_b)]
+    cuts = df.approxQuantile(col, probs, 0.001)
+    # strictly increasing boundary list (duplicate quantiles collapse)
+    uniq: list[float] = []
+    for c in cuts:
+        if not uniq or c > uniq[-1]:
+            uniq.append(c)
+    bound_arr = F.array(*[F.lit(float(b)) for b in uniq])
+    x = F.col(col).cast("double")
+    rank = F.aggregate(
+        bound_arr,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(x >= b, 1).otherwise(0),
+    )
+    # Ties collapse boundaries, leaving ranks in [0, len(uniq)]; spread
+    # them back over the full [0, 2^bits) so the TOP bits of the code
+    # stay population-balanced — that's where the z-interleave splits
+    # first, so unbalanced high bits would defeat the whole exercise.
+    return F.floor(rank * n_b / F.lit(len(uniq) + 1)).cast("long")
+
+
+def write_zorder_ranked(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    n_files: int = 8,
+    z_col: str = "_zvalue",
+) -> None:
+    """Skew-resistant variant of `write_zorder`: both dimensions are
+    quantile-rank-bucketed (equal-population codes) before the Morton
+    interleave, so a heavy-tailed column still contributes balanced
+    bits to every level of the z-curve. Costs one extra pass per
+    column for the quantile sketch; the write plan is identical
+    (range exchange + per-task sort, no global sort)."""
+    out = (
+        df.withColumn("_ra", rank_bucket(df, col_a, bits))
+        .withColumn("_rb", rank_bucket(df, col_b, bits))
+        .withColumn(z_col, z_value(F.col("_ra"), F.col("_rb")))
+        .drop("_ra", "_rb")
+        .repartitionByRange(n_files, z_col)
+        .sortWithinPartitions(z_col)
+    )
+    out.write.mode("overwrite").parquet(path)

@@ -105,3 +105,63 @@ def test_zorder_files_prunable_on_either_predicate(spark, tmp_path):
     )
     assert hit_c <= n_files // 2
     assert hit_o <= n_files // 2
+
+
+def test_rank_bucket_balances_skewed_column(spark):
+    """The invariant the skew-resistant z-order rests on: quantile
+    rank bucketing gives ~equal-population codes on a heavy-tailed
+    column, where linear min/max scaling crams most rows into a few
+    codes (starving the interleave of entropy). The pruning payoff
+    follows at real file counts; the code balance is testable at any
+    scale."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.layout import (
+        rank_bucket,
+        scale_to_16bit,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").withColumn(
+        "skewed", (F.col("o_custkey") ** 3).cast("long")
+    )
+    total = orders.count()
+
+    ranked = orders.withColumn("code", rank_bucket(orders, "skewed", bits=8))
+    r_max = (
+        ranked.groupBy("code").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+
+    bounds = orders.agg(
+        F.min("skewed").alias("lo"), F.max("skewed").alias("hi")
+    )
+    linear = orders.crossJoin(F.broadcast(bounds)).withColumn(
+        "code",
+        F.shiftright(
+            scale_to_16bit(F.col("skewed"), F.col("lo"), F.col("hi")), 8
+        ),  # top 8 bits -> 256 codes, comparable to bits=8
+    )
+    l_max = (
+        linear.groupBy("code").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+
+    # linear scaling: the cubic pile-up at 0 puts >10% of rows in one
+    # code; rank bucketing keeps every code under 3%
+    assert l_max / total > 0.10
+    assert r_max / total < 0.03
+
+
+def test_write_zorder_ranked_roundtrip(spark, tmp_path):
+    """Ranked z-order write preserves rows and keeps both dimensions
+    bounded per file (same layout contract as the linear variant)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.layout import (
+        avg_span_frac,
+        file_ranges,
+        write_zorder_ranked,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "zr")
+    write_zorder_ranked(orders, path, "o_custkey", "o_orderkey", bits=8, n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    r = file_ranges(spark, path, ["o_custkey", "o_orderkey"])
+    assert avg_span_frac(r, "o_custkey") < 0.7
+    assert avg_span_frac(r, "o_orderkey") < 0.6
