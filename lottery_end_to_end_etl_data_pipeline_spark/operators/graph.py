@@ -1,0 +1,117 @@
+"""Graph operators over edge-list DataFrames: PageRank power
+iteration and degree statistics.
+
+Why a graph module in a training-data engine: the kNN similarity
+graph over document embeddings (built with
+`operators.similarity.knn_join`) is a standard corpus-curation
+substrate — centrality picks representative documents, low-centrality
+tails surface outliers, and domain-graph authority is a quality
+weighting signal (public lineage: PageRank, Brin & Page 1998).
+
+Scale shape: everything is edge-list relational algebra — each power
+iteration is ONE join (ranks onto edge sources) + ONE aggregate
+(contributions by destination), both hash-partitioned by node id, so
+an iteration costs two exchanges over the EDGE list regardless of
+iteration count. Lineage is truncated with eager `localCheckpoint`
+per round (the `resolve_components_converged` lesson at
+`dedup.py:642-645`: iterated join plans otherwise grow and re-derive
+every prior round). Dangling-node mass and the teleport term use
+1-row broadcast aggregates — no driver-side loops over data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node in/out degree via one aggregate per direction and a
+    full outer merge — node-cardinality output."""
+    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_deg = edges.groupBy(F.col(dst).alias("id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_deg.join(in_deg, "id", "full_outer")
+        .fillna({"out_degree": 0, "in_degree": 0})
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank by fixed-iteration power method over a directed edge
+    list. Returns (id, rank) for every node appearing as source OR
+    destination; ranks sum to 1.
+
+    Semantics: uniform init 1/N; each round every node sends
+    rank/out_degree along its out-edges; dangling nodes (no
+    out-edges) spread their whole rank uniformly; teleport (1-d)/N.
+    This matches the standard formulation, so a NumPy power
+    iteration on the dense adjacency matrix reproduces it exactly
+    (pytest-checked) — the float accumulation order inside a Spark
+    aggregate is partition-dependent, which is why the driver entry
+    rounds only at the END and registers rows-only.
+
+    Per-iteration cost: join(ranks, edges) keyed by src + aggregate
+    keyed by dst (two exchanges over edges), one 1-row dangling-mass
+    aggregate broadcast back, and an eager localCheckpoint to stop
+    the plan from re-deriving all prior rounds."""
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .repartition("id")
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # node table with out-degree (0 for dangling), checkpointed once
+    base = (
+        nodes.join(out_deg, "id", "left")
+        .fillna({"deg": 0})
+        .localCheckpoint(eager=True)
+    )
+    ranks = base.select("id", "deg", F.lit(1.0 / n).alias("rank"))
+    e = edges.select(F.col(src).alias("id"), F.col(dst).alias("dst_id"))
+
+    for _ in range(iterations):
+        dangling = ranks.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        contribs = (
+            e.join(
+                ranks.filter(F.col("deg") > 0).select(
+                    "id", (F.col("rank") / F.col("deg")).alias("_share")
+                ),
+                "id",
+            )
+            .groupBy(F.col("dst_id").alias("id"))
+            .agg(F.sum("_share").alias("_in"))
+        )
+        ranks = (
+            base.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                "deg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", "rank")

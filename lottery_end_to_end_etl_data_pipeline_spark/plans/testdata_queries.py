@@ -1223,6 +1223,37 @@ def embedding_dim_stats(spark, sf_dir):
     )
 
 
+@query("knn_graph_centrality")  # float accumulation order → rows-only check
+def knn_graph_centrality(spark, sf_dir):
+    """Corpus-representativeness by PageRank over the kNN similarity
+    graph (operators/graph.py): each embedding's top-3 cosine
+    neighbors become directed edges (knn_join — queries broadcast,
+    one corpus scan), then 8 power iterations rank centrality. The
+    curation read: high-rank docs are cluster cores (keep for
+    representativeness), the low-rank tail is outliers (inspect).
+    Per-iteration cost is two edge-list exchanges + localCheckpoint
+    (lineage truncation, the dedup.py:642 lesson); NumPy-exactness is
+    pytest-gated (`test_graph.py`), so this entry registers
+    rows-only (Spark's float aggregation order is partition-
+    dependent at the last ulp)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import pagerank
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").limit(200)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    edges = knn_join(queries, emb, k=3, exclude_same_id=True).select(
+        F.col("qid").alias("src"), F.col("cid").alias("dst")
+    )
+    ranks = pagerank(edges, damping=0.85, iterations=8)
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(10)
+    )
+
+
 @query("knn_lsh_indexed_cosine")  # approximate (pruned probe) — rows-only check
 def knn_lsh_indexed_cosine(spark, sf_dir):
     """Persisted sign-LSH index probe (the 100 TB scale path the
@@ -3121,6 +3152,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_dim_stats",
     "window_function_surface",
     "set_ops_surface",
+    "knn_graph_centrality",
 ]
 
 
