@@ -1223,6 +1223,62 @@ def embedding_dim_stats(spark, sf_dir):
     )
 
 
+@query(
+    "hll_sketch_workflow",
+    oracle="""
+    SELECT event_type AS scope,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_ok
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+    FROM events
+    """,
+)
+def hll_sketch_workflow(spark, sf_dir):
+    """The mergeable-sketch workflow that replaces COUNT(DISTINCT) at
+    100 TB: build an HLL sketch per group (`hll_sketch_agg`,
+    Datasketches), UNION-merge the per-group sketches to a global
+    sketch (`hll_union_agg` — the re-aggregation exact distinct
+    counting cannot do without rescanning), and estimate. The driver
+    hash-checks that every estimate lands within 5% of the exact
+    count (the boolean is the oracled value — engine-portable even
+    though the sketch bytes are not), plus the exact counts
+    themselves."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    per_out = per.select(
+        F.col("event_type").alias("scope"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("est_ok"),
+    )
+    glob = (
+        per.agg(
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+            )
+        )
+        .select(
+            F.lit("ALL").alias("scope"),
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("est_ok"),
+        )
+    )
+    return per_out.unionByName(glob)
+
+
 @query("knn_graph_centrality")  # float accumulation order → rows-only check
 def knn_graph_centrality(spark, sf_dir):
     """Corpus-representativeness by PageRank over the kNN similarity
@@ -3153,6 +3209,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_function_surface",
     "set_ops_surface",
     "knn_graph_centrality",
+    "hll_sketch_workflow",
 ]
 
 

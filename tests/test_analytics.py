@@ -111,3 +111,27 @@ def test_odds_table(spark):
     row = odds_table(df, "tipo", "winners", tickets_issued=80000).collect()[0]
     assert row["winning_pct"] == 0.5
     assert row["odds_1_in"] == 200.0
+
+
+def test_hll_sketch_merge_equals_direct_build(spark):
+    """Merging per-partition sketches must estimate the same as one
+    sketch built over everything (mergeability is the whole point),
+    and the estimate stays within 5% of exact at 10k distinct."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("uid")
+    )
+    per = df.groupBy("g").agg(F.hll_sketch_agg("uid").alias("sk"))
+    merged_est = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .collect()[0]["e"]
+    )
+    direct_est = (
+        df.agg(F.hll_sketch_agg("uid").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert merged_est == direct_est
+    assert abs(merged_est - 10_000) <= 500
