@@ -56,6 +56,9 @@ HEADLINE = [
     "repetition_filter_stats",
     "mixture_downsample_counts",
     "zorder_cell_stats",
+    "hll_sketch_workflow",
+    "embedding_dim_stats",
+    "window_function_surface",
 ]
 
 

@@ -48,6 +48,7 @@ def pagerank(
     iterations: int = 10,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """PageRank by fixed-iteration power method over a directed edge
     list. Returns (id, rank) for every node appearing as source OR
@@ -64,8 +65,11 @@ def pagerank(
 
     Per-iteration cost: join(ranks, edges) keyed by src + aggregate
     keyed by dst (two exchanges over edges), one 1-row dangling-mass
-    aggregate broadcast back, and an eager localCheckpoint to stop
-    the plan from re-deriving all prior rounds."""
+    aggregate broadcast back, and an eager localCheckpoint every
+    `checkpoint_interval` rounds to stop the plan from re-deriving
+    all prior rounds (every round would be safest but each barrier
+    costs a full job — interval 2 halves the fixed per-round latency
+    while keeping lineage depth bounded at 2)."""
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
@@ -86,7 +90,7 @@ def pagerank(
     ranks = base.select("id", "deg", F.lit(1.0 / n).alias("rank"))
     e = edges.select(F.col(src).alias("id"), F.col(dst).alias("dst_id"))
 
-    for _ in range(iterations):
+    for i in range(iterations):
         dangling = ranks.filter(F.col("deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
@@ -112,6 +116,7 @@ def pagerank(
                     * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % checkpoint_interval == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", "rank")
