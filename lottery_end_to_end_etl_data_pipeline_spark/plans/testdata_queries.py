@@ -686,6 +686,38 @@ def json_extract(spark, sf_dir):
     )
 
 
+@query(
+    "variant_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def variant_json_stats(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured data: `parse_json`
+    builds the binary variant ONCE per row, `variant_get` extracts
+    with a typed path — the open-format answer to schema-on-read
+    JSON that avoids re-parsing the string per extraction (the
+    `get_json_object` twin `json_extract` re-parses per call).
+    Results must equal plain JSON-string extraction, which is what
+    the DuckDB oracle computes."""
+    ev = t(spark, sf_dir, "events").withColumn("v", F.parse_json("props"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -3210,6 +3242,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "set_ops_surface",
     "knn_graph_centrality",
     "hll_sketch_workflow",
+    "variant_json_stats",
 ]
 
 

@@ -549,3 +549,37 @@ def test_zscore_constant_dimension_maps_to_zero(spark):
     out = {r["id"]: r["embedding"] for r in zscore_normalize(df).collect()}
     assert out[0][0] == 0.0 and out[1][0] == 0.0  # zero-variance dim
     assert out[0][1] == -1.0 and out[1][1] == 1.0
+
+
+def test_udtf_registration_and_lateral_use(spark):
+    """§2.11 triad completion: a Python UDTF (table function,
+    Spark 3.5+) registered and used both via the DataFrame API and
+    laterally in SQL. The kernel splits a draw-odds expression into
+    typed rows — a row-generating shape a scalar UDF cannot
+    express."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="part string, idx int")
+    class SplitParts:
+        def eval(self, text: str):
+            for i, p in enumerate((text or "").split("-")):
+                if p:
+                    yield p, i
+
+    out = SplitParts(lit("a-b-c")).collect()
+    assert [(r["part"], r["idx"]) for r in out] == [("a", 0), ("b", 1), ("c", 2)]
+
+    spark.udtf.register("split_parts", SplitParts)
+    rows = spark.sql(
+        """
+        SELECT t.id, s.part, s.idx
+        FROM VALUES (1, 'x-y'), (2, 'z') AS t(id, v),
+             LATERAL split_parts(t.v) AS s
+        ORDER BY t.id, s.idx
+        """
+    ).collect()
+    assert [(r["id"], r["part"], r["idx"]) for r in rows] == [
+        (1, "x", 0),
+        (1, "y", 1),
+        (2, "z", 0),
+    ]
