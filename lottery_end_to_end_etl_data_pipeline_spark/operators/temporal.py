@@ -176,3 +176,59 @@ def sessionize_batch(
     if value_col is not None:
         aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
     return sess.groupBy(key_col, "session_id").agg(*aggs)
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Time-bucket gap filling with last-observation-carried-forward
+    (TimescaleDB `time_bucket_gapfill` + `locf` lineage — public
+    docs): aggregate to buckets, then densify every key's series
+    over the GLOBAL [min, max] bucket range and forward-fill missing
+    buckets from the key's last observed value. Buckets before a
+    key's first observation stay NULL (nothing to carry).
+
+    Scale shape: the per-(key, bucket) aggregate is one hash
+    exchange; the dense axis comes from `sequence()` on a 1-row
+    broadcast global-range aggregate exploded per key (keys x
+    buckets rows — the OUTPUT size, nothing quadratic); the left
+    join back and the forward-fill window share the same (key,
+    bucket) partitioning. No driver-side date loops, no UDFs; at
+    100 TB the fill window is per-key sorted state, the same shape
+    as sessionization."""
+    bucketed = df.groupBy(
+        F.col(key_col), F.date_trunc(_BUCKET_TRUNC[bucket], ts_col).alias("bucket")
+    ).agg(*[F.round(F.sum(c), 2).alias(f"sum_{c}") for c in value_cols])
+
+    rng = bucketed.agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    step = F.expr(f"interval {bucket}")
+    axis = (
+        bucketed.select(key_col)
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("bucket"),
+        )
+    )
+    dense = axis.join(bucketed, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = dense
+    for c in value_cols:
+        out = out.withColumn(
+            f"sum_{c}_filled", F.last(f"sum_{c}", ignorenulls=True).over(w)
+        )
+    return out
+
+
+_BUCKET_TRUNC = {"1 day": "day", "1 hour": "hour", "1 week": "week"}

@@ -2792,6 +2792,51 @@ def set_ops_surface(spark, sf_dir):
 
 
 @query(
+    "gapfill_locf_daily",
+    oracle="""
+    WITH RECURSIVE b AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             round(sum(value), 2) AS sum_value
+      FROM events WHERE value > 190 GROUP BY 1, 2
+    ), days(g) AS (
+      SELECT (SELECT min(bucket) FROM b)
+      UNION ALL
+      SELECT g + INTERVAL 1 DAY FROM days
+      WHERE g < (SELECT max(bucket) FROM b)
+    ), axis AS (
+      SELECT k.event_type, CAST(d.g AS TIMESTAMP) AS bucket
+      FROM (SELECT DISTINCT event_type FROM b) k, days d
+    ), dense AS (
+      SELECT a.event_type, a.bucket, b.sum_value
+      FROM axis a LEFT JOIN b USING (event_type, bucket)
+    )
+    SELECT event_type, bucket, sum_value,
+           last_value(sum_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sum_value_filled
+    FROM dense
+    """,
+)
+def gapfill_locf_daily(spark, sf_dir):
+    """Time-bucket gap filling with LOCF
+    (operators/temporal.py::gapfill_locf, TimescaleDB
+    time_bucket_gapfill lineage): the sparse high-value event series
+    is densified over the global daily axis per event type and
+    forward-filled. The dense axis is sequence() over a 1-row
+    broadcast range — output-sized, never quadratic; the fill is a
+    per-key running `last(ignorenulls)` sharing the join's
+    partitioning. Buckets before a key's first observation stay
+    NULL, which the oracle reproduces via IGNORE NULLS last_value."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+        gapfill_locf,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value") > 190)
+    return gapfill_locf(ev, "event_type", "ts", ["value"], "1 day")
+
+
+@query(
     "sessionize_batch_30m",
     oracle=r"""
     WITH flagged AS (
@@ -3243,6 +3288,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "knn_graph_centrality",
     "hll_sketch_workflow",
     "variant_json_stats",
+    "gapfill_locf_daily",
 ]
 
 

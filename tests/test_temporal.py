@@ -158,3 +158,32 @@ def test_range_join_matches_plain_predicate(spark):
         "k", "pts", "iv_id"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, binned.collect()))
+
+
+def test_gapfill_locf_semantics(spark):
+    """Gap buckets carry the last observation forward; buckets before
+    a key's first observation stay NULL; the axis densifies every key
+    over the GLOBAL bucket range."""
+    from pyspark.sql import functions as F
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+        gapfill_locf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (1, "2024-01-03 11:00:00", 7.0),
+            (2, "2024-01-02 09:00:00", 3.0),
+        ],
+        "uid long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["uid"], str(r["bucket"])[:10]): (r["sum_v"], r["sum_v_filled"])
+        for r in gapfill_locf(df, "uid", "ts", ["v"], "1 day").collect()
+    }
+    assert len(out) == 6  # 2 keys x 3 global days
+    assert out[(1, "2024-01-02")] == (None, 5.0)  # gap filled
+    assert out[(1, "2024-01-03")] == (7.0, 7.0)  # observation wins
+    assert out[(2, "2024-01-01")] == (None, None)  # before first obs
+    assert out[(2, "2024-01-03")] == (None, 3.0)  # trailing carry
