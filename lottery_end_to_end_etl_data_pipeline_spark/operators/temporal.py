@@ -232,3 +232,42 @@ def gapfill_locf(
 
 
 _BUCKET_TRUNC = {"1 day": "day", "1 hour": "hour", "1 week": "week"}
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key (TimescaleDB `time_weight`
+    lineage — public docs): each observation is weighted by how long
+    it remained current (microseconds to the NEXT observation, LOCF
+    semantics), so irregular sampling doesn't bias the mean toward
+    burst periods. The final observation carries no weight (nothing
+    after it to describe); keys with a single observation fall back
+    to that value.
+
+    One hash exchange on the key feeds both the lead() window and
+    the aggregate — exact integer microsecond arithmetic
+    (`unix_micros`, the repo's timestamp discipline), with the
+    division done once per key at the end."""
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(us, F.col(value_col))
+    span = (F.lead(us).over(w) - us).cast("double")
+    weighted = df.select(
+        F.col(key_col),
+        F.col(value_col).cast("double").alias("_v"),
+        span.alias("_w"),
+    )
+    return weighted.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(
+            F.coalesce(
+                F.sum(F.col("_v") * F.col("_w")) / F.nullif(F.sum("_w"), F.lit(0.0)),
+                F.avg("_v"),
+            ),
+            4,
+        ).alias("tw_avg"),
+        F.round(F.avg("_v"), 4).alias("plain_avg"),
+    )

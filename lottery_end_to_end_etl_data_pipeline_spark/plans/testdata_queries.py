@@ -2792,6 +2792,77 @@ def set_ops_surface(spark, sf_dir):
 
 
 @query(
+    "array_functions_surface",
+    oracle=r"""
+    WITH tk AS (
+      SELECT lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_the,
+           round(avg(len(list_distinct(t))), 2) AS avg_distinct,
+           min(array_to_string(list_sort(t)[1:3], ' ')) AS first3
+    FROM tk GROUP BY 1
+    """,
+)
+def array_functions_surface(spark, sf_dir):
+    """Array-function surface pinned cross-engine: array_sort +
+    slice (1-based, length-clamped in both engines), array_distinct
+    under a size() (per-row order-independent), array_contains, and
+    concat_ws flattening — over the real token arrays. The sort
+    before slicing removes the one semantic that differs between
+    engines (distinct/result ordering)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents").withColumn("_toks", tokens("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.array_contains("_toks", "the"), 1).otherwise(0)
+        ).alias("n_with_the"),
+        F.round(F.avg(F.size(F.array_distinct("_toks"))), 2).alias("avg_distinct"),
+        F.min(
+            F.concat_ws(" ", F.slice(F.array_sort("_toks"), 1, 3))
+        ).alias("first3"),
+    )
+
+
+@query(
+    "time_weighted_avg_by_type",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             CAST(date_diff('microsecond', ts,
+                  lead(ts) OVER (PARTITION BY event_type ORDER BY ts, value))
+                  AS DOUBLE) AS wt
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_obs,
+           round(coalesce(sum(value * wt) / nullif(sum(wt), 0), avg(value)), 4)
+             AS tw_avg,
+           round(avg(value), 4) AS plain_avg
+    FROM w GROUP BY 1
+    """,
+)
+def time_weighted_avg_by_type(spark, sf_dir):
+    """Time-weighted average (operators/temporal.py::
+    time_weighted_avg, TimescaleDB time_weight lineage): each
+    observation weighted by how long it stayed current, so irregular
+    sampling doesn't bias toward burst periods — reported next to
+    the plain mean to expose the bias. Exact integer microsecond
+    spans via unix_micros (the repo's timestamp discipline) matched
+    by DuckDB date_diff."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(t(spark, sf_dir, "events"), "event_type", "ts", "value")
+
+
+@query(
     "gapfill_locf_daily",
     oracle="""
     WITH RECURSIVE b AS (
@@ -3289,6 +3360,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "hll_sketch_workflow",
     "variant_json_stats",
     "gapfill_locf_daily",
+    "time_weighted_avg_by_type",
+    "array_functions_surface",
 ]
 
 

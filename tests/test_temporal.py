@@ -187,3 +187,28 @@ def test_gapfill_locf_semantics(spark):
     assert out[(1, "2024-01-03")] == (7.0, 7.0)  # observation wins
     assert out[(2, "2024-01-01")] == (None, None)  # before first obs
     assert out[(2, "2024-01-03")] == (None, 3.0)  # trailing carry
+
+
+def test_time_weighted_avg_weights_by_duration(spark):
+    """Value 10 holds 9h, value 100 holds 1h -> tw_avg 19 (plain mean
+    would say 36.67); a single observation falls back to itself; the
+    last observation carries no weight."""
+    from pyspark.sql import functions as F
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0),
+            (1, "2024-01-01 09:00:00", 100.0),
+            (1, "2024-01-01 10:00:00", 0.0),
+            (2, "2024-01-01 00:00:00", 42.0),
+        ],
+        "uid long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["uid"]: r for r in time_weighted_avg(df, "uid", "ts", "v").collect()}
+    assert got[1]["tw_avg"] == 19.0
+    assert got[1]["plain_avg"] == 36.6667
+    assert got[2]["tw_avg"] == 42.0
