@@ -137,3 +137,87 @@ def odds_table(df: DataFrame, group_col: str, winners_col: str,
 def describe(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """`df.describe()` passthrough (A14)."""
     return df.describe(*(cols or []))
+
+
+def grouped_linear_fit(
+    df: DataFrame, y: str, x: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group closed-form OLS fit of y ~ x via the SQL-standard
+    REGR_* aggregates — slope, intercept, R², and the pair count.
+
+    Scale shape: a single hash aggregate with map-side partial
+    co-moments (the same mergeable-moment machinery as corr/covar),
+    so the fit costs exactly one shuffle of group-key-sized partials
+    regardless of table size — the distributed alternative to
+    collecting per-group pandas frames for sklearn. Results are
+    rounded by the caller where cross-engine hash determinism
+    matters (last-ulp accumulation-order differences)."""
+    return df.groupBy(*group_cols).agg(
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.regr_r2(y, x).alias("r2"),
+        F.regr_count(y, x).alias("n_pairs"),
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, min_share: float) -> DataFrame:
+    """Keys whose frequency exceeds `min_share` of all rows — the
+    exact form of the Misra-Gries / count-min heavy-hitters question,
+    answered with one hash aggregate plus a 1-row broadcast total.
+
+    Scale shape: the per-key counts stay partitioned (no single-task
+    window — the `skew.top_keys` lesson); the grand total arrives by
+    broadcast cross-join of a scalar aggregate. For 100 TB streams
+    where even the key set is too hot to aggregate exactly, the
+    sketch path is `hll_sketch_workflow`-style mergeable state; this
+    exact form is the correctness baseline and is itself fine at any
+    scale with bounded key cardinality."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("cnt") / F.col("_total"))
+        .filter(F.col("share") > min_share)
+        .drop("_total")
+    )
+
+
+def mad_outlier_stats(
+    df: DataFrame, col: str, group_cols: list[str], n_sigmas: float = 3.0
+) -> DataFrame:
+    """Robust per-group outlier census: median, MAD (median absolute
+    deviation), and the count of rows beyond `n_sigmas` robust
+    z-units (MAD * 1.4826 estimates sigma under normality). The
+    robust twin of the rolling z-score operator — medians don't move
+    when the outliers themselves get more extreme, which is what
+    makes this the quality-filter form used on corpus stats.
+
+    Two exact-percentile passes (median, then median of absolute
+    deviations) joined back on the group key, then one counting
+    aggregate — three shuffles of group-sized state. At 100 TB swap
+    `F.percentile` for `F.approx_percentile` (GK sketch, mergeable)
+    exactly as `iqr_filter_approx` does."""
+    med = df.groupBy(*group_cols).agg(F.percentile(col, F.lit(0.5)).alias("_med"))
+    dev = (
+        df.join(F.broadcast(med), on=group_cols)
+        .withColumn("_adev", F.abs(F.col(col) - F.col("_med")))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.first("_med").alias("_med"), F.percentile("_adev", F.lit(0.5)).alias("_mad")
+    )
+    return (
+        df.join(F.broadcast(mad), on=group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.first("_med").alias("median"),
+            F.first("_mad").alias("mad"),
+            F.count(
+                F.when(
+                    F.abs(F.col(col) - F.col("_med"))
+                    > F.lit(n_sigmas) * F.lit(1.4826) * F.col("_mad"),
+                    1,
+                )
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -135,6 +135,37 @@ def deterministic_shuffle(
     return out.sortWithinPartitions("_shuffle_key")
 
 
+def reservoir_per_group(
+    df: DataFrame, group_col: str, key_col: str, n: int
+) -> DataFrame:
+    """Exactly min(n, group size) rows per group, chosen by content
+    hash — the deterministic answer to reservoir sampling. Where
+    `stratified_sample` keeps a *fraction* per stratum, this keeps a
+    *fixed count* (eval sets, per-language probes, debugging slices).
+
+    Implementation is rank-on-hash: row_number() over (partition by
+    group order by md5(key), key) <= n. Membership is a pure function
+    of the group's key set — stable under re-partitioning, retries,
+    and engine swaps (the oracle runs the same rank), unlike true
+    reservoir sampling whose result depends on encounter order.
+
+    Scale shape: one hash exchange on the group key + a per-group
+    sort; no global sort, no driver state. The window buffers one
+    partition's groups, not top-n heaps — for few huge groups prefer
+    raising shuffle partitions; skew in group size is the same story
+    as any groupBy."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def sample_to_mixture(
     df: DataFrame,
     group_col: str,

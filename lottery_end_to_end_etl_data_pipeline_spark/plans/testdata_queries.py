@@ -3302,6 +3302,148 @@ def string_functions_surface(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Statistical-modeling surface: per-group OLS, heavy hitters, robust
+# (MAD) outlier census, fixed-count deterministic reservoir sampling.
+# ---------------------------------------------------------------------------
+
+@query(
+    "regression_surface",
+    oracle=r"""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def regression_surface(spark, sf_dir):
+    """Per-group closed-form OLS (price ~ quantity) via the SQL-standard
+    REGR_* aggregates — one hash aggregate of mergeable co-moments, no
+    per-group data movement beyond group-key partials. The distributed
+    replacement for collect-to-pandas + sklearn per group. Rounded to
+    absorb last-ulp accumulation-order differences across engines."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        grouped_linear_fit,
+    )
+
+    fit = grouped_linear_fit(
+        t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity", ["l_returnflag"]
+    )
+    return fit.select(
+        "l_returnflag",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+    )
+
+
+@query(
+    "heavy_hitters_users",
+    oracle=r"""
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+         tot AS (SELECT COUNT(*) AS _total FROM events)
+    SELECT user_id, cnt, ROUND(cnt / _total, 6) AS share
+    FROM c CROSS JOIN tot
+    WHERE cnt / _total > 0.007
+    ORDER BY cnt DESC, user_id
+    """,
+)
+def heavy_hitters_users(spark, sf_dir):
+    """Exact heavy hitters: users with > 0.7% of all events (mean share
+    is 1/150 ≈ 0.67%, so the threshold genuinely splits the key set).
+    Counts stay partitioned; the grand total arrives as a 1-row
+    broadcast — no unpartitioned window (the `skew.top_keys` lesson).
+    The filter compares the UNROUNDED share in both engines (identical
+    long/long double division), so the cut line cannot disagree."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        heavy_hitters,
+    )
+
+    hh = heavy_hitters(t(spark, sf_dir, "events"), "user_id", 0.007)
+    return hh.select(
+        "user_id", "cnt", F.round("share", 6).alias("share")
+    ).orderBy(F.desc("cnt"), F.asc("user_id"))
+
+
+@query(
+    "mad_outliers_by_type",
+    oracle=r"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS _med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, any_value(m._med) AS _med,
+             quantile_cont(abs(e.value - m._med), 0.5) AS _mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           ROUND(any_value(m._med), 4) AS median_value,
+           ROUND(any_value(m._mad), 4) AS mad_value,
+           COUNT(CASE WHEN abs(e.value - m._med) > 3.0 * 1.4826 * m._mad
+                 THEN 1 END) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def mad_outliers_by_type(spark, sf_dir):
+    """Robust per-group outlier census (median + MAD, 3 robust sigmas)
+    — the quality-filter form that doesn't move when outliers get more
+    extreme. Exact percentiles here (oracle parity: quantile_cont ==
+    Spark percentile interpolation); the 100 TB swap is
+    approx_percentile, as in `iqr_filter_approx`. The threshold
+    product multiplies left-to-right with the same literals in both
+    engines, so the comparison bits match."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        mad_outlier_stats,
+    )
+
+    stats = mad_outlier_stats(
+        t(spark, sf_dir, "events"), "value", ["event_type"], n_sigmas=3.0
+    )
+    return stats.select(
+        "event_type",
+        F.round("median", 4).alias("median_value"),
+        F.round("mad", 4).alias("mad_value"),
+        "n_outliers",
+        "n_rows",
+    ).orderBy("event_type")
+
+
+@query(
+    "reservoir_sample_by_lang",
+    oracle=r"""
+    WITH r AS (
+      SELECT lang, doc_id, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, source FROM r WHERE rn <= 5
+    ORDER BY lang, doc_id
+    """,
+)
+def reservoir_sample_by_lang(spark, sf_dir):
+    """Exactly 5 docs per language, chosen by content hash — the
+    deterministic reservoir sample (eval probes / per-language debug
+    slices). Rank-on-md5 makes membership a pure function of each
+    group's key set: stable across runs, partitionings, and engines
+    (the oracle ranks on the same hash)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    samp = reservoir_per_group(t(spark, sf_dir, "documents"), "lang", "doc_id", 5)
+    return samp.select("lang", "doc_id", "source").orderBy("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate hashes exactly the
 # first 50 entries of queries() in registry order; with 79+ registered,
 # 29 entries sat outside the window in rounds 1-2 and had only
@@ -3362,6 +3504,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "gapfill_locf_daily",
     "time_weighted_avg_by_type",
     "array_functions_surface",
+    "regression_surface",
 ]
 
 

@@ -1,0 +1,97 @@
+"""Unit tests for the statistical-modeling operator batch:
+per-group OLS, heavy hitters, MAD outlier census, fixed-count
+deterministic reservoir sampling."""
+
+import pytest
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+    grouped_linear_fit,
+    heavy_hitters,
+    mad_outlier_stats,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+    reservoir_per_group,
+)
+
+
+def test_linear_fit_recovers_exact_line(spark):
+    # y = 2x + 1 exactly -> slope 2, intercept 1, r2 1 per group.
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(1, 6)] + [
+        ("b", float(x), -0.5 * x + 3.0) for x in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        r["g"]: r
+        for r in grouped_linear_fit(df, "y", "x", ["g"]).collect()
+    }
+    assert out["a"]["slope"] == pytest.approx(2.0)
+    assert out["a"]["intercept"] == pytest.approx(1.0)
+    assert out["a"]["r2"] == pytest.approx(1.0)
+    assert out["a"]["n_pairs"] == 5
+    assert out["b"]["slope"] == pytest.approx(-0.5)
+    assert out["b"]["n_pairs"] == 7
+
+
+def test_linear_fit_ignores_null_pairs(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", None, 99.0), ("a", 4.0, None)],
+        "g string, x double, y double",
+    )
+    row = grouped_linear_fit(df, "y", "x", ["g"]).collect()[0]
+    # Only the 2 complete pairs count; fit is the line through them.
+    assert row["n_pairs"] == 2
+    assert row["slope"] == pytest.approx(2.0)
+
+
+def test_heavy_hitters_threshold(spark):
+    # 10 'a', 5 'b', 1 each c..f -> shares .5263, .2632, .0526...
+    rows = [("a",)] * 10 + [("b",)] * 5 + [(c,) for c in "cdef"]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", 0.25).collect()}
+    assert out == {"a": 10, "b": 5}
+    # share column present and consistent
+    row = [r for r in heavy_hitters(df, "k", 0.25).collect() if r["k"] == "a"][0]
+    assert row["share"] == pytest.approx(10 / 19)
+
+
+def test_mad_stats_robust_to_outlier_magnitude(spark):
+    base = [("g", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9]]
+
+    def census(outlier):
+        df = spark.createDataFrame(base + [("g", outlier)], "k string, v double")
+        return mad_outlier_stats(df, "v", ["k"], n_sigmas=3.0).collect()[0]
+
+    a, b = census(1000.0), census(1_000_000.0)
+    # Median and MAD are unchanged by how extreme the outlier is.
+    assert a["median"] == b["median"]
+    assert a["mad"] == b["mad"]
+    assert a["n_outliers"] == 1 and b["n_outliers"] == 1
+    assert a["n_rows"] == 10
+
+
+def test_mad_stats_no_outliers(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(10)], "k string, v double"
+    )
+    row = mad_outlier_stats(df, "v", ["k"]).collect()[0]
+    assert row["n_outliers"] == 0
+    assert row["median"] == pytest.approx(4.5)
+
+
+def test_reservoir_exact_count_and_determinism(spark):
+    rows = [(g, i) for g in ("x", "y") for i in range(50)] + [("tiny", 0), ("tiny", 1)]
+    df = spark.createDataFrame(rows, "g string, id int")
+    out = reservoir_per_group(df, "g", "id", 5)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").count().withColumnRenamed("count", "n").collect()}
+    # Exactly n per group, min(n, group size) for small groups.
+    assert counts == {"x": 5, "y": 5, "tiny": 2}
+    # Membership is a pure function of the keys: invariant under
+    # re-partitioning (true reservoir sampling would not be).
+    sample1 = sorted((r["g"], r["id"]) for r in out.collect())
+    sample2 = sorted(
+        (r["g"], r["id"])
+        for r in reservoir_per_group(df.repartition(7), "g", "id", 5).collect()
+    )
+    assert sample1 == sample2
+    # And it is a subset of the input.
+    assert set(sample1) <= set(rows)
