@@ -87,3 +87,36 @@ def read_orc(spark: SparkSession, *paths: str) -> DataFrame:
     """ORC source — same columnar/pushdown properties as parquet
     (predicate pushdown, column pruning, partition discovery)."""
     return spark.read.orc(*paths)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet read across schema drift: ``mergeSchema=true`` unions
+    the footer schemas of every file, so files written before a column
+    existed surface it as NULL instead of failing the scan — the
+    additive-evolution contract a long-lived ingest table accretes
+    (new quality score, new provenance tag).
+
+    Cost model: schema merging reads every file's FOOTER up front
+    (metadata pass, not data); at 100 TB-many files pin the merged
+    schema once via this reader, persist it, then reopen with an
+    explicit `.schema(...)` on the hot path. Renames/type-changes are
+    NOT additive — those need `align_to_schema` below."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project `df` onto `target`: missing columns become typed NULLs,
+    extra columns drop, matching columns cast to the target type —
+    the write-side half of schema evolution (conform heterogeneous
+    batches to the table contract before an append/upsert). Pure
+    projection: no shuffle, stays inside whole-stage codegen."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for field in target.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

@@ -11,7 +11,7 @@ training-data pipeline needs for telemetry tables like `events`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -176,6 +176,59 @@ def stream_dedup(
     deduplication actually needs (retries cluster near the original).
     """
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_upsert(
+    stream: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    partition_col: str | None = None,
+    order_col: str | None = None,
+    query_name: str = "stream-upsert",
+):
+    """Streaming MERGE: drain micro-batches into a keyed parquet table
+    via ``upsert_by_key`` inside ``foreachBatch`` — the CDC-apply /
+    mutable-dimension shape (each batch of change rows updates matched
+    keys, inserts new ones). AvailableNow trigger + checkpoint give
+    exactly-once *file* tracking; the merge itself is idempotent per
+    batch (re-applying the same batch yields the same table), which is
+    what makes the restart story safe without a transactional format.
+
+    ``order_col``: within a micro-batch, keep only the row with the
+    max `order_col` per key before merging (deterministic last-writer
+    -wins under in-batch duplicates — a replayed source can deliver a
+    key twice in one drain). Without it, in-batch uniqueness is the
+    caller's contract, as in `upsert_by_key`.
+
+    Scale shape per batch = `upsert_by_key`'s: broadcast semi-join
+    partition pruning, dynamic overwrite of touched partitions only.
+    Partition-stability contract carries over (partition value must
+    be a stable function of the key)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import (  # noqa: PLC0415
+        upsert_by_key,
+    )
+
+    def _merge(batch_df: DataFrame, _epoch: int) -> None:
+        b = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.desc(order_col), *[F.asc(k) for k in key_cols]
+            )
+            b = (
+                b.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        upsert_by_key(b.sparkSession, target_path, b, key_cols, partition_col)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )
 
 
 def enrich_with_dim(
