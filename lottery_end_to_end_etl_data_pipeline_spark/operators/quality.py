@@ -111,6 +111,49 @@ def run_checks(checks: list[DataFrame]) -> DataFrame:
     return out
 
 
+def observed(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+) -> tuple[DataFrame, "Observation"]:
+    """Attach in-flight metrics to a DataFrame: the returned frame
+    computes `metrics` as a side effect of whatever action next runs
+    on it (a write, a count), and the Observation yields them
+    afterwards — ZERO extra scans, unlike every `expect_*` /
+    `fused_report` pass.
+
+    This is the write-path instrumentation a pipeline wants at 100 TB:
+    row counts, null tallies, and sum-of-money invariants come out of
+    the SAME job that materialized the table, so the DQ numbers are
+    about exactly the rows written (a separate audit scan can race a
+    concurrent append). Usage::
+
+        out, obs = observed(df, "silver_write",
+                            {"n": F.count(F.lit(1)),
+                             "null_keys": F.count(F.when(k.isNull(), 1))})
+        out.write.parquet(path)
+        stats = obs.get          # dict, no new job
+
+    Metrics must be aggregate expressions (Spark enforces this).
+    """
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    obs = Observation(name)
+    out = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    return out, obs
+
+
+def standard_write_metrics(key_col: str, amount_col: str | None = None) -> dict[str, Column]:
+    """The default write-path metric set: row count, null keys, and
+    (optionally) the amount sum used as a conservation invariant
+    across pipeline stages (silver total == gold total)."""
+    m: dict[str, Column] = {
+        "n_rows": F.count(F.lit(1)),
+        "null_keys": F.count(F.when(F.col(key_col).isNull(), 1)),
+    }
+    if amount_col is not None:
+        m["amount_sum"] = F.round(F.sum(amount_col), 2)
+    return m
+
+
 def validate_silver(
     sorteos: DataFrame, premios: DataFrame, enforce: bool = False
 ) -> DataFrame:

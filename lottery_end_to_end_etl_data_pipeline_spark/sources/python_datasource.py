@@ -1,0 +1,88 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API).
+
+The engine's file sources are Spark built-ins (`text` wholetext, S2);
+this module exercises the one source surface Spark 4 added for cases
+the built-ins can't cover — a pure-Python reader that still gets
+partition-parallel task scheduling. The example source reads a raw
+lottery draw corpus (one row per ``.txt`` file), mirroring
+`sources/bronze.py::read_raw_draws` (reference contract:
+`src/loteria/extractor/scraping.py` — one document per draw), so the
+test suite can assert byte-identical parity between the custom source
+and the built-in path.
+
+Scale shape: `partitions()` runs ONCE at planning time on the driver
+(file listing only — same cost class as Spark's own file-index
+listing); each file then becomes one task reading independently, so a
+million-file corpus fans out across the cluster instead of living in
+one task. Listing itself is driver-side Python glob — for object-store
+scale use the built-in readers (whose listing is distributed); this
+API's niche is sources Spark has no connector for (internal services,
+bespoke formats), where per-partition `read()` is the only hook.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class RawDrawsDataSource(DataSource):
+    """`spark.read.format("lottery_raw").load(path_or_glob)`.
+
+    Options:
+    - ``path``: file, directory, or glob of raw draw ``.txt`` files.
+    - ``suffix``: filename filter (default ``.txt``) — the S3-listing
+      suffix filter of the reference (SURVEY §2.1 S3).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "lottery_raw"
+
+    def schema(self) -> str:
+        return "path string, file_name string, content string"
+
+    def reader(self, schema) -> "RawDrawsReader":
+        return RawDrawsReader(self.options)
+
+
+class RawDrawsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("lottery_raw requires a path: .load(<dir|glob|file>)")
+        self.path = path
+        self.suffix = options.get("suffix", ".txt")
+
+    def _list_files(self) -> list[str]:
+        p = self.path
+        if os.path.isdir(p):
+            pattern = os.path.join(p, "**", f"*{self.suffix}")
+            files = glob.glob(pattern, recursive=True)
+        else:
+            files = [f for f in glob.glob(p) if f.endswith(self.suffix)]
+        return sorted(files)
+
+    def partitions(self) -> list[InputPartition]:
+        # One file = one partition = one task: the document corpus
+        # fans out per file exactly like the built-in wholetext path.
+        files = self._list_files()
+        if not files:
+            raise FileNotFoundError(
+                f"lottery_raw: no '*{self.suffix}' files under {self.path}"
+            )
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition: InputPartition):
+        f = partition.value
+        with open(f, encoding="utf-8") as fh:
+            content = fh.read()
+        yield (f, os.path.basename(f), content)
+
+
+def register(spark) -> None:
+    """Idempotent registration; after this,
+    ``spark.read.format("lottery_raw")`` resolves."""
+    spark.dataSource.register(RawDrawsDataSource)

@@ -1,0 +1,52 @@
+"""Custom Python DataSource (Spark 4 API) + Observation metrics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.quality import (
+    observed,
+    standard_write_metrics,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.sources import python_datasource
+from tests.fixture_gen import write_fixture_corpus
+
+
+def test_python_datasource_parity_with_builtin(spark, tmp_path):
+    write_fixture_corpus(tmp_path / "raw", n_draws=6, seed=11)
+    python_datasource.register(spark)
+    df = spark.read.format("lottery_raw").load(str(tmp_path / "raw"))
+    assert df.columns == ["path", "file_name", "content"]
+    # One task per file: partition-parallel custom reads.
+    assert df.rdd.getNumPartitions() == 6
+
+    builtin = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(str(tmp_path / "raw" / "*" / "*"))
+        .select(F.input_file_name().alias("path"), F.col("value").alias("content"))
+    )
+    custom = {r["file_name"]: r["content"] for r in df.collect()}
+    ref = {r["path"].rsplit("/", 1)[-1]: r["content"] for r in builtin.collect()}
+    assert custom == ref  # byte-identical per file
+
+
+def test_python_datasource_suffix_filter_and_missing(spark, tmp_path):
+    write_fixture_corpus(tmp_path / "raw", n_draws=3, seed=3)
+    (tmp_path / "raw" / "notes.md").write_text("not a draw")
+    python_datasource.register(spark)
+    df = spark.read.format("lottery_raw").load(str(tmp_path / "raw"))
+    assert df.count() == 3  # .md filtered out by the suffix contract
+    with pytest.raises(Exception, match="no '\\*\\.txt' files"):
+        spark.read.format("lottery_raw").load(str(tmp_path / "empty")).collect()
+
+
+def test_observed_metrics_without_extra_scan(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.5), (None, 3.0)], "k INT, amount DOUBLE"
+    )
+    out, obs = observed(df, "write_metrics", standard_write_metrics("k", "amount"))
+    out.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    got = obs.get  # produced by the write job itself — no new action
+    assert got == {"n_rows": 3, "null_keys": 1, "amount_sum": 33.5}
+    # And the write itself is unaffected by the instrumentation.
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 3
