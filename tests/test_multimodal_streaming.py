@@ -8,6 +8,7 @@ from lottery_end_to_end_etl_data_pipeline_spark.operators.multimodal import (
     binary_stats,
     frame_sample,
     image_features,
+    image_features_arrow,
 )
 from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
     run_available_now,
@@ -39,6 +40,16 @@ def test_image_features_fake_decode_deterministic(media):
             b[k]["width"], b[k]["height"], b[k]["phash"],
         )
         assert 64 <= a[k]["width"] < 256
+
+
+def test_image_features_arrow_parity(media):
+    # The Arrow-transport kernel is feature-identical to the pandas
+    # one — same schema, same values, different batch container.
+    pandas_out = sorted(map(tuple, image_features(media).collect()))
+    arrow_out = sorted(map(tuple, image_features_arrow(media).collect()))
+    assert pandas_out == arrow_out
+    with pytest.raises(Exception, match="NotImplementedError|decode kernel"):
+        image_features_arrow(media, decode="strict").collect()
 
 
 def test_image_features_strict_raises(media):
