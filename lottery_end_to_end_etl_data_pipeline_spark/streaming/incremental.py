@@ -178,6 +178,52 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left event pairs
+    with right events of the same key whose timestamp lands in
+    [left_ts, left_ts + within] — the click→purchase attribution /
+    request→response correlation shape.
+
+    State story (the part that matters at scale): BOTH sides are
+    watermarked and the join condition bounds right_ts relative to
+    left_ts, so Spark derives state-eviction watermarks for both join
+    buffers — state per key is O(events inside watermark + interval),
+    not O(stream history). An unwatermarked or unbounded-condition
+    stream-stream join accretes state forever; this operator makes the
+    bounded form the only expressible one.
+
+    Overlapping right-side columns are suffixed. Works identically on
+    batch DataFrames (degrades to a plain range-condition join), which
+    is how the equivalence test pins semantics."""
+    overlapping = set(left.columns) & set(right.columns)
+    r = right
+    for c in overlapping:
+        r = r.withColumnRenamed(c, f"{c}{suffix}")
+    rk, rts = (
+        f"{key_col}{suffix}" if key_col in overlapping else key_col,
+        f"{right_ts}{suffix}" if right_ts in overlapping else right_ts,
+    )
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(rts, watermark)
+    cond = (
+        (F.col(key_col) == F.col(rk))
+        & (F.col(rts) >= F.col(left_ts))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(r, cond, "inner")
+
+
 def stream_upsert(
     stream: DataFrame,
     target_path: str,

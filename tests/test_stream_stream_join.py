@@ -1,0 +1,70 @@
+"""Watermarked stream-stream interval join."""
+
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
+    correlate_streams,
+)
+
+CLICK_SCHEMA = "user_id LONG, ts TIMESTAMP, page STRING"
+BUY_SCHEMA = "user_id LONG, ts TIMESTAMP, amount DOUBLE"
+
+
+def _ts(minute):
+    return f"2026-01-01 10:{minute:02d}:00"
+
+
+def _clicks(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts(0), "home"),
+            (1, _ts(40), "deal"),  # second click session
+            (2, _ts(5), "home"),
+            (3, _ts(10), "promo"),
+        ],
+        "user_id LONG, ts STRING, page STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _buys(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts(20), 9.99),   # within 30m of click@0 only
+            (1, _ts(55), 5.00),   # within 30m of click@40 only
+            (2, _ts(50), 7.50),   # 45m after click@5 -> no match
+            (4, _ts(12), 1.00),   # no click at all
+        ],
+        "user_id LONG, ts STRING, amount DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+EXPECTED = {(1, "home", 9.99), (1, "deal", 5.00)}
+
+
+def test_correlate_streams_batch_semantics(spark):
+    out = correlate_streams(_clicks(spark), _buys(spark), "user_id")
+    got = {(r["user_id"], r["page"], r["amount"]) for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_correlate_streams_streaming_equals_batch(spark, tmp_path):
+    _clicks(spark).write.parquet(str(tmp_path / "clicks"))
+    _buys(spark).write.parquet(str(tmp_path / "buys"))
+    cs = spark.readStream.schema(CLICK_SCHEMA).parquet(str(tmp_path / "clicks"))
+    bs = spark.readStream.schema(BUY_SCHEMA).parquet(str(tmp_path / "buys"))
+    joined = correlate_streams(cs, bs, "user_id")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["page"], r["amount"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    assert got == EXPECTED
