@@ -2021,6 +2021,92 @@ def sql_string_interface(spark, sf_dir):
 
 
 @query(
+    "recursive_cte_month_spine",
+    oracle=r"""
+    WITH RECURSIVE months(m, mx) AS (
+      SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP),
+             max(o_orderdate)
+      FROM orders
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH, mx FROM months
+      WHERE m + INTERVAL 1 MONTH <= mx
+    )
+    SELECT m AS month_start, COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_price
+    FROM months LEFT JOIN orders
+      ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+    GROUP BY m ORDER BY m
+    """,
+)
+def recursive_cte_month_spine(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): build a complete
+    monthly date spine between min and max order date, then left-join
+    per-month order totals onto it — the calendar-densification shape
+    (months with zero orders still appear) done purely in SQL, the
+    recursive twin of `gapfill_locf_daily`'s sequence() approach.
+
+    Two scale notes: (1) recursion depth = number of months (80 here,
+    bounded by spark.sql.cteRecursionLevelLimit=100 — raise it for
+    longer spines or prefer sequence() for very long axes); each
+    level is a 1-row frame. (2) the max bound rides ALONG the
+    recursion as a column — a scalar subquery in the recursive step
+    would re-execute per level (measured 30 s → 1.7 s here; the SQL
+    form of the HOF outer-reference re-evaluation trap)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rv")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m, mx) AS (
+          SELECT date_trunc('month', min(o_orderdate)), max(o_orderdate)
+          FROM orders_rv
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH, mx FROM months
+          WHERE m + INTERVAL '1' MONTH <= mx
+        )
+        SELECT m AS month_start, COUNT(o_orderkey) AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_price
+        FROM months LEFT JOIN orders_rv ON date_trunc('month', o_orderdate) = m
+        GROUP BY m ORDER BY m
+        """
+    )
+
+
+@query(
+    "lateral_topk_per_region",
+    oracle=r"""
+    SELECT r.r_name, l.c_name, l.acctbal
+    FROM region r,
+    LATERAL (
+      SELECT c_name, ROUND(c_acctbal, 2) AS acctbal FROM customer c
+      WHERE c.c_nationkey % 5 = r.r_regionkey
+      ORDER BY c_name LIMIT 2
+    ) l
+    ORDER BY r.r_name, l.c_name
+    """,
+)
+def lateral_topk_per_region(spark, sf_dir):
+    """LATERAL correlated subquery: top-2 customers per region via a
+    per-row dependent subquery — the SQL-standard alternative to the
+    row_number() window (`topk_per_group_window`). Catalyst rewrites
+    the lateral into a join, so the executed plan is the same family;
+    what this entry pins is the SQL *surface* both engines accept.
+    ORDER BY c_name (unique) makes the LIMIT cut deterministic."""
+    t(spark, sf_dir, "region").createOrReplaceTempView("region_lv")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    return spark.sql(
+        """
+        SELECT r.r_name, l.c_name, l.acctbal
+        FROM region_lv r,
+        LATERAL (
+          SELECT c_name, ROUND(c_acctbal, 2) AS acctbal FROM customer_lv c
+          WHERE c.c_nationkey % 5 = r.r_regionkey
+          ORDER BY c_name LIMIT 2
+        ) l
+        ORDER BY r.r_name, l.c_name
+        """
+    )
+
+
+@query(
     "asof_join_latest_order",
     oracle="""
     WITH latest AS (
