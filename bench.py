@@ -59,6 +59,12 @@ HEADLINE = [
     "hll_sketch_workflow",
     "embedding_dim_stats",
     "window_function_surface",
+    "regression_surface",
+    "heavy_hitters_users",
+    "mad_outliers_by_type",
+    "reservoir_sample_by_lang",
+    "lateral_topk_per_region",
+    "recursive_cte_month_spine",
 ]
 
 
