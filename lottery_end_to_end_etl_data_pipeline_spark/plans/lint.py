@@ -1,0 +1,137 @@
+"""Physical-plan linter: automated detection of the scale
+anti-patterns this engine's docs warn about, so "would this survive a
+100× scale-up?" is a callable check instead of a review habit.
+
+Walks the physical plan tree (unwrapping AQE) and flags:
+
+- ``cartesian-product`` (warn): CartesianProductExec — O(n·m) row
+  pairing with no join key.
+- ``nested-loop-join`` (warn): BroadcastNestedLoopJoinExec — the
+  fallback for non-equi / keyless joins; fine for a 1-row broadcast
+  aggregate, a scale-killer when the broadcast side is a real table.
+- ``row-python-udf`` (warn): BatchEvalPythonExec — row-at-a-time
+  Python in the hot path (~10-100× slower than built-ins/Arrow).
+- ``arrow-python-udf`` (info): ArrowEvalPythonExec / Pandas kernels —
+  legitimate where used deliberately; surfaced so reviewers see them.
+- ``global-window`` (warn): a Window with an empty PARTITION BY —
+  every row flows through ONE task (the `skew.top_keys` lesson).
+- ``single-partition-exchange`` (warn): Exchange to SinglePartition —
+  a one-task bottleneck stage (global sort collectors, `coalesce(1)`
+  writes). CollectLimit/TakeOrderedAndProject do NOT trip this —
+  their single-task step handles k rows, not the table.
+
+Usage::
+
+    findings = lint_plan(df)              # inspect / log
+    assert_scalable(df)                   # raise on any warn
+    assert_scalable(df, allow={"nested-loop-join"})  # documented use
+
+`assert_scalable` is meant for tests and CI gates next to the plan
+asserts in `tests/test_plans.py`; `allow` records *reviewed* uses
+(e.g. a deliberate 1-row broadcast crossJoin) at the call site.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class Finding:
+    rule: str
+    severity: str  # "warn" | "info"
+    node: str
+    detail: str
+
+
+class PlanLintError(AssertionError):
+    """Raised by assert_scalable when warn-level findings remain."""
+
+
+def _walk(node):
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        # Lint the pre-execution plan; post-execution re-lint sees the
+        # AQE-final tree the same way.
+        yield from _walk(node.initialPlan())
+        return
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i))
+
+
+def lint_plan(df: DataFrame) -> list[Finding]:
+    findings: list[Finding] = []
+    plan = df._jdf.queryExecution().executedPlan()
+    for node in _walk(plan):
+        name = node.getClass().getSimpleName()
+        if name == "CartesianProductExec":
+            findings.append(
+                Finding("cartesian-product", "warn", name,
+                        "keyless join pairs every row with every row")
+            )
+        elif name == "BroadcastNestedLoopJoinExec":
+            findings.append(
+                Finding("nested-loop-join", "warn", name,
+                        "non-equi/keyless join; fine only when the "
+                        "broadcast side is scalar-sized")
+            )
+        elif name == "BatchEvalPythonExec":
+            findings.append(
+                Finding("row-python-udf", "warn", name,
+                        "row-at-a-time Python UDF in the hot path")
+            )
+        elif name in ("ArrowEvalPythonExec", "MapInPandasExec", "MapInArrowExec",
+                      "FlatMapGroupsInPandasExec"):
+            findings.append(
+                Finding("arrow-python-udf", "info", name,
+                        "Arrow-batched Python stage (deliberate kernels only)")
+            )
+        elif name in ("WindowExec", "WindowGroupLimitExec"):
+            try:
+                empty = node.partitionSpec().isEmpty()
+            except Exception:
+                empty = False
+            if empty:
+                findings.append(
+                    Finding("global-window", "warn", name,
+                            "window with empty PARTITION BY funnels all "
+                            "rows through one task")
+                )
+        elif name == "ShuffleExchangeExec":
+            if node.outputPartitioning().toString() == "SinglePartition":
+                # The final stage of a GLOBAL aggregate legitimately
+                # exchanges to one partition: it carries one
+                # partial-agg row per upstream task, not the table.
+                # Flag only non-aggregate feeds (global sorts,
+                # coalesce-to-one shapes).
+                child = node.children().apply(0)
+                while child.getClass().getSimpleName() in (
+                    "WholeStageCodegenExec",
+                    "InputAdapter",
+                ):
+                    child = child.children().apply(0)
+                if child.getClass().getSimpleName() not in (
+                    "HashAggregateExec",
+                    "ObjectHashAggregateExec",
+                    "SortAggregateExec",
+                ):
+                    findings.append(
+                        Finding("single-partition-exchange", "warn", name,
+                                "exchange collapses the data to one task")
+                    )
+    return findings
+
+
+def assert_scalable(df: DataFrame, allow: set[str] = frozenset()) -> list[Finding]:
+    """Raise PlanLintError if any warn-level finding is not in
+    `allow`; returns the full finding list (incl. info) otherwise."""
+    findings = lint_plan(df)
+    bad = [f for f in findings if f.severity == "warn" and f.rule not in allow]
+    if bad:
+        lines = "; ".join(f"{f.rule} ({f.node}): {f.detail}" for f in bad)
+        raise PlanLintError(f"plan has scale anti-patterns: {lines}")
+    return findings

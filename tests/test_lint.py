@@ -1,0 +1,95 @@
+"""Plan-linter detection tests: each anti-pattern tripped on purpose,
+plus clean plans and the catalog's flagship queries passing."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.plans.lint import (
+    PlanLintError,
+    assert_scalable,
+    lint_plan,
+)
+
+
+def _rules(df):
+    return {f.rule for f in lint_plan(df)}
+
+
+@pytest.fixture()
+def pair(spark):
+    a = spark.range(100).withColumnRenamed("id", "x")
+    b = spark.range(50).withColumnRenamed("id", "y")
+    return a, b
+
+
+def test_detects_nested_loop_cross_join(spark, pair):
+    a, b = pair
+    assert "nested-loop-join" in _rules(a.crossJoin(b))
+    with pytest.raises(PlanLintError, match="nested-loop-join"):
+        assert_scalable(a.crossJoin(b))
+    # ...but a reviewed use is allowable at the call site.
+    assert_scalable(a.crossJoin(b), allow={"nested-loop-join"})
+
+
+def test_detects_global_window(spark, pair):
+    a, _ = pair
+    w = Window.orderBy("x")
+    df = a.withColumn("rn", F.row_number().over(w))
+    assert "global-window" in _rules(df)
+    # single-partition exchange rides along with the global sort
+    assert "single-partition-exchange" in _rules(df)
+
+
+def test_detects_row_python_udf(spark, pair):
+    a, _ = pair
+    plus = F.udf(lambda v: v + 1, "long")
+    assert "row-python-udf" in _rules(a.select(plus("x").alias("y")))
+
+
+def test_arrow_stage_is_info_not_warn(spark, pair):
+    a, _ = pair
+
+    def ident(it):
+        yield from it
+
+    df = a.mapInPandas(ident, "x long")
+    findings = lint_plan(df)
+    arrow = [f for f in findings if f.rule == "arrow-python-udf"]
+    assert arrow and all(f.severity == "info" for f in arrow)
+    assert_scalable(df)  # info never raises
+
+
+def test_clean_plans_pass(spark, pair):
+    a, b = pair
+    # Partitioned window + broadcast equi-join: the blessed shapes.
+    w = Window.partitionBy((F.col("x") % 3).alias("g")).orderBy("x")
+    df = a.withColumn("rn", F.row_number().over(w))
+    assert_scalable(df)
+    j = a.join(F.broadcast(b), a["x"] == b["y"])
+    assert_scalable(j)
+    agg = a.groupBy((F.col("x") % 5).alias("g")).agg(F.sum("x").alias("s"))
+    assert_scalable(agg)
+
+
+def test_flagship_catalog_queries_are_lint_clean(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # A cross-section of the headline workload: star join, gold agg,
+    # window top-k, sessionization, dedup, and the new stats batch.
+    for name in (
+        "star_join_revenue",
+        "gold_draw_summary_shape",
+        "topk_per_group_window",
+        "sessionize_batch_30m",
+        "dedup_exact",
+        "regression_surface",
+        "heavy_hitters_users",
+        "reservoir_sample_by_lang",
+    ):
+        # The 1-row broadcast-total crossJoin (heavy hitters) and any
+        # scalar broadcast are reviewed nested-loop uses.
+        assert_scalable(QUERIES[name](spark, sf), allow={"nested-loop-join"})
