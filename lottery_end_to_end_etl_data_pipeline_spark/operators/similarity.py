@@ -428,3 +428,61 @@ def zscore_normalize(
         .withColumn(out_col or vec_col, rescaled)
         .drop("_means", "_stds")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Scalar int8-range quantization: map each dimension affinely to
+    [0, 255] using the corpus per-dim min/max, emitting `out_col` as
+    array<int> plus the 1-row codebook columns `_qmins` / `_qscales`
+    needed to dequantize (kept on each row for self-containment; they
+    broadcast, they're dims-sized).
+
+    Why at 100 TB: a float32 corpus at billions of vectors is
+    memory-bound in ANN serving; 8-bit codes cut candidate-scan
+    bytes 4x while keeping recall (re-rank the shortlist against the
+    float vectors — `knn_brute` — exactly as IVF/LSH re-rank here).
+
+    Scale shape mirrors `zscore_normalize`: one dims-keyed aggregate
+    (shuffle = executors x dims), codebook collapsed to arrays in a
+    1-row broadcast, then one narrow zip_with pass. Constant
+    dimensions (max == min) quantize to 0 with scale 0."""
+    stats = dimension_stats(df, vec_col)
+    packed = stats.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "vmin", "vmax"))).alias("_s")
+    ).select(
+        F.transform("_s", lambda s: s["vmin"]).alias("_qmins"),
+        F.transform("_s", lambda s: (s["vmax"] - s["vmin"]) / F.lit(255.0)).alias(
+            "_qscales"
+        ),
+    )
+    q = F.zip_with(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.col("_qmins"),
+            lambda x, mn: x - mn,
+        ),
+        F.col("_qscales"),
+        lambda d, s: F.when(s == 0.0, F.lit(0)).otherwise(
+            F.least(F.lit(255), F.greatest(F.lit(0), F.round(d / s).cast("int")))
+        ),
+    )
+    return df.crossJoin(F.broadcast(packed)).withColumn(out_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame, qvec_col: str = "qvec", out_col: str = "vec_hat"
+) -> DataFrame:
+    """Inverse of `quantize_embeddings` using the carried codebook
+    columns: v_hat_i = qmin_i + q_i * qscale_i. Narrow, no shuffle."""
+    vhat = F.zip_with(
+        F.zip_with(
+            F.transform(F.col(qvec_col), lambda x: x.cast("double")),
+            F.col("_qscales"),
+            lambda qv, s: qv * s,
+        ),
+        F.col("_qmins"),
+        lambda scaled, mn: scaled + mn,
+    )
+    return df.withColumn(out_col, vhat)

@@ -3529,6 +3529,64 @@ def reservoir_sample_by_lang(spark, sf_dir):
     return samp.select("lang", "doc_id", "source").orderBy("lang", "doc_id")
 
 
+@query(
+    "embedding_quantize_stats",
+    oracle=r"""
+    WITH ex AS (
+      SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings
+    ), cb AS (
+      SELECT dim, min(val) AS mn, (max(val) - min(val)) / 255.0 AS s
+      FROM ex GROUP BY dim
+    ), q AS (
+      SELECT e.vec_id, e.label, e.val, c.mn, c.s,
+             CASE WHEN c.s = 0 THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                       CAST(ROUND((e.val - c.mn) / c.s) AS INT))) END AS qv
+      FROM ex e JOIN cb c USING (dim)
+    )
+    SELECT label,
+           COUNT(DISTINCT vec_id) AS n_vecs,
+           ROUND(AVG(ABS(mn + qv * s - val)), 6) AS mae,
+           CAST(SUM(qv) AS BIGINT) AS q_sum
+    FROM q GROUP BY label ORDER BY label
+    """,
+)
+def embedding_quantize_stats(spark, sf_dir):
+    """Int8-range scalar quantization of the embedding corpus
+    (operators/similarity.py::quantize_embeddings) with per-label
+    reconstruction error — the 4x-smaller ANN candidate
+    representation, validated value-exactly: the oracle recomputes
+    the same affine codes, so `q_sum` (exact int) pins every code and
+    `mae` pins the dequantization path. Quantize = one dims-keyed
+    aggregate + 1-row broadcast codebook + narrow zip_with; the
+    explode here exists only to mirror the oracle's per-(vec,dim)
+    averaging."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    deq = dequantize_embeddings(quantize_embeddings(emb))
+    pairs = (
+        deq.withColumn(
+            "_v", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        .select("vec_id", "label", F.explode(F.arrays_zip("_v", "qvec", "vec_hat")).alias("z"))
+    )
+    return (
+        pairs.groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vecs"),
+            F.round(F.avg(F.abs(F.col("z.vec_hat") - F.col("z._v"))), 6).alias("mae"),
+            F.sum("z.qvec").cast("long").alias("q_sum"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate hashes exactly the
 # first 50 entries of queries() in registry order; with 79+ registered,

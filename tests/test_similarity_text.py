@@ -583,3 +583,30 @@ def test_udtf_registration_and_lateral_use(spark):
         (1, "y", 1),
         (2, "z", 0),
     ]
+
+
+def test_quantize_dequantize_roundtrip_error_bound(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [0.0, -1.0, 5.0], "a"),
+        (2, [1.0, 1.0, 5.0], "a"),
+        (3, [0.5, 3.0, 5.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING")
+    out = dequantize_embeddings(quantize_embeddings(df)).collect()
+    for r in out:
+        assert all(0 <= q <= 255 for q in r["qvec"])
+        for v, vhat in zip(r["embedding"], r["vec_hat"]):
+            # error bound: half a quantization step; steps here are
+            # (range/255) <= 4/255 ≈ 0.0157
+            assert abs(v - vhat) <= 0.5 * 4.0 / 255.0 + 1e-12
+    # constant dimension (third) quantizes to code 0 and reconstructs
+    # exactly via the carried codebook min.
+    assert all(r["qvec"][2] == 0 and r["vec_hat"][2] == 5.0 for r in out)
+    # extremes hit the code range ends
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[1]["qvec"][0] == 0 and by_id[2]["qvec"][0] == 255
