@@ -158,3 +158,73 @@ def test_packing_invariants(spark):
             assert sum(toks) <= budget or len(toks) == 1
 
     check()
+
+
+def test_reservoir_per_group_properties(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        reservoir_per_group,
+    )
+
+    @settings(max_examples=6, deadline=None, derandomize=True)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 10_000)),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[1],
+        ),
+        n=st.integers(1, 5),
+    )
+    def check(rows, n):
+        df = spark.createDataFrame(rows, "g int, id long")
+        out = reservoir_per_group(df, "g", "id", n)
+        got = [(r["g"], r["id"]) for r in out.collect()]
+        # exact min(n, |group|) per group, always a subset of input
+        from collections import Counter
+
+        want_sizes = Counter(g for g, _ in rows)
+        got_sizes = Counter(g for g, _ in got)
+        assert got_sizes == {g: min(n, c) for g, c in want_sizes.items()}
+        assert set(got) <= set(rows)
+        # deterministic under re-partitioning
+        again = [
+            (r["g"], r["id"])
+            for r in reservoir_per_group(df.repartition(5), "g", "id", n).collect()
+        ]
+        assert sorted(again) == sorted(got)
+
+    check()
+
+
+def test_quantize_roundtrip_property(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    @settings(max_examples=5, deadline=None, derandomize=True)
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.floats(-10, 10, allow_nan=False, width=32),
+                min_size=3,
+                max_size=3,
+            ),
+            min_size=2,
+            max_size=12,
+        )
+    )
+    def check(vecs):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        out = dequantize_embeddings(quantize_embeddings(df)).collect()
+        # per-dim range from the corpus itself bounds the error at
+        # half a quantization step
+        dims = list(zip(*[r[1] for r in rows]))
+        steps = [(max(d) - min(d)) / 255.0 for d in dims]
+        for r in out:
+            assert all(0 <= q <= 255 for q in r["qvec"])
+            for j, (v, vhat) in enumerate(zip(r["embedding"], r["vec_hat"])):
+                assert abs(v - vhat) <= 0.5 * steps[j] + 1e-9
+
+    check()
