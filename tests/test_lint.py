@@ -93,3 +93,24 @@ def test_flagship_catalog_queries_are_lint_clean(spark):
         # The 1-row broadcast-total crossJoin (heavy hitters) and any
         # scalar broadcast are reviewed nested-loop uses.
         assert_scalable(QUERIES[name](spark, sf), allow={"nested-loop-join"})
+
+
+def test_entire_catalog_free_of_cartesians_and_row_udfs(spark):
+    """Engine-wide invariant: no catalog query plans a cartesian
+    product or a row-at-a-time Python UDF — the two unambiguous
+    scale-killers (everything else has reviewed uses)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in QUERIES.items():
+        try:
+            rules = {f.rule for f in lint_plan(fn(spark, sf))}
+        except Exception:
+            continue  # write-side queries needing scratch dirs etc.
+        bad = rules & {"cartesian-product", "row-python-udf"}
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}
