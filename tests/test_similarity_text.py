@@ -610,3 +610,24 @@ def test_quantize_dequantize_roundtrip_error_bound(spark):
     # extremes hit the code range ends
     by_id = {r["vec_id"]: r for r in out}
     assert by_id[1]["qvec"][0] == 0 and by_id[2]["qvec"][0] == 255
+
+
+def test_knn_quantized_recall_vs_brute(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_brute,
+        knn_quantized,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.first()["embedding"]]
+    exact = {r["id"] for r in knn_brute(emb, qvec, k=10).collect()}
+    approx_df = knn_quantized(emb, qvec, k=10, shortlist=100)
+    approx = {r["vec_id"] for r in approx_df.collect()}
+    assert len(approx) == 10
+    # int8 shortlist + exact re-rank keeps recall high
+    assert len(exact & approx) >= 9
+    # degenerate dims guard: wrong query dimension raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        knn_quantized(emb, qvec + [0.0], k=5)
