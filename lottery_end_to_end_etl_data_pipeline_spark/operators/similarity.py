@@ -547,3 +547,76 @@ def knn_quantized(
         .limit(k)
         .select(id_col, F.round("_cos", 6).alias("cosine"))
     )
+
+
+def write_quantized_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the int8 representation: `<path>/codes` holds
+    (id, qvec array<int>) — 4x smaller scan bytes than float32 —
+    and `<path>/codebook` holds the 1-row per-dim affine map. Write
+    once, probe many: the shortlist stage of `knn_quantized_indexed`
+    then reads ONLY the codes table (column-pruned, no float
+    vectors), which is the point of quantized retrieval at 100 TB.
+    Keep the float table for the exact re-rank joins."""
+    qdf = quantize_embeddings(df, vec_col)
+    qdf.select(id_col, "qvec").write.mode("overwrite").parquet(f"{path}/codes")
+    qdf.select("_qmins", "_qscales").limit(1).write.mode("overwrite").parquet(
+        f"{path}/codebook"
+    )
+
+
+def knn_quantized_indexed(
+    spark,
+    index_path: str,
+    float_df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted int8 index: shortlist on code distance from
+    `<index_path>/codes` (the ONLY corpus-sized scan — int8 codes,
+    no float column), then exact cosine re-rank of the shortlist by
+    joining back to the float table on the id (broadcast — it's
+    `shortlist` rows). Same affine map as write time via the stored
+    codebook (dims-sized scalar fetch)."""
+    mins, scales = spark.read.parquet(f"{index_path}/codebook").first()
+    if len(qvec) != len(mins):
+        raise ValueError(f"query dim {len(qvec)} != index dim {len(mins)}")
+    qcodes = [
+        0 if s == 0.0 else max(0, min(255, round((float(v) - m) / s)))
+        for v, m, s in zip(qvec, mins, scales)
+    ]
+    scales_arr = F.array(*[F.lit(float(s)) for s in scales])
+    code_dist = F.aggregate(
+        F.zip_with(
+            F.zip_with(
+                F.col("qvec"),
+                F.array(*[F.lit(int(c)) for c in qcodes]),
+                lambda p, q: (p - q).cast("double"),
+            ),
+            scales_arr,
+            lambda d, s: d * s,
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d * d,
+    )
+    short = (
+        spark.read.parquet(f"{index_path}/codes")
+        .withColumn("_cdist", code_dist)
+        .orderBy(F.asc("_cdist"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    return (
+        float_df.join(F.broadcast(short), id_col)
+        .withColumn("_cos", cosine_to_query(vec_col, qvec))
+        .orderBy(F.desc("_cos"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("_cos", 6).alias("cosine"))
+    )

@@ -631,3 +631,39 @@ def test_knn_quantized_recall_vs_brute(spark):
 
     with _pytest.raises(ValueError, match="dim"):
         knn_quantized(emb, qvec + [0.0], k=5)
+
+
+def test_quantized_index_probe_reads_codes_only(spark, tmp_path):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_quantized,
+        knn_quantized_indexed,
+        write_quantized_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.first()["embedding"]]
+    write_quantized_index(emb, str(tmp_path / "qidx"))
+    out = knn_quantized_indexed(
+        spark, str(tmp_path / "qidx"), emb, qvec, k=10, shortlist=100
+    )
+    got = {r["vec_id"] for r in out.collect()}
+    inline = {r["vec_id"] for r in knn_quantized(emb, qvec, k=10, shortlist=100).collect()}
+    # persisted probe == inline two-stage (same codebook, same math)
+    assert got == inline
+    # the corpus-sized scan reads ONLY the int8 codes table: the float
+    # embedding column appears in no scan of <qidx>/codes (walk the
+    # plan tree — the text form truncates long paths)
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.lint import _walk as walk
+
+    root = out._jdf.queryExecution().executedPlan()
+    codes_scans = []
+    for n in walk(root):
+        if n.getClass().getSimpleName() == "FileSourceScanExec":
+            loc = n.relation().location().rootPaths().apply(0).toString()
+            cols = [
+                n.output().apply(i).name() for i in range(n.output().size())
+            ]
+            if "qidx/codes" in loc:
+                codes_scans.append(cols)
+    assert codes_scans, "expected a scan of the codes table"
+    assert all("embedding" not in cols for cols in codes_scans)
