@@ -71,12 +71,27 @@ def run_pipeline(
         from lottery_end_to_end_etl_data_pipeline_spark.operators.quality import validate_silver
 
         validate_silver(sorteos, premios, enforce=True)
-    n_draws = sorteos.count()
-    n_premios = premios.count()
-    if n_draws:
-        write_silver(
-            sorteos, premios, silver_path, simple_path=simple_path, mode="overwrite"
-        )
+
+    # Batch sizes come from Observations riding the write jobs — the
+    # parse lineage is evaluated ONCE (the writes), not three times
+    # (count + count + write, the pre-Observation shape). An empty
+    # batch's dynamic-partition write touches no partitions, so the
+    # unconditional write keeps the no-op re-run contract.
+    from pyspark.sql import functions as F
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.quality import observed
+
+    sorteos, s_obs = observed(
+        sorteos, "sorteos_write", {"n_rows": F.count(F.lit(1))}
+    )
+    premios, p_obs = observed(
+        premios, "premios_write", {"n_rows": F.count(F.lit(1))}
+    )
+    write_silver(
+        sorteos, premios, silver_path, simple_path=simple_path, mode="overwrite"
+    )
+    n_draws = int(s_obs.get["n_rows"])
+    n_premios = int(p_obs.get["n_rows"])
 
     register_silver(spark, silver_path)
     result = PipelineResult(new_draws=n_draws, new_premios=n_premios)
