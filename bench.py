@@ -65,6 +65,9 @@ HEADLINE = [
     "reservoir_sample_by_lang",
     "lateral_topk_per_region",
     "recursive_cte_month_spine",
+    "funnel_conversion",
+    "cohort_retention",
+    "embedding_quantize_stats",
 ]
 
 
