@@ -234,6 +234,164 @@ def gapfill_locf(
 _BUCKET_TRUNC = {"1 day": "day", "1 hour": "hour", "1 week": "week"}
 
 
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Union of overlapping-or-touching intervals per key
+    (gaps-and-islands): an interval starts a new island when its
+    start exceeds the running max end of every earlier interval of
+    the same key; island id = running count of island starts. Output
+    is one row per island: (key, island_id, island_start,
+    island_end, n_intervals).
+
+    Plan shape: ONE hash exchange on the key feeds the running-max
+    window, the island-id running sum, and the per-island aggregate
+    (same partitioning throughout — no second shuffle). Comparisons
+    in exact integer microseconds (`unix_micros`), the repo's
+    timestamp discipline: a double cast carries ~1e-7 s error,
+    enough to flip a touching-boundary comparison. At 100 TB this
+    scales like sessionization — per-key sorted window state, no
+    interval self-join (the naive overlap join is O(n²) per key)."""
+    order = [F.unix_micros(F.col(start_col)), F.unix_micros(F.col(end_col))]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s_us = F.unix_micros(F.col(start_col))
+    e_us = F.unix_micros(F.col(end_col))
+    prev_max_end = F.max(F.unix_micros(F.col(end_col))).over(w_prev)
+    new_island = F.when(
+        prev_max_end.isNull() | (s_us > prev_max_end), 1
+    ).otherwise(0)
+    islands = df.withColumn("_new", new_island).withColumn(
+        "island_id", F.sum("_new").over(w_run)
+    )
+    return islands.groupBy(key_col, "island_id").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history build from a change
+    log: collapse each key's consecutive runs of the same `attr_col`
+    value (ordered by `ts_col`, tie-broken on `tiebreak`) into one
+    version row with [valid_from, valid_to) — valid_to is the next
+    version's valid_from, NULL for the current version.
+
+    Construction: lag-based change detection (`IS DISTINCT FROM`, so
+    NULL attrs form their own runs), running-sum version numbering,
+    per-version aggregate, then lead(valid_from) for valid_to. All
+    four steps share ONE hash exchange on the key — the window specs
+    and the aggregate use the same partitioning. At 100 TB the state
+    is per-key sorted window memory, the same shape as
+    sessionization; there is no self-join (the textbook SCD2 MERGE
+    compares against the whole existing dimension — this builds the
+    full history in one pass instead)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak)
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # first row of a key is always a version start (lag(ts) NULL);
+    # after that, IS DISTINCT FROM so NULL attr values form runs too
+    changed = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | ~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w)),
+        1,
+    ).otherwise(0)
+    versions = (
+        df.withColumn("_chg", changed)
+        .withColumn("version", F.sum("_chg").over(run))
+        .groupBy(key_col, "version")
+        .agg(
+            F.first(attr_col).alias(attr_col),
+            F.min(ts_col).alias("valid_from"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    w_ver = Window.partitionBy(key_col).orderBy("version")
+    return versions.withColumn(
+        "valid_to", F.lead("valid_from").over(w_ver)
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Day-of-week seasonal baseline: daily totals scored against the
+    mean/stddev of the SAME weekday (retail/telemetry traffic has a
+    weekly period — comparing Monday to the all-days mean flags every
+    Monday). Output per day: total, weekday, baseline mean/std, and
+    a z-score + anomaly flag.
+
+    Two hash aggregates (day, then weekday over ~7 rows) and a
+    broadcast join back — the weekday baseline is 7 rows however big
+    the input, so the join never shuffles the daily series. Scales
+    as a scan + one day-grain exchange at 100 TB.
+
+    The baseline includes the scored day itself, which caps |z| at
+    sqrt(n_days - 1): the threshold is only reachable with ~6+
+    samples per weekday. A constant weekday (sigma 0) gets a NULL
+    z-score and is never flagged."""
+    daily = df.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.round(F.sum(value_col), 2).alias("day_total")
+    )
+    # Spark dayofweek(): 1=Sunday..7=Saturday (DuckDB dayofweek()+1)
+    daily = daily.withColumn("dow", F.dayofweek("day"))
+    baseline = daily.groupBy("dow").agg(
+        F.avg("day_total").alias("_mu"),
+        F.stddev("day_total").alias("_sigma"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    # nullif: a constant weekday (sigma 0) has no defined z-score —
+    # NULL, not a divide-by-zero (ANSI mode throws on /0)
+    z = (F.col("day_total") - F.col("_mu")) / F.nullif(
+        F.col("_sigma"), F.lit(0.0)
+    )
+    return (
+        daily.join(F.broadcast(baseline), "dow")
+        .withColumn("zscore", F.round(z, 4))
+        .withColumn(
+            "is_anomaly",
+            F.when(F.abs(z) > z_threshold, True).otherwise(False),
+        )
+        .select(
+            "day",
+            "dow",
+            "day_total",
+            F.round("_mu", 4).alias("dow_mean"),
+            F.round("_sigma", 4).alias("dow_std"),
+            "n_days",
+            "zscore",
+            "is_anomaly",
+        )
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     key_col: str,

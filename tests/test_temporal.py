@@ -212,3 +212,113 @@ def test_time_weighted_avg_weights_by_duration(spark):
     assert got[1]["tw_avg"] == 19.0
     assert got[1]["plain_avg"] == 36.6667
     assert got[2]["tw_avg"] == 42.0
+
+
+def test_merge_intervals_islands(spark):
+    """Overlap merges, touching (start == running max end) merges,
+    a gap starts a new island; an interval nested inside an earlier
+    one extends nothing but still joins its island."""
+    from pyspark.sql import functions as F
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    rows = [
+        ("a", "00:00", "00:10", 1),
+        ("a", "00:05", "00:15", 2),   # overlaps -> same island
+        ("a", "00:15", "00:20", 3),   # touches running max end -> merges
+        ("a", "00:06", "00:08", 4),   # nested -> same island
+        ("a", "00:25", "00:30", 5),   # gap -> new island
+        ("b", "00:00", "00:01", 6),
+    ]
+    df = spark.createDataFrame(
+        [(k, f"2024-01-01 {s}:00", f"2024-01-01 {e}:00", i) for k, s, e, i in rows],
+        "k string, s string, e string, iid long",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    out = {
+        (r["k"], r["island_id"]): (
+            str(r["island_start"])[11:16],
+            str(r["island_end"])[11:16],
+            r["n_intervals"],
+        )
+        for r in merge_intervals(df, "k", "s", "e", tiebreak="iid").collect()
+    }
+    assert out == {
+        ("a", 1): ("00:00", "00:20", 4),
+        ("a", 2): ("00:25", "00:30", 1),
+        ("b", 1): ("00:00", "00:01", 1),
+    }
+
+
+def test_scd2_history_versions(spark):
+    """Consecutive same-attr rows collapse into one version; a NULL
+    attr forms its own run (IS DISTINCT FROM); valid_to chains to the
+    next version's valid_from and the last version is current."""
+    from pyspark.sql import functions as F
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+        scd2_history,
+    )
+
+    rows = [
+        (1, "A", "01:00", 1),
+        (1, "A", "02:00", 2),
+        (1, "B", "03:00", 3),
+        (1, "A", "04:00", 4),   # back to A -> NEW version, not merged
+        (2, None, "01:00", 5),
+        (2, None, "02:00", 6),
+        (2, "X", "03:00", 7),
+    ]
+    df = spark.createDataFrame(
+        [(k, a, f"2024-01-01 {t}:00", i) for k, a, t, i in rows],
+        "k long, attr string, ts string, iid long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_history(df, "k", "attr", "ts", "iid")
+    got = {
+        (r["k"], r["version"]): (
+            r["attr"],
+            str(r["valid_from"])[11:16],
+            None if r["valid_to"] is None else str(r["valid_to"])[11:16],
+            r["n_rows"],
+            r["is_current"],
+        )
+        for r in hist.collect()
+    }
+    assert got == {
+        (1, 1): ("A", "01:00", "03:00", 2, False),
+        (1, 2): ("B", "03:00", "04:00", 1, False),
+        (1, 3): ("A", "04:00", None, 1, True),
+        (2, 1): (None, "01:00", "03:00", 2, False),
+        (2, 2): ("X", "03:00", None, 1, True),
+    }
+
+
+def test_seasonal_baseline_flags_weekday_spike(spark):
+    """A 10x spike on one Monday out of ten is anomalous against the
+    Monday baseline (z ~ 2.84); the quiet Mondays are not. With-self
+    baselines cap |z| at sqrt(n_days - 1), so the threshold needs
+    n_days >= 6 to be reachable at all."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+        seasonal_baseline,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0)  # a Monday
+    rows = []
+    for wk in range(10):
+        d = base + datetime.timedelta(weeks=wk)
+        rows.append((d, 100.0 if wk == 6 else 10.0))      # Mondays
+        rows.append((d + datetime.timedelta(days=1), 5.0))  # Tuesdays
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {str(r["day"]): r for r in seasonal_baseline(df, "ts", "value").collect()}
+    spike = out["2024-02-12"]
+    assert spike["is_anomaly"] and spike["zscore"] > 2.0
+    assert spike["dow"] == 2 and spike["n_days"] == 10
+    quiet = out["2024-01-01"]
+    assert not quiet["is_anomaly"]
+    tue = out["2024-01-02"]
+    assert tue["dow_std"] == 0.0 and not tue["is_anomaly"]
