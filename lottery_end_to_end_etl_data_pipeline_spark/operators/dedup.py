@@ -844,3 +844,61 @@ def embedding_cosine_pairs_pandas(
 
     out_schema = "id_a LONG, id_b LONG, cosine DOUBLE"
     return df.groupBy(bucket_col).applyInPandas(per_bucket, out_schema)
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Span-level exact dedup statistics (C4 lineage — Raffel et al.
+    2020 §2.2 removes repeated three-sentence spans; public paper):
+    split each document into consecutive non-overlapping
+    `chunk_words`-word chunks and count, per document, how many of
+    its chunks also occur anywhere else in the corpus. The dup_frac
+    column is the usual pre-training triage signal for boilerplate
+    (headers, navbars, license blocks) that exact whole-doc dedup
+    misses.
+
+    Shape: posexplode → one (doc, chunk_idx) aggregate rebuilding the
+    chunk text in token order (`array_sort` on (pos, word) structs —
+    collect_list alone is shuffle-order-dependent), then a frequency
+    aggregate and a join keyed on md5(chunk) — 128 bits, not the
+    chunk string, so the frequency shuffle moves hashes instead of
+    10-word payloads. Map-side partial aggregation collapses hot
+    chunks per task; no self-join, no O(n²) term anywhere. At 100 TB
+    this is the same inverted-index discipline as the other dedup
+    ops: shuffle volume is O(total chunks)."""
+    toks = df.select(id_col, tokens(text_col).alias("_toks"))
+    words = toks.select(id_col, F.posexplode("_toks").alias("pos", "word"))
+    chunks = (
+        words.groupBy(
+            id_col,
+            F.floor(F.col("pos") / chunk_words).cast("long").alias("chunk_idx"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+        .withColumn("_ck", F.md5("chunk_text"))
+    )
+    freq = chunks.groupBy("_ck").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        chunks.join(freq, "_ck")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("n_occ") > 1, F.lit(1))).alias("n_dup_chunks"),
+            F.round(
+                F.count(F.when(F.col("n_occ") > 1, F.lit(1)))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

@@ -153,3 +153,38 @@ def write_token_shards(
     manifest = bin_stats(packed, token_col, budget)
     manifest.write.mode("overwrite").parquet(f"{path}_manifest")
     return spark.read.parquet(f"{path}_manifest")
+
+
+def length_buckets(
+    df: DataFrame, len_col: str, n_buckets: int = 8
+) -> DataFrame:
+    """Quantile length-bucketing with padding-waste accounting: batch
+    construction pads every sequence to its batch's max length, so
+    batching similar lengths together (bucketing by length quantile)
+    is the standard way to cut padding FLOPs. Reports, per bucket,
+    the doc count, length range, and the padding waste a
+    max-length-padded batch of that bucket would carry.
+
+    The cutpoints are ONE exact-percentile aggregate (n_buckets - 1
+    doubles) broadcast-cross-joined back — no global sort, no ntile
+    (an unpartitioned ntile window moves the whole table through a
+    single task; the repo's plan lint rejects that shape). Bucket
+    assignment is a per-row countif over the 7-element cut array.
+    Waste never needs a second window: with n, max, and sum per
+    bucket, waste = n·max - sum."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile(len_col, F.array(*[F.lit(q) for q in qs])).alias("_cuts")
+    )
+    bucketed = df.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.size(F.filter(F.col("_cuts"), lambda c: c < F.col(len_col))),
+    )
+    n, mx, sm = F.count(F.lit(1)), F.max(len_col), F.sum(len_col)
+    return bucketed.groupBy("bucket").agg(
+        n.alias("n_docs"),
+        F.min(len_col).alias("min_len"),
+        mx.alias("max_len"),
+        (n * mx - sm).alias("padding_waste"),
+        F.round((n * mx - sm).cast("double") / (n * mx), 4).alias("waste_frac"),
+    )

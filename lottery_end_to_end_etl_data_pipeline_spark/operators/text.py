@@ -362,3 +362,33 @@ def repetition_features(
     )
     out = narrow.join(top, on=id_col, how="left")
     return out.fillna({"top_bigram_count": 0, "top_bigram_frac": 0.0})
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    perplexity proxy for gibberish/low-diversity triage (base64
+    blobs score high, repeated-character runs score near zero;
+    natural text sits ~4-4.5 bits). One explode to (doc, char)
+    counts, then a per-doc aggregate using
+    H = log2(N) - Σ c·log2(c) / N — a single pass over the counts,
+    no second join for N. Both exchanges key on data-proportional
+    columns; scan-speed at 100 TB.
+
+    Entropy is a deterministic function of the integer character
+    counts, so the 4-dp rounding is engine-stable (same discipline
+    as the corr/cov entries)."""
+    chars = df.select(
+        id_col, F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return counts.groupBy(id_col).agg(
+        n.alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n,
+            4,
+        ).alias("entropy_bits"),
+    )

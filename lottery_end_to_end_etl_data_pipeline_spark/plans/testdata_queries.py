@@ -3833,6 +3833,110 @@ def seasonal_dow_anomaly(spark, sf_dir):
     return seasonal_baseline(t(spark, sf_dir, "events"), "ts", "value")
 
 
+@query(
+    "chunk_dedup_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    words AS (
+      SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS word
+      FROM toks),
+    chunks AS (
+      SELECT doc_id, pos // 10 AS chunk_idx,
+             string_agg(word, ' ' ORDER BY pos) AS chunk_text
+      FROM words GROUP BY doc_id, pos // 10),
+    freq AS (
+      SELECT chunk_text, COUNT(*) AS n_occ FROM chunks GROUP BY chunk_text)
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (WHERE f.n_occ > 1) AS n_dup_chunks,
+           ROUND(COUNT(*) FILTER (WHERE f.n_occ > 1) * 1.0 / COUNT(*), 4)
+             AS dup_frac
+    FROM chunks c JOIN freq f USING (chunk_text)
+    GROUP BY c.doc_id
+    """,
+)
+def chunk_dedup_stats(spark, sf_dir):
+    """Span-level exact dedup triage (operators/dedup.py
+    chunk_dup_stats, C4 §2.2 lineage): per document, the fraction of
+    its 10-word chunks that occur anywhere else in the corpus — the
+    boilerplate signal whole-doc dedup misses. Frequency shuffle
+    keys on md5(chunk), not the chunk string."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import chunk_dup_stats
+
+    return chunk_dup_stats(t(spark, sf_dir, "documents"), "text", "doc_id", 10)
+
+
+@query(
+    "char_entropy_quality",
+    oracle=r"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+    counts AS (
+      SELECT doc_id, ch, COUNT(*) AS c
+      FROM chars WHERE ch <> '' GROUP BY doc_id, ch)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           COUNT(*) AS distinct_chars,
+           ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy_bits
+    FROM counts GROUP BY doc_id
+    """,
+)
+def char_entropy_quality(spark, sf_dir):
+    """Character-entropy gibberish triage (operators/text.py
+    char_entropy): per-doc Shannon entropy in bits from one explode +
+    two keyed aggregates — H = log2(N) - Σ c·log2(c)/N, so no second
+    pass for N. Deterministic in the integer counts."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import char_entropy
+
+    return char_entropy(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "length_bucket_padding",
+    oracle=r"""
+    WITH L AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    C AS (
+      SELECT quantile_cont(n_tok, [0.125, 0.25, 0.375, 0.5,
+                                   0.625, 0.75, 0.875]) AS cuts
+      FROM L),
+    B AS (
+      SELECT n_tok,
+             CAST(len(list_filter(cuts, c -> c < n_tok)) AS INT) AS bucket
+      FROM L, C)
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_tok) AS min_len,
+           MAX(n_tok) AS max_len,
+           CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS padding_waste,
+           ROUND((COUNT(*) * MAX(n_tok) - SUM(n_tok)) * 1.0
+                 / (COUNT(*) * MAX(n_tok)), 4) AS waste_frac
+    FROM B GROUP BY bucket
+    """,
+)
+def length_bucket_padding(spark, sf_dir):
+    """Quantile length-bucketing for batch construction
+    (operators/packing.py length_buckets): 8 buckets from ONE exact
+    percentile aggregate broadcast back (no global-sort ntile), with
+    the padding waste a max-padded batch of each bucket would carry.
+    DuckDB quantile_cont interpolates identically to Spark's exact
+    percentile (same cross-engine pairing as mad_outlier_stats)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.packing import length_buckets
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    return length_buckets(docs, "n_tok", 8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The driver's CORRECTNESS gate hashes exactly the
 # first 50 entries of queries() in registry order; with 79+ registered,

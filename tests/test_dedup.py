@@ -361,3 +361,24 @@ def test_index_append_rejects_mismatched_geometry(spark, tmp_path):
     # same geometry appends fine
     write_minhash_index(more, path, num_hashes=16, bands=4, mode="append")
     assert spark.read.parquet(path + "/sig").count() == 2
+
+
+def test_chunk_dup_stats_flags_shared_spans(spark):
+    """Two docs sharing a 10-word boilerplate prefix must both report
+    that chunk as duplicated; a doc with all-unique chunks reports
+    dup_frac 0. Chunk text must be rebuilt in token order regardless
+    of shuffle order (array_sort on (pos, word) structs)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import chunk_dup_stats
+
+    boiler = "subscribe to our weekly newsletter for the latest updates today"  # 10 words
+    rows = [
+        (0, boiler + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, boiler + " one two three four five six seven eight nine ten"),
+        (2, "entirely unique words nothing shared here at all in this document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in chunk_dup_stats(df, "text", "doc_id", 10).collect()}
+    assert out[0]["n_chunks"] == 2 and out[0]["n_dup_chunks"] == 1
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
+    assert out[0]["dup_frac"] == 0.5
+    assert out[2]["n_dup_chunks"] == 0 and out[2]["dup_frac"] == 0.0

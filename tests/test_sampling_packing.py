@@ -298,3 +298,23 @@ def test_write_token_shards_roundtrip(spark, tmp_path):
     import os
     dirs = [e for e in os.listdir(path) if e.startswith("shard=")]
     assert len(dirs) == 4
+
+
+def test_length_buckets_partition_and_waste(spark):
+    """Buckets partition the rows, waste = n*max - sum per bucket, and
+    a uniform-length corpus collapses to a single zero-waste bucket."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.packing import length_buckets
+
+    df = spark.range(0, 256).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 64 + 1).alias("n_tok")
+    )
+    out = length_buckets(df, "n_tok", 4).collect()
+    assert sum(r["n_docs"] for r in out) == 256
+    for r in out:
+        assert r["min_len"] <= r["max_len"]
+        assert r["padding_waste"] >= 0
+        assert 0.0 <= r["waste_frac"] < 1.0
+
+    same = spark.range(0, 50).select(F.lit(7).alias("n_tok"))
+    u = length_buckets(same, "n_tok", 4).collect()
+    assert len(u) == 1 and u[0]["padding_waste"] == 0 and u[0]["waste_frac"] == 0.0

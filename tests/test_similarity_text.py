@@ -667,3 +667,22 @@ def test_quantized_index_probe_reads_codes_only(spark, tmp_path):
                 codes_scans.append(cols)
     assert codes_scans, "expected a scan of the codes table"
     assert all("embedding" not in cols for cols in codes_scans)
+
+
+def test_char_entropy_orders_gibberish_vs_runs(spark):
+    """Repeated-single-char text has ~0 entropy; a 16-distinct-char
+    uniform string has exactly 4 bits; natural text sits between."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import char_entropy
+
+    rows = [
+        (0, "aaaaaaaaaaaaaaaa"),
+        (1, "abcdefghijklmnop" * 4),
+        (2, "the cat sat on the mat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in char_entropy(df, "text", "doc_id").collect()}
+    assert out[0]["entropy_bits"] == 0.0
+    assert out[1]["entropy_bits"] == 4.0
+    assert out[1]["distinct_chars"] == 16
+    assert 0.0 < out[2]["entropy_bits"] < 4.5
+    assert out[2]["n_chars"] == len("the cat sat on the mat")
