@@ -846,6 +846,39 @@ def embedding_cosine_pairs_pandas(
     return df.groupBy(bucket_col).applyInPandas(per_bucket, out_schema)
 
 
+def doc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Consecutive non-overlapping `chunk_words`-word chunks per
+    document: (id_col, chunk_idx, chunk_text, _ck) where `_ck` is
+    md5(chunk_text) — downstream shuffles key on the 128-bit hash,
+    not the 10-word payload. posexplode → one (doc, chunk_idx)
+    aggregate rebuilding the chunk in token order (`array_sort` on
+    (pos, word) structs — collect_list alone is
+    shuffle-order-dependent)."""
+    toks = df.select(id_col, tokens(text_col).alias("_toks"))
+    words = toks.select(id_col, F.posexplode("_toks").alias("pos", "word"))
+    return (
+        words.groupBy(
+            id_col,
+            F.floor(F.col("pos") / chunk_words).cast("long").alias("chunk_idx"),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+        .withColumn("_ck", F.md5("chunk_text"))
+    )
+
+
 def chunk_dup_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -870,24 +903,7 @@ def chunk_dup_stats(
     chunks per task; no self-join, no O(n²) term anywhere. At 100 TB
     this is the same inverted-index discipline as the other dedup
     ops: shuffle volume is O(total chunks)."""
-    toks = df.select(id_col, tokens(text_col).alias("_toks"))
-    words = toks.select(id_col, F.posexplode("_toks").alias("pos", "word"))
-    chunks = (
-        words.groupBy(
-            id_col,
-            F.floor(F.col("pos") / chunk_words).cast("long").alias("chunk_idx"),
-        )
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda s: s["word"],
-                ),
-                " ",
-            ).alias("chunk_text")
-        )
-        .withColumn("_ck", F.md5("chunk_text"))
-    )
+    chunks = doc_chunks(df, text_col, id_col, chunk_words)
     freq = chunks.groupBy("_ck").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
         chunks.join(freq, "_ck")
@@ -900,5 +916,113 @@ def chunk_dup_stats(
                 / F.count(F.lit(1)).cast("double"),
                 4,
             ).alias("dup_frac"),
+        )
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sparse all-pairs TF-IDF cosine similarity via inverted index
+    (the classic all-pairs-similarity-search shape — Bayardo et al.
+    2007, WWW; public paper). Emits (id_a, id_b, cosine) for every
+    pair whose cosine over L2-normalized smooth-idf weights
+    (tf · (ln((N+1)/(df+1)) + 1)) reaches `threshold`.
+
+    Plan: (doc, term, tf) postings → term document frequencies (one
+    aggregate that serves BOTH the idf and the `max_df` prune) → L2
+    norms per doc → unit weights → self-join on term → one
+    sum-of-products aggregate per candidate pair. A pair is produced
+    only if it shares a term, so disjoint docs cost nothing; shuffle
+    volume is postings + candidate pairs, never O(n²).
+
+    `max_df` is the same scale guard as `ngram_jaccard_pairs`: join
+    cost is O(Σ df²) over term document frequencies and stop-word
+    terms dominate it while contributing ~nothing to discrimination
+    (their idf is ~0 anyway, so dropping them barely moves the
+    cosine). The prune is a filter on the already-computed dfreq
+    aggregate — zero extra shuffle; the postings drop out in the
+    inner idf join. N is a 1-row aggregate broadcast-cross-joined
+    (no separate .count() action, no collect)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    posts = (
+        df.repartition(n_part, F.col(id_col))
+        .select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("dfr"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("dfr") <= max_df)
+    idf = dfreq.crossJoin(F.broadcast(ndocs)).select(
+        "term",
+        (F.log((F.col("n_docs") + 1.0) / (F.col("dfr") + 1.0)) + 1.0).alias("idf"),
+    )
+    w = posts.join(idf, "term").withColumn("wt", F.col("tf") * F.col("idf"))
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    u = w.join(norms, "id").select(
+        "id", "term", (F.col("wt") / F.col("nrm")).alias("uw")
+    )
+    a, b = u.alias("a"), u.alias("b")
+    return (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.uw") * F.col("b.uw")).alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cosine"))
+    )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Dataset-level contamination matrix: for every pair of sources
+    (a < b), how many DISTINCT `chunk_words`-word chunks appear in
+    both — the train/eval-leakage and mirror-site diagnostic run
+    before mixing corpora. Also reports each side's distinct chunk
+    count and the overlap coefficient
+    |A∩B| / min(|A|, |B|) (containment-style, so a small source
+    fully swallowed by a big one scores 1.0, which Jaccard hides).
+
+    Shape: chunks → distinct (chunk, source) pairs — the per-chunk
+    aggregate collapses a chunk repeated millions of times WITHIN a
+    source to one row BEFORE any pairing, so boilerplate can't blow
+    up the self-join. The join fan-out per chunk is C(#sources, 2),
+    bounded by the (small) source count, never by df. Output is
+    #source-pairs rows."""
+    chunks = doc_chunks(df, text_col, id_col, chunk_words).join(
+        df.select(id_col, source_col), id_col
+    )
+    cs = chunks.select("_ck", F.col(source_col).alias("src")).distinct()
+    per_src = cs.groupBy("src").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a, b = cs.alias("a"), cs.alias("b")
+    inter = (
+        a.join(b, (F.col("a._ck") == F.col("b._ck")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+    )
+    na = per_src.select(F.col("src").alias("source_a"), F.col("n_chunks").alias("n_a"))
+    nb = per_src.select(F.col("src").alias("source_b"), F.col("n_chunks").alias("n_b"))
+    return (
+        inter.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared_chunks",
+            F.round(
+                F.col("n_shared_chunks") / F.least("n_a", "n_b").cast("double"), 4
+            ).alias("overlap_coef"),
         )
     )

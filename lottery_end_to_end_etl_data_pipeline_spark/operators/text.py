@@ -392,3 +392,46 @@ def char_entropy(
             4,
         ).alias("entropy_bits"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-trained bigram language-model scoring — the cheap stand-in
+    for the KenLM perplexity filter of CCNet (Wenzek et al. 2020,
+    public paper): train bigram MLE counts on the corpus itself, then
+    score each document by its mean log2 P(w2 | w1) =
+    log2(c(w1 w2) / c(w1 ·)). Documents full of corpus-typical
+    transitions score near 0; rare/garbled transitions push the score
+    negative. Because the model is trained on the scored corpus,
+    every document bigram is observed — no smoothing term, so the
+    score is a deterministic function of integer counts (ROUND-stable
+    across engines).
+
+    Shape: one materialized tokenization (bigrams_of requires an
+    attribute, not an inline split — the HOF lambda re-evaluates
+    outer EXPRESSIONS per element), one bigram frequency aggregate,
+    one continuation aggregate derived FROM the bigram table (c(w1 ·)
+    = Σ_w2 c(w1,w2) — no second pass over the corpus), and one join
+    back keyed on the bigram string. All exchanges key on
+    data-proportional columns; docs with < 2 tokens are reported with
+    n_bigrams = 0 and NULL score."""
+    toks = df.select(id_col, tokens(text_col).alias("_toks"))
+    bg = toks.select(id_col, F.explode_outer(bigrams_of(F.col("_toks"))).alias("bg"))
+    c12 = bg.filter(F.col("bg").isNotNull()).groupBy("bg").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c1 = c12.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.sum("c12").alias("c1")
+    )
+    probs = c12.join(
+        c1, F.substring_index(F.col("bg"), " ", 1) == F.col("w1")
+    ).select("bg", (F.log2("c12") - F.log2("c1")).alias("logp"))
+    return (
+        bg.join(probs, "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("bg")).alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_log2p"),
+        )
+    )

@@ -382,3 +382,59 @@ def test_chunk_dup_stats_flags_shared_spans(spark):
     assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
     assert out[0]["dup_frac"] == 0.5
     assert out[2]["n_dup_chunks"] == 0 and out[2]["dup_frac"] == 0.0
+
+
+def test_tfidf_cosine_identical_and_disjoint(spark):
+    """Identical docs must score cosine 1.0; term-disjoint docs must
+    produce no pair at all (inverted index — disjoint docs never
+    meet). max_df prunes ubiquitous terms so a stopword-only overlap
+    drops out."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import tfidf_cosine_pairs
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "zeta eta theta iota"),
+        (3, "the quick brown fox the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in tfidf_cosine_pairs(df, threshold=0.0).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) not in pairs and (1, 2) not in pairs and (2, 3) not in pairs
+
+    # every doc shares 'the'-like terms here; max_df=2 drops terms in >2 docs
+    rows2 = [
+        (0, "common common unique0"),
+        (1, "common common unique1"),
+        (2, "common common unique2"),
+    ]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    out_all = tfidf_cosine_pairs(df2, threshold=0.0).count()
+    out_capped = tfidf_cosine_pairs(df2, threshold=0.0, max_df=2).count()
+    assert out_all == 3 and out_capped == 0
+
+
+def test_cross_source_overlap_counts_and_coef(spark):
+    """A 10-word chunk shared by sources a and b (and repeated within
+    a — must collapse to one distinct chunk) yields one shared chunk;
+    source c shares nothing and appears in no pair."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        cross_source_overlap,
+    )
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, "a", shared),
+        (1, "a", shared),  # within-source repeat: still ONE distinct chunk
+        (2, "a", "only in a spam words padding filler extra more stuff"),
+        (3, "b", shared),
+        (4, "c", "totally different text that matches nothing else at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = cross_source_overlap(df, "source", "text", "doc_id", 10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("a", "b")
+    assert r["n_shared_chunks"] == 1 and (r["n_a"], r["n_b"]) == (2, 1)
+    assert r["overlap_coef"] == 1.0

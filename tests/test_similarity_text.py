@@ -686,3 +686,24 @@ def test_char_entropy_orders_gibberish_vs_runs(spark):
     assert out[1]["distinct_chars"] == 16
     assert 0.0 < out[2]["entropy_bits"] < 4.5
     assert out[2]["n_chars"] == len("the cat sat on the mat")
+
+
+def test_bigram_lm_score_deterministic_transitions(spark):
+    """A doc whose every transition is unambiguous in the corpus
+    scores exactly 0 (P=1 everywhere); adding a competing transition
+    for 'a' makes P(a→b)=0.5 and drags the mean negative; a 1-token
+    doc reports 0 bigrams and NULL score."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import bigram_lm_score
+
+    rows = [
+        (0, "a b"),       # a→b
+        (1, "a c"),       # a→c  (now P(b|a) = P(c|a) = 0.5)
+        (2, "x y"),       # x→y unambiguous, P=1
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_lm_score(df, "text", "doc_id").collect()}
+    assert out[2]["avg_log2p"] == 0.0 and out[2]["n_bigrams"] == 1
+    assert out[0]["avg_log2p"] == -1.0  # log2(0.5)
+    assert out[1]["avg_log2p"] == -1.0
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_log2p"] is None
