@@ -53,13 +53,45 @@ ORACLE: dict[str, str] = {}
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
-        # read nanos as long and downcast to microsecond timestamps
-        # (same truncation DuckDB applies to its TIMESTAMP type).
+        # Some driver-generated events.parquet carry TIMESTAMP(NANOS),
+        # which Spark reads as long under nanosAsLong; newer generations
+        # use TIMESTAMP(MICROS) which reads natively. Downcast the nanos
+        # form to microsecond timestamps (same truncation DuckDB applies
+        # to its TIMESTAMP type); pass the native form through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        dtype = dict(df.dtypes)["ts"]
+        if dtype == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dtype == "timestamp_ntz":
+            # NTZ breaks watermarks/unix_micros; the session tz is UTC,
+            # so this cast preserves wall-clock fields and matches
+            # DuckDB's naive-timestamp reading of the same file.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over events.parquet with the same
+    ts-dtype adaptivity as `t()`: the stream source needs an explicit
+    schema, so derive it from a static footer read (cheap, no data
+    scan) and downcast nanos-as-long to microsecond timestamps only
+    when the file actually carries the nanos form."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        # the file stream source wants a directory; glob-filter to events
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dtype = dict(static.dtypes)["ts"]
+    if dtype == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def query(name: str, oracle: str | None = None):
@@ -1680,17 +1712,7 @@ def streaming_enriched_counts(spark, sf_dir):
         enrich_with_dim,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, "
-        "event_type string, value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = events_stream(spark, sf_dir)
     dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
@@ -2175,18 +2197,7 @@ def streaming_windowed_counts(spark, sf_dir):
         windowed_event_counts,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, "
-        "event_type string, value double, props string"
-    )
-    # the file stream source wants a directory; glob-filter to events
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = events_stream(spark, sf_dir)
     agg = windowed_event_counts(stream)
     name = "stream_wc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     spark.catalog.dropTempView(name)
