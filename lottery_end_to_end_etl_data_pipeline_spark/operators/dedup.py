@@ -27,6 +27,10 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+    cosine_cols,
+    ivf_assign,
+)
 from lottery_end_to_end_etl_data_pipeline_spark.operators.text import tokens
 
 
@@ -1026,3 +1030,88 @@ def cross_source_overlap(
             ).alias("overlap_coef"),
         )
     )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public paper): cluster embeddings with k-means,
+    then within each cluster prune every vector that has a
+    smaller-id neighbor with cosine >= `threshold`. One survivor per
+    semantic neighborhood, chosen deterministically (min id), exactly
+    the paper's keep-one-per-duplicate-set policy with the random
+    choice replaced by an engine-portable one.
+
+    Output: (id_col, sem_cluster, pruned) for every input row.
+
+    Scale shape: the only join is the within-cluster self-join, keyed
+    on `sem_cluster` — the whole point of clustering first is that the
+    pair space is sum_c(n_c^2), not n^2. At 100 TB pick
+    k ~ corpus/5e4 so clusters stay bounded (the paper uses 50k
+    clusters for LAION-440M); a degenerate hot cluster is AQE
+    skew-split like any other hot join key. Candidate cosines are
+    JVM higher-order functions; nothing leaves the JVM."""
+    a = ivf_assign(
+        df.select(id_col, vec_col), centroids, vec_col, out_col="sem_cluster"
+    )
+    left = a.select(
+        "sem_cluster", F.col(id_col).alias("_ai"), F.col(vec_col).alias("_av")
+    )
+    right = a.select(
+        "sem_cluster", F.col(id_col).alias("_bi"), F.col(vec_col).alias("_bv")
+    )
+    pruned_ids = (
+        left.join(right, "sem_cluster")
+        .filter(F.col("_ai") < F.col("_bi"))
+        .withColumn("_cos", F.round(cosine_cols(F.col("_av"), F.col("_bv")), 6))
+        .filter(F.col("_cos") >= F.lit(threshold))
+        .select(F.col("_bi").alias(id_col))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return a.join(pruned_ids, id_col, "left").select(
+        id_col,
+        "sem_cluster",
+        F.coalesce("_pruned", F.lit(False)).alias("pruned"),
+    )
+
+
+def doc_chunks_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+    stride: int = 5,
+) -> DataFrame:
+    """Sliding-window chunking with overlap — the RAG / context-window
+    prep shape `doc_chunks` (non-overlapping) can't express. Chunk i
+    covers tokens [i*stride, i*stride + chunk_words); starts are laid
+    while i*stride < n_tokens, so tail chunks may run short, and an
+    empty document still yields one empty chunk (stable row per doc).
+
+    Unlike `doc_chunks`' posexplode→groupBy rebuild, this is pure
+    array projection: transform(sequence(...)) + slice() builds every
+    chunk inside one narrow stage — zero shuffle, zero Python; the
+    only explode is the final fan-out to one row per chunk. At 100 TB
+    chunking cost is scan-bound and embarrassingly parallel."""
+    toks = df.select(id_col, tokens(text_col).alias("_toks"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size("_toks") / F.lit(stride))
+    ).cast("int")
+    chunks = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("_toks", i * stride + 1, chunk_words), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    return chunks.withColumn("_ck", F.md5("chunk_text"))

@@ -221,3 +221,30 @@ def sample_to_mixture(
     ).cast("long")
     threshold = F.floor(F.col("_f") * F.lit(float(2**60))).cast("long")
     return df.join(F.broadcast(frac), on=group_col).filter(hash60 < threshold).drop("_f")
+
+
+def stratified_exact_n(
+    df: DataFrame, strata_col: str, n: int, key_col: str
+) -> DataFrame:
+    """Exact-N per stratum — the quota companion to
+    `stratified_sample`'s Bernoulli fractions (build an eval set of
+    exactly 20 docs per language, not ~20). Deterministic and
+    retry-stable: within each stratum rows rank by md5(key), ties (a
+    collision would take two preimages) by the key itself, and the
+    first n win.
+
+    Scale shape: row_number over (stratum, md5) with a rank filter is
+    the top-k-per-group pattern — Spark's WindowGroupLimit pushes the
+    limit below the exchange, so every map task forwards at most n
+    rows per stratum and the window task never materializes a giant
+    stratum. No per-stratum single-task sort of the full data."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -620,3 +620,62 @@ def knn_quantized_indexed(
         .limit(k)
         .select(id_col, F.round("_cos", 6).alias("cosine"))
     )
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    k: int = 10,
+    n_queries: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Neighborhood label purity — the confident-learning-style
+    mislabel triage (Northcutt et al. 2021, arXiv:1911.00068 — public
+    paper): for each query vector, the fraction of its k nearest
+    neighbors (cosine) sharing its label; aggregated per label into
+    (n_queries, avg_agreement, n_suspect) where suspect means
+    agreement < 0.5. Low-purity rows are the candidates for label
+    noise review in a curated training set.
+
+    Plan: `knn_join` does the scoring (broadcast queries, one corpus
+    scan, deterministic (round(cos,4) desc, id) ranking), labels
+    attach via one broadcast join on the query side and one hash join
+    on the neighbor side, then two bounded aggregates. At 100 TB the
+    query batch comes from a sampled audit set and the corpus side is
+    pre-restricted by the persisted ANN index probes — this operator
+    is the exact scorer either way."""
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("_ql"),
+    )
+    nn = knn_join(
+        q,
+        df,
+        k=k,
+        q_id="q_id",
+        c_id=id_col,
+        q_vec="_qv",
+        c_vec=vec_col,
+        exclude_same_id=True,
+    )
+    clab = df.select(F.col(id_col).alias("cid"), F.col(label_col).alias("_cl"))
+    qlab = q.select(F.col("q_id").alias("qid"), "_ql")
+    per_q = (
+        nn.join(F.broadcast(qlab), "qid")
+        .join(clab, "cid")
+        .groupBy("qid", "_ql")
+        .agg(
+            F.avg((F.col("_cl") == F.col("_ql")).cast("double")).alias("_agree")
+        )
+    )
+    return (
+        per_q.groupBy(F.col("_ql").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("_agree"), 4).alias("avg_agreement"),
+            F.sum((F.col("_agree") < 0.5).cast("long")).alias("n_suspect"),
+        )
+        .orderBy("label")
+    )

@@ -4158,3 +4158,165 @@ def _promote_driver_window() -> None:
 
 
 _promote_driver_window()
+
+
+# ---------------------------------------------------------------------------
+# Round-3 continuation: semantic dedup, label-noise triage, overlap
+# chunking, exact-quota sampling.
+# ---------------------------------------------------------------------------
+
+
+@query("semdedup_stats")  # approximate (k-means geometry) — rows-only check
+def semdedup_stats(spark, sf_dir):
+    """SemDeDup (operators/dedup.py semdedup_prune, Abbas et al. 2023):
+    k-means over embeddings (deterministic md5-seeded Lloyd's), then
+    within-cluster cosine pruning at 0.9 with a min-id survivor per
+    neighborhood. Per-cluster (n_vecs, n_pruned) — the curation
+    dashboard for semantic redundancy. Pair space is bounded by the
+    clustering (sum n_c^2, never n^2); pytest cross-checks the pruned
+    set against a pandas brute force on fixed centroids."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import semdedup_prune
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import kmeans_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, n_iters=3)
+    res = semdedup_prune(emb, cents, threshold=0.9)
+    return (
+        res.groupBy("sem_cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("pruned").cast("long")).alias("n_pruned"),
+        )
+        .orderBy("sem_cluster")
+    )
+
+
+@query(
+    "knn_label_agreement",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 50
+    ), scored AS (
+      SELECT q.qid, q.ql, c.vec_id AS cid, c.label AS cl,
+             round(
+               list_sum(list_transform(list_zip(c.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*x)))),
+             4) AS cosine
+      FROM embeddings c, q
+      WHERE c.vec_id <> q.qid
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+      FROM scored
+    ), per_q AS (
+      SELECT qid, ql, avg(CASE WHEN cl = ql THEN 1.0 ELSE 0.0 END) AS agreement
+      FROM ranked WHERE rnk <= 10 GROUP BY qid, ql
+    )
+    SELECT ql AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(agreement), 4) AS avg_agreement,
+           CAST(sum(CASE WHEN agreement < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+    FROM per_q GROUP BY ql ORDER BY label
+    """,
+)
+def knn_label_agreement_q(spark, sf_dir):
+    """Neighborhood label purity (operators/similarity.py
+    knn_label_agreement): per-label avg fraction of k=10 cosine
+    neighbors sharing the query's label + suspect count — the
+    confident-learning mislabel triage, exact-ranked (round(cos,4),
+    id) so Spark and DuckDB agree row-for-row."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_label_agreement,
+    )
+
+    return knn_label_agreement(t(spark, sf_dir, "embeddings"), k=10, n_queries=50)
+
+
+@query(
+    "chunk_overlap_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, tk,
+             unnest(range(0, CAST(greatest(1, ceil(len(tk) / 5.0)) AS BIGINT))) AS i
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(list_slice(tk, CAST(i*5+1 AS BIGINT),
+                                        CAST(i*5+10 AS BIGINT)), ' ') AS chunk_text
+      FROM starts
+    ), freq AS (
+      SELECT chunk_text, count(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk_text
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT c.chunk_text) AS BIGINT) AS n_unique_chunks,
+           CAST(count(CASE WHEN f.n_docs > 1 THEN 1 END) AS BIGINT) AS n_shared_chunks
+    FROM chunks c JOIN freq f ON c.chunk_text = f.chunk_text
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def chunk_overlap_stats(spark, sf_dir):
+    """Sliding-window chunk audit (operators/dedup.py
+    doc_chunks_overlap): 10-word chunks at stride 5 per document —
+    the RAG-prep shape — with per-doc chunk counts, intra-doc
+    uniqueness, and the cross-doc shared-chunk count (boilerplate
+    windows that exact whole-doc dedup misses). Chunk construction is
+    a pure array projection (sequence+slice, zero shuffle); the only
+    exchanges are the md5-keyed frequency aggregate and the per-doc
+    rollup."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        doc_chunks_overlap,
+    )
+
+    chunks = doc_chunks_overlap(
+        t(spark, sf_dir, "documents"), chunk_words=10, stride=5
+    )
+    freq = chunks.groupBy("_ck").agg(
+        (F.count_distinct("doc_id") > 1).alias("_shared")
+    )
+    return (
+        chunks.join(freq, "_ck")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("_ck").alias("n_unique_chunks"),
+            F.count(F.when(F.col("_shared"), F.lit(1))).alias("n_shared_chunks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "stratified_exact_n_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= 20 ORDER BY lang, doc_id
+    """,
+)
+def stratified_exact_n_sample(spark, sf_dir):
+    """Exact 20-per-language quota sample (operators/sampling.py
+    stratified_exact_n): deterministic md5-order quota — the eval-set
+    builder where Bernoulli fractions won't do. WindowGroupLimit
+    bounds every map task to 20 rows per stratum before the
+    exchange."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        stratified_exact_n,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return stratified_exact_n(docs, "lang", 20, "doc_id").select("doc_id", "lang")

@@ -1,0 +1,148 @@
+"""Round-3 additions: SemDeDup pruning, overlap chunking, label
+agreement, exact-N stratified sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_semdedup_prune_matches_brute_force(spark):
+    """With fixed centroids, the pruned set must equal the brute-force
+    rule: a vector is pruned iff some smaller-id vector in the SAME
+    cluster has cosine >= threshold."""
+    import math
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import semdedup_prune
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.01]),   # near-dup of 0 -> pruned
+        (2, [0.0, 1.0]),
+        (3, [0.01, 0.999]),   # near-dup of 2 -> pruned
+        (4, [-1.0, 0.0]),     # own cluster, alone
+        (5, [0.7, 0.7]),      # between clusters, below threshold to both seeds
+    ]
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["sem_cluster"], r["pruned"])
+        for r in semdedup_prune(df, cents, threshold=0.98).collect()
+    }
+    assert len(out) == 6
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    assign = {
+        i: max(range(3), key=lambda c: cos(v, cents[c])) for i, v in vecs
+    }
+    for i, v in vecs:
+        expect = any(
+            assign[j] == assign[i] and j < i and cos(w, v) >= 0.98
+            for j, w in vecs
+        )
+        assert out[i] == (assign[i], expect), f"vec {i}"
+
+
+def test_doc_chunks_overlap_windows(spark):
+    """Stride-2 windows of 4 words: starts at 0,2,4,... while < n_tokens,
+    tail chunks run short, empty doc yields one empty chunk."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        doc_chunks_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = doc_chunks_overlap(df, chunk_words=4, stride=2).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in rows}
+    assert got == {
+        (1, 0): "a b c d",
+        (1, 1): "c d e f",
+        (1, 2): "e f g",
+        (1, 3): "g",
+        (2, 0): "x y",
+        (3, 0): "",
+    }
+    # hash key present and consistent
+    for r in rows:
+        assert len(r["_ck"]) == 32
+
+
+def test_knn_label_agreement_separable(spark):
+    """Two well-separated label clusters -> perfect agreement, zero
+    suspects; one planted mislabel -> it becomes the suspect."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_label_agreement,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0 + 0.01 * i, 0.05 * i], 0))
+    for i in range(10, 20):
+        rows.append((i, [-1.0 - 0.01 * i, 0.05 * i], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {
+        r["label"]: r
+        for r in knn_label_agreement(df, k=3, n_queries=20).collect()
+    }
+    assert out[0]["avg_agreement"] == 1.0 and out[0]["n_suspect"] == 0
+    assert out[1]["avg_agreement"] == 1.0 and out[1]["n_suspect"] == 0
+
+    # flip one label inside cluster 0: its neighbors disagree entirely
+    flipped = [(i, v, (1 if i == 5 else l)) for i, v, l in rows]
+    df2 = spark.createDataFrame(
+        flipped, "vec_id long, embedding array<double>, label int"
+    )
+    out2 = {
+        r["label"]: r
+        for r in knn_label_agreement(df2, k=3, n_queries=20).collect()
+    }
+    # the mislabeled row queries as label 1 but sits among label 0
+    assert out2[1]["n_suspect"] >= 1
+
+
+def test_stratified_exact_n_quota_and_determinism(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        stratified_exact_n,
+    )
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+    s1 = stratified_exact_n(df, "lang", 7, "doc_id")
+    rows = s1.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in rows} == {"0": 7, "1": 7, "2": 7}
+    # deterministic: second run identical
+    a = sorted(r["doc_id"] for r in s1.collect())
+    b = sorted(
+        r["doc_id"] for r in stratified_exact_n(df, "lang", 7, "doc_id").collect()
+    )
+    assert a == b
+    # quota larger than stratum -> whole stratum, no padding
+    tiny = df.filter(F.col("doc_id") < 5)
+    assert stratified_exact_n(tiny, "lang", 7, "doc_id").count() == 5
+
+
+def test_stratified_exact_n_plan_has_window_group_limit(spark):
+    """The scale claim: WindowGroupLimit pushes the rank filter below
+    the exchange so map tasks forward at most n rows per stratum."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        stratified_exact_n,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).cast("string").alias("lang")
+    )
+    plan = (
+        stratified_exact_n(df, "lang", 3, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
