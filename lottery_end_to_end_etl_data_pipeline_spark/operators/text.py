@@ -435,3 +435,56 @@ def bigram_lm_score(
             F.round(F.avg("logp"), 4).alias("avg_log2p"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hash_chars: int = 3,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, arXiv:2302.03169 — public paper): hashed unigram features
+    (bucket = first `n_hash_chars` hex chars of md5(token) — 4096
+    buckets by default, engine-portable), per-bucket counts over the
+    target rows (`target_pred` true) and the raw rest build two
+    add-one-smoothed multinomials, and each document's importance is
+    sum over its tokens of log(p_target(bucket)/p_raw(bucket)).
+    High-importance raw docs are the ones DSIR resamples into the
+    training mix.
+
+    Output: (id_col, n_toks, importance) per document.
+
+    Scale shape — the reason DSIR hashes at all: the model is a
+    FIXED-SIZE table (16^n buckets) regardless of corpus size, so it
+    broadcasts; the token stream is scanned twice (once to count,
+    once to score) with one bucket-keyed aggregate and one id-keyed
+    aggregate as the only exchanges. No vocabulary join, no
+    quadratic term, Python nowhere."""
+    vocab_size = 16 ** n_hash_chars
+    toks = df.select(
+        id_col, target_pred.alias("_t"), F.explode(tokens(text_col)).alias("_w")
+    ).withColumn("_b", F.substring(F.md5("_w"), 1, n_hash_chars))
+    cnt = toks.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_ct"),
+        F.sum(F.when(~F.col("_t"), 1).otherwise(0)).alias("_cr"),
+    )
+    tot = cnt.agg(F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr"))
+    lr = (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_lr",
+            F.log((F.col("_ct") + 1) / (F.col("_nt") + vocab_size).cast("double"))
+            - F.log((F.col("_cr") + 1) / (F.col("_nr") + vocab_size).cast("double")),
+        )
+        .select("_b", "_lr")
+    )
+    return (
+        toks.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.sum("_lr"), 4).alias("importance"),
+        )
+    )

@@ -4320,3 +4320,58 @@ def stratified_exact_n_sample(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return stratified_exact_n(docs, "lang", 20, "doc_id").select("doc_id", "lang")
+
+
+@query(
+    "dsir_importance_by_lang",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS t,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ), b AS (
+      SELECT doc_id, t, substr(md5(w), 1, 3) AS bk FROM toks
+    ), cnt AS (
+      SELECT bk,
+             sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr
+      FROM b GROUP BY bk
+    ), tot AS (
+      SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt
+    ), lr AS (
+      SELECT bk,
+             ln((ct + 1) / CAST(nt + 4096 AS DOUBLE))
+             - ln((cr + 1) / CAST(nr + 4096 AS DOUBLE)) AS lr
+      FROM cnt, tot
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_toks, round(sum(lr), 4) AS importance
+      FROM b JOIN lr USING (bk) GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(importance), 4) AS avg_importance
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def dsir_importance_by_lang(spark, sf_dir):
+    """DSIR importance weighting (operators/text.py dsir_importance,
+    Xie et al. 2023): hashed-unigram log-ratio of an English-target
+    multinomial vs the raw rest, summed per document and averaged per
+    language — the data-selection score that upweights target-like raw
+    text. The hashed model is a fixed 4096-bucket broadcast table; the
+    only exchanges are the bucket-count and per-doc aggregates."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import dsir_importance
+
+    docs = t(spark, sf_dir, "documents")
+    scored = dsir_importance(docs, F.col("lang") == "en")
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("importance"), 4).alias("avg_importance"),
+        )
+        .orderBy("lang")
+    )

@@ -146,3 +146,29 @@ def test_stratified_exact_n_plan_has_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """A raw doc written in the target's vocabulary must outscore a
+    raw doc in its own vocabulary, and scores must be deterministic."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import dsir_importance
+
+    target_text = "alpha beta gamma delta alpha beta"
+    rows = [
+        (0, target_text, True),
+        (1, "alpha beta gamma delta", True),
+        (2, "alpha beta gamma delta", False),   # target-like raw
+        (3, "omega psi chi phi", False),        # off-target raw
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(df, F.col("is_t"), id_col="doc_id").collect()
+    }
+    assert out[2]["importance"] > out[3]["importance"]
+    assert out[2]["n_toks"] == 4 and out[3]["n_toks"] == 4
+    again = {
+        r["doc_id"]: r["importance"]
+        for r in dsir_importance(df, F.col("is_t"), id_col="doc_id").collect()
+    }
+    assert {k: v["importance"] for k, v in out.items()} == again
