@@ -185,42 +185,51 @@ def sample_to_mixture(
     N = min(n_g / w_g) and each group keeps fraction
     f_g = min(1, w_g * N / n_g).
 
-    Scale shape: one aggregate pass for the per-group counts (tiny
-    result — group cardinality), a broadcast join of counts x
-    weights, a 1-row broadcast aggregate for the binding cap, then
-    the main scan filters on an md5-prefix threshold — membership is
-    a pure function of the key, so the sample is retry-stable,
-    engine-portable (the oracle runs the same predicate), and adds
-    ZERO shuffles to the data path (the per-group fraction arrives
-    by broadcast). The input is scanned twice (count + emit), same
+    Scale shape: one aggregate job for the per-group counts — a
+    bounded scalar fetch (at most len(weights) rows reach the
+    driver, like the k-means centroid fetch), since the fraction
+    table is a pure function of those counts and the caller's
+    weights. The fractions then inline as a CASE literal, so the
+    emit pass is a single scan + filter on an md5-prefix threshold:
+    no joins, no extra exchanges, no Python-RDD local relation in
+    the plan. Membership is a pure function of the key, so the
+    sample is retry-stable and engine-portable (the oracle runs the
+    same predicate). The input is scanned twice (count + emit), same
     as any SQL formulation; persist upstream if the input is itself
-    expensive.
+    expensive. Fraction arithmetic is IEEE double in both the Python
+    driver and the JVM, so the kept set is EXACTLY the one the
+    all-in-engine formulation produces.
     """
-    spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(g, float(w)) for g, w in weights.items()],
-        f"{group_col} string, _w double",
+    groups = list(weights)
+    counts = {
+        r[group_col]: float(r["_n"])
+        for r in df.filter(F.col(group_col).isin(groups))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .collect()
+    }
+    cap = min(
+        (counts[g] / float(w) for g, w in weights.items() if w > 0 and g in counts),
+        default=0.0,
     )
-    counts = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("double").alias("_n")
-    )
-    j = counts.join(F.broadcast(wdf), on=group_col)
-    cap = j.filter(F.col("_w") > 0).agg(
-        F.min(F.col("_n") / F.col("_w")).alias("_cap")
-    )
-    frac = (
-        j.crossJoin(F.broadcast(cap))
-        .withColumn(
-            "_f",
-            F.least(F.lit(1.0), F.col("_w") * F.col("_cap") / F.col("_n")),
-        )
-        .select(group_col, "_f")
-    )
+    thresholds = {
+        g: int(min(1.0, float(weights[g]) * cap / counts[g]) * float(2**60))
+        for g in counts
+    }
     hash60 = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    threshold = F.floor(F.col("_f") * F.lit(float(2**60))).cast("long")
-    return df.join(F.broadcast(frac), on=group_col).filter(hash60 < threshold).drop("_f")
+    threshold = None
+    for g, th in thresholds.items():
+        cond = F.when(F.col(group_col) == g, F.lit(th))
+        threshold = cond if threshold is None else threshold.when(
+            F.col(group_col) == g, F.lit(th)
+        )
+    if threshold is None:
+        return df.filter(F.lit(False))
+    return df.filter(
+        F.col(group_col).isin(list(counts)) & (hash60 < threshold)
+    )
 
 
 def stratified_exact_n(
