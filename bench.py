@@ -68,6 +68,11 @@ HEADLINE = [
     "funnel_conversion",
     "cohort_retention",
     "embedding_quantize_stats",
+    "chunk_overlap_stats",
+    "knn_label_agreement",
+    "stratified_exact_n_sample",
+    "dsir_importance_by_lang",
+    "semdedup_stats",
 ]
 
 
