@@ -701,3 +701,52 @@ def knn_label_agreement(
         )
         .orderBy("label")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 3,
+    n_queries: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each query vector, the k most-similar corpus rows with a
+    DIFFERENT label — the near-boundary negatives that make
+    contrastive batches informative (vs random negatives that are
+    trivially far).
+
+    Same plan as `knn_join` (broadcast queries, one corpus scan, one
+    window shuffle, deterministic (round(cos,4) desc, id) ranking)
+    with the label-mismatch predicate applied before ranking so the
+    top-k is taken over negatives only. At 100 TB pre-restrict the
+    corpus side with the persisted ANN index probes, exactly as the
+    other exact scorers document."""
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("_ql"),
+    )
+    c = df.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("_cl"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter((F.col("qid") != F.col("cid")) & (F.col("_cl") != F.col("_ql")))
+        .withColumn("cosine", F.round(cosine_cols(F.col("_cv"), F.col("_qv")), 4))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            F.col("_ql").alias("q_label"),
+            F.col("cid").alias("negative_id"),
+            F.col("_cl").alias("negative_label"),
+            "cosine",
+        )
+    )

@@ -4093,14 +4093,18 @@ def cross_source_contamination(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # never driver-checked through round 2 (registry order preserved):
-    "dedup_near_e2e",
+    # never driver-checked through round 2 (registry order preserved).
+    # Every name here is ORACLED: the driver hashes exactly the first
+    # 50 registered entries, so the window carries only hash-checkable
+    # queries — approximate/engine-hash operators (minhash, simhash,
+    # LSH/IVF probes, graph centrality, GK sketches, near-dedup e2e)
+    # sit outside it with mirror rows-only + pytest recall/tolerance
+    # gates instead, where a driver rows-only row would add nothing.
     "dedup_near_exact_cluster",
     "rollup_flag_status",
     "cube_priority_status",
     "pivot_flag_by_status",
     "percentiles_by_group",
-    "percentiles_by_group_approx",
     "salted_join_skew",
     "sql_string_interface",
     "asof_join_latest_order",
@@ -4124,10 +4128,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "corr_cov_stats",
     "string_functions_surface",
     # new in round 3 — need driver rows from day one:
-    "knn_lsh_indexed_cosine",
+    "knn_label_agreement",
     "asof_event_to_prior_purchase",
     "streaming_windowed_counts",
-    "dedup_incremental_index",
+    "chunk_overlap_stats",
     "k_fold_counts",
     "knn_join_topk",
     "repetition_filter_stats",
@@ -4137,13 +4141,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_dim_stats",
     "window_function_surface",
     "set_ops_surface",
-    "knn_graph_centrality",
+    "dsir_importance_by_lang",
     "hll_sketch_workflow",
     "variant_json_stats",
     "gapfill_locf_daily",
     "time_weighted_avg_by_type",
     "array_functions_surface",
     "regression_surface",
+    "stratified_exact_n_sample",
+    "interval_union_coverage",
 ]
 
 
@@ -4156,8 +4162,6 @@ def _promote_driver_window() -> None:
     rest = {n: fn for n, fn in QUERIES.items() if n not in front}
     QUERIES = {**front, **rest}
 
-
-_promote_driver_window()
 
 
 # ---------------------------------------------------------------------------
@@ -4375,3 +4379,43 @@ def dsir_importance_by_lang(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 30
+    ), scored AS (
+      SELECT q.qid, q.ql, c.vec_id AS cid, c.label AS cl,
+             round(
+               list_sum(list_transform(list_zip(c.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*x)))),
+             4) AS cosine
+      FROM embeddings c, q
+      WHERE c.vec_id <> q.qid AND c.label <> q.ql
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+      FROM scored
+    )
+    SELECT qid, ql AS q_label, cid AS negative_id, cl AS negative_label, cosine
+    FROM ranked WHERE rnk <= 3 ORDER BY qid, cosine DESC, cid
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    top-3 most-similar different-label rows per query — the
+    contrastive-training batch builder, exact-ranked so Spark and
+    DuckDB agree row-for-row."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import hard_negatives
+
+    return hard_negatives(t(spark, sf_dir, "embeddings"), k=3, n_queries=30)
+
+
+# must run after every @query registration in this module
+_promote_driver_window()

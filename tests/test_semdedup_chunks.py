@@ -172,3 +172,22 @@ def test_dsir_importance_ranks_target_like_docs(spark):
         for r in dsir_importance(df, F.col("is_t"), id_col="doc_id").collect()
     }
     assert {k: v["importance"] for k, v in out.items()} == again
+
+
+def test_hard_negatives_picks_nearest_other_label(spark):
+    """The mined negative must be the most-similar different-label
+    row, never a same-label row, and never the query itself."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),    # same label — never a negative for 0
+        (2, [0.9, 0.2], 1),     # nearest different-label to 0
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(df, k=1, n_queries=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["qid"] == 0 and r["negative_id"] == 2 and r["negative_label"] == 1
