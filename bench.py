@@ -73,6 +73,7 @@ HEADLINE = [
     "stratified_exact_n_sample",
     "dsir_importance_by_lang",
     "semdedup_stats",
+    "hard_negative_mining",
 ]
 
 

@@ -4417,5 +4417,111 @@ def hard_negative_mining(spark, sf_dir):
     return hard_negatives(t(spark, sf_dir, "embeddings"), k=3, n_queries=30)
 
 
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY event_type)
+                                 AS DOUBLE), 4) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: (from_type, to_type, count, row-normalized
+    probability) — the session-flow fingerprint behind funnel
+    diagnostics and synthetic-sequence generation. One exchange on
+    user_id drives the lead() window; the count aggregate and the
+    per-from-state normalizing window reuse the grouped layout.
+    Deterministic ordering: (ts, event_id) tiebreak."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 4)
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "top_tfidf_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT w, count(DISTINCT doc_id) AS dfr FROM toks GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, w,
+             round(tf * ln((n_docs + 1.0) / (dfr + 1.0)), 4) AS tfidf
+      FROM tf JOIN dfreq USING (w), n
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, w AS term, tfidf FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def top_tfidf_terms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by smoothed
+    TF-IDF (tf x ln((N+1)/(df+1))) — the domain-signature /
+    tagging primitive. Token explode feeds BOTH the per-doc tf
+    aggregate and the document-frequency aggregate; idf joins back on
+    the term key and WindowGroupLimit bounds the per-doc top-3. The
+    (tfidf desc, term) tiebreak keeps Spark and DuckDB row-for-row
+    identical."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("dfr"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfr, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("dfr") + 1.0)),
+                4,
+            ),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
