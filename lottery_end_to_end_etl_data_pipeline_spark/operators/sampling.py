@@ -257,3 +257,44 @@ def stratified_exact_n(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def weighted_sample_es(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    (2006, Inf. Process. Lett. — public paper): each row draws
+    u ~ Uniform(0,1] and the n largest u^(1/w) win — here compared in
+    log space as ln(u)/w. Inclusion probability tracks the weight, so
+    a row with 3x the weight is ~3x as likely to make a small sample
+    (importance-weighted corpus subsets, value-weighted event audits).
+
+    The uniform is md5-derived from the key (same hash60 primitive as
+    the other samplers), so the draw is deterministic, retry-stable,
+    and engine-portable — a DuckDB oracle reproduces the EXACT
+    selected set, which no RNG-based sampler can offer.
+
+    Scale shape: grouped form is top-n-per-group (WindowGroupLimit
+    bounds map output to n per group); ungrouped form is
+    orderBy+limit = TakeOrderedAndProject (per-partition top-n,
+    driver merges n rows). Weights must be > 0."""
+    hash60 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (hash60 + 1).cast("double") / F.lit(float(2**60 + 1))
+    es = (F.log(u) / F.col(weight_col).cast("double")).alias("_es")
+    scored = df.withColumn("_es", es)
+    if group_col is None:
+        return scored.orderBy(F.desc("_es"), F.col(key_col)).limit(n).drop("_es")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc("_es"), F.col(key_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_es", "_rn")
+    )

@@ -4523,5 +4523,43 @@ def top_tfidf_terms(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "weighted_sample_events",
+    oracle="""
+    WITH k AS (
+      SELECT event_id, event_type,
+             ln( (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT + 1)
+                 / (POW(2, 60) + 1) ) / value AS es
+      FROM events
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY es DESC, event_id
+      ) AS rn FROM k
+    )
+    SELECT event_id, event_type FROM r WHERE rn <= 15
+    ORDER BY event_type, event_id
+    """,
+)
+def weighted_sample_events(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling
+    (operators/sampling.py weighted_sample_es): 15 events per type,
+    inclusion probability proportional to the event's value. The
+    uniform draw is md5-derived, so DuckDB reproduces the EXACT
+    selected set — a value-hashable weighted sampler. Grouped form is
+    WindowGroupLimit-bounded top-n-per-group."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        weighted_sample_es,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        weighted_sample_es(ev, "value", 15, "event_id", group_col="event_type")
+        .select("event_id", "event_type")
+        .orderBy("event_type", "event_id")
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

@@ -191,3 +191,31 @@ def test_hard_negatives_picks_nearest_other_label(spark):
     assert len(out) == 1
     r = out[0]
     assert r["qid"] == 0 and r["negative_id"] == 2 and r["negative_label"] == 1
+
+
+def test_weighted_sample_es_bias_and_determinism(spark):
+    """High-weight rows must be overrepresented, quotas exact, runs
+    identical, and the ungrouped path must return exactly n rows."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        weighted_sample_es,
+    )
+
+    # 500 rows: ids < 50 carry weight 50, the rest weight 1
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 50, 50.0).otherwise(1.0).alias("w"),
+        (F.col("id") % 2).cast("string").alias("g"),
+    )
+    s = weighted_sample_es(df, "w", 40, "k")
+    rows = [r["k"] for r in s.collect()]
+    assert len(rows) == 40
+    heavy = sum(1 for k in rows if k < 50)
+    # heavy rows are 10% of the pop with 50x weight -> expect far more
+    # than the unweighted 4; E-S with these weights gives ~30+
+    assert heavy > 15
+    rows2 = [r["k"] for r in weighted_sample_es(df, "w", 40, "k").collect()]
+    assert sorted(rows) == sorted(rows2)
+
+    g = weighted_sample_es(df, "w", 10, "k", group_col="g")
+    per = {r["g"]: r["count"] for r in g.groupBy("g").count().collect()}
+    assert per == {"0": 10, "1": 10}
