@@ -74,6 +74,10 @@ HEADLINE = [
     "dsir_importance_by_lang",
     "semdedup_stats",
     "hard_negative_mining",
+    "event_transition_matrix",
+    "top_tfidf_terms",
+    "weighted_sample_events",
+    "session_window_native",
 ]
 
 

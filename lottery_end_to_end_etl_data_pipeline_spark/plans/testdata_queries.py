@@ -4561,5 +4561,54 @@ def weighted_sample_events(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "session_window_native",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, sum(brk) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS UNBOUNDED PRECEDING
+      ) AS sid
+      FROM s
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_native(spark, sf_dir):
+    """Spark's NATIVE session_window in batch mode (the same merging
+    state machine Structured Streaming uses): per-user sessions close
+    after 30 minutes of inactivity, end = last event + gap. Pins the
+    built-in API against the gaps-and-islands SQL the custom
+    `sessionize_batch` oracle uses — session_window starts a NEW
+    session when the gap is >= the timeout (strict-overlap merge),
+    which is what the oracle encodes. One exchange on (user_id);
+    the session merge happens inside the aggregate."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
