@@ -193,12 +193,14 @@ def test_asof_events_single_window_no_nonequi_join(spark):
 
 
 def test_mixture_sampling_no_extra_shuffle_on_data_path(spark):
-    """The per-group fraction must reach the main scan by broadcast:
-    the big side is filtered, never hash-exchanged."""
+    """The per-group fractions inline as CASE literals (computed from
+    a bounded driver-side count fetch), so the emit pass is a pure
+    scan + filter: NO join of any kind on the data path, and the only
+    exchange is the final aggregate's."""
     plan = plan_of(QUERIES["mixture_downsample_counts"](spark, SF))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    assert "ExistingRDD" not in plan  # the old Python-RDD weights table
 
 
 def test_repetition_two_keyed_exchanges(spark):
