@@ -4610,5 +4610,56 @@ def session_window_native(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH g AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS grid, event_type, value
+      FROM events
+    ), w AS (
+      SELECT grid - (i * INTERVAL '15 minutes') AS window_start, event_type, value
+      FROM g, unnest(range(0, 4)) AS t(i)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+def streaming_sliding_counts(spark, sf_dir):
+    """Sliding (hopping) windows through the REAL streaming path:
+    1-hour windows every 15 minutes, so each event lands in 4
+    overlapping windows — the smoothed-dashboard shape tumbling
+    windows can't express. Same AvailableNow -> complete-mode memory
+    sink harness as `streaming_windowed_counts`; the DuckDB oracle
+    fans each event out to its 4 covering windows explicitly (both
+    engines' 15-minute grids are epoch-aligned, so the window sets
+    coincide). State bound = 4x the tumbling entry per the
+    duration/slide ratio."""
+    import hashlib
+
+    from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    agg = windowed_event_counts(stream, slide="15 minutes")
+    name = "stream_sl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    spark.catalog.dropTempView(name)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

@@ -51,14 +51,25 @@ def windowed_event_counts(
     ts_col: str = "ts",
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregation over an event stream —
-    late rows beyond the watermark are dropped, state is bounded.
-    Works on a readStream DataFrame; on a batch DataFrame it degrades
-    to a plain window() groupBy (same results, no state)."""
+    """Watermarked window aggregation over an event stream — tumbling
+    by default, sliding (hopping) when `slide` < `window_duration` is
+    given: each event then contributes to duration/slide overlapping
+    windows (the smoothing dashboards want — a spike shows in every
+    window covering it, not just its tumbling bucket). Late rows
+    beyond the watermark are dropped, state is bounded at
+    duration/slide times the tumbling state. Works on a readStream
+    DataFrame; on a batch DataFrame it degrades to a plain window()
+    groupBy (same results, no state)."""
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window_duration).alias("w"), F.col("event_type"))
+        .groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
