@@ -281,7 +281,10 @@ def weighted_sample_es(
     Scale shape: grouped form is top-n-per-group (WindowGroupLimit
     bounds map output to n per group); ungrouped form is
     orderBy+limit = TakeOrderedAndProject (per-partition top-n,
-    driver merges n rows). Weights must be > 0."""
+    driver merges n rows). Rows with weight <= 0 have zero
+    inclusion probability by definition and are excluded up front
+    (also keeps ANSI mode's divide-by-zero away)."""
+    df = df.filter(F.col(weight_col) > 0)
     hash60 = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")

@@ -4532,7 +4532,7 @@ def top_tfidf_terms(spark, sf_dir):
       SELECT event_id, event_type,
              ln( (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT + 1)
                  / (POW(2, 60) + 1) ) / value AS es
-      FROM events
+      FROM events WHERE value > 0
     ), r AS (
       SELECT *, row_number() OVER (
         PARTITION BY event_type ORDER BY es DESC, event_id
