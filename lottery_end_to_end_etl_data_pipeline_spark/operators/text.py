@@ -488,3 +488,59 @@ def dsir_importance(
             F.round(F.sum("_lr"), 4).alias("importance"),
         )
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information
+    (Church & Hanks 1990 — public paper): PMI(w1,w2) =
+    ln(p(w1 w2) / (p(w1) p(w2))), bigram probability over adjacent
+    pairs, unigram probabilities over the token stream; pairs seen
+    fewer than `min_count` times are dropped (PMI's classic
+    low-count pathology), top-k by (rounded PMI, w1, w2) — fully
+    deterministic.
+
+    Scale shape: bigrams come from the zero-shuffle array form
+    (`bigrams_of` — no explode-join); then two hash aggregates
+    (bigram counts, unigram counts), the scalar totals as 1-row
+    broadcasts, and two broadcast-or-hash joins keyed on single
+    words. At web scale the unigram table is the big side but joins
+    word-keyed — the same postings discipline as BM25/TF-IDF here."""
+    toks = df.select(id_col, tokens(text_col).alias("_tk"))
+    words = toks.select(F.explode("_tk").alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    bigr = toks.select(F.explode(bigrams_of(F.col("_tk"))).alias("bg")).select(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    bc = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    n_bi = bc.agg(F.sum("cb").alias("n_bi"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bc.filter(F.col("cb") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("cb") / F.col("n_bi"))
+                    / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )

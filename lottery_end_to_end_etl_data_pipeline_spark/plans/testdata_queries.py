@@ -4661,5 +4661,87 @@ def streaming_sliding_counts(spark, sf_dir):
     return spark.table(name)
 
 
+
+
+@query(
+    "pandas_api_parity",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 4) AS mean_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def pandas_api_parity(spark, sf_dir):
+    """The reference is a pandas codebase (transformer/transformer.py,
+    notebooks/EDA_*.ipynb run value_counts/groupby chains on the same
+    shapes) — this entry runs that EXACT pandas idiom through
+    pyspark.pandas (the pandas API on Spark), so a reference user can
+    port notebook EDA with near-zero code change and still get a
+    distributed Catalyst plan. The ps frame converts back with
+    to_spark() and hash-matches the plain-SQL oracle, proving the
+    API layer is a veneer over the same engine."""
+    import pyspark.pandas as ps
+
+    ps.set_option("compute.default_index_type", "distributed")
+    pdf = ps.read_parquet(f"{sf_dir}/documents.parquet")
+    g = (
+        pdf.groupby("lang")
+        .agg({"n_chars": "mean", "doc_id": "count"})
+        .reset_index()
+    )
+    return (
+        g.to_spark()
+        .select(
+            "lang",
+            F.col("doc_id").cast("long").alias("n_docs"),
+            F.round("n_chars", 4).alias("mean_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+
+
+@query(
+    "collocations_pmi",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), words AS (
+      SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS w FROM toks
+    ), bigrams AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), uni AS (
+      SELECT w, CAST(count(*) AS DOUBLE) AS c FROM words GROUP BY w
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_uni FROM words
+    ), btot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_bi FROM bigrams
+    ), bc AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS cb FROM bigrams GROUP BY w1, w2
+    )
+    SELECT w1, w2, CAST(cb AS BIGINT) AS n_pair,
+           round(ln((cb / n_bi) / ((u1.c / n_uni) * (u2.c / n_uni))), 4) AS pmi
+    FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w, tot, btot
+    WHERE cb >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def collocations_pmi_q(spark, sf_dir):
+    """PMI collocation mining (operators/text.py collocations_pmi):
+    top-20 adjacent word pairs by pointwise mutual information with a
+    min-count guard — the corpus phrase-discovery primitive.
+    Zero-shuffle bigram construction (array transform, no
+    explode-join), two hash aggregates, word-keyed joins."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import collocations_pmi
+
+    return collocations_pmi(t(spark, sf_dir, "documents"))
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

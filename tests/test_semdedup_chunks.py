@@ -219,3 +219,20 @@ def test_weighted_sample_es_bias_and_determinism(spark):
     g = weighted_sample_es(df, "w", 10, "k", group_col="g")
     per = {r["g"]: r["count"] for r in g.groupBy("g").count().collect()}
     assert per == {"0": 10, "1": 10}
+
+
+def test_collocations_pmi_finds_planted_phrase(spark):
+    """A phrase that always co-occurs gets the top PMI; the min-count
+    guard drops rare pairs."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import collocations_pmi
+
+    docs = [(i, "alpha beta " + ("x y z w " * 5)) for i in range(6)]
+    docs += [(100 + i, "rare pair only once here now") for i in range(1)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = collocations_pmi(df, min_count=5, k=5).collect()
+    assert out, "no collocations found"
+    pairs = [(r["w1"], r["w2"]) for r in out]
+    # 'alpha beta' co-occurs exclusively (alpha only ever precedes beta)
+    assert ("alpha", "beta") == pairs[0]
+    assert all(r["n_pair"] >= 5 for r in out)
+    assert ("rare", "pair") not in pairs
