@@ -544,3 +544,31 @@ def collocations_pmi(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(k)
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "zlib_ratio"
+) -> DataFrame:
+    """zlib compression ratio per document (compressed/raw bytes,
+    UTF-8) — the classic cheap redundancy proxy web-corpus filters
+    use (highly repetitive boilerplate compresses far below ~0.6;
+    high-entropy natural text sits near 1 at short lengths). Joins
+    `normalize_text` as the second legitimate Python kernel: zlib has
+    no JVM builtin, so this is an Arrow-batched pandas_udf (one
+    deflate per row inside a vectorized batch — never row-at-a-time
+    Python), and the DEFLATE spec is engine-independent, so the
+    ratio is deterministic. Scan-shaped: narrow projection, no
+    shuffle; rows-only verification (no SQL engine exposes zlib)."""
+    import zlib  # noqa: PLC0415
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t: str | None) -> float:
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

@@ -4743,5 +4743,30 @@ def collocations_pmi_q(spark, sf_dir):
     return collocations_pmi(t(spark, sf_dir, "documents"))
 
 
+
+
+@query("compression_ratio_by_lang")  # zlib has no SQL oracle — rows-only
+def compression_ratio_by_lang(spark, sf_dir):
+    """zlib redundancy proxy (operators/text.py compression_ratio):
+    per-language avg/min compression ratio — the cheap boilerplate
+    detector web-corpus filters run before any model-based scoring.
+    Arrow-batched pandas_udf (the documented legitimate-Python case);
+    deterministic (DEFLATE is spec-fixed) but no SQL engine exposes
+    zlib, so verification is rows-only + the pytest redundancy
+    ordering gate."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import compression_ratio
+
+    docs = compression_ratio(t(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("zlib_ratio"), 4).alias("avg_ratio"),
+            F.min("zlib_ratio").alias("min_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

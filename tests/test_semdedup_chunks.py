@@ -236,3 +236,22 @@ def test_collocations_pmi_finds_planted_phrase(spark):
     assert ("alpha", "beta") == pairs[0]
     assert all(r["n_pair"] >= 5 for r in out)
     assert ("rare", "pair") not in pairs
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """Repetitive text must compress far below high-entropy text; the
+    ratio is deterministic and empty/null-safe."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import compression_ratio
+
+    import random
+    rng = random.Random(7)
+    noisy = " ".join("".join(rng.choices("abcdefghijklmnop", k=8)) for _ in range(50))
+    df = spark.createDataFrame(
+        [(1, "spam ham " * 200), (2, noisy), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["zlib_ratio"] for r in compression_ratio(df).collect()}
+    assert out[1] < 0.1 < out[2]
+    assert out[3] == 1.0 and out[4] == 1.0
+    again = {r["doc_id"]: r["zlib_ratio"] for r in compression_ratio(df).collect()}
+    assert out == again
