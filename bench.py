@@ -78,6 +78,8 @@ HEADLINE = [
     "top_tfidf_terms",
     "weighted_sample_events",
     "session_window_native",
+    "collocations_pmi",
+    "curation_pipeline_counts",
 ]
 
 

@@ -4768,5 +4768,93 @@ def compression_ratio_by_lang(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "curation_pipeline_counts",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id, lang, text, n_chars,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tokens,
+             CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS digit_ratio
+      FROM documents
+    ), scored AS (
+      SELECT *, CASE WHEN n_tokens < 5 THEN 0.0
+                     WHEN round(punct_ratio, 4) > 0.3 THEN 0.2
+                     ELSE least(1.0, round(0.5 + 0.5 * least(n_tokens / 200.0, 1.0)
+                                           - round(digit_ratio, 4), 4))
+                END AS quality_score
+      FROM feats
+    ), kept AS (
+      SELECT * FROM scored WHERE quality_score >= 0.5
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM kept
+      ) WHERE rn = 1
+    ), w(lang, wt) AS (
+      VALUES ('en', 0.4), ('es', 0.2), ('fr', 0.2), ('de', 0.2)
+    ), c AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM deduped GROUP BY 1
+    ), j AS (
+      SELECT c.lang, c.n, w.wt FROM c JOIN w USING (lang)
+    ), cap AS (
+      SELECT min(n / wt) AS cap FROM j WHERE wt > 0
+    ), f AS (
+      SELECT lang, LEAST(1.0, wt * (SELECT cap FROM cap) / n) AS f FROM j
+    ), mixed AS (
+      SELECT d.* FROM deduped d JOIN f ON d.lang = f.lang
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+            < CAST(floor(f.f * POW(2, 60)) AS UBIGINT)
+    ), split AS (
+      SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+                     THEN 'test' ELSE 'train' END AS split
+      FROM mixed
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM split GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def curation_pipeline_counts(spark, sf_dir):
+    """The flagship COMPOSITE: a four-stage training-data curation
+    pipeline — quality filter (C4/Gopher-lineage score >= 0.5) ->
+    exact dedup (min-id survivor per text) -> mixture rebalance to a
+    40/20/20/20 en/es/fr/de recipe -> deterministic 10% test split —
+    expressed as ONE Spark plan whose kept set the DuckDB oracle
+    reproduces EXACTLY, because every stage (score arithmetic, dedup
+    rank, md5 mixture thresholds, md5 split) is engine-portable.
+    Composition is the point: each stage is an existing verified
+    operator (text.quality_features, dedup.exact_dedup,
+    sampling.sample_to_mixture, sampling.train_test_split), and the
+    whole chain stays one lazy plan except the mixture's bounded
+    per-group count fetch."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import exact_dedup
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        sample_to_mixture,
+        train_test_split,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import quality_features
+
+    docs = t(spark, sf_dir, "documents")
+    kept = quality_features(docs).filter(F.col("quality_score") >= 0.5)
+    deduped = exact_dedup(kept, ["text"], "doc_id")
+    mixed = sample_to_mixture(
+        deduped, "lang", "doc_id", {"en": 0.4, "es": 0.2, "fr": 0.2, "de": 0.2}
+    )
+    split = train_test_split(mixed, "doc_id", 0.1)
+    return (
+        split.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
