@@ -8,6 +8,7 @@ sources are files + a retired JDBC path).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -81,6 +82,42 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_json_audited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines ingestion that SURVIVES malformed rows instead of
+    failing the batch (PERMISSIVE mode): rows that don't parse land
+    with every data column NULL and the raw line preserved in
+    `corrupt_col` for quarantine/audit — the contract a long-running
+    ingest needs when an upstream producer ships a bad deploy.
+    Requires an explicit schema (the audit column must be declared;
+    schema inference would also silently drop unparseable lines).
+
+    Pair with `malformed_rows` / a filter on `corrupt_col IS NULL`
+    to split the stream into clean + quarantine sinks. Scan-shaped,
+    no extra pass."""
+    target = (
+        T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    )
+    if corrupt_col not in [f.name for f in target.fields]:
+        target = target.add(corrupt_col, T.StringType())
+    return (
+        spark.read.schema(target)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def malformed_rows(df: DataFrame, corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """The quarantine side of `read_json_audited`: raw lines that
+    failed parsing (audit / replay / upstream bug reports)."""
+    return df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
 
 
 def read_orc(spark: SparkSession, *paths: str) -> DataFrame:

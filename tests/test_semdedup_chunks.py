@@ -255,3 +255,28 @@ def test_compression_ratio_orders_redundancy(spark):
     assert out[3] == 1.0 and out[4] == 1.0
     again = {r["doc_id"]: r["zlib_ratio"] for r in compression_ratio(df).collect()}
     assert out == again
+
+
+def test_read_json_audited_quarantines_bad_lines(spark, tmp_path):
+    """Malformed JSON lines must not fail the batch: they surface with
+    NULL data columns and the raw line in _corrupt_record; clean rows
+    parse normally and the quarantine view returns exactly the bad
+    raw lines."""
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.readers import (
+        malformed_rows,
+        read_json_audited,
+    )
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 2.5}\n'
+        "this is not json\n"
+        '{"id": 2, "v": 3.5}\n'
+        '{"id": "oops", "v": }\n'
+    )
+    df = read_json_audited(spark, str(p), "id long, v double").cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    assert sorted(r["id"] for r in clean.collect()) == [1, 2]
+    bad = [r["_corrupt_record"] for r in malformed_rows(df).collect()]
+    assert len(bad) == 2 and "this is not json" in bad
+    df.unpersist()
