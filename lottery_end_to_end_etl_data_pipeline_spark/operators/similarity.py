@@ -750,3 +750,71 @@ def hard_negatives(
             "cosine",
         )
     )
+
+
+def dim_truncation_recall(
+    df: DataFrame,
+    trunc_dim: int = 16,
+    k: int = 10,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022,
+    arXiv:2205.13147 — public paper): per query, how much of the
+    full-dimension cosine top-k survives when the index keeps only
+    the first `trunc_dim` dimensions — the measurement behind the
+    serve-cheap-rerank-exact dimension choice (a 4x dim cut is a 4x
+    scan-bytes cut IF recall holds; this operator tells you whether
+    it does on YOUR corpus).
+
+    One broadcast-scan scores both rankings in a single pass
+    (slice() is a narrow projection, the corpus is read once); two
+    windows rank them; a left join counts survivors so zero-overlap
+    queries still report 0."""
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    c = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos_full", F.round(cosine_cols(F.col("_cv"), F.col("_qv")), 4)
+        )
+        .withColumn(
+            "cos_trunc",
+            F.round(
+                cosine_cols(
+                    F.slice("_cv", 1, trunc_dim), F.slice("_qv", 1, trunc_dim)
+                ),
+                4,
+            ),
+        )
+        .select("qid", "cid", "cos_full", "cos_trunc")
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("cid"))
+    wt = Window.partitionBy("qid").orderBy(F.desc("cos_trunc"), F.asc("cid"))
+    top_f = (
+        scored.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid")
+    )
+    top_t = (
+        scored.withColumn("rnk", F.row_number().over(wt))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("qid").alias("_tqid"), F.col("cid").alias("_tcid"))
+    )
+    return (
+        top_f.join(
+            top_t,
+            (F.col("qid") == F.col("_tqid")) & (F.col("cid") == F.col("_tcid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("_tcid").alias("n_common"),
+            F.round(F.count("_tcid") / float(k), 4).alias(f"recall_at_{k}"),
+        )
+        .orderBy("qid")
+    )

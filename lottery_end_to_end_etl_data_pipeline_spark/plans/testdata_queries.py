@@ -4856,5 +4856,57 @@ def curation_pipeline_counts(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "dim_truncation_recall",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+      SELECT q.qid, c.vec_id AS cid,
+             round(
+               list_sum(list_transform(list_zip(c.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*x)))), 4) AS cos_full,
+             round(
+               list_sum(list_transform(list_zip(list_slice(c.embedding, 1, 16),
+                                                list_slice(q.qv, 1, 16)),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(list_slice(c.embedding, 1, 16),
+                                               x -> CAST(x AS DOUBLE)*x)))
+                  * sqrt(list_sum(list_transform(list_slice(q.qv, 1, 16),
+                                                 x -> CAST(x AS DOUBLE)*x)))), 4) AS cos_trunc
+      FROM embeddings c, q WHERE c.vec_id <> q.qid
+    ), rf AS (
+      SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_full DESC, cid) AS rnk
+      FROM scored
+    ), rt AS (
+      SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_trunc DESC, cid) AS rnk
+      FROM scored
+    )
+    SELECT f.qid, CAST(count(t.cid) AS BIGINT) AS n_common,
+           round(count(t.cid) / 10.0, 4) AS recall_at_10
+    FROM (SELECT * FROM rf WHERE rnk <= 10) f
+    LEFT JOIN (SELECT * FROM rt WHERE rnk <= 10) t
+      ON f.qid = t.qid AND f.cid = t.cid
+    GROUP BY f.qid ORDER BY f.qid
+    """,
+)
+def dim_truncation_recall_q(spark, sf_dir):
+    """Matryoshka truncation audit (operators/similarity.py
+    dim_truncation_recall): recall@10 of a 16-dim prefix index
+    against the full 64-dim exact ranking, per query — the
+    measurement behind a 4x scan-bytes cut. Exact-ranked both sides
+    so Spark and DuckDB agree row-for-row (zero-overlap queries
+    report 0 via the left join)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        dim_truncation_recall,
+    )
+
+    return dim_truncation_recall(t(spark, sf_dir, "embeddings"))
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

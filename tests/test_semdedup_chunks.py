@@ -280,3 +280,22 @@ def test_read_json_audited_quarantines_bad_lines(spark, tmp_path):
     bad = [r["_corrupt_record"] for r in malformed_rows(df).collect()]
     assert len(bad) == 2 and "this is not json" in bad
     df.unpersist()
+
+
+def test_dim_truncation_recall_perfect_when_info_in_prefix(spark):
+    """If all signal lives in the first dims, truncation must be
+    lossless (recall 1.0); each query reports exactly one row."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        dim_truncation_recall,
+    )
+
+    import random
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1), rng.gauss(0, 1)] + [0.0, 0.0])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dim_truncation_recall(df, trunc_dim=2, k=5, n_queries=5).collect()
+    assert len(out) == 5
+    assert all(r["recall_at_5"] == 1.0 and r["n_common"] == 5 for r in out)
