@@ -299,3 +299,52 @@ def test_dim_truncation_recall_perfect_when_info_in_prefix(spark):
     out = dim_truncation_recall(df, trunc_dim=2, k=5, n_queries=5).collect()
     assert len(out) == 5
     assert all(r["recall_at_5"] == 1.0 and r["n_common"] == 5 for r in out)
+
+
+def test_samplers_invariant_under_repartitioning(spark):
+    """The md5-keyed samplers claim retry-stability: the selected set
+    must not change when the input arrives in different partitions."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        stratified_exact_n,
+        weighted_sample_es,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    shuffled = df.repartition(13, "w")
+
+    a = sorted(r["k"] for r in stratified_exact_n(df, "g", 9, "k").collect())
+    b = sorted(r["k"] for r in stratified_exact_n(shuffled, "g", 9, "k").collect())
+    assert a == b
+
+    c = sorted(r["k"] for r in weighted_sample_es(df, "w", 25, "k").collect())
+    d = sorted(r["k"] for r in weighted_sample_es(shuffled, "w", 25, "k").collect())
+    assert c == d
+
+
+def test_doc_chunks_overlap_count_property(spark):
+    """n_chunks == max(1, ceil(n_tokens / stride)) for arbitrary docs,
+    and chunk 0 is exactly the first chunk_words tokens."""
+    import math
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        doc_chunks_overlap,
+    )
+
+    docs = [
+        (i, " ".join(f"w{j}" for j in range(n)))
+        for i, n in enumerate([0, 1, 4, 5, 9, 10, 11, 23, 50])
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = doc_chunks_overlap(df, chunk_words=10, stride=5).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate([0, 1, 4, 5, 9, 10, 11, 23, 50]):
+        expect = max(1, math.ceil(n / 5))
+        assert len(by_doc[i]) == expect, f"doc {i} ({n} tokens)"
+        first = next(r for r in by_doc[i] if r["chunk_idx"] == 0)
+        assert first["chunk_text"] == " ".join(f"w{j}" for j in range(min(n, 10)))
