@@ -4908,5 +4908,61 @@ def dim_truncation_recall_q(spark, sf_dir):
     return dim_truncation_recall(t(spark, sf_dir, "embeddings"))
 
 
+
+
+@query(
+    "lang_source_chisq",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      FROM documents GROUP BY 1, 2
+    ), rt AS (
+      SELECT lang, sum(o) AS r FROM obs GROUP BY 1
+    ), ct AS (
+      SELECT source, sum(o) AS c FROM obs GROUP BY 1
+    ), n AS (
+      SELECT sum(o) AS n FROM obs
+    )
+    SELECT obs.lang, obs.source,
+           CAST(o AS BIGINT) AS observed,
+           round(r * c / n, 4) AS expected,
+           round((o - r * c / n) * (o - r * c / n) / (r * c / n), 4) AS chisq_term
+    FROM obs JOIN rt USING (lang) JOIN ct USING (source), n
+    ORDER BY lang, source
+    """,
+)
+def lang_source_chisq(spark, sf_dir):
+    """Chi-square contingency audit of corpus composition: observed
+    vs independence-expected (lang x source) counts with per-cell
+    chi-square contributions — the drift detector that flags a
+    source suddenly skewing toward one language (scraper breakage,
+    contamination). Plan: one (lang, source) hash aggregate; the row
+    totals, column totals, and grand total are marginal re-aggregates
+    of that tiny table, attached by broadcast — the data is scanned
+    once."""
+    obs = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.col("o").cast("long").alias("observed"),
+            F.round(e, 4).alias("expected"),
+            F.round((F.col("o") - e) * (F.col("o") - e) / e, 4).alias("chisq_term"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
