@@ -4964,5 +4964,113 @@ def lang_source_chisq(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "data_contract_report",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS v0,
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS v1,
+             CAST(count(CASE WHEN o_totalprice < 0 THEN 1 END) AS BIGINT) AS v2,
+             CAST(count(CASE WHEN o_totalprice > 300000 THEN 1 END) AS BIGINT) AS v3,
+             CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT) AS v4
+      FROM orders
+    )
+    SELECT c."check", c.n_violations, b.n_rows, c.n_violations = 0 AS ok
+    FROM base b, LATERAL (VALUES
+      ('o_orderkey_not_null', b.v0),
+      ('o_orderkey_unique', b.v1),
+      ('o_totalprice_non_negative', b.v2),
+      ('o_totalprice_under_300k', b.v3),
+      ('o_orderdate_not_null', b.v4)
+    ) AS c("check", n_violations)
+    ORDER BY c."check"
+    """,
+)
+def data_contract_report(spark, sf_dir):
+    """Data-contract validation (operators/quality.py fused_report —
+    the dbt-tests/Great-Expectations shape): a five-expectation suite
+    (not-null, uniqueness via count-vs-distinct with no self-join,
+    two range rules — one of which genuinely FAILS on this data so
+    nonzero violation counts get hashed — and a date presence check)
+    computed in ONE aggregate scan and unpivoted to a report row per
+    check. At 100 TB contract validation costs one pass regardless
+    of suite width."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.quality import (
+        fused_report,
+        violations_duplicate,
+        violations_when,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    report = fused_report(
+        orders,
+        [
+            ("o_orderkey_not_null", violations_when(F.col("o_orderkey").isNull())),
+            ("o_orderkey_unique", violations_duplicate("o_orderkey")),
+            ("o_totalprice_non_negative", violations_when(F.col("o_totalprice") < 0)),
+            ("o_totalprice_under_300k", violations_when(F.col("o_totalprice") > 300000)),
+            ("o_orderdate_not_null", violations_when(F.col("o_orderdate").isNull())),
+        ],
+    )
+    return report.select("check", "n_violations", "n_rows", "ok").orderBy("check")
+
+
+
+
+@query(
+    "pareto_revenue_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT o_custkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(rev) OVER () AS total,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+             count(*) OVER () AS n_cust
+      FROM per_cust
+    )
+    SELECT CAST(min(rn) FILTER (WHERE cum >= 0.8 * total) AS BIGINT) AS n_top_customers,
+           CAST(max(n_cust) AS BIGINT) AS n_customers,
+           round(CAST(min(rn) FILTER (WHERE cum >= 0.8 * total) AS DOUBLE)
+                 / max(n_cust), 4) AS top_share
+    FROM ranked
+    """,
+)
+def pareto_revenue_concentration(spark, sf_dir):
+    """Pareto 80/20 concentration: the smallest customer set whose
+    cumulative revenue reaches 80% of the total, as a count and a
+    share of all customers — the classic whale-detection audit.
+
+    Scale note, stated honestly: the cumulative ranking is a GLOBAL
+    ordered window, but it runs over the per-customer AGGREGATE
+    (group cardinality), never the fact table — the fact scan
+    collapses in the first hash aggregate. That bounds the
+    single-task window at n_customers rows; for extreme-cardinality
+    keys swap the exact rank for approx_percentile over the
+    per-key revenues (the same sketch swap iqr_filter documents)."""
+    orders = t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w_order = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_all).alias("total"),
+        F.row_number().over(w_order).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    )
+    hit = F.min(F.when(F.col("cum") >= 0.8 * F.col("total"), F.col("rn")))
+    return ranked.agg(
+        hit.cast("long").alias("n_top_customers"),
+        F.max("n_cust").cast("long").alias("n_customers"),
+        F.round(hit.cast("double") / F.max("n_cust"), 4).alias("top_share"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
