@@ -186,3 +186,48 @@ def validate_silver(
             names = ", ".join(f"{r['check']} ({r['n_violations']} rows)" for r in bad)
             raise DataQualityError(f"silver DQ gate failed: {names}")
     return report
+
+
+def rrf_fuse(
+    signals: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_n: int = 50,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009 —
+    public paper): combine heterogeneous quality/relevance signals by
+    summing 1/(k + rank_s) per document — scale-free, so a signal
+    with wild magnitudes can't drown the others; the standard way to
+    blend quality scorers into one curation ordering.
+
+    `signals` is [(df, score_col), ...]; each df must carry id_col.
+    Ranking is (score desc NULLS LAST, id) — deterministic and
+    engine-portable when the scores are (the repo's signal operators
+    all round before ranking).
+
+    Scale note, stated honestly: exact global ranks mean one ordered
+    window per signal over the per-doc signal table. At extreme doc
+    counts swap exact rank for a quantile-bucket rank
+    (approx_percentile over the signal — same fusion arithmetic,
+    sketch-mergeable), exactly the iqr_filter swap."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    ranked = []
+    for i, (df, col) in enumerate(signals):
+        w = Window.orderBy(F.desc_nulls_last(col), F.asc(id_col))
+        ranked.append(
+            df.select(id_col, F.row_number().over(w).alias(f"_r{i}"))
+        )
+    joined = reduce(lambda a, b: a.join(b, id_col), ranked)
+    rrf = reduce(
+        lambda acc, i: acc + 1.0 / (k + F.col(f"_r{i}")),
+        range(1, len(signals)),
+        1.0 / (k + F.col("_r0")),
+    )
+    return (
+        joined.select(id_col, F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(top_n)
+    )

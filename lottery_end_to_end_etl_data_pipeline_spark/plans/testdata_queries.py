@@ -5072,5 +5072,86 @@ def pareto_revenue_concentration(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "rrf_quality_fusion",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tokens,
+             CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS digit_ratio
+      FROM documents
+    ), qscore AS (
+      SELECT doc_id, CASE WHEN n_tokens < 5 THEN 0.0
+                          WHEN round(punct_ratio, 4) > 0.3 THEN 0.2
+                          ELSE least(1.0, round(0.5 + 0.5 * least(n_tokens / 200.0, 1.0)
+                                                - round(digit_ratio, 4), 4))
+                     END AS quality_score
+      FROM feats
+    ), chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), ccounts AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ), ent AS (
+      SELECT doc_id, round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy_bits
+      FROM ccounts GROUP BY doc_id
+    ), toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, CASE WHEN len(tk) < 2 THEN NULL
+                          ELSE unnest(list_transform(tk[1:len(tk) - 1], (x, i) -> x || ' ' || tk[i + 1]))
+                     END AS bg
+      FROM toks
+    ), c12 AS (
+      SELECT bg, COUNT(*) AS c12 FROM bg WHERE bg IS NOT NULL GROUP BY bg
+    ), c1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1 FROM c12 GROUP BY 1
+    ), probs AS (
+      SELECT bg, log2(c12) - log2(c1) AS logp
+      FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1
+    ), lm AS (
+      SELECT b.doc_id, ROUND(AVG(p.logp), 4) AS avg_log2p
+      FROM bg b LEFT JOIN probs p USING (bg) GROUP BY b.doc_id
+    ), ranks AS (
+      SELECT q.doc_id,
+             row_number() OVER (ORDER BY q.quality_score DESC NULLS LAST, q.doc_id) AS r1,
+             row_number() OVER (ORDER BY e.entropy_bits DESC NULLS LAST, q.doc_id) AS r2,
+             row_number() OVER (ORDER BY l.avg_log2p DESC NULLS LAST, q.doc_id) AS r3
+      FROM qscore q JOIN ent e USING (doc_id) JOIN lm l USING (doc_id)
+    )
+    SELECT doc_id,
+           round(1.0/(60 + r1) + 1.0/(60 + r2) + 1.0/(60 + r3), 6) AS rrf
+    FROM ranks ORDER BY rrf DESC, doc_id LIMIT 50
+    """,
+)
+def rrf_quality_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion of three oracled quality signals
+    (operators/quality.py rrf_fuse, Cormack et al. 2009): the
+    C4/Gopher composite score, character entropy, and the bigram-LM
+    mean log-prob blend into one curation ordering via
+    sum 1/(60+rank) — scale-free, so no signal's magnitude dominates.
+    Top-50 docs by fused score, fully deterministic (every signal
+    rounds before ranking, ids break ties)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.quality import rrf_fuse
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+        bigram_lm_score,
+        char_entropy,
+        quality_features,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    q = quality_features(docs).select("doc_id", "quality_score")
+    e = char_entropy(docs).select("doc_id", "entropy_bits")
+    lm = bigram_lm_score(docs).select("doc_id", "avg_log2p")
+    return rrf_fuse(
+        [(q, "quality_score"), (e, "entropy_bits"), (lm, "avg_log2p")]
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

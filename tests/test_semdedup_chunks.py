@@ -348,3 +348,26 @@ def test_doc_chunks_overlap_count_property(spark):
         assert len(by_doc[i]) == expect, f"doc {i} ({n} tokens)"
         first = next(r for r in by_doc[i] if r["chunk_idx"] == 0)
         assert first["chunk_text"] == " ".join(f"w{j}" for j in range(min(n, 10)))
+
+
+def test_rrf_fuse_scale_free_and_deterministic(spark):
+    """A signal with huge magnitudes must not dominate: RRF depends
+    only on ranks. A doc ranked #1 on two of three signals must beat
+    a doc ranked #1 on just one."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.quality import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1e9), (2, 5.0), (3, 1.0)], "doc_id long, s1 double"
+    )
+    b = spark.createDataFrame(
+        [(1, 0.9), (2, 0.1), (3, 0.5)], "doc_id long, s2 double"
+    )
+    c = spark.createDataFrame(
+        [(1, 2.0), (2, 9.0), (3, 1.0)], "doc_id long, s3 double"
+    )
+    out = rrf_fuse([(a, "s1"), (b, "s2"), (c, "s3")], top_n=3).collect()
+    assert [r["doc_id"] for r in out][0] == 1  # ranks 1,1,2 wins
+    again = rrf_fuse([(a, "s1"), (b, "s2"), (c, "s3")], top_n=3).collect()
+    assert [(r["doc_id"], r["rrf"]) for r in out] == [
+        (r["doc_id"], r["rrf"]) for r in again
+    ]
