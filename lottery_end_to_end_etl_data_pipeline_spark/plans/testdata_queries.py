@@ -5153,5 +5153,102 @@ def rrf_quality_fusion(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "winsorized_value_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(e.value), 4) AS raw_mean,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 4) AS winsor_mean,
+           round(b.lo, 4) AS p05, round(b.hi, 4) AS p95
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type, b.lo, b.hi ORDER BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark, sf_dir):
+    """Winsorized (clipped-at-percentile) robust means per group —
+    the outlier-resistant KPI the MAD census complements: clip value
+    to [p05, p95] before averaging, reported beside the raw mean so
+    the gap itself flags tail contamination. Exact percentile (the
+    oracle requires it; the approx_percentile swap is documented at
+    iqr_filter); the bounds table is group-cardinality-sized and
+    broadcasts back onto one scan."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("winsor_mean"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "raw_mean",
+            "winsor_mean",
+            F.round("lo", 4).alias("p05"),
+            F.round("hi", 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "daily_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, sum(value) AS v
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT d, v,
+             lag(v, 1) OVER (ORDER BY d) AS v1,
+             lag(v, 7) OVER (ORDER BY d) AS v7
+      FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(v, v1), 4) AS autocorr_lag1,
+           round(corr(v, v7), 4) AS autocorr_lag7
+    FROM lagged
+    """,
+)
+def daily_autocorrelation(spark, sf_dir):
+    """Lag-1 / lag-7 autocorrelation of the daily total — the
+    time-series diagnostic behind the seasonal-baseline choice
+    (strong lag-7 means weekday seasonality; `seasonal_dow_anomaly`
+    is the right detrender). The lag window is GLOBAL but runs over
+    the daily AGGREGATE (days, not events — same cardinality-bounded
+    pattern as the Pareto entry); corr's co-moments merge in one
+    final aggregate."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 7).over(w).alias("v7"),
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("v", "v1"), 4).alias("autocorr_lag1"),
+        F.round(F.corr("v", "v7"), 4).alias("autocorr_lag7"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
