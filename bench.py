@@ -80,6 +80,12 @@ HEADLINE = [
     "session_window_native",
     "collocations_pmi",
     "curation_pipeline_counts",
+    "data_contract_report",
+    "pareto_revenue_concentration",
+    "lang_source_chisq",
+    "winsorized_value_stats",
+    "daily_autocorrelation",
+    "rrf_quality_fusion",
 ]
 
 
