@@ -1125,3 +1125,75 @@ def doc_chunks_overlap(
         ).alias("chunk_idx", "chunk_text"),
     )
     return chunks.withColumn("_ck", F.md5("chunk_text"))
+
+
+def semantic_dedup_against_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup lifecycle — the embedding analog of
+    `dedup_against_index`: dedupe an ARRIVING batch against a
+    persisted IVF-partitioned corpus index (`write_ivf_index`)
+    without rescanning or re-embedding history.
+
+    Shape: the batch assigns to cells with the narrow zip_with
+    quantizer; only the cells PRESENT in the batch are read from the
+    index (partition-pruned at file-listing level — a bounded
+    `isin` over at most k cells, fetched via one tiny distinct);
+    then ONE cogrouped Arrow kernel per cell computes the
+    batch x history cosine matrix as a BLAS matmul and flags batch
+    rows with any history neighbor >= threshold. Per-batch cost is
+    O(batch + touched cells), independent of corpus size — the same
+    contract the minhash index path documents. Returns
+    (id_col, sem_cluster, pruned) for every batch row.
+
+    This is also the repo's pin of the `groupBy().cogroup()` API:
+    two grouped frames, one Arrow kernel over the aligned groups, no
+    join materialization of the (batch x history) pair space."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    assigned = ivf_assign(
+        batch.select(id_col, vec_col), centroids, vec_col, out_col="ivf_cell"
+    )
+    cells = [
+        r["ivf_cell"] for r in assigned.select("ivf_cell").distinct().collect()
+    ]
+    hist = (
+        spark.read.parquet(index_path)
+        .filter(F.col("ivf_cell").isin(cells))
+        .select("ivf_cell", F.col(vec_col).alias("_hv"))
+    )
+
+    def per_cell(key: tuple, bpdf: pd.DataFrame, hpdf: pd.DataFrame) -> pd.DataFrame:
+        if bpdf.empty:
+            return pd.DataFrame(
+                {id_col: [], "sem_cluster": [], "pruned": []}
+            ).astype({id_col: "int64", "sem_cluster": "int32", "pruned": "bool"})
+        ids = bpdf[id_col].to_numpy()
+        bm = np.asarray(list(bpdf[vec_col]), dtype=np.float64)
+        bn = np.linalg.norm(bm, axis=1)
+        bn[bn == 0.0] = 1.0
+        if hpdf.empty:
+            pruned = np.zeros(len(ids), dtype=bool)
+        else:
+            hm = np.asarray(list(hpdf["_hv"]), dtype=np.float64)
+            hn = np.linalg.norm(hm, axis=1)
+            hn[hn == 0.0] = 1.0
+            sims = (bm @ hm.T) / np.outer(bn, hn)
+            pruned = (np.round(sims, 6) >= threshold).any(axis=1)
+        return pd.DataFrame(
+            {id_col: ids, "sem_cluster": key[0], "pruned": pruned}
+        )
+
+    out_schema = f"{id_col} LONG, sem_cluster INT, pruned BOOLEAN"
+    return (
+        assigned.groupBy("ivf_cell")
+        .cogroup(hist.groupBy("ivf_cell"))
+        .applyInPandas(per_cell, out_schema)
+    )

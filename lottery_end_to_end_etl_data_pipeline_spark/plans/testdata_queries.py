@@ -5250,5 +5250,44 @@ def daily_autocorrelation(spark, sf_dir):
     )
 
 
+
+
+@query("semdedup_incremental_index")  # k-means geometry — rows-only check
+def semdedup_incremental_index(spark, sf_dir):
+    """Incremental SemDeDup lifecycle (operators/dedup.py
+    semantic_dedup_against_index): two-thirds of the embeddings
+    become the IVF-partitioned history index, the remaining third
+    arrives as the batch and is semantically deduped against it —
+    only the batch's cells are read (partition-pruned), history is
+    never re-embedded, and the batch x history cosines run as one
+    cogrouped Arrow gram kernel per cell. Returns
+    batch/survivor/pruned counts; exactness is pytest-gated."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        semantic_dedup_against_index,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        kmeans_fit,
+        write_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = kmeans_fit(hist, k=8, n_iters=2)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_ivfsem_{tag}"
+    write_ivf_index(hist, cents, path)
+    res = semantic_dedup_against_index(spark, batch, path, cents, threshold=0.95)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum((~F.col("pruned")).cast("long")).alias("n_survivors"),
+        F.sum(F.col("pruned").cast("long")).alias("n_pruned"),
+    )
+    return agg
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

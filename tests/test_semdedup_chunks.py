@@ -371,3 +371,39 @@ def test_rrf_fuse_scale_free_and_deterministic(spark):
     assert [(r["doc_id"], r["rrf"]) for r in out] == [
         (r["doc_id"], r["rrf"]) for r in again
     ]
+
+
+def test_semantic_dedup_against_index_incremental(spark, tmp_path):
+    """A batch vector near a persisted history vector must be pruned;
+    a novel vector must survive; history is read partition-pruned and
+    never re-embedded."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        semantic_dedup_against_index,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        write_ivf_index,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    hist = spark.createDataFrame(
+        [(0, [1.0, 0.02]), (1, [0.02, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(hist, cents, idx)
+
+    batch = spark.createDataFrame(
+        [
+            (10, [0.999, 0.03]),   # near history vec 0 -> pruned
+            (11, [-1.0, 0.0]),     # cell 0's opposite — novel, survives
+            (12, [0.03, 0.995]),   # near history vec 1 -> pruned
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["pruned"]
+        for r in semantic_dedup_against_index(
+            spark, batch, idx, cents, threshold=0.99
+        ).collect()
+    }
+    assert out == {10: True, 11: False, 12: True}
