@@ -5289,5 +5289,81 @@ def semdedup_incremental_index(spark, sf_dir):
     return agg
 
 
+
+
+@query(
+    "fk_integrity_report",
+    oracle="""
+    SELECT 'customer.c_nationkey->nation' AS fk_edge,
+           CAST((SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'events.user_id->customer@stale',
+           CAST((SELECT count(*) FROM events e WHERE e.user_id IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = e.user_id
+                                   AND c.c_custkey < 1000)) AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    ORDER BY fk_edge
+    """,
+)
+def fk_integrity_report(spark, sf_dir):
+    """Referential-integrity audit across the star schema: anti-join
+    orphan counts per FK edge. The three real edges verify intact (0
+    orphans — the audit proving a property is as load-bearing as one
+    finding violations); the fourth deliberately checks events
+    against a TRUNCATED customer snapshot (c_custkey < 1000) — the
+    late-arriving-dimension scenario — so the nonzero counting path
+    is value-hashed too. Each edge is a left-anti join: dims
+    broadcast, fact side scanned once per edge, counts are scalar
+    aggregates."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+
+    def edge(name, fact, key, dim, dim_key):
+        orphans = (
+            fact.filter(F.col(key).isNotNull())
+            .join(
+                F.broadcast(dim.select(F.col(dim_key).alias(key))), key, "left_anti"
+            )
+            .count()
+        )
+        total = fact.count()
+        return (name, orphans, total)
+
+    rows = [
+        edge("customer.c_nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"),
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        edge(
+            "events.user_id->customer@stale",
+            ev,
+            "user_id",
+            cust.filter(F.col("c_custkey") < 1000),
+            "c_custkey",
+        ),
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "fk_edge string, n_orphans long, n_rows long"
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
