@@ -86,6 +86,8 @@ HEADLINE = [
     "winsorized_value_stats",
     "daily_autocorrelation",
     "rrf_quality_fusion",
+    "fk_integrity_report",
+    "benford_digit_audit",
 ]
 
 
