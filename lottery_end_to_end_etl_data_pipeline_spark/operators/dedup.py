@@ -1197,3 +1197,54 @@ def semantic_dedup_against_index(
         .cogroup(hist.groupBy("ivf_cell"))
         .applyInPandas(per_cell, out_schema)
     )
+
+
+def doc_chunks_cdc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hex_prefix: str = "0",
+) -> DataFrame:
+    """Content-defined chunking at token level (the rsync/FastCDC
+    boundary idea — public technique): a chunk boundary falls AFTER
+    every token whose md5 starts with `boundary_hex_prefix`
+    (1 hex char → boundary probability 1/16 → ~16-token average
+    chunks). Because boundaries depend on CONTENT, not position,
+    inserting or deleting a token resynchronizes within one chunk —
+    fixed/stride chunking shifts every subsequent chunk, so CDC is
+    the chunk-level dedup that survives edits (tested:
+    `test_cdc_chunks_survive_prefix_insertion`).
+
+    Shape: posexplode → boundary flag → per-doc running-sum window
+    (one exchange on the doc id, same discipline as sessionize) →
+    per-(doc, chunk) rebuild in token order. Output
+    (id_col, cid, chunk_text, n_tok, _ck=md5(chunk))."""
+    toks = df.select(id_col, tokens(text_col).alias("_tk"))
+    words = toks.select(id_col, F.posexplode("_tk").alias("pos", "w"))
+    flagged = words.withColumn(
+        "_brk",
+        (F.substring(F.md5("w"), 1, len(boundary_hex_prefix))
+         == boundary_hex_prefix).cast("int"),
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cids = flagged.withColumn(
+        "cid", F.coalesce(F.sum("_brk").over(w_run), F.lit(0))
+    )
+    return (
+        cids.groupBy(id_col, "cid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .withColumn("_ck", F.md5("chunk_text"))
+    )

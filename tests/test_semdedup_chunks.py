@@ -407,3 +407,34 @@ def test_semantic_dedup_against_index_incremental(spark, tmp_path):
         ).collect()
     }
     assert out == {10: True, 11: False, 12: True}
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The CDC selling point: prepending a token leaves most chunk
+    hashes intact (boundaries resync on content), while stride
+    chunking shifts every chunk."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        doc_chunks_cdc,
+        doc_chunks_overlap,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, "INSERTED " + base)], "doc_id long, text string"
+    )
+    cdc = doc_chunks_cdc(df)
+    sets = {
+        r["doc_id"]: set()
+        for r in cdc.select("doc_id").distinct().collect()
+    }
+    for r in cdc.collect():
+        sets[r["doc_id"]].add(r["_ck"])
+    shared = len(sets[1] & sets[2])
+    assert shared / max(len(sets[1]), 1) > 0.8, (shared, len(sets[1]))
+
+    fixed = doc_chunks_overlap(df, chunk_words=10, stride=10)
+    fsets: dict[int, set] = {1: set(), 2: set()}
+    for r in fixed.collect():
+        fsets[r["doc_id"]].add(r["_ck"])
+    # stride chunking: the single-token shift breaks (almost) all chunks
+    assert len(fsets[1] & fsets[2]) <= 1
