@@ -5478,5 +5478,75 @@ def cdc_chunk_stats(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "partition_key_advisor",
+    oracle="""
+    WITH k1 AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ), k2 AS (
+      SELECT event_type AS k, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ), k3 AS (
+      SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS k,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT 'user_id' AS key_col, CAST(count(*) AS BIGINT) AS n_distinct,
+             round((log2(sum(n)) - sum(n * log2(n)) / sum(n))
+                   / log2(count(*)), 4) AS norm_entropy,
+             round(max(n) / sum(n), 4) AS top_share
+      FROM k1
+      UNION ALL
+      SELECT 'event_type', CAST(count(*) AS BIGINT),
+             round((log2(sum(n)) - sum(n * log2(n)) / sum(n))
+                   / log2(count(*)), 4),
+             round(max(n) / sum(n), 4)
+      FROM k2
+      UNION ALL
+      SELECT 'event_day', CAST(count(*) AS BIGINT),
+             round((log2(sum(n)) - sum(n * log2(n)) / sum(n))
+                   / log2(count(*)), 4),
+             round(max(n) / sum(n), 4)
+      FROM k3
+    )
+    SELECT * FROM stats ORDER BY key_col
+    """,
+)
+def partition_key_advisor(spark, sf_dir):
+    """Partition/shuffle-key advisor: for each candidate key, the
+    distinct count, normalized Shannon entropy (1.0 = perfectly even
+    load across key values), and the hottest key's share — the three
+    numbers that decide whether a key can carry a groupBy/join at
+    1000 executors (high cardinality + entropy ~1 + tiny top_share)
+    or needs salting (low entropy / fat top_share). Each candidate is
+    one hash aggregate over its key; the entropy folds the count
+    table, never the facts."""
+    ev = t(spark, sf_dir, "events")
+
+    def stats(name, col):
+        c = ev.groupBy(col.cast("string").alias("k")).agg(
+            F.count(F.lit(1)).cast("double").alias("n")
+        )
+        h = (F.log2(F.sum("n")) - F.sum(F.col("n") * F.log2("n")) / F.sum("n"))
+        return c.agg(
+            F.lit(name).alias("key_col"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(h / F.log2(F.count(F.lit(1))), 4).alias("norm_entropy"),
+            F.round(F.max("n") / F.sum("n"), 4).alias("top_share"),
+        )
+
+    out = (
+        stats("user_id", F.col("user_id"))
+        .unionByName(stats("event_type", F.col("event_type")))
+        .unionByName(
+            stats("event_day", F.to_date(F.date_trunc("day", F.col("ts"))))
+        )
+    )
+    return out.orderBy("key_col")
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
