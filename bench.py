@@ -88,6 +88,8 @@ HEADLINE = [
     "rrf_quality_fusion",
     "fk_integrity_report",
     "benford_digit_audit",
+    "cdc_chunk_stats",
+    "partition_key_advisor",
 ]
 
 
