@@ -90,6 +90,8 @@ HEADLINE = [
     "benford_digit_audit",
     "cdc_chunk_stats",
     "partition_key_advisor",
+    "lexicon_filter_stats",
+    "zipf_fit_audit",
 ]
 
 
