@@ -5657,5 +5657,81 @@ def zipf_fit_audit(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "split_leakage_audit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                              i -> array_to_string(tk[i:i+2], ' ')),
+               x -> x <> '')) AS s
+      FROM toks
+    ), sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.5
+    ), split AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT least(s1.split, s2.split) AS split_a,
+           greatest(s1.split, s2.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_near_dup_pairs
+    FROM pairs p
+    JOIN split s1 ON s1.doc_id = p.id_a
+    JOIN split s2 ON s2.doc_id = p.id_b
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def split_leakage_audit(spark, sf_dir):
+    """Train/test split LEAKAGE audit — the internal-contamination
+    twin of benchmark decontamination: count exact-Jaccard near-dup
+    pairs (>= 0.5 on word 3-shingles) that STRADDLE the deterministic
+    10% test split. A nonzero test-train row (6 pairs on this corpus)
+    is exactly the eval-inflation hazard near-dedup-then-split
+    prevents; the audit quantifies it for an existing split.
+    Composition: ngram_jaccard_pairs (inverted-index, no cross
+    product) x train_test_split (md5 membership), both already
+    value-verified; pair-side split labels attach by broadcast."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    split = train_test_split(docs.select("doc_id"), "doc_id", 0.1)
+    s1 = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    s2 = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(F.broadcast(s1), "id_a")
+        .join(F.broadcast(s2), "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
+        .orderBy("split_a", "split_b")
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
