@@ -5733,5 +5733,89 @@ def split_leakage_audit(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "dow_hour_heatmap",
+    oracle="""
+    WITH t AS (SELECT dayofweek(ts) AS dow, hour(ts) AS hr FROM events),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t)
+    SELECT dow, hr, CAST(count(*) AS BIGINT) AS n_events,
+           round(count(*) / max(tot.n), 6) AS share
+    FROM t, tot GROUP BY dow, hr ORDER BY dow, hr
+    """,
+)
+def dow_hour_heatmap(spark, sf_dir):
+    """Day-of-week x hour activity heatmap with global shares — the
+    standard ops-dashboard primitive (and the input the seasonal
+    baseline consumes). One 168-key hash aggregate + a 1-row total
+    broadcast. Note the dialect trap handled here: Spark's
+    dayofweek() is 1=Sunday..7, DuckDB's is 0=Sunday..6 — the Spark
+    side subtracts 1 so both engines emit the same encoding."""
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = g.agg(F.sum("n_events").cast("double").alias("n"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hr",
+            "n_events",
+            F.round(F.col("n_events") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy("dow", "hr")
+    )
+
+
+@query(
+    "gini_user_activity",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+             count(*) OVER () AS n, sum(x) OVER () AS sx
+      FROM per_user
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           round(2.0 * sum(i * x) / (max(n) * max(sx))
+                 - (max(n) + 1.0) / max(n), 4) AS gini
+    FROM ranked
+    """,
+)
+def gini_user_activity(spark, sf_dir):
+    """Gini coefficient of per-user event counts (Gini 1912 —
+    public): the scalar inequality measure that pairs with the Pareto
+    entry — 0 means uniform engagement, ~1 means a handful of users
+    generate everything. Exact rank formulation
+    G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over ascending-sorted
+    per-user totals; the rank window runs over the per-user
+    AGGREGATE (cardinality-bounded, the documented pattern), never
+    the fact table."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.orderBy("x", "user_id")
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("sx"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("sx"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            4,
+        ).alias("gini"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
