@@ -92,6 +92,8 @@ HEADLINE = [
     "partition_key_advisor",
     "lexicon_filter_stats",
     "zipf_fit_audit",
+    "dow_hour_heatmap",
+    "gini_user_activity",
 ]
 
 
