@@ -5817,5 +5817,58 @@ def gini_user_activity(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS q FROM events
+    )
+    SELECT CASE WHEN value < q[1] THEN 0
+                WHEN value < q[2] THEN 1
+                WHEN value < q[3] THEN 2
+                ELSE 3 END AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events, b
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def equidepth_histogram(spark, sf_dir):
+    """Equi-depth (quantile-boundary) histogram — the companion to
+    the equi-width `histogram_bins`: quartile boundaries from one
+    exact-percentile aggregate (1-row broadcast), bins assigned by a
+    CASE chain on the same scan — ~equal counts per bin by
+    construction, with the realized [lo, hi] spans showing the value
+    skew the equal widths would hide. No global window, no ntile —
+    the boundary table is the only coordination. The approx
+    percentile swap at extreme scale is the documented iqr_filter
+    one."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.5)).alias("q2"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    binned = ev.crossJoin(F.broadcast(b)).withColumn(
+        "bin",
+        F.when(F.col("value") < F.col("q1"), 0)
+        .when(F.col("value") < F.col("q2"), 1)
+        .when(F.col("value") < F.col("q3"), 2)
+        .otherwise(3),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
