@@ -94,6 +94,7 @@ HEADLINE = [
     "zipf_fit_audit",
     "dow_hour_heatmap",
     "gini_user_activity",
+    "equidepth_histogram",
 ]
 
 
