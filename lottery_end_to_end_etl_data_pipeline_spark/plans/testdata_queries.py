@@ -5870,5 +5870,63 @@ def equidepth_histogram(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH presence AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+    ), dau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS dau FROM presence GROUP BY d
+    ), fan AS (
+      SELECT d + CAST(i AS INTEGER) AS wd, user_id
+      FROM presence, unnest(range(0, 7)) AS t(i)
+    ), wau AS (
+      SELECT wd AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM fan GROUP BY wd
+    )
+    SELECT dau.d, dau.dau, wau.wau,
+           round(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+    FROM dau JOIN wau USING (d)
+    WHERE dau.d >= (SELECT min(d) FROM dau) + 6
+    ORDER BY dau.d
+    """,
+)
+def dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness — the product-engagement ratio. The sliding
+    7-day distinct-user count is the classic "distinct over a range
+    window" trap (no mergeable state); the scalable shape used here
+    is OFFSET FAN-OUT: each (day, user) presence row projects into
+    the 7 window-ends it serves, then a plain count_distinct per day
+    — shuffle volume is 7x the presence table (days x users, already
+    deduped), never the raw events, and every aggregate is
+    hash-mergeable. Warm-up days (incomplete windows) are trimmed
+    via the min-date scalar."""
+    ev = t(spark, sf_dir, "events")
+    presence = ev.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"), "user_id"
+    ).distinct()
+    dau = presence.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    fan = presence.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d", "user_id"
+    ).select(F.date_add("d", F.col("i")).alias("d"), "user_id")
+    wau = fan.groupBy("d").agg(F.count_distinct("user_id").alias("wau"))
+    first_day = presence.agg(F.date_add(F.min("d"), 6).alias("_cut"))
+    return (
+        dau.join(wau, "d")
+        .crossJoin(F.broadcast(first_day))
+        .filter(F.col("d") >= F.col("_cut"))
+        .select(
+            "d",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
