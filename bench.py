@@ -123,17 +123,34 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
+    # The driver captures only the TAIL of stdout; round 3's full
+    # per-query dict overflowed that window and the line's head
+    # ("metric"/"value") was lost -> parsed=null. Keep the printed
+    # line compact (slowest 25 queries only, 2-decimal, no spaces)
+    # and write the full per-query detail to BENCH_DETAIL.json.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    Path(__file__).with_name("BENCH_DETAIL.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
     )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": detail["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
+        "queries_file": "BENCH_DETAIL.json",
+        "sf": sf_dir,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

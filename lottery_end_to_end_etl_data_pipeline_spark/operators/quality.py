@@ -205,6 +205,12 @@ def rrf_fuse(
     engine-portable when the scores are (the repo's signal operators
     all round before ranking).
 
+    A document missing from one signal is NOT dropped: the signal
+    frames are full-outer-joined on id and a missing signal
+    contributes 0 to the sum (the standard RRF convention) — an inner
+    join would both silently drop the doc and skew every other doc's
+    fused score whenever signal coverage diverges.
+
     Scale note, stated honestly: exact global ranks mean one ordered
     window per signal over the per-doc signal table. At extreme doc
     counts swap exact rank for a quantile-bucket rank
@@ -220,11 +226,12 @@ def rrf_fuse(
         ranked.append(
             df.select(id_col, F.row_number().over(w).alias(f"_r{i}"))
         )
-    joined = reduce(lambda a, b: a.join(b, id_col), ranked)
+    joined = reduce(lambda a, b: a.join(b, [id_col], "full_outer"), ranked)
     rrf = reduce(
-        lambda acc, i: acc + 1.0 / (k + F.col(f"_r{i}")),
+        lambda acc, i: acc
+        + F.coalesce(1.0 / (k + F.col(f"_r{i}")), F.lit(0.0)),
         range(1, len(signals)),
-        1.0 / (k + F.col("_r0")),
+        F.coalesce(1.0 / (k + F.col("_r0")), F.lit(0.0)),
     )
     return (
         joined.select(id_col, F.round(rrf, 6).alias("rrf"))

@@ -250,12 +250,16 @@ def ivf_assign(
     runtime ~10x at k=8, dim=64 (measured — 12.1s vs 1.0s for the
     same assignment at sf0.1). Same scores as the unrolled form:
     round(dot/( |v| * |c| ), 6), centroid norms precomputed
-    driver-side, ties to the lowest centroid index."""
+    driver-side, ties to the lowest centroid index. The row-vector
+    norm is guarded against zero (mirror of the centroid `or 1.0`
+    guard) — an all-zero embedding must land in cell 0, not fail the
+    whole job with DIVIDE_BY_ZERO under ANSI mode."""
     qns = [
         math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0 for c in centroids
     ]
     cents_lit = F.lit([[float(x) for x in c] for c in centroids])
-    nv = _norm(vec_col)
+    raw_nv = _norm(vec_col)
+    nv = F.when(raw_nv == 0, F.lit(1.0)).otherwise(raw_nv)
 
     def dot(c: Column) -> Column:
         return F.aggregate(

@@ -99,8 +99,12 @@ def read_json_audited(
     schema inference would also silently drop unparseable lines).
 
     Pair with `malformed_rows` / a filter on `corrupt_col IS NULL`
-    to split the stream into clean + quarantine sinks. Scan-shaped,
-    no extra pass."""
+    to split the stream into clean + quarantine sinks. The clean side
+    is scan-shaped; the quarantine side requires a `cache()` first
+    (Spark refuses queries that reference ONLY the corrupt-record
+    column on an uncached JSON scan —
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), which
+    `malformed_rows` performs internally."""
     target = (
         T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
     )
@@ -116,8 +120,17 @@ def read_json_audited(
 
 def malformed_rows(df: DataFrame, corrupt_col: str = "_corrupt_record") -> DataFrame:
     """The quarantine side of `read_json_audited`: raw lines that
-    failed parsing (audit / replay / upstream bug reports)."""
-    return df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    failed parsing (audit / replay / upstream bug reports).
+
+    Caches `df` first: Spark 3.x/4.x forbids a query whose only
+    referenced column from a raw JSON scan is the internal
+    corrupt-record column (AnalysisException
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the scan
+    would have to re-parse every row just to learn which failed. The
+    cache materializes the parse once; callers splitting into
+    clean + quarantine sinks reuse the same cached parse for both
+    sides, so this costs nothing extra in the intended pairing."""
+    return df.cache().filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
 
 
 def read_orc(spark: SparkSession, *paths: str) -> DataFrame:

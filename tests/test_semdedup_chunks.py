@@ -274,9 +274,12 @@ def test_read_json_audited_quarantines_bad_lines(spark, tmp_path):
         '{"id": 2, "v": 3.5}\n'
         '{"id": "oops", "v": }\n'
     )
-    df = read_json_audited(spark, str(p), "id long, v double").cache()
+    df = read_json_audited(spark, str(p), "id long, v double")
     clean = df.filter(F.col("_corrupt_record").isNull())
     assert sorted(r["id"] for r in clean.collect()) == [1, 2]
+    # No external .cache(): malformed_rows must work on the raw scan
+    # (it caches internally — Spark forbids corrupt-col-only queries
+    # on an uncached JSON scan).
     bad = [r["_corrupt_record"] for r in malformed_rows(df).collect()]
     assert len(bad) == 2 and "this is not json" in bad
     df.unpersist()
@@ -371,6 +374,22 @@ def test_rrf_fuse_scale_free_and_deterministic(spark):
     assert [(r["doc_id"], r["rrf"]) for r in out] == [
         (r["doc_id"], r["rrf"]) for r in again
     ]
+
+
+def test_rrf_fuse_partial_coverage_scores_missing_as_zero(spark):
+    """A doc absent from one signal must NOT be dropped: standard RRF
+    scores the missing signal as 0. Doc 3 appears only in s1 (rank 3)
+    so its fused score is exactly 1/(60+3)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.quality import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, s1 double"
+    )
+    b = spark.createDataFrame([(1, 0.9), (2, 0.1)], "doc_id long, s2 double")
+    out = {r["doc_id"]: r["rrf"] for r in rrf_fuse([(a, "s1"), (b, "s2")], top_n=10).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3] == round(1.0 / 63, 6)
+    assert out[1] == round(1.0 / 61 + 1.0 / 61, 6)
 
 
 def test_semantic_dedup_against_index_incremental(spark, tmp_path):

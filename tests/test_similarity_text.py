@@ -54,6 +54,21 @@ def test_ivf_assign_nearest_centroid(vectors):
     assert cells[2] == 1
 
 
+def test_ivf_assign_zero_norm_vector_does_not_fail(spark):
+    """An all-zero embedding must assign deterministically (cell 0,
+    score 0 everywhere → ties to lowest index), not blow up the job
+    with DIVIDE_BY_ZERO under ANSI mode."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    cells = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in ivf_assign(df, [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]).collect()
+    }
+    assert cells[0] == 0 and cells[1] == 1
+
+
 @pytest.fixture(scope="module")
 def texts(spark):
     rows = [
