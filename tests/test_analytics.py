@@ -66,23 +66,23 @@ def test_approx_iqr_tracks_exact(spark):
 
 
 def test_approx_percentile_by_group_tracks_exact(spark):
+    """The audit form's booleans assert the sketch lands inside the
+    exact ±0.003 rank band per group — all groups must pass, and the
+    group set must match the exact entry's."""
     from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import QUERIES
 
     exact = {
-        r["flag"]: (r["p50"], r["p90"])
+        r["flag"]
         for r in QUERIES["percentiles_by_group"](spark, "/root/testdata/sf0.001").collect()
     }
     approx = {
-        r["flag"]: (r["p50"], r["p90"])
+        r["flag"]: (r["p50_ok"], r["p90_ok"])
         for r in QUERIES["percentiles_by_group_approx"](
             spark, "/root/testdata/sf0.001"
         ).collect()
     }
-    assert exact.keys() == approx.keys()
-    for flag, (p50_e, p90_e) in exact.items():
-        p50_a, p90_a = approx[flag]
-        assert abs(p50_a - p50_e) / max(abs(p50_e), 1.0) < 0.01
-        assert abs(p90_a - p90_e) / max(abs(p90_e), 1.0) < 0.01
+    assert exact == approx.keys()
+    assert all(p50 and p90 for p50, p90 in approx.values())
 
 
 def test_bin_counts(df):
