@@ -3,18 +3,21 @@
 Design (100 TB): media travels as a `binary` payload column plus a
 typed metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched `mapInPandas` stages so bytes
-never round-trip through Python row-at-a-time. The decode kernels
-themselves are STUBBED in this container (no PIL/ffmpeg available) —
-`decode=fake` produces deterministic pseudo-features from the bytes
-so the Spark-side plumbing (schemas, batch shapes, partition
-behavior) is real and testable; `decode=strict` raises
-NotImplementedError exactly where a real kernel would plug in.
+never round-trip through Python row-at-a-time. Decode is
+INJECTABLE: pass a callable to run a real kernel (the repo ships
+stdlib PPM/WAV codecs in `functions/codecs.py`; PIL/turbojpeg/ffmpeg
+plug in the same way for compressed formats — none installable in
+this container). `decode="fake"` produces deterministic
+pseudo-features from the bytes so the Spark-side plumbing (schemas,
+batch shapes, partition behavior) is testable without any codec;
+`decode="strict"` raises NotImplementedError exactly where a real
+kernel would plug in.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -82,24 +85,44 @@ def _fake_image_features(payload: bytes) -> tuple[int, int, float, str]:
     return width, height, mean_luma, digest[:8].hex()
 
 
-def image_features(df: DataFrame, decode: str = "fake") -> DataFrame:
+def _resolve_decoder(
+    decode: str | Callable, fake_fn: Callable, what: str, hint: str
+) -> Callable:
+    """Shared decode-injection contract: `"fake"` → deterministic
+    stand-in, `"strict"` → NotImplementedError at the plug-in point,
+    a callable → the real kernel (bytes → feature tuple). The
+    callable is serialized into the Arrow task like any Spark UDF
+    closure — no registry, no global state."""
+    if callable(decode):
+        return decode
+    if decode == "fake":
+        return fake_fn
+    if decode == "strict":
+        def _raise(*_args):
+            raise NotImplementedError(
+                f"real {what} kernel not available in this container; {hint}"
+            )
+
+        return _raise
+    raise ValueError("decode must be 'fake', 'strict', or a callable")
+
+
+def image_features(df: DataFrame, decode: str | Callable = "fake") -> DataFrame:
     """Arrow-batched image feature extraction over `mapInPandas`.
 
     Batch shape: the UDF receives pandas DataFrames of
-    (media_id, content) and yields feature frames — the real-kernel
-    integration point is `_fake_image_features`."""
-    if decode not in ("fake", "strict"):
-        raise ValueError("decode must be 'fake' or 'strict'")
+    (media_id, content) and yields feature frames. `decode` is the
+    kernel: a callable `bytes -> (width, height, mean_luma, phash)`
+    — e.g. `functions.codecs.decode_ppm_features` for a real stdlib
+    parse, or a PIL/turbojpeg wrapper in production."""
+    kernel = _resolve_decoder(
+        decode, _fake_image_features, "image decode", "plug PIL/turbojpeg here"
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "strict":
-                raise NotImplementedError(
-                    "real image decode kernel not available in this container; "
-                    "plug PIL/turbojpeg here"
-                )
             feats = [
-                (mid, *_fake_image_features(bytes(payload) if payload is not None else b""))
+                (mid, *kernel(bytes(payload) if payload is not None else b""))
                 for mid, payload in zip(pdf["media_id"], pdf["content"])
             ]
             yield pd.DataFrame(
@@ -109,7 +132,7 @@ def image_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     return df.select("media_id", "content").mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
-def image_features_arrow(df: DataFrame, decode: str = "fake") -> DataFrame:
+def image_features_arrow(df: DataFrame, decode: str | Callable = "fake") -> DataFrame:
     """`image_features` on the `mapInArrow` transport: the kernel
     receives pyarrow RecordBatches instead of pandas DataFrames.
 
@@ -123,23 +146,22 @@ def image_features_arrow(df: DataFrame, decode: str = "fake") -> DataFrame:
     """
     import pyarrow as pa  # noqa: PLC0415
 
-    if decode not in ("fake", "strict"):
-        raise ValueError("decode must be 'fake' or 'strict'")
+    kernel = _resolve_decoder(
+        decode,
+        _fake_image_features,
+        "image decode",
+        "plug a buffer-accepting decoder (turbojpeg) here",
+    )
 
     def extract(batches):
         for batch in batches:
-            if decode == "strict":
-                raise NotImplementedError(
-                    "real image decode kernel not available in this container; "
-                    "plug a buffer-accepting decoder (turbojpeg) here"
-                )
             mids = batch.column(0).to_pylist()
             payloads = batch.column(1)
             widths, heights, lumas, phashes = [], [], [], []
             for i in range(batch.num_rows):
                 v = payloads[i]
                 data = v.as_buffer().to_pybytes() if v.is_valid else b""
-                w, h, luma, ph = _fake_image_features(data)
+                w, h, luma, ph = kernel(data)
                 widths.append(w)
                 heights.append(h)
                 lumas.append(luma)
@@ -204,59 +226,72 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def resize_images(df: DataFrame, max_side: int = 256, decode: str = "fake") -> DataFrame:
-    """Resize kernel over `mapInPandas` (1→1, Arrow-batched). The
-    real integration point is the body (PIL/turbojpeg thumbnail);
-    the container-stub path derives deterministic output dims by
-    scaling the fake-decoded dims to `max_side` and re-hashes the
-    payload so downstream sees genuinely different bytes."""
-    if decode not in ("fake", "strict"):
-        raise ValueError("decode must be 'fake' or 'strict'")
+def _fake_resize(data: bytes, max_side: int) -> tuple[int, int, bytes]:
+    """Deterministic resize stand-in: scales the fake-decoded dims to
+    `max_side` and re-hashes the payload so downstream sees genuinely
+    different bytes."""
+    w, h, _, _ = _fake_image_features(data)
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    return nw, nh, hashlib.sha256(data + f"{nw}x{nh}".encode()).digest()
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def resize_images(
+    df: DataFrame, max_side: int = 256, decode: str | Callable = "fake"
+) -> DataFrame:
+    """Resize kernel over `mapInPandas` (1→1, Arrow-batched).
+    `decode` is the kernel: a callable
+    `(bytes, max_side) -> (width, height, out_bytes)` — e.g. a
+    PIL.Image.thumbnail wrapper, or `functions.codecs`-based PPM
+    downsampling; the shipped fake derives deterministic output."""
+    kernel = _resolve_decoder(
+        decode,
+        _fake_resize,
+        "image resize",
+        "plug PIL.Image.thumbnail here",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "strict":
-                raise NotImplementedError(
-                    "real image resize kernel not available in this container; "
-                    "plug PIL.Image.thumbnail here"
-                )
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 data = bytes(payload) if payload is not None else b""
-                w, h, _, _ = _fake_image_features(data)
-                scale = min(1.0, max_side / max(w, h))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                out = hashlib.sha256(data + f"{nw}x{nh}".encode()).digest()
+                nw, nh, out = kernel(data, max_side)
                 rows.append((mid, nw, nh, out))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
 
-    return df.select("media_id", "content").mapInPandas(kernel, RESIZED_SCHEMA)
+    return df.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)
 
 
-def audio_features(df: DataFrame, decode: str = "fake", sample_rate: int = 16000) -> DataFrame:
-    """Audio feature extraction stub (`mapInPandas`): duration from
-    byte length at the nominal rate (16-bit mono), RMS from a
-    deterministic digest — stands in for an ffmpeg/soundfile kernel;
-    the Spark-side schema/batching is the real contract."""
-    if decode not in ("fake", "strict"):
-        raise ValueError("decode must be 'fake' or 'strict'")
+def audio_features(
+    df: DataFrame, decode: str | Callable = "fake", sample_rate: int = 16000
+) -> DataFrame:
+    """Audio feature extraction (`mapInPandas`). `decode` is the
+    kernel: a callable `bytes -> (duration_s, sample_rate, rms)` —
+    e.g. `functions.codecs.decode_wav_features` for a real stdlib
+    RIFF/PCM parse, or an ffmpeg/soundfile wrapper in production.
+    The shipped fake derives duration from byte length at the
+    nominal `sample_rate` (16-bit mono) and RMS from a deterministic
+    digest, so plumbing is testable without a codec."""
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _fake_audio(data: bytes) -> tuple[float, int, float]:
+        digest = hashlib.sha256(data).digest()
+        duration = round(len(data) / (2.0 * sample_rate), 6)
+        rms = round(sum(digest[16:32]) / (16 * 255.0), 6)
+        return duration, sample_rate, rms
+
+    kernel = _resolve_decoder(
+        decode, _fake_audio, "audio decode", "plug ffmpeg/soundfile here"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "strict":
-                raise NotImplementedError(
-                    "real audio decode kernel not available in this container; "
-                    "plug ffmpeg/soundfile here"
-                )
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 data = bytes(payload) if payload is not None else b""
-                digest = hashlib.sha256(data).digest()
-                duration = round(len(data) / (2.0 * sample_rate), 6)
-                rms = round(sum(digest[16:32]) / (16 * 255.0), 6)
-                rows.append((mid, duration, sample_rate, rms))
+                rows.append((mid, *kernel(data)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "duration_s", "sample_rate", "rms"]
             )
 
-    return df.select("media_id", "content").mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+    return df.select("media_id", "content").mapInPandas(run, AUDIO_FEATURES_SCHEMA)

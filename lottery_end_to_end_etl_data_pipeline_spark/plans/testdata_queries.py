@@ -6306,5 +6306,92 @@ def dau_wau_stickiness(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_decode_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_media,
+           CAST(SUM(4 + doc_id % 5) AS BIGINT) AS total_width,
+           round(AVG(round((0.299*(doc_id % 256) + 0.587*(doc_id % 256)
+                            + 0.114*(doc_id % 256)) / 255.0, 6)), 6) AS avg_luma,
+           round(SUM(round((160 + 2 * (n_chars % 160)) / 16000.0, 6)), 4) AS total_audio_s,
+           round(AVG(round((101 + 2 * (doc_id % 450)) / 32768.0, 6)), 6) AS avg_rms
+    FROM documents GROUP BY lang
+    """,
+)
+def multimodal_decode_roundtrip(spark, sf_dir):
+    """REAL (non-fake) multimodal decode, end to end and
+    hash-checked: per document a genuine PPM (P6) image and a
+    genuine RIFF/PCM WAV are encoded from SQL-predictable parameters
+    (gray level = doc_id%256, width = 4+doc_id%5, constant-amplitude
+    tone a = 101+2*(doc_id%450) over 160+2*(n_chars%160) samples —
+    EVEN sample counts make duration an exact 6-decimal value and
+    ODD amplitudes keep a/32768 off every .5e-6 rounding boundary,
+    so Python banker's rounding and SQL half-up agree), shipped
+    through the binary media column, then decoded by the stdlib
+    codec kernels (`functions/codecs.py`) injected into
+    `image_features(decode=decode_ppm_features)` /
+    `audio_features(decode=decode_wav_features)` — actual header
+    parsing and pixel/sample math, the contract a PIL/ffmpeg kernel
+    would have. The oracle predicts every aggregate from the
+    encoding parameters alone, so a bug in EITHER the encode
+    plumbing or the decode kernels breaks the hash (RMS of a
+    constant int16 tone is exactly a/32768; Rec.601 luma of a gray
+    pixel evaluated in the kernel's operation order). Two
+    Arrow-batched mapInPandas stages + one broadcast-sized join —
+    the per-row kernels never see the driver."""
+    import pandas as pd  # noqa: PLC0415
+
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.codecs import (
+        decode_ppm_features,
+        decode_wav_features,
+        encode_ppm,
+        encode_wav,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def encode(batches):
+        for pdf in batches:
+            img, wav = [], []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nch = int(did), int(nch)
+                w, h, v = 4 + did % 5, 3, did % 256
+                img.append(encode_ppm(w, h, bytes([v, v, v]) * (w * h)))
+                amp = 101 + 2 * (did % 450)
+                wav.append(encode_wav([amp] * (160 + 2 * (nch % 160))))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "img": img, "wav": wav}
+            )
+
+    media = docs.mapInPandas(
+        encode, "media_id long, img binary, wav binary"
+    )
+    imgf = image_features(
+        media.select("media_id", F.col("img").alias("content")),
+        decode=decode_ppm_features,
+    )
+    audf = audio_features(
+        media.select("media_id", F.col("wav").alias("content")),
+        decode=decode_wav_features,
+    )
+    return (
+        imgf.join(audf, "media_id")
+        .join(docs.select(F.col("doc_id").alias("media_id"), "lang"), "media_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("width").cast("long").alias("total_width"),
+            F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
+            F.round(F.sum("duration_s"), 4).alias("total_audio_s"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+        )
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

@@ -306,3 +306,113 @@ def test_enrich_with_dim_stream_equals_batch(spark, tmp_path):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Stdlib codecs + injectable decode kernels
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_roundtrip_and_malformed():
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.codecs import (
+        decode_ppm,
+        decode_ppm_features,
+        encode_ppm,
+    )
+
+    rgb = bytes(range(2 * 3 * 3))
+    data = encode_ppm(2, 3, rgb)
+    assert decode_ppm(data) == (2, 3, rgb)
+    # comment-tolerant header, like real PPM writers emit
+    commented = b"P6\n# made by a test\n2 3\n255\n" + rgb
+    assert decode_ppm(commented) == (2, 3, rgb)
+    w, h, luma, phash = decode_ppm_features(data)
+    assert (w, h) == (2, 3) and 0.0 <= luma <= 1.0 and len(phash) == 16
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + b"\0" * 4)  # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(data[:-1])  # truncated pixels
+
+
+def test_wav_roundtrip_chunk_walk_and_exact_rms():
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.codecs import (
+        decode_wav,
+        decode_wav_features,
+        encode_wav,
+    )
+
+    samples = [301] * 320  # constant tone -> RMS is exactly 301/32768
+    data = encode_wav(samples, sample_rate=16000)
+    rate, got = decode_wav(data)
+    assert rate == 16000 and got == samples
+    dur, r, rms = decode_wav_features(data)
+    assert dur == round(320 / 16000.0, 6) and r == 16000
+    assert rms == round(301 / 32768.0, 6)
+    # real WAV files carry extra chunks before data: the parser must
+    # WALK chunks, not assume fixed offsets
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunked = data[:12] + extra + data[12:]
+    chunked = chunked[:4] + struct.pack("<I", len(chunked) - 8) + chunked[8:]
+    assert decode_wav(chunked)[1] == samples
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI " + data[12:])  # not WAVE
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav([])[:20])  # missing data chunk
+
+
+def test_injected_ppm_decode_through_image_features(spark):
+    """A REAL parse through the Spark operator: the injected stdlib
+    kernel must report true header dims, not byte-hash pseudo-dims —
+    and a malformed payload must fail the job (real-decoder error
+    contract), which the fake never does."""
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.codecs import (
+        decode_ppm_features,
+        encode_ppm,
+    )
+
+    rows = [
+        (1, encode_ppm(5, 2, bytes([10, 10, 10]) * 10)),
+        (2, encode_ppm(3, 4, bytes([200, 0, 50]) * 12)),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "content"])
+    got = {
+        r["media_id"]: r
+        for r in image_features(df, decode=decode_ppm_features).collect()
+    }
+    assert (got[1]["width"], got[1]["height"]) == (5, 2)
+    assert (got[2]["width"], got[2]["height"]) == (3, 4)
+    assert got[1]["mean_luma"] == round(10 / 255.0, 6)
+    bad = spark.createDataFrame([(3, b"not an image")], ["media_id", "content"])
+    with pytest.raises(Exception, match="P6|PPM"):
+        image_features(bad, decode=decode_ppm_features).collect()
+    # the arrow transport takes the same kernel
+    got_arrow = {
+        r["media_id"]: r
+        for r in image_features_arrow(df, decode=decode_ppm_features).collect()
+    }
+    assert {(r["width"], r["height"]) for r in got_arrow.values()} == {(5, 2), (3, 4)}
+
+
+def test_injected_wav_decode_through_audio_features(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.codecs import (
+        decode_wav_features,
+        encode_wav,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, encode_wav([501] * 800, 8000)), (2, encode_wav([99] * 160, 16000))],
+        ["media_id", "content"],
+    )
+    got = {
+        r["media_id"]: r
+        for r in audio_features(df, decode=decode_wav_features).collect()
+    }
+    # the rate comes from the file's fmt chunk, not the operator arg
+    assert got[1]["sample_rate"] == 8000 and got[1]["duration_s"] == 0.1
+    assert got[2]["sample_rate"] == 16000 and got[2]["duration_s"] == 0.01
+    assert got[1]["rms"] == round(501 / 32768.0, 6)
