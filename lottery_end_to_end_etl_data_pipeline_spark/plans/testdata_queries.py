@@ -6393,5 +6393,62 @@ def multimodal_decode_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "odds_by_draw_type",
+    oracle="""
+    WITH agg AS (
+      SELECT o.o_orderstatus AS draw_type,
+             CAST(COUNT(l.l_partkey) AS BIGINT) AS total_issued,
+             CAST(COUNT(l.l_partkey) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT) AS n_winners
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderstatus
+    )
+    SELECT draw_type, total_issued, n_winners,
+           ROUND(100.0 * n_winners / CAST(total_issued AS DOUBLE), 4) AS pct_winning,
+           ROUND(100.0 * (total_issued - n_winners) / CAST(total_issued AS DOUBLE), 4) AS pct_losing,
+           ROUND(CAST(total_issued AS DOUBLE) / NULLIF(CAST(n_winners AS DOUBLE), 0), 1) AS odds_one_in
+    FROM agg
+    """,
+)
+def odds_by_draw_type(spark, sf_dir):
+    """The reference notebook's winning-odds analysis
+    (`visualization_sorteos_premios.ipynb` cells 45-52: winning %,
+    losing %, '1 in N' odds per draw type) bound to the catalog
+    tables via `functions/expressions.py::calculate_winning_percentage`
+    / `calculate_odds` — draw type := o_orderstatus, 'winner' :=
+    returned lineitem, exactly the gold_draw_summary counting shape.
+    One grouped aggregate; the scalar odds math is pure projection on
+    top (no second pass)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.expressions import (
+        calculate_odds,
+        calculate_winning_percentage,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    agg = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderstatus").alias("draw_type"))
+        .agg(
+            F.count("l_partkey").cast("long").alias("total_issued"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1))
+            .cast("long")
+            .alias("n_winners"),
+        )
+    )
+    return agg.select(
+        "draw_type",
+        "total_issued",
+        "n_winners",
+        calculate_winning_percentage("n_winners", "total_issued").alias(
+            "pct_winning"
+        ),
+        calculate_winning_percentage(
+            F.col("total_issued") - F.col("n_winners"), "total_issued"
+        ).alias("pct_losing"),
+        calculate_odds("total_issued", "n_winners").alias("odds_one_in"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
