@@ -95,6 +95,13 @@ HEADLINE = [
     "dow_hour_heatmap",
     "gini_user_activity",
     "equidepth_histogram",
+    "multimodal_decode_roundtrip",
+    "odds_by_draw_type",
+    "grouping_sets_sales",
+    "stat_moments_surface",
+    "map_functions_surface",
+    "activity_streaks",
+    "ngram_diversity_by_lang",
 ]
 
 

@@ -6450,5 +6450,308 @@ def odds_by_draw_type(spark, sf_dir):
     )
 
 
+@query(
+    "bucketed_join_no_shuffle",
+    oracle="""
+    SELECT o.o_orderstatus AS orderstatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS total_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def bucketed_join_no_shuffle(spark, sf_dir):
+    """Exchange-free co-located join — THE repeated-fact-join layout
+    at 100 TB: both sides written as bucketed managed tables
+    (`sources/writers.py::write_bucketed_table`, 16 hash buckets on
+    the join key, bucket-sorted), so the planner proves
+    co-partitioning from bucketing metadata and the SortMergeJoin
+    runs with ZERO shuffle of either side — the join that would
+    otherwise exchange the two largest tables every run exchanges
+    nothing (pytest asserts no Exchange above either scan;
+    `test_plans.py::test_bucketed_join_has_no_exchange`). The
+    `merge` hint pins SMJ so the demonstration never silently
+    degrades to a broadcast. Values are hash-checked against the
+    plain join — bucketing must never change results."""
+    import hashlib
+
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ot, lt = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    write_bucketed_table(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        ot,
+        "o_orderkey",
+        num_buckets=16,
+        sort_col="o_orderkey",
+    )
+    write_bucketed_table(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        lt,
+        "l_orderkey",
+        num_buckets=16,
+        sort_col="l_orderkey",
+    )
+    o = spark.table(ot)
+    l = spark.table(lt)
+    return (
+        l.join(o.hint("merge"), l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_orderstatus").alias("orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_sales",
+    oracle="""
+    SELECT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_sales(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE compile
+    to) + grouping_id disambiguation — (status, priority), (status),
+    and grand-total in ONE pass with map-side partial aggregation,
+    where three separate groupBys would scan three times. gid
+    distinguishes a real NULL group key from a superaggregate NULL —
+    the classic GROUPING() contract."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("orderstatus"),
+            F.col("o_orderpriority").alias("orderpriority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "stat_moments_surface",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus AS g, o_totalprice AS v,
+             avg(o_totalprice) OVER (PARTITION BY o_orderstatus) AS mu,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT g AS orderstatus,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           round(sum((v - mu) * (v - mu)) / max(n), 2) AS m2,
+           round((sum((v - mu) * (v - mu) * (v - mu)) / max(n))
+                 / pow(sum((v - mu) * (v - mu)) / max(n), 1.5), 4) AS skewness,
+           round((sum((v - mu) * (v - mu) * (v - mu) * (v - mu)) / max(n))
+                 / pow(sum((v - mu) * (v - mu)) / max(n), 2) - 3.0, 4) AS kurtosis
+    FROM s GROUP BY g
+    """,
+)
+def stat_moments_surface(spark, sf_dir):
+    """Higher central moments per group — Spark's native `skewness`
+    (population, m3/m2^1.5) and `kurtosis` (EXCESS population,
+    m4/m2² − 3): the distribution-shape audit a curation dashboard
+    runs over value columns. The oracle recomputes both from raw
+    central moments because DuckDB's skewness/kurtosis are the
+    SAMPLE-corrected estimators — the entry pins exactly which
+    definition this engine ships. One grouped agg (moment sketches
+    merge map-side); variance via var_pop for the same reason."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.var_pop("o_totalprice"), 2).alias("m2"),
+            F.round(F.skewness("o_totalprice"), 4).alias("skewness"),
+            F.round(F.kurtosis("o_totalprice"), 4).alias("kurtosis"),
+        )
+    )
+
+
+@query(
+    "map_functions_surface",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events WHERE user_id < 40 GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS k, CAST(n * 2 AS BIGINT) AS doubled
+    FROM per_user
+    WHERE n * 2 >= 4
+    """,
+)
+def map_functions_surface(spark, sf_dir):
+    """Map-typed column surface: build a per-user map with
+    `map_from_entries(collect_list(struct(k, v)))`, transform values
+    JVM-side (`transform_values`), filter entries (`map_filter`),
+    then `explode` back to relational rows — the round-trip that
+    proves map columns are first-class (feature dictionaries,
+    sparse per-entity counters). The oracle states the same
+    computation relationally; both worlds must agree row-for-row."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    mapped = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    doubled = mapped.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values("m", lambda _k, v: v * 2),
+            lambda _k, v: v >= 4,
+        ).alias("m"),
+    )
+    return doubled.select(
+        "user_id", F.explode("m").alias("k", "doubled")
+    ).withColumn("doubled", F.col("doubled").cast("long"))
+
+
+@query(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE user_id < 200
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, count(*) AS len FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: longest consecutive-day activity streak per
+    user via the anchor trick (date minus per-user row_number is
+    constant within a run of consecutive days) — the classic
+    engagement metric that LAG-based approaches need recursive logic
+    for. Two shuffles total (the window and the streak groupBy share
+    the user_id partitioning; AQE coalesces), no self-join, no
+    iteration — and the shape holds at any scale because everything
+    is keyed by user."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+@query(
+    "ngram_diversity_by_lang",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT lang, doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                                   i -> array_to_string(tk[i:i+1], ' '))) AS bg
+      FROM toks WHERE len(tk) >= 2
+    ),
+    ttr AS (
+      SELECT lang, doc_id,
+             len(list_distinct(tk)) / CAST(greatest(len(tk), 1) AS DOUBLE) AS r
+      FROM toks
+    )
+    SELECT b.lang,
+           CAST(count(*) AS BIGINT) AS total_bigrams,
+           CAST(count(DISTINCT bg) AS BIGINT) AS unique_bigrams,
+           round(count(DISTINCT bg) / CAST(count(*) AS DOUBLE), 4) AS bigram_diversity,
+           round((SELECT avg(r) FROM ttr t2 WHERE t2.lang = b.lang), 4) AS avg_ttr
+    FROM bigrams b GROUP BY b.lang
+    """,
+)
+def ngram_diversity_by_lang(spark, sf_dir):
+    """Corpus n-gram diversity + type-token ratio per language — the
+    generation-diversity / template-detection metric (distinct
+    bigrams over total bigrams; low values flag boilerplate-heavy or
+    synthetic slices a curation pass should downweight), plus
+    per-doc lexical TTR averaged per lang. One explode + one grouped
+    agg; distinct-counting shuffles the bigram space, which is
+    vocab², not corpus-sized — the metric stays cheap at 100 TB
+    (swap count_distinct for approx_count_distinct / HLL there, the
+    `hll_sketch_workflow` move)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+        ).alias("tk"),
+    )
+    ttr = toks.select(
+        "lang",
+        (
+            F.size(F.array_distinct("tk"))
+            / F.greatest(F.size("tk"), F.lit(1)).cast("double")
+        ).alias("r"),
+    )
+    avg_ttr = ttr.groupBy("lang").agg(F.round(F.avg("r"), 4).alias("avg_ttr"))
+    bigrams = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - F.lit(2)),
+                    lambda i: F.concat_ws(
+                        " ", F.get("tk", i), F.get("tk", i + 1)
+                    ),
+                )
+            ).alias("bg"),
+        )
+    )
+    div = bigrams.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_bigrams"),
+        F.count_distinct("bg").alias("unique_bigrams"),
+        F.round(
+            F.count_distinct("bg") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("bigram_diversity"),
+    )
+    return div.join(F.broadcast(avg_ttr), "lang").select(
+        "lang",
+        "total_bigrams",
+        "unique_bigrams",
+        "bigram_diversity",
+        "avg_ttr",
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

@@ -68,7 +68,25 @@ def write_bucketed_table(
     count join WITHOUT a shuffle (Exchange-free SortMergeJoin): the
     bucketing metadata proves co-partitioning to the planner. The
     right layout for fact tables that are repeatedly joined on the
-    same key at 100 TB."""
+    same key at 100 TB.
+
+    Overwrite is made robust to a stale warehouse: with an in-memory
+    catalog a table directory left by a PREVIOUS process isn't
+    registered, and saveAsTable refuses the location
+    (LOCATION_ALREADY_EXISTS) — so drop the catalog entry and clear
+    the orphaned directory first. A persistent-metastore deployment
+    hits neither branch."""
+    import shutil  # noqa: PLC0415
+    from pathlib import Path  # noqa: PLC0415
+    from urllib.parse import urlparse  # noqa: PLC0415
+
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        stale = Path(warehouse) / table.lower()
+        if stale.exists():
+            shutil.rmtree(stale)
     writer = df.write.mode(mode).format("parquet")
     if sort_col is not None:
         writer = writer.bucketBy(num_buckets, bucket_col).sortBy(sort_col)

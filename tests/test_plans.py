@@ -229,3 +229,18 @@ def test_zorder_cell_stats_broadcast_bounds(spark):
     assert plan.count("hashpartitioning") == 1
     assert plan.count("SinglePartition") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed on the join key with equal bucket counts →
+    the SortMergeJoin must run without shuffling EITHER side: no
+    Exchange may appear in the join subtree (the only Exchange in
+    the full query is the final groupBy's)."""
+    df = QUERIES["bucketed_join_no_shuffle"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "SortMergeJoin" in plan
+    # split at the join: everything below it (the scan side) must be
+    # exchange-free; the aggregate above contributes exactly one.
+    assert plan.count("Exchange") == 1, plan
+    tail = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in tail, tail
