@@ -102,6 +102,11 @@ HEADLINE = [
     "map_functions_surface",
     "activity_streaks",
     "ngram_diversity_by_lang",
+    "count_min_heavy_hitters",
+    "bloom_semi_join_audit",
+    "triangle_count_knn",
+    "ewma_daily_value",
+    "bucketed_join_no_shuffle",
 ]
 
 

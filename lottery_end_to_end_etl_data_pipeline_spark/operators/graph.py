@@ -120,3 +120,61 @@ def pagerank(
         if (i + 1) % checkpoint_interval == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", "rank")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count + clustering coefficient over the
+    UNDIRECTED version of `edges`.
+
+    Distributed shape (the standard ordered-wedge algorithm): edges
+    are canonicalized to (lo, hi) with lo < hi and deduplicated, so
+    each triangle {a<b<c} is counted exactly once by joining wedge
+    (a,b)+(b,c) against closing edge (a,c) — two equi-joins over the
+    edge list, never an all-pairs product. Cost is O(sum deg²) wedge
+    rows, the same bound as every production triangle counter
+    (ordering by id caps the join fan-out to the forward
+    neighborhood).
+
+    Returns one row: (n_nodes, n_edges, n_triangles,
+    global_clustering) where global_clustering =
+    3*triangles / open_wedges (transitivity). All four values are
+    exact — the catalog entry oracles them against a SQL replay."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)  # 3 consumers: wedges x2 + closing probe
+    )
+    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closing = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        und.select(F.col("lo").alias("id"))
+        .union(und.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("_wedges"),
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.round(
+            3.0 * F.col("n_triangles")
+            / F.greatest(F.col("_wedges"), F.lit(1)).cast("double"),
+            6,
+        ).alias("global_clustering"),
+    )

@@ -1,0 +1,128 @@
+"""Probabilistic sketches built from first principles as DataFrame
+ops — mergeable, shuffle-light summaries for the cases where exact
+state is the scale bottleneck:
+
+- **Count-Min sketch**: frequency estimation in O(depth x width)
+  cells regardless of key cardinality (Cormode & Muthukrishnan 2005,
+  public paper). The sketch is a tiny (row, bucket, cnt) table;
+  two sketches merge by summing cells — the property that lets
+  per-partition/per-day sketches roll up without re-scanning raw
+  events (same contract as `hll_sketch_agg` for distincts).
+- **Bloom filter**: set membership in n_bits regardless of set size
+  (Bloom 1970). Built as a DISTINCT bit-position table; merge =
+  UNION. The runtime-filter pattern: build on the small/filtered
+  side of a join, pre-prune the probe side to skip the full shuffle
+  for rows that cannot match (what Spark's AQE runtime filters do
+  internally; built explicitly here so the pattern works on any
+  boundary — e.g. pruning a 100 TB fact scan against yesterday's
+  dimension delta).
+
+Hash family: `F.hash(col, lit(i))` (murmur3 with per-row seed mix) —
+engine-deterministic; sketch ERROR BOUNDS (CMS never underestimates;
+Bloom has no false negatives) are engine-portable and are what the
+catalog entries hash-check.
+
+Spark-native note: `hll_sketch_agg`/`approx_percentile` ship as
+built-ins (used elsewhere); CMS and Bloom have no DataFrame-level
+public API in this build (`bloom_filter_agg` is internal-only), so
+these composites fill the gap with pure column ops — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(key, depth: int, width: int):
+    """Array of `depth` bucket positions for a key: murmur3 with seed
+    mix i, folded into [0, width)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda i: F.pmod(F.hash(key, i), F.lit(width)),
+    )
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build a Count-Min sketch over `key_col` occurrences.
+
+    Returns the sketch as a (row, bucket, cnt) table of at most
+    depth x width cells — the shuffle moves CELLS, not keys: the
+    posexplode fan-out is map-side and the groupBy partial-aggregates
+    before exchange, so a 100 TB scan reduces to `depth x width`
+    rows. Merge two sketches by unioning and re-summing cells."""
+    return (
+        df.select(
+            F.posexplode(_positions(F.col(key_col), depth, width)).alias(
+                "row", "bucket"
+            )
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-estimate each key in `keys` from a sketch: the MINIMUM
+    over its depth cells (collisions only ever ADD, so min is the
+    tightest and the estimate NEVER undershoots the true count —
+    the invariant the audit entry hash-checks). The sketch side is
+    <= depth x width rows → broadcast join, no shuffle of `keys`."""
+    probes = keys.select(
+        key_col,
+        F.posexplode(_positions(F.col(key_col), depth, width)).alias(
+            "row", "bucket"
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, n_bits: int = 1 << 16, k: int = 5
+) -> DataFrame:
+    """Build a Bloom filter over the distinct keys of `df` as a
+    one-column DISTINCT bit-position table (<= min(n_bits, n*k)
+    rows). Merge = UNION DISTINCT. For n keys the false-positive
+    rate is ~(1 - e^{-kn/m})^k — size n_bits ~ 10-16 bits/key for
+    ~1% at k=5."""
+    return (
+        df.select(
+            F.explode(_positions(F.col(key_col), k, n_bits)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    """Tag each probe row with `might_contain`: true iff ALL k bit
+    positions of its key are set. No false negatives, bounded false
+    positives — so `filter(might_contain)` is a safe PRE-join prune:
+    rows it drops provably cannot match. The bloom table broadcasts
+    (bounded by n_bits rows); the probe side is never shuffled."""
+    hit = bloom.withColumn("_set", F.lit(1))
+    expanded = probe.select(
+        key_col,
+        F.explode(_positions(F.col(key_col), k, n_bits)).alias("pos"),
+    )
+    per_key = (
+        expanded.join(F.broadcast(hit), "pos", "left")
+        .groupBy(key_col)
+        .agg((F.count(F.lit(1)) == F.sum(F.coalesce("_set", F.lit(0)))).alias(
+            "might_contain"
+        ))
+    )
+    return probe.join(per_key, key_col)

@@ -6753,5 +6753,246 @@ def ngram_diversity_by_lang(spark, sf_dir):
     )
 
 
+@query(
+    "count_min_heavy_hitters",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS never_underestimates,
+           TRUE AS max_err_ok
+    FROM events
+    """,
+)
+def count_min_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch frequency audit (operators/sketches.py —
+    Cormode & Muthukrishnan 2005): per-user event counts estimated
+    from a depth=4 x width=256 sketch (1024 cells total, regardless
+    of key cardinality — the mergeable state that replaces an exact
+    per-key count at 100 TB). Hash-checked invariants: a CMS
+    estimate can NEVER undershoot the true count (collisions only
+    add), and on this key cardinality the worst overestimate stays
+    under 2% of stream size (the 2N/width bound). Exact counts
+    compute in the SAME pass for the audit; production keeps only
+    the 1024 cells."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    sketch = count_min_sketch(ev, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id", 4, 256)
+    audit = exact.join(est, "user_id")
+    return audit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("true_cnt").cast("long").alias("n_events"),
+        (F.min(F.col("cms_count") - F.col("true_cnt")) >= 0).alias(
+            "never_underestimates"
+        ),
+        (
+            F.max(F.col("cms_count") - F.col("true_cnt"))
+            <= 0.02 * F.sum("true_cnt")
+        ).alias("max_err_ok"),
+    )
+
+
+@query(
+    "bloom_semi_join_audit",
+    oracle="""
+    WITH dim AS (SELECT o_orderkey FROM orders WHERE o_totalprice >= 300000)
+    SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_probe,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE EXISTS (SELECT 1 FROM dim d
+                               WHERE d.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_true_match,
+           TRUE AS no_false_negatives,
+           TRUE AS prunes_negatives
+    FROM (SELECT 1)
+    """,
+)
+def bloom_semi_join_audit(spark, sf_dir):
+    """Runtime-filter pattern made explicit (operators/sketches.py
+    Bloom filter, 2^16 bits, k=5): build the filter on the SELECTIVE
+    dim side (high-value orders), pre-prune the fact scan with
+    `might_contain` BEFORE the join — rows the bloom drops provably
+    cannot match, so the expensive equi-join shuffles only the
+    surviving fraction (what AQE runtime filters do inside one
+    query; built explicitly it also works across queries/days via
+    the persisted position table). Hash-checked invariants: zero
+    false negatives (every true match passes the bloom) and genuine
+    pruning (the filter rejects at least some non-matching rows).
+    Exact counts oracled."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 300000)
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    bloom = bloom_build(
+        o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey"
+    )
+    tagged = bloom_might_contain(bloom, li, "l_orderkey")
+    truth = (
+        o.select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+        .withColumn("_true", F.lit(1))
+    )
+    audited = tagged.join(F.broadcast(truth), "l_orderkey", "left").select(
+        "might_contain", F.coalesce("_true", F.lit(0)).alias("is_match")
+    )
+    return audited.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum("is_match").cast("long").alias("n_true_match"),
+        (
+            F.sum(F.when((F.col("is_match") == 1) & ~F.col("might_contain"), 1).otherwise(0))
+            == 0
+        ).alias("no_false_negatives"),
+        (
+            F.sum(F.when(~F.col("might_contain"), 1).otherwise(0)) > 0
+        ).alias("prunes_negatives"),
+    )
+
+
+_TRIANGLE_ORACLE = """
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    scored AS (
+      SELECT q.vec_id AS src, c.vec_id AS dst,
+             round(
+               list_sum(list_transform(list_zip(c.embedding, q.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*x)))
+                  * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*x)))),
+             4) AS cosine
+      FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+      FROM scored
+    ),
+    dedges AS (SELECT src, dst FROM ranked WHERE rnk <= 3),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM dedges WHERE src <> dst
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM und e1 JOIN und e2 ON e2.lo = e1.hi JOIN und e3
+        ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    deg AS (
+      SELECT id, count(*) AS d FROM (
+        SELECT lo AS id FROM und UNION ALL SELECT hi FROM und
+      ) GROUP BY id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+             sum(d * (d - 1) / 2) AS wedges
+      FROM deg
+    )
+    SELECT n_nodes, n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           round(3.0 * tri.n_triangles / greatest(wedges, 1), 6) AS global_clustering
+    FROM stats, tri
+    """
+
+
+@query("triangle_count_knn", oracle=_TRIANGLE_ORACLE)
+def triangle_count_knn(spark, sf_dir):
+    """Triangle count + transitivity over the kNN similarity graph
+    (operators/graph.py::triangle_count, ordered-wedge algorithm —
+    two equi-joins over the canonicalized edge list, never an
+    all-pairs product). Curation read: high transitivity means the
+    corpus clumps into tight semantic cliques (dedup harder, topical
+    redundancy); near-zero means the neighborhood structure is
+    noise. Same deterministic vec_id<200 top-3 graph as
+    `knn_graph_centrality`; the oracle replays wedge-closing in SQL,
+    so all four outputs are exact-value-checked."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    edges = knn_join(queries, emb, k=3, exclude_same_id=True).select(
+        F.col("qid").alias("src"), F.col("cid").alias("dst")
+    )
+    return triangle_count(edges)
+
+
+@query(
+    "ewma_daily_value",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(avg(value), 6) AS day_avg
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, d, n_events, day_avg,
+             list_reverse(list(day_avg) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) AS vs
+      FROM daily
+    )
+    SELECT event_type, d, n_events, day_avg,
+           round(
+             list_sum(list_transform(vs, (v, i) -> v * pow(0.7, i - 1)))
+             / ((1 - pow(0.7, len(vs))) / 0.3),
+           4) AS ewma
+    FROM framed
+    """,
+)
+def ewma_daily_value(spark, sf_dir):
+    """Exponentially-weighted moving average of the daily mean event
+    value per type (alpha=0.3 over a 14-observation window,
+    normalized weights) — the smoothing curve ops dashboards overlay
+    on noisy daily metrics, as a WINDOWED ARRAY FOLD: collect the
+    frame, weight by recency with a higher-order function, no UDF
+    and no recursive self-join. The frame is rows-based over
+    OBSERVED days (gap days don't contribute zero — the
+    observation-EWMA convention). Both engines fold the identical
+    rounded day-averages left-to-right, so values hash-match at 4
+    decimals."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("day_avg"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    framed = daily.withColumn(
+        "vs", F.reverse(F.collect_list("day_avg").over(w))
+    )
+    weighted = F.aggregate(
+        F.zip_with(
+            "vs",
+            F.sequence(F.lit(0), F.size("vs") - 1),
+            lambda v, i: v * F.pow(F.lit(0.7), i.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = (1 - F.pow(F.lit(0.7), F.size("vs").cast("double"))) / F.lit(0.3)
+    return framed.select(
+        "event_type",
+        "d",
+        "n_events",
+        "day_avg",
+        F.round(weighted / norm, 4).alias("ewma"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

@@ -1,0 +1,83 @@
+"""Count-Min / Bloom sketch invariants and triangle counting on
+hand-verifiable graphs."""
+
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import triangle_count
+from lottery_end_to_end_etl_data_pipeline_spark.operators.sketches import (
+    bloom_build,
+    bloom_might_contain,
+    cms_estimate,
+    count_min_sketch,
+)
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    """With far fewer keys than cells the sketch is collision-free →
+    estimates are EXACT; and the >= invariant holds regardless."""
+    rows = [(k,) for k in range(20) for _ in range(k + 1)]  # key k appears k+1 times
+    df = spark.createDataFrame(rows, ["k"])
+    sketch = count_min_sketch(df, "k", depth=4, width=1024)
+    est = {
+        r["k"]: r["cms_count"]
+        for r in cms_estimate(
+            sketch, df.select("k").distinct(), "k", 4, 1024
+        ).collect()
+    }
+    assert est == {k: k + 1 for k in range(20)}
+    # tiny width forces collisions: estimates may inflate, never deflate
+    tight = count_min_sketch(df, "k", depth=2, width=4)
+    est2 = {
+        r["k"]: r["cms_count"]
+        for r in cms_estimate(tight, df.select("k").distinct(), "k", 2, 4).collect()
+    }
+    assert all(est2[k] >= k + 1 for k in range(20))
+
+
+def test_cms_sketches_merge_by_cell_sum(spark):
+    """The 100 TB contract: sketch(A ∪ B) == cellwise-sum of
+    sketch(A) and sketch(B)."""
+    a = spark.createDataFrame([(i % 7,) for i in range(50)], ["k"])
+    b = spark.createDataFrame([(i % 5,) for i in range(30)], ["k"])
+    merged = (
+        count_min_sketch(a, "k").unionByName(count_min_sketch(b, "k"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = count_min_sketch(a.unionByName(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.createDataFrame([(i,) for i in range(0, 100, 2)], ["k"])
+    probe = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    bloom = bloom_build(members, "k", n_bits=1 << 12, k=5)
+    got = {
+        r["k"]: r["might_contain"]
+        for r in bloom_might_contain(bloom, probe, "k", 1 << 12, 5).collect()
+    }
+    assert all(got[i] for i in range(0, 100, 2))  # every member passes
+    # and the filter genuinely rejects most non-members at this sizing
+    rejected = sum(1 for i in range(1, 100, 2) if not got[i])
+    assert rejected >= 40
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge = 2 triangles; includes a pendant node and a
+    duplicate/reversed edge to exercise canonicalization."""
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 1),          # duplicate + reversed
+            (1, 3), (2, 3), (1, 4), (2, 4),  # K4 minus (3,4)
+            (4, 5),                  # pendant
+            (5, 5),                  # self-loop must be dropped
+        ],
+        ["src", "dst"],
+    )
+    row = triangle_count(edges).collect()[0]
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 6
+    assert row["n_triangles"] == 2
+    # transitivity = 3*2 / sum(deg*(deg-1)/2); degs: 1:3,2:3,3:2,4:3,5:1
+    wedges = 3 + 3 + 1 + 3 + 0
+    assert row["global_clustering"] == round(6 / wedges, 6)
