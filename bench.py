@@ -107,6 +107,9 @@ HEADLINE = [
     "triangle_count_knn",
     "ewma_daily_value",
     "bucketed_join_no_shuffle",
+    "streaming_session_stats",
+    "streaming_dedup_counts",
+    "streaming_join_attribution",
 ]
 
 

@@ -6994,5 +6994,171 @@ def ewma_daily_value(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_session_stats",
+    oracle=r"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM flagged),
+    agg AS (
+      SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+      FROM sess GROUP BY user_id, session_id),
+    lasts AS (SELECT user_id, max(session_id) AS last_sid FROM agg GROUP BY user_id),
+    mx AS (SELECT max(ts) AS m FROM events)
+    SELECT a.user_id, a.s AS session_start, a.e AS session_end,
+           CAST(a.n AS BIGINT) AS n_events, a.sv AS sum_value
+    FROM agg a JOIN lasts l ON l.user_id = a.user_id CROSS JOIN mx
+    WHERE a.session_id <> l.last_sid
+       OR a.e + INTERVAL 30 MINUTE <= mx.m - INTERVAL 2 HOUR
+    """,
+)
+def streaming_session_stats(spark, sf_dir):
+    """The custom STATEFUL streaming operator, driver-checked end to
+    end: gap-based sessionization over `applyInPandasWithState`
+    (streaming/incremental.py::sessionize — O(1) state per key,
+    event-time timeout) fed by a real file `readStream` and drained
+    with AvailableNow into an append-mode memory sink.
+
+    Emission semantics are DETERMINISTIC and the oracle states them
+    exactly: a session emits when a larger gap closes it in-stream,
+    OR when its event-time timeout (last_ts + gap) falls at/before
+    the final watermark (max event time − 2 h) — the no-data
+    microbatch after the data batch fires exactly those timeouts.
+    Users' final sessions younger than the watermark stay in state,
+    as they must in a forever-running job. Verified equal at
+    sf0.001/0.01/0.1; the batch twin is `sessionize_batch_30m`."""
+    import hashlib
+
+    from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
+        sessionize,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    sess = sessionize(stream, gap_seconds=1800)
+    name = "stream_sess_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    spark.catalog.dropTempView(name)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "streaming_dedup_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_counts(spark, sf_dir):
+    """Streaming exact dedup with BOUNDED state, driver-checked: the
+    stream duplicates every event in-flight (explode x2 — the
+    at-least-once-delivery scenario), then
+    `dropDuplicatesWithinWatermark` on event_id
+    (streaming/incremental.py::stream_dedup) must collapse the pairs
+    back to exactly the source rows — the oracle is the plain batch
+    aggregate over the ORIGINAL table, so any duplicate that leaks
+    (or real row that's wrongly dropped) breaks counts AND sums.
+    State holds a key fingerprint only until the watermark passes it
+    (O(keys per window), not O(keys ever) — the plain-dropDuplicates
+    failure mode this operator exists to avoid). The drained memory
+    table is aggregated batch-side."""
+    import hashlib
+
+    from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
+        stream_dedup,
+    )
+
+    stream = events_stream(spark, sf_dir).withColumn(
+        "_copy", F.explode(F.array(F.lit(0), F.lit(1)))
+    )
+    deduped = stream_dedup(stream, ["event_id"], watermark="10 minutes")
+    name = "stream_dd_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    spark.catalog.dropTempView(name)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "streaming_join_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_join_attribution(spark, sf_dir):
+    """Watermarked STREAM-STREAM join, driver-checked: the click
+    stream inner-joins the purchase stream of the same user within
+    [click_ts, click_ts + 30 min]
+    (streaming/incremental.py::correlate_streams — both sides
+    watermarked, the bounded time condition lets Spark derive state
+    eviction for BOTH join buffers). An AvailableNow drain admits
+    every row before eviction, so the pair set must equal the batch
+    range join the oracle runs. This is the attribution shape
+    (request→response, click→conversion) that unbounded joins get
+    wrong by accreting state forever."""
+    import hashlib
+
+    from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
+        correlate_streams,
+    )
+
+    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = correlate_streams(
+        clicks, purchases, "user_id", within="30 minutes", watermark="2 hours"
+    )
+    name = "stream_attr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    spark.catalog.dropTempView(name)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        "user_id",
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

@@ -109,7 +109,10 @@ def sessionize(
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
 
-    gap_ms = gap_seconds * 1000
+    # State keeps MICROSECONDS (full parquet timestamp fidelity —
+    # truncating to ms would corrupt session bounds for
+    # microsecond-stamped events); only the timeout API is ms.
+    gap_us = gap_seconds * 1_000_000
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -119,8 +122,8 @@ def sessionize(
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start, unit="ms")],
-                    "session_end": [pd.Timestamp(last, unit="ms")],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
                     "n_events": [n],
                     "sum_value": [sv],
                 }
@@ -130,28 +133,28 @@ def sessionize(
         rows = []
         for pdf in pdfs:
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                rows.append((int(pd.Timestamp(ts).value // 1_000_000), float(v)))
+                rows.append((int(pd.Timestamp(ts).value // 1_000), float(v)))
         rows.sort()
         if state.exists:
             start, last, n, sv = state.get
         else:
             start, last, n, sv = rows[0][0], rows[0][0], 0, 0.0
         closed = []
-        for ts_ms, v in rows:
-            if ts_ms - last > gap_ms and n > 0:
+        for ts_us, v in rows:
+            if ts_us - last > gap_us and n > 0:
                 closed.append((start, last, n, sv))
-                start, n, sv = ts_ms, 0, 0.0
-            last = max(last, ts_ms)
+                start, n, sv = ts_us, 0, 0.0
+            last = max(last, ts_us)
             n += 1
             sv += v
         state.update((start, last, n, sv))
-        state.setTimeoutTimestamp(last + gap_ms)
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
         if closed:
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(closed),
-                    "session_start": [pd.Timestamp(c[0], unit="ms") for c in closed],
-                    "session_end": [pd.Timestamp(c[1], unit="ms") for c in closed],
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
                     "n_events": [c[2] for c in closed],
                     "sum_value": [c[3] for c in closed],
                 }
