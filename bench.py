@@ -110,6 +110,7 @@ HEADLINE = [
     "streaming_session_stats",
     "streaming_dedup_counts",
     "streaming_join_attribution",
+    "udtf_lateral_segments",
 ]
 
 

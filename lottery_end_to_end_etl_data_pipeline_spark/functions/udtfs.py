@@ -1,0 +1,40 @@
+"""Python UDTF surface (Spark 4 `@udtf`): table-valued functions
+callable from SQL with LATERAL — the API for 1→N expansions whose
+per-row logic doesn't fit a scalar expression.
+
+Positioning, consistent with the repo's UDF discipline: everything
+the catalog computes stays in built-in expressions where possible
+(explode/transform cover most fan-outs JVM-side); the UDTF here pins
+the API surface — registration, LATERAL invocation, multi-column
+yield — with logic simple enough that a SQL oracle replays it
+exactly. Real use cases for the slot: tokenizer-backed segmentation,
+parser fan-outs, per-row beam expansions — anything stateful per row.
+
+UDTF rows cross the Python boundary row-at-a-time (not Arrow), so at
+100 TB a UDTF belongs on BOUNDED fan-outs (per-document segments),
+never in per-token hot paths — the same rule as row UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="seg_idx int, n_tokens int, seg_text string")
+class TokenSegments:
+    """Segment a document's whitespace tokens into fixed windows:
+    yields (seg_idx, n_tokens, seg_text) per window — the
+    chunk-for-embedding fan-out as a SQL-callable table function.
+    Splitting matches the repo's tokenization (lowercase, split on
+    whitespace runs, drop empties)."""
+
+    def eval(self, text: str, width: int):
+        toks = [w for w in (text or "").lower().split() if w]
+        for i in range(0, len(toks), width):
+            seg = toks[i : i + width]
+            yield i // width, len(seg), " ".join(seg)
+
+
+def register_udtfs(spark) -> None:
+    """Register every UDTF under its SQL name (idempotent)."""
+    spark.udtf.register("token_segments", TokenSegments)

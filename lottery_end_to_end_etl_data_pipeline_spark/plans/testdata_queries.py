@@ -7160,5 +7160,61 @@ def streaming_join_attribution(spark, sf_dir):
     )
 
 
+@query(
+    "udtf_lateral_segments",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents WHERE doc_id < 100
+    ),
+    segs AS (
+      SELECT doc_id, lang,
+             CAST(i - 1 AS INT) AS seg_idx,
+             CAST(len(tk[(i - 1) * 8 + 1 : least(i * 8, len(tk))]) AS INT) AS n_tokens
+      FROM toks, unnest(range(1, CAST(ceil(len(tk) / 8.0) AS BIGINT) + 1)) AS u(i)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_tokens < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ragged
+    FROM segs GROUP BY lang
+    """,
+)
+def udtf_lateral_segments(spark, sf_dir):
+    """Python UDTF surface (functions/udtfs.py::TokenSegments,
+    Spark 4 `@udtf`): a SQL-callable table function segments each
+    document's tokens into width-8 windows via LATERAL — the 1→N
+    expansion API for per-row logic beyond scalar expressions
+    (tokenizer segmentation here; parser fan-outs, beam expansions
+    in general). The oracle replays the segmentation with list
+    slicing, so the UDTF's yields are value-checked per window
+    (count, sum, ragged-tail tally per lang). Bounded fan-out
+    (doc_id < 100) — UDTF rows cross the Python boundary
+    row-at-a-time, which is exactly why the hot-path chunkers
+    (`doc_chunks*`) stay native while this pins the API."""
+    import hashlib
+
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    view = "docs_udtf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        view
+    )
+    return spark.sql(
+        f"""
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN s.n_tokens < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ragged
+        FROM {view} d, LATERAL token_segments(d.text, 8) s
+        GROUP BY d.lang
+        """
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

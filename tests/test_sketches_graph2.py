@@ -81,3 +81,25 @@ def test_triangle_count_hand_graph(spark):
     # transitivity = 3*2 / sum(deg*(deg-1)/2); degs: 1:3,2:3,3:2,4:3,5:1
     wedges = 3 + 3 + 1 + 3 + 0
     assert row["global_clustering"] == round(6 / wedges, 6)
+
+
+def test_udtf_token_segments_lateral(spark):
+    """UDTF registration + LATERAL: segments must tile the token list
+    exactly, ragged tail included."""
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x")], ["doc_id", "text"]
+    ).createOrReplaceTempView("udtf_t")
+    rows = spark.sql(
+        "SELECT d.doc_id, s.* FROM udtf_t d, LATERAL token_segments(d.text, 3) s "
+        "ORDER BY d.doc_id, s.seg_idx"
+    ).collect()
+    got = [(r["doc_id"], r["seg_idx"], r["n_tokens"], r["seg_text"]) for r in rows]
+    assert got == [
+        (1, 0, 3, "a b c"),
+        (1, 1, 3, "d e f"),
+        (1, 2, 1, "g"),
+        (2, 0, 1, "x"),
+    ]
