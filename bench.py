@@ -111,6 +111,10 @@ HEADLINE = [
     "streaming_dedup_counts",
     "streaming_join_attribution",
     "udtf_lateral_segments",
+    "datetime_functions_surface",
+    "null_semantics_surface",
+    "regexp_functions_surface",
+    "hof_functions_surface",
 ]
 
 

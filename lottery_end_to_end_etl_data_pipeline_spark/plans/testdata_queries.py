@@ -7216,5 +7216,188 @@ def udtf_lateral_segments(spark, sf_dir):
     )
 
 
+@query(
+    "datetime_functions_surface",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           round(12.0 * (year(DATE '2025-06-15') - year(o_orderdate))
+                 + (month(DATE '2025-06-15') - month(o_orderdate))
+                 + (day(DATE '2025-06-15') - day(o_orderdate)) / 31.0, 1) AS months_to_ref,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders WHERE o_orderkey < 40
+    """,
+)
+def datetime_functions_surface(spark, sf_dir):
+    """Calendar-function surface: last_day, quarter truncation, ISO
+    week, day-of-year, month arithmetic, date formatting — the
+    date-dimension toolkit. `months_between` is deliberately pinned
+    via explicit year/month/day arithmetic in BOTH engines (Spark's
+    built-in uses a 31-day fractional convention DuckDB doesn't
+    share — the entry documents the portable form)."""
+    ref = F.lit("2025-06-15").cast("date")
+    d = F.col("o_orderdate")
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 40)
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.last_day(d).alias("month_end"),
+            F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+            F.quarter(d).alias("q"),
+            F.weekofyear(d).alias("iso_week"),
+            F.dayofyear(d).alias("doy"),
+            F.round(
+                12.0 * (F.year(ref) - F.year(d))
+                + (F.month(ref) - F.month(d))
+                + (F.dayofmonth(ref) - F.dayofmonth(d)) / 31.0,
+                1,
+            ).alias("months_to_ref"),
+            F.date_format(d, "yyyy-MM").alias("ym"),
+        )
+    )
+
+
+@query(
+    "null_semantics_surface",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS k,
+             value
+      FROM events WHERE event_id < 2000
+    ),
+    r AS (
+      SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS k,
+             event_id
+      FROM events WHERE event_id >= 2000 AND event_id < 4000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_nullsafe_pairs,
+           CAST(count(l.k) AS BIGINT) AS n_nonnull_keys,
+           CAST(sum(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_pairs
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def null_semantics_surface(spark, sf_dir):
+    """NULL-handling parity pin: the null-safe equality join (`<=>`
+    / IS NOT DISTINCT FROM) MATCHES null keys to each other — the
+    semantic fork where naive `=` joins silently drop every
+    null-keyed row — plus count(col) vs count(*) null skipping. The
+    join stays a hash join on the null-safe comparator (no
+    cartesian); counts are value-checked both for the matched-null
+    block and the non-null side."""
+    ev = t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_id") < 2000).select(
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    r = ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 4000)).select(
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("rk"),
+        "event_id",
+    )
+    joined = l.join(r, l["k"].eqNullSafe(r["rk"]))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nullsafe_pairs"),
+        F.count("k").cast("long").alias("n_nonnull_keys"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_null_pairs"),
+    )
+
+
+@query(
+    "regexp_functions_surface",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS INT) AS n_a_words,
+           regexp_extract(text, '(table|spark)', 1) AS first_kw,
+           CAST(regexp_matches(text, 'scan.*scan') AS BOOLEAN) AS double_scan,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_consonant_chars
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def regexp_functions_surface(spark, sf_dir):
+    """Regex surface: extract-all counting, group extraction,
+    multi-occurrence matching, global replace — pinned against
+    DuckDB's RE2-style semantics on the same patterns. (Spark
+    `regexp_replace` is global by default; DuckDB needs the 'g'
+    flag — the entry encodes both correctly.)"""
+    txt = F.col("text")
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(txt, F.lit("[a-z]+a[a-z]*"), F.lit(0))
+            ).alias("n_a_words"),
+            F.regexp_extract(txt, "(table|spark)", 1).alias("first_kw"),
+            txt.rlike("scan.*scan").alias("double_scan"),
+            F.length(F.regexp_replace(txt, "[aeiou]", "")).alias(
+                "n_consonant_chars"
+            ),
+        )
+    )
+
+
+@query(
+    "hof_functions_surface",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events WHERE user_id < 30 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS INT) AS n,
+           CAST(len(list_filter(vs, x -> x > 50)) AS INT) AS n_big,
+           CAST((len(list_filter(vs, x -> x > 0)) = len(vs)) AS BOOLEAN) AS all_positive,
+           CAST((len(list_filter(vs, x -> x > 99)) > 0) AS BOOLEAN) AS any_over_99,
+           round(list_sum(list_transform(vs, x -> x * x)), 2) AS sum_sq,
+           round(vs[1] + COALESCE(vs[2], 0), 2) AS first_two
+    FROM e
+    """,
+)
+def hof_functions_surface(spark, sf_dir):
+    """Higher-order-function surface over collected arrays: exists /
+    forall / filter / transform / aggregate with an initial
+    accumulator, plus ordered element access — the JVM-side array
+    toolkit that keeps per-entity sequence logic out of Python.
+    Arrays are collected in (ts, event_id) order on both engines so
+    element access is deterministic; the left-to-right `aggregate`
+    fold matches DuckDB's list_sum on identical element order."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    arr = (
+        ev.withColumn(
+            "_s", F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("_s")).alias("ss"))
+        .select(
+            "user_id", F.transform("ss", lambda s: s["value"]).alias("vs")
+        )
+    )
+    return arr.select(
+        "user_id",
+        F.size("vs").alias("n"),
+        F.size(F.filter("vs", lambda x: x > 50)).alias("n_big"),
+        F.forall("vs", lambda x: x > 0).alias("all_positive"),
+        F.exists("vs", lambda x: x > 99).alias("any_over_99"),
+        F.round(
+            F.aggregate(
+                "vs", F.lit(0.0), lambda acc, x: acc + x * x
+            ),
+            2,
+        ).alias("sum_sq"),
+        F.round(
+            F.get("vs", 0) + F.coalesce(F.get("vs", 1), F.lit(0.0)), 2
+        ).alias("first_two"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
