@@ -115,6 +115,9 @@ HEADLINE = [
     "null_semantics_surface",
     "regexp_functions_surface",
     "hof_functions_surface",
+    "fuzzy_join_blocked",
+    "trend_slope_by_type",
+    "schema_evolution_roundtrip",
 ]
 
 

@@ -7399,5 +7399,184 @@ def hof_functions_surface(spark, sf_dir):
     )
 
 
+@query(
+    "fuzzy_join_blocked",
+    oracle="""
+    WITH dirty AS (
+      SELECT p_partkey AS dirty_key,
+             substr(p_name, 1, length(p_name) - 1) AS dirty_name,
+             substr(p_name, 1, 4) AS blk
+      FROM part WHERE p_partkey < 400
+    ),
+    clean AS (
+      SELECT p_partkey AS clean_key, p_name AS clean_name,
+             substr(p_name, 1, 4) AS blk
+      FROM part
+    ),
+    scored AS (
+      SELECT d.dirty_key, c.clean_key,
+             levenshtein(d.dirty_name, c.clean_name) AS dist
+      FROM dirty d JOIN clean c ON c.blk = d.blk
+      WHERE levenshtein(d.dirty_name, c.clean_name) <= 2
+    ),
+    best AS (
+      SELECT dirty_key, clean_key, dist,
+             row_number() OVER (PARTITION BY dirty_key
+                                ORDER BY dist, clean_key) AS rn
+      FROM scored
+    )
+    SELECT dirty_key, clean_key AS matched_key, CAST(dist AS INT) AS dist
+    FROM best WHERE rn = 1
+    """,
+)
+def fuzzy_join_blocked(spark, sf_dir):
+    """Record linkage with BLOCKING — the entity-resolution shape
+    that scales: dirty names (each part name with its last character
+    dropped — the deterministic corruption) match against the clean
+    catalog ONLY within their blocking key (name prefix), so the
+    candidate space is sum-of-block² instead of n² — the same
+    inverted-index move as `ngram_jaccard_pairs`, with the block as
+    the posting key. Candidates score by Levenshtein <= 2 and each
+    dirty record keeps its best match (min distance, min key) — all
+    standard edit-distance semantics both engines share, so the
+    matched pairs are value-checked end to end. At 100 TB: blocks
+    are an equi-join key (shuffle-friendly, AQE-skew-splittable);
+    multi-key blocking unions more candidate passes without ever
+    going all-pairs."""
+    part = t(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") < 400).select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.expr("substr(p_name, 1, length(p_name) - 1)").alias("dirty_name"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    clean = part.select(
+        F.col("p_partkey").alias("clean_key"),
+        F.col("p_name").alias("clean_name"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    scored = (
+        dirty.join(clean, "blk")
+        .withColumn("dist", F.levenshtein("dirty_name", "clean_name"))
+        .filter(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("dirty_key").orderBy("dist", "clean_key")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_key",
+            F.col("clean_key").alias("matched_key"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+@query(
+    "trend_slope_by_type",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                       CAST(ts AS DATE)) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS slope,
+           round(avg(y), 4) AS mean_daily
+    FROM daily GROUP BY event_type
+    """,
+)
+def trend_slope_by_type(spark, sf_dir):
+    """Per-key OLS trend: slope of daily event counts against the day
+    index via the closed-form sums — is each event type growing or
+    decaying, the per-segment health metric. Two grouped aggregates
+    (daily counts, then the moment sums), no window, no ML library;
+    the x/y inputs are exact integers so the engines' sums are
+    bit-identical and the slope hash-checks at 6 decimals. Scales:
+    both aggs partial-aggregate map-side and the second one's
+    cardinality is #keys x #days."""
+    ev = t(spark, sf_dir, "events")
+    min_d = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(min_d))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("d0")).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    n = F.count(F.lit(1))
+    return daily.groupBy("event_type").agg(
+        n.cast("long").alias("n_days"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("slope"),
+        F.round(F.avg("y"), 4).alias("mean_daily"),
+    )
+
+
+@query(
+    "schema_evolution_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(lang) AS BIGINT) AS n_lang,
+           CAST(count(CASE WHEN doc_id < 100 THEN NULL ELSE 1 END) AS BIGINT) AS n_nchars,
+           CAST(count(CASE WHEN doc_id < 100 THEN 1 END) AS BIGINT) AS n_batch1
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def schema_evolution_roundtrip(spark, sf_dir):
+    """Additive schema evolution, driver-checked end to end: batch 1
+    writes (doc_id, lang), batch 2 writes (doc_id, lang, n_chars) —
+    the upstream-added-a-column scenario — then
+    `read_parquet_evolving` (mergeSchema footer union) surfaces the
+    old files' missing column as NULL and `align_to_schema` conforms
+    the union to the table contract. The oracle predicts the exact
+    null accounting from the source table, so a dropped column, a
+    misaligned cast, or rows lost in the merge all break the hash.
+    Cost note, stated honestly: mergeSchema reads every file FOOTER —
+    at 100 TB-many files pin the merged schema once and reopen with
+    an explicit schema (the readers.py docstring contract)."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.readers import (
+        align_to_schema,
+        read_parquet_evolving,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/spark_graft_evolve_{tag}"
+    docs.filter(F.col("doc_id") < 100).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/b1")
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(f"{base}/b2")
+    merged = read_parquet_evolving(spark, f"{base}/b1", f"{base}/b2")
+    target = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    conformed = align_to_schema(merged, target)
+    return conformed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("lang").cast("long").alias("n_lang"),
+        F.count("n_chars").cast("long").alias("n_nchars"),
+        F.sum((F.col("n_chars").isNull()).cast("long")).alias("n_batch1"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
