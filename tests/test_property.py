@@ -228,3 +228,119 @@ def test_quantize_roundtrip_property(spark):
                 assert abs(v - vhat) <= 0.5 * steps[j] + 1e-9
 
     check()
+
+
+def test_codec_roundtrip_properties():
+    """PPM and WAV encode→decode are identity on arbitrary payloads
+    (pure-Python property, no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.codecs import (
+        decode_ppm,
+        decode_wav,
+        decode_wav_features,
+        encode_ppm,
+        encode_wav,
+    )
+
+    @settings(max_examples=30, deadline=None, derandomize=True)
+    @given(
+        w=st.integers(1, 8),
+        h=st.integers(1, 8),
+        data=st.data(),
+    )
+    def check_ppm(w, h, data):
+        rgb = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        assert decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+
+    @settings(max_examples=30, deadline=None, derandomize=True)
+    @given(
+        samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def check_wav(samples, rate):
+        got_rate, got = decode_wav(encode_wav(samples, rate))
+        assert (got_rate, got) == (rate, samples)
+        dur, r, rms = decode_wav_features(encode_wav(samples, rate))
+        assert r == rate and dur == round(len(samples) / rate, 6)
+        assert 0.0 <= rms <= 1.0
+
+    check_ppm()
+    check_wav()
+
+
+def test_cms_invariant_property(spark):
+    """For ANY stream, every CMS estimate >= the true count and the
+    sketch never exceeds depth x width cells."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    @settings(max_examples=5, deadline=None, derandomize=True)
+    @given(keys=st.lists(st.integers(0, 30), min_size=1, max_size=120))
+    def check(keys):
+        df = spark.createDataFrame([(k,) for k in keys], ["k"])
+        sketch = count_min_sketch(df, "k", depth=3, width=16)
+        assert sketch.count() <= 3 * 16
+        true = {}
+        for k in keys:
+            true[k] = true.get(k, 0) + 1
+        est = {
+            r["k"]: r["cms_count"]
+            for r in cms_estimate(
+                sketch, df.select("k").distinct(), "k", 3, 16
+            ).collect()
+        }
+        assert all(est[k] >= v for k, v in true.items())
+
+    check()
+
+
+def test_triangle_count_matches_bruteforce_property(spark):
+    """Random small graphs: the ordered-wedge count equals the O(n^3)
+    brute force."""
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    @settings(max_examples=6, deadline=None, derandomize=True)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 8), st.integers(0, 8)),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def check(edges):
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        if not und:
+            return
+        nodes = {v for e in und for v in e}
+        brute = sum(
+            1
+            for a, b, c in combinations(sorted(nodes), 3)
+            if (a, b) in und and (b, c) in und and (a, c) in und
+        )
+        df = spark.createDataFrame(list(edges), ["src", "dst"])
+        row = triangle_count(df).collect()[0]
+        assert row["n_triangles"] == brute
+        assert row["n_edges"] == len(und)
+        assert row["n_nodes"] == len(nodes)
+
+    check()
