@@ -118,6 +118,8 @@ HEADLINE = [
     "fuzzy_join_blocked",
     "trend_slope_by_type",
     "schema_evolution_roundtrip",
+    "secrets_scan_stats",
+    "dup_cluster_size_dist",
 ]
 
 

@@ -174,6 +174,38 @@ def pii_counts(df: DataFrame, text_col: str = "text", patterns: dict[str, str] |
     return out
 
 
+#: Credential-shaped patterns, same RE2-portable dialect as
+#: PII_PATTERNS. These catch STRUCTURE (issuer prefixes + charset +
+#: length), the way real secret scanners (trufflehog/gitleaks rule
+#: packs, public) do — entropy scoring is the second-pass refinement.
+SECRET_PATTERNS: dict[str, str] = {
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    "api_token": r"sk-[A-Za-z0-9]{24}",
+    "hex_secret": r"[0-9a-f]{40}",
+}
+
+
+def secret_counts(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Per-row credential-leak counts (one long column per class) +
+    an `any_secret` flag — the scan every training-data pipeline runs
+    before text leaves quarantine (leaked keys in a public corpus are
+    both a privacy incident and a memorization hazard). Pure
+    `regexp_count` columns: JVM-side, one pass, no UDF."""
+    out = df
+    flags = []
+    for name, pat in (patterns or SECRET_PATTERNS).items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+        flags.append(F.col(f"n_{name}") > 0)
+    any_col = flags[0]
+    for f in flags[1:]:
+        any_col = any_col | f
+    return out.withColumn("any_secret", any_col)
+
+
 def bm25_scores(
     df: DataFrame,
     query_terms: list[str],

@@ -7578,5 +7578,142 @@ def schema_evolution_roundtrip(spark, sf_dir):
     )
 
 
+@query(
+    "secrets_scan_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 50 = 0 OR doc_id % 70 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN doc_id % 70 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_aws,
+           CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_api
+    FROM documents GROUP BY lang
+    """,
+)
+def secrets_scan_stats(spark, sf_dir):
+    """Credential-leak scan (operators/text.py::secret_counts — the
+    trufflehog/gitleaks-style structural patterns): the entry
+    deterministically INJECTS synthetic secrets into a known subset
+    of documents (an md5-derived `sk-…` token into every 50th doc,
+    an `AKIA…` key into every 70th — md5 is identical in Spark and
+    DuckDB, so the planted strings are engine-reproducible), scans
+    the corpus, and aggregates per language. The oracle predicts the
+    flag counts from the injection arithmetic alone, so BOTH a
+    missed plant (false negative) and a spurious hit on clean text
+    (false positive — the corpus is verified clean) break the hash.
+    One regexp_count pass, JVM-side."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+        secret_counts,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 50 == 0,
+                F.concat(
+                    F.lit(" sk-"),
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 24),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 70 == 0,
+                F.concat(
+                    F.lit(" AKIA"),
+                    F.upper(
+                        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16)
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    scanned = secret_counts(planted)
+    return scanned.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("any_secret").cast("long")).alias("n_flagged"),
+        F.sum((F.col("n_aws_key") > 0).cast("long")).alias("n_aws"),
+        F.sum((F.col("n_api_token") > 0).cast("long")).alias("n_api"),
+    )
+
+
+@query(
+    "dup_cluster_size_dist",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                              i -> array_to_string(tk[i:i+2], ' ')),
+               x -> x <> '')) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    l1 AS (SELECT src, LEAST(src, MIN(dst)) AS rep FROM edges GROUP BY src),
+    l2 AS (
+      SELECT e.src, LEAST(MIN(ls.rep), MIN(ld.rep)) AS rep
+      FROM edges e
+      JOIN l1 ls ON ls.src = e.src
+      JOIN l1 ld ON ld.src = e.dst
+      GROUP BY e.src
+    ),
+    l3 AS (
+      SELECT e.src, LEAST(MIN(ls.rep), MIN(ld.rep)) AS rep
+      FROM edges e
+      JOIN l2 ls ON ls.src = e.src
+      JOIN l2 ld ON ld.src = e.dst
+      GROUP BY e.src
+    ),
+    clusters AS (SELECT rep, count(*) AS cluster_size FROM l3 GROUP BY rep)
+    SELECT CAST(cluster_size AS INT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM clusters GROUP BY cluster_size
+    """,
+)
+def dup_cluster_size_dist(spark, sf_dir):
+    """Near-dup cluster-size histogram — the dedup DIAGNOSTIC that
+    tells you whether duplication is pairwise noise (sizes ≈ 2) or
+    template explosions (heavy tail → inspect the template before
+    mass-dropping): exact-Jaccard pairs (>=0.8) → bounded min-label
+    clustering (resolve_components, rounds=3) → sizes → histogram.
+    The oracle replays the identical propagation, so the whole
+    distribution is value-checked. Histogram cardinality is bounded
+    by max cluster size — tiny at any corpus scale."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        resolve_components,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    labels = resolve_components(pairs, rounds=3)
+    clusters = labels.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.groupBy(
+        F.col("cluster_size").cast("int").alias("cluster_size")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
