@@ -120,6 +120,7 @@ HEADLINE = [
     "schema_evolution_roundtrip",
     "secrets_scan_stats",
     "dup_cluster_size_dist",
+    "hll_set_ops_audit",
 ]
 
 

@@ -7715,5 +7715,66 @@ def dup_cluster_size_dist(spark, sf_dir):
     ).agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
 
 
+@query(
+    "hll_set_ops_audit",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_purchase,
+           CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT) AS n_both,
+           TRUE AS union_ok, TRUE AS intersect_ok
+    FROM (SELECT 1)
+    """,
+)
+def hll_set_ops_audit(spark, sf_dir):
+    """Sketch SET ALGEBRA: HLL sketches support union natively
+    (`hll_union`); intersection comes from inclusion-exclusion
+    (|A∩B| ≈ |A| + |B| − |A∪B|) — the audience-overlap /
+    cross-segment-reach computation that exact distinct-counting
+    re-shuffles the fact table for, done here from three mergeable
+    sketches. Hash-checked audit: exact cardinalities (oracled) +
+    booleans pinning both estimates within 10% (union error is the
+    standard HLL bound; intersection inherits the sum of errors —
+    the docstring-level honesty the sketch literature requires).
+    Exact sides compute in the same pass for the audit; production
+    keeps only the three sketches."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    sk = (
+        clicks.agg(
+            F.hll_sketch_agg("user_id").alias("sk_a"),
+            F.count_distinct("user_id").alias("n_click"),
+        )
+        .crossJoin(
+            purch.agg(
+                F.hll_sketch_agg("user_id").alias("sk_b"),
+                F.count_distinct("user_id").alias("n_purchase"),
+            )
+        )
+        .crossJoin(
+            clicks.select("user_id")
+            .intersect(purch.select("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_both"))
+        )
+    )
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    est_inter = est_a + est_b - est_union
+    n_union = F.col("n_click") + F.col("n_purchase") - F.col("n_both")
+    return sk.select(
+        F.col("n_click").cast("long").alias("n_click"),
+        F.col("n_purchase").cast("long").alias("n_purchase"),
+        F.col("n_both").cast("long").alias("n_both"),
+        (F.abs(est_union - n_union) <= 0.1 * n_union).alias("union_ok"),
+        (
+            F.abs(est_inter - F.col("n_both"))
+            <= 0.1 * F.greatest(F.col("n_both"), F.lit(10))
+        ).alias("intersect_ok"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
