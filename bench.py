@@ -121,6 +121,8 @@ HEADLINE = [
     "secrets_scan_stats",
     "dup_cluster_size_dist",
     "hll_set_ops_audit",
+    "dp_noisy_counts",
+    "rendezvous_shard_assignment",
 ]
 
 

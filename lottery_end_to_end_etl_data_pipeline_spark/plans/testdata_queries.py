@@ -7776,5 +7776,128 @@ def hll_set_ops_audit(spark, sf_dir):
     )
 
 
+@query(
+    "dp_noisy_counts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1
+    ),
+    u AS (
+      SELECT event_type, n,
+             (CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0 AS u
+      FROM c
+    )
+    SELECT event_type,
+           round(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * 2.0 * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noisy_count,
+           CAST(abs(round(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * 2.0 * ln(1.0 - 2.0 * abs(u - 0.5)), 4) - n) <= 50.0
+                AS BOOLEAN) AS within_bound
+    FROM u
+    """,
+)
+def dp_noisy_counts(spark, sf_dir):
+    """Differentially-private count release (Laplace mechanism,
+    Dwork et al. 2006 — public): per-group counts plus
+    Laplace(b=2 ⇒ ε=0.5 for a count query) noise, with the noise
+    drawn DETERMINISTICALLY by inverse-CDF over an md5-derived
+    uniform (md5 is identical across engines, so the whole release
+    is value-checked — a production system swaps the hash-uniform
+    for a real RNG and keeps everything else). The `within_bound`
+    boolean pins the tail: |noise| <= 50 holds with prob
+    1-e^{-25} per draw — a failed bound means the mechanism, not
+    the luck, broke. Noise floors are the standard release pattern
+    for user-count dashboards over sensitive corpora."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + 0.5
+    ) / F.lit(4294967296.0)
+    noise = (
+        F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * 2.0
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    noisy = F.round(F.col("n") + noise, 4)
+    return c.select(
+        "event_type",
+        noisy.alias("noisy_count"),
+        (F.abs(noisy - F.col("n")) <= 50.0).alias("within_bound"),
+    )
+
+
+@query(
+    "rendezvous_shard_assignment",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, s.shard,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s.shard AS VARCHAR)) AS h
+      FROM documents, (SELECT unnest(range(0, 8)) AS shard) s
+    ),
+    pick8 AS (
+      SELECT doc_id, arg_min(shard, h) AS shard8 FROM scored GROUP BY doc_id
+    ),
+    scored9 AS (
+      SELECT doc_id, s.shard,
+             md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s.shard AS VARCHAR)) AS h
+      FROM documents, (SELECT unnest(range(0, 9)) AS shard) s
+    ),
+    pick9 AS (
+      SELECT doc_id, arg_min(shard, h) AS shard9 FROM scored9 GROUP BY doc_id
+    )
+    SELECT CAST(p8.shard8 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p9.shard9 <> p8.shard8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_on_expand
+    FROM pick8 p8 JOIN pick9 p9 USING (doc_id)
+    GROUP BY p8.shard8
+    """,
+)
+def rendezvous_shard_assignment(spark, sf_dir):
+    """Rendezvous (highest-random-weight) sharding — the stable
+    assignment scheme for training-shard / cache placement: each doc
+    goes to the shard minimizing md5(doc:shard), so ADDING a shard
+    moves only the docs the new shard now wins (~1/(n+1) of them),
+    never a full reshuffle — the property modulo-hashing lacks. The
+    entry assigns 8 shards, re-assigns at 9, and reports per-shard
+    counts plus how many docs moved — md5 is engine-identical so the
+    full assignment AND the stability property are value-checked.
+    Scale shape: a doc x shards fan-out (shards is a tiny literal
+    range) + one min-by aggregate; no shuffle beyond the groupBy."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def pick(n, out):
+        scored = docs.select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(i) for i in range(n)])).alias("shard"),
+        ).withColumn(
+            "h",
+            F.md5(
+                F.concat_ws(":", F.col("doc_id").cast("string"), F.col("shard"))
+            ),
+        )
+        return scored.groupBy("doc_id").agg(
+            F.min_by("shard", "h").alias(out)
+        )
+
+    p8 = pick(8, "shard8")
+    p9 = pick(9, "shard9")
+    return (
+        p8.join(p9, "doc_id")
+        .groupBy(F.col("shard8").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("shard9") != F.col("shard8")).cast("long")
+            ).alias("n_moved_on_expand"),
+        )
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
