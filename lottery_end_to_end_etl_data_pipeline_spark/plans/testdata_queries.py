@@ -7899,5 +7899,49 @@ def rendezvous_shard_assignment(spark, sf_dir):
     )
 
 
+@query(
+    "small_file_compaction_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           TRUE AS files_reduced
+    FROM orders
+    """,
+)
+def small_file_compaction_stats(spark, sf_dir):
+    """Small-file compaction lifecycle, driver-checked
+    (operators/maintenance.py::compact_small_files): orders is first
+    written FRAGMENTED (64-way repartition — the streaming-ingest /
+    over-parallel-writer pathology that murders scan throughput via
+    per-file open costs and starves row-group pruning), then
+    compacted to target-sized files via round-robin repartition. The
+    oracle pins that compaction is LOSSLESS (row count, key count,
+    value sum all preserved) and `files_reduced` pins that it
+    actually merged files. At 100 TB this runs per-partition on a
+    maintenance schedule — the entry is the same code path on a
+    pruned prefix."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import (
+        compact_small_files,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_compact_{tag}"
+    t(spark, sf_dir, "orders").repartition(64).write.mode("overwrite").parquet(
+        path
+    )
+    before, after = compact_small_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    compacted = spark.read.parquet(path)
+    return compacted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("o_orderkey").cast("long").alias("n_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.lit(bool(after < before)).alias("files_reduced"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
