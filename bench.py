@@ -123,6 +123,9 @@ HEADLINE = [
     "hll_set_ops_audit",
     "dp_noisy_counts",
     "rendezvous_shard_assignment",
+    "small_file_compaction_stats",
+    "ivm_join_delta",
+    "neyman_allocation_sample",
 ]
 
 

@@ -7943,5 +7943,111 @@ def small_file_compaction_stats(spark, sf_dir):
     )
 
 
+@query(
+    "ivm_join_delta",
+    oracle="""
+    SELECT o.o_orderstatus AS orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def ivm_join_delta(spark, sf_dir):
+    """Incremental view maintenance for a join view — the delta
+    algebra that keeps a 100 TB aggregate current in O(Δ) instead of
+    O(everything): for V = γ(A ⋈ B), arriving deltas contribute
+    γ(ΔA⋈B) + γ(A⋈ΔB) + γ(ΔA⋈ΔB), merged into the stored partials
+    by re-aggregation (count/sum are the mergeable measures; the
+    same algebra the hypertable rollup uses per time-slice, here
+    across BOTH join inputs). The entry splits orders/lineitem into
+    base+delta, materializes the base view, applies the three delta
+    joins, and must reproduce the full-recompute view EXACTLY — the
+    oracle is that full recompute, so a missed delta term or a
+    double-counted overlap breaks the hash. Only the delta terms
+    touch Δ-sized inputs; base⋈base is the stored view, never
+    re-joined."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    base_o = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta_o = o.filter(F.col("o_orderkey") % 10 == 0)
+    base_l = l.filter(F.col("l_orderkey") % 7 != 0)
+    delta_l = l.filter(F.col("l_orderkey") % 7 == 0)
+
+    def agg_view(orders_df, lines_df):
+        return (
+            lines_df.join(
+                orders_df, lines_df["l_orderkey"] == orders_df["o_orderkey"]
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum("l_extendedprice").alias("pr"),
+            )
+        )
+
+    stored = agg_view(base_o, base_l)  # the materialized view's partials
+    deltas = (
+        agg_view(delta_o, base_l)
+        .unionByName(agg_view(base_o, delta_l))
+        .unionByName(agg_view(delta_o, delta_l))
+    )
+    return (
+        stored.unionByName(deltas)
+        .groupBy(F.col("o_orderstatus").alias("orderstatus"))
+        .agg(
+            F.sum("pn").cast("long").alias("n_items"),
+            F.round(F.sum("pr"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "neyman_allocation_sample",
+    oracle="""
+    WITH strata AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS nh,
+             sqrt(var_pop(value)) AS sh
+      FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT sum(nh * sh) AS z FROM strata)
+    SELECT event_type,
+           CAST(nh AS BIGINT) AS stratum_size,
+           round(sh, 4) AS stratum_sd,
+           CAST(round(1000.0 * nh * sh / z, 0) AS BIGINT) AS alloc_n
+    FROM strata, tot
+    """,
+)
+def neyman_allocation_sample(spark, sf_dir):
+    """Neyman-optimal stratified allocation (Neyman 1934 — public):
+    for a fixed total sample budget, sample each stratum
+    proportionally to N_h·σ_h — high-variance strata get more draws,
+    minimizing the estimator's variance vs naive proportional
+    allocation. One grouped aggregate for (N_h, σ_h) + a 1-row
+    broadcast normalizer; the allocation table then drives the
+    repo's exact-quota sampler (`stratified_exact_n_sample`) — this
+    entry is the planning half of that pair, value-checked on sizes,
+    SDs, and the rounded allocations for a 1000-row budget."""
+    ev = t(spark, sf_dir, "events")
+    strata = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nh"),
+        F.sqrt(F.var_pop("value")).alias("sh"),
+    )
+    z = strata.agg(F.sum(F.col("nh") * F.col("sh")).alias("z"))
+    return (
+        strata.crossJoin(F.broadcast(z))
+        .select(
+            "event_type",
+            F.col("nh").cast("long").alias("stratum_size"),
+            F.round("sh", 4).alias("stratum_sd"),
+            F.round(1000.0 * F.col("nh") * F.col("sh") / F.col("z"), 0)
+            .cast("long")
+            .alias("alloc_n"),
+        )
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
