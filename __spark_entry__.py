@@ -3,9 +3,11 @@
 entry()      — flagship star-join revenue query at sf0.001.
 queries()    — every implemented operator from SURVEY.md §2 (and the
                training-data extensions), one callable each.
-oracle_sql() — matching DuckDB SQL per query (absent entries get the
-               weaker rows-only check; used only for ops whose hash
-               functions are engine-specific, e.g. minhash/simhash).
+oracle_sql() — matching DuckDB SQL per query. EVERY entry carries an
+               oracle: formerly rows-only approximate operators now
+               expose deterministic checkable surfaces (exact-verified
+               pair sets, recall/tolerance booleans, exact ground-truth
+               counts), so the driver value-hashes the whole catalog.
 """
 
 from __future__ import annotations
