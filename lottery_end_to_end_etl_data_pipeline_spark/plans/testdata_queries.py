@@ -7136,10 +7136,12 @@ def streaming_join_attribution(spark, sf_dir):
         correlate_streams,
     )
 
-    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
-    purchases = events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "purchase"
-    )
+    # ONE stream source, two filtered branches (self-join): the file
+    # source is scanned once per microbatch instead of twice — the
+    # same topology a Kafka topic with two event families gets.
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
     joined = correlate_streams(
         clicks, purchases, "user_id", within="30 minutes", watermark="2 hours"
     )

@@ -244,3 +244,23 @@ def test_bucketed_join_has_no_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     tail = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in tail, tail
+
+
+def test_bloom_probe_side_broadcasts(spark):
+    """The bloom position table must BROADCAST onto the probe side —
+    the probe (fact) table is never shuffled for membership tagging."""
+    plan = plan_of(QUERIES["bloom_semi_join_audit"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_sketch_partial_aggregates(spark):
+    """The CMS cell aggregation must map-side combine (partial_count)
+    so only depth x width cells cross the exchange."""
+    plan = plan_of(QUERIES["count_min_heavy_hitters"](spark, SF), "simple")
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    plan = plan_of(QUERIES["triangle_count_knn"](spark, SF))
+    assert "CartesianProduct" not in plan
