@@ -122,3 +122,70 @@ def test_secret_counts_patterns(spark):
     assert got[2]["n_api_token"] == 1 and got[2]["any_secret"]
     assert not got[3]["any_secret"]
     assert got[4]["n_hex_secret"] == 1 and got[4]["any_secret"]
+
+
+def test_ivm_delta_algebra_equals_full_recompute(spark):
+    """gamma(A join B) == merge(gamma(bA join bB), gamma(dA join bB),
+    gamma(bA join dB), gamma(dA join dB)) for an arbitrary split."""
+    from pyspark.sql import functions as F2
+
+    a = spark.createDataFrame(
+        [(k, f"s{k % 3}") for k in range(40)], ["k", "g"]
+    )
+    b = spark.createDataFrame(
+        [(k % 20, float(k)) for k in range(100)], ["k", "v"]
+    )
+    full = {
+        r["g"]: (r["n"], round(r["s"], 6))
+        for r in a.join(b, "k").groupBy("g").agg(
+            F2.count(F2.lit(1)).alias("n"), F2.sum("v").alias("s")
+        ).collect()
+    }
+    ba, da = a.filter(F2.col("k") % 4 != 0), a.filter(F2.col("k") % 4 == 0)
+    bb, db = b.filter(F2.col("v") % 3 != 0), b.filter(F2.col("v") % 3 == 0)
+
+    def gamma(x, y):
+        return x.join(y, "k").groupBy("g").agg(
+            F2.count(F2.lit(1)).alias("n"), F2.sum("v").alias("s")
+        )
+
+    merged = (
+        gamma(ba, bb)
+        .unionByName(gamma(da, bb))
+        .unionByName(gamma(ba, db))
+        .unionByName(gamma(da, db))
+        .groupBy("g")
+        .agg(F2.sum("n").alias("n"), F2.sum("s").alias("s"))
+    )
+    got = {r["g"]: (r["n"], round(r["s"], 6)) for r in merged.collect()}
+    assert got == full
+
+
+def test_rendezvous_moves_bounded_fraction(spark):
+    """Expanding 8 -> 9 shards must move roughly 1/9 of the docs —
+    never a full reshuffle (modulo hashing would move ~8/9)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import QUERIES
+
+    rows = QUERIES["rendezvous_shard_assignment"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r["n_docs"] for r in rows)
+    moved = sum(r["n_moved_on_expand"] for r in rows)
+    assert total == 500
+    assert moved / total < 0.25  # ~1/9 expected; far below modulo's ~8/9
+    assert moved > 0  # the new shard must win something
+
+
+def test_fuzzy_join_blocked_self_match(spark):
+    """Every dirty record's best match at distance <= 2 must be found
+    (its own source is at distance 1), and distances are exact."""
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import QUERIES
+
+    rows = QUERIES["fuzzy_join_blocked"](spark, "/root/testdata/sf0.001").collect()
+    n_dirty = (
+        spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .filter("p_partkey < 400")
+        .count()
+    )
+    assert len(rows) == n_dirty  # every dirty record resolves
+    assert all(r["dist"] <= 1 for r in rows)  # a distance-1 candidate always exists
