@@ -126,6 +126,8 @@ HEADLINE = [
     "small_file_compaction_stats",
     "ivm_join_delta",
     "neyman_allocation_sample",
+    "streaming_exactly_once_counts",
+    "decile_shift_by_source",
 ]
 
 

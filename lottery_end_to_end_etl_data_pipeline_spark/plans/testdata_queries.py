@@ -8051,5 +8051,111 @@ def neyman_allocation_sample(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_exactly_once_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_exactly_once_counts(spark, sf_dir):
+    """Exactly-once resumable ingest, driver-checked: the event
+    stream is split into two file drops; TWO SEPARATE AvailableNow
+    runs against the SAME checkpoint drain them into a parquet sink
+    — the restart picks up only the file the first run hasn't
+    committed, so the sink holds every source row exactly once (a
+    re-run double-processing or losing the offset both break the
+    batch-equality hash). This is the operational contract of the
+    incremental ingest loop: crash/restart anywhere, counts stay
+    exact. The sink+checkpoint are rebuilt from scratch each
+    invocation so the entry is idempotent."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/spark_graft_e1x_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{base}/in/d1")
+    schema = spark.read.parquet(f"{base}/in/d1").schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(f"{base}/in/*")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{base}/sink")
+            .option("checkpointLocation", f"{base}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # run 1: sees only the first drop
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{base}/in/d2")
+    drain()  # restart: same checkpoint, picks up ONLY the new file
+    sunk = spark.read.parquet(f"{base}/sink")
+    return sunk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "decile_shift_by_source",
+    oracle="""
+    WITH gq AS (
+      SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM documents
+    ),
+    gexp AS (
+      SELECT CAST(i AS INT) AS decile, qs[CAST(i AS INT)] AS global_q
+      FROM gq, unnest(range(1, 10)) AS u(i)
+    ),
+    ps AS (
+      SELECT source,
+             quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM documents GROUP BY source
+    ),
+    pexp AS (
+      SELECT source, CAST(i AS INT) AS decile, qs[CAST(i AS INT)] AS src_q
+      FROM ps, unnest(range(1, 10)) AS u(i)
+    )
+    SELECT p.source, p.decile,
+           round(p.src_q, 4) AS src_q,
+           round(g.global_q, 4) AS global_q,
+           round(p.src_q - g.global_q, 4) AS shift
+    FROM pexp p JOIN gexp g USING (decile)
+    """,
+)
+def decile_shift_by_source(spark, sf_dir):
+    """Per-source distribution drift at every decile — the
+    quantile-level audit behind quantile normalization: if one
+    source's length deciles sit far off the global curve, its
+    documents are systematically longer/shorter and a mixture built
+    on doc COUNTS misweights it on TOKENS. One exact-percentile
+    aggregate per grouping (the 100 TB swap is approx_percentile,
+    the `iqr_filter_approx` move), then a broadcast join on the
+    9-row decile spine. Exact interpolated percentiles match
+    quantile_cont, so all three columns value-check."""
+    probs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    docs = t(spark, sf_dir, "documents")
+    glob = docs.agg(F.percentile("n_chars", probs).alias("gq")).select(
+        F.posexplode("gq").alias("i", "global_q")
+    )
+    per = (
+        docs.groupBy("source")
+        .agg(F.percentile("n_chars", probs).alias("sq"))
+        .select("source", F.posexplode("sq").alias("i", "src_q"))
+    )
+    return per.join(F.broadcast(glob), "i").select(
+        "source",
+        (F.col("i") + 1).cast("int").alias("decile"),
+        F.round("src_q", 4).alias("src_q"),
+        F.round("global_q", 4).alias("global_q"),
+        F.round(F.col("src_q") - F.col("global_q"), 4).alias("shift"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
