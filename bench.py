@@ -128,6 +128,7 @@ HEADLINE = [
     "neyman_allocation_sample",
     "streaming_exactly_once_counts",
     "decile_shift_by_source",
+    "repeated_span_stats",
 ]
 
 

@@ -921,6 +921,72 @@ def chunk_dup_stats(
     )
 
 
+def repeated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Maximal repeated-span detection over SLIDING k-token windows
+    (ExactSubstr lineage — Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", public paper, removes any
+    substring of >= 50 tokens that appears more than once in the
+    corpus). `chunk_dup_stats` uses C4-style non-overlapping chunks
+    and misses repeats that straddle a chunk boundary; this operator
+    slides a window one token at a time, flags every window whose
+    exact text occurs more than once corpus-wide (cross-doc OR twice
+    in the same doc), and merges runs of adjacent flagged positions
+    into maximal spans — per doc: span count, tokens covered by a
+    repeated span, and the covered fraction.
+
+    Shape (the distributed adaptation of the paper's single-machine
+    suffix array): window materialization is array-native
+    (`transform(sequence(...), i -> md5(slice(toks, i+1, k)))`) so
+    only 128-bit hashes leave the scan — shuffle volume is O(total
+    tokens) x 32 B, never the window strings. Frequency is one
+    hash-keyed aggregate with map-side combine; span merging is the
+    classic gaps-and-islands window (pos - row_number) partitioned
+    per doc, so state is bounded by document length. No self-join,
+    no O(n^2) term; at 100 TB this scales exactly like the other
+    inverted-index dedup ops. Grouping on md5 rather than the window
+    text is collision-safe in the same 128-bit sense as
+    `chunk_dup_stats`."""
+    toks = df.select(id_col, tokens(text_col).alias("_toks"))
+    wins = toks.where(F.size("_toks") >= k).select(
+        id_col,
+        F.size("_toks").alias("_n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.md5(F.array_join(F.slice(F.col("_toks"), i + 1, k), " ")),
+            )
+        ).alias("pos", "_wk"),
+    )
+    dup_keys = (
+        wins.groupBy("_wk")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") > 1)
+        .select("_wk")
+    )
+    flagged = wins.join(dup_keys, "_wk")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        flagged.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias("span_tokens"),
+            F.first("_n_tokens").alias("_n_tokens"),
+        )
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("repeated_tokens"),
+        F.round(
+            F.sum("span_tokens") / F.first("_n_tokens").cast("double"), 4
+        ).alias("repeated_frac"),
+    )
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4181,6 +4181,54 @@ def chunk_dedup_stats(spark, sf_dir):
 
 
 @query(
+    "repeated_span_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    posns AS (
+      SELECT doc_id, len(tk) AS n_tokens, tk,
+             CAST(unnest(range(len(tk) - 9)) AS INT) AS pos
+      FROM toks WHERE len(tk) >= 10),
+    wins AS (
+      SELECT doc_id, n_tokens, pos,
+             array_to_string(tk[pos + 1 : pos + 10], ' ') AS w
+      FROM posns),
+    dup_keys AS (
+      SELECT w FROM wins GROUP BY w HAVING COUNT(*) > 1),
+    flagged AS (
+      SELECT doc_id, n_tokens, pos FROM wins JOIN dup_keys USING (w)),
+    islands AS (
+      SELECT doc_id, n_tokens, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens,
+             MAX(pos) - MIN(pos) + 10 AS span_tokens
+      FROM islands GROUP BY doc_id, grp)
+    SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS repeated_tokens,
+           ROUND(SUM(span_tokens) * 1.0 / ANY_VALUE(n_tokens), 4)
+             AS repeated_frac
+    FROM spans GROUP BY doc_id
+    """,
+)
+def repeated_span_stats(spark, sf_dir):
+    """Sliding-window maximal repeated spans (operators/dedup.py
+    repeated_span_stats; ExactSubstr lineage, Lee et al. 2022): any
+    10-token window occurring more than once corpus-wide is flagged,
+    adjacent flagged positions merge into maximal spans — catches
+    boilerplate that straddles the fixed chunk boundaries of
+    chunk_dedup_stats. Hash-keyed frequency shuffle (md5, 32 B/row),
+    gaps-and-islands merge bounded per doc."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import repeated_span_stats
+
+    return repeated_span_stats(t(spark, sf_dir, "documents"), "text", "doc_id", 10)
+
+
+@query(
     "char_entropy_quality",
     oracle=r"""
     WITH chars AS (

@@ -384,6 +384,31 @@ def test_chunk_dup_stats_flags_shared_spans(spark):
     assert out[2]["n_dup_chunks"] == 0 and out[2]["dup_frac"] == 0.0
 
 
+def test_repeated_span_merges_adjacent_windows(spark):
+    """Sliding k=3 windows: a shared 5-token prefix yields exactly one
+    maximal span of 5 tokens (3 overlapping flagged windows merged);
+    an internal 4-token repeat inside one doc yields two spans; a doc
+    with no repeated window is absent from the output."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import repeated_span_stats
+
+    rows = [
+        (0, "a b c d e x1 x2 x3 x4"),
+        (1, "a b c d e y1 y2 y3 y4"),
+        (2, "p q r s p q r s"),
+        (3, "totally unique tokens only here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repeated_span_stats(df, "text", "doc_id", 3).collect()}
+    for d in (0, 1):
+        assert out[d]["n_spans"] == 1
+        assert out[d]["repeated_tokens"] == 5
+        assert out[d]["repeated_frac"] == round(5 / 9, 4)
+    assert out[2]["n_spans"] == 2
+    assert out[2]["repeated_tokens"] == 8
+    assert out[2]["repeated_frac"] == 1.0
+    assert 3 not in out
+
+
 def test_tfidf_cosine_identical_and_disjoint(spark):
     """Identical docs must score cosine 1.0; term-disjoint docs must
     produce no pair at all (inverted index — disjoint docs never
