@@ -129,6 +129,7 @@ HEADLINE = [
     "streaming_exactly_once_counts",
     "decile_shift_by_source",
     "repeated_span_stats",
+    "temperature_mixture_counts",
 ]
 
 

@@ -208,6 +208,20 @@ def sample_to_mixture(
         .agg(F.count(F.lit(1)).cast("double").alias("_n"))
         .collect()
     }
+    return _mixture_filter(df, group_col, key_col, counts, weights)
+
+
+def _mixture_filter(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    counts: dict[str, float],
+    weights: dict[str, float],
+) -> DataFrame:
+    """Shared emit pass for the mixture samplers: given per-group
+    counts and target weights, inline the per-group md5-prefix
+    thresholds as a CASE literal and filter in one scan (see
+    `sample_to_mixture` for the scale rationale)."""
     cap = min(
         (counts[g] / float(w) for g, w in weights.items() if w > 0 and g in counts),
         default=0.0,
@@ -230,6 +244,44 @@ def sample_to_mixture(
     return df.filter(
         F.col(group_col).isin(list(counts)) & (hash60 < threshold)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature (alpha) rebalancing of a skewed group distribution
+    — the multilingual-pretraining sampling scheme (XLM-R / mT5,
+    public papers): target share q_g proportional to p_g^alpha, where
+    p_g is the observed share. alpha=1 keeps the natural distribution
+    (every row kept); alpha=0 equalizes groups; intermediate values
+    flatten the head and preserve the tail. Downsample-only framing:
+    with weights w_g = p_g^alpha the most tail-heavy group binds and
+    is kept whole, every other group hash-downsamples to the target
+    ratio — the same exact-membership md5-threshold emit as
+    `sample_to_mixture`, so the kept set is deterministic,
+    retry-stable, and engine-portable.
+
+    Scale shape: one grouped count (bounded rows to the driver), one
+    scan+filter emit with the thresholds inlined as literals — no
+    joins, no extra exchange. Group shares are exact: counts are
+    integers < 2^53, so the total and each p_g are
+    rounding-order-independent doubles, and the per-group threshold
+    reproduces bit-for-bit in any engine with IEEE pow."""
+    counts = {
+        r[group_col]: float(r["_n"])
+        for r in df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return df.filter(F.lit(False))
+    weights = {g: (n / total) ** float(alpha) for g, n in counts.items()}
+    return _mixture_filter(df, group_col, key_col, counts, weights)
 
 
 def stratified_exact_n(

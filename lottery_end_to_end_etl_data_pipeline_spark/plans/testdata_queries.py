@@ -2733,6 +2733,47 @@ def mixture_downsample_counts(spark, sf_dir):
 
 
 @query(
+    "temperature_mixture_counts",
+    oracle=r"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents
+      WHERE lang IS NOT NULL GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS tn FROM c),
+    w AS (
+      SELECT lang, n, POW(n / (SELECT tn FROM tot), 0.3) AS wt FROM c
+    ), cap AS (SELECT MIN(n / wt) AS cap FROM w WHERE wt > 0),
+    f AS (
+      SELECT lang, LEAST(1.0, wt * (SELECT cap FROM cap) / n) AS f FROM w
+    )
+    SELECT d.lang, count(*) AS n_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN f ON d.lang = f.lang
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+          < CAST(floor(f.f * POW(2, 60)) AS UBIGINT)
+    GROUP BY 1
+    """,
+)
+def temperature_mixture_counts(spark, sf_dir):
+    """Alpha-temperature corpus rebalancing
+    (operators/sampling.py::temperature_mixture; XLM-R / mT5 lineage):
+    target share q_g proportional to p_g^0.3 flattens the language head
+    while keeping the tail whole — downsample-only, exact-membership
+    md5 thresholds, so the oracle reproduces the EXACT kept set (group
+    shares are integer-exact doubles; pow/floor are the same IEEE ops
+    in both engines)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    kept = temperature_mixture(docs, "lang", "doc_id", alpha=0.3)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
     "zorder_cell_stats",
     oracle=r"""
     WITH b AS (

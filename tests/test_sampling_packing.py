@@ -238,6 +238,53 @@ def test_sample_to_mixture_recipe(spark):
     assert counts == again
 
 
+def test_temperature_mixture_alpha_boundaries(spark):
+    """alpha=1 reproduces the natural distribution (every row kept);
+    alpha=0 equalizes (smallest group kept whole, every other group
+    downsampled toward its size); intermediate alpha keeps the tail
+    whole while flattening the head."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n_docs = docs.where(F.col("lang").isNotNull()).count()
+    orig = {
+        r["lang"]: r["n"]
+        for r in docs.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    smallest = min(orig, key=orig.get)
+
+    assert temperature_mixture(docs, "lang", "doc_id", alpha=1.0).count() == n_docs
+
+    eq = {
+        r["lang"]: r["n"]
+        for r in temperature_mixture(docs, "lang", "doc_id", alpha=0.0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert eq[smallest] == orig[smallest]  # tail kept whole
+    for g, n in eq.items():
+        # every group targets the smallest group's size (hash
+        # sampling: exact membership, approximate count)
+        assert abs(n - orig[smallest]) <= 0.3 * orig[smallest] + 3
+
+    mid = {
+        r["lang"]: r["n"]
+        for r in temperature_mixture(docs, "lang", "doc_id", alpha=0.3)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert mid[smallest] == orig[smallest]
+    head = max(orig, key=orig.get)
+    assert eq[head] <= mid[head] <= orig[head]
+
+
 def test_sample_to_mixture_is_subset(spark):
     """Every kept row is an input row (filter, never resample with
     replacement) and all input columns survive."""
