@@ -943,11 +943,16 @@ def repeated_span_stats(
     suffix array): window materialization is array-native
     (`transform(sequence(...), i -> md5(slice(toks, i+1, k)))`) so
     only 128-bit hashes leave the scan — shuffle volume is O(total
-    tokens) x 32 B, never the window strings. Frequency is one
-    hash-keyed aggregate with map-side combine; span merging is the
-    classic gaps-and-islands window (pos - row_number) partitioned
-    per doc, so state is bounded by document length. No self-join,
-    no O(n^2) term; at 100 TB this scales exactly like the other
+    tokens) x 32 B, never the window strings. Duplicate flagging is a
+    count() over a hash-partitioned window rather than a
+    groupBy+self-join, so the expensive fold+Generate subtree is
+    scanned ONCE and the plan has exactly two exchanges (by window
+    hash, then by doc) instead of three plus a recomputed branch —
+    the fold-materialization discipline from docs/SCALE.md without
+    needing a checkpoint pin. Span merging is the classic
+    gaps-and-islands window (pos - row_number) partitioned per doc,
+    so state is bounded by document length. No self-join, no O(n^2)
+    term; at 100 TB this scales exactly like the other
     inverted-index dedup ops. Grouping on md5 rather than the window
     text is collision-safe in the same 128-bit sense as
     `chunk_dup_stats`."""
@@ -962,13 +967,10 @@ def repeated_span_stats(
             )
         ).alias("pos", "_wk"),
     )
-    dup_keys = (
-        wins.groupBy("_wk")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .where(F.col("n_occ") > 1)
-        .select("_wk")
+    wc = Window.partitionBy("_wk")
+    flagged = wins.withColumn("_n_occ", F.count(F.lit(1)).over(wc)).where(
+        F.col("_n_occ") > 1
     )
-    flagged = wins.join(dup_keys, "_wk")
     w = Window.partitionBy(id_col).orderBy("pos")
     spans = (
         flagged.withColumn("_grp", F.col("pos") - F.row_number().over(w))
