@@ -4481,6 +4481,23 @@ def cross_source_contamination(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
+    # NEXT-ROTATION QUEUE (round 5): entries registered after this
+    # round's window was frozen, all mirror-verified (185/185 in
+    # tools/check_oracle.py) but never in a driver CORRECTNESS record:
+    #   odds_by_draw_type, multimodal_decode_roundtrip,
+    #   grouping_sets_sales, stat_moments_surface, map_functions_surface,
+    #   activity_streaks, ngram_diversity_by_lang, count_min_heavy_hitters,
+    #   bloom_semi_join_audit, triangle_count_knn, ewma_daily_value,
+    #   bucketed_join_no_shuffle, streaming_session_stats,
+    #   streaming_dedup_counts, streaming_join_attribution,
+    #   udtf_lateral_segments, datetime/null/regexp/hof surfaces,
+    #   fuzzy_join_blocked, trend_slope_by_type, schema_evolution_roundtrip,
+    #   secrets_scan_stats, dup_cluster_size_dist, hll_set_ops_audit,
+    #   dp_noisy_counts, rendezvous_shard_assignment,
+    #   small_file_compaction_stats, ivm_join_delta,
+    #   neyman_allocation_sample, streaming_exactly_once_counts,
+    #   decile_shift_by_source, repeated_span_stats,
+    #   temperature_mixture_counts
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
