@@ -130,6 +130,7 @@ HEADLINE = [
     "decile_shift_by_source",
     "repeated_span_stats",
     "temperature_mixture_counts",
+    "repeated_span_incremental",
 ]
 
 

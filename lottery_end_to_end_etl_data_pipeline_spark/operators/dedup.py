@@ -956,8 +956,23 @@ def repeated_span_stats(
     inverted-index dedup ops. Grouping on md5 rather than the window
     text is collision-safe in the same 128-bit sense as
     `chunk_dup_stats`."""
+    wins = _window_hashes(df, text_col, id_col, k)
+    wc = Window.partitionBy("_wk")
+    flagged = wins.withColumn("_n_occ", F.count(F.lit(1)).over(wc)).where(
+        F.col("_n_occ") > 1
+    )
+    return _merge_spans(flagged, id_col, k)
+
+
+def _window_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, doc token count, window start pos, md5 of the k-token
+    window) for every sliding window — the fold and the hash live in
+    ONE array-native projection, so window text never leaves the
+    scan."""
     toks = df.select(id_col, tokens(text_col).alias("_toks"))
-    wins = toks.where(F.size("_toks") >= k).select(
+    return toks.where(F.size("_toks") >= k).select(
         id_col,
         F.size("_toks").alias("_n_tokens"),
         F.posexplode(
@@ -967,10 +982,12 @@ def repeated_span_stats(
             )
         ).alias("pos", "_wk"),
     )
-    wc = Window.partitionBy("_wk")
-    flagged = wins.withColumn("_n_occ", F.count(F.lit(1)).over(wc)).where(
-        F.col("_n_occ") > 1
-    )
+
+
+def _merge_spans(flagged: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Gaps-and-islands merge of flagged window positions into maximal
+    spans, then the per-doc summary (n_spans, repeated_tokens,
+    repeated_frac). Window state is bounded by document length."""
     w = Window.partitionBy(id_col).orderBy("pos")
     spans = (
         flagged.withColumn("_grp", F.col("pos") - F.row_number().over(w))
@@ -987,6 +1004,73 @@ def repeated_span_stats(
             F.sum("span_tokens") / F.first("_n_tokens").cast("double"), 4
         ).alias("repeated_frac"),
     )
+
+
+def write_span_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> None:
+    """Persist the corpus side of incremental repeated-span detection:
+    one (window md5 -> occurrence count) table. 32 B + a long per
+    DISTINCT window — boilerplate-heavy corpora compress hard here
+    because the hot windows collapse to single rows. The window
+    geometry (k) is stamped on every row so a probe with mismatched
+    tokenization geometry fails loudly instead of silently missing
+    spans (same discipline as the MinHash index append guard)."""
+    wins = _window_hashes(df, text_col, id_col, k)
+    (
+        wins.groupBy("_wk")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .withColumn("_k", F.lit(k))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def repeated_spans_against_index(
+    batch: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Incremental form of `repeated_span_stats`: flag every batch
+    window that occurs in the PERSISTED corpus index (any count) or
+    more than once within the batch itself, then merge into maximal
+    spans — without rescanning or re-hashing the corpus.
+
+    Shape (the O(batch) discipline shared by `dedup_against_index`
+    and `semantic_dedup_against_index`): the batch's distinct window
+    keys broadcast onto ONE scan of the index — the corpus-sized side
+    is never shuffled — and the matched-key set (bounded by batch
+    keys) broadcasts back onto the batch. The only exchanges are
+    batch-sized: one by window hash for within-batch counting, one by
+    doc for the islands merge. At 100 TB of indexed corpus a daily
+    batch probe costs one index scan + O(batch tokens) shuffle."""
+    spark = batch.sparkSession
+    idx = spark.read.parquet(index_path)
+    stored = idx.select("_k").first()
+    if stored is not None and stored["_k"] != k:
+        raise ValueError(
+            f"span index at {index_path} was built with k={stored['_k']}, "
+            f"probe requested k={k}"
+        )
+    wins = _window_hashes(batch, text_col, id_col, k)
+    wc = Window.partitionBy("_wk")
+    counted = wins.withColumn("_n_batch_occ", F.count(F.lit(1)).over(wc))
+    batch_keys = wins.select("_wk").distinct()
+    matched = (
+        idx.join(F.broadcast(batch_keys), "_wk")
+        .select("_wk")
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    flagged = counted.join(F.broadcast(matched), "_wk", "left").where(
+        (F.col("_n_batch_occ") > 1) | F.col("_in_corpus").isNotNull()
+    )
+    return _merge_spans(flagged, id_col, k)
 
 
 def tfidf_cosine_pairs(

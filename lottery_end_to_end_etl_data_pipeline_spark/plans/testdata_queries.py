@@ -4270,6 +4270,72 @@ def repeated_span_stats(spark, sf_dir):
 
 
 @query(
+    "repeated_span_incremental",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    posns AS (
+      SELECT doc_id, len(tk) AS n_tokens, tk,
+             CAST(unnest(range(len(tk) - 9)) AS INT) AS pos
+      FROM toks WHERE len(tk) >= 10),
+    wins AS (
+      SELECT doc_id, n_tokens, pos,
+             array_to_string(tk[pos + 1 : pos + 10], ' ') AS w
+      FROM posns),
+    batchw AS (SELECT * FROM wins WHERE doc_id % 3 = 0),
+    corpus_keys AS (
+      SELECT DISTINCT w FROM wins WHERE doc_id % 3 <> 0),
+    batch_dup AS (
+      SELECT w FROM batchw GROUP BY w HAVING COUNT(*) > 1),
+    flagged AS (
+      SELECT doc_id, n_tokens, pos FROM batchw
+      WHERE w IN (SELECT w FROM batch_dup)
+         OR w IN (SELECT w FROM corpus_keys)),
+    islands AS (
+      SELECT doc_id, n_tokens, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens,
+             MAX(pos) - MIN(pos) + 10 AS span_tokens
+      FROM islands GROUP BY doc_id, grp)
+    SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS repeated_tokens,
+           ROUND(SUM(span_tokens) * 1.0 / ANY_VALUE(n_tokens), 4)
+             AS repeated_frac
+    FROM spans GROUP BY doc_id
+    """,
+)
+def repeated_span_incremental(spark, sf_dir):
+    """Incremental repeated-span probe against a PERSISTED window
+    index (operators/dedup.py write_span_index /
+    repeated_spans_against_index): two-thirds of `documents` are
+    indexed once, the remaining third arrives as the batch and is
+    span-flagged without rescanning the corpus — batch keys broadcast
+    onto one index scan, all exchanges batch-sized. Hash-checked: the
+    oracle recomputes the flagged set from raw text (corpus
+    membership OR within-batch repeat)."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        repeated_spans_against_index,
+        write_span_index,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_spanidx_{tag}"
+    write_span_index(corpus, path, "text", "doc_id", 10)
+    return repeated_spans_against_index(batch, path, "text", "doc_id", 10)
+
+
+@query(
     "char_entropy_quality",
     oracle=r"""
     WITH chars AS (
@@ -4497,7 +4563,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   small_file_compaction_stats, ivm_join_delta,
     #   neyman_allocation_sample, streaming_exactly_once_counts,
     #   decile_shift_by_source, repeated_span_stats,
-    #   temperature_mixture_counts
+    #   temperature_mixture_counts,
+    #   repeated_span_incremental
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled

@@ -409,6 +409,39 @@ def test_repeated_span_merges_adjacent_windows(spark):
     assert 3 not in out
 
 
+def test_repeated_span_incremental_probes_index(spark, tmp_path):
+    """A batch doc with NO internal repeat is still span-flagged when
+    its window exists in the persisted corpus index; a batch doc
+    absent from the corpus and internally unique yields nothing.
+    Geometry mismatch (different k) must fail loudly."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        repeated_spans_against_index,
+        write_span_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "a b c d e corpusx corpusy corpusz")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (0, "a b c d e batch1 batch2 batch3"),
+            (1, "nothing shared with anyone here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "spanidx")
+    write_span_index(corpus, path, "text", "doc_id", 3)
+    out = {
+        r["doc_id"]: r
+        for r in repeated_spans_against_index(batch, path, "text", "doc_id", 3).collect()
+    }
+    assert out[0]["n_spans"] == 1 and out[0]["repeated_tokens"] == 5
+    assert 1 not in out
+
+    with pytest.raises(ValueError, match="k=3"):
+        repeated_spans_against_index(batch, path, "text", "doc_id", 5)
+
+
 def test_tfidf_cosine_identical_and_disjoint(spark):
     """Identical docs must score cosine 1.0; term-disjoint docs must
     produce no pair at all (inverted index — disjoint docs never
