@@ -131,6 +131,13 @@ HEADLINE = [
     "repeated_span_stats",
     "temperature_mixture_counts",
     "repeated_span_incremental",
+    "quality_classifier_scores",
+    "token_budget_selection",
+    "canonical_doc_per_cluster",
+    "chunk_embedding_pooling",
+    "approx_percentile_audit",
+    "epoch_shuffle_orders",
+    "cdc_apply_tombstones",
 ]
 
 

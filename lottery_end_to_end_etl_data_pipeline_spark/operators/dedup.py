@@ -1400,3 +1400,31 @@ def doc_chunks_cdc(
         )
         .withColumn("_ck", F.md5("chunk_text"))
     )
+
+
+def keep_canonical(
+    df: DataFrame,
+    cluster_col: str,
+    quality_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Canonical-document selection: keep exactly ONE row per dup
+    cluster — the highest-`quality_col` member, ties broken on the
+    smallest `id_col`. This is the step after any dedup family
+    (exact / canonical-fingerprint / near-dup components): instead of
+    keeping an arbitrary survivor, keep the best one (longest text,
+    highest quality score, most recent crawl).
+
+    Scale shape: one hash exchange on the cluster key feeding a
+    row_number window — the same shuffle the cluster assignment
+    already needed, no extra pass over payloads. The (quality desc,
+    id asc) order is total, so the kept set is deterministic under
+    any partitioning."""
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_kc_rn", F.row_number().over(w))
+        .filter(F.col("_kc_rn") == 1)
+        .drop("_kc_rn")
+    )

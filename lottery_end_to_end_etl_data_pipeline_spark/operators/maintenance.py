@@ -167,3 +167,107 @@ def compact_small_files(
     _delete_path(spark, staging)
     after, _ = table_file_stats(spark, path)
     return before, after
+
+
+def resolve_cdc_batch(
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Collapse a CDC batch to one winning change per key. With
+    `order_col` the largest (order, then D-beats-upsert on exact ties)
+    wins — last-writer-wins over an ordered change log; without it the
+    batch must already be key-unique (enforced downstream by the
+    window's determinism). One hash exchange on the key."""
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc()] if order_col else []
+    w = Window.partitionBy(*key_cols).orderBy(
+        *order, F.when(F.col(op_col) == "D", 1).otherwise(0).desc()
+    )
+    return (
+        changes.withColumn("_cdc_rn", F.row_number().over(w))
+        .filter(F.col("_cdc_rn") == 1)
+        .drop("_cdc_rn")
+    )
+
+
+def apply_cdc(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    order_col: str | None = None,
+    partition_col: str | None = None,
+) -> None:
+    """Apply a CDC batch — inserts/updates plus DELETE tombstones — to
+    the keyed parquet table at `path`. Semantics = ``MERGE INTO t
+    USING c ON keys WHEN MATCHED AND c.op='D' THEN DELETE WHEN MATCHED
+    THEN UPDATE ALL WHEN NOT MATCHED AND c.op<>'D' THEN INSERT ALL``
+    (Debezium-style op column: 'I'/'U' upsert, 'D' tombstone).
+
+    Built on the same partition-scoped read-modify-write as
+    `upsert_by_key`: the batch is first resolved to one winner per key
+    (`resolve_cdc_batch`), existing rows of touched partitions are
+    anti-joined against ALL change keys (so both updated and deleted
+    keys drop out), and only the non-tombstone winners are re-inserted.
+    With `partition_col`, untouched partitions are never read or
+    rewritten — a batch touching 3 of 10,000 partitions costs 3
+    partitions of IO. Same partition-stability and single-writer
+    contracts as `upsert_by_key`."""
+    resolved = resolve_cdc_batch(changes, key_cols, op_col, order_col)
+    live = resolved.filter(F.col(op_col) != "D")
+
+    try:
+        existing = spark.read.parquet(path)
+        table_exists = True
+    except AnalysisException:
+        table_exists = False
+
+    if not table_exists:
+        out = live.drop(op_col, *([order_col] if order_col else []))
+        writer = out.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
+        return
+
+    if partition_col:
+        touched = resolved.select(partition_col).distinct()
+        existing = existing.join(F.broadcast(touched), partition_col, "left_semi")
+
+    survivors = existing.join(
+        resolved.select(*key_cols).dropDuplicates(key_cols), key_cols, "left_anti"
+    )
+    merged = survivors.unionByName(live.select(*existing.columns))
+
+    staging = path.rstrip("/") + "__cdc_staging"
+    wr = merged.write.mode("overwrite")
+    if partition_col:
+        wr = wr.partitionBy(partition_col)
+    wr.parquet(staging)
+    staged = spark.read.parquet(staging)
+    wr2 = staged.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    if partition_col:
+        wr2 = wr2.partitionBy(partition_col)
+    wr2.parquet(path)
+
+    # Tombstone-only partitions: dynamic overwrite only rewrites
+    # partitions PRESENT in the written data, so a partition whose
+    # rows were ALL deleted is never visited and its stale files
+    # survive. Purge touched partitions that came out empty. The
+    # collect is bounded by the number of partitions the batch
+    # touches (the same cardinality the partition pruning relies on),
+    # never by row count.
+    if partition_col:
+        touched_vals = {
+            r[0] for r in resolved.select(partition_col).distinct().collect()
+        }
+        present = {
+            r[0] for r in staged.select(partition_col).distinct().collect()
+        }
+        for val in touched_vals - present:
+            _delete_path(spark, f"{path}/{partition_col}={val}")
+    _delete_path(spark, staging)

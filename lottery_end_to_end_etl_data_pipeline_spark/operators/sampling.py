@@ -23,7 +23,7 @@ lexicographically ordered by value).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -352,4 +352,63 @@ def weighted_sample_es(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
         .drop("_es", "_rn")
+    )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    id_col: str,
+    budget_frac: float,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Quality-ranked selection under a token budget: order documents
+    by (`score_col` desc, `id_col` asc) and keep the maximal prefix
+    whose cumulative `token_col` stays within ``budget_frac`` of the
+    corpus total — "take the best 60% of tokens", the standard move
+    for fitting a curated corpus to a training-token target.
+
+    Scale shape — a DISTRIBUTED prefix sum, not a global-window sort:
+    scores (assumed in [0, 1]) are quantized into `n_buckets` rank
+    buckets; one tiny aggregate (≤ n_buckets+1 rows) computes each
+    bucket's token total, a window over THAT bounded table yields
+    per-bucket running offsets, and the offsets broadcast-join back so
+    the in-bucket window runs partitioned by bucket. No stage ever
+    sees an unpartitioned window over the corpus. Bucket-boundary
+    correctness: floor() is monotone, so cross-bucket order equals
+    score order, and in-bucket ties resolve on `id_col`. Skew note: a
+    point-mass score distribution concentrates one bucket — raise
+    `n_buckets` (or pre-quantile the scores with `rank_bucket`) so the
+    largest bucket fits a task.
+
+    The budget is computed inside the plan (1-row broadcast
+    cross-join), so the whole selection stays lazy; the cumulative
+    count is exact integer arithmetic → the kept SET is deterministic
+    across engines and partitionings."""
+    b = F.floor(F.col(score_col) * n_buckets).cast("long")
+    d = df.withColumn("_tb_bucket", b)
+    bucket_tot = d.groupBy("_tb_bucket").agg(F.sum(token_col).alias("_tb_sum"))
+    off_w = (
+        Window.orderBy(F.col("_tb_bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.withColumn(
+        "_tb_offset", F.coalesce(F.sum("_tb_sum").over(off_w), F.lit(0))
+    ).select("_tb_bucket", "_tb_offset")
+    total = d.agg(
+        F.floor(F.sum(token_col) * F.lit(budget_frac)).alias("_tb_budget")
+    )
+    run_w = (
+        Window.partitionBy("_tb_bucket")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.col("_tb_offset") + F.sum(token_col).over(run_w)
+    return (
+        d.join(F.broadcast(offsets), "_tb_bucket")
+        .withColumn("_tb_cum", cum)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_tb_cum") <= F.col("_tb_budget"))
+        .drop("_tb_bucket", "_tb_offset", "_tb_budget")
     )

@@ -822,3 +822,41 @@ def dim_truncation_recall(
         )
         .orderBy("qid")
     )
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Element-wise mean pooling of embedding groups — the standard
+    chunk→document aggregation (a document's embedding is the mean of
+    its chunks'; a user profile is the mean of their item vectors).
+
+    Scale shape: posexplode → ONE hash aggregate keyed by
+    (group, dim) with map-side partial sums, then a second bounded
+    aggregate per group reassembles the ordered array via
+    array_sort(collect_list(struct(dim, mean))). Shuffle volume is
+    rows x dims scalars (the same as the scan), never a collected
+    matrix; per-group state is dims-bounded. Dimension alignment is
+    positional — ragged inputs surface as NULL dims rather than
+    silent misalignment."""
+    e = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("_mp_dim", "_mp_v"),
+    )
+    per_dim = e.groupBy(group_col, "_mp_dim").agg(
+        F.avg(F.col("_mp_v").cast("double")).alias("_mp_mean"),
+        F.count(F.lit(1)).alias("_mp_n"),
+    )
+    return per_dim.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_mp_dim"), F.col("_mp_mean")))
+            ),
+            lambda s: s["_mp_mean"],
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_dims"),
+        F.max("_mp_n").alias("n_vecs"),
+    )

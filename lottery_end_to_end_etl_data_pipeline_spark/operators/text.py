@@ -604,3 +604,51 @@ def compression_ratio(
         return s.map(one)
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 64,
+    out_col: str = "q_score",
+) -> DataFrame:
+    """Hashing-trick linear quality classifier (fastText-style bag of
+    hashed unigrams): every token hashes into one of `n_buckets`
+    feature buckets, each bucket carries a fixed integer weight, and a
+    document's margin is the sum of its token weights. The shipped
+    weight table is the deterministic stand-in ``w[j] = (j % 13) - 6``
+    (swap in trained weights by broadcasting a real array); the score
+    is the margin normalized into [0, 1]:
+
+        score = 0.5 + margin / (10 * n_tokens)      (clamped)
+        kept  = margin >= 0                         (integer-exact)
+
+    Scale shape: transform+aggregate over the token array — a fully
+    NARROW projection (no explode shuffle, no join; the weight lookup
+    is an expression, not a table). At 100 TB this is one codegen'd
+    scan stage; scoring throughput is bounded by md5 on tokens, the
+    same cost profile as the fingerprint/dedup family. The margin is
+    an integer sum, so kept/score are bit-identical across engines and
+    partitionings (no float accumulation-order sensitivity)."""
+    tk = tokens(F.col(text_col))
+    wts = F.transform(
+        tk,
+        lambda x: (
+            F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("long")
+            % n_buckets
+        )
+        % 13
+        - 6,
+    )
+    margin = F.aggregate(wts, F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size(tk)
+    score = F.when(
+        n > 0,
+        F.least(
+            F.greatest(
+                F.lit(0.0), F.lit(0.5) + margin.cast("double") / (10.0 * n)
+            ),
+            F.lit(1.0),
+        ),
+    ).otherwise(F.lit(0.5))
+    return df.withColumn(out_col + "_margin", margin).withColumn(out_col, score)

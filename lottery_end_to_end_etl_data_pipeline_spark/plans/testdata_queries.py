@@ -4564,7 +4564,10 @@ _DRIVER_WINDOW_PRIORITY = [
     #   neyman_allocation_sample, streaming_exactly_once_counts,
     #   decile_shift_by_source, repeated_span_stats,
     #   temperature_mixture_counts,
-    #   repeated_span_incremental
+    #   repeated_span_incremental, quality_classifier_scores,
+    #   token_budget_selection, canonical_doc_per_cluster,
+    #   chunk_embedding_pooling, approx_percentile_audit,
+    #   epoch_shuffle_orders, cdc_apply_tombstones
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -8327,6 +8330,391 @@ def decile_shift_by_source(spark, sf_dir):
         F.round("src_q", 4).alias("src_q"),
         F.round("global_q", 4).alias("global_q"),
         F.round(F.col("src_q") - F.col("global_q"), 4).alias("shift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: quality classification, token-budget curation,
+# canonical selection, embedding pooling, sketch-accuracy audit,
+# epoch shuffling, CDC tombstones.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, len(toks) AS n,
+             list_sum(list_transform(toks,
+               x -> CAST(('0x' || substr(md5(x), 1, 4))::UBIGINT % 64 % 13 AS BIGINT) - 6
+             )) AS margin
+      FROM tk WHERE len(toks) > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE margin >= 0) AS BIGINT) AS n_kept,
+           ROUND(AVG(LEAST(GREATEST(0.5 + CAST(margin AS DOUBLE) / (10.0 * n), 0.0), 1.0)), 4)
+             AS avg_score
+    FROM scored GROUP BY lang
+    """,
+)
+def quality_classifier_scores(spark, sf_dir):
+    """Model-based quality filtering via a hashing-trick linear
+    classifier (operators/text.py::hashed_linear_score — fastText-
+    style bag of hashed unigrams, integer-exact margin so kept/score
+    decisions are bit-identical across engines). The inference pass
+    every learned quality filter needs at corpus scale: ONE narrow
+    codegen'd projection (transform+aggregate over the token array —
+    no explode shuffle, weight lookup is an expression) feeding one
+    lang-keyed hash aggregate. Swap the stand-in weights for trained
+    ones and the plan is unchanged."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+        hashed_linear_score,
+        token_count,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs, "text").filter(token_count("text") > 0)
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("q_score_margin") >= 0, 1)).alias("n_kept"),
+        F.round(F.avg("q_score"), 4).alias("avg_score"),
+    )
+
+
+@query(
+    "token_budget_selection",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, len(toks) AS n_tok,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS score
+      FROM tk WHERE len(toks) > 0
+    ),
+    budget AS (SELECT FLOOR(0.6 * SUM(n_tok)) AS b FROM scored),
+    ranked AS (
+      SELECT lang, n_tok,
+             SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+    FROM ranked, budget WHERE cum <= b GROUP BY lang
+    """,
+)
+def token_budget_selection(spark, sf_dir):
+    """Token-budget curation (operators/sampling.py::
+    select_to_token_budget): keep the best-quality prefix of the
+    corpus — ordered by distinct-token ratio — whose cumulative token
+    count fits 60% of the corpus total. The "fit the training-token
+    target" selection every curated pretraining mix ends with. Scale
+    shape: a DISTRIBUTED prefix sum — scores quantize into 1000 rank
+    buckets, a window over the ≤1001-row bucket table yields running
+    offsets that broadcast back, and the corpus-sized window runs
+    PARTITIONED by bucket; no unpartitioned window ever sees the
+    corpus. Integer cumulative arithmetic + total (score, doc_id)
+    order → the kept SET is deterministic, which the oracle's global
+    window replays exactly."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    scored = (
+        docs.withColumn("_toks", tokens(F.col("text")))
+        .withColumn("n_tok", F.size("_toks"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn(
+            "score",
+            F.size(F.array_distinct("_toks")).cast("double") / F.col("n_tok"),
+        )
+        .select("doc_id", "lang", "n_tok", "score")
+    )
+    kept = select_to_token_budget(
+        scored, "score", "n_tok", "doc_id", budget_frac=0.6
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("kept_tokens"),
+    )
+
+
+@query(
+    "canonical_doc_per_cluster",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))), ' ')) AS f
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY f ORDER BY n_chars DESC, doc_id) AS rn
+      FROM fp
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_id_sum
+    FROM ranked GROUP BY lang
+    """,
+)
+def canonical_doc_per_cluster(spark, sf_dir):
+    """Canonical-document selection after dedup
+    (operators/dedup.py::keep_canonical): one survivor per
+    canonical-fingerprint cluster — the LONGEST member (n_chars desc),
+    ties to the smallest doc_id — instead of an arbitrary one. The
+    kept_id_sum column pins the exact kept SET, not just its size.
+    Scale: the row_number window rides the same hash exchange the
+    fingerprint grouping needs; payload columns never shuffle twice."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        keep_canonical,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import fingerprint
+
+    docs = t(spark, sf_dir, "documents").withColumn("f", fingerprint("text"))
+    kept = keep_canonical(docs, "f", "n_chars", "doc_id").select(
+        "lang", F.col("doc_id").alias("kept_id")
+    )
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_lang = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("kept_id").cast("long").alias("kept_id_sum"),
+    )
+    return per_lang.join(kept_lang, "lang").select(
+        "lang",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        "kept_id_sum",
+    )
+
+
+@query(
+    "chunk_embedding_pooling",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id // 10 AS gid,
+             (generate_subscripts(embedding, 1) - 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT gid, dim, AVG(v) AS m, COUNT(*) AS n FROM e GROUP BY gid, dim
+    )
+    SELECT gid,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           ROUND(SQRT(SUM(m * m)), 6) AS pooled_norm,
+           ROUND(MAX(CASE WHEN dim = 0 THEN m END), 6) AS d0,
+           ROUND(MAX(CASE WHEN dim = 1 THEN m END), 6) AS d1
+    FROM per_dim GROUP BY gid
+    """,
+)
+def chunk_embedding_pooling(spark, sf_dir):
+    """Chunk→document embedding pooling
+    (operators/similarity.py::mean_pool): element-wise mean over
+    groups of 10 chunk vectors — the aggregation that turns chunk
+    embeddings into document embeddings. Scale shape: posexplode into
+    ONE (group, dim)-keyed hash aggregate with map-side partials
+    (shuffle = rows x dims scalars, same as the scan), then a bounded
+    per-group reassembly; no collected matrices, no Python. Output
+    pins the pooled norm and two probe dims per group."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        mean_pool,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "gid", (F.col("vec_id") / 10).cast("long")
+    )
+    pooled = mean_pool(emb, "gid", "embedding")
+    sq = F.aggregate(
+        F.col("pooled"), F.lit(0.0), lambda a, x: a + x * x
+    )
+    return pooled.select(
+        "gid",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.round(F.sqrt(sq), 6).alias("pooled_norm"),
+        F.round(F.element_at("pooled", 1), 6).alias("d0"),
+        F.round(F.element_at("pooled", 2), 6).alias("d1"),
+    )
+
+
+@query(
+    "approx_percentile_audit",
+    oracle=r"""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentile_audit(spark, sf_dir):
+    """Sketch-accuracy audit for approximate quantiles: per group,
+    compute the EXACT interpolated median alongside
+    `approx_percentile` (Greenwald-Khanna, accuracy 10000 → rank
+    error ≤ n/10000) and emit a within-tolerance boolean (|approx −
+    exact| ≤ 5% of the group's value range). The oracle pins the
+    exact median and asserts the bound holds — the same
+    tolerance-boolean pattern as `hll_sketch_workflow`, so the sketch
+    is value-checked without demanding bit equality. At 100 TB the
+    exact percentile is the audit-only path (sampled or per-partition
+    spot checks); the GK sketch is the production one — mergeable,
+    single-pass, bounded memory."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("exact_p50"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("_approx"),
+            F.min("value").alias("_lo"),
+            F.max("value").alias("_hi"),
+        )
+        .select(
+            "event_type",
+            "exact_p50",
+            (
+                F.abs(F.col("_approx") - F.col("exact_p50"))
+                <= 0.05 * (F.col("_hi") - F.col("_lo"))
+            ).alias("within_bound"),
+        )
+    )
+
+
+@query(
+    "epoch_shuffle_orders",
+    oracle=r"""
+    WITH keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS sk
+      FROM documents d, (SELECT unnest(range(0, 3)) AS epoch) e
+    ),
+    ranked AS (
+      SELECT epoch, doc_id, sk,
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY sk) AS pos
+      FROM keyed
+    )
+    SELECT CAST(epoch AS INT) AS epoch, CAST(pos AS INT) AS pos, doc_id
+    FROM ranked WHERE pos <= 5
+    """,
+)
+def epoch_shuffle_orders(spark, sf_dir):
+    """Multi-epoch deterministic training order
+    (operators/sampling.py::shuffle_key): each epoch salts the md5
+    shuffle key, giving an independent but fully reproducible
+    permutation — rerunning epoch 2 on any cluster layout yields the
+    same serving order (the property that makes training jobs
+    resumable and ablations comparable). The entry pins the first 5
+    positions of 3 epochs. Scale note: the catalog probe uses a
+    per-epoch window for the top-5; the production path is
+    `deterministic_shuffle` (repartitionByRange + sortWithinPartitions
+    — no single-reducer sort)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(F.array(*[F.lit(e) for e in range(3)])).alias("epoch")
+    # the columnar form of sampling.shuffle_key(key, epoch): the salt
+    # is a column here so ONE plan serves all epochs.
+    keyed = docs.select("doc_id", epochs).withColumn(
+        "sk",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    w = Window.partitionBy("epoch").orderBy("sk")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 5)
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            F.col("pos").cast("int").alias("pos"),
+            "doc_id",
+        )
+    )
+
+
+@query(
+    "cdc_apply_tombstones",
+    oracle=r"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 7 <> 0),
+    changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 15 = 0 THEN 'D'
+                  WHEN o_orderkey % 7 = 0 THEN 'I' ELSE 'U' END AS op,
+             o_orderstatus,
+             ROUND(o_totalprice + 1.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0),
+    merged AS (
+      SELECT o_orderstatus, o_totalprice FROM changes WHERE op <> 'D'
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes))
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def cdc_apply_tombstones(spark, sf_dir):
+    """CDC apply with DELETE tombstones
+    (operators/maintenance.py::apply_cdc): a Debezium-style change
+    batch (op ∈ I/U/D) merges into a keyed parquet table — updates
+    replace, inserts append, tombstones REMOVE the key — via the same
+    partition-scoped read-modify-write as `upsert_by_key` (touched
+    partitions only; anti-join drops matched keys; non-tombstone
+    winners re-insert). The oracle derives the full MERGE-with-DELETE
+    relationally, so the driver hash proves all three op semantics at
+    once. Price bump +1.00 (2dp-exact) for cross-engine rounding
+    safety."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import apply_cdc
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    tag = hashlib.md5(f"{sf_dir}cdc".encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_cdc_{tag}"
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    changes = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 15 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 7 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") + 1.0, 2).alias("o_totalprice"),
+    )
+    apply_cdc(
+        spark, path, changes, ["o_orderkey"], op_col="op",
+        partition_col="o_orderstatus",
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
     )
 
 

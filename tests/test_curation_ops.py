@@ -1,0 +1,115 @@
+"""Round-4 curation operators: hashed linear quality scoring,
+token-budget selection, canonical-per-cluster keep, embedding mean
+pooling."""
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import keep_canonical
+from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+    select_to_token_budget,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import mean_pool
+from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+    hashed_linear_score,
+)
+
+
+def _ref_margin(text: str, n_buckets: int = 64) -> int:
+    toks = [t for t in text.lower().split() if t]
+    total = 0
+    for tk in toks:
+        b = int(hashlib.md5(tk.encode()).hexdigest()[:4], 16) % n_buckets
+        total += (b % 13) - 6
+    return total
+
+
+def test_hashed_linear_score_matches_reference_md5(spark):
+    rows = [(1, "the quick brown fox"), (2, "spark spark spark"), (3, "")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: (r.q_score_margin, r.q_score) for r in hashed_linear_score(df).collect()}
+    for i, text in rows:
+        if text:
+            m = _ref_margin(text)
+            n = len(text.split())
+            want = min(max(0.0, 0.5 + m / (10.0 * n)), 1.0)
+            assert got[i][0] == m
+            assert abs(got[i][1] - want) < 1e-12
+        else:
+            assert got[i] == (0, 0.5)
+
+
+def test_token_budget_selection_matches_naive_prefix(spark):
+    # scores engineered to straddle bucket boundaries (exact k/1000
+    # values) and to tie (two rows at 0.5 -> id order decides).
+    rows = [
+        (1, 0.9, 100),
+        (2, 0.5, 200),
+        (3, 0.5, 300),
+        (4, 0.501, 50),
+        (5, 0.1, 400),
+        (6, 1.0, 80),
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, n_tok long")
+    total = sum(r[2] for r in rows)
+    for frac in (0.2, 0.4, 0.6, 0.99):
+        budget = int(frac * total)
+        order = sorted(rows, key=lambda r: (-r[1], r[0]))
+        cum, want = 0, set()
+        for rid, _s, n in order:
+            cum += n
+            if cum <= budget:
+                want.add(rid)
+        got = {
+            r.id
+            for r in select_to_token_budget(
+                df, "score", "n_tok", "id", budget_frac=frac
+            ).collect()
+        }
+        assert got == want, f"frac={frac}"
+
+
+def test_token_budget_selection_repartition_invariant(spark):
+    rows = [(i, (i % 7) / 7.0, 10 + i % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, score double, n_tok long")
+    a = {
+        r.id
+        for r in select_to_token_budget(df, "score", "n_tok", "id", 0.5).collect()
+    }
+    b = {
+        r.id
+        for r in select_to_token_budget(
+            df.repartition(13), "score", "n_tok", "id", 0.5
+        ).collect()
+    }
+    assert a == b and 0 < len(a) < 200
+
+
+def test_keep_canonical_highest_quality_then_smallest_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", 1, 10),
+            ("c1", 2, 30),   # winner: highest quality
+            ("c1", 3, 30),   # tie -> loses to smaller id 2
+            ("c2", 7, 5),    # singleton cluster
+        ],
+        "cluster string, id long, q long",
+    )
+    kept = {(r.cluster, r.id) for r in keep_canonical(df, "cluster", "q", "id").collect()}
+    assert kept == {("c1", 2), ("c2", 7)}
+
+
+def test_mean_pool_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(12, 4)).astype("float32")
+    rows = [(i, int(i // 5), [float(x) for x in vecs[i]]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vid long, gid long, embedding array<float>")
+    got = {r.gid: (r.pooled, r.n_dims, r.n_vecs) for r in mean_pool(df, "gid").collect()}
+    for g in (0, 1, 2):
+        member = vecs[[i for i in range(12) if i // 5 == g]].astype("float64")
+        want = member.mean(axis=0)
+        pooled, n_dims, n_vecs = got[g]
+        assert n_dims == 4 and n_vecs == len(member)
+        assert np.allclose(np.array(pooled), want, atol=1e-7)

@@ -89,3 +89,62 @@ def test_compact_partitioned_preserves_partitions(spark, tmp_path):
     assert out.count() == 1000
     # partition-column type inference reads the dir values back as ints
     assert {str(r.part) for r in out.select("part").distinct().collect()} == {"0", "1"}
+
+
+def test_apply_cdc_tombstones_update_insert(spark, tmp_path):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import apply_cdc
+
+    path = str(tmp_path / "cdc_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k long, part string, v double",
+    )
+    upsert_by_key(spark, path, base, ["k"], partition_col="part")
+    changes = spark.createDataFrame(
+        [(2, "U", "a", 99.0), (3, "D", "b", 0.0), (4, "I", "a", 40.0),
+         (5, "D", "b", 0.0)],  # delete of an absent key is a no-op
+        "k long, op string, part string, v double",
+    )
+    apply_cdc(spark, path, changes, ["k"], op_col="op", partition_col="part")
+    assert _rows(spark, path) == {(1, "a"): 10.0, (2, "a"): 99.0, (4, "a"): 40.0}
+
+
+def test_apply_cdc_order_col_lww_delete_wins_ties(spark, tmp_path):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import apply_cdc
+
+    path = str(tmp_path / "cdc_lww")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "k long, part string, v double"
+    )
+    upsert_by_key(spark, path, base, ["k"], partition_col="part")
+    # k=1: U@t1 then D@t2 -> deleted; k=2: D@t1 then U@t2 -> updated;
+    # k=3: U and D at the SAME order value -> D wins (documented tie rule)
+    changes = spark.createDataFrame(
+        [
+            (1, "U", "a", 11.0, 1), (1, "D", "a", 0.0, 2),
+            (2, "D", "a", 0.0, 1), (2, "U", "a", 22.0, 2),
+            (3, "U", "a", 33.0, 5), (3, "D", "a", 0.0, 5),
+        ],
+        "k long, op string, part string, v double, seq int",
+    )
+    apply_cdc(
+        spark, path,
+        changes,
+        ["k"], op_col="op", order_col="seq", partition_col="part",
+    )
+    got = {
+        (r.k, r.part): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(2, "a"): 22.0}
+
+
+def test_apply_cdc_creates_table_from_live_rows(spark, tmp_path):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import apply_cdc
+
+    path = str(tmp_path / "cdc_new")
+    changes = spark.createDataFrame(
+        [(1, "I", "a", 1.0), (2, "D", "a", 0.0)],
+        "k long, op string, part string, v double",
+    )
+    apply_cdc(spark, path, changes, ["k"], op_col="op", partition_col="part")
+    assert _rows(spark, path) == {(1, "a"): 1.0}
