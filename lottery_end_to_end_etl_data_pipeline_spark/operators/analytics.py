@@ -9,7 +9,7 @@ driver-side values are scalar statistics (quantile bounds), never rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lottery_end_to_end_etl_data_pipeline_spark.functions.expressions import (
@@ -220,4 +220,118 @@ def mad_outlier_stats(
             ).alias("n_outliers"),
             F.count(F.lit(1)).alias("n_rows"),
         )
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Pareto frontier (2-D skyline, maximize both): keep rows no
+    other row dominates (≥ in both dimensions, > in at least one) —
+    the multi-objective shortlist operator (price vs quality,
+    coverage vs cost).
+
+    Scale shape — NO quadratic dominance join and NO global-window
+    sort. (1) collapse to distinct x with the per-x max y (one hash
+    aggregate: only the x-group's best can be on the frontier, and
+    same-x rows below it are dominated); (2) bucket x into
+    `n_buckets` ranges, compute per-bucket max y (bounded table), and
+    a window over THAT table yields each bucket's higher-bucket max —
+    broadcast back; (3) a per-bucket window gives the within-bucket
+    higher-x running max. A group survives iff its max y strictly
+    exceeds the combined higher-x max; surviving groups join back to
+    keep their max-y rows (exact duplicates of the frontier point all
+    survive — they don't dominate each other). Same two-phase
+    bounded-prefix pattern as `select_to_token_budget`."""
+    gy = df.groupBy(x_col).agg(F.max(y_col).alias("_sky_gy"))
+    bounds = gy.agg(
+        F.min(x_col).alias("_sky_lo"), F.max(x_col).alias("_sky_hi")
+    )
+    width = F.when(
+        F.col("_sky_hi") > F.col("_sky_lo"),
+        (F.col("_sky_hi") - F.col("_sky_lo")) / F.lit(float(n_buckets)),
+    ).otherwise(F.lit(1.0))
+    g = (
+        gy.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_sky_bin",
+            F.least(
+                F.floor((F.col(x_col) - F.col("_sky_lo")) / width),
+                F.lit(n_buckets - 1),
+            ).cast("long"),
+        )
+        .drop("_sky_lo", "_sky_hi")
+    )
+    bin_max = g.groupBy("_sky_bin").agg(F.max("_sky_gy").alias("_sky_bmax"))
+    off_w = (
+        Window.orderBy(F.col("_sky_bin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bin_max.withColumn("_sky_hmax", F.max("_sky_bmax").over(off_w)).select(
+        "_sky_bin", "_sky_hmax"
+    )
+    in_w = (
+        Window.partitionBy("_sky_bin")
+        .orderBy(F.col(x_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    neg_inf = F.lit(float("-inf"))
+    combined = F.greatest(
+        F.coalesce(F.max("_sky_gy").over(in_w), neg_inf),
+        F.coalesce(F.col("_sky_hmax"), neg_inf),
+    )
+    kept = (
+        g.join(F.broadcast(offs), "_sky_bin")
+        .withColumn("_sky_h", combined)
+        .filter(F.col("_sky_gy") > F.col("_sky_h"))
+        .select(x_col, "_sky_gy")
+    )
+    return (
+        df.join(kept, x_col)
+        .filter(F.col(y_col) == F.col("_sky_gy"))
+        .drop("_sky_gy")
+    )
+
+
+def welch_t_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    baseline: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test of every group against a
+    baseline group — the A/B-significance surface (does this
+    event/source/cohort differ from control?). Statistic and
+    Welch–Satterthwaite dof are pure arithmetic over each group's
+    (n, mean, var) single-pass aggregates:
+
+        t   = (m_g − m_b) / sqrt(v_g/n_g + v_b/n_b)
+        dof = (v_g/n_g + v_b/n_b)² /
+              ((v_g/n_g)²/(n_g−1) + (v_b/n_b)²/(n_b−1))
+
+    Scale shape: ONE hash aggregate (map-side co-moments) + a 1-row
+    broadcast of the baseline stats — no second scan, no window."""
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value_col).alias("m"),
+        F.var_samp(value_col).alias("v"),
+    )
+    base = stats.filter(F.col(group_col) == baseline).select(
+        F.col("n").alias("_bn"), F.col("m").alias("_bm"), F.col("v").alias("_bv")
+    )
+    g = stats.filter(F.col(group_col) != baseline).crossJoin(F.broadcast(base))
+    se2 = F.col("v") / F.col("n") + F.col("_bv") / F.col("_bn")
+    dof = (se2 * se2) / (
+        (F.col("v") / F.col("n")) ** 2 / (F.col("n") - 1)
+        + (F.col("_bv") / F.col("_bn")) ** 2 / (F.col("_bn") - 1)
+    )
+    return g.select(
+        group_col,
+        "n",
+        F.round(F.col("m") - F.col("_bm"), 4).alias("mean_diff"),
+        F.round((F.col("m") - F.col("_bm")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(dof, 2).alias("welch_dof"),
     )

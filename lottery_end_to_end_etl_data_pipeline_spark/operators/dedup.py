@@ -1428,3 +1428,211 @@ def keep_canonical(
         .filter(F.col("_kc_rn") == 1)
         .drop("_kc_rn")
     )
+
+
+def ngram_jaccard_prefix_filtered(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PPJoin-style PREFIX FILTERING —
+    same output contract as `ngram_jaccard_pairs`, asymptotically
+    smaller candidate space.
+
+    The prefix-filter lemma: order every document's shingle set by one
+    global canonical order (rarest-first: ascending document
+    frequency, ties on the shingle string) and keep only the first
+    ``p = n − ⌈t·n⌉ + 1`` shingles of each size-n set. Two sets with
+    Jaccard ≥ t MUST share at least one prefix shingle — if all
+    shared shingles sat past both prefixes, the maximum possible
+    overlap would be below t's requirement. So indexing prefixes
+    alone is LOSSLESS: candidates missed by the prefix index provably
+    can't pass the threshold, and every candidate is then verified
+    exactly (array_intersect on the full sets), making the emitted
+    pair set identical to the full inverted index's.
+
+    Scale shape vs the full index: postings volume drops by factor
+    ≈ t (at t = 0.8, 5× fewer postings enter the self-join, and the
+    O(Σ df²) candidate cost falls quadratically on hot shingles —
+    rarest-first ordering systematically EXCLUDES boilerplate
+    shingles from prefixes, which is exactly the population `max_df`
+    prunes by fiat). Exchanges: one df-count aggregate + one join to
+    attach df (both shingle-keyed, map-side-combined), a per-doc
+    window (bounded by document length, never corpus), the prefix
+    self-join, and the pair verify join. The verify joins shuffle
+    only candidate ids, and full shingle arrays ride the (bounded)
+    pair join once each.
+
+    Reference anchor: SURVEY §2 north-star dedup family; same
+    semantics as `ngram_jaccard_pairs` (distinct word k-shingles,
+    `word_shingles`)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        df.repartition(n_part, F.col(id_col))
+        .select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    postings = sh.select("id", F.explode("sh").alias("shingle"))
+    dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = postings.join(dfreq, "shingle").join(sizes, "id")
+    w = Window.partitionBy("id").orderBy("_df", "shingle")
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    pref = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("id", "shingle")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_sh_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (
+                    F.size("_sh_a") + F.size("_sh_b") - F.col("n_common")
+                ).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "n_common", "jaccard")
+
+
+def prefix_filter_candidate_count(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> tuple[int, int]:
+    """(prefix_candidates, full_index_candidates) — the measured
+    pruning ratio of prefix filtering vs the full inverted index, for
+    tests and capacity planning."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    )
+    postings = sh.select("id", F.explode("sh").alias("shingle"))
+    full = (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id"), F.col("b.id"))
+        .distinct()
+        .count()
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = postings.join(dfreq, "shingle").join(sizes, "id")
+    w = Window.partitionBy("id").orderBy("_df", "shingle")
+    plen = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    pref = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= plen)
+        .select("id", "shingle")
+    )
+    prefix = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id"), F.col("b.id"))
+        .distinct()
+        .count()
+    )
+    return prefix, full
+
+
+def sorted_neighborhood_candidates(
+    df: DataFrame,
+    sort_key_col: str,
+    id_col: str,
+    window: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution candidates: sort records
+    by a fuzzy blocking key and pair each record with its next
+    ``window − 1`` successors — the classic ER move for catching
+    near-identical keys (typos, transposed digits) that exact-equality
+    blocking (`fuzzy_join_blocked`'s method) separates into different
+    blocks. Candidate volume is exactly (window−1)·n, linear by
+    construction, vs blocking's Σ|block|².
+
+    Scale shape: with `block_col` the sort is a per-block window
+    (bounded partitions, the multi-pass-blocking variant of SNM); the
+    leads are ONE window spec, so all pair arms ride a single
+    exchange. Without a block column the sort degenerates to a global
+    window — pass a coarse block (first key chars) at scale. Emits
+    (id_a, key_a, id_b, key_b, offset); offset = how many sorted
+    positions apart."""
+    part = [F.col(block_col)] if block_col else []
+    w = Window.partitionBy(*part).orderBy(F.col(sort_key_col), F.col(id_col))
+    cols = [F.col(block_col).alias("block")] if block_col else []
+    # window expressions must sit at the top level of a projection —
+    # materialize the leads as plain columns, THEN assemble/explode.
+    led = df.select(
+        *cols,
+        F.col(id_col).alias("id_a"),
+        F.col(sort_key_col).alias("key_a"),
+        *[
+            c
+            for i in range(1, window)
+            for c in (
+                F.lead(F.col(id_col), i).over(w).alias(f"_id_b{i}"),
+                F.lead(F.col(sort_key_col), i).over(w).alias(f"_key_b{i}"),
+            )
+        ],
+    )
+    nb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"_id_b{i}").alias("id_b"),
+                    F.col(f"_key_b{i}").alias("key_b"),
+                    F.lit(i).alias("offset"),
+                )
+                for i in range(1, window)
+            ]
+        )
+    )
+    return (
+        led.select(
+            *(["block"] if block_col else []), "id_a", "key_a", nb.alias("nb")
+        )
+        .filter(F.col("nb.id_b").isNotNull())
+        .select(
+            *(["block"] if block_col else []),
+            "id_a",
+            "key_a",
+            F.col("nb.id_b").alias("id_b"),
+            F.col("nb.key_b").alias("key_b"),
+            F.col("nb.offset").alias("offset"),
+        )
+    )

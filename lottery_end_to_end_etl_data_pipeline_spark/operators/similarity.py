@@ -860,3 +860,245 @@ def mean_pool(
         F.count(F.lit(1)).alias("n_dims"),
         F.max("_mp_n").alias("n_vecs"),
     )
+
+
+def _sq_dist_to_lit(sub_col: Column, cent: list[float]) -> Column:
+    """Σ (x_i − c_i)² of an array column against a literal centroid."""
+    lit = F.array(*[F.lit(float(c)) for c in cent])
+    return F.aggregate(
+        F.zip_with(sub_col, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvecs(df: DataFrame, vec_col: str, m: int, sub_dim: int) -> Column:
+    return F.array(
+        *[
+            F.transform(
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
+                lambda x: x.cast("double"),
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train Product-Quantization codebooks: split each vector into
+    `m` contiguous subspaces and run an independent L2 k-means of `k`
+    centroids in each — `codebooks[s][c]` is centroid c of subspace s.
+    PQ is the memory side of billion-scale ANN (FAISS IVFPQ): a
+    d-dim float32 vector compresses to m small codes (here m bytes),
+    a 64× reduction at d=64/m=4, at the price of quantized distances.
+
+    Spark shape: ALL m subspaces train in the same jobs — the long
+    form (id, s, subvec) is one posexplode, assignment is a narrow
+    when-chain over literal codebooks, and the update is ONE
+    (s, code, dim)-keyed aggregate with map-side partials, so an
+    iteration shuffles m·k·sub_dim partial sums per input partition
+    (kilobytes) regardless of corpus size; only the codebooks
+    (m·k·sub_dim floats) reach the driver. Init is deterministic:
+    the k smallest-md5(id) rows seed every subspace (same portable
+    seeding as `kmeans_fit`). Empty cells keep their centroid."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    seed_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [
+            [float(x) for x in r[vec_col][s * sub_dim : (s + 1) * sub_dim]]
+            for r in seed_rows
+        ]
+        for s in range(m)
+    ]
+    subs = df.select(
+        F.col(id_col),
+        F.posexplode(_pq_subvecs(df, vec_col, m, sub_dim)).alias("s", "sub"),
+    )
+    for _ in range(n_iters):
+        code = None
+        for s in range(m):
+            darr = F.array(
+                *[_sq_dist_to_lit(F.col("sub"), books[s][c]) for c in range(k)]
+            )
+            amin = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+            code = amin if code is None and s == 0 else (
+                F.when(F.col("s") == s, amin).otherwise(code)
+            )
+        means = (
+            subs.withColumn("code", code)
+            .select("s", "code", F.posexplode("sub").alias("dim", "val"))
+            .groupBy("s", "code", "dim")
+            .agg(F.avg("val").alias("mv"))
+            .collect()
+        )
+        by_cell: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault((r["s"], r["code"]), {})[r["dim"]] = float(r["mv"])
+        for (s, c), dims in by_cell.items():
+            books[s][c] = [dims[d] for d in sorted(dims)]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to their per-subspace nearest-centroid codes —
+    one NARROW projection (all m argmins are literal-codebook
+    expressions; no shuffle, no Python). The encoded table is what an
+    IVFPQ-style index persists: m small ints per vector instead of
+    d floats."""
+    m, k = len(codebooks), len(codebooks[0])
+    sub_dim = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sub = F.transform(
+            F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim),
+            lambda x: x.cast("double"),
+        )
+        darr = F.array(*[_sq_dist_to_lit(sub, codebooks[s][c]) for c in range(k)])
+        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def knn_pq(
+    df_encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query
+    precomputes its distance to every centroid (m·n_codes floats,
+    driver-side), and each corpus row's approximate distance is m
+    table lookups + adds — the scan never touches original vectors.
+    TakeOrderedAndProject keeps the top-k per partition; at 100 TB
+    pair this with an IVF cell partition prune (scan only probed
+    cells' code files)."""
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub_dim = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (float(qvec[s * sub_dim + i]) - codebooks[s][c][i]) ** 2
+                for i in range(sub_dim)
+            )
+            for c in range(n_codes)
+        ]
+        for s in range(m)
+    ]
+    adist = None
+    for s in range(m):
+        arr = F.array(*[F.lit(lut[s][c]) for c in range(n_codes)])
+        term = F.element_at(arr, F.element_at(F.col(code_col), s + 1) + 1)
+        adist = term if adist is None else adist + term
+    out = df_encoded.select(
+        F.col(id_col).alias("id"), F.round(adist, 6).alias("adist")
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col("id") != exclude_id)
+    return out.orderBy(F.col("adist"), F.col("id")).limit(k)
+
+
+def gram_moments(df: DataFrame, vec_col: str = "embedding"):
+    """(XᵀX, Σx, n) of an embedding column, distributed: one
+    `mapInPandas` pass emits per-batch partial moments (a d×d Gram
+    block computed by BLAS matmul, the column sum, and the row count
+    — ONE row of d²+d+1 doubles per Arrow batch), then a d²-keyed
+    aggregate folds the partials. Shuffle volume is
+    (#batches)·(d²+d+1) doubles — corpus-size-independent for fixed
+    batch size; only d² floats reach the driver. This is the
+    documented legitimate Arrow-kernel class (BLAS inner loop, like
+    the semdedup matmul) — per-element HOFs would cross d² expression
+    trees per row.
+
+    Returns (gram: ndarray d×d, col_sum: ndarray d, n: int)."""
+    import numpy as np
+    import pandas as pd
+
+    d = len(df.select(vec_col).first()[0])
+
+    def part(batches):
+        # one flat partial per batch: [gram (d²) | col_sum (d) | n] —
+        # a single vector so the fold is ONE pass / ONE aggregate.
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            flat = np.concatenate(
+                [(m.T @ m).ravel(), m.sum(axis=0), [float(len(m))]]
+            )
+            yield pd.DataFrame({"p": [list(flat)]})
+
+    parts = df.select(vec_col).mapInPandas(part, "p array<double>")
+    rows = (
+        parts.select(F.posexplode("p").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    flat = np.zeros(d * d + d + 1)
+    for r in rows:
+        flat[r["i"]] = r["s"]
+    gram = flat[: d * d].reshape(d, d)
+    col_sum = flat[d * d : d * d + d]
+    return gram, col_sum, int(flat[-1])
+
+
+def pca_fit(
+    df: DataFrame, n_components: int = 8, vec_col: str = "embedding"
+):
+    """Principal components of an embedding column — the
+    whitening/compression step of embedding pipelines — with the
+    100 TB-correct division of labor: the CORPUS pass is the
+    distributed `gram_moments` kernel; the eigendecomposition runs
+    driver-side on the d×d covariance (d² floats — dimension-bounded,
+    never corpus-bounded, the same contract as `kmeans_fit`'s
+    centroid pull). Population covariance C = XᵀX/n − μμᵀ; returns
+    (components: k×d ndarray, eigenvalues: k desc, mean: d)."""
+    import numpy as np
+
+    gram, col_sum, n = gram_moments(df, vec_col)
+    mu = col_sum / n
+    cov = gram / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    return evecs[:, order].T.copy(), evals[order].copy(), mu
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    mean,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto fitted components: k dot products against
+    literal component vectors, mean-centered by precomputed scalar
+    offsets (dot(v−μ, w) = dot(v, w) − dot(μ, w)) — one NARROW
+    codegen'd projection, no shuffle, no Python."""
+    terms = []
+    for comp in components:
+        offset = float(sum(m * w for m, w in zip(mean, comp)))
+        terms.append(_dot_lit(vec_col, [float(w) for w in comp]) - F.lit(offset))
+    return df.withColumn(out_col, F.array(*terms))

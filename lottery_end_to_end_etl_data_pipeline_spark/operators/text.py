@@ -652,3 +652,68 @@ def hashed_linear_score(
         ),
     ).otherwise(F.lit(0.5))
     return df.withColumn(out_col + "_margin", margin).withColumn(out_col, score)
+
+
+def char_pair_counts(
+    df: DataFrame, text_col: str = "text", out_pair: str = "pair"
+) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies inside words —
+    the merge-candidate statistic at the heart of BPE tokenizer
+    training (each BPE iteration merges the most frequent pair; this
+    operator is that iteration's count step, distributed). Plan:
+    tokens → explode words → per-word pair expansion (narrow
+    expression transform) → ONE hash aggregate keyed by pair with
+    map-side partials — shuffle volume is the distinct-pair
+    vocabulary per partition, not the corpus."""
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias(out_pair)
+    )
+    return pairs.groupBy(out_pair).agg(F.count(F.lit(1)).alias("n"))
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted-index postings (doc, pos, token) — the
+    index layout phrase and proximity search need (BM25's postings
+    drop positions; these keep them)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search via positional-postings adjacency joins:
+    token i of the phrase must appear at (doc, start + i) — the
+    classic IR positional-index plan. Returns (doc, n_matches).
+
+    Scale shape: each phrase token selects ONE posting list
+    (filter pushes into the index scan when postings are persisted
+    partitioned/bucketed by token), and the n−1 adjacency joins are
+    equi-joins on (doc, pos) between lists already restricted to the
+    phrase's tokens — candidate volume is bounded by the rarest
+    token's document frequency, the term-at-a-time bound. No regex
+    over the corpus, no full-text rescan."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    posts = positional_postings(df, id_col, text_col)
+    acc = posts.filter(F.col("token") == phrase[0]).select(
+        "doc", F.col("pos").alias("start")
+    )
+    for i, tok in enumerate(phrase[1:], start=1):
+        nxt = posts.filter(F.col("token") == tok).select(
+            "doc", (F.col("pos") - i).alias("start")
+        )
+        acc = acc.join(nxt, ["doc", "start"])
+    return acc.groupBy("doc").agg(F.count(F.lit(1)).alias("n_matches"))

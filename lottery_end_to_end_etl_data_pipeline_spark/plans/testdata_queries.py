@@ -4594,7 +4594,10 @@ _DRIVER_WINDOW_PRIORITY = [
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
-    #   epoch_shuffle_orders, cdc_apply_tombstones
+    #   epoch_shuffle_orders, cdc_apply_tombstones,
+    #   dedup_prefix_filter_join, bpe_pair_counts,
+    #   sorted_neighborhood_pairs, skyline_orders, pca_variance_audit,
+    #   welch_ab_test, phrase_search_positional, attribution_models
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -8747,6 +8750,398 @@ def cdc_apply_tombstones(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                              i -> array_to_string(tk[i:i+2], ' ')),
+               x -> x <> '')) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.8
+    """,
+)
+def dedup_prefix_filter_join(spark, sf_dir):
+    """PPJoin-style prefix-filtered set-similarity self-join
+    (operators/dedup.py::ngram_jaccard_prefix_filtered): index only
+    each document's rarest (n − ⌈t·n⌉ + 1) shingles — the
+    prefix-filter lemma guarantees every Jaccard ≥ t pair still
+    collides — then verify candidates exactly. LOSSLESS: the oracle
+    is the identical full-inverted-index query `dedup_ngram_jaccard`
+    uses, and the driver hash proves the pruned candidate path emits
+    the same pair set. At t = 0.8, ~5× fewer postings enter the
+    self-join and boilerplate shingles are systematically excluded
+    from prefixes (rarest-first order), attacking the O(Σ df²) hot-
+    shingle term the `max_df` cap otherwise prunes lossily."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_prefix_filtered,
+    )
+
+    return ngram_jaccard_prefix_filtered(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substring(w, CAST(i AS INT), 2))) AS pair
+      FROM words WHERE length(w) >= 2
+    ),
+    counted AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, CAST(rnk AS INT) AS rnk FROM (
+      SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+      FROM counted
+    ) WHERE rnk <= 10
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """Distributed BPE merge-candidate counting
+    (operators/text.py::char_pair_counts): the most frequent adjacent
+    character pairs inside words, corpus-wide — each BPE training
+    iteration merges the top pair, and THIS aggregation is the
+    distributed step that finds it. One narrow pair expansion + one
+    map-side-combined hash aggregate (shuffle = pair vocabulary per
+    partition, corpus-size-independent); the top-10 rides a
+    TakeOrderedAndProject on (n desc, pair) — exact integer counts,
+    total order, so the cut is deterministic."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import char_pair_counts
+
+    counted = char_pair_counts(t(spark, sf_dir, "documents"))
+    # TakeOrderedAndProject cuts to 10 rows FIRST; the rank window then
+    # runs over a provably-10-row frame (bounded-window pattern).
+    top = counted.orderBy(F.col("n").desc(), F.col("pair")).limit(10)
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "pair", "n", "rnk"
+    )
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    WITH keyed AS (
+      SELECT p_partkey, p_name, substr(p_name, 1, 4) AS blk FROM part
+    ),
+    led AS (
+      SELECT blk, p_partkey AS id_a, p_name AS key_a,
+             LEAD(p_partkey, 1) OVER w AS id_b1, LEAD(p_name, 1) OVER w AS key_b1,
+             LEAD(p_partkey, 2) OVER w AS id_b2, LEAD(p_name, 2) OVER w AS key_b2
+      FROM keyed
+      WINDOW w AS (PARTITION BY blk ORDER BY p_name, p_partkey)
+    ),
+    pairs AS (
+      SELECT blk, levenshtein(key_a, key_b1) AS lev FROM led WHERE id_b1 IS NOT NULL
+      UNION ALL
+      SELECT blk, levenshtein(key_a, key_b2) AS lev FROM led WHERE id_b2 IS NOT NULL
+    )
+    SELECT blk AS block,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE lev <= 4) AS BIGINT) AS n_close,
+           CAST(MIN(lev) AS INT) AS min_lev
+    FROM pairs GROUP BY blk
+    """,
+)
+def sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood entity resolution
+    (operators/dedup.py::sorted_neighborhood_candidates): parts sort
+    by name within a 4-char prefix block and each record pairs with
+    its next 2 neighbors — the ER candidate generator for
+    near-identical keys (typos, reorderings) that equality blocking
+    can't catch. Candidate volume is (window−1)·n BY CONSTRUCTION (linear —
+    the property that makes SNM the scale answer when blocks skew).
+    Pairs score with Levenshtein (same edit-distance definition both
+    engines) and aggregate per block."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_candidates,
+    )
+
+    parts = t(spark, sf_dir, "part").withColumn(
+        "blk", F.substring("p_name", 1, 4)
+    )
+    cand = sorted_neighborhood_candidates(
+        parts, "p_name", "p_partkey", window=3, block_col="blk"
+    )
+    return (
+        cand.withColumn("lev", F.levenshtein("key_a", "key_b"))
+        .groupBy(F.col("block"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(F.col("lev") <= 4, 1)).alias("n_close"),
+            F.min("lev").cast("int").alias("min_lev"),
+        )
+    )
+
+
+@query(
+    "skyline_orders",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey,
+             ROUND(SUM(l.l_quantity), 2) AS qty,
+             ROUND(MAX(o.o_totalprice), 2) AS price
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    )
+    SELECT p.o_orderkey, p.qty, p.price
+    FROM per_order p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM per_order q
+      WHERE q.o_orderkey <> p.o_orderkey
+        AND q.qty >= p.qty AND q.price >= p.price
+        AND (q.qty > p.qty OR q.price > p.price)
+    )
+    """,
+)
+def skyline_orders(spark, sf_dir):
+    """Pareto frontier / 2-D skyline
+    (operators/analytics.py::skyline_2d): orders no other order beats
+    on BOTH total quantity and total price — the multi-objective
+    shortlist. The oracle is the O(n²) NOT-EXISTS dominance
+    definition; the engine path never forms a pair: one per-x hash
+    aggregate, per-bucket max table (bounded) + broadcast prefix max,
+    and a per-bucket window — the same two-phase bounded-prefix
+    pattern as `select_to_token_budget`. Values rounded to 2dp BEFORE
+    the skyline so dominance comparisons see identical doubles in
+    both engines."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import skyline_2d
+
+    per_order = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.max("o_totalprice"), 2).alias("price"),
+        )
+    )
+    return skyline_2d(per_order, "qty", "price")
+
+
+@query(
+    "pca_variance_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows, 4 AS k,
+           TRUE AS eigen_monotonic_ok, TRUE AS var_match_ok
+    FROM embeddings
+    """,
+)
+def pca_variance_audit(spark, sf_dir):
+    """Distributed PCA (operators/similarity.py::gram_moments/
+    pca_fit/pca_project): the corpus pass is ONE Arrow mapInPandas
+    kernel emitting per-batch partial Gram blocks (BLAS matmul — the
+    documented legitimate Python-kernel class), folded by a d²-keyed
+    aggregate; the eigendecomposition is dimension-bounded driver
+    work (d² floats, never corpus). Audit surface: eigenvalues
+    non-increasing AND the projected corpus' per-component population
+    variance matches its eigenvalue to 1e-6 relative — the spectral
+    contract of a correct covariance + projection, verified with a
+    SECOND distributed pass over the projections. Exactness vs numpy
+    is pytest-gated."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    comps, evals, mu = pca_fit(emb, n_components=4)
+    mono = all(evals[i] >= evals[i + 1] - 1e-12 for i in range(len(evals) - 1))
+    proj = pca_project(emb, comps, mu)
+    pv = (
+        proj.select(F.posexplode("pca").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.var_pop("v").alias("pv"))
+        .collect()
+    )
+    by_dim = {r["dim"]: float(r["pv"]) for r in pv}
+    var_ok = all(
+        abs(by_dim[i] - float(evals[i])) <= 1e-6 * max(abs(float(evals[i])), 1e-9)
+        for i in range(len(evals))
+    )
+    n = emb.count()
+    return spark.createDataFrame(
+        [(n, 4, bool(mono), bool(var_ok))],
+        "n_rows long, k int, eigen_monotonic_ok boolean, var_match_ok boolean",
+    )
+
+
+@query(
+    "welch_ab_test",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+      FROM events GROUP BY event_type
+    ),
+    base AS (SELECT n AS bn, m AS bm, v AS bv FROM stats WHERE event_type = 'view')
+    SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
+           ROUND(s.m - b.bm, 4) AS mean_diff,
+           ROUND((s.m - b.bm) / SQRT(s.v / s.n + b.bv / b.bn), 4) AS t_stat,
+           ROUND(POWER(s.v / s.n + b.bv / b.bn, 2) /
+                 (POWER(s.v / s.n, 2) / (s.n - 1) +
+                  POWER(b.bv / b.bn, 2) / (b.bn - 1)), 2) AS welch_dof
+    FROM stats s CROSS JOIN base b WHERE s.event_type <> 'view'
+    """,
+)
+def welch_ab_test(spark, sf_dir):
+    """A/B significance surface (operators/analytics.py::
+    welch_t_stats): Welch's unequal-variance t statistic + the
+    Welch–Satterthwaite dof of every event_type against the 'view'
+    baseline — pure arithmetic over single-pass (n, mean, var)
+    aggregates, so the oracle replays it EXACTLY (no distribution
+    lookup needed; the statistic itself is the value-checked
+    surface). One map-side-combined hash aggregate + a 1-row
+    broadcast of the baseline stats; no second scan."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        welch_t_stats,
+    )
+
+    return welch_t_stats(t(spark, sf_dir, "events"), "event_type", "value", "view")
+
+
+@query(
+    "phrase_search_positional",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS tk
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id FROM toks, unnest(range(1, len(tk))) AS u(i)
+      WHERE tk[CAST(i AS INT)] = 'data' AND tk[CAST(i AS INT) + 1] = 'table'
+    )
+    SELECT doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM hits GROUP BY doc_id
+    """,
+)
+def phrase_search_positional(spark, sf_dir):
+    """Exact phrase search over a positional inverted index
+    (operators/text.py::positional_postings/phrase_search): the
+    phrase "data table" matches where token i sits at (doc,
+    start + i) — adjacency equi-joins between per-token posting
+    lists, the classic IR positional plan. Candidate volume is
+    bounded by the rarest token's postings (term-at-a-time), never a
+    corpus regex rescan; persisted token-partitioned postings turn
+    each filter into a pruned scan. The oracle replays the
+    adjacency with list indexing, value-checking every match
+    count."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import phrase_search
+
+    return phrase_search(
+        t(spark, sf_dir, "documents"), ["data", "table"], "doc_id", "text"
+    )
+
+
+@query(
+    "attribution_models",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS cid, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT p.pid, p.value, c.cid, c.ts,
+             ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY c.ts DESC, c.cid) AS rn,
+             COUNT(*) OVER (PARTITION BY p.pid) AS n_touch
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+    )
+    SELECT model, CAST(n_purchases AS BIGINT) AS n_purchases,
+           CAST(n_clicks_credited AS BIGINT) AS n_clicks_credited,
+           ROUND(credited_value, 2) AS credited_value
+    FROM (
+      SELECT 'last_touch' AS model, COUNT(DISTINCT pid) AS n_purchases,
+             COUNT(*) AS n_clicks_credited, SUM(value) AS credited_value
+      FROM pairs WHERE rn = 1
+      UNION ALL
+      SELECT 'linear' AS model, COUNT(DISTINCT pid) AS n_purchases,
+             COUNT(*) AS n_clicks_credited, SUM(value / n_touch) AS credited_value
+      FROM pairs
+    )
+    """,
+)
+def attribution_models(spark, sf_dir):
+    """Multi-touch attribution: every purchase credits the user's
+    clicks inside the prior 30 minutes — last-touch (the most recent
+    click takes the full value) vs linear (value splits 1/n across
+    touches) — the marketing-analytics shape behind
+    `streaming_join_attribution`'s batch twin. One user-keyed
+    equi-join with a time-range predicate (SMJ on user; at 100 TB
+    bucket both sides by user) feeding a purchase-keyed window for
+    rank/count; both models read the SAME pair table (one join, two
+    aggregations). Value splits are 1/n of 2-decimal money, rounded
+    at the end in both engines."""
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("pid"), "user_id", "ts", "value")
+    )
+    c = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+        )
+    )
+    pairs = p.join(c, "user_id").filter(
+        (F.col("cts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("cts") < F.col("ts"))
+    )
+    w = Window.partitionBy("pid")
+    ranked = pairs.withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.col("cts").desc(), F.col("cid"))),
+    ).withColumn("n_touch", F.count(F.lit(1)).over(w))
+    last = ranked.filter(F.col("rn") == 1).agg(
+        F.countDistinct("pid").alias("n_purchases"),
+        F.count(F.lit(1)).alias("n_clicks_credited"),
+        F.round(F.sum("value"), 2).alias("credited_value"),
+    ).select(F.lit("last_touch").alias("model"), "*")
+    linear = ranked.agg(
+        F.countDistinct("pid").alias("n_purchases"),
+        F.count(F.lit(1)).alias("n_clicks_credited"),
+        F.round(F.sum(F.col("value") / F.col("n_touch")), 2).alias(
+            "credited_value"
+        ),
+    ).select(F.lit("linear").alias("model"), "*")
+    return last.unionByName(linear)
 
 
 # must run after every @query registration in this module

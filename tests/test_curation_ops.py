@@ -113,3 +113,230 @@ def test_mean_pool_matches_numpy(spark):
         pooled, n_dims, n_vecs = got[g]
         assert n_dims == 4 and n_vecs == len(member)
         assert np.allclose(np.array(pooled), want, atol=1e-7)
+
+
+def test_prefix_filter_pairs_equal_full_index_and_prune(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_filtered,
+        prefix_filter_candidate_count,
+    )
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),          # near-dup of 1
+        (3, "a b c d e f g h"),          # exact dup of 1
+        (4, "p q r s t u v w"),          # disjoint
+        (5, "p q r s t u v z"),          # near-dup of 4
+        (6, "a b c p q r s t u v w x"),  # shares halves, below 0.8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r.id_a, r.id_b, r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.n_common, r.jaccard)
+        for r in ngram_jaccard_prefix_filtered(df, threshold=0.5).collect()
+    }
+    assert pref == full and full  # identical pair set, non-empty
+    n_pref, n_full = prefix_filter_candidate_count(df, threshold=0.5)
+    assert n_pref < n_full  # genuine candidate pruning
+
+
+def _clustered_vecs(n_clusters=8, per_cluster=20, dim=16, spread=0.05):
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + spread * rng.normal(size=dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_pq_adc_matches_numpy_and_high_recall_on_clustered(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_brute,
+        knn_pq,
+        pq_encode,
+        pq_fit,
+    )
+
+    rows = _clustered_vecs()
+    df = spark.createDataFrame(rows, "vec_id long, cluster long, embedding array<float>")
+    m, k = 4, 8
+    books = pq_fit(df, m=m, k=k, n_iters=3)
+    assert len(books) == m and all(len(b) == k for b in books)
+    enc = pq_encode(df, books)
+    got = {r.vec_id: list(r.pq_code) for r in enc.collect()}
+    vecs = {r[0]: np.array(r[2], dtype="float64") for r in rows}
+    sub_dim = 16 // m
+    cb = np.array(books)  # m x k x sub_dim
+    for vid in (0, 57, 159):
+        v = vecs[vid]
+        for s in range(m):
+            sub = v[s * sub_dim : (s + 1) * sub_dim]
+            d = ((cb[s] - sub) ** 2).sum(axis=1)
+            assert got[vid][s] == int(d.argmin())
+
+    # ADC distance equals the numpy lookup-table sum
+    q = vecs[0]
+    approx = {r.id: r.adist for r in knn_pq(enc, books, [float(x) for x in q], k=10, exclude_id=0).collect()}
+    for vid, adist in approx.items():
+        want = sum(
+            ((q[s * sub_dim : (s + 1) * sub_dim] - cb[s][got[vid][s]]) ** 2).sum()
+            for s in range(m)
+        )
+        assert abs(adist - round(want, 6)) < 1e-9
+
+    # clustered data: PQ resolves CLUSTERS (its design point) — every
+    # ADC top-10 id is in the query's cluster. Within-cluster fine
+    # order is quantized away (same-cluster members share codes and
+    # tie), so exact top-10 recall is bounded ~cluster_size/k-dependent;
+    # assert a floor rather than fine-order equality.
+    cluster_of = {r[0]: r[1] for r in rows}
+    assert all(cluster_of[vid] == cluster_of[0] for vid in approx)
+    brute = {r.id for r in knn_brute(df, [float(x) for x in q], k=10, exclude_id=0).collect()}
+    recall = len(set(approx) & brute) / 10
+    assert recall >= 0.5, recall
+
+
+def test_sorted_neighborhood_candidates_pairs_and_block_bounds(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple", "a"), (2, "apply", "a"), (3, "appel", "a"),
+            (4, "zebra", "z"),
+        ],
+        "id long, key string, blk string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.offset)
+        for r in sorted_neighborhood_candidates(
+            df, "key", "id", window=3, block_col="blk"
+        ).collect()
+    }
+    # block 'a' sorted: appel(3), apple(1), apply(2); zebra alone
+    assert got == {(3, 1, 1), (3, 2, 2), (1, 2, 1)}
+    # linear candidate volume: (window-1)*n upper bound
+    assert len(got) <= 2 * 4
+
+
+def test_char_pair_counts_hand_check(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+        char_pair_counts,
+    )
+
+    df = spark.createDataFrame([(1, "aba ab x")], "id long, text string")
+    got = {r.pair: r.n for r in char_pair_counts(df).collect()}
+    assert got == {"ab": 2, "ba": 1}  # 'x' too short to pair
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, float(round(rng.uniform(0, 100), 2)), float(round(rng.uniform(0, 100), 2))) for i in range(300)]
+    # inject exact duplicates and same-x cases
+    rows += [(300, rows[0][1], rows[0][2]), (301, rows[1][1], 200.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    def dominated(p, q):
+        return q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+
+    want = {r[0] for r in rows if not any(dominated(r, q) for q in rows if q[0] != r[0])}
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import skyline_2d
+
+    got = {r.id for r in skyline_2d(df, "x", "y").collect()}
+    assert got == want
+    got13 = {r.id for r in skyline_2d(df.repartition(13), "x", "y", n_buckets=7).collect()}
+    assert got13 == want
+
+
+def test_skyline_2d_all_equal_x(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, 5.0, 9.0), (3, 5.0, 9.0)], "id long, x double, y double"
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import skyline_2d
+
+    got = {r.id for r in skyline_2d(df, "x", "y").collect()}
+    assert got == {2, 3}  # duplicate frontier points both survive
+
+
+def test_pca_matches_numpy(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        gram_moments,
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(200, 3)) @ np.diag([5.0, 2.0, 0.3])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(7)
+    # Spark stores array<float> — mirror the float32 truncation
+    x = np.vstack([np.array(r[1], dtype="float32") for r in rows]).astype("float64")
+
+    gram, csum, n = gram_moments(df)
+    assert n == 200
+    assert np.allclose(gram, x.T @ x, rtol=1e-9)
+    assert np.allclose(csum, x.sum(axis=0), rtol=1e-9)
+
+    comps, evals, mu = pca_fit(df, n_components=2)
+    want_cov = np.cov(x, rowvar=False, bias=True)
+    we, wv = np.linalg.eigh(want_cov)
+    worder = np.argsort(we)[::-1][:2]
+    assert np.allclose(evals, we[worder], rtol=1e-6)
+    # components match up to sign
+    for i in range(2):
+        dot = abs(float(np.dot(comps[i], wv[:, worder[i]])))
+        assert abs(dot - 1.0) < 1e-6
+
+    proj = {r.vec_id: np.array(r.pca) for r in pca_project(df, comps, mu).collect()}
+    want_proj = (x - mu) @ comps.T
+    for i in range(200):
+        assert np.allclose(proj[i], want_proj[i], atol=1e-6)
+    # projected per-component variance equals the eigenvalue
+    pv = np.var(np.vstack([proj[i] for i in range(200)]), axis=0)
+    assert np.allclose(pv, evals, rtol=1e-6)
+
+
+def test_welch_t_stats_matches_scipy_formula(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import welch_t_stats
+
+    rng = np.random.default_rng(9)
+    a = rng.normal(10, 2, 50)
+    b = rng.normal(11, 3, 40)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = welch_t_stats(df, "g", "value", baseline="a").collect()[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = vb / 40 + va / 50
+    t_want = (b.mean() - a.mean()) / np.sqrt(se2)
+    dof_want = se2**2 / ((vb / 40) ** 2 / 39 + (va / 50) ** 2 / 49)
+    assert r.g == "b" and r.n == 40
+    assert abs(r.t_stat - round(t_want, 4)) < 1e-9
+    assert abs(r.welch_dof - round(dof_want, 2)) < 1e-9
+
+
+def test_phrase_search_counts_overlapping_and_multi(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # "a b a" overlaps: starts at 0 and 2
+            (2, "a b c"),
+            (3, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc: r.n_matches for r in phrase_search(df, ["a", "b", "a"]).collect()}
+    assert got == {1: 2}
+    got2 = {r.doc: r.n_matches for r in phrase_search(df, ["a", "b"]).collect()}
+    assert got2 == {1: 2, 2: 1}
