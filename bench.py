@@ -146,6 +146,8 @@ HEADLINE = [
     "welch_ab_test",
     "phrase_search_positional",
     "attribution_models",
+    "frequent_item_pairs",
+    "ols_normal_equations",
 ]
 
 

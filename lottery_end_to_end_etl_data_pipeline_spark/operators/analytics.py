@@ -335,3 +335,47 @@ def welch_t_stats(
         F.round((F.col("m") - F.col("_bm")) / F.sqrt(se2), 4).alias("t_stat"),
         F.round(dof, 2).alias("welch_dof"),
     )
+
+
+def frequent_item_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket pair mining (the first A-priori level): item
+    pairs co-occurring in at least `min_support` baskets.
+
+    Scale shape: (1) collapse to distinct (basket, item) — duplicates
+    in a basket must not inflate support; (2) A-PRIORI PRUNE: an item
+    in fewer than `min_support` baskets cannot be in a frequent pair,
+    so infrequent items leave the posting list BEFORE the self-join
+    (broadcast semi-join on the frequent-item set — the downward-
+    closure property doing the work the `max_df` cap does for
+    shingles); (3) basket-keyed self-join generates each unordered
+    pair once (item_a < item_b), and ONE hash aggregate counts
+    support. Candidate cost is Σ|basket∩frequent|², not Σ|basket|²."""
+    b = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).dropDuplicates(["basket", "item"])
+    frequent = (
+        b.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_support)
+        .select("item")
+    )
+    pruned = b.join(F.broadcast(frequent), "item", "left_semi")
+    a = pruned.alias("a")
+    c = pruned.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.basket") == F.col("c.basket"))
+            & (F.col("a.item") < F.col("c.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("c.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

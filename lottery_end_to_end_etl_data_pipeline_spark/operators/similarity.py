@@ -1102,3 +1102,41 @@ def pca_project(
         offset = float(sum(m * w for m, w in zip(mean, comp)))
         terms.append(_dot_lit(vec_col, [float(w) for w in comp]) - F.lit(offset))
     return df.withColumn(out_col, F.array(*terms))
+
+
+def linear_fit_normal(
+    df: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    l2: float = 0.0,
+):
+    """Multi-feature linear regression by the normal equations —
+    distributed: assemble [1, x₁…x_p, y] as an array column, run the
+    SAME `gram_moments` partial-Gram kernel (one Arrow pass, one
+    aggregate), and solve the (p+1)×(p+1) system driver-side:
+
+        β = (XᵀX + λ·diag(0,1,…,1))⁻¹ Xᵀy
+
+    — XᵀX, Xᵀy and yᵀy are all sub-blocks of the assembled Gram.
+    λ > 0 gives ridge (the intercept is never penalized). This is the
+    closed-form training path for p ≲ 10³ features at ANY corpus
+    size: the corpus pass is dimension-independent of n, the solve is
+    p³ driver work — the same contract as `pca_fit`. Returns
+    (coeffs: ndarray p+1 [intercept first], n)."""
+    import numpy as np
+
+    arr = F.array(
+        F.lit(1.0),
+        *[F.col(c).cast("double") for c in x_cols],
+        F.col(y_col).cast("double"),
+    )
+    gram, _sums, n = gram_moments(df.select(arr.alias("_lf")), "_lf")
+    p = len(x_cols) + 1
+    xtx = gram[:p, :p]
+    xty = gram[:p, p]
+    if l2:
+        reg = np.eye(p) * l2
+        reg[0, 0] = 0.0
+        xtx = xtx + reg
+    beta = np.linalg.solve(xtx, xty)
+    return beta, n

@@ -4597,7 +4597,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   epoch_shuffle_orders, cdc_apply_tombstones,
     #   dedup_prefix_filter_join, bpe_pair_counts,
     #   sorted_neighborhood_pairs, skyline_orders, pca_variance_audit,
-    #   welch_ab_test, phrase_search_positional, attribution_models
+    #   welch_ab_test, phrase_search_positional, attribution_models,
+    #   frequent_item_pairs, ols_normal_equations
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -9142,6 +9143,112 @@ def attribution_models(spark, sf_dir):
         ),
     ).select(F.lit("linear").alias("model"), "*")
     return last.unionByName(linear)
+
+
+@query(
+    "frequent_item_pairs",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    freq AS (
+      SELECT item FROM b GROUP BY item HAVING COUNT(*) >= 3
+    ),
+    pruned AS (SELECT b.* FROM b SEMI JOIN freq USING (item)),
+    pairs AS (
+      SELECT a.item AS item_a, c.item AS item_b, CAST(COUNT(*) AS BIGINT) AS support
+      FROM pruned a JOIN pruned c
+        ON a.basket = c.basket AND a.item < c.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT item_a, item_b, support, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY support DESC, item_a, item_b) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 10
+    """,
+)
+def frequent_item_pairs(spark, sf_dir):
+    """Market-basket pair mining
+    (operators/analytics.py::frequent_item_pairs — the first A-priori
+    level): part pairs co-purchased in ≥3 orders. The A-PRIORI PRUNE
+    is the scale content: downward closure drops items under the
+    support floor BEFORE the basket self-join (broadcast semi-join),
+    bounding candidates at Σ|basket∩frequent|² — the same hot-key
+    discipline as the shingle `max_df` cap, but LOSSLESS (closure is
+    a theorem, not a heuristic). Top-10 by (support, pair) with a
+    bounded rank window after a TakeOrdered cut."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        frequent_item_pairs as fip,
+    )
+
+    pairs = fip(t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", 3)
+    top = pairs.orderBy(
+        F.col("support").desc(), F.col("item_a"), F.col("item_b")
+    ).limit(10)
+    w = Window.orderBy(F.col("support").desc(), F.col("item_a"), F.col("item_b"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "item_a", "item_b", "support", "rnk"
+    )
+
+
+@query(
+    "ols_normal_equations",
+    oracle="""
+    WITH j AS (
+      SELECT l.l_quantity AS x1, p.p_retailprice AS x2, l.l_extendedprice AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2,
+             SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+             SUM(y) AS sy, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+      FROM j
+    ),
+    d AS (
+      SELECT n,
+        (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)) AS det,
+        (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) AS det0,
+        (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) AS det1,
+        (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) AS det2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(det0/det, 4) AS b_intercept,
+           ROUND(det1/det, 4) AS b_quantity,
+           ROUND(det2/det, 4) AS b_retailprice
+    FROM d
+    """,
+)
+def ols_normal_equations(spark, sf_dir):
+    """Multi-feature linear regression by distributed normal
+    equations (operators/similarity.py::linear_fit_normal): fit
+    extendedprice ~ quantity + retailprice with ONE Arrow partial-Gram
+    pass over the assembled [1, x₁, x₂, y] vector (the `gram_moments`
+    kernel — XᵀX, Xᵀy, yᵀy are all sub-blocks) and a p³ driver
+    solve; the corpus pass is independent of p ≫ REGR_*'s
+    single-feature limit, and n never reaches the driver. The oracle
+    solves the SAME 3×3 system by Cramer's rule over raw co-moment
+    sums, so every coefficient is value-checked to 4 decimals."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        linear_fit_normal,
+    )
+
+    j = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            t(spark, sf_dir, "part"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select("l_quantity", "p_retailprice", "l_extendedprice")
+    )
+    beta, n = linear_fit_normal(
+        j, ["l_quantity", "p_retailprice"], "l_extendedprice"
+    )
+    return spark.createDataFrame(
+        [(n, round(float(beta[0]), 4), round(float(beta[1]), 4), round(float(beta[2]), 4))],
+        "n_rows long, b_intercept double, b_quantity double, b_retailprice double",
+    )
 
 
 # must run after every @query registration in this module

@@ -340,3 +340,50 @@ def test_phrase_search_counts_overlapping_and_multi(spark):
     assert got == {1: 2}
     got2 = {r.doc: r.n_matches for r in phrase_search(df, ["a", "b"]).collect()}
     assert got2 == {1: 2, 2: 1}
+
+
+def test_linear_fit_normal_matches_numpy_lstsq(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        linear_fit_normal,
+    )
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(300, 2))
+    y = 3.0 + 2.0 * x[:, 0] - 0.5 * x[:, 1] + 0.1 * rng.normal(size=300)
+    rows = [(float(x[i, 0]), float(x[i, 1]), float(y[i])) for i in range(300)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double").repartition(5)
+    beta, n = linear_fit_normal(df, ["x1", "x2"], "y")
+    xx = np.column_stack([np.ones(300), x])
+    want, *_ = np.linalg.lstsq(xx, y, rcond=None)
+    assert n == 300
+    assert np.allclose(beta, want, atol=1e-8)
+
+    # ridge shrinks non-intercept coefficients toward zero
+    beta_r, _ = linear_fit_normal(df, ["x1", "x2"], "y", l2=1000.0)
+    assert abs(beta_r[1]) < abs(beta[1]) and abs(beta_r[2]) < abs(beta[2])
+
+
+def test_frequent_item_pairs_matches_brute(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        frequent_item_pairs,
+    )
+    import itertools
+
+    baskets = {
+        1: [1, 2, 3], 2: [1, 2], 3: [1, 2, 4], 4: [3, 4],
+        5: [1, 3], 6: [2, 3, 3],  # duplicate item must not inflate support
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {
+        (r.item_a, r.item_b): r.support
+        for r in frequent_item_pairs(df, "basket", "item", 2).collect()
+    }
+    from collections import Counter
+
+    want = Counter()
+    for items in baskets.values():
+        for a, b in itertools.combinations(sorted(set(items)), 2):
+            want[(a, b)] += 1
+    want = {k: v for k, v in want.items() if v >= 2}
+    assert got == want
