@@ -148,6 +148,9 @@ HEADLINE = [
     "attribution_models",
     "frequent_item_pairs",
     "ols_normal_equations",
+    "clustering_coefficient_knn",
+    "label_propagation_knn",
+    "quantile_normalize_lengths",
 ]
 
 

@@ -379,3 +379,44 @@ def frequent_item_pairs(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Quantile-normalize a column ACROSS groups: replace each value
+    by the GLOBAL empirical quantile at its within-group percentile
+    rank, so every group comes out with (approximately) the global
+    distribution — the cross-source/annotator calibration move
+    (scores from a lenient and a harsh source become comparable).
+
+    Mechanics: percent_rank within the group (SQL-standard
+    (rank−1)/(n−1) — ties share a rank, deterministic without a
+    tie-break), then linear interpolation into a 101-point global
+    exact-percentile spine carried as a 1-row broadcast array. Both
+    steps are closed-form arithmetic, so two engines agree bit-for-
+    bit given the same inputs.
+
+    Scale notes: the within-group window sorts each group once
+    (partitioned by group — bounded per-partition only by group
+    size; for 100 TB groups swap percent_rank for an approx-rank
+    join against per-group `approx_percentile` spines, same shape as
+    `iqr_filter_approx`); the global spine is one exact-percentile
+    aggregate (swap to approx at scale)."""
+    probs = F.array(*[F.lit(i / 100.0) for i in range(101)])
+    spine = df.agg(F.percentile(value_col, probs).alias("_qn_spine"))
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col))
+    ranked = df.withColumn("_qn_p", F.percent_rank().over(w)).crossJoin(
+        F.broadcast(spine)
+    )
+    scaled = F.col("_qn_p") * 100.0
+    lo = F.floor(scaled).cast("int")
+    frac = scaled - lo
+    v_lo = F.element_at("_qn_spine", lo + 1)
+    v_hi = F.element_at("_qn_spine", F.least(lo + 2, F.lit(101)))
+    return ranked.withColumn(out_col, v_lo + (v_hi - v_lo) * frac).drop(
+        "_qn_p", "_qn_spine"
+    )

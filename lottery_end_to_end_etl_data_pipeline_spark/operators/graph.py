@@ -178,3 +178,142 @@ def triangle_count(
             6,
         ).alias("global_clustering"),
     )
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient over an (implicitly
+    undirected) edge list: triangles_at(v) / C(deg(v), 2) — the
+    node-level "how clique-like is my neighborhood" signal
+    (`triangle_count` gives the global transitivity; this localizes
+    it for per-document redundancy scoring).
+
+    Scale shape: canonicalized distinct edges (lo < hi), the same
+    ordered-wedge two-join triangle enumeration as `triangle_count`
+    (never all-pairs), then each triangle (a,b,c) credits its three
+    corners via one explode + hash aggregate; degrees come from one
+    aggregate over the edge list. Returns (id, degree, n_triangles,
+    local_cc) for every node of degree ≥ 1."""
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("lo"), F.greatest(src, dst).alias("hi")
+        )
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.lo"))
+            & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .select(
+            F.col("e1.lo").alias("a"),
+            F.col("e1.hi").alias("b"),
+            F.col("e2.hi").alias("c"),
+        )
+    )
+    per_node_tri = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("lo").alias("id"))
+        .unionAll(und.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(per_node_tri, "id", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
+        .withColumn(
+            "local_cc",
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.col("n_triangles")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 2,
+    id_col: str = "id",
+    label_col: str = "label",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Semi-supervised label propagation on an (implicitly
+    undirected) graph: seed nodes keep their label CLAMPED; unlabeled
+    nodes take the MODE of their neighbors' current labels each
+    round (ties → smallest label; no labeled neighbor → stays
+    unlabeled). The classic transductive labeler over the kNN
+    similarity graph (Zhu & Ghahramani 2002): spread a small
+    gold-labeled set across an unlabeled corpus.
+
+    Deterministic by construction — the mode's (count desc, label
+    asc) order is total — so results are engine- and
+    partitioning-independent, which is what lets the driver
+    hash-check a fixpoint-style iteration. Scale shape per round: ONE
+    join of current labels onto the symmetrized edge list + one
+    (node, label) hash aggregate + one row_number cut, all
+    partitioned by node id; `localCheckpoint` truncates the iterated
+    lineage (the `resolve_components_converged` lesson)."""
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    current = seeds.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lbl")
+    )
+    clamped = current.filter(F.col("lbl").isNotNull()).select(
+        "id", F.col("lbl").alias("_seed_lbl")
+    )
+    for _ in range(n_iters):
+        nbr = sym.join(
+            current.select(F.col("id").alias("b"), F.col("lbl")), "b"
+        ).filter(F.col("lbl").isNotNull())
+        counts = nbr.groupBy(F.col("a").alias("id"), "lbl").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("n").desc(), F.col("lbl").asc()
+        )
+        mode = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("lbl").alias("_mode_lbl"))
+        )
+        current = (
+            current.join(mode, "id", "left")
+            .join(clamped, "id", "left")
+            .select(
+                "id",
+                F.coalesce(
+                    F.col("_seed_lbl"), F.col("_mode_lbl"), F.col("lbl")
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return current.select(
+        F.col("id").alias(id_col), F.col("lbl").alias(label_col)
+    )

@@ -4598,7 +4598,9 @@ _DRIVER_WINDOW_PRIORITY = [
     #   dedup_prefix_filter_join, bpe_pair_counts,
     #   sorted_neighborhood_pairs, skyline_orders, pca_variance_audit,
     #   welch_ab_test, phrase_search_positional, attribution_models,
-    #   frequent_item_pairs, ols_normal_equations
+    #   frequent_item_pairs, ols_normal_equations,
+    #   clustering_coefficient_knn, label_propagation_knn,
+    #   quantile_normalize_lengths
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -9248,6 +9250,230 @@ def ols_normal_equations(spark, sf_dir):
     return spark.createDataFrame(
         [(n, round(float(beta[0]), 4), round(float(beta[1]), 4), round(float(beta[2]), 4))],
         "n_rows long, b_intercept double, b_quantity double, b_retailprice double",
+    )
+
+
+_KNN_EDGES_CTE = """
+    emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    scored AS (
+      SELECT q.vec_id AS src, c.vec_id AS dst,
+             round(
+               list_sum(list_transform(list_zip(c.embedding, q.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*x)))
+                  * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*x)))),
+             4) AS cosine
+      FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+      FROM scored
+    ),
+    dedges AS (SELECT src, dst FROM ranked WHERE rnk <= 3)
+"""
+
+
+@query(
+    "clustering_coefficient_knn",
+    oracle="WITH "
+    + _KNN_EDGES_CTE
+    + """,
+    und AS (
+      SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM dedges WHERE src <> dst
+    ),
+    tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM und e1 JOIN und e2 ON e2.lo = e1.hi JOIN und e3
+        ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    pnt AS (
+      SELECT id, COUNT(*) AS nt FROM (
+        SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+      ) GROUP BY id
+    ),
+    deg AS (
+      SELECT id, COUNT(*) AS d FROM (
+        SELECT lo AS id FROM und UNION ALL SELECT hi FROM und
+      ) GROUP BY id
+    ),
+    cc AS (
+      SELECT deg.id, deg.d, COALESCE(pnt.nt, 0) AS nt,
+             CASE WHEN deg.d >= 2
+                  THEN round(2.0 * COALESCE(pnt.nt, 0) / (deg.d * (deg.d - 1)), 6)
+                  ELSE 0.0 END AS lcc
+      FROM deg LEFT JOIN pnt ON pnt.id = deg.id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           ROUND(AVG(lcc), 6) AS avg_local_cc,
+           CAST(COUNT(*) FILTER (WHERE lcc = 1.0) AS BIGINT) AS n_perfect,
+           CAST(COUNT(*) FILTER (WHERE nt = 0) AS BIGINT) AS n_zero
+    FROM cc
+    """,
+)
+def clustering_coefficient_knn(spark, sf_dir):
+    """Per-node local clustering coefficient over the kNN similarity
+    graph (operators/graph.py::local_clustering): triangles_at(v) /
+    C(deg v, 2) — the node-level redundancy signal (a document whose
+    neighborhood is a clique sits in a topical clump; the global twin
+    is `triangle_count_knn`). Ordered-wedge triangle enumeration (two
+    equi-joins, no all-pairs), corners credited via one explode +
+    aggregate. Same deterministic vec_id<200 top-3 graph; the oracle
+    replays per-node credit in SQL, so the census is exact."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import (
+        local_clustering,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    edges = knn_join(queries, emb, k=3, exclude_same_id=True).select(
+        F.col("qid").alias("src"), F.col("cid").alias("dst")
+    )
+    cc = local_clustering(edges)
+    return cc.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.avg("local_cc"), 6).alias("avg_local_cc"),
+        F.count(F.when(F.col("local_cc") == 1.0, 1)).alias("n_perfect"),
+        F.count(F.when(F.col("n_triangles") == 0, 1)).alias("n_zero"),
+    )
+
+
+@query(
+    "label_propagation_knn",
+    oracle="WITH "
+    + _KNN_EDGES_CTE
+    + """,
+    sym AS (
+      SELECT src AS a, dst AS b FROM dedges WHERE src <> dst
+      UNION
+      SELECT dst AS a, src AS b FROM dedges WHERE src <> dst
+    ),
+    seeds AS (
+      SELECT vec_id AS id,
+             CASE WHEN vec_id % 4 <> 0 THEN label END AS lbl
+      FROM embeddings WHERE vec_id < 200
+    ),
+    m1 AS (
+      SELECT a AS id, lbl, COUNT(*) AS n FROM sym
+      JOIN seeds s ON s.id = sym.b WHERE s.lbl IS NOT NULL GROUP BY a, lbl
+    ),
+    mode1 AS (
+      SELECT id, lbl AS mlbl FROM (
+        SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+                 ORDER BY n DESC, lbl ASC) AS rn FROM m1) WHERE rn = 1
+    ),
+    cur1 AS (
+      SELECT s.id, COALESCE(s.lbl, mode1.mlbl) AS lbl
+      FROM seeds s LEFT JOIN mode1 ON mode1.id = s.id
+    ),
+    m2 AS (
+      SELECT a AS id, lbl, COUNT(*) AS n FROM sym
+      JOIN cur1 c ON c.id = sym.b WHERE c.lbl IS NOT NULL GROUP BY a, lbl
+    ),
+    mode2 AS (
+      SELECT id, lbl AS mlbl FROM (
+        SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+                 ORDER BY n DESC, lbl ASC) AS rn FROM m2) WHERE rn = 1
+    ),
+    cur2 AS (
+      SELECT s.id,
+             COALESCE(s.lbl, mode2.mlbl, c1.lbl) AS lbl
+      FROM seeds s
+      LEFT JOIN cur1 c1 ON c1.id = s.id
+      LEFT JOIN mode2 ON mode2.id = s.id
+    )
+    SELECT lbl AS label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM cur2 GROUP BY lbl
+    """,
+)
+def label_propagation_knn(spark, sf_dir):
+    """Semi-supervised label propagation
+    (operators/graph.py::label_propagation, Zhu & Ghahramani 2002):
+    every 4th node's label is hidden, then two rounds of
+    clamped-seed neighbor-mode voting over the kNN graph re-label the
+    held-out nodes — the transductive "spread a small gold set across
+    the corpus" move. Mode ties break (count desc, label asc) — a
+    total order — so the iteration is engine-deterministic and the
+    oracle can replay BOTH unrolled rounds in SQL; the final label
+    census is exact, NULL = unreachable from any seed. Per round: one
+    labels⋈edges join + one (node, label) aggregate + one
+    row_number cut, localCheckpoint-truncated."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    edges = knn_join(queries, emb, k=3, exclude_same_id=True).select(
+        F.col("qid").alias("src"), F.col("cid").alias("dst")
+    )
+    seeds = emb.select(
+        F.col("vec_id").alias("id"),
+        F.when(F.col("vec_id") % 4 != 0, F.col("label")).alias("label"),
+    )
+    final = label_propagation(edges, seeds, n_iters=2)
+    return final.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
+    "quantile_normalize_lengths",
+    oracle="""
+    WITH spine AS (
+      SELECT quantile_cont(n_chars,
+        [x * 0.01 FOR x IN range(0, 101)]) AS sp
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_chars,
+             percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS p
+      FROM documents
+    ),
+    norm AS (
+      SELECT source,
+             sp[CAST(FLOOR(p * 100.0) AS INT) + 1]
+             + (sp[LEAST(CAST(FLOOR(p * 100.0) AS INT) + 2, 101)]
+                - sp[CAST(FLOOR(p * 100.0) AS INT) + 1])
+               * (p * 100.0 - FLOOR(p * 100.0)) AS nv
+      FROM ranked, spine
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(nv), 4) AS mean_norm,
+           ROUND(MIN(nv), 4) AS min_norm,
+           ROUND(MAX(nv), 4) AS max_norm
+    FROM norm GROUP BY source
+    """,
+)
+def quantile_normalize_lengths(spark, sf_dir):
+    """Cross-source quantile normalization
+    (operators/analytics.py::quantile_normalize): every source's
+    document lengths map onto the GLOBAL length distribution via
+    within-source percent_rank → 101-point global-percentile spine
+    interpolation — the calibration that makes scores from lenient
+    and harsh sources comparable (the diagnostic twin is
+    `decile_shift_by_source`). percent_rank's SQL-standard tie
+    semantics + closed-form interpolation make the transform
+    bit-deterministic across engines — the oracle replays it
+    exactly, no tolerance needed. Scale: per-source window sorts +
+    one 1-row broadcast spine; the approx-rank swap is documented in
+    the operator."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        quantile_normalize,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    norm = quantile_normalize(docs, "n_chars", "source", out_col="nv")
+    return norm.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("nv"), 4).alias("mean_norm"),
+        F.round(F.min("nv"), 4).alias("min_norm"),
+        F.round(F.max("nv"), 4).alias("max_norm"),
     )
 
 

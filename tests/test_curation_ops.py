@@ -387,3 +387,78 @@ def test_frequent_item_pairs_matches_brute(spark):
             want[(a, b)] += 1
     want = {k: v for k, v in want.items() if v >= 2}
     assert got == want
+
+
+def test_local_clustering_hand_graph(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import local_clustering
+
+    # triangle 1-2-3 plus pendant 4 attached to 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    got = {r.id: (r.degree, r.n_triangles, r.local_cc) for r in local_clustering(edges).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(2 * 1 / (3 * 2), 6))
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_label_propagation_spreads_and_clamps(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import label_propagation
+
+    # chain 1-2-3-4; seeds: 1 -> 'a', 4 -> 'b'; 2 and 3 unlabeled
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "id long, label string"
+    )
+    got = {r.id: r.label for r in label_propagation(edges, seeds, n_iters=2).collect()}
+    # round 1: 2 <- a (only labeled nbr 1), 3 <- b (only labeled nbr 4)
+    # round 2: clamped seeds unchanged; 2 nbrs {1:a, 3:b} tie -> 'a'; 3 nbrs {2:a, 4:b} tie -> 'a'... 
+    # tie-break smallest label = 'a'
+    assert got[1] == "a" and got[4] == "b"
+    assert got[2] == "a" and got[3] == "a"
+
+
+def test_label_propagation_unreachable_stays_null(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    seeds = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, None)], "id long, label string"
+    )
+    got = {r.id: r.label for r in label_propagation(edges, seeds, n_iters=3).collect()}
+    assert got == {1: "a", 2: "a", 3: None, 4: None}
+
+
+def test_quantile_normalize_identity_on_single_group(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        quantile_normalize,
+    )
+
+    # one group: within-group rank == global rank, so the transform
+    # must reproduce each value (up to spine interpolation exactness
+    # at the 101 knots: with 101 values, every rank IS a knot).
+    rows = [(1, "g", float(v)) for v in range(101)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = sorted(r.nv for r in quantile_normalize(df, "v", "g", "nv").collect())
+    assert np.allclose(got, [float(v) for v in range(101)], atol=1e-9)
+
+
+def test_quantile_normalize_aligns_shifted_groups(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        quantile_normalize,
+    )
+
+    # group b = group a shifted by +1000: after normalization both
+    # groups must have identical value sets (same within-group ranks
+    # -> same global quantiles).
+    rows = [(i, "a", float(i)) for i in range(50)] + [
+        (100 + i, "b", float(i + 1000)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = quantile_normalize(df, "v", "g", "nv").collect()
+    a = sorted(round(r.nv, 6) for r in out if r.g == "a")
+    b = sorted(round(r.nv, 6) for r in out if r.g == "b")
+    assert a == b
