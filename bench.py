@@ -151,6 +151,8 @@ HEADLINE = [
     "clustering_coefficient_knn",
     "label_propagation_knn",
     "quantile_normalize_lengths",
+    "bootstrap_ci_mean",
+    "conformal_threshold_coverage",
 ]
 
 

@@ -420,3 +420,88 @@ def quantile_normalize(
     return ranked.withColumn(out_col, v_lo + (v_hi - v_lo) * frac).drop(
         "_qn_p", "_qn_spine"
     )
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+    n_replicates: int = 100,
+    ci: float = 0.9,
+) -> DataFrame:
+    """Bootstrap confidence interval for each group's mean via the
+    POISSON bootstrap — the resampling scheme that actually works
+    distributed: instead of drawing n rows with replacement (which
+    needs global coordination), each row independently enters
+    replicate r with multiplicity ~ Poisson(1); for large n the
+    replicate means are indistinguishable from the classic
+    bootstrap's (public lineage: Efron's bootstrap; the streaming
+    variant popularized by Chamandy et al., Google 2012).
+
+    Determinism: the Poisson draw is an md5-inverse-CDF lookup —
+    u = hash(row_key ∥ replicate) mapped through the Poisson(1) CDF
+    with literal thresholds — the same engine-portable discipline as
+    every sampler in `operators/sampling.py`, so replicates are
+    reproducible across runs, engines, and partitionings (the caller
+    supplies a STABLE `key_col`). Tail multiplicities ≥ 8 collapse
+    to 8 (mass ~1e-5).
+
+    Scale shape: ONE narrow explode by `n_replicates` into ONE
+    (group, replicate) hash aggregate with map-side partial weighted
+    sums, then an exact percentile over the `n_replicates` bounded
+    replicate means per group."""
+    import math
+
+    cdf = []
+    acc = 0.0
+    for k in range(8):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(acc)
+
+    lo_p, hi_p = (1.0 - ci) / 2.0, 1.0 - (1.0 - ci) / 2.0
+    reps = df.select(
+        F.col(group_col),
+        F.col(value_col).alias("_bs_v"),
+        F.col(key_col).alias("_bs_key"),
+        F.explode(F.array(*[F.lit(r) for r in range(n_replicates)])).alias(
+            "_bs_rep"
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("_bs_key").cast("string"),
+                        F.lit(":"),
+                        F.col("_bs_rep").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**13)
+    )
+    mult = F.lit(8)
+    for k in range(7, -1, -1):
+        mult = F.when(u < F.lit(cdf[k]), F.lit(k)).otherwise(mult)
+    weighted = reps.withColumn("_bs_m", mult)
+    means = weighted.groupBy(group_col, "_bs_rep").agg(
+        (
+            F.sum(F.col("_bs_v") * F.col("_bs_m"))
+            / F.sum(F.col("_bs_m"))
+        ).alias("_bs_mean")
+    )
+    return means.groupBy(group_col).agg(
+        F.round(F.avg("_bs_mean"), 4).alias("boot_mean"),
+        F.round(
+            F.percentile("_bs_mean", F.lit(lo_p)), 4
+        ).alias("ci_lo"),
+        F.round(
+            F.percentile("_bs_mean", F.lit(hi_p)), 4
+        ).alias("ci_hi"),
+    )

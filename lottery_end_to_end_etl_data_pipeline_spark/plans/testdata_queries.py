@@ -4600,7 +4600,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   welch_ab_test, phrase_search_positional, attribution_models,
     #   frequent_item_pairs, ols_normal_equations,
     #   clustering_coefficient_knn, label_propagation_knn,
-    #   quantile_normalize_lengths
+    #   quantile_normalize_lengths, bootstrap_ci_mean,
+    #   conformal_threshold_coverage
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -9474,6 +9475,139 @@ def quantile_normalize_lengths(spark, sf_dir):
         F.round(F.avg("nv"), 4).alias("mean_norm"),
         F.round(F.min("nv"), 4).alias("min_norm"),
         F.round(F.max("nv"), 4).alias("max_norm"),
+    )
+
+
+def _poisson_cdf_literals() -> list[float]:
+    import math
+
+    cdf, acc = [], 0.0
+    for k in range(8):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(acc)
+    return cdf
+
+
+_BOOT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_poisson_cdf_literals())
+    )
+    + " ELSE 8 END"
+)
+
+
+@query(
+    "bootstrap_ci_mean",
+    oracle=f"""
+    WITH reps AS (
+      SELECT event_type, value, event_id,
+             unnest(range(0, 100)) AS rep
+      FROM events
+    ),
+    drawn AS (
+      SELECT event_type, value,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+                                 CAST(rep AS VARCHAR)), 1, 13))::UBIGINT
+               / 4503599627370496.0 AS u,
+             rep
+      FROM reps
+    ),
+    weighted AS (
+      SELECT event_type, rep, value, {_BOOT_CASE} AS m FROM drawn
+    ),
+    means AS (
+      SELECT event_type, rep,
+             SUM(value * m) / SUM(m) AS bm
+      FROM weighted GROUP BY event_type, rep
+    )
+    SELECT event_type,
+           ROUND(AVG(bm), 4) AS boot_mean,
+           ROUND(quantile_cont(bm, 0.05), 4) AS ci_lo,
+           ROUND(quantile_cont(bm, 0.95), 4) AS ci_hi
+    FROM means GROUP BY event_type
+    """,
+)
+def bootstrap_ci_mean(spark, sf_dir):
+    """Poisson-bootstrap confidence intervals
+    (operators/analytics.py::poisson_bootstrap_ci — Efron's bootstrap
+    in the per-row-independent form that distributes, Chamandy et
+    al.'s streaming scheme): each event enters replicate r with
+    multiplicity Poisson(1) drawn by md5-inverse-CDF (engine-portable
+    "randomness", literal CDF thresholds shared with the oracle), 100
+    replicate means per event_type, exact 5th/95th percentiles as the
+    90% CI. The md5 scale divisor is 2⁵² so u is EXACT in both
+    engines and every multiplicity matches; replicate means then
+    value-check to 4 dp. One narrow ×100 explode + one (group,
+    replicate) map-side-combined aggregate — no global resampling
+    coordination, the property that makes bootstrap possible at
+    100 TB."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        poisson_bootstrap_ci,
+    )
+
+    return poisson_bootstrap_ci(
+        t(spark, sf_dir, "events"), "value", "event_type", "event_id",
+        n_replicates=100, ci=0.9,
+    )
+
+
+@query(
+    "conformal_threshold_coverage",
+    oracle="""
+    WITH cal AS (
+      SELECT event_type, value FROM events WHERE event_id % 5 < 4
+    ),
+    thr AS (
+      SELECT event_type, quantile_cont(value, 0.9) AS q,
+             CAST(COUNT(*) AS BIGINT) AS n_cal
+      FROM cal GROUP BY event_type
+    ),
+    test AS (
+      SELECT event_type, value FROM events WHERE event_id % 5 = 4
+    )
+    SELECT t.event_type, thr.n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(thr.q, 4) AS threshold,
+           ROUND(AVG(CASE WHEN t.value <= thr.q THEN 1.0 ELSE 0.0 END), 4)
+             AS coverage
+    FROM test t JOIN thr ON thr.event_type = t.event_type
+    GROUP BY t.event_type, thr.n_cal, thr.q
+    """,
+)
+def conformal_threshold_coverage(spark, sf_dir):
+    """Split-conformal calibration: the 90th-percentile threshold
+    learned on a calibration split (md5-free deterministic 80/20 on
+    event_id) must cover ≈90% of the held-out split — the
+    distribution-free prediction-interval guarantee every score-based
+    filter (quality classifiers, anomaly gates) should be audited
+    with before its threshold ships. One aggregate per split + a
+    broadcast join of the per-group thresholds; the oracle replays
+    threshold AND realized coverage exactly."""
+    ev = t(spark, sf_dir, "events")
+    cal = ev.filter(F.col("event_id") % 5 < 4)
+    test = ev.filter(F.col("event_id") % 5 == 4)
+    thr = cal.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.9)).alias("q"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    return (
+        test.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "n_cal", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(
+                F.avg(F.when(F.col("value") <= F.col("q"), 1.0).otherwise(0.0)),
+                4,
+            ).alias("coverage"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            F.round("q", 4).alias("threshold"),
+            "coverage",
+        )
     )
 
 

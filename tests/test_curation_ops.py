@@ -462,3 +462,23 @@ def test_quantile_normalize_aligns_shifted_groups(spark):
     a = sorted(round(r.nv, 6) for r in out if r.g == "a")
     b = sorted(round(r.nv, 6) for r in out if r.g == "b")
     assert a == b
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_reproduces(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        poisson_bootstrap_ci,
+    )
+
+    rng = np.random.default_rng(21)
+    vals = rng.normal(50, 5, 400)
+    rows = [("g", int(i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    r1 = poisson_bootstrap_ci(df, "v", "g", "k", n_replicates=50).collect()[0]
+    assert r1.ci_lo < vals.mean() < r1.ci_hi
+    # CI width ~ 2*1.64*sigma/sqrt(n) ~ 0.8 — sanity band
+    assert 0.2 < (r1.ci_hi - r1.ci_lo) < 3.0
+    # deterministic across partitionings
+    r2 = poisson_bootstrap_ci(
+        df.repartition(13), "v", "g", "k", n_replicates=50
+    ).collect()[0]
+    assert (r1.boot_mean, r1.ci_lo, r1.ci_hi) == (r2.boot_mean, r2.ci_lo, r2.ci_hi)
