@@ -153,6 +153,9 @@ HEADLINE = [
     "quantile_normalize_lengths",
     "bootstrap_ci_mean",
     "conformal_threshold_coverage",
+    "edit_distance_join_parts",
+    "langid_agreement_metrics",
+    "join_size_estimation",
 ]
 
 

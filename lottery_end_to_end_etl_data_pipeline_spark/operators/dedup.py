@@ -1636,3 +1636,78 @@ def sorted_neighborhood_candidates(
             F.col("nb.offset").alias("offset"),
         )
     )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Self-join on Levenshtein distance ≤ `max_dist` with Q-GRAM
+    COUNT FILTERING — the classic string-similarity-join pruning
+    (Gravano et al. 2001): an edit operation destroys at most `q`
+    q-grams, so strings within distance d share at least
+    ``max(|a|,|b|) − q + 1 − q·d`` positional-free q-grams; pairs
+    below that bound can't qualify and never reach the (expensive)
+    exact Levenshtein verify. A length filter (||a|−|b|| ≤ d) prunes
+    first.
+
+    Plan: q-gram postings → count-join on shared grams (inverted
+    index, same shape as the shingle family) → count/length bound
+    filter → exact `levenshtein` on survivors. Emits
+    (id_a, id_b, key_a, key_b, dist). Scale: candidate volume is
+    bounded by shared-gram collisions, not n²; hot grams behave like
+    hot shingles (AQE skew-split; a df cap composes if needed).
+
+    Validity contract: the ≥1-shared-gram requirement is only implied
+    by the count bound for keys of length ≥ q·(max_dist + 1); shorter
+    keys can sit within distance while sharing no q-gram and would be
+    missed — filter them out or lower q (instance-pair counting can
+    only OVER-estimate the bag intersection, which keeps the filter
+    lossless on the long side)."""
+    # substring with a dynamic start needs expr()
+    gram_expr = (
+        f"filter(transform(sequence(1, greatest(length({key_col}) - {q} + 1, 1)), "
+        f"i -> substring({key_col}, i, {q})), x -> length(x) = {q})"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        F.length(key_col).alias("len"),
+        F.explode(F.expr(gram_expr)).alias("gram"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(max_dist)
+            ),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            F.col("a.len").alias("len_a"),
+            F.col("b.len").alias("len_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    bound = (
+        F.greatest(F.col("len_a"), F.col("len_b"))
+        - q
+        + 1
+        - q * max_dist
+    )
+    return (
+        shared.filter(F.col("n_shared") >= F.greatest(bound, F.lit(1)))
+        .withColumn("dist", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "key_a", "key_b", "dist")
+    )

@@ -4575,8 +4575,10 @@ def cross_source_contamination(spark, sf_dir):
 
 _DRIVER_WINDOW_PRIORITY = [
     # NEXT-ROTATION QUEUE (round 5): entries registered after this
-    # round's window was frozen, all mirror-verified (185/185 in
-    # tools/check_oracle.py) but never in a driver CORRECTNESS record:
+    # round's window was frozen, all mirror-verified (208/208 across
+    # tools/check_oracle.py runs) but never in a driver CORRECTNESS
+    # record — 58 queued; rotate the first 50 next round, the rest
+    # (plus any round-5 additions) the round after:
     #   odds_by_draw_type, multimodal_decode_roundtrip,
     #   grouping_sets_sales, stat_moments_surface, map_functions_surface,
     #   activity_streaks, ngram_diversity_by_lang, count_min_heavy_hitters,
@@ -4601,7 +4603,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   frequent_item_pairs, ols_normal_equations,
     #   clustering_coefficient_knn, label_propagation_knn,
     #   quantile_normalize_lengths, bootstrap_ci_mean,
-    #   conformal_threshold_coverage
+    #   conformal_threshold_coverage, edit_distance_join_parts,
+    #   langid_agreement_metrics, join_size_estimation
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -9607,6 +9610,206 @@ def conformal_threshold_coverage(spark, sf_dir):
             "n_test",
             F.round("q", 4).alias("threshold"),
             "coverage",
+        )
+    )
+
+
+@query(
+    "edit_distance_join_parts",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name FROM part WHERE p_partkey < 300
+    ),
+    pairs AS (
+      SELECT levenshtein(a.p_name, b.p_name) AS dist
+      FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    )
+    SELECT CAST(dist AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY dist
+    """,
+)
+def edit_distance_join_parts(spark, sf_dir):
+    """String-similarity self-join on Levenshtein ≤ 2
+    (operators/dedup.py::edit_distance_join, Gravano-style q-gram
+    count filtering): an edit destroys ≤ q q-grams, so qualifying
+    pairs must share ≥ max(len)−q+1−q·d grams — the inverted
+    q-gram index + length filter prune candidates BEFORE any exact
+    Levenshtein runs. The oracle brute-forces all C(300,2) pairs, so
+    the driver hash proves the pruned path is LOSSLESS on this
+    key population (all keys ≥ the q·(d+1) validity length). Output:
+    pair census per distance."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        edit_distance_join,
+    )
+
+    parts = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    pairs = edit_distance_join(parts, "p_name", "p_partkey", max_dist=2, q=2)
+    return pairs.groupBy(F.col("dist").cast("int").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@query(
+    "langid_agreement_metrics",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tk
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang,
+        len(list_intersect(tk, ['der','die','das','und','ist','ein','nicht','von'])) AS h_de,
+        len(list_intersect(tk, ['the','and','of','to','a','in','is','it'])) AS h_en,
+        len(list_intersect(tk, ['el','la','de','que','y','en','un','es'])) AS h_es,
+        len(list_intersect(tk, ['le','la','de','et','un','une','est','que'])) AS h_fr,
+        len(list_intersect(tk, ['de5','shi4','le5','zai4','you3','he2','wo3','ta1'])) AS h_zh
+      FROM toks
+    ),
+    pred AS (
+      SELECT lang,
+        CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+             WHEN h_de >= greatest(h_en,h_es,h_fr,h_zh) THEN 'de'
+             WHEN h_en >= greatest(h_es,h_fr,h_zh) THEN 'en'
+             WHEN h_es >= greatest(h_fr,h_zh) THEN 'es'
+             WHEN h_fr >= h_zh THEN 'fr'
+             ELSE 'zh' END AS lang_pred
+      FROM hits
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM pred),
+    act AS (SELECT lang, COUNT(*) AS na FROM pred GROUP BY lang),
+    prd AS (SELECT lang_pred, COUNT(*) AS np FROM pred GROUP BY lang_pred),
+    tp AS (SELECT lang, COUNT(*) AS ntp FROM pred WHERE lang = lang_pred GROUP BY lang),
+    po AS (SELECT COALESCE(SUM(ntp), 0) / total AS v FROM tp, n GROUP BY total),
+    pe AS (
+      SELECT SUM(act.na * COALESCE(prd.np, 0)) / (total * total) AS v
+      FROM act LEFT JOIN prd ON prd.lang_pred = act.lang, n GROUP BY total
+    ),
+    f1 AS (
+      SELECT AVG(2.0 * COALESCE(tp.ntp, 0)
+                 / (act.na + COALESCE(prd.np, 0))) AS macro
+      FROM act
+      LEFT JOIN prd ON prd.lang_pred = act.lang
+      LEFT JOIN tp ON tp.lang = act.lang
+    )
+    SELECT CAST(n.total AS BIGINT) AS n_docs,
+           ROUND(po.v, 4) AS accuracy,
+           ROUND((po.v - pe.v) / (1.0 - pe.v), 4) AS cohens_kappa,
+           ROUND(f1.macro, 4) AS macro_f1
+    FROM n, po, pe, f1
+    """,
+)
+def langid_agreement_metrics(spark, sf_dir):
+    """Annotator-agreement / classifier-eval metrics over the lang-ID
+    predictions (operators/text.py::lang_id vs the gold lang column):
+    accuracy, Cohen's kappa (chance-corrected agreement — the
+    dual-annotator QA statistic), and macro-F1 over the gold classes.
+    Everything derives from the 5×6 confusion table's marginals —
+    bounded aggregate tables joined per class, pure arithmetic, so
+    the oracle replays all three metrics exactly (the confusion
+    matrix itself is the older `lang_id_confusion` entry)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import lang_id
+
+    pred = lang_id(t(spark, sf_dir, "documents")).select("lang", "lang_pred")
+    total = pred.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    act = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("na"))
+    prd = pred.groupBy(F.col("lang_pred")).agg(F.count(F.lit(1)).alias("np"))
+    tp = (
+        pred.filter(F.col("lang") == F.col("lang_pred"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("ntp"))
+    )
+    cls = (
+        act.join(prd, act["lang"] == prd["lang_pred"], "left")
+        .join(tp, "lang", "left")
+        .select(
+            "lang",
+            "na",
+            F.coalesce("np", F.lit(0)).alias("np"),
+            F.coalesce("ntp", F.lit(0)).alias("ntp"),
+        )
+    )
+    agg = cls.agg(
+        F.sum("ntp").alias("sum_tp"),
+        F.sum(F.col("na") * F.col("np")).alias("sum_ap"),
+        F.avg(2.0 * F.col("ntp") / (F.col("na") + F.col("np"))).alias("macro"),
+    ).crossJoin(F.broadcast(total))
+    return agg.select(
+        F.col("total").cast("long").alias("n_docs"),
+        F.round(F.col("sum_tp") / F.col("total"), 4).alias("accuracy"),
+        F.round(
+            (
+                F.col("sum_tp") / F.col("total")
+                - F.col("sum_ap") / (F.col("total") * F.col("total"))
+            )
+            / (
+                F.lit(1.0)
+                - F.col("sum_ap") / (F.col("total") * F.col("total"))
+            ),
+            4,
+        ).alias("cohens_kappa"),
+        F.round("macro", 4).alias("macro_f1"),
+    )
+
+
+@query(
+    "join_size_estimation",
+    oracle="""
+    WITH ca AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+    cb AS (SELECT user_id AS k, COUNT(*) AS n FROM events
+           WHERE event_type = 'purchase' GROUP BY 1),
+    predicted AS (
+      SELECT COALESCE(SUM(ca.n * cb.n), 0) AS p
+      FROM ca JOIN cb ON cb.k = ca.k
+    ),
+    actual AS (
+      SELECT COUNT(*) AS a
+      FROM orders o JOIN (SELECT user_id FROM events
+                          WHERE event_type = 'purchase') e
+        ON e.user_id = o.o_custkey
+    )
+    SELECT CAST(p AS BIGINT) AS predicted_rows,
+           CAST(a AS BIGINT) AS actual_rows,
+           (p = a) AS estimate_exact
+    FROM predicted, actual
+    """,
+)
+def join_size_estimation(spark, sf_dir):
+    """Optimizer-statistics surface: the size of an equi-join is
+    EXACTLY Σ_k |A_k|·|B_k| over the key histograms — two
+    group-by-key aggregates and a join of the (much smaller) count
+    tables predict the join's output cardinality WITHOUT running the
+    join. The entry computes both the prediction and the real join
+    count and asserts equality — the identity behind every
+    cost-based join-order/broadcast decision (at 100 TB the same
+    shape runs on CMS/HLL sketches of the histograms instead of
+    exact counts; `count_min_heavy_hitters` is that sketch). The
+    count-table join is keys-sized, not rows-sized."""
+    orders = t(spark, sf_dir, "orders")
+    purch = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    ca = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    cb = purch.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    predicted = ca.join(cb, "k").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("p")
+    )
+    actual = (
+        orders.join(
+            purch.select("user_id"), purch["user_id"] == orders["o_custkey"]
+        ).agg(F.count(F.lit(1)).alias("a"))
+    )
+    return (
+        predicted.crossJoin(F.broadcast(actual))
+        .select(
+            F.col("p").cast("long").alias("predicted_rows"),
+            F.col("a").cast("long").alias("actual_rows"),
+            (F.col("p") == F.col("a")).alias("estimate_exact"),
         )
     )
 

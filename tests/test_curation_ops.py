@@ -482,3 +482,35 @@ def test_poisson_bootstrap_ci_brackets_mean_and_reproduces(spark):
         df.repartition(13), "v", "g", "k", n_replicates=50
     ).collect()[0]
     assert (r1.boot_mean, r1.ci_lo, r1.ci_hi) == (r2.boot_mean, r2.ci_lo, r2.ci_hi)
+
+
+def test_edit_distance_join_lossless_vs_brute(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        edit_distance_join,
+    )
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    keys = [
+        "red widget", "red widgets", "red widget", "blue bolt", "blue boltz",
+        "green gear", "green bear", "tiny gizmo", "tiny gizmos", "wide motor",
+    ]
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, "key", "id", max_dist=2, q=2).collect()
+    }
+    want = {
+        (a, b, lev(keys[a], keys[b]))
+        for a, b in itertools.combinations(range(len(keys)), 2)
+        if lev(keys[a], keys[b]) <= 2
+    }
+    assert got == want and want
