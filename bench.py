@@ -156,6 +156,8 @@ HEADLINE = [
     "edit_distance_join_parts",
     "langid_agreement_metrics",
     "join_size_estimation",
+    "holt_forecast_daily",
+    "similar_docs_query",
 ]
 
 

@@ -429,3 +429,81 @@ def time_weighted_avg(
         ).alias("tw_avg"),
         F.round(F.avg("_v"), 4).alias("plain_avg"),
     )
+
+
+def holt_linear(
+    df,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+):
+    """Holt's linear (double) exponential smoothing per group —
+    level + trend state folded over the time-ordered series:
+
+        level' = α·y + (1−α)(level + trend)
+        trend' = β(level' − level) + (1−β)·trend
+
+    init: level = y₀, trend = y₁ − y₀ (standard two-point init).
+    Returns (group, n_points, level, trend) — forecast h steps ahead
+    is level + h·trend.
+
+    Scale shape: the recursion is inherently sequential IN TIME but
+    embarrassingly parallel ACROSS groups — each group's series is
+    collected into ONE bounded array (calendar-bounded: days/weeks,
+    not corpus rows) and folded with a JVM higher-order `aggregate`;
+    state is two doubles. The left-fold evaluation order is pinned by
+    the sorted array, so results are bit-deterministic across
+    engines and partitionings. For series too long to collect
+    per-group, checkpointed chunked folds compose (state is
+    mergeable only sequentially — chunk in time order)."""
+    from pyspark.sql import functions as F
+
+    series = (
+        df.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(time_col).alias("t"),
+                            F.col(value_col).cast("double").alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("_hl_ys")
+        )
+        .filter(F.size("_hl_ys") >= 2)
+    )
+    init = F.struct(
+        F.element_at("_hl_ys", 1).alias("level"),
+        (F.element_at("_hl_ys", 2) - F.element_at("_hl_ys", 1)).alias("trend"),
+    )
+    rest = F.slice(F.col("_hl_ys"), 3, F.greatest(F.size("_hl_ys") - 2, F.lit(0)))
+    folded = F.aggregate(
+        rest,
+        init,
+        lambda acc, y: F.struct(
+            (
+                F.lit(alpha) * y
+                + (1.0 - alpha) * (acc["level"] + acc["trend"])
+            ).alias("level"),
+            (
+                F.lit(beta)
+                * (
+                    F.lit(alpha) * y
+                    + (1.0 - alpha) * (acc["level"] + acc["trend"])
+                    - acc["level"]
+                )
+                + (1.0 - beta) * acc["trend"]
+            ).alias("trend"),
+        ),
+    )
+    return series.select(
+        F.col(group_col),
+        F.size("_hl_ys").alias("n_points"),
+        folded["level"].alias("level"),
+        folded["trend"].alias("trend"),
+    )

@@ -4604,7 +4604,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   clustering_coefficient_knn, label_propagation_knn,
     #   quantile_normalize_lengths, bootstrap_ci_mean,
     #   conformal_threshold_coverage, edit_distance_join_parts,
-    #   langid_agreement_metrics, join_size_estimation
+    #   langid_agreement_metrics, join_size_estimation,
+    #   holt_forecast_daily, similar_docs_query
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -9811,6 +9812,153 @@ def join_size_estimation(spark, sf_dir):
             F.col("a").cast("long").alias("actual_rows"),
             (F.col("p") == F.col("a")).alias("estimate_exact"),
         )
+    )
+
+
+@query(
+    "holt_forecast_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+             list_transform(
+               list_sort(list(ROW(d, y))), r -> CAST(r[2] AS DOUBLE)) AS ys
+      FROM daily GROUP BY event_type
+    ),
+    folded AS (
+      SELECT event_type, len(ys) AS n_points,
+             list_reduce(
+               list_concat(
+                 [[CAST(ys[1] AS DOUBLE), CAST(ys[2] - ys[1] AS DOUBLE)]],
+                 list_transform(ys[3:], y -> [CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE)])
+               ),
+               (acc, e) -> [
+                 0.3 * e[1] + 0.7 * (acc[1] + acc[2]),
+                 0.1 * (0.3 * e[1] + 0.7 * (acc[1] + acc[2]) - acc[1])
+                   + 0.9 * acc[2]
+               ]
+             ) AS st
+      FROM series WHERE len(ys) >= 2
+    )
+    SELECT event_type, CAST(n_points AS INT) AS n_points,
+           ROUND(st[1], 4) AS level,
+           ROUND(st[2], 4) AS trend,
+           ROUND(st[1] + st[2], 4) AS forecast_1,
+           ROUND(st[1] + 3 * st[2], 4) AS forecast_3
+    FROM folded
+    """,
+)
+def holt_forecast_daily(spark, sf_dir):
+    """Holt's linear exponential smoothing per event_type
+    (operators/temporal.py::holt_linear): level+trend state folded
+    over the day-ordered daily counts (α=0.3, β=0.1), forecasting 1
+    and 3 days ahead — the capacity-planning forecast over the same
+    daily series `ewma_daily_value` smooths. The recursion is
+    sequential in time but parallel across groups; each group's
+    series is calendar-bounded (30 days), folded by ONE JVM
+    higher-order aggregate with two doubles of state. The left-fold
+    order is pinned by the sorted array, so the oracle's
+    `list_reduce` replays it bit-for-bit."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+        holt_linear,
+    )
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    fitted = holt_linear(daily, "event_type", "d", "y", alpha=0.3, beta=0.1)
+    return fitted.select(
+        "event_type",
+        F.col("n_points").cast("int").alias("n_points"),
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 4).alias("forecast_1"),
+        F.round(F.col("level") + 3 * F.col("trend"), 4).alias("forecast_3"),
+    )
+
+
+@query(
+    "similar_docs_query",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                              i -> array_to_string(tk[i:i+2], ' ')),
+               x -> x <> '')) AS s
+      FROM toks
+    ),
+    q AS (SELECT s AS qs FROM sh WHERE doc_id = 0),
+    scored AS (
+      SELECT sh.doc_id,
+             len(list_intersect(sh.s, q.qs)) AS n_common,
+             len(sh.s) AS n_d, len(q.qs) AS n_q
+      FROM sh, q WHERE sh.doc_id <> 0
+    )
+    SELECT doc_id,
+           CAST(n_common AS BIGINT) AS n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (n_d + n_q - n_common), 4) AS jaccard
+    FROM scored
+    WHERE n_common > 0
+    ORDER BY ROUND(CAST(n_common AS DOUBLE) / (n_d + n_q - n_common), 4) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def similar_docs_query(spark, sf_dir):
+    """Query-time similar-document search (the SEARCH counterpart of
+    the dedup family): doc 0's shingle set broadcasts as a literal
+    into a narrow intersection scan — per-query cost is ONE corpus
+    scan with no joins and no shuffle except the top-10 TakeOrdered
+    (and with the `write_minhash_index` path, a banded index probe
+    replaces the scan). Ranks on rounded Jaccard with doc_id
+    tie-break; the oracle replays the exact intersection."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("s"))
+    q_sh = [r[0] for r in sh.filter(F.col("doc_id") == 0).select(
+        F.explode("s")
+    ).collect()]
+    q_arr = F.array(*[F.lit(x) for x in q_sh])
+    scored = (
+        sh.filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("s", q_arr)).alias("n_common"),
+            F.size("s").alias("n_d"),
+        )
+        .filter(F.col("n_common") > 0)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_d") + F.lit(len(q_sh)) - F.col("n_common")).cast(
+                    "double"
+                ),
+                4,
+            ),
+        )
+    )
+    return (
+        scored.select("doc_id", F.col("n_common").cast("long").alias("n_common"), "jaccard")
+        .orderBy(F.desc("jaccard"), F.asc("doc_id"))
+        .limit(10)
     )
 
 

@@ -514,3 +514,19 @@ def test_edit_distance_join_lossless_vs_brute(spark):
         if lev(keys[a], keys[b]) <= 2
     }
     assert got == want and want
+
+
+def test_holt_linear_matches_python_recursion(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import holt_linear
+
+    ys = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 17.0]
+    rows = [("g", i, v) for i, v in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, t int, v double").repartition(3)
+    r = holt_linear(df, "g", "t", "v", alpha=0.3, beta=0.1).collect()[0]
+    level, trend = ys[0], ys[1] - ys[0]
+    for y in ys[2:]:
+        nl = 0.3 * y + 0.7 * (level + trend)
+        trend = 0.1 * (nl - level) + 0.9 * trend
+        level = nl
+    assert r.n_points == 7
+    assert abs(r.level - level) < 1e-12 and abs(r.trend - trend) < 1e-12
