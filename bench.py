@@ -158,6 +158,8 @@ HEADLINE = [
     "join_size_estimation",
     "holt_forecast_daily",
     "similar_docs_query",
+    "mutual_information_event_dow",
+    "personalized_pagerank_knn",
 ]
 
 

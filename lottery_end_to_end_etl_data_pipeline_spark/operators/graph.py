@@ -317,3 +317,86 @@ def label_propagation(
     return current.select(
         F.col("id").alias(id_col), F.col("lbl").alias(label_col)
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: teleport mass — and
+    dangling mass — returns to the SEED set instead of all nodes, so
+    ranks measure proximity to the seeds (Haveliwala 2002). The
+    corpus-curation read: seed a few gold documents and the rank
+    orders the corpus by topical relatedness — seed-set expansion
+    for retrieval or targeted sampling.
+
+    Init: uniform 1/|S| on seeds, 0 elsewhere. Per round:
+    r' = (1−d)·e_S + d·(Aᵀ(r/deg) + dangling_mass·e_S). Same
+    two-exchange-per-iteration shape as `pagerank` (join ranks→edges
+    by src, aggregate by dst, 1-row dangling broadcast,
+    localCheckpoint every `checkpoint_interval`)."""
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .repartition("id")
+        .localCheckpoint(eager=True)
+    )
+    seed_ids = seeds.select(F.col(id_col).alias("id")).distinct()
+    marked = nodes.join(
+        seed_ids.withColumn("_is_seed", F.lit(True)), "id", "left"
+    ).select("id", F.coalesce("_is_seed", F.lit(False)).alias("is_seed"))
+    ns = marked.filter("is_seed").count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    base = (
+        marked.join(out_deg, "id", "left")
+        .select(
+            "id",
+            "is_seed",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed_share = F.when(F.col("is_seed"), 1.0 / ns).otherwise(0.0)
+    ranks = base.select("id", "is_seed", "deg", seed_share.alias("rank"))
+    for i in range(iterations):
+        dangling = ranks.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        contribs = (
+            edges.select(F.col(src).alias("id"), F.col(dst).alias("_to"))
+            .join(ranks.select("id", "rank", "deg"), "id")
+            .select("_to", (F.col("rank") / F.col("deg")).alias("_c"))
+            .groupBy(F.col("_to").alias("id"))
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            base.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                "is_seed",
+                "deg",
+                (
+                    (1.0 - damping) * seed_share
+                    + damping
+                    * (
+                        F.coalesce("_in", F.lit(0.0))
+                        + F.col("_dm") * seed_share
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_interval == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("id", "rank")

@@ -4605,7 +4605,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   quantile_normalize_lengths, bootstrap_ci_mean,
     #   conformal_threshold_coverage, edit_distance_join_parts,
     #   langid_agreement_metrics, join_size_estimation,
-    #   holt_forecast_daily, similar_docs_query
+    #   holt_forecast_daily, similar_docs_query,
+    #   mutual_information_event_dow, personalized_pagerank_knn
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -9958,6 +9959,140 @@ def similar_docs_query(spark, sf_dir):
     return (
         scored.select("doc_id", F.col("n_common").cast("long").alias("n_common"), "jaccard")
         .orderBy(F.desc("jaccard"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "mutual_information_event_dow",
+    oracle="""
+    WITH joint AS (
+      SELECT event_type AS x, dayofweek(ts) AS y, COUNT(*) AS nxy
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n FROM joint),
+    mx AS (SELECT x, SUM(nxy) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, SUM(nxy) AS ny FROM joint GROUP BY y),
+    terms AS (
+      SELECT j.nxy / t.n * ln((j.nxy * t.n) / (mx.nx * CAST(my.ny AS DOUBLE)))
+               AS term,
+             j.nxy
+      FROM joint j
+      JOIN mx ON mx.x = j.x JOIN my ON my.y = j.y CROSS JOIN tot t
+    )
+    SELECT CAST(SUM(nxy) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM(term), 4) AS mutual_info_nats
+    FROM terms
+    """,
+)
+def mutual_information_event_dow(spark, sf_dir):
+    """Mutual information between event type and day-of-week — the
+    dependence screen for feature selection and leakage detection
+    (MI ≈ 0 ⇒ the column pair carries no shared signal; high MI on a
+    supposedly independent pair is a red flag). Computed from the
+    bounded contingency table: one (x, y) hash aggregate over the
+    corpus, then marginal joins on the ≤|X|·|Y| cell table — all
+    post-scan work is cardinality-bounded. Σ p(x,y)·ln(p(x,y)/
+    (p(x)p(y))) in nats, rounded 4 (the ln/accumulation class the
+    bigram-LM and entropy entries already pin cross-engine)."""
+    ev = t(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        F.col("event_type").alias("x"), F.dayofweek("ts").alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    tot = joint.agg(F.sum("nxy").cast("double").alias("n"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    terms = (
+        joint.join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nxy",
+            (
+                F.col("nxy")
+                / F.col("n")
+                * F.log(
+                    (F.col("nxy") * F.col("n"))
+                    / (F.col("nx") * F.col("ny").cast("double"))
+                )
+            ).alias("term"),
+        )
+    )
+    return terms.agg(
+        F.sum("nxy").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("term"), 4).alias("mutual_info_nats"),
+    )
+
+
+_PPR_ITER = """
+    pr{i} AS (
+      SELECT nd.id,
+             (CASE WHEN nd.id % 20 = 0 THEN 0.15 / p.ns ELSE 0.0 END)
+             + 0.85 * COALESCE(inn.s, 0.0) AS rank
+      FROM pnodes nd CROSS JOIN pparams p
+      LEFT JOIN (
+        SELECT e.dst AS id, SUM(r.rank / 3.0) AS s
+        FROM dedges e JOIN pr{prev} r ON r.id = e.src GROUP BY e.dst
+      ) inn ON inn.id = nd.id
+    )"""
+
+
+@query(
+    "personalized_pagerank_knn",
+    oracle="WITH "
+    + _KNN_EDGES_CTE
+    + """,
+    pnodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges
+      )
+    ),
+    pparams AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM pnodes WHERE id % 20 = 0
+    ),
+    pr0 AS (
+      SELECT nd.id,
+             CASE WHEN nd.id % 20 = 0 THEN 1.0 / p.ns ELSE 0.0 END AS rank
+      FROM pnodes nd CROSS JOIN pparams p
+    ),"""
+    + ",".join(_PPR_ITER.format(i=i, prev=i - 1) for i in range(1, 9))
+    + """
+    SELECT id, round(rank, 6) AS rank FROM pr8
+    ORDER BY round(rank, 6) DESC, id ASC LIMIT 10
+    """,
+)
+def personalized_pagerank_knn(spark, sf_dir):
+    """Personalized (topic-sensitive) PageRank
+    (operators/graph.py::personalized_pagerank, Haveliwala 2002):
+    teleport — and dangling mass — returns to a 10-document SEED set
+    (vec_id % 20 = 0), so ranks measure topical proximity to the
+    seeds: seed-set expansion for targeted sampling and retrieval.
+    Same deterministic vec_id<200 top-3 kNN graph and the same
+    two-exchange power iteration as `knn_graph_centrality`; every
+    node has out-degree 3, so the oracle's 8 unrolled CTE rounds
+    replay the recurrence exactly (round-6 at the cut, both
+    engines)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    edges = knn_join(queries, emb, k=3, exclude_same_id=True).select(
+        F.col("qid").alias("src"), F.col("cid").alias("dst")
+    )
+    seeds = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    ranks = personalized_pagerank(edges, seeds, damping=0.85, iterations=8)
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
         .limit(10)
     )
 

@@ -530,3 +530,33 @@ def test_holt_linear_matches_python_recursion(spark):
         level = nl
     assert r.n_points == 7
     assert abs(r.level - level) < 1e-12 and abs(r.trend - trend) < 1e-12
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # 5-node graph with a dangling node (4) and seeds {0, 2}
+    edge_list = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (2,)], "id long")
+    got = {
+        r.id: r.rank
+        for r in personalized_pagerank(edges, seeds, 0.85, iterations=6).collect()
+    }
+
+    n = 5
+    import numpy as np
+
+    e_s = np.array([0.5, 0, 0.5, 0, 0])
+    deg = {0: 1, 1: 1, 2: 2, 3: 1, 4: 0}
+    r = e_s.copy()
+    for _ in range(6):
+        inflow = np.zeros(n)
+        for s, d in edge_list:
+            inflow[d] += r[s] / deg[s]
+        dangling = r[4]
+        r = 0.15 * e_s + 0.85 * (inflow + dangling * e_s)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
