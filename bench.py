@@ -160,6 +160,7 @@ HEADLINE = [
     "similar_docs_query",
     "mutual_information_event_dow",
     "personalized_pagerank_knn",
+    "facility_location_coreset",
 ]
 
 

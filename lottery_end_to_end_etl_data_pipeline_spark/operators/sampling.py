@@ -412,3 +412,79 @@ def select_to_token_budget(
         .filter(F.col("_tb_cum") <= F.col("_tb_budget"))
         .drop("_tb_bucket", "_tb_offset", "_tb_budget")
     )
+
+
+def facility_location_greedy(
+    sims: DataFrame,
+    k: int = 5,
+    v_col: str = "v",
+    c_col: str = "c",
+    w_col: str = "w",
+):
+    """Greedy facility-location coreset selection: pick k documents
+    maximizing F(S) = Σ_v max_{s∈S} sim(v, s) — the classic
+    submodular "cover the corpus with representatives" objective
+    behind coreset/diverse-subset curation (greedy is (1−1/e)-optimal
+    by Nemhauser et al. 1978). `sims` is a SPARSE similarity edge
+    list (absent pairs contribute 0 — feed kNN edges, not n²).
+
+    Scale shape per step: gains are ONE join of the coverage table
+    onto the edge list + ONE candidate-keyed aggregate (both
+    hash-partitioned; edge-list-sized, never |V|²); the argmax is a
+    1-row TakeOrdered collect (bounded, like the repo's scalar
+    fetches) because the next step's filter needs the winner as a
+    literal. Coverage updates join only the winner's edges. Gains
+    round to 4 before the argmax so the pick order is
+    engine-deterministic. Returns a list of
+    (step, selected_id, gain, objective) driver-side tuples (k
+    rows — the selection IS driver-sized)."""
+    edges = sims.select(
+        F.col(v_col).alias("_fl_v"),
+        F.col(c_col).alias("_fl_c"),
+        F.greatest(F.col(w_col), F.lit(0.0)).alias("_fl_w"),
+    ).localCheckpoint(eager=True)
+    cov = (
+        edges.select(F.col("_fl_v").alias("v"))
+        .union(edges.select(F.col("_fl_c").alias("v")))
+        .distinct()
+        .withColumn("cov", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    selected: list[int] = []
+    out = []
+    for step in range(k):
+        gains = (
+            edges.join(cov, edges["_fl_v"] == cov["v"])
+            .groupBy("_fl_c")
+            .agg(
+                F.round(
+                    F.sum(F.greatest(F.col("_fl_w") - F.col("cov"), F.lit(0.0))),
+                    4,
+                ).alias("gain")
+            )
+        )
+        if selected:
+            gains = gains.filter(~F.col("_fl_c").isin(selected))
+        pick = gains.orderBy(F.desc("gain"), F.asc("_fl_c")).limit(1).collect()
+        if not pick:
+            break
+        sel_id, gain = pick[0]["_fl_c"], float(pick[0]["gain"])
+        selected.append(sel_id)
+        sel_edges = edges.filter(F.col("_fl_c") == F.lit(sel_id)).select(
+            F.col("_fl_v").alias("v"), F.col("_fl_w").alias("_w_new")
+        )
+        cov = (
+            cov.join(sel_edges, "v", "left")
+            .select(
+                "v",
+                F.greatest(
+                    F.col("cov"), F.coalesce("_w_new", F.lit(0.0))
+                ).alias("cov"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        objective = float(
+            cov.agg(F.round(F.sum("cov"), 4).alias("o")).first()["o"]
+        )
+        out.append((step + 1, sel_id, gain, objective))
+    return out

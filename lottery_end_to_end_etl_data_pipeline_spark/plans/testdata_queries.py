@@ -4606,7 +4606,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   conformal_threshold_coverage, edit_distance_join_parts,
     #   langid_agreement_metrics, join_size_estimation,
     #   holt_forecast_daily, similar_docs_query,
-    #   mutual_information_event_dow, personalized_pagerank_knn
+    #   mutual_information_event_dow, personalized_pagerank_knn,
+    #   facility_location_coreset
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -10094,6 +10095,101 @@ def personalized_pagerank_knn(spark, sf_dir):
         ranks.select("id", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(10)
+    )
+
+
+def _fl_oracle(k: int = 5) -> str:
+    head = """
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+    scored AS (
+      SELECT q.vec_id AS src, c.vec_id AS dst,
+             round(
+               list_sum(list_transform(list_zip(c.embedding, q.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*x)))
+                  * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*x)))),
+             4) AS cosine
+      FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+    ),
+    rankededge AS (
+      SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+      FROM scored
+    ),
+    fedges AS (
+      SELECT src AS v, dst AS c, GREATEST(cosine, 0.0) AS w
+      FROM rankededge WHERE rnk <= 5
+    ),
+    cov0 AS (
+      SELECT DISTINCT id AS v, 0.0 AS cov FROM (
+        SELECT v AS id FROM fedges UNION ALL SELECT c FROM fedges
+      )
+    )"""
+    parts = [head]
+    for i in range(k):
+        not_in = (
+            f"WHERE e.c NOT IN (SELECT id FROM picked{i - 1})" if i > 0 else ""
+        )
+        picked_acc = (
+            f"SELECT id FROM picked{i - 1} UNION ALL SELECT id FROM pick{i}"
+            if i > 0
+            else f"SELECT id FROM pick{i}"
+        )
+        parts.append(f""",
+    g{i} AS (
+      SELECT e.c, round(SUM(GREATEST(e.w - cv.cov, 0.0)), 4) AS gain
+      FROM fedges e JOIN cov{i} cv ON cv.v = e.v
+      {not_in}
+      GROUP BY e.c
+    ),
+    pick{i} AS (SELECT c AS id, gain FROM g{i} ORDER BY gain DESC, c LIMIT 1),
+    picked{i} AS ({picked_acc}),
+    cov{i + 1} AS (
+      SELECT cv.v, GREATEST(cv.cov, COALESCE(se.w, 0.0)) AS cov
+      FROM cov{i} cv LEFT JOIN (
+        SELECT e.v, e.w FROM fedges e JOIN pick{i} p ON e.c = p.id
+      ) se ON se.v = cv.v
+    ),
+    obj{i} AS (SELECT round(SUM(cov), 4) AS o FROM cov{i + 1})""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, pick{i}.id AS selected_id, pick{i}.gain, "
+        f"obj{i}.o AS objective FROM pick{i}, obj{i}"
+        for i in range(k)
+    )
+    return "".join(parts) + "\n    " + finals
+
+
+@query("facility_location_coreset", oracle=_fl_oracle(5))
+def facility_location_coreset(spark, sf_dir):
+    """Submodular coreset selection
+    (operators/sampling.py::facility_location_greedy): greedily pick
+    5 documents maximizing Σ_v max_{s∈S} sim(v, s) over the sparse
+    top-5 kNN similarity edges (vec_id < 100) — the
+    (1−1/e)-guaranteed diverse-representatives objective
+    (Nemhauser 1978) behind coreset curation. Each step is one
+    coverage⋈edges join + one candidate aggregate + a 1-row argmax
+    (gains rounded 4 → deterministic pick order); the oracle unrolls
+    all five greedy steps in SQL, value-checking every pick, its
+    marginal gain, AND the objective trajectory."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        facility_location_greedy,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    sims = knn_join(queries, emb, k=5, exclude_same_id=True).select(
+        F.col("qid").alias("v"), F.col("cid").alias("c"), F.col("cosine").alias("w")
+    )
+    # the greedy loop's per-step tables are graph-sized (100 nodes) —
+    # scope the shuffle width down like the streaming drains do.
+    with stream_state_width(spark, 8):
+        picks = facility_location_greedy(sims, k=5)
+    return spark.createDataFrame(
+        [(s, i, g, o) for s, i, g, o in picks],
+        "step int, selected_id long, gain double, objective double",
     )
 
 

@@ -560,3 +560,41 @@ def test_personalized_pagerank_matches_numpy(spark):
         r = 0.15 * e_s + 0.85 * (inflow + dangling * e_s)
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+
+
+def test_facility_location_greedy_matches_python(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        facility_location_greedy,
+    )
+
+    # hand-built sparse sims: candidates 10, 11, 12 covering {1,2,3,4}
+    sims = [
+        (1, 10, 0.9), (2, 10, 0.8),
+        (3, 11, 0.7), (4, 11, 0.6),
+        (1, 12, 0.95), (3, 12, 0.1),
+    ]
+    df = spark.createDataFrame(sims, "v long, c long, w double")
+    picks = facility_location_greedy(df, k=3)
+
+    # python replay
+    import collections
+
+    edges = collections.defaultdict(dict)
+    for v, c, w in sims:
+        edges[c][v] = w
+    cov = {v: 0.0 for v in {1, 2, 3, 4, 10, 11, 12}}
+    sel, want = [], []
+    for step in range(3):
+        gains = {
+            c: round(sum(max(w - cov[v], 0.0) for v, w in vs.items()), 4)
+            for c, vs in edges.items()
+            if c not in sel
+        }
+        c_star = min(gains, key=lambda c: (-gains[c], c))
+        sel.append(c_star)
+        for v, w in edges[c_star].items():
+            cov[v] = max(cov[v], w)
+        want.append(
+            (step + 1, c_star, gains[c_star], round(sum(cov.values()), 4))
+        )
+    assert [(s, i, g, o) for s, i, g, o in picks] == want
