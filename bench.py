@@ -161,6 +161,8 @@ HEADLINE = [
     "mutual_information_event_dow",
     "personalized_pagerank_knn",
     "facility_location_coreset",
+    "session_path_trigrams",
+    "theil_sen_daily_trend",
 ]
 
 

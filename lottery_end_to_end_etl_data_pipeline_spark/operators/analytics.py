@@ -468,24 +468,20 @@ def poisson_bootstrap_ci(
             "_bs_rep"
         ),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("_bs_key").cast("string"),
-                        F.lit(":"),
-                        F.col("_bs_rep").cast("string"),
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / float(16**13)
+    # Mixed-congruential draw instead of md5: u derives from exact
+    # 64-bit integer arithmetic (key and replicate each advance by a
+    # large odd stride; the replicate stride is ⌊φ·2³²⌋, the golden-
+    # ratio constant, so the 100 replicate u's of one key equi-
+    # distribute). Exact in both engines — same multiplicities — and
+    # ~10× cheaper than hashing rows×replicates strings (md5 remains
+    # the right draw when keys are adversarial/clustered strings).
+    v = F.pmod(
+        F.col("_bs_key").cast("long") * F.lit(1103515245)
+        + F.lit(12345)
+        + F.col("_bs_rep").cast("long") * F.lit(2654435761),
+        F.lit(2**32),
     )
+    u = v.cast("double") / float(2**32)
     mult = F.lit(8)
     for k in range(7, -1, -1):
         mult = F.when(u < F.lit(cdf[k]), F.lit(k)).otherwise(mult)
@@ -504,4 +500,51 @@ def poisson_bootstrap_ci(
         F.round(
             F.percentile("_bs_mean", F.lit(hi_p)), 4
         ).alias("ci_hi"),
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i) — up to ~29% contamination
+    tolerance where OLS (`grouped_linear_fit`,
+    `trend_slope_by_type`) folds to a single outlier.
+
+    Scale shape: the pairwise self-join is keyed by group and
+    intentionally bounded — use it on AGGREGATED series (daily
+    rollups: 30 days → 435 pairs; a year → 66k), never raw events;
+    for longer series sample pairs (the estimator stays consistent).
+    One group-keyed self-join + one exact-percentile aggregate.
+    Returns (group, n_points, n_pairs, ts_slope)."""
+    a = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).alias("_xa"),
+        F.col(y_col).alias("_ya"),
+    )
+    b = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).alias("_xb"),
+        F.col(y_col).alias("_yb"),
+    )
+    pairs = a.join(b, "_g").filter(F.col("_xa") < F.col("_xb"))
+    slopes = pairs.select(
+        "_g",
+        (
+            (F.col("_yb") - F.col("_ya"))
+            / (F.col("_xb") - F.col("_xa")).cast("double")
+        ).alias("_s"),
+    )
+    n_points = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    agg = slopes.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("_s", F.lit(0.5)), 4).alias("ts_slope"),
+    )
+    return n_points.join(agg, "_g").select(
+        F.col("_g").alias(group_col), "n_points", "n_pairs", "ts_slope"
     )

@@ -48,7 +48,7 @@ def pagerank(
     iterations: int = 10,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_interval: int = 2,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """PageRank by fixed-iteration power method over a directed edge
     list. Returns (id, rank) for every node appearing as source OR
@@ -68,8 +68,10 @@ def pagerank(
     aggregate broadcast back, and an eager localCheckpoint every
     `checkpoint_interval` rounds to stop the plan from re-deriving
     all prior rounds (every round would be safest but each barrier
-    costs a full job — interval 2 halves the fixed per-round latency
-    while keeping lineage depth bounded at 2)."""
+    costs a full job — measured on the 8-round kNN-graph entries,
+    interval 4 is the sweet spot: 2 pays double the barrier jobs,
+    8 lets the un-truncated plan re-derive enough rounds to cost
+    more than the barriers saved)."""
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
@@ -327,7 +329,7 @@ def personalized_pagerank(
     src: str = "src",
     dst: str = "dst",
     id_col: str = "id",
-    checkpoint_interval: int = 2,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """Personalized (topic-sensitive) PageRank: teleport mass — and
     dangling mass — returns to the SEED set instead of all nodes, so

@@ -507,3 +507,64 @@ def holt_linear(
         folded["level"].alias("level"),
         folded["trend"].alias("trend"),
     )
+
+
+def assign_sessions(
+    events,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+):
+    """Per-event session ids — the assign-only half of
+    `sessionize_batch` (same ONE exchange + sort window pipeline,
+    exact-microsecond gap arithmetic), for analyses that need the
+    session key on every event rather than per-session aggregates."""
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_sess = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+    ).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(
+        ts_col, order_tiebreak
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("_new", new_sess).withColumn(
+        "session_id", F.sum("_new").over(run)
+    ).drop("_new")
+
+
+def session_paths(
+    events,
+    n: int = 3,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+):
+    """Sequential path mining: n-grams of event types WITHIN a
+    session (the "view > click > purchase" navigation-pattern
+    census). Paths come from n−1 lead() steps over the session
+    window — the n-gram never materializes per-session arrays, so a
+    million-event session costs the same per-row work as a
+    three-event one. Returns (path, n) counts; one exchange (the
+    session window's) + one path-keyed aggregate."""
+    from pyspark.sql import functions as F
+
+    sess = assign_sessions(events, key_col, ts_col, order_tiebreak, gap_minutes)
+    w = Window.partitionBy(key_col, "session_id").orderBy(ts_col, order_tiebreak)
+    parts = [F.col(type_col)]
+    for i in range(1, n):
+        parts.append(F.lead(type_col, i).over(w))
+    path = F.concat_ws(">", *parts)
+    complete = F.lead(type_col, n - 1).over(w).isNotNull()
+    return (
+        sess.withColumn("_path", path)
+        .withColumn("_complete", complete)
+        .filter(F.col("_complete"))
+        .groupBy(F.col("_path").alias("path"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -4607,7 +4607,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   langid_agreement_metrics, join_size_estimation,
     #   holt_forecast_daily, similar_docs_query,
     #   mutual_information_event_dow, personalized_pagerank_knn,
-    #   facility_location_coreset
+    #   facility_location_coreset, session_path_trigrams,
+    #   theil_sen_daily_trend
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -9513,9 +9514,8 @@ _BOOT_CASE = (
     ),
     drawn AS (
       SELECT event_type, value,
-             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
-                                 CAST(rep AS VARCHAR)), 1, 13))::UBIGINT
-               / 4503599627370496.0 AS u,
+             CAST((event_id * 1103515245 + 12345 + rep * 2654435761)
+                  % 4294967296 AS DOUBLE) / 4294967296.0 AS u,
              rep
       FROM reps
     ),
@@ -9542,8 +9542,10 @@ def bootstrap_ci_mean(spark, sf_dir):
     multiplicity Poisson(1) drawn by md5-inverse-CDF (engine-portable
     "randomness", literal CDF thresholds shared with the oracle), 100
     replicate means per event_type, exact 5th/95th percentiles as the
-    90% CI. The md5 scale divisor is 2⁵² so u is EXACT in both
-    engines and every multiplicity matches; replicate means then
+    90% CI. The draw is exact 64-bit congruential arithmetic with a
+    golden-ratio replicate stride (u = mix(key, rep)/2³² — identical
+    in both engines, so every multiplicity matches; ~10× cheaper than
+    per-(row, replicate) md5 at 10M draws); replicate means then
     value-check to 4 dp. One narrow ×100 explode + one (group,
     replicate) map-side-combined aggregate — no global resampling
     coordination, the property that makes bootstrap possible at
@@ -10090,7 +10092,11 @@ def personalized_pagerank_knn(spark, sf_dir):
     seeds = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("id")
     )
-    ranks = personalized_pagerank(edges, seeds, damping=0.85, iterations=8)
+    # iteration checkpoints run on a 200-node graph — scope the
+    # shuffle width down (same bounded-graph move as the coreset
+    # entry); the final frame reads the last checkpoint.
+    with stream_state_width(spark, 8):
+        ranks = personalized_pagerank(edges, seeds, damping=0.85, iterations=8)
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("id"))
@@ -10191,6 +10197,117 @@ def facility_location_coreset(spark, sf_dir):
         [(s, i, g, o) for s, i, g, o in picks],
         "step int, selected_id long, gain double, objective double",
     )
+
+
+@query(
+    "session_path_trigrams",
+    oracle=r"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    grams AS (
+      SELECT event_type || '>' ||
+             lead(event_type, 1) OVER sw || '>' ||
+             lead(event_type, 2) OVER sw AS path,
+             lead(event_type, 2) OVER sw AS third
+      FROM sess
+      WINDOW sw AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)),
+    counted AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+      FROM grams WHERE third IS NOT NULL GROUP BY path
+    )
+    SELECT path, n, CAST(rnk AS INT) AS rnk FROM (
+      SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk
+      FROM counted
+    ) WHERE rnk <= 10
+    """,
+)
+def session_path_trigrams(spark, sf_dir):
+    """Sequential pattern mining
+    (operators/temporal.py::session_paths): the top-10 in-session
+    event-type trigram paths ("view>click>purchase") — the
+    navigation-pattern census behind funnel design, mined WITHOUT
+    materializing per-session arrays: two lead() steps over the
+    session window (same single exchange as `sessionize_batch_30m`,
+    whose oracle CTEs this one extends) feed a path-keyed
+    map-side-combined aggregate; the rank window runs after a
+    TakeOrdered 10-row cut."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+        session_paths,
+    )
+
+    paths = session_paths(
+        t(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        ),
+        n=3,
+        gap_minutes=30,
+    )
+    top = paths.orderBy(F.col("n").desc(), F.col("path")).limit(10)
+    w = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "path", "n", "rnk"
+    )
+
+
+@query(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS x,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS s
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND a.x < b.x
+    ),
+    np AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+           FROM daily GROUP BY event_type)
+    SELECT p.event_type, np.n_points,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(s, 0.5), 4) AS ts_slope
+    FROM pairs p JOIN np ON np.event_type = p.event_type
+    GROUP BY p.event_type, np.n_points
+    """,
+)
+def theil_sen_daily_trend(spark, sf_dir):
+    """Theil–Sen robust daily trend per event_type
+    (operators/analytics.py::theil_sen_slope): the MEDIAN of all
+    pairwise day-to-day slopes — outlier-tolerant where the OLS twin
+    (`trend_slope_by_type`) bends to a single anomalous day. The
+    pairwise join runs on the AGGREGATED 30-day series (435 pairs per
+    type — calendar-bounded by design, never raw events), then one
+    exact-percentile aggregate; the oracle replays every pair."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        theil_sen_slope,
+    )
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            ).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    return theil_sen_slope(daily, "event_type", "x", "y")
 
 
 # must run after every @query registration in this module

@@ -598,3 +598,40 @@ def test_facility_location_greedy_matches_python(spark):
             (step + 1, c_star, gains[c_star], round(sum(cov.values()), 4))
         )
     assert [(s, i, g, o) for s, i, g, o in picks] == want
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import theil_sen_slope
+
+    # y = 2x + noise-free, with one wild outlier at x=5
+    rows = [("g", x, 2.0 * x) for x in range(10)]
+    rows[5] = ("g", 5, 500.0)
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    r = theil_sen_slope(df, "g", "x", "y").collect()[0]
+    assert r.n_points == 10 and r.n_pairs == 45
+    # median pairwise slope stays at 2.0 despite the outlier
+    assert abs(r.ts_slope - 2.0) < 1e-9
+
+
+def test_session_paths_hand_sessions(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import session_paths
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1, one session: a b c d -> trigrams a>b>c, b>c>d
+        (1, t0, 1, "a"), (1, t0 + dt.timedelta(minutes=1), 2, "b"),
+        (1, t0 + dt.timedelta(minutes=2), 3, "c"),
+        (1, t0 + dt.timedelta(minutes=3), 4, "d"),
+        # gap > 30m -> new session: a b (too short for a trigram)
+        (1, t0 + dt.timedelta(hours=2), 5, "a"),
+        (1, t0 + dt.timedelta(hours=2, minutes=1), 6, "b"),
+        # user 2: a b c -> a>b>c
+        (2, t0, 7, "a"), (2, t0 + dt.timedelta(minutes=1), 8, "b"),
+        (2, t0 + dt.timedelta(minutes=2), 9, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {r.path: r.n for r in session_paths(df, n=3).collect()}
+    assert got == {"a>b>c": 2, "b>c>d": 1}
