@@ -344,3 +344,139 @@ def test_triangle_count_matches_bruteforce_property(spark):
         assert row["n_nodes"] == len(nodes)
 
     check()
+
+
+# --- round-4 operators ------------------------------------------------------
+
+POINTS = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1,
+    max_size=25,
+)
+
+
+def test_skyline_2d_matches_brute_force_property(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import skyline_2d
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(pts=POINTS)
+    def run(pts):
+        rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+
+        def dominated(p, q):
+            return (
+                q[1] >= p[1]
+                and q[2] >= p[2]
+                and (q[1] > p[1] or q[2] > p[2])
+            )
+
+        want = {
+            r[0]
+            for r in rows
+            if not any(dominated(r, q) for q in rows if q[0] != r[0])
+        }
+        got = {r.id for r in skyline_2d(df, "x", "y", n_buckets=5).collect()}
+        assert got == want
+
+    run()
+
+
+BUDGET_ROWS = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(1, 50)),  # (score*20ths, tokens)
+    min_size=1,
+    max_size=20,
+)
+
+
+def test_token_budget_prefix_property(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(rows=BUDGET_ROWS, frac_pct=st.integers(5, 95))
+    def run(rows, frac_pct):
+        data = [(i, s / 20.0, n) for i, (s, n) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id long, score double, n_tok long")
+        frac = frac_pct / 100.0
+        budget = int(frac * sum(n for _, _, n in data))
+        order = sorted(data, key=lambda r: (-r[1], r[0]))
+        cum, want = 0, set()
+        for rid, _s, n in order:
+            cum += n
+            if cum <= budget:
+                want.add(rid)
+        got = {
+            r.id
+            for r in select_to_token_budget(
+                df, "score", "n_tok", "id", budget_frac=frac, n_buckets=7
+            ).collect()
+        }
+        assert got == want
+
+    run()
+
+
+CDC_OPS = st.lists(
+    st.tuples(
+        st.integers(1, 5),                       # key
+        st.sampled_from(["I", "U", "D"]),        # op
+        st.integers(0, 100),                     # value
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def test_apply_cdc_matches_sequential_replay(spark, tmp_path):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import (
+        apply_cdc,
+        upsert_by_key,
+    )
+
+    @settings(max_examples=6, deadline=None, derandomize=True)
+    @given(ops=CDC_OPS)
+    def run(ops):
+        import uuid
+
+        path = str(tmp_path / f"cdc_{uuid.uuid4().hex[:8]}")
+        base = [(k, "p", float(k * 10)) for k in (1, 2, 3)]
+        upsert_by_key(
+            spark,
+            path,
+            spark.createDataFrame(base, "k long, part string, v double"),
+            ["k"],
+            partition_col="part",
+        )
+        # sequential dict replay with LWW-by-seq, D beats upsert on ties
+        state = {k: v for k, _, v in base}
+        winners = {}
+        for seq, (k, op, v) in enumerate(ops):
+            cur = winners.get(k)
+            if cur is None or seq >= cur[0]:
+                winners[k] = (seq, op, float(v))
+        for k, (_seq, op, v) in winners.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = v
+        changes = [
+            (k, op, "p", float(v), seq) for seq, (k, op, v) in enumerate(ops)
+        ]
+        if changes:
+            apply_cdc(
+                spark,
+                path,
+                spark.createDataFrame(
+                    changes, "k long, op string, part string, v double, seq int"
+                ),
+                ["k"],
+                op_col="op",
+                order_col="seq",
+                partition_col="part",
+            )
+        got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+        assert got == state
+
+    run()
