@@ -163,6 +163,8 @@ HEADLINE = [
     "facility_location_coreset",
     "session_path_trigrams",
     "theil_sen_daily_trend",
+    "incremental_stats_merge",
+    "psi_value_drift",
 ]
 
 

@@ -548,3 +548,126 @@ def theil_sen_slope(
     return n_points.join(agg, "_g").select(
         F.col("_g").alias(group_col), "n_points", "n_pairs", "ts_slope"
     )
+
+
+def mergeable_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Mergeable (n, mean, M2) summary per group — the Welford/
+    Chan parallel-merge state that lets statistics update
+    INCREMENTALLY: persist this for the corpus, compute it for a new
+    batch, `merge_stats` the two, and you have exact count/mean/
+    variance of the union without rescanning history. One map-side-
+    combined aggregate (Spark's var_pop already uses this machinery
+    internally; exposing the state makes it persistable)."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value_col).alias("mean"),
+        (F.var_pop(value_col) * F.count(F.lit(1))).alias("m2"),
+    )
+
+
+def merge_stats(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Chan et al. parallel merge of two `mergeable_stats` frames:
+
+        n   = n_a + n_b
+        δ   = mean_b − mean_a
+        mean = mean_a + δ·n_b/n
+        M2  = M2_a + M2_b + δ²·n_a·n_b/n
+
+    Exact algebra — the merged (n, mean, M2) equals a full recompute
+    over the union (up to float associativity), which is what makes
+    per-batch stats maintenance O(batch) instead of O(history).
+    Groups present on one side pass through unchanged (full outer)."""
+    aa = a.select(
+        F.col(group_col),
+        F.col("n").alias("_na"),
+        F.col("mean").alias("_ma"),
+        F.col("m2").alias("_m2a"),
+    )
+    bb = b.select(
+        F.col(group_col),
+        F.col("n").alias("_nb"),
+        F.col("mean").alias("_mb"),
+        F.col("m2").alias("_m2b"),
+    )
+    j = aa.join(bb, group_col, "full_outer").fillna(
+        {"_na": 0, "_nb": 0, "_m2a": 0.0, "_m2b": 0.0}
+    )
+    n = F.col("_na") + F.col("_nb")
+    ma = F.coalesce("_ma", F.lit(0.0))
+    mb = F.coalesce("_mb", F.lit(0.0))
+    delta = mb - ma
+    mean = ma + delta * F.col("_nb") / n
+    m2 = (
+        F.col("_m2a")
+        + F.col("_m2b")
+        + delta * delta * F.col("_na") * F.col("_nb") / n
+    )
+    return j.select(
+        F.col(group_col),
+        n.alias("n"),
+        mean.alias("mean"),
+        m2.alias("m2"),
+    )
+
+
+def population_stability_index(
+    df: DataFrame,
+    value_col: str,
+    split_col: str,
+    baseline_value,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a baseline population and
+    every other split — THE production drift monitor for scores and
+    features (rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25
+    action): bin edges are the baseline's exact deciles, both
+    populations histogram into those bins, and
+
+        PSI = Σ_bins (p_cur − p_base) · ln(p_cur / p_base)
+
+    Scale shape: one percentile aggregate on the baseline (1-row
+    broadcast of the edge array), one binned (split, bin) hash
+    aggregate over the corpus, then arithmetic on the bounded bin
+    table. Empty cells are floored at 1e-6 shares (the standard PSI
+    guard) so the log stays finite."""
+    probs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    edges = (
+        df.filter(F.col(split_col) == baseline_value)
+        .agg(F.percentile(value_col, probs).alias("_psi_edges"))
+    )
+    binned = df.crossJoin(F.broadcast(edges)).withColumn(
+        "_psi_bin",
+        F.aggregate(
+            "_psi_edges",
+            F.lit(0),
+            lambda acc, e: acc + F.when(F.col(value_col) > e, 1).otherwise(0),
+        ),
+    )
+    counts = binned.groupBy(split_col, "_psi_bin").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    totals = counts.groupBy(split_col).agg(F.sum("_c").alias("_t"))
+    shares = counts.join(totals, split_col).select(
+        split_col,
+        "_psi_bin",
+        F.greatest(F.col("_c") / F.col("_t"), F.lit(1e-6)).alias("_share"),
+    )
+    base = shares.filter(F.col(split_col) == baseline_value).select(
+        "_psi_bin", F.col("_share").alias("_base_share")
+    )
+    return (
+        shares.filter(F.col(split_col) != baseline_value)
+        .join(F.broadcast(base), "_psi_bin", "left")
+        .withColumn("_bs", F.coalesce("_base_share", F.lit(1e-6)))
+        .groupBy(split_col)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("_share") - F.col("_bs"))
+                    * F.log(F.col("_share") / F.col("_bs"))
+                ),
+                4,
+            ).alias("psi"),
+            F.count(F.lit(1)).alias("n_bins_hit"),
+        )
+    )

@@ -4608,7 +4608,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   holt_forecast_daily, similar_docs_query,
     #   mutual_information_event_dow, personalized_pagerank_knn,
     #   facility_location_coreset, session_path_trigrams,
-    #   theil_sen_daily_trend
+    #   theil_sen_daily_trend, incremental_stats_merge, psi_value_drift
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -10319,6 +10319,97 @@ def theil_sen_daily_trend(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("double").alias("y"))
     )
     return theil_sen_slope(daily, "event_type", "x", "y")
+
+
+@query(
+    "incremental_stats_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 4) AS mean,
+           ROUND(var_pop(value), 4) AS variance
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_stats_merge(spark, sf_dir):
+    """Incremental statistics maintenance
+    (operators/analytics.py::mergeable_stats/merge_stats): the corpus
+    splits into two batches (event_id parity), each reduces to
+    Welford (n, mean, M2) state, and the Chan parallel-merge algebra
+    combines them — the oracle computes the stats over the FULL table
+    in one pass, so the driver hash proves merged == recomputed.
+    This is the contract that keeps per-batch stats maintenance
+    O(batch) instead of O(history) (persist the state, merge each
+    new batch in). Two map-side-combined aggregates + one bounded
+    full-outer merge."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        merge_stats,
+        mergeable_stats,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    a = mergeable_stats(ev.filter(F.col("event_id") % 2 == 0), "event_type", "value")
+    b = mergeable_stats(ev.filter(F.col("event_id") % 2 == 1), "event_type", "value")
+    merged = merge_stats(a, b, "event_type")
+    return merged.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("mean", 4).alias("mean"),
+        F.round(F.col("m2") / F.col("n"), 4).alias("variance"),
+    )
+
+
+@query(
+    "psi_value_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN day(ts) <= 15 THEN 'w1' ELSE 'w2' END AS half, value
+      FROM events
+    ),
+    edges AS (
+      SELECT quantile_cont(value, [x * 0.1 FOR x IN range(1, 10)]) AS e
+      FROM tagged WHERE half = 'w1'
+    ),
+    binned AS (
+      SELECT half,
+             len(list_filter(e, x -> value > x)) AS bin
+      FROM tagged, edges
+    ),
+    counts AS (SELECT half, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+    shares AS (
+      SELECT half, bin,
+             GREATEST(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY half), 1e-6)
+               AS share
+      FROM counts
+    ),
+    basehist AS (SELECT bin, share AS bs FROM shares WHERE half = 'w1')
+    SELECT s.half,
+           ROUND(SUM((s.share - COALESCE(b.bs, 1e-6))
+                     * ln(s.share / COALESCE(b.bs, 1e-6))), 4) AS psi,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_hit
+    FROM shares s LEFT JOIN basehist b ON b.bin = s.bin
+    WHERE s.half <> 'w1'
+    GROUP BY s.half
+    """,
+)
+def psi_value_drift(spark, sf_dir):
+    """Population Stability Index
+    (operators/analytics.py::population_stability_index) — THE
+    production drift monitor: bin edges are the first half-month's
+    exact value deciles (1-row broadcast), the second half histograms
+    into them, PSI = Σ (p−q)·ln(p/q) with the standard 1e-6
+    empty-cell floor. One percentile aggregate + one (split, bin)
+    hash aggregate + bounded bin-table arithmetic; the oracle replays
+    the exact same binning and floors."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        population_stability_index,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "half",
+        F.when(F.dayofmonth("ts") <= 15, F.lit("w1")).otherwise(F.lit("w2")),
+    )
+    return population_stability_index(ev, "value", "half", "w1", n_bins=10)
 
 
 # must run after every @query registration in this module

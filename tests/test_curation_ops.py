@@ -635,3 +635,45 @@ def test_session_paths_hand_sessions(spark):
     )
     got = {r.path: r.n for r in session_paths(df, n=3).collect()}
     assert got == {"a>b>c": 2, "b>c>d": 1}
+
+
+def test_merge_stats_equals_full_recompute(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        merge_stats,
+        mergeable_stats,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [("g" + str(i % 3), int(i), float(v)) for i, v in enumerate(rng.normal(10, 3, 300))]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    a = mergeable_stats(df.filter("i % 2 = 0"), "g", "v")
+    b = mergeable_stats(df.filter("i % 2 = 1"), "g", "v")
+    merged = {r.g: (r.n, r.mean, r.m2) for r in merge_stats(a, b, "g").collect()}
+    full = {r.g: (r.n, r.mean, r.m2) for r in mergeable_stats(df, "g", "v").collect()}
+    for g in full:
+        assert merged[g][0] == full[g][0]
+        assert abs(merged[g][1] - full[g][1]) < 1e-10
+        assert abs(merged[g][2] - full[g][2]) < 1e-7
+
+    # one-sided group passes through
+    c = mergeable_stats(
+        spark.createDataFrame([("z", 0, 5.0)], "g string, i long, v double"), "g", "v"
+    )
+    m2 = {r.g: r.n for r in merge_stats(a, c, "g").collect()}
+    assert m2["z"] == 1
+
+
+def test_psi_zero_for_identical_and_positive_for_shifted(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
+        population_stability_index,
+    )
+
+    rng = np.random.default_rng(33)
+    base = rng.normal(0, 1, 2000)
+    rows = [("base", float(v)) for v in base]
+    rows += [("same", float(v)) for v in base]          # identical dist
+    rows += [("shift", float(v + 2.0)) for v in base]   # strong drift
+    df = spark.createDataFrame(rows, "split string, value double")
+    got = {r.split: r.psi for r in population_stability_index(df, "value", "split", "base").collect()}
+    assert got["same"] < 0.01
+    assert got["shift"] > 0.25
