@@ -165,6 +165,7 @@ HEADLINE = [
     "theil_sen_daily_trend",
     "incremental_stats_merge",
     "psi_value_drift",
+    "rfm_segmentation",
 ]
 
 

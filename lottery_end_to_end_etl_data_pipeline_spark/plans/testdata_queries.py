@@ -4608,7 +4608,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   holt_forecast_daily, similar_docs_query,
     #   mutual_information_event_dow, personalized_pagerank_knn,
     #   facility_location_coreset, session_path_trigrams,
-    #   theil_sen_daily_trend, incremental_stats_merge, psi_value_drift
+    #   theil_sen_daily_trend, incremental_stats_merge, psi_value_drift,
+    #   rfm_segmentation
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -10410,6 +10411,92 @@ def psi_value_drift(spark, sf_dir):
         F.when(F.dayofmonth("ts") <= 15, F.lit("w1")).otherwise(F.lit("w2")),
     )
     return population_stability_index(ev, "value", "half", "w1", n_bins=10)
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH px AS (SELECT MAX(ts) AS now FROM events),
+    rfm AS (
+      SELECT user_id,
+             date_diff('day', MAX(ts), (SELECT now FROM px)) AS recency_days,
+             COUNT(*) AS frequency,
+             ROUND(SUM(value), 2) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_days, [1.0/3, 2.0/3]) AS rc,
+             quantile_cont(frequency,    [1.0/3, 2.0/3]) AS fc,
+             quantile_cont(monetary,     [1.0/3, 2.0/3]) AS mc
+      FROM rfm
+    ),
+    scored AS (
+      SELECT CASE WHEN recency_days <= rc[1] THEN 3
+                  WHEN recency_days <= rc[2] THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency > fc[2] THEN 3
+                  WHEN frequency > fc[1] THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN monetary > mc[2] THEN 3
+                  WHEN monetary > mc[1] THEN 2 ELSE 1 END AS m_score,
+             monetary
+      FROM rfm, cuts
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(SUM(monetary), 2) AS segment_value
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic marketing-analytics cube, built the scale-correct
+    way: per-user RFM aggregates in ONE pass, then tercile THRESHOLDS
+    from one exact-percentile aggregate broadcast back as a 1-row
+    frame — no corpus-wide ntile window (the rank-free formulation
+    of quantile scoring; the approx_percentile swap holds at 100 TB).
+    Boundary semantics pinned (≤ on recency where smaller is better,
+    > on frequency/monetary) so both engines cut identical segments;
+    27-cell output with user counts and segment value."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    now = ev.agg(F.max("ts").alias("now"))
+    rfm = (
+        ev.crossJoin(F.broadcast(now))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("now"), F.max("ts")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    probs = F.array(F.lit(1.0 / 3), F.lit(2.0 / 3))
+    cuts = rfm.agg(
+        F.percentile("recency_days", probs).alias("rc"),
+        F.percentile("frequency", probs).alias("fc"),
+        F.percentile("monetary", probs).alias("mc"),
+    )
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("recency_days") <= F.element_at("rc", 1), 3)
+        .when(F.col("recency_days") <= F.element_at("rc", 2), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("r_score"),
+        F.when(F.col("frequency") > F.element_at("fc", 2), 3)
+        .when(F.col("frequency") > F.element_at("fc", 1), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("f_score"),
+        F.when(F.col("monetary") > F.element_at("mc", 2), 3)
+        .when(F.col("monetary") > F.element_at("mc", 1), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("m_score"),
+        "monetary",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("monetary"), 2).alias("segment_value"),
+    )
 
 
 # must run after every @query registration in this module
