@@ -90,7 +90,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = base.select("id", "deg", F.lit(1.0 / n).alias("rank"))
-    e = edges.select(F.col(src).alias("id"), F.col(dst).alias("dst_id"))
+    # materialize the edge list ONCE: it feeds every iteration (and
+    # every checkpoint barrier), and an un-truncated upstream plan —
+    # e.g. the kNN window join that built it — would re-execute per
+    # round otherwise (measured ~0.7 s/round on the catalog graph).
+    e = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("dst_id"))
+        .localCheckpoint(eager=True)
+    )
 
     for i in range(iterations):
         dangling = ranks.filter(F.col("deg") == 0).agg(
@@ -283,6 +290,7 @@ def label_propagation(
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)  # consumed every round
     )
     current = seeds.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("lbl")
@@ -371,6 +379,9 @@ def personalized_pagerank(
     )
     seed_share = F.when(F.col("is_seed"), 1.0 / ns).otherwise(0.0)
     ranks = base.select("id", "is_seed", "deg", seed_share.alias("rank"))
+    # same edge-materialization as `pagerank`: the list feeds every
+    # iteration; an expensive upstream build must not replay per round
+    edges = edges.localCheckpoint(eager=True)
     for i in range(iterations):
         dangling = ranks.filter(F.col("deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")

@@ -4577,8 +4577,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # NEXT-ROTATION QUEUE (round 5): entries registered after this
     # round's window was frozen, all mirror-verified (208/208 across
     # tools/check_oracle.py runs) but never in a driver CORRECTNESS
-    # record — 58 queued; rotate the first 50 next round, the rest
-    # (plus any round-5 additions) the round after:
+    # record — 71 queued (the round-4 build added 71 entries, all
+    # registered after this window froze); rotate 50 next round, the
+    # remaining 21 (plus round-5 additions) the round after:
     #   odds_by_draw_type, multimodal_decode_roundtrip,
     #   grouping_sets_sales, stat_moments_surface, map_functions_surface,
     #   activity_streaks, ngram_diversity_by_lang, count_min_heavy_hitters,
