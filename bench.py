@@ -166,6 +166,7 @@ HEADLINE = [
     "incremental_stats_merge",
     "psi_value_drift",
     "rfm_segmentation",
+    "streaming_zscore_alerts",
 ]
 
 

@@ -4610,7 +4610,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   mutual_information_event_dow, personalized_pagerank_knn,
     #   facility_location_coreset, session_path_trigrams,
     #   theil_sen_daily_trend, incremental_stats_merge, psi_value_drift,
-    #   rfm_segmentation
+    #   rfm_segmentation, streaming_zscore_alerts
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -10498,6 +10498,60 @@ def rfm_segmentation(spark, sf_dir):
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.sum("monetary"), 2).alias("segment_value"),
     )
+
+
+@query(
+    "streaming_zscore_alerts",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, ts, event_id, value,
+             COUNT(*) OVER wp AS n_prec,
+             AVG(value) OVER wp AS m_prec,
+             var_pop(value) OVER wp AS v_prec
+      FROM events
+      WINDOW wp AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, ts, event_id,
+           ROUND((value - m_prec) / sqrt(v_prec), 4) AS z,
+           CAST(n_prec AS BIGINT) AS n_seen
+    FROM ordered
+    WHERE n_prec >= 30 AND v_prec > 0
+      AND abs((value - m_prec) / sqrt(v_prec)) >= 2.5
+    """,
+)
+def streaming_zscore_alerts(spark, sf_dir):
+    """Prequential streaming anomaly alerts, driver-checked end to
+    end (streaming/incremental.py::running_zscore_alerts — the
+    SECOND custom stateful operator beside `sessionize`): each
+    event_type carries O(1) Welford state, every event scores
+    against the state BEFORE updating it (test-then-train — an
+    outlier can't mask itself), |z| ≥ 2.5 after 30 observations
+    emits an alert. Under an AvailableNow drain the prequential
+    sequence equals the batch expanding-window replay, which is
+    EXACTLY the oracle — so a streaming stateful operator gets a
+    full value-hash check. State is key-cardinality-bounded (three
+    numbers per event type), never a value buffer."""
+    import hashlib
+
+    from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
+        running_zscore_alerts,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    alerts = running_zscore_alerts(stream, z_threshold=2.5, min_history=30)
+    name = "stream_za_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    spark.catalog.dropTempView(name)
+    with stream_state_width(spark):
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 # must run after every @query registration in this module

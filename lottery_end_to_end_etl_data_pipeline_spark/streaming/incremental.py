@@ -312,3 +312,90 @@ def enrich_with_dim(
 
     cond = on if on is not None else stream[stream_key] == dim[dim_key]
     return stream.join(F.broadcast(dim), cond, "inner")
+
+
+ALERT_OUTPUT_SCHEMA = (
+    "event_type string, ts timestamp, event_id long, z double, n_seen long"
+)
+ALERT_STATE_SCHEMA = "n long, mean double, m2 double"
+
+
+def running_zscore_alerts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    z_threshold: float = 2.5,
+    min_history: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Second custom STATEFUL streaming operator
+    (`applyInPandasWithState`): a prequential anomaly monitor — each
+    key carries Welford (n, mean, M2) running state, every arriving
+    event is z-scored against the state BEFORE it updates it
+    (test-then-train, so an outlier can't mask itself), and events
+    with |z| ≥ `z_threshold` after `min_history` observations emit
+    alert rows. The production shape for live metric monitoring:
+    state is O(1) per key (three numbers), never a value buffer —
+    bounded by KEY CARDINALITY, not stream length, so no timeout is
+    needed for state size (keys here are event types; add TTL
+    eviction for unbounded key spaces).
+
+    Determinism contract (what lets the driver hash-check a
+    streaming operator): within a batch each key's rows process in
+    (ts, id) order, and prequential scoring under an AvailableNow
+    single-batch drain equals the batch expanding-window replay the
+    oracle runs (preceding-rows mean/var_pop per key)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (etype,) = key
+        rows = []
+        for pdf in pdfs:
+            for ts, eid, v in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
+                rows.append(
+                    (int(pd.Timestamp(ts).value // 1_000), int(eid), float(v))
+                )
+        rows.sort()
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        alerts = []
+        for ts_us, eid, v in rows:
+            if n >= min_history and m2 > 0.0:
+                z = (v - mean) / (m2 / n) ** 0.5
+                if abs(z) >= z_threshold:
+                    alerts.append((ts_us, eid, round(z, 4), n))
+            n += 1
+            delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+        state.update((n, mean, m2))
+        if alerts:
+            yield pd.DataFrame(
+                {
+                    "event_type": [etype] * len(alerts),
+                    "ts": [pd.Timestamp(a[0], unit="us") for a in alerts],
+                    "event_id": [a[1] for a in alerts],
+                    "z": [a[2] for a in alerts],
+                    "n_seen": [a[3] for a in alerts],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            ALERT_OUTPUT_SCHEMA,
+            ALERT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

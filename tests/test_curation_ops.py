@@ -677,3 +677,40 @@ def test_psi_zero_for_identical_and_positive_for_shifted(spark):
     got = {r.split: r.psi for r in population_stability_index(df, "value", "split", "base").collect()}
     assert got["same"] < 0.01
     assert got["shift"] > 0.25
+
+
+def test_running_zscore_alerts_prequential(spark, tmp_path):
+    import datetime as dt
+
+    from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
+        running_zscore_alerts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 40 calm points then one spike: only the spike may alert, and its
+    # baseline must EXCLUDE itself (prequential) — mean 10, std ~1.
+    rows = [
+        ("a", t0 + dt.timedelta(minutes=i), i, 10.0 + (1.0 if i % 2 else -1.0))
+        for i in range(40)
+    ]
+    rows.append(("a", t0 + dt.timedelta(minutes=41), 41, 30.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    src = str(tmp_path / "za_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    alerts = running_zscore_alerts(stream, z_threshold=3.0, min_history=30)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("za_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("za_test").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.event_id == 41 and r.n_seen == 40
+    assert abs(r.z - round((30.0 - 10.0) / 1.0, 4)) < 1e-9
