@@ -167,6 +167,7 @@ HEADLINE = [
     "psi_value_drift",
     "rfm_segmentation",
     "streaming_zscore_alerts",
+    "abandoned_clicks",
 ]
 
 

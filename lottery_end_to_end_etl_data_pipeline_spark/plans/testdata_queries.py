@@ -4610,7 +4610,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   mutual_information_event_dow, personalized_pagerank_knn,
     #   facility_location_coreset, session_path_trigrams,
     #   theil_sen_daily_trend, incremental_stats_merge, psi_value_drift,
-    #   rfm_segmentation, streaming_zscore_alerts
+    #   rfm_segmentation, streaming_zscore_alerts, abandoned_clicks
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -10552,6 +10552,53 @@ def streaming_zscore_alerts(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "abandoned_clicks",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(date_trunc('day', c.ts) AS DATE) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_abandoned
+    FROM clicks c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM purchases p
+      WHERE p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    GROUP BY 1
+    """,
+)
+def abandoned_clicks(spark, sf_dir):
+    """NEGATIVE temporal pattern — clicks NOT followed by a purchase
+    within 30 minutes (the abandonment side of
+    `streaming_join_attribution` / `attribution_models`): a LEFT ANTI
+    join whose condition combines the user equi-key with the time
+    range, so Catalyst plans an anti sort-merge join on user_id with
+    the interval as a join-side filter — no NOT-IN rewrite, no
+    per-click subquery. The absence-of-event query every funnel
+    analysis needs; per-day census output."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    cond = (
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    abandoned = clicks.join(purchases, cond, "left_anti")
+    return abandoned.groupBy(
+        F.date_trunc("day", F.col("cts")).cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_abandoned"))
 
 
 # must run after every @query registration in this module
