@@ -168,6 +168,7 @@ HEADLINE = [
     "rfm_segmentation",
     "streaming_zscore_alerts",
     "abandoned_clicks",
+    "auc_quality_classifier",
 ]
 
 

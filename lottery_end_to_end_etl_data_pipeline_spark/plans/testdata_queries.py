@@ -4610,7 +4610,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   mutual_information_event_dow, personalized_pagerank_knn,
     #   facility_location_coreset, session_path_trigrams,
     #   theil_sen_daily_trend, incremental_stats_merge, psi_value_drift,
-    #   rfm_segmentation, streaming_zscore_alerts, abandoned_clicks
+    #   rfm_segmentation, streaming_zscore_alerts, abandoned_clicks,
+    #   auc_quality_classifier
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -10599,6 +10600,95 @@ def abandoned_clicks(spark, sf_dir):
     return abandoned.groupBy(
         F.date_trunc("day", F.col("cts")).cast("date").alias("d")
     ).agg(F.count(F.lit(1)).alias("n_abandoned"))
+
+
+@query(
+    "auc_quality_classifier",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT (lang = 'en') AS pos,
+             LEAST(GREATEST(0.5 +
+               CAST(list_sum(list_transform(toks,
+                 x -> CAST(('0x' || substr(md5(x), 1, 4))::UBIGINT % 64 % 13 AS BIGINT) - 6
+               )) AS DOUBLE) / (10.0 * len(toks)), 0.0), 1.0) AS s
+      FROM tk WHERE len(toks) > 0
+    ),
+    lv AS (
+      SELECT s,
+             COUNT(*) FILTER (WHERE pos) AS np,
+             COUNT(*) FILTER (WHERE NOT pos) AS nn
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT s, np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+      FROM lv
+    ),
+    tot AS (
+      SELECT CAST(SUM(np) AS DOUBLE) AS p, CAST(SUM(nn) AS DOUBLE) AS n FROM lv
+    )
+    SELECT CAST(tot.p AS BIGINT) AS n_pos, CAST(tot.n AS BIGINT) AS n_neg,
+           ROUND(SUM(cum.np * (cum.cneg + cum.nn / 2.0)) / (tot.p * tot.n), 4)
+             AS auc
+    FROM cum, tot GROUP BY tot.p, tot.n
+    """,
+)
+def auc_quality_classifier(spark, sf_dir):
+    """Exact ROC-AUC of the hashed quality classifier against the
+    "is English" label — the Mann–Whitney rank formulation computed
+    the SCALE-CORRECT way: group by score LEVEL first (one hash
+    aggregate; distinct scores of a bounded-precision classifier are
+    bounded, not corpus-sized), then a window over the score-level
+    table accumulates negatives-below, and AUC = Σ np·(cneg + nn/2)
+    / (P·N) — midrank-exact under ties, never a corpus-wide rank
+    window. The standard eval for any learned quality filter before
+    its threshold ships (the calibration twin is
+    `conformal_threshold_coverage`). Integer-exact margins make the
+    score levels identical across engines; the oracle replays the
+    full rank algebra."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+        hashed_linear_score,
+        token_count,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    scored = (
+        hashed_linear_score(docs, "text")
+        .filter(token_count("text") > 0)
+        .select(
+            (F.col("lang") == "en").alias("pos"), F.col("q_score").alias("s")
+        )
+    )
+    lv = scored.groupBy("s").agg(
+        F.count(F.when(F.col("pos"), 1)).alias("np"),
+        F.count(F.when(~F.col("pos"), 1)).alias("nn"),
+    )
+    w = (
+        Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = lv.withColumn("cneg", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    tot = lv.agg(
+        F.sum("np").cast("double").alias("p"),
+        F.sum("nn").cast("double").alias("n"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("p").cast("long").alias("n_pos"),
+            F.max("n").cast("long").alias("n_neg"),
+            F.round(
+                F.sum(F.col("np") * (F.col("cneg") + F.col("nn") / 2.0))
+                / (F.max("p") * F.max("n")),
+                4,
+            ).alias("auc"),
+        )
+    )
 
 
 # must run after every @query registration in this module

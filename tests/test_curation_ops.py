@@ -714,3 +714,36 @@ def test_running_zscore_alerts_prequential(spark, tmp_path):
     r = got[0]
     assert r.event_id == 41 and r.n_seen == 40
     assert abs(r.z - round((30.0 - 10.0) / 1.0, 4)) < 1e-9
+
+
+def test_auc_score_level_formula_matches_pairwise(spark):
+    # replicate the entry's score-level AUC on hand data and compare
+    # with the O(n^2) pairwise probability definition incl. ties
+    rows = [
+        (True, 0.9), (True, 0.7), (True, 0.5), (False, 0.5),
+        (False, 0.3), (False, 0.7), (True, 0.2),
+    ]
+    pos = [s for p, s in rows if p]
+    neg = [s for p, s in rows if not p]
+    pairwise = sum(
+        1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+        for sp in pos for sn in neg
+    ) / (len(pos) * len(neg))
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "pos boolean, s double")
+    lv = df.groupBy("s").agg(
+        F.count(F.when(F.col("pos"), 1)).alias("np"),
+        F.count(F.when(~F.col("pos"), 1)).alias("nn"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = lv.withColumn("cneg", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    got = cum.agg(
+        (
+            F.sum(F.col("np") * (F.col("cneg") + F.col("nn") / 2.0))
+            / (float(len(pos)) * len(neg))
+        ).alias("auc")
+    ).first()["auc"]
+    assert abs(got - pairwise) < 1e-12
