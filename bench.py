@@ -169,6 +169,7 @@ HEADLINE = [
     "streaming_zscore_alerts",
     "abandoned_clicks",
     "auc_quality_classifier",
+    "ks_two_sample_binned",
 ]
 
 

@@ -4611,7 +4611,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   facility_location_coreset, session_path_trigrams,
     #   theil_sen_daily_trend, incremental_stats_merge, psi_value_drift,
     #   rfm_segmentation, streaming_zscore_alerts, abandoned_clicks,
-    #   auc_quality_classifier
+    #   auc_quality_classifier, ks_two_sample_binned
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -10688,6 +10688,87 @@ def auc_quality_classifier(spark, sf_dir):
                 4,
             ).alias("auc"),
         )
+    )
+
+
+@query(
+    "ks_two_sample_binned",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN day(ts) <= 15 THEN 'w1' ELSE 'w2' END AS half, value
+      FROM events
+    ),
+    bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM tagged),
+    binned AS (
+      SELECT half,
+             LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 1000.0)) AS INT), 999)
+               AS bin
+      FROM tagged, bounds
+    ),
+    counts AS (
+      SELECT bin,
+             COUNT(*) FILTER (WHERE half = 'w1') AS c1,
+             COUNT(*) FILTER (WHERE half = 'w2') AS c2
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2
+            FROM counts),
+    cum AS (
+      SELECT SUM(c1) OVER (ORDER BY bin) / tot.n1 AS f1,
+             SUM(c2) OVER (ORDER BY bin) / tot.n2 AS f2
+      FROM counts, tot
+    )
+    SELECT CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2,
+           ROUND(MAX(ABS(f1 - f2)), 4) AS ks_stat
+    FROM cum, tot GROUP BY tot.n1, tot.n2
+    """,
+)
+def ks_two_sample_binned(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic in its
+    production (BINNED) form: max |ECDF₁ − ECDF₂| over 1000
+    equal-width bins — error vs the exact KS is at most one bin of
+    probability mass, and the bin table is BOUNDED, so the
+    cumulative window never sees corpus-sized input (the exact
+    statistic would need a rank pass over every distinct value —
+    unbounded at 100 TB). Same half-month split as `psi_value_drift`
+    (PSI weighs tail ratios, KS measures worst-case CDF gap — the
+    standard drift pair). One (bin, split) hash aggregate + bounded
+    window arithmetic; the oracle replays bins and cumulative
+    fractions exactly."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "half",
+        F.when(F.dayofmonth("ts") <= 15, F.lit("w1")).otherwise(F.lit("w2")),
+    )
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        "half",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 1000.0)
+            ).cast("int"),
+            F.lit(999),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("half") == "w1", 1)).alias("c1"),
+        F.count(F.when(F.col("half") == "w2", 1)).alias("c2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.crossJoin(F.broadcast(tot)).select(
+        (F.sum("c1").over(w) / F.col("n1")).alias("f1"),
+        (F.sum("c2").over(w) / F.col("n2")).alias("f2"),
+        "n1",
+        "n2",
+    )
+    return cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 4).alias("ks_stat"),
     )
 
 
