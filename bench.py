@@ -170,6 +170,13 @@ HEADLINE = [
     "abandoned_clicks",
     "auc_quality_classifier",
     "ks_two_sample_binned",
+    "table_fingerprint_events",
+    "calibration_ece",
+    "cusum_changepoint_daily",
+    "vocab_oov_rate",
+    "forecast_backtest_mase",
+    "kcore_mutual_knn",
+    "peak_concurrency_sweep",
 ]
 
 

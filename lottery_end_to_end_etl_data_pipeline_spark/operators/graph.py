@@ -413,3 +413,61 @@ def personalized_pagerank(
         if (i + 1) % checkpoint_interval == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", "rank")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Seidman 1983;
+    distributed form per Montresor et al. 2013): repeatedly delete —
+    in ROUNDS, all at once — every node whose degree within the
+    surviving subgraph is < k, until a fixpoint. The survivors are
+    the k-core: the standard dense-substructure filter on the kNN
+    similarity graph (a near-dup community that survives a high-k
+    core is a template/boilerplate cluster; the 0-coreness fringe is
+    the outlier tail).
+
+    Input edges are treated as UNDIRECTED: the edge list is
+    symmetrized and de-duplicated before peeling, so a kNN edge
+    counts toward both endpoints' degrees.
+
+    Scale shape: each round is one aggregate over the surviving edge
+    list (degree) + one semi-join filter of edges against surviving
+    nodes — all hash-partitioned by node id, no global structure.
+    The surviving edge list SHRINKS monotonically, so later rounds
+    cost less; `localCheckpoint` per round truncates the iterated
+    lineage (the same discipline as `pagerank`). Convergence is
+    detected with a bounded count comparison; rounds are capped at
+    `max_rounds` (real graphs converge in a handful — peeling depth,
+    not diameter).
+
+    Returns surviving nodes: ``(id, degree)`` where degree is within
+    the final core (>= k for every row, by construction).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = und.count()
+    for _ in range(max_rounds):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("a")
+        und = (
+            und.join(keep, "a", "semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = und.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return und.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

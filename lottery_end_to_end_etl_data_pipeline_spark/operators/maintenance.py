@@ -271,3 +271,42 @@ def apply_cdc(
         for val in touched_vals - present:
             _delete_path(spark, f"{path}/{partition_col}={val}")
     _delete_path(spark, staging)
+
+
+def content_fingerprint(
+    df: DataFrame, cols: list[str] | None = None, hex_digits: int = 10
+) -> DataFrame:
+    """Order-independent table content checksum: canonicalize each
+    row to a delimited string, md5 it, parse a fixed-width hex
+    prefix to an integer, and SUM — plus the row count. Two tables
+    hold identical content (as multisets of canonical rows) iff
+    (n_rows, checksum) match; any dropped, duplicated, or mutated
+    row moves the sum. This is the migration/replication audit
+    primitive: run it on both sides of a copy (engine A vs engine B,
+    pre- vs post-compaction, source vs restored backup) and compare
+    two numbers instead of the tables.
+
+    Why SUM of a hash prefix and not a hash of the whole table: sum
+    is commutative/associative, so the checksum is independent of
+    row order and partitioning and computes as one narrow map +
+    mergeable aggregate — no sort, no single point, embarrassingly
+    parallel at 100 TB. `hex_digits=10` keeps each term < 2⁴⁰, so
+    the int64 sum is exact (overflow needs > ~8×10⁶ TB of rows);
+    md5 is engine-portable (same literal algorithm everywhere),
+    unlike engine-internal hash functions.
+
+    Callers canonicalize: pass `cols` as the exact projection —
+    cast timestamps/floats to a pinned string form first if the
+    comparison crosses engines (float-to-string formatting is NOT
+    portable; integers and strings are)."""
+    use = cols if cols is not None else df.columns
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in use]
+    )
+    term = F.conv(F.substring(F.md5(canon), 1, hex_digits), 16, 10).cast(
+        "long"
+    )
+    return df.select(term.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_h").alias("checksum"),
+    )

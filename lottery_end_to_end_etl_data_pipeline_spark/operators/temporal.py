@@ -568,3 +568,93 @@ def session_paths(
         .groupBy(F.col("_path").alias("path"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Global sweep-line maximum concurrency: the largest number of
+    intervals [start, end) simultaneously open, and the earliest
+    instant it is reached — peak-load analysis (concurrent sessions,
+    simultaneous connections, capacity sizing).
+
+    Sweep line over boundary events: +1 at each start, −1 at each
+    end, running-sum over boundaries ordered by (time, delta) — the
+    delta-ascending tiebreak processes closings before openings at
+    the same instant, so half-open [s, e) intervals that touch do NOT
+    double-count. Comparisons in exact integer microseconds
+    (`unix_micros`), the repo's timestamp discipline.
+
+    The running sum is GLOBAL, which is exactly what a naive
+    implementation gets wrong at scale (one corpus-wide ordered
+    window = one task). Here it is a two-level distributed prefix
+    sum — the `select_to_token_budget` shape: boundaries land in
+    `n_buckets` equal-width time buckets; per-bucket delta totals
+    (bounded table) take ONE tiny cumulative window to produce each
+    bucket's exclusive offset, broadcast back; the in-bucket
+    running sum is a window PARTITIONED by bucket, so every task
+    sorts only its slice. Peak and its first instant come from two
+    bounded scalar aggregates."""
+    s_us = F.unix_micros(F.col(start_col))
+    e_us = F.unix_micros(F.col(end_col))
+    b = df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    s_us.alias("t_us"),
+                    F.lit(1).alias("d"),
+                    F.col(start_col).alias("t"),
+                ),
+                F.struct(
+                    e_us.alias("t_us"),
+                    F.lit(-1).alias("d"),
+                    F.col(end_col).alias("t"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    bounds = b.agg(
+        F.min("t_us").alias("lo"), F.max("t_us").alias("hi")
+    )
+    bucketed = b.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.least(
+            F.floor(
+                (F.col("t_us") - F.col("lo"))
+                / F.greatest(
+                    F.ceil((F.col("hi") - F.col("lo") + 1) / n_buckets),
+                    F.lit(1),
+                )
+            ).cast("int"),
+            F.lit(n_buckets - 1),
+        ),
+    ).drop("lo", "hi")
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("d").alias("_bd"))
+        .withColumn("offset", F.coalesce(F.sum("_bd").over(w_off), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("t_us", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = bucketed.join(F.broadcast(offsets), "bucket").withColumn(
+        "run", F.col("offset") + F.sum("d").over(w_in)
+    )
+    peak = running.agg(F.max("run").alias("peak"))
+    return (
+        running.crossJoin(F.broadcast(peak))
+        .filter(F.col("run") == F.col("peak"))
+        .agg(
+            F.max("peak").cast("int").alias("peak"),
+            F.min("t").alias("at_ts"),
+        )
+    )

@@ -4611,7 +4611,10 @@ _DRIVER_WINDOW_PRIORITY = [
     #   facility_location_coreset, session_path_trigrams,
     #   theil_sen_daily_trend, incremental_stats_merge, psi_value_drift,
     #   rfm_segmentation, streaming_zscore_alerts, abandoned_clicks,
-    #   auc_quality_classifier, ks_two_sample_binned
+    #   auc_quality_classifier, ks_two_sample_binned,
+    #   table_fingerprint_events, calibration_ece,
+    #   cusum_changepoint_daily, vocab_oov_rate, forecast_backtest_mase,
+    #   kcore_mutual_knn, peak_concurrency_sweep
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -9716,17 +9719,29 @@ def langid_agreement_metrics(spark, sf_dir):
     Everything derives from the 5×6 confusion table's marginals —
     bounded aggregate tables joined per class, pure arithmetic, so
     the oracle replays all three metrics exactly (the confusion
-    matrix itself is the older `lang_id_confusion` entry)."""
+    matrix itself is the older `lang_id_confusion` entry).
+
+    One pass over the documents: the expensive part (lang_id's
+    tokenize + lexicon intersect over full text) feeds a SINGLE
+    (lang, lang_pred) confusion aggregate — ≤ 5×6 rows — and every
+    marginal (row/column totals, diagonal, grand total) re-aggregates
+    that bounded table. Four separate aggregates off `pred` would
+    re-run the tokenization per branch (measured 3.1 s → 1 scan)."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.text import lang_id
 
-    pred = lang_id(t(spark, sf_dir, "documents")).select("lang", "lang_pred")
-    total = pred.agg(F.count(F.lit(1)).cast("double").alias("total"))
-    act = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("na"))
-    prd = pred.groupBy(F.col("lang_pred")).agg(F.count(F.lit(1)).alias("np"))
+    conf = (
+        lang_id(t(spark, sf_dir, "documents"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    total = conf.agg(F.sum("n").cast("double").alias("total"))
+    act = conf.groupBy("lang").agg(F.sum("n").alias("na"))
+    prd = conf.groupBy(F.col("lang_pred")).agg(F.sum("n").alias("np"))
     tp = (
-        pred.filter(F.col("lang") == F.col("lang_pred"))
+        conf.filter(F.col("lang") == F.col("lang_pred"))
         .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("ntp"))
+        .agg(F.sum("n").alias("ntp"))
     )
     cls = (
         act.join(prd, act["lang"] == prd["lang_pred"], "left")
@@ -10770,6 +10785,470 @@ def ks_two_sample_binned(spark, sf_dir):
         F.max("n2").cast("long").alias("n2"),
         F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 4).alias("ks_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: migration fingerprint, calibration audit, CUSUM
+# changepoint, vocabulary OOV, forecast backtest, k-core, sweep-line
+# concurrency.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_fingerprint_events",
+    oracle="""
+    WITH canon AS (
+      SELECT concat_ws('|',
+               CAST(event_id AS VARCHAR),
+               CAST(epoch_us(ts) AS VARCHAR),
+               CAST(user_id AS VARCHAR),
+               event_type,
+               CAST(CAST(round(value * 1000000) AS BIGINT) AS VARCHAR),
+               COALESCE(props, chr(0))) AS s
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(s), 1, 10))::UBIGINT) AS BIGINT)
+             AS checksum
+    FROM canon
+    """,
+)
+def table_fingerprint_events(spark, sf_dir):
+    """Order-independent table content checksum
+    (operators/maintenance.py::content_fingerprint): canonical row
+    string → md5 → 40-bit prefix → SUM — the migration/replication
+    audit primitive: run on both sides of a copy and compare
+    (n_rows, checksum) instead of the tables. Sum is commutative, so
+    the checksum ignores row order and partitioning and computes as
+    one narrow map + mergeable aggregate — no sort, no single point.
+    THIS entry is itself the cross-engine proof: DuckDB recomputes
+    the identical checksum from the identical canonical form
+    (timestamps pinned to epoch-microseconds, doubles to a
+    round(value·1e6) integer — float→string is the one
+    non-portable step, so it never appears)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import (
+        content_fingerprint,
+    )
+
+    canon = t(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.round(F.col("value") * 1000000).cast("long").alias("value_scaled"),
+        F.col("props"),
+    )
+    return content_fingerprint(canon)
+
+
+@query(
+    "calibration_ece",
+    oracle=r"""
+    WITH tk AS (
+      SELECT lang,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT (lang = 'en') AS pos,
+             LEAST(GREATEST(0.5 +
+               CAST(list_sum(list_transform(toks,
+                 x -> CAST(('0x' || substr(md5(x), 1, 4))::UBIGINT % 64 % 13 AS BIGINT) - 6
+               )) AS DOUBLE) / (10.0 * len(toks)), 0.0), 1.0) AS s
+      FROM tk WHERE len(toks) > 0
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin,
+             COUNT(*) AS n,
+             AVG(s) AS conf,
+             AVG(CASE WHEN pos THEN 1.0 ELSE 0.0 END) AS acc
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM binned)
+    SELECT CAST(tot.total AS BIGINT) AS n_docs,
+           ROUND(SUM(n / tot.total * ABS(acc - conf)), 4) AS ece,
+           ROUND(MAX(ABS(acc - conf)), 4) AS max_gap
+    FROM binned, tot GROUP BY tot.total
+    """,
+)
+def calibration_ece(spark, sf_dir):
+    """Expected Calibration Error of the hashed quality classifier
+    against the "is English" label — the reliability-diagram audit
+    that decides whether a learned filter's scores can be READ AS
+    PROBABILITIES before they gate a corpus (Guo et al. 2017). Ten
+    equal-width confidence bins over the score; per bin, |empirical
+    accuracy − mean confidence|; ECE is the support-weighted sum and
+    max_gap the worst bin. Scale shape: one hash aggregate to the
+    10-row bin table, bounded arithmetic after — the heavy part
+    (tokenize + hash) is the same single pass as
+    `auc_quality_classifier`, whose integer-exact margins make the
+    scores bit-identical across engines."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import (
+        hashed_linear_score,
+        token_count,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    scored = (
+        hashed_linear_score(docs, "text")
+        .filter(token_count("text") > 0)
+        .select(
+            (F.col("lang") == "en").alias("pos"), F.col("q_score").alias("s")
+        )
+    )
+    binned = scored.groupBy(
+        F.least(F.floor(F.col("s") * 10).cast("int"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("s").alias("conf"),
+        F.avg(F.when(F.col("pos"), 1.0).otherwise(0.0)).alias("acc"),
+    )
+    tot = binned.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("total").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(
+                    F.col("n") / F.col("total") * F.abs(F.col("acc") - F.col("conf"))
+                ),
+                4,
+            ).alias("ece"),
+            F.round(F.max(F.abs(F.col("acc") - F.col("conf"))), 4).alias(
+                "max_gap"
+            ),
+        )
+    )
+
+
+@query(
+    "cusum_changepoint_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             AVG(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    mu AS (
+      SELECT event_type, d, x,
+             AVG(x) OVER (PARTITION BY event_type) AS m
+      FROM daily
+    ),
+    c AS (
+      SELECT event_type, d,
+             SUM(x - m) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM mu
+    ),
+    r AS (
+      SELECT event_type, d, cusum,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ROUND(ABS(cusum), 6) DESC, d) AS rnk
+      FROM c
+    )
+    SELECT event_type, d AS cp_date, ROUND(ABS(cusum), 4) AS cusum_mag
+    FROM r WHERE rnk = 1 ORDER BY event_type
+    """,
+)
+def cusum_changepoint_daily(spark, sf_dir):
+    """CUSUM changepoint detection per event type (Page 1954): the
+    date where the cumulative sum of deviations from the series mean
+    peaks in magnitude — the classic single-changepoint locator for
+    level shifts in a metric stream (data-quality regression,
+    pipeline behavior change). Scale shape: the corpus pass is ONE
+    (type, day) hash aggregate; the mean, the cumulative sum, and
+    the per-type argmax are windows over that CALENDAR-BOUNDED daily
+    table — never over raw events. Ranking ties break on a 6-decimal
+    rounded magnitude then date, keeping the argmax engine-portable
+    despite float-sum jitter."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .agg(F.avg("value").alias("x"))
+    )
+    w_mean = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.withColumn(
+        "cusum",
+        F.sum(F.col("x") - F.avg("x").over(w_mean)).over(w_cum),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.round(F.abs(F.col("cusum")), 6).desc(), F.asc("d")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("cp_date"),
+            F.round(F.abs(F.col("cusum")), 4).alias("cusum_mag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY n DESC, w) AS rnk FROM cnt
+      ) WHERE rnk <= 500
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(CASE WHEN v.w IS NULL THEN 1.0 ELSE 0.0 END), 4)
+             AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.w = t.w
+    GROUP BY t.lang ORDER BY t.lang
+    """,
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage audit: build the top-500
+    corpus vocabulary (frequency-ranked, tie on token) and measure
+    each language's out-of-vocabulary token rate — the first
+    question to ask of any fixed vocab before training (a lang with
+    high OOV gets shredded into bytes/UNKs and under-trains). Scale
+    shape: token explode feeds one count aggregate; the vocab is a
+    TakeOrdered top-500 — bounded by construction, broadcast to flag
+    OOV membership on the second pass; per-lang rates are one hash
+    aggregate. The vocab is deterministic (count desc, token asc),
+    so both engines rank the identical list."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import tokens
+
+    toks = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(tokens("text")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(500)
+        .select("w", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.when(F.col("_in_vocab").isNull(), 1.0).otherwise(0.0)
+                ),
+                4,
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "forecast_backtest_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             AVG(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, d, x,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS x1,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS x7,
+             row_number() OVER (PARTITION BY event_type ORDER BY d DESC)
+               AS rn_desc
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN rn_desc <= 14 THEN 1 END) AS BIGINT)
+             AS n_eval,
+           ROUND(AVG(CASE WHEN rn_desc <= 14 THEN ABS(x - x7) END), 4)
+             AS mae_forecast,
+           ROUND(AVG(CASE WHEN rn_desc <= 14 THEN ABS(x - x7) END)
+                 / AVG(CASE WHEN rn_desc > 14 THEN ABS(x - x1) END), 4)
+             AS mase
+    FROM lagged GROUP BY event_type ORDER BY event_type
+    """,
+)
+def forecast_backtest_mase(spark, sf_dir):
+    """Rolling-origin backtest of a seasonal-naive forecaster with
+    MASE scoring (Hyndman & Koehler 2006) — the forecast-eval
+    standard that is scale-free across series: forecast each of the
+    last 14 days as the actual from 7 days earlier (weekly
+    seasonal-naive), score MAE over the eval window, and normalize
+    by the in-sample MAE of the one-step naive on the TRAINING
+    prefix (MASE < 1 beats naive). Scale shape: one (type, day)
+    corpus aggregate; every lag/rank window runs over the
+    calendar-bounded daily table; the final metrics are one
+    conditional aggregate per type."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .agg(F.avg("value").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    w_desc = Window.partitionBy("event_type").orderBy(F.desc("d"))
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+    )
+    is_eval = F.col("rn_desc") <= 14
+    mae_f = F.avg(F.when(is_eval, F.abs(F.col("x") - F.col("x7"))))
+    scale = F.avg(F.when(~is_eval, F.abs(F.col("x") - F.col("x1"))))
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.when(is_eval, 1)).alias("n_eval"),
+            F.round(mae_f, 4).alias("mae_forecast"),
+            F.round(mae_f / scale, 4).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# AS MATERIALIZED is load-bearing: each round references the previous
+# round three times, and DuckDB's default CTE inlining would expand the
+# chain 3^rounds times (observed as an fd-exhaustion blowup at 8 rounds).
+_KCORE_ROUND = """
+    kc{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM kc{prev} e
+      SEMI JOIN (SELECT a FROM kc{prev} GROUP BY a HAVING COUNT(*) >= 3) ka
+        ON e.a = ka.a
+      SEMI JOIN (SELECT a FROM kc{prev} GROUP BY a HAVING COUNT(*) >= 3) kb
+        ON e.b = kb.a
+    )"""
+
+
+@query(
+    "kcore_mutual_knn",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    scored AS (
+      SELECT q.vec_id AS src, c.vec_id AS dst,
+             round(
+               list_sum(list_transform(list_zip(c.embedding, q.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*x)))
+                  * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*x)))),
+             4) AS cosine
+      FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+      FROM scored
+    ),
+    dedges AS (SELECT src, dst FROM ranked WHERE rnk <= 5),
+    kc0 AS MATERIALIZED (
+      SELECT d.src AS a, d.dst AS b FROM dedges d
+      SEMI JOIN dedges r ON r.src = d.dst AND r.dst = d.src
+    ),"""
+    + ",".join(
+        _KCORE_ROUND.format(i=i, prev=i - 1) for i in range(1, 9)
+    )
+    + """
+    SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS n_core_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_core_edges,
+           CAST(COALESCE((SELECT SUM(a) FROM (SELECT DISTINCT a FROM kc8)), 0)
+             AS BIGINT) AS id_sum
+    FROM kc8
+    """,
+)
+def kcore_mutual_knn(spark, sf_dir):
+    """k-core decomposition (operators/graph.py::k_core, Seidman
+    1983) of the MUTUAL-kNN similarity graph: top-5 cosine
+    neighbors over vec_id<300, kept only where reciprocated (the
+    mutual filter is what makes the graph irregular enough to have
+    core structure), then synchronous peeling at k=3. The surviving
+    3-core is the dense similarity backbone — template/boilerplate
+    communities in a corpus; the peeled fringe is the outlier tail.
+    Converges in 5 rounds on this graph (verified both scales); the
+    oracle unrolls 8 synchronous rounds — past the fixpoint, where
+    extra rounds are no-ops — and pins the exact surviving node set
+    via (count, id_sum) plus the surviving edge count."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import k_core
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    dedges = knn_join(queries, emb, k=5, exclude_same_id=True).select(
+        F.col("qid").alias("src"), F.col("cid").alias("dst")
+    )
+    rev = dedges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = dedges.join(rev, ["src", "dst"], "semi")
+    with stream_state_width(spark, 8):
+        core = k_core(mutual, k=3).localCheckpoint(eager=True)
+    return core.agg(
+        F.count(F.lit(1)).cast("long").alias("n_core_nodes"),
+        F.sum("degree").cast("long").alias("n_core_edges"),
+        F.sum("id").cast("long").alias("id_sum"),
+    )
+
+
+@query(
+    "peak_concurrency_sweep",
+    oracle="""
+    WITH b AS (
+      SELECT ts AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 300 SECOND AS t, -1 AS d FROM events
+    ),
+    r AS (
+      SELECT t, d,
+             SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS run
+      FROM b
+    ),
+    m AS (SELECT MAX(run) AS peak FROM r)
+    SELECT CAST(m.peak AS INT) AS peak, MIN(r.t) AS at_ts
+    FROM r, m WHERE r.run = m.peak GROUP BY m.peak
+    """,
+)
+def peak_concurrency_sweep(spark, sf_dir):
+    """Sweep-line maximum concurrency
+    (operators/temporal.py::peak_concurrency): treating each event
+    as a 5-minute hold [ts, ts+300 s), the largest number
+    simultaneously open and the earliest instant it happens —
+    capacity sizing / peak-load analysis. The running sum over
+    boundary events is global, which is exactly what a naive plan
+    gets wrong (one corpus-wide ordered window = one task); the
+    operator computes it as a TWO-LEVEL distributed prefix sum
+    (1000 time buckets → tiny offset window → per-bucket
+    partitioned windows), the `select_to_token_budget` shape. The
+    (time, delta-asc) tiebreak processes closings before openings at
+    the same instant, so touching half-open intervals never
+    double-count; the oracle replays the sweep with one flat
+    window."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
+        peak_concurrency,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "ts", (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("end_ts")
+    )
+    return peak_concurrency(ev, "ts", "end_ts")
 
 
 # must run after every @query registration in this module

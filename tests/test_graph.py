@@ -52,3 +52,36 @@ def test_degree_stats(spark):
         for r in degree_stats(edges).collect()
     }
     assert got == {0: (2, 2), 1: (2, 2), 2: (2, 1), 3: (0, 1)}
+
+
+def test_k_core_hand_graph(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import k_core
+
+    # Triangle {1,2,3} + pendant chain 3-4-5: the 2-core is exactly
+    # the triangle (4 drops once 5 drops, so peeling needs 2 rounds).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {(r.id, r.degree) for r in k_core(edges, k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_k_core_empty_when_k_exceeds_density(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    assert k_core(edges, k=3).count() == 0
+
+
+def test_k_core_counts_undirected_degree_once(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import k_core
+
+    # Both directions of the same edge supplied: symmetrize+distinct
+    # must not double-count, so a bare edge is NOT a 2-core.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src long, dst long"
+    )
+    assert k_core(edges, k=2).count() == 0
+    assert {r.id for r in k_core(edges, k=1).collect()} == {1, 2}

@@ -148,3 +148,54 @@ def test_apply_cdc_creates_table_from_live_rows(spark, tmp_path):
     )
     apply_cdc(spark, path, changes, ["k"], op_col="op", partition_col="part")
     assert _rows(spark, path) == {(1, "a"): 1.0}
+
+
+def test_content_fingerprint_order_and_partition_invariant(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import (
+        content_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, v string"
+    )
+    base = content_fingerprint(df).collect()[0]
+    reordered = content_fingerprint(
+        df.orderBy("v").repartition(7)
+    ).collect()[0]
+    assert (base.n_rows, base.checksum) == (
+        reordered.n_rows,
+        reordered.checksum,
+    )
+
+
+def test_content_fingerprint_detects_mutation_dup_and_drop(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import (
+        content_fingerprint,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    base = content_fingerprint(df).collect()[0].checksum
+    mutated = spark.createDataFrame(
+        [(1, "a"), (2, "c")], "k long, v string"
+    )
+    dup = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b")], "k long, v string"
+    )
+    assert content_fingerprint(mutated).collect()[0].checksum != base
+    assert content_fingerprint(dup).collect()[0].checksum != base
+    assert (
+        content_fingerprint(df.limit(1)).collect()[0].checksum != base
+    )
+
+
+def test_content_fingerprint_null_is_not_empty_string(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import (
+        content_fingerprint,
+    )
+
+    a = spark.createDataFrame([(1, None)], "k long, v string")
+    b = spark.createDataFrame([(1, "")], "k long, v string")
+    assert (
+        content_fingerprint(a).collect()[0].checksum
+        != content_fingerprint(b).collect()[0].checksum
+    )

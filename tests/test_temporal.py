@@ -322,3 +322,53 @@ def test_seasonal_baseline_flags_weekday_spike(spark):
     assert not quiet["is_anomaly"]
     tue = out["2024-01-02"]
     assert tue["dow_std"] == 0.0 and not tue["is_anomaly"]
+
+
+def test_peak_concurrency_hand_intervals(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import peak_concurrency
+
+    # [0,10) [5,15) [9,12) overlap 3-deep first at t=9; [20,30) is 1.
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "2024-01-01 00:00:10"),
+            ("2024-01-01 00:00:05", "2024-01-01 00:00:15"),
+            ("2024-01-01 00:00:09", "2024-01-01 00:00:12"),
+            ("2024-01-01 00:00:20", "2024-01-01 00:00:30"),
+        ],
+        "s string, e string",
+    ).selectExpr("CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e")
+    row = peak_concurrency(df, "s", "e").collect()[0]
+    assert row.peak == 3
+    assert str(row.at_ts) == "2024-01-01 00:00:09"
+
+
+def test_peak_concurrency_touching_intervals_do_not_stack(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import peak_concurrency
+
+    # [0,10) and [10,20) touch: half-open semantics close before
+    # opening at t=10, so the peak is 1, not 2.
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "2024-01-01 00:00:10"),
+            ("2024-01-01 00:00:10", "2024-01-01 00:00:20"),
+        ],
+        "s string, e string",
+    ).selectExpr("CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e")
+    assert peak_concurrency(df, "s", "e").collect()[0].peak == 1
+
+
+def test_peak_concurrency_bucketing_invariance(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import peak_concurrency
+
+    # The two-level prefix sum must agree with the single-bucket
+    # (flat window) computation regardless of bucket count.
+    rows = [
+        (f"2024-01-01 00:{m:02d}:00", f"2024-01-01 00:{m + 3:02d}:30")
+        for m in range(0, 40, 2)
+    ]
+    df = spark.createDataFrame(rows, "s string, e string").selectExpr(
+        "CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e"
+    )
+    flat = peak_concurrency(df, "s", "e", n_buckets=1).collect()[0]
+    split = peak_concurrency(df, "s", "e", n_buckets=7).collect()[0]
+    assert (flat.peak, flat.at_ts) == (split.peak, split.at_ts)
