@@ -177,6 +177,10 @@ HEADLINE = [
     "forecast_backtest_mase",
     "kcore_mutual_knn",
     "peak_concurrency_sweep",
+    "group_split_no_leakage",
+    "hits_authority_knn",
+    "snapshot_delta_stats",
+    "heaps_law_fit",
 ]
 
 

@@ -471,3 +471,76 @@ def k_core(
     return und.groupBy(F.col("a").alias("id")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999): alternating power
+    iteration where a node's AUTHORITY is the summed hub weight of
+    its in-neighbors and its HUB score the summed authority of its
+    out-neighbors, L1-normalized each half-step. On a directed kNN
+    graph the reading differs from PageRank: a high authority is a
+    document many others point AT (a canonical/central exemplar); a
+    high hub is a document whose neighbor list is full of canonical
+    exemplars (a good "router" for exploration) — complementary
+    curation signals from one graph.
+
+    Scale shape mirrors `pagerank`: each half-step is ONE join of
+    scores onto the edge list + ONE aggregate by the opposite
+    endpoint, hash-partitioned by node id; the L1 normalizer is a
+    1-row broadcast; `localCheckpoint` every `checkpoint_interval`
+    rounds truncates the iterated lineage. L1 (sum) normalization
+    rather than L2 keeps the arithmetic exactly replayable in
+    portable SQL.
+
+    Returns ``(id, authority, hub)`` for every node.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .repartition("id")
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint(eager=True)
+    hub = nodes.select("id", F.lit(1.0).alias("hub"))
+    auth = None
+    for i in range(iterations):
+        a_raw = (
+            e.join(hub.select(F.col("id").alias("u"), "hub"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        a_tot = a_raw.agg(F.sum("_a").alias("_at"))
+        auth = (
+            nodes.join(a_raw, "id", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "id",
+                (F.coalesce("_a", F.lit(0.0)) / F.col("_at")).alias("authority"),
+            )
+        )
+        h_raw = (
+            e.join(auth.select(F.col("id").alias("v"), "authority"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.sum("authority").alias("_h"))
+        )
+        h_tot = h_raw.agg(F.sum("_h").alias("_ht"))
+        hub = (
+            nodes.join(h_raw, "id", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "id",
+                (F.coalesce("_h", F.lit(0.0)) / F.col("_ht")).alias("hub"),
+            )
+        )
+        if (i + 1) % checkpoint_interval == 0 or i == iterations - 1:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return auth.join(hub, "id")

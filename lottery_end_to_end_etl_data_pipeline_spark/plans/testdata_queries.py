@@ -4614,7 +4614,9 @@ _DRIVER_WINDOW_PRIORITY = [
     #   auc_quality_classifier, ks_two_sample_binned,
     #   table_fingerprint_events, calibration_ece,
     #   cusum_changepoint_daily, vocab_oov_rate, forecast_backtest_mase,
-    #   kcore_mutual_knn, peak_concurrency_sweep
+    #   kcore_mutual_knn, peak_concurrency_sweep,
+    #   group_split_no_leakage, hits_authority_knn,
+    #   snapshot_delta_stats, heaps_law_fit
     # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
     # had never been inside a driver CORRECTNESS window through r03 —
     # fronting them completes driver coverage of every r03-era oracled
@@ -11249,6 +11251,306 @@ def peak_concurrency_sweep(spark, sf_dir):
         "ts", (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("end_ts")
     )
     return peak_concurrency(ev, "ts", "end_ts")
+
+
+@query(
+    "group_split_no_leakage",
+    oracle=r"""
+    WITH tagged AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                       < '33333333'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, MAX(split) AS split, COUNT(*) AS n_ev,
+             COUNT(DISTINCT split) AS nsp
+      FROM tagged GROUP BY user_id
+    )
+    SELECT CAST(COUNT(CASE WHEN split = 'train' THEN 1 END) AS BIGINT)
+             AS train_users,
+           CAST(COUNT(CASE WHEN split = 'test' THEN 1 END) AS BIGINT)
+             AS test_users,
+           CAST(SUM(CASE WHEN split = 'train' THEN n_ev ELSE 0 END) AS BIGINT)
+             AS train_events,
+           CAST(SUM(CASE WHEN split = 'test' THEN n_ev ELSE 0 END) AS BIGINT)
+             AS test_events,
+           CAST(MAX(nsp) AS INT) AS max_splits_per_user
+    FROM per_user
+    """,
+)
+def group_split_no_leakage(spark, sf_dir):
+    """GROUP-aware train/test split — GroupShuffleSplit semantics:
+    the hash key is the USER, not the row, so every event of a user
+    lands in the same split and user-level signal can never leak
+    across the eval boundary (the classic contamination when
+    near-duplicate rows of one entity straddle the split). Reuses
+    `train_test_split` with the group key; the audit aggregate
+    proves the guarantee structurally — max_splits_per_user == 1 is
+    hash-checked, not assumed. Scale shape: narrow split tag, one
+    user-keyed aggregate, one bounded rollup."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    tagged = train_test_split(
+        t(spark, sf_dir, "events"), "user_id", test_fraction=0.2
+    )
+    per_user = tagged.groupBy("user_id").agg(
+        F.max("split").alias("split"),
+        F.count(F.lit(1)).alias("n_ev"),
+        F.count_distinct("split").alias("nsp"),
+    )
+    is_tr = F.col("split") == "train"
+    return per_user.agg(
+        F.count(F.when(is_tr, 1)).cast("long").alias("train_users"),
+        F.count(F.when(~is_tr, 1)).cast("long").alias("test_users"),
+        F.sum(F.when(is_tr, F.col("n_ev")).otherwise(0))
+        .cast("long")
+        .alias("train_events"),
+        F.sum(F.when(~is_tr, F.col("n_ev")).otherwise(0))
+        .cast("long")
+        .alias("test_events"),
+        F.max("nsp").cast("int").alias("max_splits_per_user"),
+    )
+
+
+_HITS_ROUND = """
+    ar{i} AS MATERIALIZED (
+      SELECT e.dst AS id, SUM(h.hub) AS x
+      FROM dedges e JOIN h{prev} h ON h.id = e.src GROUP BY e.dst
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT nd.id, COALESCE(ar.x, 0.0) / (SELECT SUM(x) FROM ar{i})
+               AS authority
+      FROM gnodes nd LEFT JOIN ar{i} ar ON ar.id = nd.id
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT e.src AS id, SUM(a.authority) AS x
+      FROM dedges e JOIN a{i} a ON a.id = e.dst GROUP BY e.src
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT nd.id, COALESCE(hr.x, 0.0) / (SELECT SUM(x) FROM hr{i}) AS hub
+      FROM gnodes nd LEFT JOIN hr{i} hr ON hr.id = nd.id
+    )"""
+
+
+@query(
+    "hits_authority_knn",
+    oracle="WITH "
+    + _KNN_EDGES_CTE
+    + """,
+    gnodes AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges
+      )
+    ),
+    h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM gnodes),"""
+    + ",".join(_HITS_ROUND.format(i=i, prev=i - 1) for i in range(1, 5))
+    + """
+    SELECT a.id, ROUND(a.authority, 6) AS authority, ROUND(h.hub, 6) AS hub
+    FROM a4 a JOIN h4 h ON h.id = a.id
+    ORDER BY ROUND(a.authority, 6) DESC, a.id ASC LIMIT 10
+    """,
+)
+def hits_authority_knn(spark, sf_dir):
+    """HITS hubs-and-authorities (operators/graph.py::hits,
+    Kleinberg 1999) on the same deterministic vec_id<200 top-3 kNN
+    graph as `knn_graph_centrality`: authority finds documents many
+    others point AT (canonical exemplars), hub finds documents whose
+    neighbor lists are full of exemplars — the complementary pair to
+    PageRank from one graph build. Four alternating L1-normalized
+    half-steps; each is one edge join + one aggregate + a 1-row
+    normalizer broadcast, and the oracle unrolls all four rounds
+    exactly (L1 rather than L2 normalization keeps the replay in
+    portable SQL)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import hits
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    edges = knn_join(queries, emb, k=3, exclude_same_id=True).select(
+        F.col("qid").alias("src"), F.col("cid").alias("dst")
+    )
+    with stream_state_width(spark, 8):
+        scores = hits(edges, iterations=4)
+    return (
+        scores.select(
+            "id",
+            F.round("authority", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), F.asc("id"))
+        .limit(10)
+    )
+
+
+@query(
+    "snapshot_delta_stats",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+      WHERE o_orderkey % 97 <> 3
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             o_totalprice
+               + CASE WHEN o_orderkey % 89 = 0 THEN 10.0 ELSE 0.0 END AS v
+      FROM orders WHERE o_orderkey % 101 <> 7
+    ),
+    j AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'added'
+                  WHEN n.k IS NULL THEN 'removed'
+                  WHEN o.v <> n.v THEN 'changed'
+                  ELSE 'unchanged' END AS cls
+      FROM old o FULL OUTER JOIN new n ON n.k = o.k
+    )
+    SELECT CAST(COUNT(CASE WHEN cls = 'added' THEN 1 END) AS BIGINT)
+             AS n_added,
+           CAST(COUNT(CASE WHEN cls = 'removed' THEN 1 END) AS BIGINT)
+             AS n_removed,
+           CAST(COUNT(CASE WHEN cls = 'changed' THEN 1 END) AS BIGINT)
+             AS n_changed,
+           CAST(COUNT(CASE WHEN cls = 'unchanged' THEN 1 END) AS BIGINT)
+             AS n_unchanged,
+           CAST(SUM(CASE WHEN cls <> 'unchanged' THEN k ELSE 0 END)
+             AS BIGINT) AS delta_key_sum
+    FROM j
+    """,
+)
+def snapshot_delta_stats(spark, sf_dir):
+    """Keyed snapshot diff — the table-versioning audit: classify
+    every key across two snapshots as added / removed / changed /
+    unchanged with ONE full-outer join on the key, and pin the
+    changed-key set with a key-sum. This is what a lakehouse version
+    comparison (or a replication-lag check) runs between two
+    commits; `reconcile_diff` is the row-level bag diff, this is the
+    per-KEY lifecycle classification. The two snapshots are carved
+    deterministically from `orders` (drop-mod-97 vs drop-mod-101
+    with a mod-89 price bump), so both engines see identical inputs.
+    Scale: one key-partitioned shuffle, then a scalar rollup."""
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 3).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v_old")
+    )
+    new = orders.filter(F.col("o_orderkey") % 101 != 7).select(
+        F.col("o_orderkey").alias("k"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 89 == 0, 10.0).otherwise(0.0)
+        ).alias("v_new"),
+    )
+    j = old.join(new, "k", "full_outer").select(
+        "k",
+        F.when(F.col("v_old").isNull(), "added")
+        .when(F.col("v_new").isNull(), "removed")
+        .when(F.col("v_old") != F.col("v_new"), "changed")
+        .otherwise("unchanged")
+        .alias("cls"),
+    )
+    return j.agg(
+        F.count(F.when(F.col("cls") == "added", 1))
+        .cast("long")
+        .alias("n_added"),
+        F.count(F.when(F.col("cls") == "removed", 1))
+        .cast("long")
+        .alias("n_removed"),
+        F.count(F.when(F.col("cls") == "changed", 1))
+        .cast("long")
+        .alias("n_changed"),
+        F.count(F.when(F.col("cls") == "unchanged", 1))
+        .cast("long")
+        .alias("n_unchanged"),
+        F.sum(F.when(F.col("cls") != "unchanged", F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("delta_key_sum"),
+    )
+
+
+@query(
+    "heaps_law_fit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ),
+    firsts AS (SELECT w, MIN(doc_id) + 1 AS fr FROM toks GROUP BY w),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    pts AS (
+      SELECT CEIL(nd.n * t.c / 10) AS nc, COUNT(*) AS v
+      FROM range(1, 11) t(c), nd, firsts f
+      WHERE f.fr <= CEIL(nd.n * t.c / 10)
+      GROUP BY 1
+    ),
+    fit AS (
+      SELECT COUNT(*) AS m, SUM(LN(nc)) AS sx, SUM(LN(v)) AS sy,
+             SUM(LN(nc) * LN(v)) AS sxy, SUM(LN(nc) * LN(nc)) AS sxx,
+             MAX(v) AS vmax
+      FROM pts
+    ),
+    beta AS (
+      SELECT m, sx, sy, vmax,
+             (m * sxy - sx * sy) / (m * sxx - sx * sx) AS b
+      FROM fit
+    )
+    SELECT CAST(vmax AS BIGINT) AS vocab_total,
+           ROUND(b, 4) AS heaps_beta,
+           ROUND(EXP((sy - b * sx) / m), 2) AS heaps_k
+    FROM beta
+    """,
+)
+def heaps_law_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (V(n) = K·n^β, Heaps 1978):
+    how fast the corpus vocabulary grows with documents — the
+    capacity-planning statistic for vocabulary builds and the
+    companion diagnostic to `zipf_fit_audit` (a corpus whose β
+    collapses is saturating; one whose β stays high keeps minting
+    novel tokens, e.g. boilerplate IDs). Dense doc_ids make the
+    growth curve computable WITHOUT a corpus-wide window: a token's
+    first-occurrence rank is just min(doc_id)+1 (one vocab-keyed
+    aggregate), ten decile checkpoints come from a bounded ×10
+    explode over the vocab table, and the log-log OLS runs over the
+    10-point table. Both engines replay the identical integer counts
+    and the same closed-form fit."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    firsts = toks.groupBy("w").agg((F.min("doc_id") + 1).alias("fr"))
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pts = (
+        firsts.crossJoin(F.broadcast(nd))
+        .withColumn("c", F.explode(F.sequence(F.lit(1), F.lit(10))))
+        .withColumn("nc", F.ceil(F.col("n") * F.col("c") / 10).cast("double"))
+        .filter(F.col("fr") <= F.col("nc"))
+        .groupBy("nc")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(F.log("nc")).alias("sx"),
+        F.sum(F.log("v")).alias("sy"),
+        F.sum(F.log("nc") * F.log("v")).alias("sxy"),
+        F.sum(F.log("nc") * F.log("nc")).alias("sxx"),
+        F.max("v").alias("vmax"),
+    ).withColumn(
+        "b",
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+    )
+    return fit.select(
+        F.col("vmax").cast("long").alias("vocab_total"),
+        F.round("b", 4).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - F.col("b") * F.col("sx")) / F.col("m")), 2
+        ).alias("heaps_k"),
+    )
 
 
 # must run after every @query registration in this module

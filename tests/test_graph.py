@@ -85,3 +85,31 @@ def test_k_core_counts_undirected_degree_once(spark):
     )
     assert k_core(edges, k=2).count() == 0
     assert {r.id for r in k_core(edges, k=1).collect()} == {1, 2}
+
+
+def test_hits_hand_graph_matches_numpy(spark):
+    import numpy as np
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import hits
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 1)]
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(4):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    got = {
+        r.id: (r.authority, r.hub)
+        for r in hits(
+            spark.createDataFrame(edges, "src long, dst long"), iterations=4
+        ).collect()
+    }
+    for n in nodes:
+        assert abs(got[n][0] - a[idx[n]]) < 1e-12
+        assert abs(got[n][1] - h[idx[n]]) < 1e-12
