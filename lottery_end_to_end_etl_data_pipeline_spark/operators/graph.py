@@ -72,17 +72,25 @@ def pagerank(
     interval 4 is the sweet spot: 2 pays double the barrier jobs,
     8 lets the un-truncated plan re-derive enough rounds to cost
     more than the barriers saved)."""
+    # materialize the edge list FIRST: it feeds every derived table
+    # (nodes, degrees) and every iteration, and an un-truncated
+    # upstream plan — e.g. the kNN window join that built it — would
+    # otherwise re-execute per eager barrier (checkpointing edges
+    # after nodes/base cost ~1 s per extra upstream replay on the
+    # catalog graph — measured, 3 replays → 1).
+    e = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("dst_id"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
+        e.select("id")
+        .union(e.select(F.col("dst_id").alias("id")))
         .distinct()
         .repartition("id")
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
+    out_deg = e.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
     # node table with out-degree (0 for dangling), checkpointed once
     base = (
         nodes.join(out_deg, "id", "left")
@@ -90,14 +98,6 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = base.select("id", "deg", F.lit(1.0 / n).alias("rank"))
-    # materialize the edge list ONCE: it feeds every iteration (and
-    # every checkpoint barrier), and an un-truncated upstream plan —
-    # e.g. the kNN window join that built it — would re-execute per
-    # round otherwise (measured ~0.7 s/round on the catalog graph).
-    e = (
-        edges.select(F.col(src).alias("id"), F.col(dst).alias("dst_id"))
-        .localCheckpoint(eager=True)
-    )
 
     for i in range(iterations):
         dangling = ranks.filter(F.col("deg") == 0).agg(
@@ -351,6 +351,10 @@ def personalized_pagerank(
     two-exchange-per-iteration shape as `pagerank` (join ranks→edges
     by src, aggregate by dst, 1-row dangling broadcast,
     localCheckpoint every `checkpoint_interval`)."""
+    # same edge-materialization discipline as `pagerank`, and FIRST:
+    # the list feeds every derived table and every iteration; an
+    # expensive upstream build (the kNN join) must replay exactly once
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
@@ -379,9 +383,6 @@ def personalized_pagerank(
     )
     seed_share = F.when(F.col("is_seed"), 1.0 / ns).otherwise(0.0)
     ranks = base.select("id", "is_seed", "deg", seed_share.alias("rank"))
-    # same edge-materialization as `pagerank`: the list feeds every
-    # iteration; an expensive upstream build must not replay per round
-    edges = edges.localCheckpoint(eager=True)
     for i in range(iterations):
         dangling = ranks.filter(F.col("deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
@@ -500,15 +501,18 @@ def hits(
 
     Returns ``(id, authority, hub)`` for every node.
     """
+    # edge list materializes FIRST (the `pagerank` discipline): every
+    # derived table and both half-steps read it; an expensive
+    # upstream build (the kNN join) must replay exactly once
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
         .distinct()
         .repartition("id")
         .localCheckpoint(eager=True)
     )
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = e.localCheckpoint(eager=True)
     hub = nodes.select("id", F.lit(1.0).alias("hub"))
     auth = None
     for i in range(iterations):
