@@ -28,6 +28,9 @@ HEADLINE = [
     "gold_frequency_shape",
     "gold_geo_shape",
     "gold_time_series_shape",
+    "gold_letters_shape",
+    "gold_terminations_shape",
+    "gold_leaderboard_shape",
     "topk_per_group_window",
     "iqr_filter",
     "explode_tokens",
@@ -181,6 +184,26 @@ HEADLINE = [
     "hits_authority_knn",
     "snapshot_delta_stats",
     "heaps_law_fit",
+    "k_anonymity_audit",
+    "cascade_delete_audit",
+    "ndcg_truncation_audit",
+    "column_profile_all",
+    "weak_label_model",
+]
+
+# The reference's only published latency (BASELINE.md: p50 = 135 s,
+# p90 = 248 s) times its 7-gold-CTAS pipeline — NOT a 150-query
+# analytics suite. The apples-to-apples comparison is therefore the
+# sum over this engine's 7 gold-table builds; the full-suite total
+# above it measures breadth the reference cannot run at all.
+REFERENCE_PIPELINE = [
+    "gold_draw_summary_shape",
+    "gold_frequency_shape",
+    "gold_geo_shape",
+    "gold_time_series_shape",
+    "gold_letters_shape",
+    "gold_terminations_shape",
+    "gold_leaderboard_shape",
 ]
 
 
@@ -220,10 +243,14 @@ def main() -> None:
     # ("metric"/"value") was lost -> parsed=null. Keep the printed
     # line compact (slowest 25 queries only, 2-decimal, no spaces)
     # and write the full per-query detail to BENCH_DETAIL.json.
+    ref_pipeline_sec = round(
+        sum(timings.get(q, 0.0) for q in REFERENCE_PIPELINE), 3
+    )
     detail = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "reference_pipeline_sec": ref_pipeline_sec,
         "queries": timings,
         "sf": sf_dir,
     }
@@ -238,6 +265,8 @@ def main() -> None:
         "value": detail["value"],
         "unit": "sec",
         "n_queries": len(timings),
+        "sec_per_query": round(detail["value"] / max(len(timings), 1), 3),
+        "reference_pipeline_sec": ref_pipeline_sec,
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "queries_file": "BENCH_DETAIL.json",
         "sf": sf_dir,

@@ -1,0 +1,158 @@
+"""Data-governance operators: privacy-risk auditing and erasure.
+
+The reference stores personally-identifying vendor/city columns in its
+silver `premios` table (`transformer.py:173-175`) with no privacy
+tooling; these operators supply the governance layer a production lake
+needs around exactly that kind of data:
+
+- `k_anonymity` — equivalence-class audit over a quasi-identifier set
+  (Sweeney 2002): how re-identifiable is a table if an attacker knows
+  the QI columns? One hash aggregate over the QIs, then a re-aggregate
+  of the (tiny) class-size table — two shuffles total, never a
+  self-join, so it runs at any scale the groupBy runs at.
+- `cascade_delete` — right-to-erasure (GDPR art. 17) propagation: given
+  a set of root entity keys, delete the roots and every dependent row
+  reachable through declared FK edges, returning both the purged
+  frames and a per-table accounting report. The deletion frontier
+  (root keys, then affected child keys) is aggregate-distinct'd and
+  broadcast into LEFT ANTI / LEFT SEMI joins, so each table is purged
+  in one scan with no shuffle of the fact side — the shape that still
+  works when `lineitem` is 100 TB and the erasure batch is thousands
+  of subjects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over ``quasi_identifiers``.
+
+    Returns a ONE-ROW report:
+      n_rows, n_classes, min_class_size (= the table's k-anonymity),
+      n_rows_below_k (rows whose equivalence class has < k members —
+      the rows that must be generalized or suppressed to reach k),
+      pct_below_k, n_singletons (classes of size 1 — unique
+      fingerprints, the worst re-identification risk).
+
+    Cost: one groupBy over the QI columns (map-side partial agg), then
+    one aggregate over the class-size table, whose cardinality is the
+    number of distinct QI combinations — the quantity a privacy audit
+    is *about*, so it is always the small side.
+    """
+    classes = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return classes.agg(
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_below_k"),
+        F.round(
+            F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0))
+            * 100.0
+            / F.sum("class_size"),
+            2,
+        ).alias("pct_below_k"),
+        F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+    )
+
+
+def cascade_delete(
+    tables: dict[str, DataFrame],
+    edges: list[tuple[str, str, str, str]],
+    root_table: str,
+    root_keys: DataFrame,
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Erase ``root_keys`` from ``root_table`` and cascade through FK edges.
+
+    Args:
+        tables: name -> DataFrame for every table in the closure.
+        edges: (parent_table, parent_key, child_table, child_fk) edges;
+            processed in order, so grandchild edges must list their
+            parent AFTER the edge that shrinks it (topological order).
+        root_table: where the erasure subjects live.
+        root_keys: single-column frame of subject keys (column name
+            must equal the parent key used in ``edges`` for
+            ``root_table``).
+
+    Returns ``(purged, report)`` where ``purged[name]`` is the table
+    minus deleted rows and ``report`` is one row per table:
+    (table_name, n_before, n_deleted, n_after). n_before/n_deleted are
+    computed with conditional counts in the SAME single pass that
+    would write the purged table — not a separate count job per table.
+
+    Scale shape: the deletion frontier at each hop is a DISTINCT key
+    list derived from the *parent's deleted subset* — erasure batches
+    are small (subjects, then their order ids), so each frontier is
+    broadcast; child tables are scanned once with a hash-semi-join
+    probe and never shuffled.
+    """
+    purged: dict[str, DataFrame] = {}
+    key_col = root_keys.columns[0]
+    frontier = root_keys.select(key_col).distinct()
+    marks: dict[str, tuple[DataFrame, str]] = {root_table: (frontier, key_col)}
+
+    for parent, parent_key, child, child_fk in edges:
+        if parent not in marks:
+            raise ValueError(f"edge parent {parent!r} has no deletion frontier yet")
+        pfront, pcol = marks[parent]
+        # child rows that die: fk IN parent frontier (projected to the
+        # parent key space first if the frontier is on another column).
+        parent_tbl = tables[parent]
+        if pcol != parent_key:
+            # keys of parent rows being deleted, in the FK's key space
+            pfront = (
+                parent_tbl.join(broadcast(pfront), on=pcol, how="left_semi")
+                .select(parent_key)
+                .distinct()
+            )
+        child_frontier = pfront.withColumnRenamed(parent_key, child_fk)
+        marks[child] = (child_frontier, child_fk)
+
+    report_rows = []
+    for name, tbl in tables.items():
+        if name in marks:
+            front, col = marks[name]
+            flagged = tbl.join(
+                broadcast(front.withColumnRenamed(col, "__del_key")),
+                on=tbl[col] == F.col("__del_key"),
+                how="left",
+            )
+            purged[name] = (
+                flagged.filter(F.col("__del_key").isNull()).drop("__del_key")
+            )
+            counts = flagged.agg(
+                F.count(F.lit(1)).cast("long").alias("n_before"),
+                F.count("__del_key").cast("long").alias("n_deleted"),
+            ).withColumn("table_name", F.lit(name))
+        else:
+            purged[name] = tbl
+            counts = tbl.agg(
+                F.count(F.lit(1)).cast("long").alias("n_before"),
+                F.lit(0).cast("long").alias("n_deleted"),
+            ).withColumn("table_name", F.lit(name))
+        report_rows.append(
+            counts.select(
+                "table_name",
+                "n_before",
+                "n_deleted",
+                (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+            )
+        )
+
+    report = report_rows[0]
+    for r in report_rows[1:]:
+        report = report.unionByName(r)
+    return purged, report

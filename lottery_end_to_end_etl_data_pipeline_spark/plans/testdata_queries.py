@@ -4593,7 +4593,9 @@ _DRIVER_WINDOW_PRIORITY = [
     #   small_file_compaction_stats, ivm_join_delta,
     #   neyman_allocation_sample, streaming_exactly_once_counts,
     #   decile_shift_by_source, repeated_span_stats,
-    #   temperature_mixture_counts,
+    #   temperature_mixture_counts, k_anonymity_audit,
+    #   cascade_delete_audit, ndcg_truncation_audit,
+    #   column_profile_all, weak_label_model,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -11551,6 +11553,453 @@ def heaps_law_fit(spark, sf_dir):
             F.exp((F.col("sy") - F.col("b") * F.col("sx")) / F.col("m")), 2
         ).alias("heaps_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: governance (k-anonymity, right-to-erasure
+# cascade), retrieval-quality nDCG, one-scan column profiling, and
+# weak-supervision label aggregation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(class_size) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+             AS n_rows_below_k,
+           ROUND(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) * 100.0
+                 / sum(class_size), 2) AS pct_below_k,
+           CAST(sum(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons
+    FROM classes
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit (operators/governance.py::k_anonymity,
+    Sweeney 2002) over the customer table with quasi-identifiers
+    (nation, market segment) — the governance check the reference's
+    PII-bearing silver `premios` (vendedor/ciudad/departamento,
+    reference transformer.py:173-175) would need in production.
+    Cost: one hash aggregate over the QIs + one aggregate of the
+    class-size table (cardinality = distinct QI combos, always the
+    small side). No self-joins, no windows — scales with the groupBy."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.governance import (
+        k_anonymity,
+    )
+
+    return k_anonymity(
+        t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
+@query(
+    "cascade_delete_audit",
+    oracle="""
+    WITH roots AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    del_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM roots)
+    ),
+    r AS (
+      SELECT 'customer' AS table_name,
+             (SELECT count(*) FROM customer) AS n_before,
+             (SELECT count(*) FROM customer
+              WHERE c_custkey IN (SELECT c_custkey FROM roots)) AS n_deleted
+      UNION ALL
+      SELECT 'orders',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM roots))
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+    )
+    SELECT table_name, CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_deleted AS BIGINT) AS n_deleted,
+           CAST(n_before - n_deleted AS BIGINT) AS n_after
+    FROM r ORDER BY table_name
+    """,
+)
+def cascade_delete_audit(spark, sf_dir):
+    """Right-to-erasure cascade (operators/governance.py::
+    cascade_delete, GDPR art. 17): erase a deterministic subject set
+    (custkey % 97 = 0) from customer and propagate through the FK
+    chain customer -> orders -> lineitem, reporting per-table
+    before/deleted/after counts. Each frontier (subject keys, then
+    their order ids) is distinct'd and BROADCAST into one-scan
+    left-join probes — the fact side never shuffles, so the erasure
+    batch costs one scan per table at any corpus size."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.governance import (
+        cascade_delete,
+    )
+
+    cust = t(spark, sf_dir, "customer")
+    tables = {
+        "customer": cust,
+        "orders": t(spark, sf_dir, "orders"),
+        "lineitem": t(spark, sf_dir, "lineitem"),
+    }
+    roots = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    _purged, report = cascade_delete(
+        tables,
+        edges=[
+            ("customer", "c_custkey", "orders", "o_custkey"),
+            ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        ],
+        root_table="customer",
+        root_keys=roots,
+    )
+    return report.orderBy("table_name")
+
+
+@query(
+    "ndcg_truncation_audit",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    full_scored AS (
+      SELECT q.qid, e.vec_id AS cid,
+             round(
+               list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*x)))
+                  * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*x)))),
+             4) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    full_rank AS (
+      SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+      FROM full_scored
+    ),
+    rel AS (SELECT qid, cid, 11 - rnk AS rel FROM full_rank WHERE rnk <= 10),
+    t_scored AS (
+      SELECT q.qid, e.vec_id AS cid,
+             round(
+               list_sum(list_transform(
+                        list_zip(e.embedding[1:16], q.embedding[1:16]),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding[1:16], x -> CAST(x AS DOUBLE)*x)))
+                  * sqrt(list_sum(list_transform(q.embedding[1:16], x -> CAST(x AS DOUBLE)*x)))),
+             4) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    t_rank AS (
+      SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rnk
+      FROM t_scored
+    ),
+    t_top AS (SELECT qid, cid, rnk FROM t_rank WHERE rnk <= 10),
+    per_q AS (
+      SELECT t.qid,
+             sum(COALESCE(r.rel, 0) / log2(t.rnk + 1)) AS dcg
+      FROM t_top t LEFT JOIN rel r ON r.qid = t.qid AND r.cid = t.cid
+      GROUP BY t.qid
+    ),
+    idcg AS (
+      SELECT sum((11 - i) / log2(i + 1)) AS v
+      FROM generate_series(1, 10) s(i)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           ROUND(avg(dcg / idcg.v), 4) AS avg_ndcg_at_10,
+           ROUND(min(dcg / idcg.v), 4) AS min_ndcg_at_10
+    FROM per_q, idcg
+    """,
+)
+def ndcg_truncation_audit(spark, sf_dir):
+    """nDCG@10 of Matryoshka-truncated retrieval (16-dim prefix)
+    against the full-dim exact ranking — the graded-relevance
+    companion to `dim_truncation_recall` (recall@k says whether the
+    right docs appear; nDCG says whether they appear in the right
+    ORDER, gain = 11 - full_rank). Both rankings come from
+    `knn_join` (broadcast query set, ONE corpus scan each, window
+    top-k per query); the eval is over a deterministic sampled query
+    set (vec_id % 50 = 0), so pair space is |Q|x|corpus| by design —
+    an eval harness, not a production all-pairs join. Determinism:
+    ranks cut on round-4 cosine with vec_id tie-break in both
+    engines; DCG sums <=10 fixed rational-gain terms, rounded at 4."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    full = knn_join(queries, emb, k=10, exclude_same_id=True)
+    rel = full.select(
+        "qid", "cid", (F.lit(11) - F.col("rnk")).cast("double").alias("rel")
+    )
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = queries.select("q_id", F.slice("embedding", 1, 16).alias("embedding"))
+    trunc = knn_join(q16, emb16, k=10, exclude_same_id=True)
+    per_q = (
+        trunc.join(rel, ["qid", "cid"], "left")
+        .fillna(0.0, subset=["rel"])
+        .groupBy("qid")
+        .agg(F.sum(F.col("rel") / F.log2(F.col("rnk") + 1)).alias("dcg"))
+    )
+    idcg = sum((11 - i) / __import__("math").log2(i + 1) for i in range(1, 11))
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg(F.col("dcg") / F.lit(idcg)), 4).alias("avg_ndcg_at_10"),
+        F.round(F.min(F.col("dcg") / F.lit(idcg)), 4).alias("min_ndcg_at_10"),
+    )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "string"),
+]
+
+
+@query(
+    "column_profile_all",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({'CAST(o_orderdate AS DATE)' if c == 'o_orderdate' else c}) AS VARCHAR) AS min_val,
+           CAST(max({'CAST(o_orderdate AS DATE)' if c == 'o_orderdate' else c}) AS VARCHAR) AS max_val
+    FROM orders"""
+        for c, _ in _PROFILE_COLS
+    )
+    + "\n) ORDER BY column_name",
+)
+def column_profile_all(spark, sf_dir):
+    """Whole-table column profiler (dataset-card statistics): nulls,
+    exact distinct count, min and max for EVERY column of `orders`,
+    in ONE aggregate over one scan — the per-column loop a pandas
+    profiler would run N times collapses into a single `.agg()`
+    (Catalyst plans the multi-distinct via Expand: one pass, x6 rows
+    map-side, each partial agg mergeable), then a `stack` unpivot of
+    the 1-row result driver-side. At 100 TB swap the exact distincts
+    for `approx_count_distinct` one-for-one; min/max/null counts are
+    already single-pass mergeable."""
+    aggs = []
+    for c, typ in _PROFILE_COLS:
+        col = F.col(c)
+        if typ == "date":
+            col = F.col(c).cast("date")
+        aggs.extend(
+            [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"nn_{c}"),
+                F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+                F.min(col).cast("string").alias(f"mn_{c}"),
+                F.max(col).cast("string").alias(f"mx_{c}"),
+            ]
+        )
+    one = t(spark, sf_dir, "orders").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("column_name")
+
+
+_ANNOTATORS = [1, 2, 3]
+
+_WEAK_NOISY_CTE = """
+    noisy AS (
+      SELECT vec_id, label, ann,
+             CASE WHEN substr(md5(CAST(vec_id AS VARCHAR) || '-' || CAST(ann AS VARCHAR)), 1, 1)
+                       IN ('0', '1', '2')
+                  THEN (label + ann) % 10 ELSE label END AS noisy_label
+      FROM (
+        SELECT vec_id, label, unnest([1, 2, 3]) AS ann FROM embeddings
+      )
+    ),
+    vote_counts AS (
+      SELECT vec_id, noisy_label, count(*) AS c
+      FROM noisy GROUP BY 1, 2
+    ),
+    majority AS (
+      SELECT vec_id, noisy_label AS maj_label
+      FROM (
+        SELECT vec_id, noisy_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, noisy_label ASC) AS rn
+        FROM vote_counts
+      ) WHERE rn = 1
+    ),
+    ann_weight AS (
+      SELECT n.ann, sum(CASE WHEN n.noisy_label = m.maj_label THEN 1 ELSE 0 END) AS w
+      FROM noisy n JOIN majority m ON n.vec_id = m.vec_id
+      GROUP BY n.ann
+    ),
+    weighted AS (
+      SELECT vec_id, noisy_label AS w_label
+      FROM (
+        SELECT n.vec_id, n.noisy_label,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY sum(aw.w) DESC, n.noisy_label ASC) AS rn
+        FROM noisy n JOIN ann_weight aw ON n.ann = aw.ann
+        GROUP BY n.vec_id, n.noisy_label
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "weak_label_model",
+    oracle="WITH "
+    + _WEAK_NOISY_CTE
+    + """
+    SELECT * FROM (
+      SELECT 'ann_' || CAST(n.ann AS VARCHAR) AS voter,
+             CAST(sum(CASE WHEN n.noisy_label = n.label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+             ROUND(sum(CASE WHEN n.noisy_label = n.label THEN 1 ELSE 0 END) * 1.0
+                   / count(*), 4) AS accuracy
+      FROM noisy n GROUP BY n.ann
+      UNION ALL
+      SELECT 'majority',
+             CAST(sum(CASE WHEN m.maj_label = e.label THEN 1 ELSE 0 END) AS BIGINT),
+             ROUND(sum(CASE WHEN m.maj_label = e.label THEN 1 ELSE 0 END) * 1.0
+                   / count(*), 4)
+      FROM majority m JOIN embeddings e ON m.vec_id = e.vec_id
+      UNION ALL
+      SELECT 'weighted',
+             CAST(sum(CASE WHEN w.w_label = e.label THEN 1 ELSE 0 END) AS BIGINT),
+             ROUND(sum(CASE WHEN w.w_label = e.label THEN 1 ELSE 0 END) * 1.0
+                   / count(*), 4)
+      FROM weighted w JOIN embeddings e ON w.vec_id = e.vec_id
+    ) ORDER BY voter
+    """,
+)
+def weak_label_model(spark, sf_dir):
+    """Weak-supervision label aggregation (Snorkel-style): three
+    synthetic annotators (true label + deterministic md5-hash noise,
+    ~3/16 flip rate — the same expression in both engines), majority
+    vote, then an agreement-weighted re-vote — one Dawid-Skene-like
+    reliability step where each annotator's vote weight is its
+    INTEGER agreement count with the majority (rational weights keep
+    the argmax exact; no float log-odds ties). Plan: one explode to
+    (vec, ann) votes, two hash aggregates + one per-vec window each
+    for majority and re-vote, annotator weights broadcast (3 rows).
+    Everything shuffles on vec_id — scales as a groupBy pipeline."""
+    votes = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.explode(F.array(*[F.lit(a) for a in _ANNOTATORS])).alias("ann"),
+        )
+        .withColumn(
+            "noisy_label",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("vec_id").cast("string"),
+                            F.lit("-"),
+                            F.col("ann").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                ).isin("0", "1", "2"),
+                (F.col("label") + F.col("ann")) % 10,
+            ).otherwise(F.col("label")),
+        )
+    )
+    counts = votes.groupBy("vec_id", "noisy_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_maj = Window.partitionBy("vec_id").orderBy(
+        F.desc("c"), F.asc("noisy_label")
+    )
+    majority = (
+        counts.withColumn("rn", F.row_number().over(w_maj))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("noisy_label").alias("maj_label"))
+    )
+    ann_weight = (
+        votes.join(majority, "vec_id")
+        .groupBy("ann")
+        .agg(
+            F.sum(
+                F.when(F.col("noisy_label") == F.col("maj_label"), 1).otherwise(0)
+            ).alias("w")
+        )
+    )
+    wscore = (
+        votes.join(F.broadcast(ann_weight), "ann")
+        .groupBy("vec_id", "noisy_label")
+        .agg(F.sum("w").alias("score"))
+    )
+    w_wt = Window.partitionBy("vec_id").orderBy(
+        F.desc("score"), F.asc("noisy_label")
+    )
+    weighted = (
+        wscore.withColumn("rn", F.row_number().over(w_wt))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("noisy_label").alias("w_label"))
+    )
+    truth = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+
+    def acc_report(df, pred_col, voter_expr):
+        return df.agg(
+            voter_expr.alias("voter"),
+            F.sum(F.when(F.col(pred_col) == F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(F.when(F.col(pred_col) == F.col("label"), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("accuracy"),
+        )
+
+    per_ann = (
+        votes.groupBy("ann")
+        .agg(
+            F.sum(F.when(F.col("noisy_label") == F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(F.when(F.col("noisy_label") == F.col("label"), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("accuracy"),
+        )
+        .select(
+            F.concat(F.lit("ann_"), F.col("ann").cast("string")).alias("voter"),
+            "n_correct",
+            "accuracy",
+        )
+    )
+    maj_row = acc_report(
+        majority.join(truth, "vec_id"), "maj_label", F.lit("majority")
+    )
+    wt_row = acc_report(weighted.join(truth, "vec_id"), "w_label", F.lit("weighted"))
+    return per_ann.unionByName(maj_row).unionByName(wt_row).orderBy("voter")
 
 
 # must run after every @query registration in this module

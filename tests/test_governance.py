@@ -1,0 +1,119 @@
+"""Governance operators: k-anonymity audit + right-to-erasure cascade."""
+
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.governance import (
+    cascade_delete,
+    k_anonymity,
+)
+
+
+def _people(spark):
+    # QI = (zip, age): classes sized 3 ("a"), 2 ("b"), 1+1 singletons.
+    rows = [
+        (1, "10001", 30, "x"),
+        (2, "10001", 30, "y"),
+        (3, "10001", 30, "z"),
+        (4, "10002", 40, "x"),
+        (5, "10002", 40, "y"),
+        (6, "10003", 50, "x"),
+        (7, "10004", 60, "x"),
+    ]
+    return spark.createDataFrame(rows, ["id", "zip", "age", "payload"])
+
+
+def test_k_anonymity_report(spark):
+    row = k_anonymity(_people(spark), ["zip", "age"], k=3).collect()[0]
+    assert row.n_rows == 7
+    assert row.n_classes == 4
+    assert row.min_class_size == 1
+    # classes below k=3: the 2-class and both singletons -> 4 rows
+    assert row.n_rows_below_k == 4
+    assert row.n_singletons == 2
+    assert abs(row.pct_below_k - round(400 / 7, 2)) < 1e-9
+
+
+def test_k_anonymity_threshold_met(spark):
+    row = k_anonymity(_people(spark), ["zip", "age"], k=1).collect()[0]
+    assert row.n_rows_below_k == 0
+    assert row.pct_below_k == 0.0
+
+
+def _lake(spark):
+    cust = spark.createDataFrame([(1,), (2,), (3,)], ["c_id"])
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], ["o_id", "o_cust"]
+    )
+    items = spark.createDataFrame(
+        [(10, "a"), (10, "b"), (11, "c"), (12, "d"), (13, "e")],
+        ["i_order", "sku"],
+    )
+    return {"cust": cust, "orders": orders, "items": items}
+
+
+def test_cascade_delete_counts_and_purge(spark):
+    tables = _lake(spark)
+    roots = spark.createDataFrame([(1,)], ["c_id"])
+    purged, report = cascade_delete(
+        tables,
+        edges=[("cust", "c_id", "orders", "o_cust"),
+               ("orders", "o_id", "items", "i_order")],
+        root_table="cust",
+        root_keys=roots,
+    )
+    rep = {r.table_name: r for r in report.collect()}
+    assert (rep["cust"].n_before, rep["cust"].n_deleted, rep["cust"].n_after) == (3, 1, 2)
+    assert (rep["orders"].n_deleted, rep["orders"].n_after) == (2, 2)
+    # orders 10,11 die -> items a,b,c die
+    assert (rep["items"].n_deleted, rep["items"].n_after) == (3, 2)
+    assert sorted(r.c_id for r in purged["cust"].collect()) == [2, 3]
+    assert sorted(r.o_id for r in purged["orders"].collect()) == [12, 13]
+    assert sorted(r.sku for r in purged["items"].collect()) == ["d", "e"]
+
+
+def test_cascade_delete_untouched_table_passthrough(spark):
+    tables = _lake(spark)
+    tables["audit"] = spark.createDataFrame([(99,)], ["log_id"])
+    roots = spark.createDataFrame([(2,)], ["c_id"])
+    purged, report = cascade_delete(
+        tables,
+        edges=[("cust", "c_id", "orders", "o_cust"),
+               ("orders", "o_id", "items", "i_order")],
+        root_table="cust",
+        root_keys=roots,
+    )
+    rep = {r.table_name: r for r in report.collect()}
+    assert rep["audit"].n_deleted == 0 and rep["audit"].n_after == 1
+    assert purged["audit"].count() == 1
+    # order 12 -> item d
+    assert rep["items"].n_deleted == 1
+
+
+def test_cascade_delete_duplicate_roots_are_distinct(spark):
+    tables = _lake(spark)
+    roots = spark.createDataFrame([(3,), (3,)], ["c_id"])
+    _, report = cascade_delete(
+        tables,
+        edges=[("cust", "c_id", "orders", "o_cust"),
+               ("orders", "o_id", "items", "i_order")],
+        root_table="cust",
+        root_keys=roots,
+    )
+    rep = {r.table_name: r for r in report.collect()}
+    # dup keys must not double-delete or double-count
+    assert rep["cust"].n_deleted == 1
+    assert rep["orders"].n_deleted == 1
+    assert rep["items"].n_deleted == 1
+
+
+def test_cascade_frontier_is_broadcast(spark):
+    tables = _lake(spark)
+    roots = spark.createDataFrame([(1,)], ["c_id"])
+    purged, _ = cascade_delete(
+        tables,
+        edges=[("cust", "c_id", "orders", "o_cust")],
+        root_table="cust",
+        root_keys=roots,
+    )
+    plan = purged["orders"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
