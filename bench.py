@@ -189,6 +189,8 @@ HEADLINE = [
     "ndcg_truncation_audit",
     "column_profile_all",
     "weak_label_model",
+    "bfs_blast_radius",
+    "embedding_class_separation",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

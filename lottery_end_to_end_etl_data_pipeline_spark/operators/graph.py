@@ -548,3 +548,59 @@ def hits(
             auth = auth.localCheckpoint(eager=True)
             hub = hub.localCheckpoint(eager=True)
     return auth.join(hub, "id")
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS distance layers (unweighted shortest paths).
+
+    Returns ``(id, layer)`` for every node reachable from ``seeds``
+    within ``max_depth`` hops, where layer is the MINIMUM hop count —
+    the building block for seed-set expansion radii, contamination
+    blast-radius audits, and "how far is this near-dup community from
+    a known-bad document" questions on the kNN similarity graph.
+
+    Scale shape: per round, one hash join of the (shrinking) frontier
+    against the edge list + one anti-join against the visited set —
+    all partitioned by node id, no global structure; frontier and
+    visited grow monotonically but each round touches only
+    frontier-adjacent edges. `localCheckpoint` truncates iterated
+    lineage (same discipline as `pagerank`/`k_core`). Rounds run to
+    exactly ``max_depth`` unless the frontier empties first — an
+    empty frontier short-circuit changes nothing semantically (later
+    layers would be empty), so the bounded unrolled SQL oracle
+    replays the recurrence verbatim.
+
+    Seeds column: the first column of ``seeds`` is taken as the node
+    id. Edges are used as given (directed); symmetrize upstream for
+    undirected reachability.
+    """
+    seed_col = seeds.columns[0]
+    visited = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .withColumn("layer", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("id")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("id", src).select(src), src, "semi"
+            )
+            .select(F.col(dst).alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "anti")
+            .withColumn("layer", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    return visited

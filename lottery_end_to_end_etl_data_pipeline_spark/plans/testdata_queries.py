@@ -4595,7 +4595,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   decile_shift_by_source, repeated_span_stats,
     #   temperature_mixture_counts, k_anonymity_audit,
     #   cascade_delete_audit, ndcg_truncation_audit,
-    #   column_profile_all, weak_label_model,
+    #   column_profile_all, weak_label_model, bfs_blast_radius,
+    #   embedding_class_separation,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -12000,6 +12001,200 @@ def weak_label_model(spark, sf_dir):
     )
     wt_row = acc_report(weighted.join(truth, "vec_id"), "w_label", F.lit("weighted"))
     return per_ann.unionByName(maj_row).unionByName(wt_row).orderBy("voter")
+
+
+@query(
+    "bfs_blast_radius",
+    oracle="WITH "
+    + _KNN_EDGES_CTE
+    + """,
+    v0 AS (
+      SELECT vec_id AS id FROM embeddings
+      WHERE vec_id < 200 AND vec_id % 40 = 0
+    ),
+    l1 AS (
+      SELECT DISTINCT e.dst AS id FROM dedges e JOIN v0 ON e.src = v0.id
+      WHERE e.dst NOT IN (SELECT id FROM v0)
+    ),
+    v1 AS (SELECT id FROM v0 UNION SELECT id FROM l1),
+    l2 AS (
+      SELECT DISTINCT e.dst AS id FROM dedges e JOIN l1 ON e.src = l1.id
+      WHERE e.dst NOT IN (SELECT id FROM v1)
+    ),
+    v2 AS (SELECT id FROM v1 UNION SELECT id FROM l2),
+    l3 AS (
+      SELECT DISTINCT e.dst AS id FROM dedges e JOIN l2 ON e.src = l2.id
+      WHERE e.dst NOT IN (SELECT id FROM v2)
+    ),
+    v3 AS (SELECT id FROM v2 UNION SELECT id FROM l3),
+    l4 AS (
+      SELECT DISTINCT e.dst AS id FROM dedges e JOIN l3 ON e.src = l3.id
+      WHERE e.dst NOT IN (SELECT id FROM v3)
+    )
+    SELECT layer, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(id) AS BIGINT) AS sum_ids
+    FROM (
+      SELECT 0 AS layer, id FROM v0
+      UNION ALL SELECT 1, id FROM l1
+      UNION ALL SELECT 2, id FROM l2
+      UNION ALL SELECT 3, id FROM l3
+      UNION ALL SELECT 4, id FROM l4
+    ) GROUP BY layer ORDER BY layer
+    """,
+)
+def bfs_blast_radius(spark, sf_dir):
+    """Multi-source BFS distance layers (operators/graph.py::
+    bfs_layers) from a 5-seed set over the deterministic vec_id<200
+    top-3 kNN graph — the contamination blast-radius question: how
+    many documents sit within h hops of known-bad seeds, per hop?
+    Per round: frontier semi-join against edges + anti-join against
+    visited, hash-partitioned by node id, frontier-local cost,
+    localCheckpoint lineage truncation. The oracle unrolls the 4
+    rounds as CTEs (min-hop semantics enforced by the accumulated
+    NOT-IN), pinning each layer's exact membership via count +
+    id-sum."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import bfs_layers
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    edges = knn_join(queries, emb, k=3, exclude_same_id=True).select(
+        F.col("qid").alias("src"), F.col("cid").alias("dst")
+    )
+    seeds = emb.filter(F.col("vec_id") % 40 == 0).select("vec_id")
+    layers = bfs_layers(edges, seeds, max_depth=4)
+    return (
+        layers.groupBy("layer")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("layer")
+    )
+
+
+@query(
+    "embedding_class_separation",
+    oracle="""
+    WITH long_v AS (
+      SELECT vec_id, label, r.i AS dim, CAST(embedding[r.i] AS DOUBLE) AS val
+      FROM embeddings, range(1, 65) r(i)
+    ),
+    cent AS (
+      SELECT label, dim, avg(val) AS cval
+      FROM long_v GROUP BY 1, 2
+    ),
+    cnorm AS (
+      SELECT label, sqrt(sum(cval * cval)) AS nrm FROM cent GROUP BY 1
+    ),
+    vec_cos AS (
+      SELECT v.vec_id, v.label,
+             sum(v.val * c.cval)
+               / (sqrt(sum(v.val * v.val)) * any_value(cn.nrm)) AS cos_own
+      FROM long_v v
+      JOIN cent c ON c.label = v.label AND c.dim = v.dim
+      JOIN cnorm cn ON cn.label = v.label
+      GROUP BY v.vec_id, v.label
+    ),
+    cpair AS (
+      SELECT a.label AS l1, b.label AS l2,
+             sum(a.cval * b.cval) / (any_value(na.nrm) * any_value(nb.nrm)) AS ccos
+      FROM cent a
+      JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+      JOIN cnorm na ON na.label = a.label
+      JOIN cnorm nb ON nb.label = b.label
+      GROUP BY a.label, b.label
+    ),
+    nearest AS (
+      SELECT l1 AS label, max(round(ccos, 4)) AS nearest_other_cos
+      FROM cpair GROUP BY 1
+    )
+    SELECT v.label, CAST(count(*) AS BIGINT) AS n_vecs,
+           ROUND(avg(round(v.cos_own, 4)), 4) AS avg_intra_cos,
+           any_value(n.nearest_other_cos) AS nearest_other_cos
+    FROM vec_cos v JOIN nearest n ON n.label = v.label
+    GROUP BY v.label ORDER BY v.label
+    """,
+)
+def embedding_class_separation(spark, sf_dir):
+    """Embedding-space class-quality audit: per label, the average
+    cosine of members to their own centroid (cohesion) and the
+    cosine to the nearest OTHER centroid (separation) — the
+    fisher-style screen that catches mislabeled clusters and
+    collapsed classes before training. Computed entirely in LONG
+    form (posexplode to (vec, dim, val)): centroids are one
+    (label, dim) hash aggregate, per-vector cosines one (vec_id)
+    aggregate over a dim-keyed join — no array rebuilds, no
+    collect_list ordering hazards, and every shuffle is keyed on
+    (label, dim) or vec_id, so it scales as plain aggregates.
+    Centroid-pair table is |labels|^2 * dims — driver-tiny.
+    Determinism: per-vector and centroid-pair cosines rounded at 4
+    before the label-level averaging/max in both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    long_v = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "val_f"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    cent = long_v.groupBy("label", "dim").agg(F.avg("val").alias("cval"))
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("nrm")
+    )
+    vec_cos = (
+        long_v.join(cent, ["label", "dim"])
+        .join(F.broadcast(cnorm), "label")
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sum(F.col("val") * F.col("cval"))
+                / (
+                    F.sqrt(F.sum(F.col("val") * F.col("val")))
+                    * F.first("nrm")
+                )
+            ).alias("cos_own")
+        )
+    )
+    cpair = (
+        cent.select(
+            F.col("label").alias("l1"), "dim", F.col("cval").alias("cv1")
+        )
+        .join(
+            cent.select(
+                F.col("label").alias("l2"), "dim", F.col("cval").alias("cv2")
+            ),
+            "dim",
+        )
+        .filter(F.col("l1") != F.col("l2"))
+        .join(F.broadcast(cnorm.select(F.col("label").alias("l1"), F.col("nrm").alias("n1"))), "l1")
+        .join(F.broadcast(cnorm.select(F.col("label").alias("l2"), F.col("nrm").alias("n2"))), "l2")
+        .groupBy("l1", "l2")
+        .agg(
+            (
+                F.sum(F.col("cv1") * F.col("cv2"))
+                / (F.first("n1") * F.first("n2"))
+            ).alias("ccos")
+        )
+    )
+    nearest = cpair.groupBy(F.col("l1").alias("label")).agg(
+        F.max(F.round("ccos", 4)).alias("nearest_other_cos")
+    )
+    return (
+        vec_cos.join(F.broadcast(nearest), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg(F.round("cos_own", 4)), 4).alias("avg_intra_cos"),
+            F.first("nearest_other_cos").alias("nearest_other_cos"),
+        )
+        .orderBy("label")
+    )
 
 
 # must run after every @query registration in this module

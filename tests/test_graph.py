@@ -113,3 +113,38 @@ def test_hits_hand_graph_matches_numpy(spark):
     for n in nodes:
         assert abs(got[n][0] - a[idx[n]]) < 1e-12
         assert abs(got[n][1] - h[idx[n]]) < 1e-12
+
+
+def test_bfs_layers_hand_graph(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import bfs_layers
+
+    # 1 -> 2 -> 3 -> 4 -> 5 (chain) plus shortcut 1 -> 3: node 3 must
+    # land in layer 1 (min-hop), not layer 2.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    out = {r.id: r.layer for r in bfs_layers(edges, seeds, max_depth=4).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_bfs_layers_depth_cap_and_unreachable(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import bfs_layers
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    out = {r.id: r.layer for r in bfs_layers(edges, seeds, max_depth=2).collect()}
+    # depth cap: node 4 (3 hops) excluded; disconnected 10/11 never appear
+    assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_layers_multi_seed_min_hop(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import bfs_layers
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 3)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (5,)], ["id"])
+    out = {r.id: r.layer for r in bfs_layers(edges, seeds, max_depth=3).collect()}
+    # 3 is 2 hops from seed 1 but 1 hop from seed 5 -> layer 1
+    assert out == {1: 0, 5: 0, 2: 1, 3: 1}
