@@ -4596,7 +4596,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   temperature_mixture_counts, k_anonymity_audit,
     #   cascade_delete_audit, ndcg_truncation_audit,
     #   column_profile_all, weak_label_model, bfs_blast_radius,
-    #   embedding_class_separation,
+    #   embedding_class_separation, streaming_late_drop_audit,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -12194,6 +12194,137 @@ def embedding_class_separation(spark, sf_dir):
             F.first("nearest_other_cos").alias("nearest_other_cos"),
         )
         .orderBy("label")
+    )
+
+
+@query(
+    "streaming_late_drop_audit",
+    oracle="""
+    WITH mx AS (
+      SELECT event_id AS top_id FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    ),
+    b AS (
+      SELECT CASE WHEN event_id = (SELECT top_id FROM mx) THEN 0
+                  ELSE event_id % 3 END AS b, ts, value
+      FROM events
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM b WHERE b = 0),
+    acc AS (
+      SELECT ts, value FROM b WHERE b <= 1
+      UNION ALL
+      SELECT ts, value FROM b, wm
+      WHERE b = 2 AND date_trunc('hour', ts) + INTERVAL 1 HOUR > wm.w
+    ),
+    wins AS (
+      SELECT date_trunc('hour', ts) AS ws, count(*) AS n,
+             round(sum(value), 2) AS sv
+      FROM acc GROUP BY 1
+    ),
+    emit AS (SELECT * FROM wins, wm WHERE ws + INTERVAL 1 HOUR <= wm.w)
+    SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_input,
+           CAST((SELECT count(DISTINCT date_trunc('hour', ts)) FROM b, wm
+                 WHERE b = 2
+                   AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w) AS BIGINT)
+             AS late_windows_dropped,
+           CAST((SELECT count(*) FROM emit) AS BIGINT) AS n_windows_emitted,
+           CAST((SELECT sum(n) FROM emit) AS BIGINT) AS n_events_emitted,
+           (SELECT round(sum(sv), 2) FROM emit) AS sum_value_emitted
+    """,
+)
+def streaming_late_drop_audit(spark, sf_dir):
+    """Watermark LATE-DATA semantics, driver-checked end-to-end: the
+    other streaming entries drain in one AvailableNow batch (nothing
+    is ever late); this one stages events into THREE mtime-ordered
+    source files (maxFilesPerTrigger=1 => three micro-batches, the
+    dataset's max-ts row pinned into batch 0 so the watermark
+    frontier is batch-assignment independent) and audits what the
+    engine actually drops and emits:
+
+    - batch 2's stragglers whose window closed behind the watermark
+      are dropped; `numRowsDroppedByWatermark` counts dropped STATE
+      GROUPS (windows), not input rows — map-side partial
+      aggregation collapses rows to (window) groups before the state
+      store sees them (verified at all three SFs: 316/719/719 groups,
+      matching the oracle's DISTINCT-window count exactly);
+    - the micro-batch watermark frontier lags one batch behind the
+      data (batch 1 drops nothing even though batch 0's max ts is a
+      month ahead of most rows — the update from batch 0 takes
+      effect for batch 2), which the oracle replays;
+    - append mode emits exactly the accepted windows whose end <=
+      final watermark; unfinalized tail-hour state is NOT emitted.
+
+    The engine-telemetry columns (n_input, late_windows_dropped) come
+    from the streaming query's own progress metrics; the oracle
+    re-derives them from first principles. Scale: state is bounded by
+    the 30-minute watermark horizon; the audit's staging is one pass
+    over events per batch file."""
+    import os
+    import shutil
+    import tempfile
+
+    tag = abs(hash(sf_dir)) % 10**8
+    base = f"{tempfile.gettempdir()}/spark_graft_wmaudit_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/src")
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    top = ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).collect()[0]
+    ev = ev.withColumn(
+        "b",
+        F.when(F.col("event_id") == top.event_id, F.lit(0)).otherwise(
+            F.col("event_id") % 3
+        ),
+    )
+    for b in range(3):
+        pdir = f"{base}/b{b}"
+        ev.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(pdir)
+        part = [x for x in os.listdir(pdir) if x.endswith(".parquet")][0]
+        dst = f"{base}/src/batch_{b}.parquet"
+        shutil.copy(f"{pdir}/{part}", dst)
+        os.utime(dst, (1000 + b, 1000 + b))
+
+    schema = spark.read.parquet(f"{base}/src").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/src")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n", "sv")
+    )
+    name = f"wm_audit_{tag}"
+    spark.catalog.dropTempView(name)
+    with stream_state_width(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.recentProgress
+    n_input = sum(p["numInputRows"] for p in progress)
+    dropped = sum(
+        (
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            if p["stateOperators"]
+            else 0
+        )
+        for p in progress
+    )
+    return spark.table(name).agg(
+        F.lit(n_input).cast("long").alias("n_input"),
+        F.lit(dropped).cast("long").alias("late_windows_dropped"),
+        F.count(F.lit(1)).cast("long").alias("n_windows_emitted"),
+        F.sum("n").cast("long").alias("n_events_emitted"),
+        F.round(F.sum("sv"), 2).alias("sum_value_emitted"),
     )
 
 
