@@ -191,6 +191,7 @@ HEADLINE = [
     "weak_label_model",
     "bfs_blast_radius",
     "embedding_class_separation",
+    "mahalanobis_outliers",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4597,6 +4597,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   cascade_delete_audit, ndcg_truncation_audit,
     #   column_profile_all, weak_label_model, bfs_blast_radius,
     #   embedding_class_separation, streaming_late_drop_audit,
+    #   mahalanobis_outliers,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -12325,6 +12326,100 @@ def streaming_late_drop_audit(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_windows_emitted"),
         F.sum("n").cast("long").alias("n_events_emitted"),
         F.round(F.sum("sv"), 2).alias("sum_value_emitted"),
+    )
+
+
+@query(
+    "mahalanobis_outliers",
+    oracle="""
+    WITH feat AS (
+      SELECT o.o_orderkey, o.o_totalprice AS x,
+             CAST(count(l.l_orderkey) AS DOUBLE) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+             sum(x * x) / count(*) - avg(x) * avg(x) AS sxx,
+             sum(x * y) / count(*) - avg(x) * avg(y) AS sxy,
+             sum(y * y) / count(*) - avg(y) * avg(y) AS syy
+      FROM feat
+    ),
+    md AS (
+      SELECT f.o_orderkey,
+             round(
+               (s.syy * (f.x - s.mx) * (f.x - s.mx)
+                - 2 * s.sxy * (f.x - s.mx) * (f.y - s.my)
+                + s.sxx * (f.y - s.my) * (f.y - s.my))
+               / (s.sxx * s.syy - s.sxy * s.sxy), 6) AS md2
+      FROM feat f, stats s
+    )
+    SELECT CAST((SELECT n FROM stats) AS BIGINT) AS n_rows,
+           ROUND((SELECT mx FROM stats), 2) AS mean_price,
+           ROUND((SELECT my FROM stats), 4) AS mean_items,
+           CAST(count(CASE WHEN md2 > 13.8155 THEN 1 END) AS BIGINT) AS n_outliers,
+           ROUND(max(md2), 4) AS max_md2,
+           ROUND(avg(md2), 4) AS avg_md2
+    FROM md
+    """,
+)
+def mahalanobis_outliers(spark, sf_dir):
+    """Multivariate (2-D) Mahalanobis outlier audit over the order
+    feature pair (total price, lineitem count): population covariance
+    from ONE co-moment aggregate, the 2x2 inverse in closed form, and
+    per-row distance^2 against the chi^2_2 99.9% cutoff (13.8155) —
+    the multivariate companion to the univariate `mad_outliers` /
+    `iqr_filter` screens (catches rows that are plausible per-column
+    but jointly impossible, e.g. a tiny order with a huge price).
+    Plan: one orderkey hash aggregate joins lineitem counts to
+    orders, one co-moment aggregate (5 sums, mergeable), the 1-row
+    stats table crossJoin-broadcast back onto one scan — the
+    reviewed scalar-broadcast pattern; no windows, no second pass.
+    Determinism: md2 rounded at 6 before the cutoff comparison and
+    the max/avg roll-ups (both engines), so scalar-ulp drift cannot
+    flip a flag."""
+    feat = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "lineitem").select("l_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select("o_orderkey", F.col("o_totalprice").alias("x"), "y")
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+         - F.avg("x") * F.avg("x")).alias("sxx"),
+        (F.sum(F.col("x") * F.col("y")) / F.count(F.lit(1))
+         - F.avg("x") * F.avg("y")).alias("sxy"),
+        (F.sum(F.col("y") * F.col("y")) / F.count(F.lit(1))
+         - F.avg("y") * F.avg("y")).alias("syy"),
+    )
+    md = feat.crossJoin(F.broadcast(stats)).select(
+        "n",
+        "mx",
+        "my",
+        F.round(
+            (
+                F.col("syy") * (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+                - 2 * F.col("sxy") * (F.col("x") - F.col("mx")) * (F.col("y") - F.col("my"))
+                + F.col("sxx") * (F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))
+            )
+            / (F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy")),
+            6,
+        ).alias("md2"),
+    )
+    return md.agg(
+        F.first("n").cast("long").alias("n_rows"),
+        F.round(F.first("mx"), 2).alias("mean_price"),
+        F.round(F.first("my"), 4).alias("mean_items"),
+        F.count(F.when(F.col("md2") > 13.8155, 1)).cast("long").alias("n_outliers"),
+        F.round(F.max("md2"), 4).alias("max_md2"),
+        F.round(F.avg("md2"), 4).alias("avg_md2"),
     )
 
 
