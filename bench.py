@@ -192,6 +192,8 @@ HEADLINE = [
     "bfs_blast_radius",
     "embedding_class_separation",
     "mahalanobis_outliers",
+    "als_half_step",
+    "distinctive_terms_by_source",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

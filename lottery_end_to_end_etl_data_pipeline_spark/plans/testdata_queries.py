@@ -4597,7 +4597,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   cascade_delete_audit, ndcg_truncation_audit,
     #   column_profile_all, weak_label_model, bfs_blast_radius,
     #   embedding_class_separation, streaming_late_drop_audit,
-    #   mahalanobis_outliers,
+    #   mahalanobis_outliers, als_half_step, distinctive_terms_by_source,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -12420,6 +12420,225 @@ def mahalanobis_outliers(spark, sf_dir):
         F.count(F.when(F.col("md2") > 13.8155, 1)).cast("long").alias("n_outliers"),
         F.round(F.max("md2"), 4).alias("max_md2"),
         F.round(F.avg("md2"), 4).alias("avg_md2"),
+    )
+
+
+@query(
+    "als_half_step",
+    oracle="""
+    WITH ratings AS (
+      SELECT user_id, event_type AS item, round(avg(value), 4) AS r
+      FROM events GROUP BY 1, 2
+    ),
+    qf AS (
+      SELECT event_type AS item, 1.0 AS q1,
+             (ascii(substr(md5(event_type), 1, 1)) % 7) / 7.0 + 0.1 AS q2
+      FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    sums AS (
+      SELECT rt.user_id,
+             sum(q.q1 * q.q1) AS a, sum(q.q1 * q.q2) AS b,
+             sum(q.q2 * q.q2) AS c,
+             sum(q.q1 * rt.r) AS d1, sum(q.q2 * rt.r) AS d2
+      FROM ratings rt JOIN qf q ON q.item = rt.item
+      GROUP BY 1
+    ),
+    pf AS (
+      SELECT user_id,
+             round(((c + 0.1) * d1 - b * d2)
+                   / ((a + 0.1) * (c + 0.1) - b * b), 6) AS p1,
+             round(((a + 0.1) * d2 - b * d1)
+                   / ((a + 0.1) * (c + 0.1) - b * b), 6) AS p2
+      FROM sums
+    ),
+    resid AS (
+      SELECT round(rt.r - (p.p1 * q.q1 + p.p2 * q.q2), 6) AS e
+      FROM ratings rt
+      JOIN pf p ON p.user_id = rt.user_id
+      JOIN qf q ON q.item = rt.item
+    )
+    SELECT CAST((SELECT count(*) FROM pf) AS BIGINT) AS n_users,
+           CAST((SELECT count(*) FROM qf) AS BIGINT) AS n_items,
+           CAST((SELECT count(*) FROM ratings) AS BIGINT) AS n_ratings,
+           ROUND(sqrt(avg(e * e)), 4) AS rmse,
+           ROUND((SELECT avg(p1) FROM pf), 4) AS avg_p1,
+           ROUND((SELECT avg(p2) FROM pf), 4) AS avg_p2
+    FROM resid
+    """,
+)
+def als_half_step(spark, sf_dir):
+    """One ALS half-step (Koren/Hu-style alternating least squares,
+    rank 2) expressed DECLARATIVELY: with item factors fixed
+    (deterministic md5-derived q-vectors), every user's factor pair
+    solves its ridge normal equations (A + lambda*I) p = d in CLOSED
+    FORM from five per-user co-moment sums — one hash aggregate over
+    the ratings, no solver loop, no UDF. The reconstruction RMSE is
+    one more join-and-aggregate pass. This is the per-key
+    "train a tiny model per entity" shape (per-user linear fits,
+    per-segment calibrations) that pandas does with groupby.apply —
+    here it is two shuffles on user_id and everything else is
+    mergeable map-side arithmetic, so it runs at any user count.
+    Full ALS alternates this step; rank > 2 swaps the closed form
+    for a cogrouped Arrow solve (same dataflow). Determinism: ratings,
+    factors, and residuals each rounded before downstream use."""
+    ratings = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("event_type").alias("item"))
+        .agg(F.round(F.avg("value"), 4).alias("r"))
+    )
+    qf = (
+        t(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("item"),
+            F.lit(1.0).alias("q1"),
+            (
+                (F.ascii(F.substring(F.md5("event_type"), 1, 1)) % 7) / 7.0 + 0.1
+            ).alias("q2"),
+        )
+    )
+    lam = 0.1
+    sums = (
+        ratings.join(F.broadcast(qf), "item")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("q1") * F.col("q1")).alias("a"),
+            F.sum(F.col("q1") * F.col("q2")).alias("b"),
+            F.sum(F.col("q2") * F.col("q2")).alias("c"),
+            F.sum(F.col("q1") * F.col("r")).alias("d1"),
+            F.sum(F.col("q2") * F.col("r")).alias("d2"),
+        )
+    )
+    det = (F.col("a") + lam) * (F.col("c") + lam) - F.col("b") * F.col("b")
+    pf = sums.select(
+        "user_id",
+        F.round(((F.col("c") + lam) * F.col("d1") - F.col("b") * F.col("d2")) / det, 6)
+        .alias("p1"),
+        F.round(((F.col("a") + lam) * F.col("d2") - F.col("b") * F.col("d1")) / det, 6)
+        .alias("p2"),
+    )
+    resid = (
+        ratings.join(pf, "user_id")
+        .join(F.broadcast(qf), "item")
+        .select(
+            F.round(
+                F.col("r") - (F.col("p1") * F.col("q1") + F.col("p2") * F.col("q2")),
+                6,
+            ).alias("e")
+        )
+    )
+    n_users = pf.select(F.count(F.lit(1)).alias("v"))
+    n_items = qf.select(F.count(F.lit(1)).alias("v"))
+    n_ratings = ratings.select(F.count(F.lit(1)).alias("v"))
+    avg_p = pf.agg(
+        F.round(F.avg("p1"), 4).alias("avg_p1"),
+        F.round(F.avg("p2"), 4).alias("avg_p2"),
+    )
+    return (
+        resid.agg(F.round(F.sqrt(F.avg(F.col("e") * F.col("e"))), 4).alias("rmse"))
+        .crossJoin(F.broadcast(n_users.select(F.col("v").cast("long").alias("n_users"))))
+        .crossJoin(F.broadcast(n_items.select(F.col("v").cast("long").alias("n_items"))))
+        .crossJoin(
+            F.broadcast(n_ratings.select(F.col("v").cast("long").alias("n_ratings")))
+        )
+        .crossJoin(F.broadcast(avg_p))
+        .select("n_users", "n_items", "n_ratings", "rmse", "avg_p1", "avg_p2")
+    )
+
+
+@query(
+    "distinctive_terms_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    sw AS (SELECT source, word, count(*) AS y_sw FROM tok GROUP BY 1, 2),
+    wtot AS (SELECT word, count(*) AS y_w FROM tok GROUP BY 1),
+    stot AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS n, count(DISTINCT word) AS v FROM tok),
+    scored AS (
+      SELECT sw.source, sw.word, sw.y_sw,
+             round(
+               (ln((sw.y_sw + 0.01) / (st.n_s - sw.y_sw + 0.01 * t.v))
+                - ln((wt.y_w - sw.y_sw + 0.01)
+                     / (t.n - st.n_s - wt.y_w + sw.y_sw + 0.01 * t.v)))
+               / sqrt(1.0 / (sw.y_sw + 0.01) + 1.0 / (wt.y_w - sw.y_sw + 0.01)),
+             4) AS z
+      FROM sw JOIN wtot wt ON wt.word = sw.word
+              JOIN stot st ON st.source = sw.source
+              CROSS JOIN tot t
+    )
+    SELECT source, word, CAST(y_sw AS BIGINT) AS y_sw, z
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY z DESC, word ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    ORDER BY source, z DESC, word
+    """,
+)
+def distinctive_terms_by_source(spark, sf_dir):
+    """Distinctive vocabulary per source via Dirichlet-smoothed
+    log-odds z-scores (Monroe, Colaresi & Quinn 2008, "Fightin'
+    Words") — the corpus-comparison screen that surfaces what each
+    source over-uses relative to the rest, robust to raw-frequency
+    confounds (unlike plain tf-idf ranking). Plan: one explode ->
+    (source, word) hash aggregate; word and source marginals
+    re-aggregated from it (never from the token stream twice); the
+    1-row totals broadcast; top-3 per source via a source-partitioned
+    window over the already-aggregated score table. Shuffles are
+    keyed on (source, word) / word — the same shapes as word-count,
+    so it scales wherever word-count does. z rounded at 4 before the
+    rank cut in both engines."""
+    tok = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    sw = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("y_sw"))
+    wtot = sw.groupBy("word").agg(F.sum("y_sw").alias("y_w"))
+    stot = sw.groupBy("source").agg(F.sum("y_sw").alias("n_s"))
+    tot = sw.agg(
+        F.sum("y_sw").alias("n"), F.countDistinct("word").alias("v")
+    )
+    scored = (
+        sw.join(wtot, "word")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "word",
+            "y_sw",
+            F.round(
+                (
+                    F.log(
+                        (F.col("y_sw") + 0.01)
+                        / (F.col("n_s") - F.col("y_sw") + 0.01 * F.col("v"))
+                    )
+                    - F.log(
+                        (F.col("y_w") - F.col("y_sw") + 0.01)
+                        / (
+                            F.col("n")
+                            - F.col("n_s")
+                            - F.col("y_w")
+                            + F.col("y_sw")
+                            + 0.01 * F.col("v")
+                        )
+                    )
+                )
+                / F.sqrt(
+                    1.0 / (F.col("y_sw") + 0.01)
+                    + 1.0 / (F.col("y_w") - F.col("y_sw") + 0.01)
+                ),
+                4,
+            ).alias("z"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("z"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "word", F.col("y_sw").cast("long").alias("y_sw"), "z")
+        .orderBy("source", F.desc("z"), "word")
     )
 
 
