@@ -194,6 +194,8 @@ HEADLINE = [
     "mahalanobis_outliers",
     "als_half_step",
     "distinctive_terms_by_source",
+    "functional_dependency_audit",
+    "knn_reciprocity",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4598,6 +4598,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   column_profile_all, weak_label_model, bfs_blast_radius,
     #   embedding_class_separation, streaming_late_drop_audit,
     #   mahalanobis_outliers, als_half_step, distinctive_terms_by_source,
+    #   functional_dependency_audit, knn_reciprocity,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -12639,6 +12640,109 @@ def distinctive_terms_by_source(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("source", "word", F.col("y_sw").cast("long").alias("y_sw"), "z")
         .orderBy("source", F.desc("z"), "word")
+    )
+
+
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+]
+
+
+@query(
+    "functional_dependency_audit",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{tbl}.{lhs}->{rhs}' AS candidate,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(count(CASE WHEN n_rhs > 1 THEN 1 END) AS BIGINT) AS n_violating,
+           count(CASE WHEN n_rhs > 1 THEN 1 END) = 0 AS holds
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs FROM {tbl} GROUP BY 1)"""
+        for tbl, lhs, rhs in _FD_CANDIDATES
+    )
+    + "\n) ORDER BY candidate",
+)
+def functional_dependency_audit(spark, sf_dir):
+    """Functional-dependency discovery (TANE-style single-attribute
+    check): does lhs determine rhs? For each declared candidate, one
+    (lhs -> countDistinct rhs) hash aggregate and a tiny re-aggregate
+    of the per-key table — the profiling primitive behind key
+    detection, denormalization safety checks ("can I collapse this
+    join?"), and schema documentation. Violating-key counts, not just
+    booleans, so a 99.9%-FD (dirty data) is visible. Each candidate
+    costs one scan of its table; candidates on the same table could
+    share a scan via the fused-aggregate pattern of
+    `data_contract_report` if the candidate list grows."""
+    frames = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        per_key = (
+            t(spark, sf_dir, tbl)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+        )
+        frames.append(
+            per_key.agg(
+                F.lit(f"{tbl}.{lhs}->{rhs}").alias("candidate"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.count(F.when(F.col("n_rhs") > 1, 1))
+                .cast("long")
+                .alias("n_violating"),
+                (F.count(F.when(F.col("n_rhs") > 1, 1)) == 0).alias("holds"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("candidate")
+
+
+@query(
+    "knn_reciprocity",
+    oracle="WITH "
+    + _KNN_EDGES_CTE
+    + """
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(count(r.src) AS BIGINT) AS n_mutual,
+           ROUND(count(r.src) * 1.0 / count(*), 4) AS reciprocity
+    FROM dedges e
+    LEFT JOIN dedges r ON r.src = e.dst AND r.dst = e.src
+    """,
+)
+def knn_reciprocity(spark, sf_dir):
+    """Reciprocity of the kNN digraph: the fraction of top-3 edges
+    whose reverse edge also exists (mutual-kNN rate) — the standard
+    graph-quality probe for neighborhood symmetry (mutual-kNN is the
+    usual robustification for clustering; this measures how much of
+    the graph survives it). One self-join of the edge list keyed on
+    (src,dst) — edge-list-sized, no node-count term. Same
+    deterministic vec_id<200 top-3 graph as the other graph entries."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    edges = knn_join(queries, emb, k=3, exclude_same_id=True).select(
+        F.col("qid").alias("src"), F.col("cid").alias("dst")
+    )
+    rev = edges.select(
+        F.col("src").alias("r_dst"), F.col("dst").alias("r_src")
+    )
+    joined = edges.join(
+        rev,
+        (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.count("r_src").cast("long").alias("n_mutual"),
+        F.round(F.count("r_src") * 1.0 / F.count(F.lit(1)), 4).alias(
+            "reciprocity"
+        ),
     )
 
 
