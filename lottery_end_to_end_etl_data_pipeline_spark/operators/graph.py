@@ -580,6 +580,10 @@ def bfs_layers(
     id. Edges are used as given (directed); symmetrize upstream for
     undirected reachability.
     """
+    # edge list materializes FIRST (the `pagerank` discipline): every
+    # round's frontier join reads it; an expensive upstream build
+    # (e.g. the kNN join) must replay exactly once, not once per hop
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
     seed_col = seeds.columns[0]
     visited = (
         seeds.select(F.col(seed_col).alias("id"))
