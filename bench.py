@@ -196,6 +196,8 @@ HEADLINE = [
     "distinctive_terms_by_source",
     "functional_dependency_audit",
     "knn_reciprocity",
+    "bitwise_functions_surface",
+    "paragraph_dedup_reassembly",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

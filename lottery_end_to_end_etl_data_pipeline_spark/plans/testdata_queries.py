@@ -4599,6 +4599,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   embedding_class_separation, streaming_late_drop_audit,
     #   mahalanobis_outliers, als_half_step, distinctive_terms_by_source,
     #   functional_dependency_audit, knn_reciprocity,
+    #   bitwise_functions_surface, paragraph_dedup_reassembly,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -12743,6 +12744,148 @@ def knn_reciprocity(spark, sf_dir):
         F.round(F.count("r_src") * 1.0 / F.count(F.lit(1)), 4).alias(
             "reciprocity"
         ),
+    )
+
+
+@query(
+    "bitwise_functions_surface",
+    oracle="""
+    SELECT l_linenumber,
+           CAST(sum(l_orderkey & 255) AS BIGINT) AS sum_and,
+           CAST(sum(l_orderkey | 15) AS BIGINT) AS sum_or,
+           CAST(sum(xor(l_orderkey, l_partkey)) AS BIGINT) AS sum_xor,
+           CAST(sum(l_orderkey << 2) AS BIGINT) AS sum_shl,
+           CAST(sum(l_orderkey >> 3) AS BIGINT) AS sum_shr,
+           CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS sum_popcount
+    FROM lineitem
+    GROUP BY l_linenumber
+    ORDER BY l_linenumber
+    """,
+)
+def bitwise_functions_surface(spark, sf_dir):
+    """Bitwise scalar-function parity surface: AND/OR/XOR masks,
+    shifts, and popcount — the primitives behind bitmap indexes,
+    hash-bucket assignment, simhash bands, and flag unpacking — all
+    JVM-side built-ins folded into one hash aggregate (integer sums
+    are exact, so no rounding discipline is needed)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.sum(F.col("l_orderkey").bitwiseAND(F.lit(255)))
+            .cast("long")
+            .alias("sum_and"),
+            F.sum(F.col("l_orderkey").bitwiseOR(F.lit(15)))
+            .cast("long")
+            .alias("sum_or"),
+            F.sum(F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")))
+            .cast("long")
+            .alias("sum_xor"),
+            F.sum(F.shiftleft(F.col("l_orderkey"), 2)).cast("long").alias("sum_shl"),
+            F.sum(F.shiftright(F.col("l_orderkey"), 3)).cast("long").alias("sum_shr"),
+            F.sum(F.bit_count("l_orderkey")).cast("long").alias("sum_popcount"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+@query(
+    "paragraph_dedup_reassembly",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id, lang, i.i AS idx,
+             array_to_string(string_split(text, ' ')[(i.i - 1) * 8 + 1 : i.i * 8], ' ')
+               AS chunk
+      FROM documents, range(1, 32) i(i)
+      WHERE (i.i - 1) * 8 < len(string_split(text, ' '))
+    ),
+    freq AS (
+      SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY 1
+    ),
+    kept AS (
+      SELECT c.doc_id, c.lang, c.idx, c.chunk
+      FROM chunks c JOIN freq f ON f.chunk = c.chunk
+      WHERE f.df < 3
+    ),
+    rebuilt AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             array_to_string(list(chunk ORDER BY idx), ' ') AS new_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(new_text, ' '))) AS BIGINT) AS n_words_kept,
+           CAST(sum(('0x' || substr(md5(new_text), 1, 15))::UBIGINT % 100000)
+                AS BIGINT) AS text_checksum
+    FROM rebuilt GROUP BY lang ORDER BY lang
+    """,
+)
+def paragraph_dedup_reassembly(spark, sf_dir):
+    """Boilerplate removal at sub-document granularity (C4/RefinedWeb
+    line-dedup, adapted to 8-word chunks since this corpus has no
+    newlines): chunk every document, drop chunks appearing in >= 3
+    DISTINCT documents (global boilerplate), and REASSEMBLE the
+    surviving text in original order — the remove-then-rebuild shape
+    that doc-level dedup can't express. Order-correct reassembly uses
+    sort_array(collect_list(struct(idx, chunk))) — the struct sort
+    key makes the unordered collect deterministic, no window needed.
+    The checksum column pins the exact rebuilt text cross-engine
+    (md5-low-64 % 1e5 per doc, summed). Plan: one explode ->
+    (chunk) df aggregate -> chunk-keyed join back -> one doc_id
+    aggregate; every shuffle is chunk- or doc-keyed, boilerplate
+    lookup could swap to a broadcast bloom of frequent chunks at
+    100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    chunks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.ceil(F.size(F.split("text", " ")) / 8.0).cast("int"),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.split("text", " "), (i - 1) * 8 + 1, 8)
+                    ),
+                )
+            ).alias("idx0", "chunk"),
+        )
+        .select("doc_id", "lang", (F.col("idx0") + 1).alias("idx"), "chunk")
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    kept = chunks.join(freq, "chunk").filter(F.col("df") < 3)
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("idx", "chunk"))
+                    ),
+                    lambda s: s.getField("chunk"),
+                ),
+            ).alias("new_text"),
+        )
+    )
+    return (
+        rebuilt.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("new_text", " "))).cast("long").alias("n_words_kept"),
+            F.sum(
+                F.conv(F.substring(F.md5("new_text"), 1, 15), 16, 10).cast("long")
+                % 100000
+            )
+            .cast("long")
+            .alias("text_checksum"),
+        )
+        .orderBy("lang")
     )
 
 
