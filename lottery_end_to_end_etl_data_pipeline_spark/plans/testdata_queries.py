@@ -4600,6 +4600,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   mahalanobis_outliers, als_half_step, distinctive_terms_by_source,
     #   functional_dependency_audit, knn_reciprocity,
     #   bitwise_functions_surface, paragraph_dedup_reassembly,
+    #   time_travel_versions,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -12887,6 +12888,73 @@ def paragraph_dedup_reassembly(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "time_travel_versions",
+    oracle="""
+    WITH v1_state AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_custkey % 10 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 0 AS version,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             ROUND(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      UNION ALL
+      SELECT 1, CAST(count(*) AS BIGINT), ROUND(sum(price), 2) FROM v1_state
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT), ROUND(sum(price), 2)
+      FROM v1_state WHERE o_orderstatus <> 'F'
+    ) ORDER BY version
+    """,
+)
+def time_travel_versions(spark, sf_dir):
+    """Transactional table layer, driver-checked end-to-end
+    (operators/tablefmt.py — lakehouse-lite: immutable parquet +
+    full-snapshot JSON manifests, copy-on-write commits, optimistic
+    concurrency, vacuum): CREATE orders as v0, MERGE a +100 price
+    adjustment for custkey%10=0 as v1 (file-level min/max pruning
+    carries unaffected files by reference), DELETE status-'F' rows as
+    v2, then TIME-TRAVEL READ all three versions and report each
+    snapshot's count and price sum — which the oracle recomputes from
+    the base table, proving the version log reconstructs exactly the
+    states the mutations imply. The reference's drop-and-recreate
+    gold rebuild (purge Lambda + CTAS) gets snapshot isolation and
+    rollback for free under this layer. Snapshot reads pin a manifest
+    (immutable files), so concurrent rebuilds never tear a reader."""
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_tblfmt_{tag}"
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    tf.create(spark, root, base)
+    updates = base.filter(F.col("o_custkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100.0
+    )
+    tf.commit_upsert(spark, root, updates, key="o_orderkey")
+    tf.commit_delete(spark, root, "o_orderstatus = 'F'")
+
+    frames = []
+    for v in range(3):
+        frames.append(
+            tf.read(spark, root, version=v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("version")
 
 
 # must run after every @query registration in this module

@@ -1,0 +1,98 @@
+"""Versioned table format: snapshot isolation, time travel, COW, vacuum."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+
+@pytest.fixture()
+def root():
+    d = os.path.join(tempfile.gettempdir(), f"tblfmt_test_{os.getpid()}")
+    yield d
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+def test_create_read_roundtrip(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    got = {(r.k, r.v) for r in tf.read(spark, root).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert tf.current_version(root) == 0
+
+
+def test_append_and_time_travel(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]))
+    tf.commit_append(spark, root, _df(spark, [(2, "b")]))
+    assert tf.read(spark, root, version=0).count() == 1
+    assert tf.read(spark, root, version=1).count() == 2
+    assert [h["action"] for h in tf.history(root)] == ["create", "append"]
+
+
+def test_snapshot_isolation_under_upsert(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]))
+    pinned = tf.read(spark, root, version=0)
+    tf.commit_upsert(spark, root, _df(spark, [(2, "B"), (3, "c")]), key="k")
+    # the pinned v0 frame still sees the old rows
+    assert {(r.k, r.v) for r in pinned.collect()} == {(1, "a"), (2, "b")}
+    now = {(r.k, r.v) for r in tf.read(spark, root).collect()}
+    assert now == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_upsert_carries_unpruned_files_by_reference(spark, root):
+    # two files with disjoint key ranges: upsert touching only the
+    # high range must carry the low-range file forward unchanged
+    df = _df(spark, [(i, f"v{i}") for i in range(1, 9)]).repartitionByRange(
+        2, F.col("k")
+    )
+    tf.create(spark, root, df)
+    import json
+
+    with open(tf._manifest_path(root, 0)) as f:
+        v0_files = set(json.load(f)["files"])
+    tf.commit_upsert(spark, root, _df(spark, [(8, "V8")]), key="k")
+    with open(tf._manifest_path(root, 1)) as f:
+        v1_files = set(json.load(f)["files"])
+    assert v0_files & v1_files, "low-range file should be referenced, not rewritten"
+    got = dict((r.k, r.v) for r in tf.read(spark, root).collect())
+    assert got[8] == "V8" and got[1] == "v1" and len(got) == 8
+
+
+def test_delete_cow_and_empty_file_drop(spark, root):
+    tf.create(
+        spark,
+        root,
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1),
+    )
+    tf.commit_delete(spark, root, "k = 2")
+    assert {r.k for r in tf.read(spark, root).collect()} == {1, 3}
+    tf.commit_delete(spark, root, "k >= 1")  # delete everything
+    man = tf._load_manifest(root, 2)
+    assert man["files"] == []
+
+
+def test_optimistic_concurrency_conflict(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]))
+    with pytest.raises(FileExistsError):
+        tf._publish(root, 0, {"version": 0, "action": "create", "files": []})
+
+
+def test_vacuum_removes_orphans_keeps_current(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_upsert(spark, root, _df(spark, [(1, "A")]), key="k")
+    tf.commit_delete(spark, root, "k = 2")
+    stats = tf.vacuum(root, keep_last=2)
+    assert stats["n_files_deleted"] >= 1
+    # current and previous versions still readable
+    assert tf.read(spark, root).count() == 1
+    assert tf.read(spark, root, version=1).count() == 2
+    # pre-retention manifest is gone
+    assert not os.path.exists(tf._manifest_path(root, 0))
