@@ -207,6 +207,25 @@ def commit_delete(spark: SparkSession, root: str, predicate: str) -> int:
     return prev_v + 1
 
 
+def changed_files(root: str, from_version: int, to_version: int) -> list[str]:
+    """Files ADDED between two versions — the change-data feed for
+    append-only commits: because files are immutable and manifests are
+    full snapshots, the set difference IS the delta, with no row-level
+    diffing. (For upsert/delete commits the added files contain
+    rewritten survivors too, so consumers needing row-level CDC should
+    pair this with `apply_cdc`'s key-diff instead.)"""
+    old = set(_load_manifest(root, from_version)["files"])
+    new = _load_manifest(root, to_version)["files"]
+    return [f for f in new if f not in old]
+
+
+def read_files(spark: SparkSession, root: str, files: list[str]) -> DataFrame:
+    """Read an explicit file subset (e.g. a `changed_files` delta)."""
+    return spark.read.parquet(
+        *[os.path.join(_data_dir(root), f) for f in files]
+    )
+
+
 def vacuum(root: str, keep_last: int = 2) -> dict:
     """Delete data files unreferenced by the retained trailing
     versions, and drop the manifests older than the retention window.

@@ -4600,7 +4600,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   mahalanobis_outliers, als_half_step, distinctive_terms_by_source,
     #   functional_dependency_audit, knn_reciprocity,
     #   bitwise_functions_surface, paragraph_dedup_reassembly,
-    #   time_travel_versions,
+    #   time_travel_versions, incremental_mv_refresh,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -12955,6 +12955,72 @@ def time_travel_versions(spark, sf_dir):
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("version")
+
+
+@query(
+    "incremental_mv_refresh",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value,
+           CAST((SELECT count(*) FROM events WHERE event_id % 4 = 0) AS BIGINT)
+             AS rows_in_delta
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def incremental_mv_refresh(spark, sf_dir):
+    """Incremental materialized-view refresh driven by the table
+    format's file-level change feed (operators/tablefmt.py::
+    changed_files): the MV (per-type count/sum) is built at v0, the
+    base table takes an append commit, and the refresh aggregates
+    ONLY the files added between v0 and v1 — immutable files + full-
+    snapshot manifests make the set difference the delta, no row
+    diffing — then merges the partial aggregate into the MV with a
+    full-outer coalesce (counts and sums are mergeable; the
+    `hypertable_refresh` algebra rides a real change feed here). The
+    oracle recomputes the MV from scratch over all events AND pins
+    rows_in_delta, proving the refresh both lands on the exact
+    full-recompute state and actually processed only the appended
+    rows. At 100 TB: refresh cost tracks the APPEND size, not the
+    table; the pytest companion asserts the delta scan touches only
+    the new files."""
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_mv_{tag}"
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tf.create(spark, root, ev.filter(F.col("event_id") % 4 != 0))
+    mv0 = (
+        tf.read(spark, root, version=0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    tf.commit_append(spark, root, ev.filter(F.col("event_id") % 4 == 0))
+
+    delta = tf.read_files(spark, root, tf.changed_files(root, 0, 1))
+    rows_in_delta = delta.count()
+    mv_delta = delta.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d_n"), F.sum("value").alias("d_sum")
+    )
+    refreshed = (
+        mv0.join(mv_delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n_events", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .cast("long")
+            .alias("n_events"),
+            F.round(
+                F.coalesce("sum_value", F.lit(0.0))
+                + F.coalesce("d_sum", F.lit(0.0)),
+                2,
+            ).alias("sum_value"),
+        )
+        .withColumn("rows_in_delta", F.lit(rows_in_delta).cast("long"))
+    )
+    return refreshed.orderBy("event_type")
 
 
 # must run after every @query registration in this module

@@ -96,3 +96,20 @@ def test_vacuum_removes_orphans_keeps_current(spark, root):
     assert tf.read(spark, root, version=1).count() == 2
     # pre-retention manifest is gone
     assert not os.path.exists(tf._manifest_path(root, 0))
+
+
+def test_changed_files_delta_scan_touches_only_new_files(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_append(spark, root, _df(spark, [(3, "c")]).coalesce(1))
+    delta_names = tf.changed_files(root, 0, 1)
+    assert len(delta_names) == 1
+    delta = tf.read_files(spark, root, delta_names)
+    # the physical scan reads ONLY the appended file
+    scanned = {os.path.basename(p) for p in delta.inputFiles()}
+    assert scanned == set(delta_names)
+    assert {r.k for r in delta.collect()} == {3}
+
+
+def test_changed_files_empty_when_no_commit(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]))
+    assert tf.changed_files(root, 0, 0) == []
