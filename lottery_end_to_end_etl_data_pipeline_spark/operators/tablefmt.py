@@ -121,13 +121,37 @@ def history(root: str) -> list[dict]:
     return out
 
 
-def commit_append(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Append-only commit: previous files carried by reference."""
+def commit_append(
+    spark: SparkSession, root: str, df: DataFrame, meta: dict | None = None
+) -> int:
+    """Append-only commit: previous files carried by reference.
+    ``meta`` (e.g. a streaming transaction id) is recorded in the
+    manifest for idempotence checks — see `committed_meta_values`."""
     prev_v = current_version(root)
     prev = _load_manifest(root, prev_v)
     files = prev["files"] + _write_data_files(spark, root, df)
-    _publish(root, prev_v + 1, {"version": prev_v + 1, "action": "append", "files": files})
+    payload = {"version": prev_v + 1, "action": "append", "files": files}
+    if meta:
+        payload["meta"] = meta
+    _publish(root, prev_v + 1, payload)
     return prev_v + 1
+
+
+def committed_meta_values(root: str, key: str) -> set:
+    """All values of ``meta[key]`` across committed manifests — the
+    transaction-id ledger an exactly-once sink consults before
+    committing a (possibly replayed) micro-batch, Delta txn-style:
+    commit and ledger update are ONE atomic manifest publish, so a
+    crash can never record a txn without its data or vice versa."""
+    out = set()
+    for v in range(current_version(root) + 1):
+        p = _manifest_path(root, v)
+        if not os.path.exists(p):
+            continue  # vacuumed away; retained versions carry the tail
+        meta = _load_manifest(root, v).get("meta", {})
+        if key in meta:
+            out.add(meta[key])
+    return out
 
 
 def _touched_files(

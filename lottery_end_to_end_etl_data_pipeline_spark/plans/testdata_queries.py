@@ -4601,6 +4601,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   functional_dependency_audit, knn_reciprocity,
     #   bitwise_functions_surface, paragraph_dedup_reassembly,
     #   time_travel_versions, incremental_mv_refresh,
+    #   streaming_tablefmt_sink,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -13021,6 +13022,92 @@ def incremental_mv_refresh(spark, sf_dir):
         .withColumn("rows_in_delta", F.lit(rows_in_delta).cast("long"))
     )
     return refreshed.orderBy("event_type")
+
+
+@query(
+    "streaming_tablefmt_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value,
+           CAST(4 AS BIGINT) AS n_versions
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_tablefmt_sink(spark, sf_dir):
+    """Exactly-once streaming sink into the transactional table
+    format: a 3-micro-batch file stream lands in `tablefmt` via
+    foreachBatch, each batch committing with a TRANSACTION ID in its
+    manifest (`commit_append(meta=...)`); because data files and the
+    txn ledger publish in ONE atomic manifest rename, a replay can
+    never double-apply. The entry then REPLAYS the whole stream from
+    a fresh checkpoint (same app id, same batch ids — the crashed-
+    and-lost-checkpoint scenario): every batch is recognized in the
+    ledger and skipped, proven by the n_versions column staying at 4
+    (create + 3 appends, zero replay commits) while the table equals
+    the full events aggregate. This is the Delta txn-appId pattern
+    built on this repo's own format; `streaming_exactly_once_counts`
+    shows the same guarantee for an idempotent-overwrite sink."""
+    import os
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    base = f"{tempfile.gettempdir()}/spark_graft_tfsink_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/src")
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    for b in range(3):
+        pdir = f"{base}/b{b}"
+        ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(pdir)
+        part = [x for x in os.listdir(pdir) if x.endswith(".parquet")][0]
+        dst = f"{base}/src/batch_{b}.parquet"
+        shutil.copy(f"{pdir}/{part}", dst)
+        os.utime(dst, (1000 + b, 1000 + b))
+
+    root = f"{base}/table"
+    tf.create(spark, root, ev.limit(0))
+    app_id = "tfsink"
+
+    def sink(batch_df, batch_id):
+        txn = f"{app_id}-{batch_id}"
+        if txn in tf.committed_meta_values(root, "txn"):
+            return
+        tf.commit_append(
+            batch_df.sparkSession, root, batch_df, meta={"txn": txn}
+        )
+
+    schema = spark.read.parquet(f"{base}/src").schema
+    for attempt in ("ckpt1", "ckpt2"):  # second run = full replay
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src")
+        )
+        with stream_state_width(spark):
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", f"{base}/{attempt}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    n_versions = tf.current_version(root) + 1
+    return (
+        tf.read(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("long"))
+        .orderBy("event_type")
+    )
 
 
 # must run after every @query registration in this module
