@@ -4601,7 +4601,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   functional_dependency_audit, knn_reciprocity,
     #   bitwise_functions_surface, paragraph_dedup_reassembly,
     #   time_travel_versions, incremental_mv_refresh,
-    #   streaming_tablefmt_sink,
+    #   streaming_tablefmt_sink, cluster_purity_nmi,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -13107,6 +13107,172 @@ def streaming_tablefmt_sink(spark, sf_dir):
         )
         .withColumn("n_versions", F.lit(n_versions).cast("long"))
         .orderBy("event_type")
+    )
+
+
+@query(
+    "cluster_purity_nmi",
+    oracle="""
+    WITH planes AS (
+      SELECT p.p, d.d,
+             ('0x' || substr(md5('plane-' || CAST(p.p AS VARCHAR) || '-'
+                                 || CAST(d.d AS VARCHAR)), 1, 13))::UBIGINT
+               / 4503599627370496.0 - 0.5 AS w
+      FROM range(0, 4) p(p), range(1, 65) d(d)
+    ),
+    dots AS (
+      SELECT e.vec_id, pl.p,
+             sum(CAST(e.embedding[pl.d] AS DOUBLE) * pl.w) AS dot
+      FROM embeddings e JOIN planes pl ON TRUE
+      GROUP BY 1, 2
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS INT) AS c
+      FROM dots GROUP BY 1
+    ),
+    cont AS (
+      SELECT b.c, e.label AS l, count(*) AS n_cl
+      FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_cl) AS DOUBLE) AS n FROM cont),
+    cm AS (SELECT c, sum(n_cl) AS n_c FROM cont GROUP BY 1),
+    lm AS (SELECT l, sum(n_cl) AS n_l FROM cont GROUP BY 1),
+    mi AS (
+      SELECT sum((co.n_cl / t.n)
+                 * ln(co.n_cl * t.n / (cm.n_c * CAST(lm.n_l AS DOUBLE)))) AS v
+      FROM cont co JOIN cm ON cm.c = co.c JOIN lm ON lm.l = co.l
+      CROSS JOIN tot t
+    ),
+    hc AS (SELECT -sum((n_c / t.n) * ln(n_c / t.n)) AS v FROM cm, tot t),
+    hl AS (SELECT -sum((n_l / t.n) * ln(n_l / t.n)) AS v FROM lm, tot t),
+    pur AS (
+      SELECT sum(mx) / max(t.n) AS v
+      FROM (SELECT c, max(n_cl) AS mx FROM cont GROUP BY 1), tot t
+    )
+    SELECT CAST((SELECT count(*) FROM cm) AS BIGINT) AS n_clusters,
+           ROUND((SELECT v FROM pur), 4) AS purity,
+           ROUND((SELECT v FROM mi) / sqrt((SELECT v FROM hc) * (SELECT v FROM hl)),
+                 4) AS nmi
+    """,
+)
+def cluster_purity_nmi(spark, sf_dir):
+    """External clustering-quality metrics — purity and normalized
+    mutual information — against ground-truth labels, over a
+    CLUSTERING BOTH ENGINES CAN REPLAY: 4 sign-LSH hyperplanes with
+    md5-derived weights (the engine-portable randomness idiom, same
+    divisor-2^52 trick as the sampling ops) bucket every embedding
+    into <=16 cells; the contingency table then yields purity and
+    NMI = MI/sqrt(H(C)H(L)) exactly. This is the eval harness for any
+    clustering the engine runs (k-means/SemDeDup cells): swap the
+    bucket column, keep the metric plan. Shapes: one long-form
+    (vec, plane) aggregate (64x4 broadcast plane table), one
+    (cluster,label) contingency aggregate, driver-tiny marginals.
+    Everything else is arithmetic over the contingency table."""
+    planes = (
+        spark.range(0, 4)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(
+            spark.range(1, 65).select(F.col("id").cast("int").alias("d"))
+        )
+        .select(
+            "p",
+            "d",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("plane-"),
+                                F.col("p").cast("string"),
+                                F.lit("-"),
+                                F.col("d").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(4503599627370496.0)
+                - 0.5
+            ).alias("w"),
+        )
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    long_v = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d0", "x"),
+    ).select(
+        "vec_id", "label", (F.col("d0") + 1).alias("d"), F.col("x").cast("double")
+    )
+    dots = (
+        long_v.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    buckets = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") >= 0, F.expr("shiftleft(1, p)")).otherwise(0)
+        )
+        .cast("int")
+        .alias("c")
+    )
+    cont = (
+        buckets.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("c", "label")
+        .agg(F.count(F.lit(1)).alias("n_cl"))
+    )
+    cm = cont.groupBy("c").agg(F.sum("n_cl").alias("n_c"))
+    lm = cont.groupBy("label").agg(F.sum("n_cl").alias("n_l"))
+    tot = cont.agg(F.sum("n_cl").cast("double").alias("n"))
+    mi = (
+        cont.join(F.broadcast(cm), "c")
+        .join(F.broadcast(lm), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n_cl") / F.col("n"))
+                * F.log(
+                    F.col("n_cl")
+                    * F.col("n")
+                    / (F.col("n_c") * F.col("n_l").cast("double"))
+                )
+            ).alias("v")
+        )
+    )
+    hc = cm.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("n_c") / F.col("n")) * F.log(F.col("n_c") / F.col("n"))))
+        .alias("v")
+    )
+    hl = lm.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("n_l") / F.col("n")) * F.log(F.col("n_l") / F.col("n"))))
+        .alias("v")
+    )
+    pur = (
+        cont.groupBy("c")
+        .agg(F.max("n_cl").alias("mx"))
+        .crossJoin(F.broadcast(tot))
+        .agg((F.sum("mx") / F.max("n")).alias("v"))
+    )
+    n_clusters = cm.agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    return (
+        n_clusters.crossJoin(
+            F.broadcast(pur.select(F.round("v", 4).alias("purity")))
+        )
+        .crossJoin(F.broadcast(mi.select(F.col("v").alias("mi_v"))))
+        .crossJoin(F.broadcast(hc.select(F.col("v").alias("hc_v"))))
+        .crossJoin(F.broadcast(hl.select(F.col("v").alias("hl_v"))))
+        .select(
+            "n_clusters",
+            "purity",
+            F.round(
+                F.col("mi_v") / F.sqrt(F.col("hc_v") * F.col("hl_v")), 4
+            ).alias("nmi"),
+        )
     )
 
 
