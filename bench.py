@@ -198,6 +198,7 @@ HEADLINE = [
     "knn_reciprocity",
     "bitwise_functions_surface",
     "paragraph_dedup_reassembly",
+    "cluster_purity_nmi",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,
