@@ -4602,6 +4602,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   bitwise_functions_surface, paragraph_dedup_reassembly,
     #   time_travel_versions, incremental_mv_refresh,
     #   streaming_tablefmt_sink, cluster_purity_nmi,
+    #   tar_shard_roundtrip, footer_zone_map_stats,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -13273,6 +13274,139 @@ def cluster_purity_nmi(spark, sf_dir):
                 F.col("mi_v") / F.sqrt(F.col("hc_v") * F.col("hl_v")), 4
             ).alias("nmi"),
         )
+    )
+
+
+@query(
+    "tar_shard_roundtrip",
+    oracle="""
+    WITH members AS (
+      SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS member,
+             text
+      FROM documents
+    ),
+    assigned AS (
+      SELECT 'shard-' || lpad(CAST(
+               ('0x' || substr(md5(member), 1, 8))::UBIGINT % 4 AS VARCHAR),
+               5, '0') || '.tar' AS shard,
+             member, text
+      FROM members
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+           CAST(sum(('0x' || substr(md5(text), 1, 15))::UBIGINT % 100000)
+                AS BIGINT) AS payload_checksum
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+)
+def tar_shard_roundtrip(spark, sf_dir):
+    """WebDataset-style container-shard IO, round-tripped
+    (sources/shards.py): documents are packed into 4 deterministic
+    tar shards (md5(member) % 4 assignment, mtime-0 archives), then
+    re-ingested DISTRIBUTED — `binaryFile` reads whole shards (one
+    shard = one task, the right parallelism unit for 100 MB-1 GB
+    shards) and stdlib `tarfile` unpacks members inside an
+    Arrow-batched `mapInPandas`, payloads staying `binary` for the
+    multimodal kernels downstream. The oracle rebuilds the member
+    list, shard assignment, byte counts, and payload checksums from
+    the source table — so a dropped, duplicated, or corrupted member
+    anywhere in the pack/unpack path hash-mismatches."""
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.shards import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    tag = abs(hash(sf_dir)) % 10**8
+    out = f"{tempfile.gettempdir()}/spark_graft_tars_{tag}"
+    docs = t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("doc_"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+            F.lit(".txt"),
+        ).alias("member"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    write_tar_shards(docs, out, n_shards=4)
+    members = read_tar_shards(spark, f"{out}/*.tar")
+    return (
+        members.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.sum(
+                F.conv(
+                    F.substring(F.md5(F.col("payload").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 100000
+            )
+            .cast("long")
+            .alias("payload_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "footer_zone_map_stats",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS column_name,
+             CAST(count(o_orderkey) AS BIGINT) AS n_values,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+             CAST(max(o_orderkey) AS DOUBLE) AS max_val
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(count(o_custkey) AS BIGINT),
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(count(o_totalprice) AS BIGINT),
+             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+      FROM orders
+    ) ORDER BY column_name
+    """,
+)
+def footer_zone_map_stats(spark, sf_dir):
+    """Parquet footer zone maps, audited against the data
+    (sources/shards.py::parquet_footer_stats): row-group min/max/
+    null-count statistics come straight out of file FOOTERS via
+    pyarrow — zero data IO — then roll up per column and must equal
+    the scan-derived truth the oracle computes. This is the metadata
+    that drives row-group/file skipping (`tablefmt` documents the
+    swap of its stats scans for exactly this); surfacing it as a
+    queryable frame makes "would this predicate prune?" a query. A
+    footer is KBs, so a 100 TB table's stats are MBs of metadata —
+    distribute the same pyarrow call over files with mapInPandas
+    when the file count demands it."""
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.shards import (
+        parquet_footer_stats,
+    )
+
+    stats = parquet_footer_stats(spark, f"{sf_dir}/orders.parquet")
+    return (
+        stats.filter(
+            F.col("column").isin("o_orderkey", "o_custkey", "o_totalprice")
+        )
+        .groupBy(F.col("column").alias("column_name"))
+        .agg(
+            F.sum("n_values").cast("long").alias("n_values"),
+            F.sum("null_count").cast("long").alias("n_nulls"),
+            F.min(F.col("min_val").cast("double")).alias("min_val"),
+            F.max(F.col("max_val").cast("double")).alias("max_val"),
+        )
+        .orderBy("column_name")
     )
 
 

@@ -1,0 +1,55 @@
+"""Tar-shard container IO + parquet footer introspection."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.sources.shards import (
+    parquet_footer_stats,
+    read_tar_shards,
+    write_tar_shards,
+)
+
+
+def test_tar_roundtrip_preserves_members_and_bytes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(f"m{i}.txt", bytes(f"payload-{i}", "utf8")) for i in range(10)],
+        ["member", "payload"],
+    )
+    out = str(tmp_path / "shards")
+    paths = write_tar_shards(df, out, n_shards=3)
+    assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+    back = read_tar_shards(spark, f"{out}/*.tar")
+    rows = {r.member: bytes(r.payload) for r in back.collect()}
+    assert len(rows) == 10
+    assert rows["m3.txt"] == b"payload-3"
+    assert all(r.n_bytes == len(rows[r.member]) for r in back.collect())
+
+
+def test_tar_shards_deterministic_bytes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(f"m{i}", bytes([i])) for i in range(6)], ["member", "payload"]
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_tar_shards(df, a, n_shards=2)
+    write_tar_shards(df, b, n_shards=2)
+    for fn in os.listdir(a):
+        with open(os.path.join(a, fn), "rb") as f1, open(
+            os.path.join(b, fn), "rb"
+        ) as f2:
+            assert f1.read() == f2.read(), f"{fn} not byte-stable"
+
+
+def test_footer_stats_match_data(spark, tmp_path):
+    path = str(tmp_path / "t.parquet")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    stats = parquet_footer_stats(spark, path)
+    by_col = {r.column: r for r in stats.collect()}
+    assert float(by_col["k"].min_val) == 0.0
+    assert float(by_col["k"].max_val) == 999.0
+    assert by_col["v"].null_count == 0
+    assert by_col["k"].n_values == 1000
