@@ -199,6 +199,7 @@ HEADLINE = [
     "bitwise_functions_surface",
     "paragraph_dedup_reassembly",
     "cluster_purity_nmi",
+    "raking_ipf_weights",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

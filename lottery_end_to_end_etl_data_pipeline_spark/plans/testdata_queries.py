@@ -4602,7 +4602,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   bitwise_functions_surface, paragraph_dedup_reassembly,
     #   time_travel_versions, incremental_mv_refresh,
     #   streaming_tablefmt_sink, cluster_purity_nmi,
-    #   tar_shard_roundtrip, footer_zone_map_stats,
+    #   tar_shard_roundtrip, footer_zone_map_stats, raking_ipf_weights,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -13407,6 +13407,124 @@ def footer_zone_map_stats(spark, sf_dir):
             F.max(F.col("max_val").cast("double")).alias("max_val"),
         )
         .orderBy("column_name")
+    )
+
+
+@query(
+    "raking_ipf_weights",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS et, (dayofweek(ts) + 6) % 7 AS dw,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS n FROM cells),
+    tr AS (SELECT CAST(count(DISTINCT et) AS DOUBLE) AS k FROM cells),
+    tc AS (SELECT CAST(count(DISTINCT dw) AS DOUBLE) AS k FROM cells),
+    w0 AS (SELECT et, dw, n, 1.0 AS w FROM cells),
+    r1m AS (SELECT et, sum(n * w) AS m FROM w0 GROUP BY 1),
+    w1 AS (
+      SELECT w0.et, w0.dw, w0.n,
+             round(w0.w * (t.n / tr.k) / r1m.m, 6) AS w
+      FROM w0 JOIN r1m ON r1m.et = w0.et CROSS JOIN tot t CROSS JOIN tr
+    ),
+    c1m AS (SELECT dw, sum(n * w) AS m FROM w1 GROUP BY 1),
+    w2 AS (
+      SELECT w1.et, w1.dw, w1.n,
+             round(w1.w * (t.n / tc.k) / c1m.m, 6) AS w
+      FROM w1 JOIN c1m ON c1m.dw = w1.dw CROSS JOIN tot t CROSS JOIN tc
+    ),
+    r2m AS (SELECT et, sum(n * w) AS m FROM w2 GROUP BY 1),
+    w3 AS (
+      SELECT w2.et, w2.dw, w2.n,
+             round(w2.w * (t.n / tr.k) / r2m.m, 6) AS w
+      FROM w2 JOIN r2m ON r2m.et = w2.et CROSS JOIN tot t CROSS JOIN tr
+    ),
+    c3m AS (SELECT dw, sum(n * w) AS m FROM w3 GROUP BY 1),
+    w4 AS (
+      SELECT w3.et, w3.dw, w3.n,
+             round(w3.w * (t.n / tc.k) / c3m.m, 6) AS w
+      FROM w3 JOIN c3m ON c3m.dw = w3.dw CROSS JOIN tot t CROSS JOIN tc
+    ),
+    rowerr AS (
+      SELECT max(abs(m / (t.n / tr.k) - 1.0)) AS e
+      FROM (SELECT et, sum(n * w) AS m FROM w4 GROUP BY 1) CROSS JOIN tot t
+      CROSS JOIN tr
+    )
+    SELECT et AS event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           ROUND(sum(n * w), 2) AS raked_mass,
+           ROUND(min(w), 4) AS min_w, ROUND(max(w), 4) AS max_w,
+           ROUND((SELECT e FROM rowerr), 4) AS max_row_margin_err
+    FROM w4 GROUP BY et ORDER BY et
+    """,
+)
+def raking_ipf_weights(spark, sf_dir):
+    """Raking / iterative proportional fitting (Deming-Stephan 1940)
+    — the survey-weighting and dataset-rebalancing primitive: adjust
+    per-cell weights over the (event_type x day-of-week) contingency
+    table until both margins hit uniform targets. Two full sweeps
+    (row, col, row, col) are unrolled — each sweep is ONE margin
+    aggregate over the CELL table plus a broadcast-join rescale, so
+    the iteration cost is bounded by the contingency cardinality
+    (|types| x 7), never the event count; the single corpus-sized
+    step is the initial cell aggregate. The oracle replays all four
+    sweeps with round-6 weight pinning and audits the residual row-
+    margin error (columns fit exactly after the last column sweep;
+    rows converge — the audit shows how far). The same shape rakes a
+    training mixture to (lang x source) targets at any corpus size."""
+    cells = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("et"),
+            ((F.dayofweek("ts") + 5) % 7).alias("dw"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        # the corpus-sized aggregate runs ONCE; every sweep's margin
+        # join re-reads this |types|x7 table, not the event stream
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(F.sum("n").alias("tn"))
+    tr = cells.agg(F.countDistinct("et").cast("double").alias("kr"))
+    tc = cells.agg(F.countDistinct("dw").cast("double").alias("kc"))
+    w = cells.withColumn("w", F.lit(1.0))
+    for i, (key, kdf, kcol) in enumerate(
+        [("et", tr, "kr"), ("dw", tc, "kc"), ("et", tr, "kr"), ("dw", tc, "kc")]
+    ):
+        marg = w.groupBy(key).agg(F.sum(F.col("n") * F.col("w")).alias("m"))
+        w = (
+            w.join(F.broadcast(marg), key)
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(kdf))
+            .withColumn(
+                "w",
+                F.round(
+                    F.col("w") * (F.col("tn") / F.col(kcol)) / F.col("m"), 6
+                ),
+            )
+            .select("et", "dw", "n", "w")
+        )
+    rowerr = (
+        w.groupBy("et")
+        .agg(F.sum(F.col("n") * F.col("w")).alias("m"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tr))
+        .agg(
+            F.max(F.abs(F.col("m") / (F.col("tn") / F.col("kr")) - 1.0)).alias("e")
+        )
+    )
+    return (
+        w.groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.round(F.sum(F.col("n") * F.col("w")), 2).alias("raked_mass"),
+            F.round(F.min("w"), 4).alias("min_w"),
+            F.round(F.max("w"), 4).alias("max_w"),
+        )
+        .crossJoin(
+            F.broadcast(rowerr.select(F.round("e", 4).alias("max_row_margin_err")))
+        )
+        .orderBy("event_type")
     )
 
 
