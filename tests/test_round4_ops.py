@@ -1,0 +1,140 @@
+"""Hand-graph/hand-table semantics for round-4 catalog operators
+(each also carries a full DuckDB oracle in the catalog; these pin the
+intended math on inputs small enough to check by eye)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_raking_fits_both_margins_on_hand_table(spark):
+    # 2x2 cells with unequal mass; after enough alternating sweeps
+    # both margins approach uniform (n/2 each).
+    cells = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 1, 30.0), ("b", 0, 40.0), ("b", 1, 20.0)],
+        ["et", "dw", "n"],
+    )
+    tot = 100.0
+    w = cells.withColumn("w", F.lit(1.0))
+    for key in ["et", "dw"] * 4:
+        marg = w.groupBy(key).agg(F.sum(F.col("n") * F.col("w")).alias("m"))
+        w = (
+            w.join(marg, key)
+            .withColumn("w", F.col("w") * (tot / 2) / F.col("m"))
+            .select("et", "dw", "n", "w")
+        )
+    rows = w.groupBy("et").agg(F.sum(F.col("n") * F.col("w")).alias("m")).collect()
+    cols = w.groupBy("dw").agg(F.sum(F.col("n") * F.col("w")).alias("m")).collect()
+    for r in rows + cols:
+        assert abs(r.m - 50.0) < 0.5, "margins should converge to uniform"
+
+
+def test_weak_label_majority_tie_breaks_to_smallest(spark):
+    # three annotators all disagree -> tie of 1-1-1 -> smallest label wins
+    votes = spark.createDataFrame(
+        [(1, 5), (1, 2), (1, 9)], ["vec_id", "noisy_label"]
+    )
+    counts = votes.groupBy("vec_id", "noisy_label").count()
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("vec_id").orderBy(
+        F.desc("count"), F.asc("noisy_label")
+    )
+    maj = (
+        counts.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert maj[0].noisy_label == 2
+
+
+def test_paragraph_reassembly_preserves_order(spark):
+    # doc with chunks A B C where B is boilerplate -> rebuilt "A C"
+    kept = spark.createDataFrame(
+        [(1, 3, "C"), (1, 1, "A")], ["doc_id", "idx", "chunk"]
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s.getField("chunk"),
+            ),
+        ).alias("new_text")
+    )
+    assert rebuilt.collect()[0].new_text == "A C"
+
+
+def test_mahalanobis_identity_covariance_is_euclidean(spark):
+    # orthogonal unit-variance features -> md2 == squared z-distance
+    import random
+
+    rng = random.Random(7)
+    rows = [(float(i % 10), float((i * 7) % 10)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    s = df.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))
+         - F.avg("x") * F.avg("x")).alias("sxx"),
+        (F.sum(F.col("x") * F.col("y")) / F.count(F.lit(1))
+         - F.avg("x") * F.avg("y")).alias("sxy"),
+        (F.sum(F.col("y") * F.col("y")) / F.count(F.lit(1))
+         - F.avg("y") * F.avg("y")).alias("syy"),
+    ).collect()[0]
+    # x and y constructed on the same 0..9 lattice: equal variances
+    assert abs(s.sxx - s.syy) < 1e-6
+    md2 = (
+        df.crossJoin(
+            spark.createDataFrame([s.asDict()])
+        )
+        .select(
+            (
+                (F.col("syy") * (F.col("x") - F.col("mx")) ** 2
+                 - 2 * F.col("sxy") * (F.col("x") - F.col("mx")) * (F.col("y") - F.col("my"))
+                 + F.col("sxx") * (F.col("y") - F.col("my")) ** 2)
+                / (F.col("sxx") * F.col("syy") - F.col("sxy") ** 2)
+            ).alias("md2"),
+            "x",
+            "y",
+        )
+        .filter((F.col("x") == 0.0) & (F.col("y") == 0.0))
+        .limit(1)
+        .collect()[0]
+    )
+    # against the closed form computed in python
+    dx, dy = 0.0 - s.mx, 0.0 - s.my
+    det = s.sxx * s.syy - s.sxy**2
+    expect = (s.syy * dx * dx - 2 * s.sxy * dx * dy + s.sxx * dy * dy) / det
+    assert abs(md2.md2 - expect) < 1e-9
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    # if truncated ranking == full ranking, nDCG@k must be exactly 1
+    rel = [(1, c, 11 - r) for c, r in [(10, 1), (20, 2), (30, 3)]]
+    trunc = [(1, c, r) for c, r in [(10, 1), (20, 2), (30, 3)]]
+    rel_df = spark.createDataFrame(rel, ["qid", "cid", "rel"])
+    t_df = spark.createDataFrame(trunc, ["qid", "cid", "rnk"])
+    dcg = (
+        t_df.join(rel_df, ["qid", "cid"], "left")
+        .fillna(0, subset=["rel"])
+        .groupBy("qid")
+        .agg(F.sum(F.col("rel") / F.log2(F.col("rnk") + 1)).alias("dcg"))
+        .collect()[0]
+        .dcg
+    )
+    idcg = sum((11 - i) / math.log2(i + 1) for i in range(1, 4))
+    assert abs(dcg / idcg - 1.0) < 1e-12
+
+
+def test_bfs_entry_layers_are_disjoint_and_min(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.graph import bfs_layers
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1)], ["src", "dst"]  # cycle
+    )
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    out = bfs_layers(edges, seeds, max_depth=5).collect()
+    got = {r.id: r.layer for r in out}
+    assert got == {1: 0, 2: 1, 3: 2}
+    assert len(out) == len(got), "each node appears exactly once"
