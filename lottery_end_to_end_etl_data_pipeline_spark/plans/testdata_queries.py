@@ -13226,6 +13226,10 @@ def cluster_purity_nmi(spark, sf_dir):
         buckets.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("c", "label")
         .agg(F.count(F.lit(1)).alias("n_cl"))
+        # the corpus-sized work (long-form dots + bucketing) runs ONCE;
+        # mi/hc/hl/purity/marginals all re-read this <=160-row table
+        # instead of replaying the embedding pipeline per reference
+        .localCheckpoint(eager=True)
     )
     cm = cont.groupBy("c").agg(F.sum("n_cl").alias("n_c"))
     lm = cont.groupBy("label").agg(F.sum("n_cl").alias("n_l"))
@@ -13503,6 +13507,11 @@ def raking_ipf_weights(spark, sf_dir):
                 ),
             )
             .select("et", "dw", "n", "w")
+            # each sweep's weight table is |types|x7 rows; checkpointing
+            # keeps the unrolled lineage LINEAR (downstream margin joins
+            # and the final report each reference w several times — an
+            # unchecked tree re-expands 3x per sweep, 94 scans at 4 sweeps)
+            .localCheckpoint(eager=True)
         )
     rowerr = (
         w.groupBy("et")
