@@ -200,6 +200,7 @@ HEADLINE = [
     "paragraph_dedup_reassembly",
     "cluster_purity_nmi",
     "raking_ipf_weights",
+    "kfold_cv_ridge",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

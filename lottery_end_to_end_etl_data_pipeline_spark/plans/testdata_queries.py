@@ -4603,6 +4603,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   time_travel_versions, incremental_mv_refresh,
     #   streaming_tablefmt_sink, cluster_purity_nmi,
     #   tar_shard_roundtrip, footer_zone_map_stats, raking_ipf_weights,
+    #   kfold_cv_ridge,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -13535,6 +13536,127 @@ def raking_ipf_weights(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "kfold_cv_ridge",
+    oracle="""
+    WITH pts AS (
+      SELECT ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)),
+              1, 8))::UBIGINT % 5 AS fold,
+             CAST(l_quantity AS DOUBLE) AS x, l_extendedprice AS y
+      FROM lineitem
+    ),
+    fs AS (
+      SELECT fold, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+      FROM pts GROUP BY fold
+    ),
+    tots AS (
+      SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+             sum(sxx) AS sxx, sum(sxy) AS sxy FROM fs
+    ),
+    fit AS (
+      SELECT f.fold, f.n AS n_test,
+             round((t.sxy - f.sxy - (t.sx - f.sx) * (t.sy - f.sy) / (t.n - f.n))
+                   / (t.sxx - f.sxx - (t.sx - f.sx) * (t.sx - f.sx) / (t.n - f.n)
+                      + 10.0), 6) AS b,
+             round(((t.sy - f.sy)
+                    - ((t.sxy - f.sxy - (t.sx - f.sx) * (t.sy - f.sy) / (t.n - f.n))
+                       / (t.sxx - f.sxx - (t.sx - f.sx) * (t.sx - f.sx) / (t.n - f.n)
+                          + 10.0)) * (t.sx - f.sx))
+                   / (t.n - f.n), 6) AS a,
+             f.sx, f.sy, f.sxx, f.sxy, f.syy
+      FROM fs f CROSS JOIN tots t
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(n_test AS BIGINT) AS n_test, a AS intercept, b AS slope,
+           ROUND(1.0 - (syy - 2*a*sy - 2*b*sxy + 2*a*b*sx + a*a*n_test + b*b*sxx)
+                 / (syy - sy*sy/n_test), 4) AS r2_oof
+    FROM fit ORDER BY fold
+    """,
+)
+def kfold_cv_ridge(spark, sf_dir):
+    """K-fold cross-validated ridge regression where ALL k models
+    train from ONE scan: per-fold sufficient statistics (n, Sx, Sy,
+    Sxx, Sxy, Syy) are a single 5-row hash aggregate; each fold's
+    TRAINING stats are the broadcast totals MINUS its own row
+    (leave-one-fold-out by subtraction — no per-fold scans, no data
+    duplication), the 1-D ridge solves in closed form, and the
+    out-of-fold R^2 expands algebraically from the same held-out
+    stats — so the entire CV (train k models + score each on unseen
+    data) costs exactly one pass at any corpus size. Folds are
+    md5-assigned (engine-portable); price ~ quantity on lineitem
+    with lambda = 10. The `ols_normal_equations` /
+    `train_test_split` primitives compose into this shape; pandas
+    would loop k times over the data."""
+    pts = t(spark, sf_dir, "lineitem").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast(
+                            "string"
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("fold"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    fs = pts.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tots = fs.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    lam = 10.0
+    tr_n = F.col("tn") - F.col("n")
+    tr_sx = F.col("tsx") - F.col("sx")
+    tr_sy = F.col("tsy") - F.col("sy")
+    b_expr = (
+        (F.col("tsxy") - F.col("sxy") - tr_sx * tr_sy / tr_n)
+        / (F.col("tsxx") - F.col("sxx") - tr_sx * tr_sx / tr_n + lam)
+    )
+    fit = (
+        fs.crossJoin(F.broadcast(tots))
+        .withColumn("b", F.round(b_expr, 6))
+        .withColumn("a", F.round((tr_sy - b_expr * tr_sx) / tr_n, 6))
+    )
+    return fit.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n").cast("long").alias("n_test"),
+        F.col("a").alias("intercept"),
+        F.col("b").alias("slope"),
+        F.round(
+            1.0
+            - (
+                F.col("syy")
+                - 2 * F.col("a") * F.col("sy")
+                - 2 * F.col("b") * F.col("sxy")
+                + 2 * F.col("a") * F.col("b") * F.col("sx")
+                + F.col("a") * F.col("a") * F.col("n")
+                + F.col("b") * F.col("b") * F.col("sxx")
+            )
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            4,
+        ).alias("r2_oof"),
+    ).orderBy("fold")
 
 
 # must run after every @query registration in this module
