@@ -13659,5 +13659,170 @@ def kfold_cv_ridge(spark, sf_dir):
     ).orderBy("fold")
 
 
+@query(
+    "business_days_lag",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(o.o_orderdate) AS DATE) AS lo,
+             CAST(max(l.l_shipdate) AS DATE) AS hi
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    dim AS (
+      SELECT d,
+             sum(CASE WHEN dayofweek(d) IN (0, 6) THEN 0 ELSE 1 END)
+               OVER (ORDER BY d) AS bd_idx
+      FROM spine
+    ),
+    lags AS (
+      SELECT o.o_orderkey, l.l_linenumber,
+             ds.bd_idx - dod.bd_idx AS bdays
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN dim dod ON dod.d = CAST(o.o_orderdate AS DATE)
+      JOIN dim ds ON ds.d = CAST(l.l_shipdate AS DATE)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(bdays) AS BIGINT) AS min_bdays,
+           CAST(max(bdays) AS BIGINT) AS max_bdays,
+           ROUND(avg(bdays), 4) AS avg_bdays,
+           CAST(sum(CASE WHEN bdays < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shipped_before_order
+    FROM lags
+    """,
+)
+def business_days_lag(spark, sf_dir):
+    """Business-day lag between order placement and line shipment via
+    a DATE DIMENSION with a cumulative business-day index — the
+    warehouse idiom that turns "weekdays between two dates" from a
+    per-row loop into two broadcast joins and a subtraction: the
+    spine is one `sequence()` explode over the bounded date range,
+    the running index one window over that tiny table, and the fact
+    table joins it twice (order date, ship date; dim broadcasts).
+    Also audits data sanity (lines shipped before their order). Add
+    holiday calendars by extending the dim's indicator — the fact-
+    side plan is unchanged; the same dim pattern serves fiscal
+    periods and trading calendars at any fact scale."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    bounds = joined.agg(
+        F.min("od").alias("lo"), F.max("sd").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    dim = spine.select(
+        "d",
+        F.sum(
+            F.when(F.dayofweek("d").isin(1, 7), 0).otherwise(1)
+        )
+        .over(Window.orderBy("d"))
+        .alias("bd_idx"),
+    )
+    lags = (
+        joined.join(
+            F.broadcast(dim.select(F.col("d").alias("od"), F.col("bd_idx").alias("bd_o"))),
+            "od",
+        )
+        .join(
+            F.broadcast(dim.select(F.col("d").alias("sd"), F.col("bd_idx").alias("bd_s"))),
+            "sd",
+        )
+        .select((F.col("bd_s") - F.col("bd_o")).alias("bdays"))
+    )
+    return lags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.min("bdays").cast("long").alias("min_bdays"),
+        F.max("bdays").cast("long").alias("max_bdays"),
+        F.round(F.avg("bdays"), 4).alias("avg_bdays"),
+        F.sum(F.when(F.col("bdays") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shipped_before_order"),
+    )
+
+
+@query(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, count(*) AS c FROM seq WHERE nxt IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT cur, nxt AS predicted
+      FROM (
+        SELECT cur, nxt,
+               row_number() OVER (PARTITION BY cur ORDER BY c DESC, nxt ASC) AS rn
+        FROM trans
+      ) WHERE rn = 1
+    )
+    SELECT t.cur AS event_type,
+           CAST(sum(t.c) AS BIGINT) AS n_transitions,
+           any_value(p.predicted) AS predicted_next,
+           ROUND(sum(CASE WHEN t.nxt = p.predicted THEN t.c ELSE 0 END) * 1.0
+                 / sum(t.c), 4) AS accuracy
+    FROM trans t JOIN pred p ON p.cur = t.cur
+    GROUP BY t.cur ORDER BY t.cur
+    """,
+)
+def markov_next_event_accuracy(spark, sf_dir):
+    """Next-event prediction backtest for the order-1 Markov model:
+    predict each user's next event type as the global argmax of
+    P(next | current) and measure in-sample accuracy per current
+    state — the quick screen for "is there sequential signal worth a
+    sequence model". One user-partitioned lead window builds the
+    transition stream, one hash aggregate the transition matrix
+    (|types|^2 rows — the accuracy join runs on the aggregate, never
+    the stream), and the argmax is a tiny per-state window with a
+    deterministic tie-break. `event_transition_matrix` exposes the
+    probabilities; this scores them."""
+    seq = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("cur").orderBy(F.desc("c"), F.asc("nxt"))
+    pred = (
+        trans.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    return (
+        trans.join(F.broadcast(pred), "cur")
+        .groupBy(F.col("cur").alias("event_type"))
+        .agg(
+            F.sum("c").cast("long").alias("n_transitions"),
+            F.first("predicted").alias("predicted_next"),
+            F.round(
+                F.sum(F.when(F.col("nxt") == F.col("predicted"), F.col("c")).otherwise(0))
+                * 1.0
+                / F.sum("c"),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
