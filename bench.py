@@ -201,6 +201,8 @@ HEADLINE = [
     "cluster_purity_nmi",
     "raking_ipf_weights",
     "kfold_cv_ridge",
+    "business_days_lag",
+    "markov_next_event_accuracy",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4603,7 +4603,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   time_travel_versions, incremental_mv_refresh,
     #   streaming_tablefmt_sink, cluster_purity_nmi,
     #   tar_shard_roundtrip, footer_zone_map_stats, raking_ipf_weights,
-    #   kfold_cv_ridge,
+    #   kfold_cv_ridge, business_days_lag, markov_next_event_accuracy,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
