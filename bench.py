@@ -203,6 +203,7 @@ HEADLINE = [
     "kfold_cv_ridge",
     "business_days_lag",
     "markov_next_event_accuracy",
+    "try_functions_surface",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4604,6 +4604,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   streaming_tablefmt_sink, cluster_purity_nmi,
     #   tar_shard_roundtrip, footer_zone_map_stats, raking_ipf_weights,
     #   kfold_cv_ridge, business_days_lag, markov_next_event_accuracy,
+    #   try_functions_surface,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -13821,6 +13822,72 @@ def markov_next_event_accuracy(spark, sf_dir):
             ).alias("accuracy"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "try_functions_surface",
+    oracle="""
+    SELECT
+      CAST(sum(CASE WHEN l_quantity = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_div_by_zero_null,
+      ROUND(sum(CASE WHEN l_quantity <> 1.0
+                     THEN l_extendedprice / (l_quantity - 1.0) END), 2)
+        AS sum_safe_div,
+      CAST(sum(CASE WHEN l_orderkey > 9223372036854775807 - 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow_null,
+      CAST(count(*) - count(TRY_CAST(l_returnflag AS INTEGER)) AS BIGINT)
+        AS n_bad_int_casts,
+      CAST(count(*) - count(TRY_CAST(l_shipdate AS DATE)) AS BIGINT)
+        AS n_bad_date_casts,
+      CAST(sum(CASE WHEN l_linenumber > 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_elem_oob_null
+    FROM lineitem
+    """,
+)
+def try_functions_surface(spark, sf_dir):
+    """ANSI-safety `try_*` parity surface: under this engine's ANSI
+    session default, divide-by-zero / overflow / bad casts THROW —
+    the `try_` family is the row-local escape hatch that degrades
+    each failure to NULL instead of failing the job (the per-row
+    twin of the PERMISSIVE corrupt-record path for files, and the
+    idiom `coercion.py` uses for the reference's errors='coerce'
+    contract). Exercised: try_divide (zero denominators),
+    try_add (bigint overflow probes), try_cast to INT/DATE on
+    non-conforming strings, try_element_at past array length — all
+    folded into ONE aggregate; the oracle reproduces every NULL
+    count with guard-CASE arithmetic."""
+    li = t(spark, sf_dir, "lineitem")
+    arr = F.array(F.lit(1), F.lit(2), F.lit(3))
+    row = li.select(
+        F.expr("try_divide(l_extendedprice, l_quantity - 1.0)").alias("sdiv"),
+        (F.col("l_quantity") == 1.0).alias("qz"),
+        F.expr(
+            "try_add(CASE WHEN l_orderkey > 9223372036854775806 "
+            "THEN 9223372036854775807 ELSE 0 END, "
+            "CASE WHEN l_orderkey > 9223372036854775806 THEN 1 ELSE 0 END)"
+        ).alias("ov"),
+        F.expr("try_cast(l_returnflag AS INT)").alias("bad_int"),
+        F.expr("try_cast(cast(l_shipdate AS STRING) AS DATE)").alias("ok_date"),
+        F.try_element_at(arr, F.col("l_linenumber")).alias("elem"),
+    )
+    return row.agg(
+        F.sum(F.when(F.col("qz") & F.col("sdiv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_div_by_zero_null"),
+        F.round(F.sum("sdiv"), 2).alias("sum_safe_div"),
+        F.sum(F.when(F.col("ov").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_add_overflow_null"),
+        F.sum(F.when(F.col("bad_int").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad_int_casts"),
+        F.sum(F.when(F.col("ok_date").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad_date_casts"),
+        F.sum(F.when(F.col("elem").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_elem_oob_null"),
     )
 
 
