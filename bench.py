@@ -204,6 +204,8 @@ HEADLINE = [
     "business_days_lag",
     "markov_next_event_accuracy",
     "try_functions_surface",
+    "association_rules_metrics",
+    "pseudonymization_roundtrip",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

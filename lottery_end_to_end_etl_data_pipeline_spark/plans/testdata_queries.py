@@ -4604,7 +4604,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   streaming_tablefmt_sink, cluster_purity_nmi,
     #   tar_shard_roundtrip, footer_zone_map_stats, raking_ipf_weights,
     #   kfold_cv_ridge, business_days_lag, markov_next_event_accuracy,
-    #   try_functions_surface,
+    #   try_functions_surface, association_rules_metrics,
+    #   pseudonymization_roundtrip,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -13888,6 +13889,142 @@ def try_functions_surface(spark, sf_dir):
         F.sum(F.when(F.col("elem").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_elem_oob_null"),
+    )
+
+
+@query(
+    "association_rules_metrics",
+    oracle="""
+    WITH baskets AS (
+      SELECT user_id, event_type FROM events GROUP BY 1, 2
+    ),
+    n_b AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM baskets),
+    item AS (SELECT event_type, count(*) AS c FROM baskets GROUP BY 1),
+    pair AS (
+      SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS c
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    rules AS (
+      SELECT p.ante, p.cons,
+             round(p.c / n.n, 4) AS support,
+             round(p.c * 1.0 / ia.c, 4) AS confidence,
+             round((p.c * 1.0 / ia.c) / (ic.c / n.n), 4) AS lift
+      FROM pair p
+      JOIN item ia ON ia.event_type = p.ante
+      JOIN item ic ON ic.event_type = p.cons
+      CROSS JOIN n_b n
+    )
+    SELECT ante, cons, support, confidence, lift
+    FROM rules
+    ORDER BY lift DESC, ante ASC, cons ASC
+    LIMIT 10
+    """,
+)
+def association_rules_metrics(spark, sf_dir):
+    """Association-rule mining metrics over user event baskets:
+    support, confidence, and lift for every (ante -> cons) item
+    pair, top-10 by lift — the interpretation layer on top of
+    `frequent_item_pairs`' A-priori counting (a lift ~1 pair is
+    popular-but-independent; lift >> 1 is the actual affinity).
+    Shapes: basket dedup and item counts are hash aggregates; the
+    pair join is basket-keyed (bounded by per-user distinct types,
+    never a corpus cross product); rule metrics are arithmetic over
+    the |types|^2 pair table with the basket total broadcast.
+    Ranked on round-4 lift with full tie-breaks in both engines."""
+    baskets = (
+        t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    )
+    n_b = baskets.agg(
+        F.countDistinct("user_id").cast("double").alias("n")
+    )
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    pair = (
+        baskets.alias("a")
+        .join(
+            baskets.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"),
+            F.col("b.event_type").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rules = (
+        pair.join(
+            F.broadcast(item.select(F.col("event_type").alias("ante"), F.col("c").alias("ca"))),
+            "ante",
+        )
+        .join(
+            F.broadcast(item.select(F.col("event_type").alias("cons"), F.col("c").alias("cc"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "ante",
+            "cons",
+            F.round(F.col("c") / F.col("n"), 4).alias("support"),
+            F.round(F.col("c") * 1.0 / F.col("ca"), 4).alias("confidence"),
+            F.round(
+                (F.col("c") * 1.0 / F.col("ca")) / (F.col("cc") / F.col("n")), 4
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(F.desc("lift"), F.asc("ante"), F.asc("cons")).limit(10)
+
+
+@query(
+    "pseudonymization_roundtrip",
+    oracle="""
+    WITH tok AS (
+      SELECT c_custkey, c_name, md5('pepper-' || c_name) AS token
+      FROM customer
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_name) AS BIGINT) AS n_names,
+           CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT c_name) - count(DISTINCT token) AS BIGINT)
+             AS n_collisions,
+           CAST(sum(CASE WHEN md5('pepper-' || c_name) = token
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rejoinable
+    FROM tok
+    """,
+)
+def pseudonymization_roundtrip(spark, sf_dir):
+    """Deterministic pseudonymization audit (governance companion to
+    `k_anonymity_audit` / `pii_redaction_counts`): replace the
+    direct identifier with a peppered-hash token and verify the two
+    properties a tokenization scheme must have — UNIQUENESS (token
+    cardinality equals name cardinality: zero collisions, so joins
+    on the token preserve entity identity) and CONSISTENCY (the same
+    input re-tokenizes to the same token, so pipelines tokenized on
+    different days still join). Pure scan-speed column ops; the
+    pepper would live in a secret store, not the code, in
+    production. The engine-portable md5 keeps the oracle exact."""
+    tok = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.md5(F.concat(F.lit("pepper-"), F.col("c_name"))).alias("token"),
+    )
+    return tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("c_name").cast("long").alias("n_names"),
+        F.countDistinct("token").cast("long").alias("n_tokens"),
+        (F.countDistinct("c_name") - F.countDistinct("token"))
+        .cast("long")
+        .alias("n_collisions"),
+        F.sum(
+            F.when(
+                F.md5(F.concat(F.lit("pepper-"), F.col("c_name")))
+                == F.col("token"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_rejoinable"),
     )
 
 
