@@ -4605,7 +4605,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   tar_shard_roundtrip, footer_zone_map_stats, raking_ipf_weights,
     #   kfold_cv_ridge, business_days_lag, markov_next_event_accuracy,
     #   try_functions_surface, association_rules_metrics,
-    #   pseudonymization_roundtrip,
+    #   pseudonymization_roundtrip, partition_pruned_scan_audit,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -14025,6 +14025,69 @@ def pseudonymization_roundtrip(spark, sf_dir):
         )
         .cast("long")
         .alias("n_rejoinable"),
+    )
+
+
+@query(
+    "partition_pruned_scan_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value,
+           CAST(2 AS BIGINT) AS n_files_scanned
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def partition_pruned_scan_audit(spark, sf_dir):
+    """Partition pruning proven END-TO-END, not just asserted in a
+    plan string: events are written Hive-partitioned by event_type
+    (repartition on the partition column first => exactly one file
+    per partition directory), re-read with a two-type filter, and
+    the n_files_scanned column pins — via the scan's own
+    inputFiles() — that the physical read touched exactly the two
+    matching directories, while the aggregate values prove those
+    files contain the complete, correct data. This is the layout
+    half of the reference's year=/sorteo= silver scheme (S6,
+    reference transformer.py:253-258): at 100 TB the same
+    partitionBy turns a type-filtered query from a full-corpus scan
+    into a directory listing plus the matching files."""
+    import shutil
+    import tempfile
+
+    tag = abs(hash(sf_dir)) % 10**8
+    path = f"{tempfile.gettempdir()}/spark_graft_prune_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    (
+        ev.repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    filtered = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    # inputFiles() lists the relation PRE-pruning; the proof must come
+    # from the executed scan's own metrics. Run a narrow projection of
+    # this exact plan and read numFiles off its FileSourceScan leaf.
+    probe = filtered.select("event_type")
+    probe.collect()
+    leaves = probe._jdf.queryExecution().executedPlan().collectLeaves()
+    n_files = 0
+    for i in range(leaves.size()):
+        metrics = leaves.apply(i).metrics()
+        if metrics.contains("numFiles"):
+            n_files += metrics.apply("numFiles").value()
+    return (
+        filtered.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("n_files_scanned", F.lit(n_files).cast("long"))
+        .orderBy("event_type")
     )
 
 
