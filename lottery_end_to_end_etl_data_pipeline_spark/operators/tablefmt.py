@@ -104,11 +104,24 @@ def create(spark: SparkSession, root: str, df: DataFrame) -> int:
     return 0
 
 
-def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
-    """Snapshot read: exactly the files the pinned manifest lists."""
+def read(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Snapshot read: exactly the files the pinned manifest lists.
+
+    ``merge_schema=True`` unions the footer schemas across the
+    snapshot's files (additive column evolution: rows written before
+    a column existed surface it as NULL), mirroring
+    `readers.py::read_parquet_evolving` for free-standing paths."""
     man = _load_manifest(root, version)
     paths = [os.path.join(_data_dir(root), f) for f in man["files"]]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def history(root: str) -> list[dict]:
@@ -227,6 +240,27 @@ def commit_delete(spark: SparkSession, root: str, predicate: str) -> int:
                 new_files += _write_data_files(spark, root, kept)
     _publish(
         root, prev_v + 1, {"version": prev_v + 1, "action": "delete", "files": new_files}
+    )
+    return prev_v + 1
+
+
+def optimize(spark: SparkSession, root: str, target_files: int = 1) -> int:
+    """OPTIMIZE (bin-packing compaction) as a table commit: rewrite
+    the current snapshot's files into ``target_files`` larger ones and
+    publish the result as a new version — logically a no-op (readers
+    see identical rows before and after; time travel still reaches
+    the fragmented layout), physically the small-file fix. Pair with
+    `vacuum` to reclaim the fragments once retention allows.
+    `maintenance.py::compact_small_files` is the same operation for
+    free-standing parquet directories; here the manifest swap makes
+    it transactional."""
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    paths = [os.path.join(_data_dir(root), f) for f in prev["files"]]
+    df = spark.read.parquet(*paths).coalesce(target_files)
+    files = _write_data_files(spark, root, df)
+    _publish(
+        root, prev_v + 1, {"version": prev_v + 1, "action": "optimize", "files": files}
     )
     return prev_v + 1
 

@@ -4606,6 +4606,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   kfold_cv_ridge, business_days_lag, markov_next_event_accuracy,
     #   try_functions_surface, association_rules_metrics,
     #   pseudonymization_roundtrip, partition_pruned_scan_audit,
+    #   tablefmt_optimize_roundtrip, tablefmt_schema_evolution,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -14088,6 +14089,118 @@ def partition_pruned_scan_audit(spark, sf_dir):
         )
         .withColumn("n_files_scanned", F.lit(n_files).cast("long"))
         .orderBy("event_type")
+    )
+
+
+@query(
+    "tablefmt_optimize_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(c_acctbal), 2) AS sum_bal,
+           CAST(4 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS n_files_after
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def tablefmt_optimize_roundtrip(spark, sf_dir):
+    """OPTIMIZE as a transactional commit (operators/tablefmt.py::
+    optimize): customer lands as three fragmented append commits
+    (the small-file accretion pattern), compaction rewrites the
+    snapshot into ONE file as version 3, and the read-back must be
+    row-identical to the pre-compaction table — pinned by the oracle
+    recomputing the aggregates from source, n_versions = 4
+    (create + 2 appends + optimize) proving compaction is a COMMIT
+    (time travel still reaches the fragmented v2), and
+    n_files_after = 1 from the manifest itself. `vacuum` then
+    reclaims fragments under retention — layout changes, data
+    provably does not."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_opt_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tf.create(spark, root, cust.filter(F.col("c_custkey") % 3 == 0))
+    tf.commit_append(spark, root, cust.filter(F.col("c_custkey") % 3 == 1))
+    tf.commit_append(spark, root, cust.filter(F.col("c_custkey") % 3 == 2))
+    tf.optimize(spark, root, target_files=1)
+    n_versions = tf.current_version(root) + 1
+    n_files = len(tf._load_manifest(root, None)["files"])
+    return (
+        tf.read(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("long"))
+        .withColumn("n_files_after", F.lit(n_files).cast("long"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "tablefmt_schema_evolution",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_with_priority,
+           CAST(count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT)
+             AS n_null_priority,
+           CAST(count(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                                    THEN o_orderpriority END) AS BIGINT)
+             AS n_priorities
+    FROM orders
+    """,
+)
+def tablefmt_schema_evolution(spark, sf_dir):
+    """Additive schema evolution ACROSS table versions: v0 commits
+    even-keyed orders WITHOUT the priority column (the schema as it
+    existed), the append commits odd-keyed orders WITH it, and a
+    merge-schema snapshot read unions the footer schemas so old rows
+    surface NULL priority — the contract that lets a long-lived
+    table gain columns without rewriting history
+    (tablefmt.read(merge_schema=True), mirroring
+    readers.py::read_parquet_evolving). The oracle derives exactly
+    which rows must carry the column from the commit predicate, so a
+    wrong fill or a failed union breaks the hash."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_evo_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    tf.create(
+        spark,
+        root,
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ),
+    )
+    tf.commit_append(
+        spark,
+        root,
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+    )
+    evolved = tf.read(spark, root, merge_schema=True)
+    return evolved.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_priority"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
     )
 
 

@@ -113,3 +113,24 @@ def test_changed_files_delta_scan_touches_only_new_files(spark, root):
 def test_changed_files_empty_when_no_commit(spark, root):
     tf.create(spark, root, _df(spark, [(1, "a")]))
     assert tf.changed_files(root, 0, 0) == []
+
+
+def test_optimize_preserves_rows_and_versions(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    tf.commit_append(spark, root, _df(spark, [(2, "b")]).coalesce(1))
+    v = tf.optimize(spark, root, target_files=1)
+    assert v == 2
+    man = tf._load_manifest(root, 2)
+    assert man["action"] == "optimize" and len(man["files"]) == 1
+    assert {r.k for r in tf.read(spark, root).collect()} == {1, 2}
+    # time travel still reaches the fragmented layout
+    assert len(tf._load_manifest(root, 1)["files"]) == 2
+
+
+def test_merge_schema_read_backfills_nulls(spark, root):
+    tf.create(spark, root, spark.createDataFrame([(1,)], ["k"]))
+    tf.commit_append(
+        spark, root, spark.createDataFrame([(2, "x")], ["k", "extra"])
+    )
+    got = {r.k: r.extra for r in tf.read(spark, root, merge_schema=True).collect()}
+    assert got == {1: None, 2: "x"}
