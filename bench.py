@@ -206,6 +206,8 @@ HEADLINE = [
     "try_functions_surface",
     "association_rules_metrics",
     "pseudonymization_roundtrip",
+    "decimal_money_surface",
+    "xml_parse_surface",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4607,6 +4607,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   try_functions_surface, association_rules_metrics,
     #   pseudonymization_roundtrip, partition_pruned_scan_audit,
     #   tablefmt_optimize_roundtrip, tablefmt_schema_evolution,
+    #   decimal_money_surface, xml_parse_surface,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -14201,6 +14202,104 @@ def tablefmt_schema_evolution(spark, sf_dir):
         .cast("long")
         .alias("n_null_priority"),
         F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+    )
+
+
+@query(
+    "decimal_money_surface",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price_exact,
+           CAST(sum(CAST(
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+             AS DOUBLE) AS sum_discounted_exact,
+           CAST(CAST(avg(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,4)) AS DOUBLE) AS avg_price_4dp
+    FROM lineitem
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def decimal_money_surface(spark, sf_dir):
+    """Exact DECIMAL money arithmetic — the parity surface float
+    benchmarks skip: prices cast to DECIMAL(18,2) sum EXACTLY (no
+    accumulation-order ulp drift, the reason ledgers never use
+    doubles), the discount product is pinned to an explicit
+    DECIMAL(28,4) intermediate (both engines apply their own
+    precision-growth rules unless told — the explicit cast makes the
+    scale contract portable), and the average is truncated to a
+    declared 4-dp scale. Because every aggregate is exact decimal,
+    the cross-engine hash needs NO rounding discipline at all —
+    equality is bit-for-bit by construction. One hash aggregate;
+    decimal sums are mergeable map-side like any sum."""
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(price).cast("double").alias("sum_price_exact"),
+            F.sum((price * disc).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_discounted_exact"),
+            F.avg(price)
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("avg_price_4dp"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "xml_parse_surface",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_parsed,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           ROUND(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def xml_parse_surface(spark, sf_dir):
+    """XML ingestion surface (Spark 4 `from_xml`): each order is
+    serialized to an XML fragment and parsed BACK through the native
+    XML reader with an explicit schema — the round trip that proves
+    the engine covers the third semi-structured format alongside
+    JSON (`json_extract`/`variant_json_stats`) and CSV. The oracle
+    computes the same aggregates straight from the source columns,
+    so any parse loss, type coercion error, or entity-escaping bug
+    in the XML path breaks the hash. Scan-speed column ops; from_xml
+    is JVM-side codegen like from_json."""
+    o = t(spark, sf_dir, "orders")
+    xml = o.select(
+        F.concat(
+            F.lit("<o><k>"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("</k><s>"),
+            F.col("o_orderstatus"),
+            F.lit("</s><p>"),
+            F.col("o_totalprice").cast("string"),
+            F.lit("</p></o>"),
+        ).alias("payload")
+    )
+    parsed = xml.select(
+        F.expr(
+            "from_xml(payload, 'k BIGINT, s STRING, p DOUBLE')"
+        ).alias("r")
+    )
+    return (
+        parsed.groupBy(F.col("r.s").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parsed"),
+            F.sum("r.k").cast("long").alias("sum_keys"),
+            F.round(F.sum("r.p"), 2).alias("sum_price"),
+        )
+        .orderBy("status")
     )
 
 
