@@ -208,6 +208,8 @@ HEADLINE = [
     "pseudonymization_roundtrip",
     "decimal_money_surface",
     "xml_parse_surface",
+    "decayed_engagement_score",
+    "blocking_quality_metrics",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4608,6 +4608,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   pseudonymization_roundtrip, partition_pruned_scan_audit,
     #   tablefmt_optimize_roundtrip, tablefmt_schema_evolution,
     #   decimal_money_surface, xml_parse_surface,
+    #   decayed_engagement_score, blocking_quality_metrics,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -14300,6 +14301,195 @@ def xml_parse_surface(spark, sf_dir):
             F.round(F.sum("r.p"), 2).alias("sum_price"),
         )
         .orderBy("status")
+    )
+
+
+@query(
+    "decayed_engagement_score",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS mt FROM events),
+    scored AS (
+      SELECT user_id,
+             sum(round(value * exp(-date_diff('second', ts, r.mt)
+                                   / 604800.0), 6)) AS score,
+             count(*) AS n_events
+      FROM events, ref r
+      GROUP BY user_id, r.mt
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           round(score, 2) AS decayed_score
+    FROM scored
+    ORDER BY round(score, 2) DESC, user_id ASC
+    LIMIT 10
+    """,
+)
+def decayed_engagement_score(spark, sf_dir):
+    """Time-decayed engagement scoring: each event contributes
+    value * exp(-age/tau) with a one-week time constant, summed per
+    user — the recency-weighted ranking signal (leaderboards,
+    churn-risk, freshness-aware retrieval boosts) that a plain sum
+    overstates and a window recurrence (`ewma_daily_value`)
+    computes sequentially; as a kernel-weighted AGGREGATE it is one
+    hash groupBy, mergeable map-side, no ordering requirement at
+    all. The reference anchor (max ts) is a 1-row broadcast;
+    per-event terms round at 6 before summing so the hash is stable,
+    and the top-10 cut ranks on the rounded score with an id
+    tie-break."""
+    ev = t(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("mt"))
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("value")
+                        * F.exp(
+                            -(
+                                F.unix_timestamp("mt")
+                                - F.unix_timestamp("ts")
+                            )
+                            / 604800.0
+                        ),
+                        6,
+                    )
+                ),
+                2,
+            ).alias("decayed_score"),
+        )
+        .orderBy(F.desc("decayed_score"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "blocking_quality_metrics",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                              i -> array_to_string(tk[i:i+2], ' ')),
+               x -> x <> '')) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.8
+    ),
+    blocks AS (
+      SELECT doc_id, tk[1] || '|' || CAST(len(tk) // 10 AS VARCHAR) AS bk
+      FROM toks WHERE len(tk) > 0
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM blocks a JOIN blocks b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    n_docs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM cand c
+                 JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) AS BIGINT)
+             AS n_found,
+           ROUND((SELECT count(*) FROM cand c
+                  JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) * 1.0
+                 / (SELECT count(*) FROM truth), 4) AS pair_completeness,
+           ROUND(1.0 - (SELECT count(*) FROM cand)
+                 / ((SELECT n FROM n_docs) * ((SELECT n FROM n_docs) - 1) / 2),
+                 6) AS reduction_ratio
+    """,
+)
+def blocking_quality_metrics(spark, sf_dir):
+    """Entity-resolution blocking EVALUATED, not just run: standard
+    blocking (first token + length decile) generates candidate
+    pairs, and the two metrics that justify any blocking scheme are
+    computed against exact n-gram-Jaccard >= 0.8 ground truth —
+    PAIR COMPLETENESS (what fraction of true matches survive
+    blocking; the recall you silently traded) and REDUCTION RATIO
+    (what fraction of the n^2 pair space you avoided). The truth
+    side reuses the oracled `ngram_jaccard_pairs` operator; the
+    candidate join is block-keyed and bounded by block sizes. This
+    is the measurement loop for `fuzzy_join_blocked` /
+    `sorted_neighborhood_pairs`: tune keys until completeness holds
+    and reduction stays high, at any corpus size."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "\\s+"), lambda x: x != ""
+        ).alias("tk"),
+    )
+    blocks = toks.filter(F.size("tk") > 0).select(
+        "doc_id",
+        F.concat(
+            F.element_at("tk", 1),
+            F.lit("|"),
+            F.floor(F.size("tk") / 10).cast("string"),
+        ).alias("bk"),
+    )
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("v"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("v"))
+    n_found = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    return (
+        n_truth.select(F.col("v").cast("long").alias("n_truth"))
+        .crossJoin(
+            F.broadcast(n_cand.select(F.col("v").cast("long").alias("n_candidates")))
+        )
+        .crossJoin(
+            F.broadcast(n_found.select(F.col("v").cast("long").alias("n_found")))
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_found",
+            F.round(F.col("n_found") * 1.0 / F.col("n_truth"), 4).alias(
+                "pair_completeness"
+            ),
+            F.round(
+                1.0
+                - F.col("n_candidates")
+                / (F.col("n") * (F.col("n") - 1) / 2),
+                6,
+            ).alias("reduction_ratio"),
+        )
     )
 
 
