@@ -210,6 +210,8 @@ HEADLINE = [
     "xml_parse_surface",
     "decayed_engagement_score",
     "blocking_quality_metrics",
+    "velocity_rule_alerts",
+    "weighted_median_by_status",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4609,6 +4609,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   tablefmt_optimize_roundtrip, tablefmt_schema_evolution,
     #   decimal_money_surface, xml_parse_surface,
     #   decayed_engagement_score, blocking_quality_metrics,
+    #   velocity_rule_alerts, weighted_median_by_status,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -14490,6 +14491,121 @@ def blocking_quality_metrics(spark, sf_dir):
                 6,
             ).alias("reduction_ratio"),
         )
+    )
+
+
+@query(
+    "velocity_rule_alerts",
+    oracle="""
+    WITH vel AS (
+      SELECT user_id, event_type, ts,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+             ) AS n_1h
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN n_1h >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alerts,
+           CAST(max(n_1h) AS BIGINT) AS max_velocity
+    FROM vel GROUP BY event_type ORDER BY event_type
+    """,
+)
+def velocity_rule_alerts(spark, sf_dir):
+    """Velocity rules (fraud/abuse throttling): for every event, the
+    count of the same user's events in the trailing hour via a
+    RANGE-frame window — the time-interval frame (`RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING`), a different window mechanic from
+    every rows-frame entry: the frame is defined by the ORDER-BY
+    VALUE, so ties and uneven spacing are handled by time, not row
+    position (Spark expresses it as a numeric range over
+    unix-seconds ordering — same semantics). One user-partitioned
+    window, alerts flagged at >=3/hour, rolled up per type. This is
+    the batch twin of `streaming_zscore_alerts`' prequential
+    monitoring."""
+    vel = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("user_id")
+            # microsecond ordering: events carry sub-second precision,
+            # so a seconds-granularity frame would truncate boundary
+            # cases the oracle's INTERVAL arithmetic keeps
+            .orderBy(F.unix_micros("ts"))
+            .rangeBetween(-3600 * 1_000_000, 0)
+        )
+        .alias("n_1h"),
+    )
+    return (
+        vel.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("n_1h") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_alerts"),
+            F.max("n_1h").cast("long").alias("max_velocity"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "weighted_median_by_status",
+    oracle="""
+    WITH w AS (
+      SELECT l_linestatus, l_extendedprice AS v, l_quantity AS wt,
+             sum(l_quantity) OVER (
+               PARTITION BY l_linestatus
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_linestatus) AS tw
+      FROM lineitem
+    )
+    SELECT l_linestatus,
+           ROUND(min(CASE WHEN cw >= tw / 2.0 THEN v END), 2)
+             AS weighted_median,
+           ROUND(min(CASE WHEN cw >= tw * 0.9 THEN v END), 2)
+             AS weighted_p90,
+           CAST(max(tw) AS DOUBLE) AS total_weight
+    FROM w GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def weighted_median_by_status(spark, sf_dir):
+    """Exact WEIGHTED percentiles (median, p90) per group: each row
+    counts with its quantity as mass, so the median is the price at
+    which half the UNITS — not half the rows — have been seen. One
+    value-ordered cumulative-weight window per group (full
+    deterministic tie-break), then the first crossing of each mass
+    threshold via a conditional-min aggregate; no second pass, no
+    percentile UDF. The unweighted `percentiles_by_group` can't
+    express this (Spark's percentile() has a frequency arg but no
+    DuckDB twin — the window formulation is the engine-portable
+    exact form, and the same plan computes any quantile vector)."""
+    w1 = Window.partitionBy("l_linestatus").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w2 = Window.partitionBy("l_linestatus")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(w1).alias("cw"),
+        F.sum("l_quantity").over(w2).alias("tw"),
+    )
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(
+                F.min(F.when(F.col("cw") >= F.col("tw") / 2.0, F.col("v"))), 2
+            ).alias("weighted_median"),
+            F.round(
+                F.min(F.when(F.col("cw") >= F.col("tw") * 0.9, F.col("v"))), 2
+            ).alias("weighted_p90"),
+            F.max("tw").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_linestatus")
     )
 
 
