@@ -212,6 +212,8 @@ HEADLINE = [
     "blocking_quality_metrics",
     "velocity_rule_alerts",
     "weighted_median_by_status",
+    "price_volume_mix_decomposition",
+    "sequence_gap_audit",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4610,6 +4610,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   decimal_money_surface, xml_parse_surface,
     #   decayed_engagement_score, blocking_quality_metrics,
     #   velocity_rule_alerts, weighted_median_by_status,
+    #   price_volume_mix_decomposition, sequence_gap_audit,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -14606,6 +14607,151 @@ def weighted_median_by_status(spark, sf_dir):
             F.max("tw").cast("double").alias("total_weight"),
         )
         .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "price_volume_mix_decomposition",
+    oracle="""
+    WITH per AS (
+      SELECT p.p_brand,
+             CASE WHEN year(l.l_shipdate) < 1999 THEN 0 ELSE 1 END AS period,
+             sum(l.l_quantity) AS q,
+             sum(l.l_extendedprice) / sum(l.l_quantity) AS unit_p,
+             sum(l.l_extendedprice) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT b0.p_brand,
+             b0.q AS q0, b1.q AS q1, b0.unit_p AS p0, b1.unit_p AS p1,
+             b0.rev AS rev0, b1.rev AS rev1
+      FROM per b0 JOIN per b1
+        ON b1.p_brand = b0.p_brand AND b0.period = 0 AND b1.period = 1
+    )
+    SELECT p_brand,
+           ROUND(rev1 - rev0, 2) AS delta_rev,
+           ROUND((q1 - q0) * p0, 2) AS volume_effect,
+           ROUND(q1 * (p1 - p0), 2) AS price_effect,
+           ROUND(rev1 - rev0 - (q1 - q0) * p0 - q1 * (p1 - p0), 2)
+             AS residual
+    FROM wide ORDER BY p_brand
+    """,
+)
+def price_volume_mix_decomposition(spark, sf_dir):
+    """Price-volume decomposition of revenue change between two
+    periods (pre/post-1999 ship years) per brand — the BI bridge
+    that answers "did revenue move because we sold MORE units or at
+    HIGHER prices": volume effect = dq x old price, price effect =
+    new quantity x dp, with the residual proving the decomposition
+    closes exactly (identically zero under this two-factor split —
+    a nonzero residual would flag a formula bug, which is why it is
+    hashed). One fact-dim broadcast join, one (brand, period)
+    aggregate, and a brand-keyed self-join of the tiny aggregate."""
+    per = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            "p_brand",
+            F.when(F.year("l_shipdate") < 1999, 0).otherwise(1).alias("period"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("unit_p"),
+            F.sum("l_extendedprice").alias("rev"),
+        )
+    )
+    p0 = per.filter(F.col("period") == 0).select(
+        "p_brand",
+        F.col("q").alias("q0"),
+        F.col("unit_p").alias("p0"),
+        F.col("rev").alias("rev0"),
+    )
+    p1 = per.filter(F.col("period") == 1).select(
+        "p_brand",
+        F.col("q").alias("q1"),
+        F.col("unit_p").alias("p1"),
+        F.col("rev").alias("rev1"),
+    )
+    return (
+        p0.join(p1, "p_brand")
+        .select(
+            "p_brand",
+            F.round(F.col("rev1") - F.col("rev0"), 2).alias("delta_rev"),
+            F.round((F.col("q1") - F.col("q0")) * F.col("p0"), 2).alias(
+                "volume_effect"
+            ),
+            F.round(F.col("q1") * (F.col("p1") - F.col("p0")), 2).alias(
+                "price_effect"
+            ),
+            F.round(
+                F.col("rev1")
+                - F.col("rev0")
+                - (F.col("q1") - F.col("q0")) * F.col("p0")
+                - F.col("q1") * (F.col("p1") - F.col("p0")),
+                2,
+            ).alias("residual"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "sequence_gap_audit",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey AS k,
+             lag(o_orderkey) OVER (ORDER BY o_orderkey) AS pk
+      FROM orders
+    ),
+    gaps AS (
+      SELECT pk, k, k - pk - 1 AS missing FROM s WHERE k - pk > 1
+    )
+    SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_present,
+           CAST((SELECT max(o_orderkey) - min(o_orderkey) + 1 FROM orders)
+                AS BIGINT) AS span,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(sum(missing), 0) AS BIGINT) AS n_missing,
+           CAST(COALESCE(max(missing), 0) AS BIGINT) AS largest_gap
+    FROM gaps
+    """,
+)
+def sequence_gap_audit(spark, sf_dir):
+    """Sequence-continuity audit (missing invoice/draw numbers): lag
+    over the ordered key finds every gap, its width, and the total
+    missing count against the key span — the completeness check the
+    reference's draw numbering needs (a skipped `numero_sorteo` means
+    a draw was never ingested; SURVEY S4's incremental guard tells
+    you what is NEW, this tells you what is ABSENT). The global
+    window is over the KEY COLUMN ONLY (one long per row) and exists
+    to detect adjacency; at extreme scale the same audit shards by
+    key range (gaps inside ranges + boundary pairs between ranges)
+    with identical results — the range-partitioned form of the same
+    lag."""
+    s = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.lag("o_orderkey").over(Window.orderBy("o_orderkey")).alias("pk"),
+    )
+    gaps = s.filter(F.col("k") - F.col("pk") > 1).select(
+        (F.col("k") - F.col("pk") - 1).alias("missing")
+    )
+    stats = t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        (F.max("o_orderkey") - F.min("o_orderkey") + 1)
+        .cast("long")
+        .alias("span"),
+    )
+    return (
+        gaps.agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.coalesce(F.sum("missing"), F.lit(0)).cast("long").alias("n_missing"),
+            F.coalesce(F.max("missing"), F.lit(0)).cast("long").alias("largest_gap"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select("n_present", "span", "n_gaps", "n_missing", "largest_gap")
     )
 
 
