@@ -214,6 +214,8 @@ HEADLINE = [
     "weighted_median_by_status",
     "price_volume_mix_decomposition",
     "sequence_gap_audit",
+    "rollup_cascade_parity",
+    "fk_discovery_containment",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4611,6 +4611,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   decayed_engagement_score, blocking_quality_metrics,
     #   velocity_rule_alerts, weighted_median_by_status,
     #   price_volume_mix_decomposition, sequence_gap_audit,
+    #   rollup_cascade_parity, fk_discovery_containment,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -14753,6 +14754,136 @@ def sequence_gap_audit(spark, sf_dir):
         .crossJoin(F.broadcast(stats))
         .select("n_present", "span", "n_gaps", "n_missing", "largest_gap")
     )
+
+
+@query(
+    "rollup_cascade_parity",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY 1 ORDER BY day LIMIT 20
+    """,
+)
+def rollup_cascade_parity(spark, sf_dir):
+    """Multi-resolution rollup CASCADE: minute-level aggregates from
+    raw events, hourly from the MINUTE table, daily from the HOURLY
+    table — each level re-aggregates the one below (count and sum by
+    summing partials, max by max-of-maxes), never the raw stream.
+    The oracle computes the daily level DIRECTLY from raw, so the
+    hash proves the cascade is lossless — the mergeability property
+    (`hypertable_rollup`'s continuous-aggregate algebra) applied
+    transitively, which is what makes a sec->min->hour->day rollup
+    pyramid cost one raw scan plus three tiny aggregations instead
+    of four raw scans at 100 TB."""
+    ev = t(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.max("value").alias("mx"),
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "m").alias("h")).agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.max("mx").alias("mx")
+    )
+    day = hour.groupBy(F.date_trunc("day", "h").alias("day")).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(F.sum("s"), 2).alias("sum_value"),
+        F.max("mx").cast("double").alias("max_value"),
+    )
+    return day.orderBy("day").limit(20)
+
+
+@query(
+    "fk_discovery_containment",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders.o_custkey->customer.c_custkey' AS candidate,
+             CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT)
+               AS n_child_keys,
+             ROUND((SELECT count(*) FROM
+                     (SELECT DISTINCT o_custkey FROM orders) c
+                     JOIN (SELECT DISTINCT c_custkey FROM customer) p
+                       ON p.c_custkey = c.o_custkey) * 1.0
+                   / (SELECT count(DISTINCT o_custkey) FROM orders), 4)
+               AS containment
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+             CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem) AS BIGINT),
+             ROUND((SELECT count(*) FROM
+                     (SELECT DISTINCT l_orderkey FROM lineitem) c
+                     JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+                       ON p.o_orderkey = c.l_orderkey) * 1.0
+                   / (SELECT count(DISTINCT l_orderkey) FROM lineitem), 4)
+      UNION ALL
+      SELECT 'customer.c_custkey->orders.o_custkey',
+             CAST((SELECT count(DISTINCT c_custkey) FROM customer) AS BIGINT),
+             ROUND((SELECT count(*) FROM
+                     (SELECT DISTINCT c_custkey FROM customer) c
+                     JOIN (SELECT DISTINCT o_custkey FROM orders) p
+                       ON p.o_custkey = c.c_custkey) * 1.0
+                   / (SELECT count(DISTINCT c_custkey) FROM customer), 4)
+      UNION ALL
+      SELECT 'orders.o_orderkey->customer.c_custkey',
+             CAST((SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+             ROUND((SELECT count(*) FROM
+                     (SELECT DISTINCT o_orderkey FROM orders) c
+                     JOIN (SELECT DISTINCT c_custkey FROM customer) p
+                       ON p.c_custkey = c.o_orderkey) * 1.0
+                   / (SELECT count(DISTINCT o_orderkey) FROM orders), 4)
+    ) ORDER BY candidate
+    """,
+)
+def fk_discovery_containment(spark, sf_dir):
+    """Foreign-key DISCOVERY by value containment (Spider/TANE-style
+    inclusion-dependency mining — the inverse of
+    `fk_integrity_report`, which audits DECLARED edges): for each
+    candidate (child.col -> parent.col), the fraction of the child's
+    distinct values present in the parent. True FKs score ~1.0;
+    reversed or coincidental pairings score low — exactly what the
+    four hashed candidates demonstrate (both true edges, one
+    reversal, one nonsense pair). Cost per candidate: two DISTINCT
+    projections (map-side-combined) and one key join of the deduped
+    sets; at lake scale swap exact distincts for Bloom-filter
+    containment one-for-one."""
+    def containment(child_df, child_col, parent_df, parent_col, name):
+        child = child_df.select(F.col(child_col).alias("k")).distinct()
+        parent = parent_df.select(F.col(parent_col).alias("k")).distinct()
+        n_child = child.agg(F.count(F.lit(1)).alias("v"))
+        n_inter = child.join(parent, "k", "semi").agg(
+            F.count(F.lit(1)).alias("v")
+        )
+        return (
+            n_child.select(F.col("v").cast("long").alias("n_child_keys"))
+            .crossJoin(F.broadcast(n_inter.select(F.col("v").alias("iv"))))
+            .select(
+                F.lit(name).alias("candidate"),
+                "n_child_keys",
+                F.round(F.col("iv") * 1.0 / F.col("n_child_keys"), 4).alias(
+                    "containment"
+                ),
+            )
+        )
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    frames = [
+        containment(orders, "o_custkey", cust, "c_custkey",
+                    "orders.o_custkey->customer.c_custkey"),
+        containment(li, "l_orderkey", orders, "o_orderkey",
+                    "lineitem.l_orderkey->orders.o_orderkey"),
+        containment(cust, "c_custkey", orders, "o_custkey",
+                    "customer.c_custkey->orders.o_custkey"),
+        containment(orders, "o_orderkey", cust, "c_custkey",
+                    "orders.o_orderkey->customer.c_custkey"),
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("candidate")
 
 
 # must run after every @query registration in this module
