@@ -216,6 +216,8 @@ HEADLINE = [
     "sequence_gap_audit",
     "rollup_cascade_parity",
     "fk_discovery_containment",
+    "state_machine_conformance",
+    "group_mean_imputation",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

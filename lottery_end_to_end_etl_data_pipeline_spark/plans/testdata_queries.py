@@ -4612,6 +4612,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   velocity_rule_alerts, weighted_median_by_status,
     #   price_volume_mix_decomposition, sequence_gap_audit,
     #   rollup_cascade_parity, fk_discovery_containment,
+    #   state_machine_conformance, group_mean_imputation,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -14884,6 +14885,159 @@ def fk_discovery_containment(spark, sf_dir):
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("candidate")
+
+
+@query(
+    "state_machine_conformance",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, count(*) AS c FROM seq WHERE nxt IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    allowed(cur, nxt) AS (
+      VALUES ('view', 'view'), ('view', 'click'), ('click', 'view'),
+             ('click', 'click'), ('click', 'purchase'),
+             ('purchase', 'view'), ('login', 'view'), ('view', 'logout'),
+             ('login', 'click'), ('purchase', 'logout'), ('logout', 'login')
+    )
+    SELECT CAST(sum(t.c) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN a.cur IS NULL THEN t.c ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           ROUND(sum(CASE WHEN a.cur IS NULL THEN t.c ELSE 0 END) * 1.0
+                 / sum(t.c), 4) AS violation_rate,
+           CAST(count(CASE WHEN a.cur IS NULL THEN 1 END) AS BIGINT)
+             AS n_violating_kinds
+    FROM trans t
+    LEFT JOIN allowed a ON a.cur = t.cur AND a.nxt = t.nxt
+    """,
+)
+def state_machine_conformance(spark, sf_dir):
+    """Process-conformance checking: user event streams audited
+    against a declared transition state machine (the process-mining
+    question "how much real behavior violates the designed flow").
+    The transition matrix comes from one lead window + hash
+    aggregate (shared shape with `markov_next_event_accuracy`); the
+    allowed-transition spec is a broadcast literal table
+    left-joined onto the |types|^2 matrix, so conformance costs
+    nothing beyond the matrix itself — swap the spec table to audit
+    any flow, at any scale. Violation mass and distinct violating
+    transition kinds both hashed."""
+    seq = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    allowed = spark.createDataFrame(
+        [
+            ("view", "view"), ("view", "click"), ("click", "view"),
+            ("click", "click"), ("click", "purchase"),
+            ("purchase", "view"), ("login", "view"), ("view", "logout"),
+            ("login", "click"), ("purchase", "logout"), ("logout", "login"),
+        ],
+        ["cur", "nxt"],
+    ).withColumn("ok", F.lit(1))
+    joined = trans.join(F.broadcast(allowed), ["cur", "nxt"], "left")
+    return joined.agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.sum(F.when(F.col("ok").isNull(), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+        F.round(
+            F.sum(F.when(F.col("ok").isNull(), F.col("c")).otherwise(0))
+            * 1.0
+            / F.sum("c"),
+            4,
+        ).alias("violation_rate"),
+        F.count(F.when(F.col("ok").isNull(), 1)).cast("long").alias(
+            "n_violating_kinds"
+        ),
+    )
+
+
+@query(
+    "group_mean_imputation",
+    oracle="""
+    WITH masked AS (
+      SELECT event_type, value,
+             CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                       ::UBIGINT % 10 = 0
+                  THEN NULL ELSE value END AS v_miss
+      FROM events
+    ),
+    gm AS (
+      SELECT event_type, round(avg(v_miss), 6) AS mu
+      FROM masked GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN m.v_miss IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_imputed,
+           ROUND(avg(COALESCE(m.v_miss, g.mu)), 4) AS mean_after,
+           ROUND(avg(m.value), 4) AS mean_true,
+           ROUND(abs(avg(COALESCE(m.v_miss, g.mu)) - avg(m.value)), 4)
+             AS imputation_bias
+    FROM masked m JOIN gm g ON g.event_type = m.event_type
+    GROUP BY m.event_type ORDER BY m.event_type
+    """,
+)
+def group_mean_imputation(spark, sf_dir):
+    """Group-mean imputation with a bias audit: ~10% of values are
+    deterministically masked (md5 uniform — the engine-portable
+    missingness idiom), refilled with their event-type mean, and the
+    post-imputation mean is compared against the unmasked truth —
+    the check that tells you whether MCAR imputation distorted your
+    feature (here it shouldn't, much: the audit hashes how much).
+    One observed-mean aggregate broadcast back onto one scan (the
+    same two-pass shape as `winsorized_value_stats`); `null_fill_
+    replace` covers constant fills, this covers the learned-fill
+    path every feature pipeline needs."""
+    masked = t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            == 0,
+            None,
+        )
+        .otherwise(F.col("value"))
+        .alias("v_miss"),
+    )
+    gm = masked.groupBy("event_type").agg(
+        F.round(F.avg("v_miss"), 6).alias("mu")
+    )
+    return (
+        masked.join(F.broadcast(gm), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("v_miss").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_imputed"),
+            F.round(F.avg(F.coalesce("v_miss", "mu")), 4).alias("mean_after"),
+            F.round(F.avg("value"), 4).alias("mean_true"),
+            F.round(
+                F.abs(F.avg(F.coalesce("v_miss", "mu")) - F.avg("value")), 4
+            ).alias("imputation_bias"),
+        )
+        .orderBy("event_type")
+    )
 
 
 # must run after every @query registration in this module
