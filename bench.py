@@ -218,6 +218,8 @@ HEADLINE = [
     "fk_discovery_containment",
     "state_machine_conformance",
     "group_mean_imputation",
+    "churn_labels_audit",
+    "nucleus_coverage_stats",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4613,6 +4613,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   price_volume_mix_decomposition, sequence_gap_audit,
     #   rollup_cascade_parity, fk_discovery_containment,
     #   state_machine_conformance, group_mean_imputation,
+    #   churn_labels_audit, nucleus_coverage_stats,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -15037,6 +15038,146 @@ def group_mean_imputation(spark, sf_dir):
             ).alias("imputation_bias"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "churn_labels_audit",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             count(*) AS n_obs,
+             round(sum(value), 2) AS v_obs
+      FROM events WHERE ts < TIMESTAMP '2024-01-22 00:00:00'
+      GROUP BY user_id
+    ),
+    fut AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+    ),
+    labeled AS (
+      SELECT o.user_id, o.n_obs, o.v_obs,
+             CASE WHEN f.user_id IS NULL THEN 1 ELSE 0 END AS churned
+      FROM obs o LEFT JOIN fut f ON f.user_id = o.user_id
+    )
+    SELECT CASE WHEN n_obs >= 10 THEN 'heavy' ELSE 'light' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(churned) AS BIGINT) AS n_churned,
+           ROUND(avg(churned), 4) AS churn_rate,
+           ROUND(avg(v_obs), 2) AS avg_obs_value
+    FROM labeled GROUP BY 1 ORDER BY segment
+    """,
+)
+def churn_labels_audit(spark, sf_dir):
+    """Leakage-free churn LABEL GENERATION: features come strictly
+    from the observation window (before the split instant), the
+    label strictly from the outcome window (after it) — the temporal
+    discipline that separates a valid churn model from one that
+    peeks (`split_leakage_audit` checks content leakage across
+    random splits; this is the TIME-axis equivalent for supervised
+    label construction). One filtered aggregate per window, an
+    anti-join-shaped left join for the label, per-segment label
+    statistics out. At 100 TB the split predicate partition-prunes
+    both windows off the same time-partitioned table."""
+    split = "2024-01-22 00:00:00"
+    ev = t(spark, sf_dir, "events")
+    obs = (
+        ev.filter(F.col("ts") < F.lit(split).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.sum("value"), 2).alias("v_obs"),
+        )
+    )
+    fut = (
+        ev.filter(F.col("ts") >= F.lit(split).cast("timestamp"))
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(1))
+    )
+    labeled = obs.join(fut, "user_id", "left").withColumn(
+        "churned", F.when(F.col("active").isNull(), 1).otherwise(0)
+    )
+    return (
+        labeled.groupBy(
+            F.when(F.col("n_obs") >= 10, "heavy").otherwise("light").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("churned").cast("long").alias("n_churned"),
+            F.round(F.avg("churned"), 4).alias("churn_rate"),
+            F.round(F.avg("v_obs"), 2).alias("avg_obs_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "nucleus_coverage_stats",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, c,
+             sum(c) OVER (PARTITION BY user_id
+                          ORDER BY c DESC, event_type ASC) AS cum,
+             sum(c) OVER (PARTITION BY user_id) AS tot,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY c DESC, event_type ASC) AS rn
+      FROM cnt
+    ),
+    per_user AS (
+      SELECT user_id,
+             min(CASE WHEN cum >= 0.9 * tot THEN rn END) AS k90,
+             count(*) AS n_types
+      FROM ranked GROUP BY user_id
+    )
+    SELECT CAST(k90 AS BIGINT) AS n_types_for_90pct,
+           CAST(count(*) AS BIGINT) AS n_users,
+           ROUND(avg(n_types), 4) AS avg_types_total
+    FROM per_user GROUP BY k90 ORDER BY k90
+    """,
+)
+def nucleus_coverage_stats(spark, sf_dir):
+    """Nucleus (top-p) coverage of user behavior: per user, the
+    smallest set of event types — taken in descending frequency —
+    that covers >=90% of their activity, histogrammed across users.
+    The top-p truncation LLM samplers apply to token distributions,
+    applied to behavioral categorical distributions: a k90 of 1-2
+    means highly concentrated behavior (personalization shortcuts,
+    or a bot); k90 = all types means uniform. One (user, type)
+    aggregate, one user-partitioned cumulative window with full
+    tie-breaks, first-crossing conditional min — the same exact
+    machinery as `weighted_median_by_status` on a different
+    distribution."""
+    cnt = t(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.partitionBy("user_id").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    w_tot = Window.partitionBy("user_id")
+    ranked = cnt.select(
+        "user_id",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("tot"),
+        F.row_number().over(w_cum).alias("rn"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("cum") >= 0.9 * F.col("tot"), F.col("rn"))
+        ).alias("k90"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return (
+        per_user.groupBy(F.col("k90").cast("long").alias("n_types_for_90pct"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("n_types"), 4).alias("avg_types_total"),
+        )
+        .orderBy("n_types_for_90pct")
     )
 
 
