@@ -117,3 +117,17 @@ def test_cascade_frontier_is_broadcast(spark):
     )
     plan = purged["orders"]._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_k_anonymity_null_qi_values_form_a_class(spark):
+    rows = [(1, None, "a"), (2, None, "b"), (3, "z", "c")]
+    df = spark.createDataFrame(rows, ["id", "zip", "payload"])
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.governance import (
+        k_anonymity,
+    )
+
+    r = k_anonymity(df, ["zip"], k=2).collect()[0]
+    # NULL zip groups together (groupBy semantics): classes {NULL: 2, z: 1}
+    assert r.n_classes == 2
+    assert r.min_class_size == 1
+    assert r.n_singletons == 1

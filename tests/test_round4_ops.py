@@ -138,3 +138,18 @@ def test_bfs_entry_layers_are_disjoint_and_min(spark):
     got = {r.id: r.layer for r in out}
     assert got == {1: 0, 2: 1, 3: 2}
     assert len(out) == len(got), "each node appears exactly once"
+
+
+def test_stream_state_width_restores_on_exception(spark):
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (
+        stream_state_width,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with stream_state_width(spark, 3):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -134,3 +134,15 @@ def test_merge_schema_read_backfills_nulls(spark, root):
     )
     got = {r.k: r.extra for r in tf.read(spark, root, merge_schema=True).collect()}
     assert got == {1: None, 2: "x"}
+
+
+def test_txn_ledger_survives_vacuum_retention(spark, root):
+    # exactly-once dedup must keep working for RETAINED versions even
+    # after vacuum removes pre-retention manifests
+    tf.create(spark, root, _df(spark, [(1, "a")]))
+    tf.commit_append(spark, root, _df(spark, [(2, "b")]), meta={"txn": "t1"})
+    tf.commit_append(spark, root, _df(spark, [(3, "c")]), meta={"txn": "t2"})
+    tf.vacuum(root, keep_last=2)  # drops v0's manifest
+    ledger = tf.committed_meta_values(root, "txn")
+    assert "t2" in ledger and "t1" in ledger
+    assert tf.read(spark, root).count() == 3
