@@ -1,0 +1,51 @@
+"""One-shot verification sweep: everything a round-end check needs.
+
+Runs, in order (stopping on first failure):
+  1. pytest tests/ -q
+  2. tools/check_oracle.py  (full catalog vs DuckDB at sf0.01)
+  3. tools/plan_audit.py    (regenerates docs/PLAN_AUDIT.md)
+  4. bench.py               (refreshes BENCH_DETAIL.json)
+
+Usage: python tools/verify_all.py [--skip-bench] [--skip-audit]
+Exit code 0 only if every stage passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def run(label: str, cmd: list[str]) -> None:
+    print(f"== {label}: {' '.join(cmd)}", flush=True)
+    t0 = time.monotonic()
+    proc = subprocess.run(cmd, cwd=ROOT)
+    dt = time.monotonic() - t0
+    if proc.returncode != 0:
+        print(f"== {label} FAILED ({dt:.0f}s)", flush=True)
+        sys.exit(proc.returncode)
+    print(f"== {label} OK ({dt:.0f}s)", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument("--skip-audit", action="store_true")
+    args = ap.parse_args()
+
+    run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
+    run("oracle-mirror", [sys.executable, "tools/check_oracle.py"])
+    if not args.skip_audit:
+        run("plan-audit", [sys.executable, "tools/plan_audit.py"])
+    if not args.skip_bench:
+        run("bench", [sys.executable, "bench.py"])
+    print("== ALL VERIFICATION STAGES PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()
