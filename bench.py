@@ -220,6 +220,7 @@ HEADLINE = [
     "group_mean_imputation",
     "churn_labels_audit",
     "nucleus_coverage_stats",
+    "source_jsd_matrix",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4613,7 +4613,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   price_volume_mix_decomposition, sequence_gap_audit,
     #   rollup_cascade_parity, fk_discovery_containment,
     #   state_machine_conformance, group_mean_imputation,
-    #   churn_labels_audit, nucleus_coverage_stats,
+    #   churn_labels_audit, nucleus_coverage_stats, source_jsd_matrix,
     #   repeated_span_incremental, quality_classifier_scores,
     #   token_budget_selection, canonical_doc_per_cluster,
     #   chunk_embedding_pooling, approx_percentile_audit,
@@ -15178,6 +15178,117 @@ def nucleus_coverage_stats(spark, sf_dir):
             F.round(F.avg("n_types"), 4).alias("avg_types_total"),
         )
         .orderBy("n_types_for_90pct")
+    )
+
+
+@query(
+    "source_jsd_matrix",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    sw AS (
+      SELECT source, word, count(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    st AS (SELECT source, sum(c) AS n FROM sw GROUP BY 1),
+    p AS (
+      SELECT sw.source, sw.word, sw.c / CAST(st.n AS DOUBLE) AS p
+      FROM sw JOIN st ON st.source = sw.source
+    ),
+    selfterm AS (
+      SELECT source,
+             sum((p / 2) * ln(p / 2)) AS half_term,
+             -sum(p * ln(p)) AS entropy
+      FROM p GROUP BY 1
+    ),
+    common AS (
+      SELECT a.source AS s1, b.source AS s2,
+             sum(((a.p + b.p) / 2) * ln((a.p + b.p) / 2)
+                 - (a.p / 2) * ln(a.p / 2)
+                 - (b.p / 2) * ln(b.p / 2)) AS adj
+      FROM p a JOIN p b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    jsd AS (
+      SELECT c.s1, c.s2,
+             round(-(c.adj + ta.half_term + tb.half_term)
+                   - (ta.entropy + tb.entropy) / 2, 6) AS jsd
+      FROM common c
+      JOIN selfterm ta ON ta.source = c.s1
+      JOIN selfterm tb ON tb.source = c.s2
+    )
+    SELECT s1, s2, jsd FROM jsd
+    ORDER BY jsd ASC, s1 ASC, s2 ASC LIMIT 5
+    """,
+)
+def source_jsd_matrix(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the symmetric, bounded corpus-similarity measure
+    (which sources are near-duplicates of each other at the
+    vocabulary level; `distinctive_terms_by_source` finds WHAT
+    differs, this scores HOW MUCH). Computed via the entropy
+    decomposition JSD = H(M) - (H(P)+H(Q))/2 with H(M) split into a
+    COMMON-WORD correction plus closed per-source terms — so the
+    only pairwise work is one word-keyed self-join over the
+    (source, word) aggregate restricted to SHARED words; the
+    disjoint-vocabulary mass never joins at all. |sources|^2 stays
+    a tiny table; the corpus is touched once. Top-5 most similar
+    pairs, round-6 with name tie-breaks."""
+    tok = t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    sw = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    st = sw.groupBy("source").agg(F.sum("c").alias("n"))
+    p = sw.join(st, "source").select(
+        "source", "word", (F.col("c") / F.col("n").cast("double")).alias("p")
+    )
+    selfterm = p.groupBy("source").agg(
+        F.sum((F.col("p") / 2) * F.log(F.col("p") / 2)).alias("half_term"),
+        (-F.sum(F.col("p") * F.log("p"))).alias("entropy"),
+    )
+    common = (
+        p.alias("a")
+        .join(
+            p.alias("b"),
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(
+            F.sum(
+                ((F.col("a.p") + F.col("b.p")) / 2)
+                * F.log((F.col("a.p") + F.col("b.p")) / 2)
+                - (F.col("a.p") / 2) * F.log(F.col("a.p") / 2)
+                - (F.col("b.p") / 2) * F.log(F.col("b.p") / 2)
+            ).alias("adj")
+        )
+    )
+    ta = selfterm.select(
+        F.col("source").alias("s1"),
+        F.col("half_term").alias("ht1"),
+        F.col("entropy").alias("e1"),
+    )
+    tb = selfterm.select(
+        F.col("source").alias("s2"),
+        F.col("half_term").alias("ht2"),
+        F.col("entropy").alias("e2"),
+    )
+    return (
+        common.join(F.broadcast(ta), "s1")
+        .join(F.broadcast(tb), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.round(
+                -(F.col("adj") + F.col("ht1") + F.col("ht2"))
+                - (F.col("e1") + F.col("e2")) / 2,
+                6,
+            ).alias("jsd"),
+        )
+        .orderBy(F.asc("jsd"), F.asc("s1"), F.asc("s2"))
+        .limit(5)
     )
 
 
