@@ -23,6 +23,8 @@ needs around exactly that kind of data:
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -98,44 +100,79 @@ def cascade_delete(
     are small (subjects, then their order ids), so each frontier is
     broadcast; child tables are scanned once with a hash-semi-join
     probe and never shuffled.
+
+    Multi-edge children: a table reachable through SEVERAL FK edges
+    (e.g. two deleted parents, or two FK columns into the same table)
+    accumulates ALL of its frontiers — frontiers on the same column
+    are unioned+distinct'd, frontiers on different columns are kept
+    separately and OR-ed at purge time — so no edge silently
+    overwrites another. Topological-order contract (enforced): every
+    edge INTO a table must appear before any edge OUT of it, so each
+    table's frontier set is complete before it propagates.
     """
     purged: dict[str, DataFrame] = {}
     key_col = root_keys.columns[0]
     frontier = root_keys.select(key_col).distinct()
-    marks: dict[str, tuple[DataFrame, str]] = {root_table: (frontier, key_col)}
+    # per table: {frontier_column -> distinct key frame}; multiple FK
+    # edges into the same table accumulate here instead of overwriting
+    marks: dict[str, dict[str, DataFrame]] = {root_table: {key_col: frontier}}
+    propagated: set[str] = set()
+
+    def _add_frontier(table: str, col: str, front: DataFrame) -> None:
+        slot = marks.setdefault(table, {})
+        if col in slot:
+            slot[col] = slot[col].unionByName(front).distinct()
+        else:
+            slot[col] = front
 
     for parent, parent_key, child, child_fk in edges:
         if parent not in marks:
             raise ValueError(f"edge parent {parent!r} has no deletion frontier yet")
-        pfront, pcol = marks[parent]
-        # child rows that die: fk IN parent frontier (projected to the
-        # parent key space first if the frontier is on another column).
-        parent_tbl = tables[parent]
-        if pcol != parent_key:
-            # keys of parent rows being deleted, in the FK's key space
-            pfront = (
-                parent_tbl.join(broadcast(pfront), on=pcol, how="left_semi")
-                .select(parent_key)
-                .distinct()
+        if child in propagated:
+            raise ValueError(
+                f"edge into {child!r} appears after an edge out of it; "
+                "order edges so all of a table's incoming edges precede "
+                "its outgoing ones (topological order)"
             )
-        child_frontier = pfront.withColumnRenamed(parent_key, child_fk)
-        marks[child] = (child_frontier, child_fk)
+        propagated.add(parent)
+        # keys of the parent rows being deleted, in the FK's key space,
+        # across ALL of the parent's accumulated frontiers
+        parent_tbl = tables[parent]
+        pieces = []
+        for pcol, pfront in marks[parent].items():
+            if pcol == parent_key:
+                pieces.append(pfront)
+            else:
+                pieces.append(
+                    parent_tbl.join(broadcast(pfront), on=pcol, how="left_semi")
+                    .select(parent_key)
+                    .distinct()
+                )
+        keys = pieces[0].selectExpr(f"`{parent_key}` AS `{child_fk}`")
+        for p in pieces[1:]:
+            keys = keys.unionByName(p.selectExpr(f"`{parent_key}` AS `{child_fk}`"))
+        _add_frontier(child, child_fk, keys.distinct())
 
     report_rows = []
     for name, tbl in tables.items():
         if name in marks:
-            front, col = marks[name]
-            flagged = tbl.join(
-                broadcast(front.withColumnRenamed(col, "__del_key")),
-                on=tbl[col] == F.col("__del_key"),
-                how="left",
-            )
-            purged[name] = (
-                flagged.filter(F.col("__del_key").isNull()).drop("__del_key")
+            flagged = tbl
+            dead_flags = []
+            for i, (col, front) in enumerate(sorted(marks[name].items())):
+                mk = f"__del_key_{i}"
+                flagged = flagged.join(
+                    broadcast(front.selectExpr(f"`{col}` AS `{mk}`")),
+                    on=flagged[col] == F.col(mk),
+                    how="left",
+                )
+                dead_flags.append(F.col(mk).isNotNull())
+            dead = functools.reduce(lambda a, b: a | b, dead_flags)
+            purged[name] = flagged.filter(~dead).drop(
+                *[f"__del_key_{i}" for i in range(len(dead_flags))]
             )
             counts = flagged.agg(
                 F.count(F.lit(1)).cast("long").alias("n_before"),
-                F.count("__del_key").cast("long").alias("n_deleted"),
+                F.sum(F.when(dead, 1).otherwise(0)).cast("long").alias("n_deleted"),
             ).withColumn("table_name", F.lit(name))
         else:
             purged[name] = tbl

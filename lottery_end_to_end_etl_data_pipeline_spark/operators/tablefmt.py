@@ -40,6 +40,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def _log_dir(root: str) -> str:
@@ -95,12 +96,53 @@ def _load_manifest(root: str, version: int | None) -> dict:
         return json.load(f)
 
 
+def _next_payload(
+    prev: dict | None,
+    version: int,
+    action: str,
+    files: list[str],
+    schema: StructType | None = None,
+    meta: dict | None = None,
+) -> dict:
+    """Build a manifest payload, carrying forward from ``prev``:
+
+    - ``schema``: the snapshot's logical schema (so a zero-file
+      snapshot — e.g. a DELETE that drops every row — still reads as
+      a typed empty frame). Commits that don't change the schema pass
+      ``schema=None`` and inherit the previous manifest's.
+    - ``ledger``: the CUMULATIVE {meta_key: [values]} transaction-id
+      set (Delta setTransaction-style). Because every manifest carries
+      the full ledger, vacuum() dropping old manifests can NOT forget
+      pre-retention txn ids — the exactly-once guarantee survives any
+      retention window (fixes the round-4 advisory: the ledger used to
+      live only in the per-commit ``meta`` and eroded with vacuum).
+    """
+    prev = prev or {}
+    ledger = {k: list(v) for k, v in prev.get("ledger", {}).items()}
+    # fold pre-ledger manifests' own meta in (backward compatibility)
+    for k, val in prev.get("meta", {}).items():
+        if val not in ledger.setdefault(k, []):
+            ledger[k].append(val)
+    payload: dict = {"version": version, "action": action, "files": files}
+    if schema is not None:
+        payload["schema"] = schema.jsonValue()
+    elif "schema" in prev:
+        payload["schema"] = prev["schema"]
+    if meta:
+        payload["meta"] = meta
+        for k, val in meta.items():
+            if val not in ledger.setdefault(k, []):
+                ledger[k].append(val)
+    payload["ledger"] = ledger
+    return payload
+
+
 def create(spark: SparkSession, root: str, df: DataFrame) -> int:
     """Initialize the table at version 0 (idempotent re-create)."""
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(_log_dir(root), exist_ok=True)
     files = _write_data_files(spark, root, df)
-    _publish(root, 0, {"version": 0, "action": "create", "files": files})
+    _publish(root, 0, _next_payload(None, 0, "create", files, schema=df.schema))
     return 0
 
 
@@ -112,12 +154,24 @@ def read(
 ) -> DataFrame:
     """Snapshot read: exactly the files the pinned manifest lists.
 
+    A snapshot with ZERO files (every row deleted) reads as an empty
+    frame with the manifest's recorded schema instead of raising.
+
     ``merge_schema=True`` unions the footer schemas across the
     snapshot's files (additive column evolution: rows written before
     a column existed surface it as NULL), mirroring
     `readers.py::read_parquet_evolving` for free-standing paths."""
     man = _load_manifest(root, version)
     paths = [os.path.join(_data_dir(root), f) for f in man["files"]]
+    if not paths:
+        sch = man.get("schema")
+        if sch is None:
+            raise ValueError(
+                f"snapshot v{man['version']} of {root} has no files and no "
+                "recorded schema (pre-schema manifest); cannot build an "
+                "empty frame"
+            )
+        return spark.createDataFrame([], StructType.fromJson(sch))
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -125,8 +179,13 @@ def read(
 
 
 def history(root: str) -> list[dict]:
+    """Commit history of the RETAINED versions (manifests removed by
+    `vacuum` are skipped, same guard as `committed_meta_values` —
+    history never crashes on a vacuumed table)."""
     out = []
     for v in range(current_version(root) + 1):
+        if not os.path.exists(_manifest_path(root, v)):
+            continue  # vacuumed away
         man = _load_manifest(root, v)
         out.append(
             {"version": v, "action": man["action"], "n_files": len(man["files"])}
@@ -143,24 +202,31 @@ def commit_append(
     prev_v = current_version(root)
     prev = _load_manifest(root, prev_v)
     files = prev["files"] + _write_data_files(spark, root, df)
-    payload = {"version": prev_v + 1, "action": "append", "files": files}
-    if meta:
-        payload["meta"] = meta
-    _publish(root, prev_v + 1, payload)
+    _publish(
+        root,
+        prev_v + 1,
+        _next_payload(prev, prev_v + 1, "append", files, schema=df.schema, meta=meta),
+    )
     return prev_v + 1
 
 
 def committed_meta_values(root: str, key: str) -> set:
-    """All values of ``meta[key]`` across committed manifests — the
-    transaction-id ledger an exactly-once sink consults before
-    committing a (possibly replayed) micro-batch, Delta txn-style:
-    commit and ledger update are ONE atomic manifest publish, so a
-    crash can never record a txn without its data or vice versa."""
-    out = set()
+    """All values of ``meta[key]`` ever committed — the transaction-id
+    ledger an exactly-once sink consults before committing a (possibly
+    replayed) micro-batch, Delta setTransaction-style: commit and
+    ledger update are ONE atomic manifest publish, so a crash can
+    never record a txn without its data or vice versa. Every manifest
+    carries the CUMULATIVE ledger forward, so ids committed before the
+    vacuum retention window are still remembered — a replayed
+    pre-retention micro-batch is correctly rejected. (Pre-ledger
+    manifests are additionally scanned for their per-commit ``meta``.)
+    """
+    latest = _load_manifest(root, None)
+    out = set(latest.get("ledger", {}).get(key, []))
     for v in range(current_version(root) + 1):
         p = _manifest_path(root, v)
         if not os.path.exists(p):
-            continue  # vacuumed away; retained versions carry the tail
+            continue  # vacuumed away; the cumulative ledger carries these
         meta = _load_manifest(root, v).get("meta", {})
         if key in meta:
             out.add(meta[key])
@@ -216,7 +282,9 @@ def commit_upsert(
     else:
         new_files += _write_data_files(spark, root, updates)
     _publish(
-        root, prev_v + 1, {"version": prev_v + 1, "action": "upsert", "files": new_files}
+        root,
+        prev_v + 1,
+        _next_payload(prev, prev_v + 1, "upsert", new_files, schema=updates.schema),
     )
     return prev_v + 1
 
@@ -238,9 +306,7 @@ def commit_delete(spark: SparkSession, root: str, predicate: str) -> int:
             kept = part.filter(f"NOT ({predicate})")
             if kept.limit(1).count() > 0:
                 new_files += _write_data_files(spark, root, kept)
-    _publish(
-        root, prev_v + 1, {"version": prev_v + 1, "action": "delete", "files": new_files}
-    )
+    _publish(root, prev_v + 1, _next_payload(prev, prev_v + 1, "delete", new_files))
     return prev_v + 1
 
 
@@ -256,12 +322,15 @@ def optimize(spark: SparkSession, root: str, target_files: int = 1) -> int:
     it transactional."""
     prev_v = current_version(root)
     prev = _load_manifest(root, prev_v)
+    if not prev["files"]:
+        # empty snapshot: nothing to compact — publish a no-op commit
+        # (keeps the "optimize returns a new version" contract)
+        _publish(root, prev_v + 1, _next_payload(prev, prev_v + 1, "optimize", []))
+        return prev_v + 1
     paths = [os.path.join(_data_dir(root), f) for f in prev["files"]]
     df = spark.read.parquet(*paths).coalesce(target_files)
     files = _write_data_files(spark, root, df)
-    _publish(
-        root, prev_v + 1, {"version": prev_v + 1, "action": "optimize", "files": files}
-    )
+    _publish(root, prev_v + 1, _next_payload(prev, prev_v + 1, "optimize", files))
     return prev_v + 1
 
 

@@ -116,7 +116,86 @@ def test_cascade_frontier_is_broadcast(spark):
         root_keys=roots,
     )
     plan = purged["orders"]._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # two independent checks (the old `A or not B` form was a
+    # near-tautology): the frontier probe must BE a broadcast hash
+    # join, and nothing may degrade to a nested-loop join
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cascade_delete_multi_parent_child_unions_frontiers(spark):
+    # `payments` is reachable through TWO FK edges (from cust directly
+    # and from orders); the round-4 advisory showed the second edge
+    # silently overwrote the first frontier. Both must now apply.
+    cust = spark.createDataFrame([(1,), (2,)], ["c_id"])
+    orders = spark.createDataFrame([(10, 1), (11, 2)], ["o_id", "o_cust"])
+    # p_cust: paid directly by customer; p_order: tied to an order
+    payments = spark.createDataFrame(
+        [(100, 1, None), (101, None, 10), (102, 2, None), (103, None, 11)],
+        "p_id long, p_cust long, p_order long",
+    )
+    purged, report = cascade_delete(
+        {"cust": cust, "orders": orders, "payments": payments},
+        edges=[
+            ("cust", "c_id", "orders", "o_cust"),
+            ("cust", "c_id", "payments", "p_cust"),
+            ("orders", "o_id", "payments", "p_order"),
+        ],
+        root_table="cust",
+        root_keys=spark.createDataFrame([(1,)], ["c_id"]),
+    )
+    rep = {r.table_name: r for r in report.collect()}
+    # customer 1 dies -> order 10 dies -> payments 100 (direct) AND
+    # 101 (via order 10) both die; 102/103 (customer 2) survive
+    assert rep["payments"].n_deleted == 2
+    assert sorted(r.p_id for r in purged["payments"].collect()) == [102, 103]
+
+
+def test_cascade_delete_same_column_two_parents_unions(spark):
+    # two deleted parents feeding the SAME child fk column: frontiers
+    # on a matching column must be unioned, not overwritten
+    a = spark.createDataFrame([(1,), (2,)], ["k"])
+    b = spark.createDataFrame([(1, 5), (2, 6)], ["k", "m"])
+    child = spark.createDataFrame(
+        [(5, "via_b"), (6, "keep"), (1, "via_a")], ["ck", "tag"]
+    )
+    # edges: a.k -> b.k (kills b row k=1, i.e. m=5), then both
+    # a.k -> child.ck and b.m -> child.ck
+    purged, report = cascade_delete(
+        {"a": a, "b": b, "child": child},
+        edges=[
+            ("a", "k", "b", "k"),
+            ("a", "k", "child", "ck"),
+            ("b", "m", "child", "ck"),
+        ],
+        root_table="a",
+        root_keys=spark.createDataFrame([(1,)], ["k"]),
+    )
+    rep = {r.table_name: r for r in report.collect()}
+    # frontier on child.ck = {1} (from a) UNION {5} (m of b's dead row)
+    assert rep["child"].n_deleted == 2
+    assert [r.tag for r in purged["child"].collect()] == ["keep"]
+
+
+def test_cascade_delete_rejects_edge_after_propagation(spark):
+    import pytest
+
+    tables = _lake(spark)
+    tables["audit"] = spark.createDataFrame([(1, 99)], ["a_cust", "a_id"])
+    with pytest.raises(ValueError, match="topological"):
+        cascade_delete(
+            tables,
+            # orders propagates to items BEFORE its second incoming
+            # edge arrives -> items would miss rows; must raise
+            edges=[
+                ("cust", "c_id", "orders", "o_cust"),
+                ("orders", "o_id", "items", "i_order"),
+                ("cust", "c_id", "audit", "a_cust"),
+                ("audit", "a_id", "orders", "o_id"),
+            ],
+            root_table="cust",
+            root_keys=spark.createDataFrame([(1,)], ["c_id"]),
+        )
 
 
 def test_k_anonymity_null_qi_values_form_a_class(spark):

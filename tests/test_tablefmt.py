@@ -146,3 +146,47 @@ def test_txn_ledger_survives_vacuum_retention(spark, root):
     ledger = tf.committed_meta_values(root, "txn")
     assert "t2" in ledger and "t1" in ledger
     assert tf.read(spark, root).count() == 3
+
+
+def test_txn_ledger_remembers_ids_beyond_retention_window(spark, root):
+    # the cumulative-ledger fix: vacuum to keep_last=1 drops the
+    # manifests that RECORDED t1/t2, yet the latest manifest's carried
+    # ledger must still reject a replay of those micro-batches
+    tf.create(spark, root, _df(spark, [(1, "a")]))
+    tf.commit_append(spark, root, _df(spark, [(2, "b")]), meta={"txn": "t1"})
+    tf.commit_append(spark, root, _df(spark, [(3, "c")]), meta={"txn": "t2"})
+    tf.commit_append(spark, root, _df(spark, [(4, "d")]), meta={"txn": "t3"})
+    tf.vacuum(root, keep_last=1)  # only v3's manifest survives
+    assert not os.path.exists(tf._manifest_path(root, 1))
+    ledger = tf.committed_meta_values(root, "txn")
+    assert ledger == {"t1", "t2", "t3"}
+
+
+def test_history_skips_vacuumed_manifests(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]))
+    tf.commit_append(spark, root, _df(spark, [(2, "b")]))
+    tf.commit_append(spark, root, _df(spark, [(3, "c")]))
+    tf.vacuum(root, keep_last=2)  # v0 manifest removed
+    hist = tf.history(root)  # must not raise FileNotFoundError
+    assert [h["version"] for h in hist] == [1, 2]
+    assert [h["action"] for h in hist] == ["append", "append"]
+
+
+def test_read_empty_snapshot_returns_typed_empty_frame(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_delete(spark, root, "k >= 1")  # delete ALL rows
+    empty = tf.read(spark, root)  # must not raise on zero paths
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "v"]
+    # time travel back to the populated snapshot still works
+    assert tf.read(spark, root, version=0).count() == 2
+
+
+def test_optimize_empty_snapshot_is_noop_commit(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    tf.commit_delete(spark, root, "k = 1")
+    v = tf.optimize(spark, root, target_files=1)
+    assert v == 2
+    man = tf._load_manifest(root, 2)
+    assert man["action"] == "optimize" and man["files"] == []
+    assert tf.read(spark, root).count() == 0
