@@ -212,18 +212,38 @@ def knn_join(
     queries locally (one corpus scan, no shuffle to score), then a
     per-query window row_number on (ROUNDED cosine desc, corpus id)
     takes the deterministic top-k — the only shuffle is the window's,
-    over the scored pairs. At 100 TB don't brute-force: pre-restrict
-    the corpus per query batch with the persisted index probes
-    (`knn_ivf` / `knn_lsh_indexed`) and feed the union of probed
-    cells here; this operator is the exact scorer + ranker either
-    way."""
-    q = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("_qv"))
-    c = corpus.select(F.col(c_id).alias("cid"), F.col(c_vec).alias("_cv"))
+    over the scored pairs. Each side's L2 norm is computed ONCE per
+    ROW before the join (an O(n+m) map) rather than per PAIR inside
+    the cosine: higher-order array functions evaluate interpreted,
+    so folding three array traversals per pair down to one (the dot)
+    cuts the scoring stage ~2-3x — same rounded scores, since
+    dot/(|c|·|q|) is insensitive to when the norms are taken. At
+    100 TB don't brute-force: pre-restrict the corpus per query
+    batch with the persisted index probes (`knn_ivf` /
+    `knn_lsh_indexed`) and feed the union of probed cells here; this
+    operator is the exact scorer + ranker either way."""
+    q = queries.select(
+        F.col(q_id).alias("qid"),
+        F.col(q_vec).alias("_qv"),
+        _norm(q_vec).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("cid"),
+        F.col(c_vec).alias("_cv"),
+        _norm(c_vec).alias("_cn"),
+    )
     scored = c.crossJoin(F.broadcast(q))
     if exclude_same_id:
         scored = scored.filter(F.col("qid") != F.col("cid"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_cv"), F.col("_qv"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     scored = scored.withColumn(
-        "cosine", F.round(cosine_cols(F.col("_cv"), F.col("_qv")), 4)
+        "cosine", F.round(dot / (F.col("_cn") * F.col("_qn")), 4)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (

@@ -10143,10 +10143,12 @@ def personalized_pagerank_knn(spark, sf_dir):
     seeds = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("id")
     )
-    # iteration checkpoints run on a 200-node graph — scope the
-    # shuffle width down (same bounded-graph move as the coreset
-    # entry); the final frame reads the last checkpoint.
-    with stream_state_width(spark, 8):
+    # everything — the kNN build and every iteration — runs on a
+    # 200-node graph, so scope the shuffle width down around the
+    # WHOLE body (the edge-list checkpoint inside the function
+    # executes here too); the final frame reads the last (eager)
+    # checkpoint, so nothing replays outside the scope.
+    with stream_state_width(spark, 2):
         ranks = personalized_pagerank(edges, seeds, damping=0.85, iterations=8)
     return (
         ranks.select("id", F.round("rank", 6).alias("rank"))
@@ -11221,7 +11223,9 @@ def kcore_mutual_knn(spark, sf_dir):
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
     mutual = dedges.join(rev, ["src", "dst"], "semi")
-    with stream_state_width(spark, 8):
+    # bounded 300-node graph: narrow width covers the kNN build and
+    # every peeling round (the convergence counts execute in-scope)
+    with stream_state_width(spark, 2):
         core = k_core(mutual, k=3).localCheckpoint(eager=True)
     return core.agg(
         F.count(F.lit(1)).cast("long").alias("n_core_nodes"),
@@ -11395,7 +11399,11 @@ def hits_authority_knn(spark, sf_dir):
     edges = knn_join(queries, emb, k=3, exclude_same_id=True).select(
         F.col("qid").alias("src"), F.col("cid").alias("dst")
     )
-    with stream_state_width(spark, 8):
+    # bounded 200-node graph: narrow width spans the kNN build (the
+    # edge checkpoint inside hits() executes here) and both
+    # half-steps of every round; the final round checkpoints eagerly
+    # in-scope
+    with stream_state_width(spark, 2):
         scores = hits(edges, iterations=4)
     return (
         scores.select(
@@ -13865,7 +13873,19 @@ def try_functions_surface(spark, sf_dir):
     try_add (bigint overflow probes), try_cast to INT/DATE on
     non-conforming strings, try_element_at past array length — all
     folded into ONE aggregate; the oracle reproduces every NULL
-    count with guard-CASE arithmetic."""
+    count with guard-CASE arithmetic.
+
+    Perf note (round-5 fix of the round-4 "codegen cliff" finding):
+    the 6.5 s standalone cost was NOT a codegen fallback — the plan
+    is fully whole-stage-compiled — but exception-based TRY
+    evaluation: `try_cast('A' AS INT)` fails on EVERY lineitem row,
+    and each failure constructs+catches a JVM exception (~9 µs/row
+    ≈ 5 s over 600k rows; profiled in isolation). The fix guards the
+    throwing cast with a cheap vectorizable regex so only
+    plausibly-numeric strings reach try_cast (which still handles
+    overflow → NULL); same hash, 6.5 s → ~1 s. At 100 TB the same
+    guard is what makes try_cast-over-dirty-columns viable: the
+    exception path must be the exception, not the common case."""
     li = t(spark, sf_dir, "lineitem")
     arr = F.array(F.lit(1), F.lit(2), F.lit(3))
     row = li.select(
@@ -13876,7 +13896,10 @@ def try_functions_surface(spark, sf_dir):
             "THEN 9223372036854775807 ELSE 0 END, "
             "CASE WHEN l_orderkey > 9223372036854775806 THEN 1 ELSE 0 END)"
         ).alias("ov"),
-        F.expr("try_cast(l_returnflag AS INT)").alias("bad_int"),
+        F.expr(
+            r"CASE WHEN l_returnflag RLIKE '^\\s*[+-]?[0-9]+\\s*$' "
+            "THEN try_cast(l_returnflag AS INT) END"
+        ).alias("bad_int"),
         F.expr("try_cast(cast(l_shipdate AS STRING) AS DATE)").alias("ok_date"),
         F.try_element_at(arr, F.col("l_linenumber")).alias("elem"),
     )
