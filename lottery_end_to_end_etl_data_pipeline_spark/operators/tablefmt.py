@@ -210,6 +210,48 @@ def commit_append(
     return prev_v + 1
 
 
+def stage_files(spark: SparkSession, root: str, df: DataFrame) -> list[str]:
+    """Phase 1 of an explicit two-phase commit: write ``df`` as new
+    immutable data files WITHOUT publishing a manifest. Staging is
+    conflict-free (file names are uuids) and is where all the slow
+    distributed work happens; the staged names stay valid across any
+    number of publish retries because append semantics never depend
+    on what other writers committed meanwhile."""
+    return _write_data_files(spark, root, df)
+
+
+def publish_append(
+    root: str,
+    staged: list[str],
+    expected_version: int,
+    schema: StructType | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Phase 2: atomically publish previously `stage_files`'d files as
+    an append at exactly ``expected_version``. If another writer won
+    that version, raises FileExistsError WITHOUT invalidating the
+    staged files — the loser re-reads `current_version()` and retries
+    this (cheap, metadata-only) phase against the winner's manifest.
+    This is the optimistic-concurrency loop of real table formats
+    (Delta/Iceberg commit protocols): conflict detection at the
+    atomic rename, data written once, only the manifest race replays.
+    """
+    prev = _load_manifest(root, expected_version - 1)
+    _publish(
+        root,
+        expected_version,
+        _next_payload(
+            prev,
+            expected_version,
+            "append",
+            prev["files"] + staged,
+            schema=schema,
+            meta=meta,
+        ),
+    )
+    return expected_version
+
+
 def committed_meta_values(root: str, key: str) -> set:
     """All values of ``meta[key]`` ever committed — the transaction-id
     ledger an exactly-once sink consults before committing a (possibly

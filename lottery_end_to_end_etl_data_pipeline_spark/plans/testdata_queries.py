@@ -51,15 +51,44 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
+class scoped_conf:
+    """Save/restore a session conf around a block — query functions
+    must NOT leave session confs changed (a round-4 advisory:
+    spooky-action-at-a-distance on every later query in the session).
+    Safe even around LAZY reads: the parquet scan snapshots the
+    session conf into its hadoop conf when `spark.read.parquet()`
+    builds the relation, so a DataFrame created under the scoped
+    value still executes correctly after restore (verified
+    empirically with a TIMESTAMP(NANOS) file collected after the
+    conf was restored — `tests/test_plans.py` pins the no-leak
+    contract)."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.key, None)
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
+        return False
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Some driver-generated events.parquet carry TIMESTAMP(NANOS),
         # which Spark reads as long under nanosAsLong; newer generations
         # use TIMESTAMP(MICROS) which reads natively. Downcast the nanos
         # form to microsecond timestamps (same truncation DuckDB applies
-        # to its TIMESTAMP type); pass the native form through.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # to its TIMESTAMP type); pass the native form through. The
+        # legacy conf is scoped to the read — the scan captures it at
+        # relation-build time, so the session is left untouched.
+        with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         dtype = dict(df.dtypes)["ts"]
         if dtype == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -77,16 +106,27 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts-dtype adaptivity as `t()`: the stream source needs an explicit
     schema, so derive it from a static footer read (cheap, no data
     scan) and downcast nanos-as-long to microsecond timestamps only
-    when the file actually carries the nanos form."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    when the file actually carries the nanos form. The legacy conf is
+    scoped around the static probe (same contract as `t()`); ONLY if
+    the probe reveals the nanos form is it re-set un-scoped — a
+    stream's micro-batches execute long after this builder returns,
+    so the conf must outlive the scope to keep per-batch footer
+    conversion working. On micros/ntz testdata (every current
+    generation) the session is left untouched."""
+    with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dtype = dict(static.dtypes)["ts"]
+    if dtype == "bigint":
+        # genuinely-nanos file: micro-batch reads need the conf at
+        # execution time; a session-lifetime set is the only correct
+        # scope here (documented side effect, nanos environments only)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(static.schema)
         # the file stream source wants a directory; glob-filter to events
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    dtype = dict(static.dtypes)["ts"]
     if dtype == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif dtype == "timestamp_ntz":
@@ -4574,129 +4614,107 @@ def cross_source_contamination(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # NEXT-ROTATION QUEUE (round 5): entries registered after this
-    # round's window was frozen, all mirror-verified (208/208 across
-    # tools/check_oracle.py runs) but never in a driver CORRECTNESS
-    # record — 71 queued (the round-4 build added 71 entries, all
-    # registered after this window froze); rotate 50 next round, the
-    # remaining 21 (plus round-5 additions) the round after:
-    #   odds_by_draw_type, multimodal_decode_roundtrip,
-    #   grouping_sets_sales, stat_moments_surface, map_functions_surface,
-    #   activity_streaks, ngram_diversity_by_lang, count_min_heavy_hitters,
-    #   bloom_semi_join_audit, triangle_count_knn, ewma_daily_value,
-    #   bucketed_join_no_shuffle, streaming_session_stats,
-    #   streaming_dedup_counts, streaming_join_attribution,
-    #   udtf_lateral_segments, datetime/null/regexp/hof surfaces,
-    #   fuzzy_join_blocked, trend_slope_by_type, schema_evolution_roundtrip,
-    #   secrets_scan_stats, dup_cluster_size_dist, hll_set_ops_audit,
-    #   dp_noisy_counts, rendezvous_shard_assignment,
-    #   small_file_compaction_stats, ivm_join_delta,
-    #   neyman_allocation_sample, streaming_exactly_once_counts,
-    #   decile_shift_by_source, repeated_span_stats,
-    #   temperature_mixture_counts, k_anonymity_audit,
-    #   cascade_delete_audit, ndcg_truncation_audit,
-    #   column_profile_all, weak_label_model, bfs_blast_radius,
-    #   embedding_class_separation, streaming_late_drop_audit,
-    #   mahalanobis_outliers, als_half_step, distinctive_terms_by_source,
-    #   functional_dependency_audit, knn_reciprocity,
-    #   bitwise_functions_surface, paragraph_dedup_reassembly,
-    #   time_travel_versions, incremental_mv_refresh,
-    #   streaming_tablefmt_sink, cluster_purity_nmi,
-    #   tar_shard_roundtrip, footer_zone_map_stats, raking_ipf_weights,
-    #   kfold_cv_ridge, business_days_lag, markov_next_event_accuracy,
-    #   try_functions_surface, association_rules_metrics,
-    #   pseudonymization_roundtrip, partition_pruned_scan_audit,
-    #   tablefmt_optimize_roundtrip, tablefmt_schema_evolution,
-    #   decimal_money_surface, xml_parse_surface,
-    #   decayed_engagement_score, blocking_quality_metrics,
-    #   velocity_rule_alerts, weighted_median_by_status,
-    #   price_volume_mix_decomposition, sequence_gap_audit,
-    #   rollup_cascade_parity, fk_discovery_containment,
-    #   state_machine_conformance, group_mean_imputation,
-    #   churn_labels_audit, nucleus_coverage_stats, source_jsd_matrix,
-    #   repeated_span_incremental, quality_classifier_scores,
-    #   token_budget_selection, canonical_doc_per_cluster,
-    #   chunk_embedding_pooling, approx_percentile_audit,
-    #   epoch_shuffle_orders, cdc_apply_tombstones,
-    #   dedup_prefix_filter_join, bpe_pair_counts,
-    #   sorted_neighborhood_pairs, skyline_orders, pca_variance_audit,
-    #   welch_ab_test, phrase_search_positional, attribution_models,
-    #   frequent_item_pairs, ols_normal_equations,
-    #   clustering_coefficient_knn, label_propagation_knn,
-    #   quantile_normalize_lengths, bootstrap_ci_mean,
-    #   conformal_threshold_coverage, edit_distance_join_parts,
-    #   langid_agreement_metrics, join_size_estimation,
-    #   holt_forecast_daily, similar_docs_query,
-    #   mutual_information_event_dow, personalized_pagerank_knn,
-    #   facility_location_coreset, session_path_trigrams,
-    #   theil_sen_daily_trend, incremental_stats_merge, psi_value_drift,
-    #   rfm_segmentation, streaming_zscore_alerts, abandoned_clicks,
-    #   auc_quality_classifier, ks_two_sample_binned,
+    # Round-5 rotation (VERDICT r4 ask #1): 50 entries drawn ENTIRELY
+    # from the set that had never appeared in a driver CORRECTNESS
+    # window through r04 (136 such entries existed at the r04 freeze,
+    # all mirror-verified green; 2 more — column_profile_approx and
+    # tablefmt_concurrency_audit — were added this round). Selection
+    # fronts the round-4 verdict's named groups first: this round's
+    # perf-fixed entries (try_functions_surface, the three kNN-graph
+    # loops, column_profile_*), every tablefmt/governance entry
+    # (including the new concurrency audit), the streaming audits,
+    # and the scalar-function surfaces.
+    # NEXT-ROTATION QUEUE (round 6): the remaining 88 never-checked
+    # entries, reproducible via
+    #   set(QUERIES) - union(CORRECTNESS_r01..r05):
+    #   knn_lsh_indexed_cosine, percentiles_by_group_approx,
+    #   temperature_mixture_counts, repeated_span_stats,
+    #   repeated_span_incremental, compression_ratio_by_lang,
+    #   semdedup_incremental_index, activity_streaks,
+    #   ngram_diversity_by_lang, count_min_heavy_hitters,
+    #   bloom_semi_join_audit, ewma_daily_value, trend_slope_by_type,
+    #   dup_cluster_size_dist, hll_set_ops_audit,
+    #   rendezvous_shard_assignment, ivm_join_delta,
+    #   neyman_allocation_sample, decile_shift_by_source,
+    #   quality_classifier_scores, token_budget_selection,
+    #   canonical_doc_per_cluster, chunk_embedding_pooling,
+    #   approx_percentile_audit, epoch_shuffle_orders,
+    #   cdc_apply_tombstones, bpe_pair_counts, sorted_neighborhood_pairs,
+    #   skyline_orders, pca_variance_audit, welch_ab_test,
+    #   phrase_search_positional, attribution_models, frequent_item_pairs,
+    #   ols_normal_equations, quantile_normalize_lengths,
+    #   bootstrap_ci_mean, conformal_threshold_coverage,
+    #   edit_distance_join_parts, langid_agreement_metrics,
+    #   join_size_estimation, holt_forecast_daily, similar_docs_query,
+    #   mutual_information_event_dow, facility_location_coreset,
+    #   session_path_trigrams, theil_sen_daily_trend,
+    #   incremental_stats_merge, psi_value_drift, rfm_segmentation,
+    #   abandoned_clicks, auc_quality_classifier, ks_two_sample_binned,
     #   table_fingerprint_events, calibration_ece,
     #   cusum_changepoint_daily, vocab_oov_rate, forecast_backtest_mase,
-    #   kcore_mutual_knn, peak_concurrency_sweep,
-    #   group_split_no_leakage, hits_authority_knn,
-    #   snapshot_delta_stats, heaps_law_fit
-    # Round-4 rotation (VERDICT r3 ask #1): the 43 oracled entries that
-    # had never been inside a driver CORRECTNESS window through r03 —
-    # fronting them completes driver coverage of every r03-era oracled
-    # entry across rounds. Entries green in earlier windows keep
-    # tools/check_oracle.py (mirror) coverage, which runs the FULL
-    # registry every round.
-    "recursive_cte_month_spine",
-    "lateral_topk_per_region",
-    "heavy_hitters_users",
-    "mad_outliers_by_type",
-    "reservoir_sample_by_lang",
-    "embedding_quantize_stats",
-    "funnel_conversion",
-    "cohort_retention",
-    "scd2_priority_history",
-    "seasonal_dow_anomaly",
-    "chunk_dedup_stats",
-    "char_entropy_quality",
-    "length_bucket_padding",
-    "tfidf_cosine_pairs",
-    "bigram_lm_quality",
-    "cross_source_contamination",
-    "hard_negative_mining",
-    "event_transition_matrix",
-    "top_tfidf_terms",
-    "weighted_sample_events",
-    "session_window_native",
-    "streaming_sliding_counts",
-    "pandas_api_parity",
-    "collocations_pmi",
-    "curation_pipeline_counts",
-    "dim_truncation_recall",
-    "lang_source_chisq",
-    "data_contract_report",
-    "pareto_revenue_concentration",
-    "rrf_quality_fusion",
-    "winsorized_value_stats",
-    "daily_autocorrelation",
-    "fk_integrity_report",
-    "benford_digit_audit",
-    "cdc_chunk_stats",
-    "partition_key_advisor",
-    "lexicon_filter_stats",
-    "zipf_fit_audit",
-    "split_leakage_audit",
-    "dow_hour_heatmap",
-    "gini_user_activity",
-    "equidepth_histogram",
-    "dau_wau_stickiness",
-    # round-4 graduates: former rows-only approximate entries that now
-    # carry deterministic hash-checkable surfaces (exact-verified pair
-    # sets, recall/tolerance booleans, exact-ground-truth counts) —
-    # 7 of 13 fit this window; the rest rotate in next round.
-    "dedup_minhash_lsh",
-    "dedup_near_e2e",
-    "knn_graph_centrality",
-    "semdedup_stats",
-    "dedup_incremental_index",
-    "iqr_filter_approx",
-    "knn_ivf_cosine",
+    #   peak_concurrency_sweep, group_split_no_leakage, heaps_law_fit,
+    #   ndcg_truncation_audit, weak_label_model,
+    #   embedding_class_separation, mahalanobis_outliers, als_half_step,
+    #   distinctive_terms_by_source, functional_dependency_audit,
+    #   paragraph_dedup_reassembly, cluster_purity_nmi,
+    #   tar_shard_roundtrip, footer_zone_map_stats, raking_ipf_weights,
+    #   kfold_cv_ridge, business_days_lag, markov_next_event_accuracy,
+    #   association_rules_metrics, decayed_engagement_score,
+    #   blocking_quality_metrics, velocity_rule_alerts,
+    #   weighted_median_by_status, price_volume_mix_decomposition,
+    #   sequence_gap_audit, rollup_cascade_parity,
+    #   fk_discovery_containment, state_machine_conformance,
+    #   nucleus_coverage_stats, source_jsd_matrix
+    "try_functions_surface",
+    "column_profile_all",
+    "column_profile_approx",
+    "tablefmt_concurrency_audit",
+    "time_travel_versions",
+    "incremental_mv_refresh",
+    "streaming_tablefmt_sink",
+    "tablefmt_optimize_roundtrip",
+    "tablefmt_schema_evolution",
+    "snapshot_delta_stats",
+    "small_file_compaction_stats",
+    "k_anonymity_audit",
+    "cascade_delete_audit",
+    "pseudonymization_roundtrip",
+    "group_mean_imputation",
+    "churn_labels_audit",
+    "dp_noisy_counts",
+    "kcore_mutual_knn",
+    "hits_authority_knn",
+    "personalized_pagerank_knn",
+    "clustering_coefficient_knn",
+    "label_propagation_knn",
+    "bfs_blast_radius",
+    "triangle_count_knn",
+    "knn_reciprocity",
+    "streaming_session_stats",
+    "streaming_dedup_counts",
+    "streaming_join_attribution",
+    "streaming_exactly_once_counts",
+    "streaming_late_drop_audit",
+    "streaming_zscore_alerts",
+    "datetime_functions_surface",
+    "null_semantics_surface",
+    "regexp_functions_surface",
+    "hof_functions_surface",
+    "bitwise_functions_surface",
+    "map_functions_surface",
+    "stat_moments_surface",
+    "decimal_money_surface",
+    "xml_parse_surface",
+    "odds_by_draw_type",
+    "multimodal_decode_roundtrip",
+    "grouping_sets_sales",
+    "bucketed_join_no_shuffle",
+    "partition_pruned_scan_audit",
+    "schema_evolution_roundtrip",
+    "secrets_scan_stats",
+    "dedup_prefix_filter_join",
+    "fuzzy_join_blocked",
+    "udtf_lateral_segments",
 ]
 
 
@@ -11847,6 +11865,92 @@ def column_profile_all(spark, sf_dir):
     ).orderBy("column_name")
 
 
+def _column_profile_approx_frame(spark, sf_dir):
+    """The Expand-free profiler aggregate: nulls, min, max and
+    `approx_count_distinct` (HLL++, rsd 2%) for every column in ONE
+    plain hash aggregate. This is the 100 TB default: exact
+    multi-column distincts force Catalyst's Expand operator — each
+    input row is replicated once per distinct column (x6 here), so
+    the scan's row stream multiplies by the column count BEFORE the
+    partial aggregate; the HLL++ sketches are plain mergeable
+    aggregation buffers, so the row stream stays 1x. Plan-asserted
+    Expand-free in `tests/test_plans.py`."""
+    aggs = []
+    for c, typ in _PROFILE_COLS:
+        col = F.col(c)
+        if typ == "date":
+            col = F.col(c).cast("date")
+        aggs.extend(
+            [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"nn_{c}"),
+                F.approx_count_distinct(F.col(c), rsd=0.02).alias(f"ad_{c}"),
+                F.min(col).cast("string").alias(f"mn_{c}"),
+                F.max(col).cast("string").alias(f"mx_{c}"),
+            ]
+        )
+    one = t(spark, sf_dir, "orders").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, ad_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_approx_distinct, min_val, max_val)"
+        )
+    )
+
+
+@query(
+    "column_profile_approx",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_exact,
+           TRUE AS apx_ok,
+           CAST(min({'CAST(o_orderdate AS DATE)' if c == 'o_orderdate' else c}) AS VARCHAR) AS min_val,
+           CAST(max({'CAST(o_orderdate AS DATE)' if c == 'o_orderdate' else c}) AS VARCHAR) AS max_val
+    FROM orders"""
+        for c, _ in _PROFILE_COLS
+    )
+    + "\n) ORDER BY column_name",
+)
+def column_profile_approx(spark, sf_dir):
+    """`column_profile_all`'s 100 TB-default sibling (round-4 verdict
+    finding #3): the profile aggregate runs Expand-FREE — nulls,
+    min/max and HLL++ `approx_count_distinct` (rsd 2%) in one plain
+    hash aggregate via `_column_profile_approx_frame` — instead of
+    paying the x6 row-replication Expand multiplier that exact
+    multi-column distincts force. The audit layer (this entry's
+    oracled surface, the `hll_sketch_workflow` move): a SECOND,
+    audit-only exact-distinct aggregate joins in to pin every
+    estimate within 10% of truth as a hash-checkable boolean —
+    production drops that audit side and keeps the single Expand-free
+    scan."""
+    apx = _column_profile_approx_frame(spark, sf_dir)
+    exact = column_profile_all(spark, sf_dir).select(
+        "column_name", F.col("n_distinct").alias("n_exact")
+    )
+    return (
+        apx.join(F.broadcast(exact), "column_name")
+        .select(
+            "column_name",
+            "n_nulls",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx_distinct") - F.col("n_exact"))
+                <= 0.10 * F.col("n_exact")
+            ).alias("apx_ok"),
+            "min_val",
+            "max_val",
+        )
+        .orderBy("column_name")
+    )
+
+
 _ANNOTATORS = [1, 2, 3]
 
 _WEAK_NOISY_CTE = """
@@ -14231,6 +14335,119 @@ def tablefmt_schema_evolution(spark, sf_dir):
         .cast("long")
         .alias("n_null_priority"),
         F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+    )
+
+
+@query(
+    "tablefmt_concurrency_audit",
+    oracle="""
+    WITH nn AS (SELECT max(c_custkey) AS n FROM customer),
+    final AS (
+      SELECT CASE WHEN c_custkey > (3 * (SELECT n FROM nn)) // 4
+                  THEN 0.0 ELSE c_acctbal END AS bal
+      FROM customer
+      UNION ALL
+      SELECT c_acctbal FROM customer WHERE c_custkey <= 10
+    )
+    SELECT CAST((SELECT count(*) FROM final) AS BIGINT) AS n_rows,
+           ROUND((SELECT sum(bal) FROM final), 2) AS sum_bal,
+           TRUE AS conflict_raised,
+           CAST(4 AS BIGINT) AS winner_version,
+           CAST(5 AS BIGINT) AS loser_retry_version,
+           CAST(6 AS BIGINT) AS n_versions,
+           CAST(3 AS BIGINT) AS n_files_carried,
+           CAST(1 AS BIGINT) AS n_files_rewritten
+    """,
+)
+def tablefmt_concurrency_audit(spark, sf_dir):
+    """Optimistic-concurrency PROOF for the table format (round-4
+    verdict ask #7), two claims pinned in one entry:
+
+    1. Conflicting writers: customer lands as four key-range files
+       (v0-v3). Writer A (a COW upsert zeroing the top key quartile)
+       and writer B (an append of 10 re-keyed rows) then RACE for
+       version 4 — B stages its data files first
+       (`tablefmt.stage_files`), A commits normally and wins v4, and
+       B's `publish_append(expected_version=4)` must raise
+       FileExistsError at the atomic manifest rename. B then retries
+       the (metadata-only) publish against v5 and succeeds — the
+       Delta/Iceberg loser-retries loop. The oracle pins the
+       conflict boolean, both final version numbers, and that the
+       final table contains BOTH writers' effects (A's zeroed
+       quartile AND B's appended rows — nothing lost to the race).
+
+    2. COW file pruning (`partition_pruned_scan_audit` pattern, from
+       the manifests themselves): A's upsert touches only keys in
+       the top quartile file, so exactly 3 of v3's 4 files must be
+       carried into v4 BY REFERENCE (file-name set intersection) and
+       exactly 1 rewritten (v3 - v4 set difference) — min/max file
+       pruning, not a full-table rewrite."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_conc_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n = cust.agg(F.max("c_custkey")).collect()[0][0]
+    b1, b2, b3 = n // 4, n // 2, (3 * n) // 4
+    tf.create(spark, root, cust.filter(F.col("c_custkey") <= b1).coalesce(1))
+    tf.commit_append(
+        spark,
+        root,
+        cust.filter((F.col("c_custkey") > b1) & (F.col("c_custkey") <= b2)).coalesce(1),
+    )
+    tf.commit_append(
+        spark,
+        root,
+        cust.filter((F.col("c_custkey") > b2) & (F.col("c_custkey") <= b3)).coalesce(1),
+    )
+    tf.commit_append(
+        spark, root, cust.filter(F.col("c_custkey") > b3).coalesce(1)
+    )
+    files_v3 = set(tf._load_manifest(root, 3)["files"])
+
+    # writer B stages first (data on disk, no manifest yet) ...
+    b_rows = (
+        cust.filter(F.col("c_custkey") <= 10)
+        .select((F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal")
+        .coalesce(1)
+    )
+    staged_b = tf.stage_files(spark, root, b_rows)
+    # ... writer A commits normally and WINS version 4
+    a_version = tf.commit_upsert(
+        spark,
+        root,
+        cust.filter(F.col("c_custkey") > b3).withColumn("c_acctbal", F.lit(0.0)),
+        key="c_custkey",
+    )
+    # B races for the same version: must LOSE at the atomic rename
+    conflict_raised = False
+    try:
+        tf.publish_append(root, staged_b, expected_version=4, schema=b_rows.schema)
+    except FileExistsError:
+        conflict_raised = True
+    # loser retry: re-read current version, publish against the winner
+    b_version = tf.publish_append(
+        root, staged_b, expected_version=tf.current_version(root) + 1,
+        schema=b_rows.schema,
+    )
+
+    files_v4 = set(tf._load_manifest(root, 4)["files"])
+    carried = len(files_v3 & files_v4)
+    rewritten = len(files_v3 - files_v4)
+    n_versions = tf.current_version(root) + 1
+    return tf.read(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.lit(conflict_raised).alias("conflict_raised"),
+        F.lit(a_version).cast("long").alias("winner_version"),
+        F.lit(b_version).cast("long").alias("loser_retry_version"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
+        F.lit(carried).cast("long").alias("n_files_carried"),
+        F.lit(rewritten).cast("long").alias("n_files_rewritten"),
     )
 
 

@@ -264,3 +264,76 @@ def test_cms_sketch_partial_aggregates(spark):
 def test_triangle_count_no_cartesian(spark):
     plan = plan_of(QUERIES["triangle_count_knn"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_query_functions_leave_session_confs_unchanged(spark):
+    """Round-4 advisory: `t()` used to set
+    spark.sql.legacy.parquet.nanosAsLong session-globally whenever
+    `events` was read — spooky action at a distance. The conf is now
+    scoped (`scoped_conf`): building any events-reading query — batch
+    or the streaming source builder — must leave every session conf
+    exactly as it was."""
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (
+        events_stream,
+        t,
+    )
+
+    watched = [
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+    ]
+    before = {k: spark.conf.get(k, None) for k in watched}
+    t(spark, SF, "events").limit(1).collect()
+    events_stream(spark, SF)
+    QUERIES["seasonal_dow_anomaly"](spark, SF).collect()
+    after = {k: spark.conf.get(k, None) for k in watched}
+    assert before == after
+
+
+def test_scoped_conf_restore_is_safe_for_lazy_reads(spark, tmp_path):
+    """The contract `scoped_conf` relies on: a parquet scan snapshots
+    the session conf at relation-build time, so a DataFrame built
+    under the scoped value still collects AFTER restore. Pinned with
+    a real TIMESTAMP(NANOS) file — the one case that throws without
+    the conf."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (
+        scoped_conf,
+    )
+
+    path = str(tmp_path / "nanos.parquet")
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1, 12, 0, 0)], type=pa.timestamp("ns")
+            ),
+            "v": [1],
+        }
+    )
+    pq.write_table(tbl, path, coerce_timestamps=None, version="2.6")
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    with scoped_conf(spark, key, "true"):
+        df = spark.read.parquet(path)
+    assert spark.conf.get(key, None) in (None, "false")
+    rows = df.collect()  # executes AFTER the conf was restored
+    assert rows[0].v == 1 and isinstance(rows[0].ts, int)
+
+
+def test_column_profile_approx_frame_is_expand_free(spark):
+    """The approx profiler's headline property: one plain hash
+    aggregate, NO Expand operator (exact multi-column distincts would
+    replicate every scanned row once per profiled column)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (
+        _column_profile_approx_frame,
+    )
+
+    plan = plan_of(_column_profile_approx_frame(spark, SF))
+    assert "Expand" not in plan, plan
+    # the exact sibling DOES pay Expand — the contrast the docs claim
+    exact_plan = plan_of(QUERIES["column_profile_all"](spark, SF))
+    assert "Expand" in exact_plan

@@ -190,3 +190,17 @@ def test_optimize_empty_snapshot_is_noop_commit(spark, root):
     man = tf._load_manifest(root, 2)
     assert man["action"] == "optimize" and man["files"] == []
     assert tf.read(spark, root).count() == 0
+
+
+def test_staged_publish_conflict_and_retry(spark, root):
+    # two-phase commit: loser's publish raises at the atomic rename,
+    # staged files stay valid, retry against the winner succeeds
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    staged = tf.stage_files(spark, root, _df(spark, [(2, "b")]).coalesce(1))
+    winner = tf.commit_append(spark, root, _df(spark, [(3, "c")]).coalesce(1))
+    assert winner == 1
+    with pytest.raises(FileExistsError):
+        tf.publish_append(root, staged, expected_version=1)
+    v = tf.publish_append(root, staged, expected_version=2)
+    assert v == 2
+    assert {r.k for r in tf.read(spark, root).collect()} == {1, 2, 3}
