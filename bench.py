@@ -188,6 +188,8 @@ HEADLINE = [
     "cascade_delete_audit",
     "ndcg_truncation_audit",
     "column_profile_all",
+    "column_profile_approx",
+    "tablefmt_concurrency_audit",
     "weak_label_model",
     "bfs_blast_radius",
     "embedding_class_separation",

@@ -1,0 +1,111 @@
+"""Generate a local sf1 (~10x sf0.1) by DETERMINISTIC replication of
+the driver's sf0.1 parquet, for the scaling probe's fourth decade
+(round-4 verdict ask #4: at 17 MB, fixed overhead masks linear terms —
+most fitted exponents read <= 0.17; a 1000x range separates them).
+
+Replication contract (keys DISJOINT per replica, relationships intact):
+
+- Scaling tables get REPLICAS x copies with every surrogate/foreign
+  key shifted by `replica * OFFSET` — join fan-outs per key are
+  preserved exactly (each replica is a closed world), so join/agg
+  work grows linearly with rows, which is the property a scaling
+  probe must hold fixed.
+- region/nation stay 1x (TPC-H dims are constant-size at any SF);
+  nationkey FKs are NOT shifted, so dim joins keep their true shape
+  (10x probes per dim row — exactly what a bigger fact side does).
+- `documents.text` gets a per-replica ' r{i}' suffix: keeps length /
+  shingle statistics, but avoids manufacturing 10-way exact-duplicate
+  mega-clusters that would inflate LSH candidate volume superlinearly
+  and corrupt the probe (duplicate structure should scale WITH data,
+  not explode combinatorially). n_chars is updated to match.
+- `embeddings` replicate with shifted vec_id and vectors untouched —
+  the bounded-graph probes filter vec_id < K and therefore still see
+  exactly the replica-0 subgraph at every SF (bounded means bounded).
+- events replicate with shifted event_id/user_id and the SAME ts
+  range: 10x traffic density over one calendar window, which is how
+  event volume actually grows.
+
+Everything is pyarrow-level (no Spark session): deterministic, no
+sampling, no shuffles. Output: <repo>/localdata/sf1/*.parquet
+(~170 MB, gitignored).
+
+Usage: python tools/make_sf1.py [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+OFFSET = 100_000_000
+
+# table -> columns to shift by replica * OFFSET
+SHIFT: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_ONLY = ["region", "nation"]
+
+
+def replicate(name: str, src_dir: str, out_dir: str, replicas: int) -> int:
+    tbl = pq.read_table(f"{src_dir}/{name}.parquet")
+    pieces = []
+    for i in range(replicas):
+        rep = tbl
+        for col in SHIFT[name]:
+            idx = rep.schema.get_field_index(col)
+            shifted = pc.add(rep.column(col), pa.scalar(i * OFFSET, type=rep.schema.field(col).type))
+            rep = rep.set_column(idx, rep.schema.field(col), shifted)
+        if name == "documents" and i > 0:
+            idx = rep.schema.get_field_index("text")
+            suffixed = pc.binary_join_element_wise(
+                pc.cast(rep.column("text"), pa.string()), f" r{i}", ""
+            )
+            rep = rep.set_column(idx, rep.schema.field("text"), suffixed)
+            nidx = rep.schema.get_field_index("n_chars")
+            nchars = pc.utf8_length(rep.column("text"))
+            rep = rep.set_column(
+                nidx,
+                rep.schema.field("n_chars"),
+                pc.cast(nchars, rep.schema.field("n_chars").type),
+            )
+        pieces.append(rep)
+    out = pa.concat_tables(pieces)
+    pq.write_table(out, f"{out_dir}/{name}.parquet", row_group_size=1 << 20)
+    return out.num_rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--src", default=SRC)
+    args = ap.parse_args()
+    out_dir = str(Path(__file__).resolve().parent.parent / "localdata" / "sf1")
+    os.makedirs(out_dir, exist_ok=True)
+    for name in COPY_ONLY:
+        t = pq.read_table(f"{args.src}/{name}.parquet")
+        pq.write_table(t, f"{out_dir}/{name}.parquet")
+        print(f"{name}: {t.num_rows} rows (copied 1x)")
+    for name in SHIFT:
+        n = replicate(name, args.src, out_dir, args.replicas)
+        print(f"{name}: {n} rows ({args.replicas}x)")
+    total = sum(
+        os.path.getsize(os.path.join(out_dir, f)) for f in os.listdir(out_dir)
+    )
+    print(f"sf1 at {out_dir}: {total / 1e6:.1f} MB")
+
+
+if __name__ == "__main__":
+    main()

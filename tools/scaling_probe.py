@@ -1,21 +1,32 @@
 """Empirical scaling probe: run representative catalog queries at
-sf0.001 / sf0.01 / sf0.1 and fit the log-log scaling exponent of
-wall time vs input scale, writing docs/SCALING.md.
+sf0.001 / sf0.01 / sf0.1 / sf1 and fit the log-log scaling exponent
+of wall time vs input scale, writing docs/SCALING.md.
 
-Interpretation: over a 100x input range, exponent b in t ~ sf^b.
-b <= ~0.3 means fixed per-query overhead dominates (the query would
-absorb far larger inputs before time moved); b ~ 1 is linear scan
-behavior — the best possible for full-scan analytics; b > 1 flags
-superlinear growth worth a plan review. Entries whose algorithms are
-bounded by construction (vec_id<200 graphs, fixed query sets) are
-expected near b=0 and labeled "bounded".
+The sf1 point (~158 MB, 6M lineitem rows) is generated locally by
+`tools/make_sf1.py` — deterministic 10x replication of the driver's
+sf0.1 with disjoint keys per replica — extending the fitted range to
+1000x. That fourth decade is what separates fixed overhead from the
+linear term: at 17 MB most queries read b <= 0.17 because job-launch
+overhead floors the measurement; at 158 MB the scan/shuffle term
+finally dominates and honest linear queries move toward b ~ 1 on the
+upper decade while bounded ones stay flat.
 
-Usage: python tools/scaling_probe.py
+Interpretation: exponent b in t ~ sf^b over the FULL fitted range.
+b <= ~0.3: fixed per-query overhead still dominates. b ~ 1: linear
+scan behavior — the best possible for full-scan analytics. b > 1
+flags superlinear growth worth a plan review. Entries whose
+algorithms are bounded by construction (vec_id<300 graphs, fixed
+query sets) are expected near b=0 and labeled "bounded".
+
+Usage: python tools/scaling_probe.py            # all 4 decades
+       python tools/scaling_probe.py --no-sf1   # driver decades only
 """
 
 from __future__ import annotations
 
+import argparse
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,9 +36,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from lottery_end_to_end_etl_data_pipeline_spark import get_session  # noqa: E402
 from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (  # noqa: E402
     QUERIES,
+    _column_profile_approx_frame,
 )
 
-SFS = [("0.001", 0.001), ("0.01", 0.01), ("0.1", 0.1)]
+# probe-only surfaces that are not standalone catalog entries: the
+# Expand-free approx profiler WITHOUT its audit-only exact join (the
+# catalog entry `column_profile_approx` deliberately pays the exact
+# side too, to oracle the estimates — production runs just the frame)
+EXTRA = {"column_profile_approx_frame": _column_profile_approx_frame}
+
+_REPO = Path(__file__).resolve().parent.parent
+SFS = [
+    ("0.001", 0.001, "/root/testdata/sf0.001"),
+    ("0.01", 0.01, "/root/testdata/sf0.01"),
+    ("0.1", 0.1, "/root/testdata/sf0.1"),
+    ("1", 1.0, str(_REPO / "localdata" / "sf1")),
+]
 
 # one per operator family; (name, expected-shape note)
 PROBES = [
@@ -46,56 +70,83 @@ PROBES = [
     ("paragraph_dedup_reassembly", "explode+agg+rebuild"),
     ("top_tfidf_terms", "tf/df aggregates + window"),
     ("hypertable_rollup", "mergeable continuous agg"),
+    # the 5 slowest BENCH_r04 entries (round-4 verdict ask #4): the
+    # iterative bounded-graph loops should fit b ~ 0 (bounded), the
+    # profilers/try surface b <= ~1
+    ("kcore_mutual_knn", "bounded: 8-round peel, vec_id<300"),
+    ("hits_authority_knn", "bounded: 4-round HITS, vec_id<200"),
+    ("personalized_pagerank_knn", "bounded: 8-round PPR, vec_id<200"),
+    ("try_functions_surface", "guarded try_* scan+agg"),
+    ("column_profile_all", "multi-distinct Expand agg"),
+    ("column_profile_approx", "approx profile + exact AUDIT join"),
+    ("column_profile_approx_frame", "Expand-free HLL profile alone"),
 ]
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-sf1", action="store_true")
+    args = ap.parse_args()
+    sfs = list(SFS)
+    if args.no_sf1 or not os.path.isdir(SFS[-1][2]):
+        if not args.no_sf1:
+            print("localdata/sf1 missing — run tools/make_sf1.py first", file=sys.stderr)
+        sfs = sfs[:-1]
+
     spark = get_session("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm every probe at the smallest sf (codegen/JIT outside timing)
     for name, _ in PROBES:
         try:
-            QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+            (QUERIES.get(name) or EXTRA[name])(spark, sfs[0][2]).collect()
         except Exception:
             pass
 
     rows = []
     for name, note in PROBES:
         times = []
-        for tag, _ in SFS:
+        for _, _, sdir in sfs:
             best = None
             for _ in range(2):  # best-of-2 damps scheduler noise
                 t0 = time.monotonic()
-                QUERIES[name](spark, f"/root/testdata/sf{tag}").collect()
+                (QUERIES.get(name) or EXTRA[name])(spark, sdir).collect()
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
             times.append(best)
-        xs = [math.log10(v) for _, v in SFS]
+        xs = [math.log10(v) for _, v, _ in sfs]
         ys = [math.log10(t) for t in times]
         n = len(xs)
         mx, my = sum(xs) / n, sum(ys) / n
         b = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
             (x - mx) ** 2 for x in xs
         )
-        rows.append((name, note, times, b))
-        print(f"{name:32s} {times[0]:6.2f} {times[1]:6.2f} {times[2]:6.2f}  b={b:+.2f}")
+        # the upper-decade exponent: where the linear term lives
+        b_hi = (ys[-1] - ys[-2]) / (xs[-1] - xs[-2]) if len(xs) >= 2 else b
+        rows.append((name, note, times, b, b_hi))
+        tstr = " ".join(f"{t:6.2f}" for t in times)
+        print(f"{name:32s} {tstr}  b={b:+.2f} b_hi={b_hi:+.2f}")
 
-    out = Path(__file__).resolve().parent.parent / "docs" / "SCALING.md"
+    out = _REPO / "docs" / "SCALING.md"
+    span = "1000x" if len(sfs) == 4 else "100x"
+    hdr_sf = " | ".join(f"sf{tag} s" for tag, _, _ in sfs)
     lines = [
         "# Empirical scaling (local[32], best-of-2, warmed)\n",
-        "\nWall time per query across a 100x input range and the fitted",
-        "log-log exponent `b` in `t ~ sf^b`. `b <= ~0.3`: fixed overhead",
+        f"\nWall time per query across a {span} input range and the fitted",
+        "log-log exponent `b` in `t ~ sf^b` (full range) plus `b_hi`,",
+        "the top-decade slope — the one the linear term dominates once",
+        "input outgrows fixed job overhead. `b <= ~0.3`: fixed overhead",
         "dominates (headroom for much larger inputs). `b ~ 1`: linear",
-        "scan behavior. Generated by `tools/scaling_probe.py`.\n",
-        "\n| query | shape | sf0.001 s | sf0.01 s | sf0.1 s | b |",
-        "|---|---|---|---|---|---|",
+        "scan behavior. Superlinear `b_hi` flags a plan review. The sf1",
+        "point is deterministic 10x replication of sf0.1 with disjoint",
+        "keys (`tools/make_sf1.py`). Generated by",
+        "`tools/scaling_probe.py`.\n",
+        f"\n| query | shape | {hdr_sf} | b | b_hi |",
+        "|---|---|" + "---|" * (len(sfs) + 2),
     ]
-    for name, note, times, b in rows:
-        lines.append(
-            f"| `{name}` | {note} | {times[0]:.2f} | {times[1]:.2f} "
-            f"| {times[2]:.2f} | {b:+.2f} |"
-        )
+    for name, note, times, b, b_hi in rows:
+        tcells = " | ".join(f"{t:.2f}" for t in times)
+        lines.append(f"| `{name}` | {note} | {tcells} | {b:+.2f} | {b_hi:+.2f} |")
     lines.append("")
     out.write_text("\n".join(lines))
     print(f"wrote {out}")
