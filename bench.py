@@ -190,6 +190,7 @@ HEADLINE = [
     "column_profile_all",
     "column_profile_approx",
     "tablefmt_concurrency_audit",
+    "tablefmt_stats_pruned_read",
     "weak_label_model",
     "bfs_blast_radius",
     "embedding_class_separation",

@@ -67,8 +67,54 @@ def _publish(root: str, version: int, payload: dict) -> None:
     os.rename(tmp, final)
 
 
-def _write_data_files(spark: SparkSession, root: str, df: DataFrame) -> list[str]:
-    """Write df as new immutable data files; return their names."""
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] harvested from the parquet FOOTER the file
+    was just written with — zero data IO, no Spark job, exactly what
+    real table formats record at commit time (Delta stats / Iceberg
+    manifests). Only JSON-portable primitive columns are recorded
+    (int/float/bool/str); anything else — or a column whose footer
+    lacks stats — is simply absent, and readers fall back to scanning
+    that file."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is a baked-in dep
+        return {}
+    out: dict = {}
+    md = pq.ParquetFile(path).metadata
+    for ci in range(md.num_columns):
+        name = md.schema.column(ci).name
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except Exception:
+                    ok = False
+                    break
+            if not isinstance(mn, (int, float, str, bool)):
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            out[name] = [lo, hi]
+    return out
+
+
+def _write_data_files(
+    spark: SparkSession, root: str, df: DataFrame, stats: dict | None = None
+) -> list[str]:
+    """Write df as new immutable data files; return their names.
+    When ``stats`` (a dict to fill) is given, each new file's
+    footer-derived per-column [min, max] is recorded into it keyed by
+    file name — harvested driver-side from the footer just written,
+    no extra Spark job."""
     staging = os.path.join(root, f"_staging_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     os.makedirs(_data_dir(root), exist_ok=True)
@@ -76,8 +122,11 @@ def _write_data_files(spark: SparkSession, root: str, df: DataFrame) -> list[str
     for fn in sorted(os.listdir(staging)):
         if fn.endswith(".parquet"):
             name = f"{uuid.uuid4().hex}.parquet"
-            shutil.move(os.path.join(staging, fn), os.path.join(_data_dir(root), name))
+            dest = os.path.join(_data_dir(root), name)
+            shutil.move(os.path.join(staging, fn), dest)
             names.append(name)
+            if stats is not None:
+                stats[name] = _footer_stats(dest)
     shutil.rmtree(staging)
     return names
 
@@ -103,6 +152,7 @@ def _next_payload(
     files: list[str],
     schema: StructType | None = None,
     meta: dict | None = None,
+    stats: dict | None = None,
 ) -> dict:
     """Build a manifest payload, carrying forward from ``prev``:
 
@@ -116,6 +166,11 @@ def _next_payload(
       pre-retention txn ids — the exactly-once guarantee survives any
       retention window (fixes the round-4 advisory: the ledger used to
       live only in the per-commit ``meta`` and eroded with vacuum).
+    - ``stats``: per-file per-column footer [min, max]. Stats for NEW
+      files come from the ``stats`` argument; stats for files carried
+      by reference come from the previous manifest — so every
+      manifest's stats cover exactly its own file set and file
+      skipping never needs a data scan.
     """
     prev = prev or {}
     ledger = {k: list(v) for k, v in prev.get("ledger", {}).items()}
@@ -134,6 +189,14 @@ def _next_payload(
             if val not in ledger.setdefault(k, []):
                 ledger[k].append(val)
     payload["ledger"] = ledger
+    prev_stats = prev.get("stats", {})
+    merged_stats = {}
+    for f in files:
+        if stats and f in stats:
+            merged_stats[f] = stats[f]
+        elif f in prev_stats:
+            merged_stats[f] = prev_stats[f]
+    payload["stats"] = merged_stats
     return payload
 
 
@@ -141,8 +204,11 @@ def create(spark: SparkSession, root: str, df: DataFrame) -> int:
     """Initialize the table at version 0 (idempotent re-create)."""
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(_log_dir(root), exist_ok=True)
-    files = _write_data_files(spark, root, df)
-    _publish(root, 0, _next_payload(None, 0, "create", files, schema=df.schema))
+    st: dict = {}
+    files = _write_data_files(spark, root, df, stats=st)
+    _publish(
+        root, 0, _next_payload(None, 0, "create", files, schema=df.schema, stats=st)
+    )
     return 0
 
 
@@ -178,6 +244,42 @@ def read(
     return reader.parquet(*paths)
 
 
+def read_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read that SKIPS files whose manifest-recorded footer
+    [min, max] for ``col`` cannot intersect [lo, hi] — the data-
+    skipping read path the per-commit stats exist for: the pruning
+    decision is pure driver-side metadata (no footer IO, no listing,
+    no scan of skipped files), then Spark's own parquet pushdown
+    finishes the job inside the surviving files. Files with no
+    recorded stats for ``col`` are conservatively INCLUDED. The
+    filter itself is applied too, so results are exactly
+    `read(...).filter(lo <= col <= hi)` — pruning is an optimization,
+    never a semantics change (pinned by `tests/test_tablefmt.py`,
+    including the inputFiles() file-skipping assert)."""
+    man = _load_manifest(root, version)
+    stats = man.get("stats", {})
+    keep = []
+    for fn in man["files"]:
+        rng = stats.get(fn, {}).get(col)
+        if rng is None or not (rng[1] < lo or rng[0] > hi):
+            keep.append(fn)
+    if not keep:
+        return read(spark, root, version=version).filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)
+        ).limit(0)
+    paths = [os.path.join(_data_dir(root), f) for f in keep]
+    return spark.read.parquet(*paths).filter(
+        (F.col(col) >= lo) & (F.col(col) <= hi)
+    )
+
+
 def history(root: str) -> list[dict]:
     """Commit history of the RETAINED versions (manifests removed by
     `vacuum` are skipped, same guard as `committed_meta_values` —
@@ -201,11 +303,14 @@ def commit_append(
     manifest for idempotence checks — see `committed_meta_values`."""
     prev_v = current_version(root)
     prev = _load_manifest(root, prev_v)
-    files = prev["files"] + _write_data_files(spark, root, df)
+    st: dict = {}
+    files = prev["files"] + _write_data_files(spark, root, df, stats=st)
     _publish(
         root,
         prev_v + 1,
-        _next_payload(prev, prev_v + 1, "append", files, schema=df.schema, meta=meta),
+        _next_payload(
+            prev, prev_v + 1, "append", files, schema=df.schema, meta=meta, stats=st
+        ),
     )
     return prev_v + 1
 
@@ -237,6 +342,7 @@ def publish_append(
     atomic rename, data written once, only the manifest race replays.
     """
     prev = _load_manifest(root, expected_version - 1)
+    st = {f: _footer_stats(os.path.join(_data_dir(root), f)) for f in staged}
     _publish(
         root,
         expected_version,
@@ -247,6 +353,7 @@ def publish_append(
             prev["files"] + staged,
             schema=schema,
             meta=meta,
+            stats=st,
         ),
     )
     return expected_version
@@ -276,27 +383,40 @@ def committed_meta_values(root: str, key: str) -> set:
 
 
 def _touched_files(
-    spark: SparkSession, root: str, files: list[str], key: str, keys_df: DataFrame
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    key: str,
+    keys_df: DataFrame,
+    man_stats: dict | None = None,
 ) -> tuple[list[str], list[str]]:
     """Split a file set into (touched, untouched) by file-level key
     min/max pruning — the file-skipping step that makes copy-on-write
     affordable: a file whose [min,max] key range misses every incoming
-    key is carried forward by reference, never rewritten or rescanned."""
+    key is carried forward by reference, never rewritten or rescanned.
+
+    The bounds come from the manifest's recorded footer stats
+    (``man_stats``, written at commit time) whenever present — a pure
+    metadata decision, zero IO per skipped file; files predating the
+    stats-recording manifests fall back to a one-off stats scan."""
     bounds = keys_df.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
+    man_stats = man_stats or {}
     touched, untouched = [], []
     for fn in files:
-        path = os.path.join(_data_dir(root), fn)
-        stats = (
-            spark.read.parquet(path)
-            .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
-            .collect()[0]
-        )
-        # overlap test against the incoming key envelope; a real format
-        # reads these bounds from parquet footer metadata instead of a
-        # stats scan (same pruning decision, zero data IO)
-        if stats.lo is None or bounds.lo is None or stats.hi < bounds.lo or stats.lo > bounds.hi:
+        rng = man_stats.get(fn, {}).get(key)
+        if rng is not None:
+            lo, hi = rng
+        else:  # pre-stats manifest: scan this file's bounds once
+            path = os.path.join(_data_dir(root), fn)
+            st = (
+                spark.read.parquet(path)
+                .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+                .collect()[0]
+            )
+            lo, hi = st.lo, st.hi
+        if lo is None or bounds.lo is None or hi < bounds.lo or lo > bounds.hi:
             untouched.append(fn)
         else:
             touched.append(fn)
@@ -311,22 +431,26 @@ def commit_upsert(
     prev_v = current_version(root)
     prev = _load_manifest(root, prev_v)
     touched, untouched = _touched_files(
-        spark, root, prev["files"], key, updates.select(key)
+        spark, root, prev["files"], key, updates.select(key),
+        man_stats=prev.get("stats"),
     )
     new_files = list(untouched)
+    st: dict = {}
     if touched:
         tpaths = [os.path.join(_data_dir(root), f) for f in touched]
         base = spark.read.parquet(*tpaths)
         merged = base.join(updates.select(key), key, "left_anti").unionByName(
             updates
         )
-        new_files += _write_data_files(spark, root, merged)
+        new_files += _write_data_files(spark, root, merged, stats=st)
     else:
-        new_files += _write_data_files(spark, root, updates)
+        new_files += _write_data_files(spark, root, updates, stats=st)
     _publish(
         root,
         prev_v + 1,
-        _next_payload(prev, prev_v + 1, "upsert", new_files, schema=updates.schema),
+        _next_payload(
+            prev, prev_v + 1, "upsert", new_files, schema=updates.schema, stats=st
+        ),
     )
     return prev_v + 1
 
@@ -338,6 +462,7 @@ def commit_delete(spark: SparkSession, root: str, predicate: str) -> int:
     prev_v = current_version(root)
     prev = _load_manifest(root, prev_v)
     new_files = []
+    st: dict = {}
     for fn in prev["files"]:
         path = os.path.join(_data_dir(root), fn)
         part = spark.read.parquet(path)
@@ -347,8 +472,12 @@ def commit_delete(spark: SparkSession, root: str, predicate: str) -> int:
         else:
             kept = part.filter(f"NOT ({predicate})")
             if kept.limit(1).count() > 0:
-                new_files += _write_data_files(spark, root, kept)
-    _publish(root, prev_v + 1, _next_payload(prev, prev_v + 1, "delete", new_files))
+                new_files += _write_data_files(spark, root, kept, stats=st)
+    _publish(
+        root,
+        prev_v + 1,
+        _next_payload(prev, prev_v + 1, "delete", new_files, stats=st),
+    )
     return prev_v + 1
 
 
@@ -371,8 +500,13 @@ def optimize(spark: SparkSession, root: str, target_files: int = 1) -> int:
         return prev_v + 1
     paths = [os.path.join(_data_dir(root), f) for f in prev["files"]]
     df = spark.read.parquet(*paths).coalesce(target_files)
-    files = _write_data_files(spark, root, df)
-    _publish(root, prev_v + 1, _next_payload(prev, prev_v + 1, "optimize", files))
+    st: dict = {}
+    files = _write_data_files(spark, root, df, stats=st)
+    _publish(
+        root,
+        prev_v + 1,
+        _next_payload(prev, prev_v + 1, "optimize", files, stats=st),
+    )
     return prev_v + 1
 
 

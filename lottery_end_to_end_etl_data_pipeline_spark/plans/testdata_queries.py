@@ -14339,6 +14339,64 @@ def tablefmt_schema_evolution(spark, sf_dir):
 
 
 @query(
+    "tablefmt_stats_pruned_read",
+    oracle="""
+    WITH nn AS (SELECT max(o_orderkey) AS n FROM orders),
+    win AS (
+      SELECT (SELECT n FROM nn) // 4 + 1 AS lo, (SELECT n FROM nn) // 2 AS hi
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(o.o_totalprice), 2) AS sum_price,
+           CAST(4 AS BIGINT) AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_scanned
+    FROM orders o, win w
+    WHERE o.o_orderkey >= w.lo AND o.o_orderkey <= w.hi
+    """,
+)
+def tablefmt_stats_pruned_read(spark, sf_dir):
+    """Manifest-stats data skipping (the read-side payoff of recording
+    per-file footer [min, max] at COMMIT time, Delta-stats /
+    Iceberg-manifest style): orders lands as four key-range files, and
+    a `read_pruned` over the second quartile must (a) return exactly
+    the rows the plain filter returns — the oracle recomputes
+    count+sum from source with the same bounds — and (b) SCAN exactly
+    one of the four files, pinned from the executed read's own
+    `inputFiles()`. The pruning decision is pure driver-side manifest
+    metadata: no listing, no footer IO, no scan of skipped files —
+    the shape that makes a point query on a 100 TB table touch only
+    the files whose ranges can match."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_prune_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n = o.agg(F.max("o_orderkey")).collect()[0][0]
+    b1, b2, b3 = n // 4, n // 2, (3 * n) // 4
+    tf.create(spark, root, o.filter(F.col("o_orderkey") <= b1).coalesce(1))
+    for lo, hi in [(b1, b2), (b2, b3), (b3, n)]:
+        tf.commit_append(
+            spark,
+            root,
+            o.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1),
+        )
+    pruned = tf.read_pruned(spark, root, "o_orderkey", b1 + 1, b2)
+    n_scanned = len(pruned.inputFiles())
+    n_total = len(tf._load_manifest(root, None)["files"])
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.lit(n_total).cast("long").alias("n_files_total"),
+        F.lit(n_scanned).cast("long").alias("n_files_scanned"),
+    )
+
+
+@query(
     "tablefmt_concurrency_audit",
     oracle="""
     WITH nn AS (SELECT max(c_custkey) AS n FROM customer),

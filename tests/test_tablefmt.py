@@ -204,3 +204,62 @@ def test_staged_publish_conflict_and_retry(spark, root):
     v = tf.publish_append(root, staged, expected_version=2)
     assert v == 2
     assert {r.k for r in tf.read(spark, root).collect()} == {1, 2, 3}
+
+
+def test_manifests_record_footer_stats(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (5, "b")]).coalesce(1))
+    man = tf._load_manifest(root, 0)
+    (fn,) = man["files"]
+    assert man["stats"][fn]["k"] == [1, 5]
+    assert man["stats"][fn]["v"] == ["a", "b"]
+    # carried-by-reference files keep their stats across commits
+    tf.commit_append(spark, root, _df(spark, [(9, "c")]).coalesce(1))
+    man1 = tf._load_manifest(root, 1)
+    assert man1["stats"][fn]["k"] == [1, 5]
+    new = [f for f in man1["files"] if f != fn]
+    assert man1["stats"][new[0]]["k"] == [9, 9]
+
+
+def test_upsert_prunes_from_manifest_stats_without_scan(spark, root, monkeypatch):
+    # with stats in the manifest, the COW pruning decision must be
+    # metadata-only: fail the test if any per-file stats scan happens
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_append(spark, root, _df(spark, [(8, "x"), (9, "y")]).coalesce(1))
+
+    real_read = type(spark.read).parquet
+    scanned = []
+
+    def spy(self, *paths):
+        scanned.extend(paths)
+        return real_read(self, *paths)
+
+    monkeypatch.setattr(type(spark.read), "parquet", spy)
+    tf.commit_upsert(spark, root, _df(spark, [(9, "Y")]), key="k")
+    monkeypatch.undo()
+    man = tf._load_manifest(root, 2)
+    # low-range file carried by reference...
+    v1 = tf._load_manifest(root, 1)
+    low = [f for f in v1["files"] if tf._load_manifest(root, 1)["stats"][f]["k"][1] <= 2]
+    assert set(low) <= set(man["files"])
+    # ...and it was never opened during the upsert (no stats scan, and
+    # the merge read touched only the high-range file)
+    low_paths = {tf._data_dir(root) + "/" + f for f in low}
+    import os as _os
+
+    touched_paths = {_os.path.normpath(p) for p in scanned}
+    assert not (low_paths & touched_paths), (low_paths, touched_paths)
+
+
+def test_read_pruned_matches_filter_and_skips_files(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_append(spark, root, _df(spark, [(10, "c"), (11, "d")]).coalesce(1))
+    tf.commit_append(spark, root, _df(spark, [(20, "e")]).coalesce(1))
+    pruned = tf.read_pruned(spark, root, "k", 10, 19)
+    full = tf.read(spark, root).filter("k >= 10 AND k <= 19")
+    assert {(r.k, r.v) for r in pruned.collect()} == {
+        (r.k, r.v) for r in full.collect()
+    }
+    # exactly ONE of the three files survives the metadata prune
+    assert len(pruned.inputFiles()) == 1
+    # out-of-range query over an empty prune set stays correct
+    assert tf.read_pruned(spark, root, "k", 100, 200).count() == 0
