@@ -191,6 +191,9 @@ HEADLINE = [
     "column_profile_approx",
     "tablefmt_concurrency_audit",
     "tablefmt_stats_pruned_read",
+    "tablefmt_zorder_skipping",
+    "tablefmt_cdf_counts",
+    "tablefmt_merge_audit",
     "weak_label_model",
     "bfs_blast_radius",
     "embedding_class_separation",

@@ -510,6 +510,223 @@ def optimize(spark: SparkSession, root: str, target_files: int = 1) -> int:
     return prev_v + 1
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    target_files: int = 8,
+    bits: int = 12,
+) -> int:
+    """OPTIMIZE ... ZORDER BY (cols): rewrite the snapshot clustered on
+    the bit-interleaved Z-value of the given NUMERIC columns, so the
+    per-file footer [min, max] recorded at commit time is tight on
+    EVERY listed column at once — after which `read_pruned` skips
+    files for predicates on any of them. (A linear sort gives perfect
+    pruning on the leading column and none on the others; Z-ordering
+    trades a little of the first column's locality for locality on
+    all of them — same rationale as Delta's OPTIMIZE ZORDER BY.)
+
+    Fully distributed: one aggregate for the column envelopes, then a
+    single range-shuffle on the Z-value and one write pass — no
+    driver-side data movement, so the same plan holds on a 100 TB
+    table. Each column is scaled equi-width to ``bits`` bits
+    (``len(cols) * bits`` must fit in a signed 64-bit Z-value; NULLs
+    cluster at 0). Logically a no-op commit, like `optimize`."""
+    if len(cols) * bits > 62:
+        raise ValueError(f"{len(cols)} cols x {bits} bits overflows the Z-value")
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    if not prev["files"]:
+        _publish(root, prev_v + 1, _next_payload(prev, prev_v + 1, "zorder", []))
+        return prev_v + 1
+    df = read(spark, root, version=prev_v)
+    env = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = env[f"mn_{c}"], env[f"mx_{c}"]
+        span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+        scaled.append(
+            F.floor(
+                (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0))
+                / F.lit(span)
+                * F.lit(float(top))
+            ).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, sc in enumerate(scaled):
+            bit = F.shiftright(sc, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    clustered = (
+        df.withColumn("_z", z)
+        .repartitionByRange(target_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    st: dict = {}
+    files = _write_data_files(spark, root, clustered, stats=st)
+    _publish(
+        root, prev_v + 1, _next_payload(prev, prev_v + 1, "zorder", files, stats=st)
+    )
+    return prev_v + 1
+
+
+def read_cdf(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+    key: str,
+) -> DataFrame:
+    """Row-level change-data-feed between two snapshots, scanning ONLY
+    the delta files: because data files are immutable and manifests are
+    full snapshots, every row that changed lives in a file that was
+    ADDED or REMOVED between the versions — files carried by reference
+    are provably unchanged and are never opened (the property that
+    makes CDF on a 100 TB table cost O(changed files), not O(table)).
+
+    Within the delta files, rows are keyed by ``key`` (the table's
+    upsert key, assumed unique per snapshot) and classified by a
+    full-outer join pre-image vs post-image:
+
+    - key only in removed files            -> 'delete'  (pre-image)
+    - key only in added files              -> 'insert'  (post-image)
+    - both, non-key columns differ         -> 'update'  (post-image)
+    - both, identical (rewrite survivors)  -> not emitted
+
+    Requires the snapshots to share a schema (CDF across a schema
+    change should be taken per evolution epoch)."""
+    old_man = _load_manifest(root, from_version)
+    new_man = _load_manifest(root, to_version)
+    old_files, new_files = set(old_man["files"]), set(new_man["files"])
+    removed = [f for f in old_man["files"] if f not in new_files]
+    added = [f for f in new_man["files"] if f not in old_files]
+    sch = StructType.fromJson(new_man["schema"])
+    pre = (
+        read_files(spark, root, removed)
+        if removed
+        else spark.createDataFrame([], sch)
+    )
+    post = (
+        read_files(spark, root, added)
+        if added
+        else spark.createDataFrame([], sch)
+    )
+    cols = [c for c in post.columns]
+    cmp_cols = [c for c in cols if c != key]
+    sig = lambda d: d.withColumn(  # noqa: E731 - local one-liner
+        "_h", F.xxhash64(*[F.col(c) for c in cmp_cols])
+    )
+    a, b = sig(pre).alias("a"), sig(post).alias("b")
+    j = a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer")
+    is_del = F.col(f"b.{key}").isNull()
+    is_ins = F.col(f"a.{key}").isNull()
+    is_upd = (~is_del) & (~is_ins) & (F.col("a._h") != F.col("b._h"))
+    out_cols = [
+        F.when(is_del, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+        for c in cols
+    ]
+    return (
+        j.filter(is_del | is_ins | is_upd)
+        .select(
+            *out_cols,
+            F.when(is_del, F.lit("delete"))
+            .when(is_ins, F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("_change_type"),
+        )
+    )
+
+
+def commit_merge(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key: str,
+    matched_update_set: dict | str | None = "*",
+    matched_delete_condition: str | None = None,
+    not_matched_insert: bool = True,
+) -> int:
+    """Multi-clause MERGE INTO (Delta/Iceberg semantics) as one
+    copy-on-write commit:
+
+    - WHEN MATCHED AND <matched_delete_condition> THEN DELETE
+      (condition is a SQL string over ``tgt.*`` / ``src.*``; None
+      disables the clause)
+    - WHEN MATCHED THEN UPDATE SET: ``matched_update_set`` is either
+      ``"*"`` (replace the full row with the source row — upsert
+      semantics), a dict {col: sql_expr_over_tgt_and_src} for partial
+      updates, or None (matched rows pass through unchanged unless
+      deleted)
+    - WHEN NOT MATCHED THEN INSERT (``not_matched_insert``)
+
+    Only files whose manifest-stats key range intersects the source
+    key envelope are read and rewritten (`_touched_files`); everything
+    else is carried by reference — the same file-skipping that makes
+    `commit_upsert` a handful-of-files operation on a huge table. The
+    clause application itself is two joins (anti for survivors +
+    inserts, inner for matched), all distributed."""
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    touched, untouched = _touched_files(
+        spark, root, prev["files"], key, source.select(key),
+        man_stats=prev.get("stats"),
+    )
+    if touched:
+        base = spark.read.parquet(
+            *[os.path.join(_data_dir(root), f) for f in touched]
+        )
+    else:
+        sch = prev.get("schema")
+        base = (
+            spark.createDataFrame([], StructType.fromJson(sch))
+            if sch
+            else source.limit(0)
+        )
+    out_cols = base.columns
+    survivors = base.join(source.select(key), key, "left_anti")
+    matched = base.alias("tgt").join(
+        source.alias("src"), F.col(f"tgt.{key}") == F.col(f"src.{key}"), "inner"
+    )
+    if matched_delete_condition is not None:
+        matched = matched.filter(~F.expr(matched_delete_condition))
+    if matched_update_set == "*":
+        updated = matched.select(
+            *[
+                (F.col(f"src.{c}") if c in source.columns else F.col(f"tgt.{c}")).alias(c)
+                for c in out_cols
+            ]
+        )
+    elif matched_update_set:
+        updated = matched.select(
+            *[
+                F.expr(matched_update_set[c]).alias(c)
+                if c in matched_update_set
+                else F.col(f"tgt.{c}").alias(c)
+                for c in out_cols
+            ]
+        )
+    else:
+        updated = matched.select(*[F.col(f"tgt.{c}").alias(c) for c in out_cols])
+    result = survivors.unionByName(updated)
+    if not_matched_insert:
+        inserts = source.join(base.select(key), key, "left_anti")
+        result = result.unionByName(inserts.select(*out_cols))
+    new_files = list(untouched)
+    st: dict = {}
+    new_files += _write_data_files(spark, root, result, stats=st)
+    _publish(
+        root,
+        prev_v + 1,
+        _next_payload(prev, prev_v + 1, "merge", new_files, stats=st),
+    )
+    return prev_v + 1
+
+
 def changed_files(root: str, from_version: int, to_version: int) -> list[str]:
     """Files ADDED between two versions — the change-data feed for
     append-only commits: because files are immutable and manifests are

@@ -14397,6 +14397,218 @@ def tablefmt_stats_pruned_read(spark, sf_dir):
 
 
 @query(
+    "tablefmt_zorder_skipping",
+    oracle="""
+    WITH nn AS (SELECT max(o_custkey) AS n FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(o_totalprice), 2) AS sum_price,
+           TRUE AS linear_scans_all,
+           TRUE AS zorder_skips
+    FROM orders
+    WHERE o_custkey >= 0 AND o_custkey <= (SELECT n FROM nn) // 8
+    """,
+)
+def tablefmt_zorder_skipping(spark, sf_dir):
+    """OPTIMIZE ZORDER BY, proven by its pruning effect: orders lands
+    linear-sorted by o_orderkey (4 range files), so every file spans
+    the FULL o_custkey range and a custkey-band `read_pruned` must
+    scan all 4 (pinned as `linear_scans_all`). After
+    `optimize_zorder(["o_orderkey","o_custkey"])` — one envelope
+    aggregate, one range-shuffle on the bit-interleaved Z-value, one
+    write; no driver-side data movement — the same custkey band must
+    SKIP files on the manifest's footer stats alone (`zorder_skips`),
+    while returning exactly the rows the plain filter returns (the
+    oracle recomputes count+sum from source). Multi-column data
+    skipping is the 100 TB payoff: a linear sort prunes one column,
+    Z-order prunes every clustered column at once."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_zorder_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    band_hi = o.agg(F.max("o_custkey")).collect()[0][0] // 8
+    tf.create(
+        spark,
+        root,
+        o.repartitionByRange(4, "o_orderkey").sortWithinPartitions("o_orderkey"),
+    )
+    before = tf.read_pruned(spark, root, "o_custkey", 0, band_hi, version=0)
+    linear_scans_all = len(before.inputFiles()) == len(
+        tf._load_manifest(root, 0)["files"]
+    )
+    v = tf.optimize_zorder(
+        spark, root, ["o_orderkey", "o_custkey"], target_files=8
+    )
+    after = tf.read_pruned(spark, root, "o_custkey", 0, band_hi, version=v)
+    zorder_skips = len(after.inputFiles()) < len(
+        tf._load_manifest(root, v)["files"]
+    )
+    return after.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.lit(bool(linear_scans_all)).alias("linear_scans_all"),
+        F.lit(bool(zorder_skips)).alias("zorder_skips"),
+    )
+
+
+@query(
+    "tablefmt_cdf_counts",
+    oracle="""
+    WITH nn AS (SELECT max(c_custkey) AS n FROM customer),
+    del AS (
+      SELECT count(*) AS n, ROUND(sum(c_acctbal), 2) AS s FROM customer
+      WHERE c_custkey > (SELECT n FROM nn) // 8
+        AND c_custkey <= (SELECT n FROM nn) // 4
+    ),
+    ins AS (
+      SELECT count(*) AS n, ROUND(sum(50.0), 2) AS s FROM customer
+      WHERE c_custkey <= 20
+    ),
+    upd AS (
+      SELECT count(*) AS n, ROUND(sum(c_acctbal + 1000.0), 2) AS s FROM customer
+      WHERE c_custkey > (SELECT n FROM nn) // 2
+        AND c_custkey <= (5 * (SELECT n FROM nn)) // 8
+    )
+    SELECT 'delete' AS _change_type,
+           CAST((SELECT n FROM del) AS BIGINT) AS n,
+           (SELECT s FROM del) AS sum_bal
+    UNION ALL
+    SELECT 'insert', CAST((SELECT n FROM ins) AS BIGINT), (SELECT s FROM ins)
+    UNION ALL
+    SELECT 'update', CAST((SELECT n FROM upd) AS BIGINT), (SELECT s FROM upd)
+    ORDER BY _change_type
+    """,
+)
+def tablefmt_cdf_counts(spark, sf_dir):
+    """Row-level change-data-feed from the manifest file-set diff:
+    customer lands as 4 range files; one COW upsert bumps a key band
+    by +1000 and appends 21 re-keyed rows; one COW delete drops a
+    DISJOINT low band. `read_cdf(v0 -> v2)` reads ONLY the
+    added/removed delta files (carried-by-reference files are provably
+    unchanged and never opened — CDF cost is O(changed files), not
+    O(table)), classifies pre- vs post-image rows by key with a
+    full-row hash (rewrite survivors are silently dropped), and the
+    per-change-type counts and balance sums must equal the oracle's
+    from-source reconstruction. Layout-independent by construction:
+    whatever files COW chose to rewrite, unchanged rows hash-cancel."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_cdf_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    n = cust.agg(F.max("c_custkey")).collect()[0][0]
+    tf.create(spark, root, cust.repartitionByRange(4, "c_custkey"))
+    updates = cust.filter(
+        (F.col("c_custkey") > n // 2) & (F.col("c_custkey") <= (5 * n) // 8)
+    ).withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0))
+    inserts = cust.filter(F.col("c_custkey") <= 20).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(50.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    tf.commit_upsert(
+        spark, root, updates.unionByName(inserts), key="c_custkey"
+    )
+    tf.commit_delete(
+        spark, root, f"c_custkey > {n // 8} AND c_custkey <= {n // 4}"
+    )
+    return (
+        tf.read_cdf(spark, root, 0, 2, key="c_custkey")
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .orderBy("_change_type")
+    )
+
+
+@query(
+    "tablefmt_merge_audit",
+    oracle="""
+    WITH nn AS (SELECT max(p_partkey) AS n FROM part),
+    final AS (
+      SELECT p_retailprice FROM part
+      WHERE p_partkey <= (SELECT n FROM nn) // 2
+         OR p_partkey > (5 * (SELECT n FROM nn)) // 8
+      UNION ALL
+      SELECT p_retailprice + 10.0 FROM part
+      WHERE p_partkey > (SELECT n FROM nn) // 2
+        AND p_partkey <= (5 * (SELECT n FROM nn)) // 8
+        AND p_size <= 25
+      UNION ALL
+      SELECT 5.0 FROM part WHERE p_partkey <= 10
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(p_retailprice), 2) AS sum_price,
+           TRUE AS carried_files
+    FROM final
+    """,
+)
+def tablefmt_merge_audit(spark, sf_dir):
+    """Multi-clause MERGE INTO as one copy-on-write commit (Delta
+    semantics): over a 4-file part table, a single `commit_merge`
+    applies WHEN MATCHED AND src.p_size > 25 THEN DELETE, WHEN MATCHED
+    THEN UPDATE SET p_retailprice = src.p_retailprice + 10, and WHEN
+    NOT MATCHED THEN INSERT — and the final snapshot must equal the
+    oracle's from-source reconstruction of all three clauses. File
+    skipping is pinned too (`carried_files`): the source key envelope
+    covers one mid-range band plus far-away insert keys, so at least
+    one of the original files must survive INTO the merge commit by
+    reference (manifest file-name intersection) — the same
+    manifest-stats pruning that lets a 100 TB table absorb a MERGE by
+    rewriting only the files the source keys can touch."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_merge_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    n = part.agg(F.max("p_partkey")).collect()[0][0]
+    tf.create(spark, root, part.repartitionByRange(4, "p_partkey"))
+    files_v0 = set(tf._load_manifest(root, 0)["files"])
+    matched_src = part.filter(
+        (F.col("p_partkey") > n // 2) & (F.col("p_partkey") <= (5 * n) // 8)
+    )
+    insert_src = part.filter(F.col("p_partkey") <= 10).select(
+        (F.col("p_partkey") + 1000000).alias("p_partkey"),
+        F.lit(1).alias("p_size"),
+        F.lit(5.0).alias("p_retailprice"),
+    )
+    v = tf.commit_merge(
+        spark,
+        root,
+        matched_src.unionByName(insert_src),
+        key="p_partkey",
+        matched_update_set={"p_retailprice": "src.p_retailprice + 10.0"},
+        matched_delete_condition="src.p_size > 25",
+    )
+    carried = bool(files_v0 & set(tf._load_manifest(root, v)["files"]))
+    return tf.read(spark, root, version=v).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        F.lit(carried).alias("carried_files"),
+    )
+
+
+@query(
     "tablefmt_concurrency_audit",
     oracle="""
     WITH nn AS (SELECT max(c_custkey) AS n FROM customer),

@@ -263,3 +263,123 @@ def test_read_pruned_matches_filter_and_skips_files(spark, root):
     assert len(pruned.inputFiles()) == 1
     # out-of-range query over an empty prune set stays correct
     assert tf.read_pruned(spark, root, "k", 100, 200).count() == 0
+
+
+def test_zorder_improves_second_column_pruning(spark, root):
+    # 256 rows over a (x, y) grid, initially linear-sorted by x in 4
+    # files: every file spans the FULL y range, so a y-band prunes
+    # nothing. After ZORDER BY (x, y), a y-band must skip files.
+    rows = [(x, y, x * 16 + y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, ["x", "y", "payload"])
+    tf.create(
+        spark, root, df.repartitionByRange(4, "x").sortWithinPartitions("x")
+    )
+    man0 = tf._load_manifest(root, 0)
+    assert len(man0["files"]) == 4
+    # linear layout: y stats are full-width in every file
+    assert all(st["y"] == [0, 15] for st in man0["stats"].values())
+    before = tf.read_pruned(spark, root, "y", 0, 3, version=0)
+    assert len(before.inputFiles()) == 4  # no skipping possible
+    v = tf.optimize_zorder(spark, root, ["x", "y"], target_files=8)
+    after = tf.read_pruned(spark, root, "y", 0, 3, version=v)
+    # same rows as a plain filter...
+    exp = {(r.x, r.y, r.payload) for r in df.filter("y BETWEEN 0 AND 3").collect()}
+    assert {(r.x, r.y, r.payload) for r in after.collect()} == exp
+    # ...but the clustered layout skips at least half the files
+    assert len(after.inputFiles()) <= len(tf._load_manifest(root, v)["files"]) // 2
+    # and x-pruning still works too (Z-order keeps both dims local)
+    xband = tf.read_pruned(spark, root, "x", 0, 3, version=v)
+    assert len(xband.inputFiles()) < len(tf._load_manifest(root, v)["files"])
+
+
+def test_read_cdf_classifies_and_scans_only_delta_files(spark, root, monkeypatch):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    # far-away file that no commit below touches (carried by reference)
+    tf.commit_append(spark, root, _df(spark, [(100, "far")]).coalesce(1))
+    v1 = tf.current_version(root)
+    tf.commit_upsert(spark, root, _df(spark, [(2, "B"), (3, "c")]), key="k")
+    tf.commit_delete(spark, root, "k = 1")
+    v3 = tf.current_version(root)
+
+    real_read = type(spark.read).parquet
+    scanned = []
+
+    def spy(self, *paths):
+        scanned.extend(paths)
+        return real_read(self, *paths)
+
+    monkeypatch.setattr(type(spark.read), "parquet", spy)
+    got = {
+        (r.k, r.v, r._change_type)
+        for r in tf.read_cdf(spark, root, v1, v3, key="k").collect()
+    }
+    monkeypatch.undo()
+    assert got == {(1, "a", "delete"), (2, "B", "update"), (3, "c", "insert")}
+    # the untouched far-away file was never opened
+    far = [
+        f
+        for f, st in tf._load_manifest(root, v1)["stats"].items()
+        if st["k"][0] == 100
+    ]
+    assert far and all(
+        far[0] not in os.path.normpath(p) for p in scanned
+    ), (far, scanned)
+
+
+def test_read_cdf_pure_append_is_inserts_only(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    tf.commit_append(spark, root, _df(spark, [(2, "b"), (3, "c")]).coalesce(1))
+    got = {
+        (r.k, r._change_type)
+        for r in tf.read_cdf(spark, root, 0, 1, key="k").collect()
+    }
+    assert got == {(2, "insert"), (3, "insert")}
+
+
+def test_commit_merge_all_three_clauses(spark, root):
+    tf.create(
+        spark,
+        root,
+        _df(spark, [(1, "keep"), (2, "upd"), (3, "del"), (4, "keep2")]).coalesce(1),
+    )
+    src = _df(spark, [(2, "UPDATED"), (3, "whatever"), (9, "new")])
+    v = tf.commit_merge(
+        spark,
+        root,
+        src,
+        key="k",
+        matched_update_set={"v": "upper(src.v)"},
+        matched_delete_condition="src.k = 3",
+    )
+    got = {(r.k, r.v) for r in tf.read(spark, root, version=v).collect()}
+    assert got == {(1, "keep"), (2, "UPDATED"), (4, "keep2"), (9, "new")}
+
+
+def test_commit_merge_star_replace_and_file_skipping(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_append(spark, root, _df(spark, [(50, "far")]).coalesce(1))
+    v1 = tf.current_version(root)
+    far_files = [
+        f
+        for f, st in tf._load_manifest(root, v1)["stats"].items()
+        if st["k"][0] == 50
+    ]
+    v = tf.commit_merge(spark, root, _df(spark, [(2, "B"), (3, "c")]), key="k")
+    man = tf._load_manifest(root, v)
+    # out-of-envelope file carried by reference, not rewritten
+    assert set(far_files) <= set(man["files"])
+    got = {(r.k, r.v) for r in tf.read(spark, root, version=v).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (50, "far")}
+
+
+def test_commit_merge_no_update_clause_passes_matched_through(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_merge(
+        spark,
+        root,
+        _df(spark, [(2, "IGNORED"), (7, "new")]),
+        key="k",
+        matched_update_set=None,
+    )
+    got = {(r.k, r.v) for r in tf.read(spark, root).collect()}
+    assert got == {(1, "a"), (2, "b"), (7, "new")}
