@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,23 +57,42 @@ def _manifest_path(root: str, version: int) -> str:
 
 
 def _publish(root: str, version: int, payload: dict) -> None:
-    """Atomically publish a manifest; lost races raise."""
+    """Atomically publish a manifest; lost races raise.
+
+    Conflict detection is a true atomic create-exclusive: ``os.link``
+    of the temp file onto the final name raises FileExistsError if the
+    destination exists, with no check-then-act window (a plain
+    ``os.rename`` silently REPLACES an existing destination on POSIX,
+    so two racing writers could both survive an exists() check and the
+    later one would overwrite the winner's manifest — a lost commit).
+    Every manifest records its commit wall-clock under ``ts`` for
+    timestamp-based time travel (`version_at_timestamp`)."""
+    payload.setdefault("ts", time.time())
     tmp = _manifest_path(root, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=1)
     final = _manifest_path(root, version)
-    if os.path.exists(final):
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"version {version} already committed: {final}"
+        ) from None
+    finally:
         os.remove(tmp)
-        raise FileExistsError(f"version {version} already committed: {final}")
-    os.rename(tmp, final)
 
 
 def _footer_stats(path: str) -> dict:
     """Per-column [min, max] harvested from the parquet FOOTER the file
     was just written with — zero data IO, no Spark job, exactly what
     real table formats record at commit time (Delta stats / Iceberg
-    manifests). Only JSON-portable primitive columns are recorded
-    (int/float/bool/str); anything else — or a column whose footer
+    manifests). Only TOP-LEVEL JSON-portable primitive columns are
+    recorded (int/float/bool/str); nested leaves (struct fields, array
+    elements — parquet paths like ``payload.id`` or ``tags.list.
+    element``) are skipped, because keying by the LEAF name would let
+    a struct field named like a top-level column silently overwrite
+    that column's [min, max] and corrupt every pruning decision made
+    from the manifest. Anything skipped — or a column whose footer
     lacks stats — is simply absent, and readers fall back to scanning
     that file."""
     try:
@@ -82,7 +102,10 @@ def _footer_stats(path: str) -> dict:
     out: dict = {}
     md = pq.ParquetFile(path).metadata
     for ci in range(md.num_columns):
-        name = md.schema.column(ci).name
+        leaf = md.schema.column(ci)
+        name = leaf.name
+        if leaf.path != name:
+            continue  # nested leaf: its stats are NOT the top-level column's
         lo = hi = None
         ok = True
         for rg in range(md.num_row_groups):
@@ -132,7 +155,11 @@ def _write_data_files(
 
 
 def current_version(root: str) -> int:
-    logs = [f for f in os.listdir(_log_dir(root)) if f.endswith(".json")]
+    logs = [
+        f
+        for f in os.listdir(_log_dir(root))
+        if f.startswith("v") and f.endswith(".json") and f[1:6].isdigit()
+    ]
     if not logs:
         raise FileNotFoundError(f"no commits under {root}")
     return max(int(f[1:6]) for f in logs)
@@ -212,21 +239,53 @@ def create(spark: SparkSession, root: str, df: DataFrame) -> int:
     return 0
 
 
+def version_at_timestamp(root: str, ts: float) -> int:
+    """Latest RETAINED version whose commit timestamp is <= ``ts`` —
+    Delta ``timestampAsOf`` resolution. Manifests record their commit
+    wall-clock under ``ts`` at publish time; pre-``ts`` manifests
+    (written before this field existed) fall back to the manifest
+    file's mtime, which on an immutable log is the publish time.
+    Raises if ``ts`` precedes the first retained commit."""
+    best = None
+    for v in range(current_version(root) + 1):
+        p = _manifest_path(root, v)
+        if not os.path.exists(p):
+            continue  # vacuumed away
+        man = _load_manifest(root, v)
+        if man.get("ts", os.path.getmtime(p)) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} precedes the first retained commit of {root}"
+        )
+    return best
+
+
 def read(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     merge_schema: bool = False,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Snapshot read: exactly the files the pinned manifest lists.
 
     A snapshot with ZERO files (every row deleted) reads as an empty
     frame with the manifest's recorded schema instead of raising.
 
+    ``timestamp=`` (epoch seconds) resolves to the latest version
+    committed at or before that instant (`version_at_timestamp`,
+    Delta ``timestampAsOf`` semantics); mutually exclusive with
+    ``version=``.
+
     ``merge_schema=True`` unions the footer schemas across the
     snapshot's files (additive column evolution: rows written before
     a column existed surface it as NULL), mirroring
     `readers.py::read_parquet_evolving` for free-standing paths."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version= or timestamp=, not both")
+        version = version_at_timestamp(root, timestamp)
     man = _load_manifest(root, version)
     paths = [os.path.join(_data_dir(root), f) for f in man["files"]]
     if not paths:
@@ -286,11 +345,17 @@ def history(root: str) -> list[dict]:
     history never crashes on a vacuumed table)."""
     out = []
     for v in range(current_version(root) + 1):
-        if not os.path.exists(_manifest_path(root, v)):
+        p = _manifest_path(root, v)
+        if not os.path.exists(p):
             continue  # vacuumed away
         man = _load_manifest(root, v)
         out.append(
-            {"version": v, "action": man["action"], "n_files": len(man["files"])}
+            {
+                "version": v,
+                "action": man["action"],
+                "n_files": len(man["files"]),
+                "ts": man.get("ts", os.path.getmtime(p)),
+            }
         )
     return out
 
@@ -315,14 +380,33 @@ def commit_append(
     return prev_v + 1
 
 
+def _staged_marker_glob(root: str) -> list[str]:
+    ld = _log_dir(root)
+    return sorted(
+        f for f in os.listdir(ld) if f.startswith("_staged.") and f.endswith(".json")
+    )
+
+
 def stage_files(spark: SparkSession, root: str, df: DataFrame) -> list[str]:
     """Phase 1 of an explicit two-phase commit: write ``df`` as new
     immutable data files WITHOUT publishing a manifest. Staging is
     conflict-free (file names are uuids) and is where all the slow
     distributed work happens; the staged names stay valid across any
     number of publish retries because append semantics never depend
-    on what other writers committed meanwhile."""
-    return _write_data_files(spark, root, df)
+    on what other writers committed meanwhile.
+
+    Staged-but-unpublished files are registered in a ``_log/_staged.*``
+    marker so a `vacuum` running between phase 1 and phase 2 treats
+    them as referenced instead of deleting them out from under the
+    writer (Delta's retention-age rule, expressed as an explicit
+    registration). `publish_append` retires the marker once the files
+    are manifest-referenced; abandoned markers expire after
+    ``staging_ttl_seconds`` at the next vacuum."""
+    names = _write_data_files(spark, root, df)
+    marker = os.path.join(_log_dir(root), f"_staged.{uuid.uuid4().hex}.json")
+    with open(marker, "w") as f:
+        json.dump({"files": names, "ts": time.time()}, f)
+    return names
 
 
 def publish_append(
@@ -356,6 +440,19 @@ def publish_append(
             stats=st,
         ),
     )
+    # The staged files are now manifest-referenced: retire any staging
+    # marker fully covered by this commit (vacuum protection no longer
+    # needed). Markers for other in-flight writers are left alone.
+    published = set(staged)
+    for mk in _staged_marker_glob(root):
+        p = os.path.join(_log_dir(root), mk)
+        try:
+            with open(p) as f:
+                names = set(json.load(f).get("files", []))
+        except (OSError, ValueError):
+            continue
+        if names and names <= published:
+            os.remove(p)
     return expected_version
 
 
@@ -397,8 +494,11 @@ def _touched_files(
 
     The bounds come from the manifest's recorded footer stats
     (``man_stats``, written at commit time) whenever present — a pure
-    metadata decision, zero IO per skipped file; files predating the
-    stats-recording manifests fall back to a one-off stats scan."""
+    metadata decision, zero IO per skipped file. A file with no
+    recorded stats for ``key`` (pre-stats manifest not yet passed
+    through `upgrade_stats`, or a non-primitive key) is conservatively
+    counted as touched — correct, just a wasted rewrite; run
+    `upgrade_stats` once to backfill."""
     bounds = keys_df.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
@@ -406,21 +506,41 @@ def _touched_files(
     touched, untouched = [], []
     for fn in files:
         rng = man_stats.get(fn, {}).get(key)
-        if rng is not None:
-            lo, hi = rng
-        else:  # pre-stats manifest: scan this file's bounds once
-            path = os.path.join(_data_dir(root), fn)
-            st = (
-                spark.read.parquet(path)
-                .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
-                .collect()[0]
-            )
-            lo, hi = st.lo, st.hi
+        if rng is None:
+            touched.append(fn)  # unknown bounds: must assume a hit
+            continue
+        lo, hi = rng
         if lo is None or bounds.lo is None or hi < bounds.lo or lo > bounds.hi:
             untouched.append(fn)
         else:
             touched.append(fn)
     return touched, untouched
+
+
+def upgrade_stats(spark: SparkSession, root: str) -> int:
+    """One-shot manifest upgrade for tables created before footer-stats
+    recording: harvest per-column [min, max] from each unstatted data
+    file's parquet FOOTER (driver-side metadata IO only — no Spark job,
+    no data read) and publish ONE metadata-only commit whose manifest
+    carries complete stats. After this, every pruning path
+    (`read_pruned`, `_touched_files`) is a zero-IO manifest decision;
+    the old per-file scan fallback is gone. Idempotent: a table whose
+    files all have stats publishes nothing and returns the current
+    version."""
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    have = prev.get("stats", {})
+    st: dict = {}
+    for fn in prev["files"]:
+        if not have.get(fn):
+            st[fn] = _footer_stats(os.path.join(_data_dir(root), fn))
+    if not st:
+        return prev_v
+    payload = _next_payload(
+        prev, prev_v + 1, "upgrade_stats", list(prev["files"]), stats=st
+    )
+    _publish(root, prev_v + 1, payload)
+    return prev_v + 1
 
 
 def commit_upsert(
@@ -605,6 +725,12 @@ def read_cdf(
     old_files, new_files = set(old_man["files"]), set(new_man["files"])
     removed = [f for f in old_man["files"] if f not in new_files]
     added = [f for f in new_man["files"] if f not in old_files]
+    if "schema" not in new_man:
+        raise ValueError(
+            f"snapshot v{to_version} of {root} predates schema recording; "
+            "read_cdf needs the manifest schema to type empty delta sides — "
+            "recommit (any append/upsert) to record it"
+        )
     sch = StructType.fromJson(new_man["schema"])
     pre = (
         read_files(spark, root, removed)
@@ -618,14 +744,17 @@ def read_cdf(
     )
     cols = [c for c in post.columns]
     cmp_cols = [c for c in cols if c != key]
-    sig = lambda d: d.withColumn(  # noqa: E731 - local one-liner
-        "_h", F.xxhash64(*[F.col(c) for c in cmp_cols])
-    )
-    a, b = sig(pre).alias("a"), sig(post).alias("b")
+    a, b = pre.alias("a"), post.alias("b")
     j = a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer")
     is_del = F.col(f"b.{key}").isNull()
     is_ins = F.col(f"a.{key}").isNull()
-    is_upd = (~is_del) & (~is_ins) & (F.col("a._h") != F.col("b._h"))
+    # Null-safe column-by-column comparison (NOT a hash: a hash
+    # collision would silently drop a real update). A key-only table
+    # has nothing to compare — both-present means unchanged.
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    is_upd = (~is_del) & (~is_ins) & (~same)
     out_cols = [
         F.when(is_del, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
         for c in cols
@@ -746,15 +875,37 @@ def read_files(spark: SparkSession, root: str, files: list[str]) -> DataFrame:
     )
 
 
-def vacuum(root: str, keep_last: int = 2) -> dict:
+def vacuum(
+    root: str, keep_last: int = 2, staging_ttl_seconds: float = 24 * 3600
+) -> dict:
     """Delete data files unreferenced by the retained trailing
     versions, and drop the manifests older than the retention window.
-    Returns {n_files_kept, n_files_deleted, n_versions_kept}."""
+    Returns {n_files_kept, n_files_deleted, n_versions_kept}.
+
+    Files registered by a live `_log/_staged.*` marker (phase 1 of a
+    two-phase commit whose `publish_append` hasn't landed yet) are
+    treated as referenced — without this, a vacuum between the phases
+    would delete the staged files and the later publish would commit a
+    manifest pointing at nothing. Markers older than
+    ``staging_ttl_seconds`` are presumed abandoned (dead writer): the
+    marker is removed and its files become vacuumable."""
     last = current_version(root)
     keep_from = max(0, last - keep_last + 1)
     referenced: set[str] = set()
     for v in range(keep_from, last + 1):
         referenced.update(_load_manifest(root, v)["files"])
+    now = time.time()
+    for mk in _staged_marker_glob(root):
+        p = os.path.join(_log_dir(root), mk)
+        try:
+            with open(p) as f:
+                marker = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if now - marker.get("ts", now) > staging_ttl_seconds:
+            os.remove(p)  # abandoned staging: expire it
+        else:
+            referenced.update(marker.get("files", []))
     deleted = 0
     for fn in os.listdir(_data_dir(root)):
         if fn not in referenced:

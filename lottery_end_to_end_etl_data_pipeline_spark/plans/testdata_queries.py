@@ -15802,5 +15802,88 @@ def source_jsd_matrix(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "time_travel_timestamp",
+    oracle="""
+    WITH appended AS (
+      SELECT event_id, value FROM events
+      UNION ALL
+      SELECT event_id, value FROM events WHERE event_id % 7 = 0
+    )
+    SELECT * FROM (
+      SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+             ROUND(sum(value), 2) AS sum_value,
+             TRUE AS ts_equiv, TRUE AS mid_resolves
+      FROM events
+      UNION ALL
+      SELECT 1, CAST(count(*) AS BIGINT), ROUND(sum(value), 2), TRUE, TRUE
+      FROM appended
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT), ROUND(sum(value), 2), TRUE, TRUE
+      FROM appended WHERE value >= 100
+    ) ORDER BY version
+    """,
+)
+def time_travel_timestamp(spark, sf_dir):
+    """Time travel by TIMESTAMP (Delta `timestampAsOf` semantics,
+    operators/tablefmt.py::version_at_timestamp): every manifest
+    records its commit wall-clock at publish, and `read(timestamp=)`
+    resolves to the latest version committed at or before that
+    instant. The entry builds a 3-version events table (create /
+    append-dup / delete), then for EACH version reads the snapshot
+    both by version number and by that version's recorded commit
+    timestamp and pins their equivalence (`ts_equiv` — identical
+    count and sum), plus pins that a timestamp strictly BETWEEN two
+    commits resolves BACKWARD to the earlier version
+    (`mid_resolves`), exactly Delta's rule. The oracle recomputes
+    each snapshot's state from the base table, so the timestamp
+    resolution is checked against ground truth, not just against the
+    version read. Resolution is pure driver-side manifest metadata —
+    no data IO — so the same lookup costs the same on a 100 TB
+    table."""
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_tbl_ts_{tag}"
+    base = t(spark, sf_dir, "events").select("event_id", "value")
+    tf.create(spark, root, base)
+    tf.commit_append(spark, root, base.filter(F.col("event_id") % 7 == 0))
+    tf.commit_delete(spark, root, "value < 100")
+    ts = [h["ts"] for h in tf.history(root)]
+
+    frames = []
+    for v in range(3):
+        by_v = tf.read(spark, root, version=v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        by_ts = tf.read(spark, root, timestamp=ts[v]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows_ts"),
+            F.round(F.sum("value"), 2).alias("sum_value_ts"),
+        )
+        mid = ts[v] + ((ts[v + 1] - ts[v]) / 2.0 if v + 1 < len(ts) else 1.0)
+        mid_ok = tf.version_at_timestamp(root, mid) == v
+        frames.append(
+            by_v.crossJoin(by_ts).select(
+                F.lit(v).alias("version"),
+                F.col("n_rows"),
+                F.col("sum_value"),
+                (
+                    (F.col("n_rows") == F.col("n_rows_ts"))
+                    & F.col("sum_value").eqNullSafe(F.col("sum_value_ts"))
+                ).alias("ts_equiv"),
+                F.lit(mid_ok).alias("mid_resolves"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("version")
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

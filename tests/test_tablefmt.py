@@ -383,3 +383,169 @@ def test_commit_merge_no_update_clause_passes_matched_through(spark, root):
     )
     got = {(r.k, r.v) for r in tf.read(spark, root).collect()}
     assert got == {(1, "a"), (2, "b"), (7, "new")}
+
+
+# ---- round-6 fixes: nested stats, atomic publish, staged-file vacuum ----
+# safety, CDF null-safe compare, timestamp travel, stats upgrade
+
+
+def test_footer_stats_ignore_nested_leaves(spark, root):
+    # A struct field named like a top-level column must NOT overwrite
+    # the top-level column's [min, max] (parquet leaf names collide;
+    # only the dotted path distinguishes payload.id from id).
+    df = spark.createDataFrame(
+        [(1, {"id": 900}), (2, {"id": 999})],
+        "id long, payload struct<id: long>",
+    ).coalesce(1)
+    tf.create(spark, root, df)
+    man = tf._load_manifest(root, 0)
+    (stats,) = man["stats"].values()
+    assert stats["id"] == [1, 2], stats  # NOT the nested 900..999 range
+    assert "payload" not in stats
+    # pruned read on id=[1,1] keeps the file and returns the row
+    got = tf.read_pruned(spark, root, "id", 1, 1).collect()
+    assert [r.id for r in got] == [1]
+
+
+def test_publish_is_atomic_and_never_replaces(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]))
+    import json
+
+    with open(tf._manifest_path(root, 0)) as f:
+        winner = json.load(f)
+    with pytest.raises(FileExistsError):
+        tf._publish(root, 0, {"version": 0, "action": "evil", "files": []})
+    with open(tf._manifest_path(root, 0)) as f:
+        assert json.load(f) == winner  # loser never replaced the manifest
+    # and no tmp litter left behind
+    assert not [f for f in os.listdir(tf._log_dir(root)) if ".tmp." in f]
+
+
+def test_vacuum_spares_staged_files_until_published(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    staged = tf.stage_files(spark, root, _df(spark, [(2, "b")]).coalesce(1))
+    tf.vacuum(root, keep_last=1)  # runs BETWEEN phase 1 and phase 2
+    for fn in staged:
+        assert os.path.exists(os.path.join(tf._data_dir(root), fn)), (
+            "vacuum deleted a staged-but-unpublished file"
+        )
+    v = tf.publish_append(root, staged, expected_version=1)
+    assert tf.read(spark, root, version=v).count() == 2
+    # marker retired on publish; files now manifest-protected
+    assert tf._staged_marker_glob(root) == []
+
+
+def test_vacuum_expires_abandoned_staging_markers(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    staged = tf.stage_files(spark, root, _df(spark, [(2, "b")]).coalesce(1))
+    tf.vacuum(root, keep_last=1, staging_ttl_seconds=0.0)  # dead writer
+    assert tf._staged_marker_glob(root) == []
+    for fn in staged:
+        assert not os.path.exists(os.path.join(tf._data_dir(root), fn))
+
+
+def test_read_cdf_key_only_table_and_null_transitions(spark, root):
+    # key-only table: both-present rows are unchanged by definition —
+    # must not fail analysis (the old xxhash64(*[]) did)
+    ks = spark.createDataFrame([(1,), (2,)], "k long").coalesce(1)
+    tf.create(spark, root, ks)
+    tf.commit_upsert(
+        spark, root, spark.createDataFrame([(2,), (3,)], "k long"), key="k"
+    )
+    changes = {
+        (r.k, r._change_type)
+        for r in tf.read_cdf(spark, root, 0, 1, key="k").collect()
+    }
+    assert changes == {(3, "insert")}
+
+
+def test_read_cdf_null_safe_update_detection(spark, root):
+    tf.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, "a"), (2, None)], "k long, v string").coalesce(1),
+    )
+    tf.commit_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(1, None), (2, None)], "k long, v string"),
+        key="k",
+    )
+    changes = {
+        (r.k, r.v, r._change_type)
+        for r in tf.read_cdf(spark, root, 0, 1, key="k").collect()
+    }
+    # k=1 "a"->NULL is an update; k=2 NULL->NULL is NOT
+    assert changes == {(1, None, "update")}
+
+
+def test_read_cdf_pre_schema_manifest_raises(spark, root):
+    import json
+
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    tf.commit_append(spark, root, _df(spark, [(2, "b")]).coalesce(1))
+    p = tf._manifest_path(root, 1)
+    with open(p) as f:
+        man = json.load(f)
+    del man["schema"]
+    os.remove(p)
+    with open(p, "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="predates schema recording"):
+        tf.read_cdf(spark, root, 0, 1, key="k")
+
+
+def test_time_travel_by_timestamp(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]))
+    tf.commit_append(spark, root, _df(spark, [(2, "b")]))
+    h = tf.history(root)
+    ts0, ts1 = h[0]["ts"], h[1]["ts"]
+    assert ts0 < ts1
+    mid = (ts0 + ts1) / 2
+    assert tf.version_at_timestamp(root, mid) == 0
+    assert tf.read(spark, root, timestamp=mid).count() == 1
+    assert tf.read(spark, root, timestamp=ts1).count() == 2
+    with pytest.raises(ValueError, match="precedes the first"):
+        tf.read(spark, root, timestamp=ts0 - 10.0)
+    with pytest.raises(ValueError, match="not both"):
+        tf.read(spark, root, version=0, timestamp=ts1)
+
+
+def test_upgrade_stats_backfills_pre_stats_manifest(spark, root):
+    import json
+
+    tf.create(
+        spark,
+        root,
+        _df(spark, [(i, f"v{i}") for i in range(1, 9)]).repartitionByRange(
+            2, F.col("k")
+        ),
+    )
+    # simulate a pre-stats table: strip recorded stats from the manifest
+    p = tf._manifest_path(root, 0)
+    with open(p) as f:
+        man = json.load(f)
+    man.pop("stats", None)
+    os.remove(p)
+    with open(p, "w") as f:
+        json.dump(man, f)
+    # without stats every file is conservatively "touched"
+    touched, untouched = tf._touched_files(
+        spark, root, man["files"], "k",
+        spark.createDataFrame([(8,)], "k long"), man_stats=None,
+    )
+    assert untouched == [] and len(touched) == 2
+    # one metadata-only commit backfills from footers (no data rewrite)
+    v = tf.upgrade_stats(spark, root)
+    assert v == 1
+    man1 = tf._load_manifest(root, 1)
+    assert man1["files"] == man["files"]  # same data files, by reference
+    assert all(man1["stats"][fn].get("k") for fn in man1["files"])
+    # pruning is a pure manifest decision again
+    touched, untouched = tf._touched_files(
+        spark, root, man1["files"], "k",
+        spark.createDataFrame([(8,)], "k long"), man_stats=man1["stats"],
+    )
+    assert len(touched) == 1 and len(untouched) == 1
+    # idempotent
+    assert tf.upgrade_stats(spark, root) == 1
