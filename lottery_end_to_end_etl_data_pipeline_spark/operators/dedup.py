@@ -213,6 +213,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
 
@@ -220,7 +221,17 @@ def minhash_lsh_pairs(
     matches (P ≈ 1-(1-j^r)^b). Candidates come only from shared
     buckets — the self-join is on (band, band_hash), never all-pairs.
     Estimated similarity = fraction of equal signature components.
-    """
+
+    ``max_bucket_size`` is the LSH skew cap for mega-duplicate-cluster
+    corpora: a bucket of size s contributes s(s-1)/2 join pairs, so one
+    pathological cluster (boilerplate pages, templated spam) can
+    dominate the whole job quadratically. Capping drops buckets larger
+    than the limit before the self-join (they are low-information bands;
+    members of a real cluster still pair through its other, smaller
+    buckets or are better handled as one `canonical_doc_per_cluster`
+    group). OFF by default because it changes the candidate set — the
+    oracled `dedup_minhash_lsh` entry runs uncapped (see
+    docs/SCALING.md round-6 review)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     # Materialization: downstream projections reference `sig` dozens
@@ -246,6 +257,15 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "id", F.posexplode(band_hashes).alias("band", "bh")
     )
+    if max_bucket_size is not None:
+        # window count per (band, bh), drop oversized buckets wholesale;
+        # one extra hash shuffle on the same key the join needs anyway
+        w = Window.partitionBy("band", "bh")
+        buckets = (
+            buckets.withColumn("_sz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

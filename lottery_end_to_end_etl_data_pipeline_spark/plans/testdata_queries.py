@@ -4614,107 +4614,82 @@ def cross_source_contamination(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # Round-5 rotation (VERDICT r4 ask #1): 50 entries drawn ENTIRELY
-    # from the set that had never appeared in a driver CORRECTNESS
-    # window through r04 (136 such entries existed at the r04 freeze,
-    # all mirror-verified green; 2 more — column_profile_approx and
-    # tablefmt_concurrency_audit — were added this round). Selection
-    # fronts the round-4 verdict's named groups first: this round's
-    # perf-fixed entries (try_functions_surface, the three kNN-graph
-    # loops, column_profile_*), every tablefmt/governance entry
-    # (including the new concurrency audit), the streaming audits,
-    # and the scalar-function surfaces.
-    # NEXT-ROTATION QUEUE (round 6): the remaining 88 never-checked
-    # entries, reproducible via
-    #   set(QUERIES) - union(CORRECTNESS_r01..r05):
-    #   knn_lsh_indexed_cosine, percentiles_by_group_approx,
-    #   temperature_mixture_counts, repeated_span_stats,
-    #   repeated_span_incremental, compression_ratio_by_lang,
-    #   semdedup_incremental_index, activity_streaks,
-    #   ngram_diversity_by_lang, count_min_heavy_hitters,
-    #   bloom_semi_join_audit, ewma_daily_value, trend_slope_by_type,
-    #   dup_cluster_size_dist, hll_set_ops_audit,
-    #   rendezvous_shard_assignment, ivm_join_delta,
-    #   neyman_allocation_sample, decile_shift_by_source,
-    #   quality_classifier_scores, token_budget_selection,
-    #   canonical_doc_per_cluster, chunk_embedding_pooling,
-    #   approx_percentile_audit, epoch_shuffle_orders,
-    #   cdc_apply_tombstones, bpe_pair_counts, sorted_neighborhood_pairs,
-    #   skyline_orders, pca_variance_audit, welch_ab_test,
-    #   phrase_search_positional, attribution_models, frequent_item_pairs,
-    #   ols_normal_equations, quantile_normalize_lengths,
-    #   bootstrap_ci_mean, conformal_threshold_coverage,
-    #   edit_distance_join_parts, langid_agreement_metrics,
-    #   join_size_estimation, holt_forecast_daily, similar_docs_query,
-    #   mutual_information_event_dow, facility_location_coreset,
+    # Round-6 rotation (VERDICT r5 ask #1): 50 entries drawn ENTIRELY
+    # from the set never seen in any driver CORRECTNESS window through
+    # r05 (93 such entries at the r06 freeze, all mirror-verified
+    # green). Fronted: the 4 tablefmt entries added after the r05
+    # window froze, plus this round's new time_travel_timestamp; then
+    # the head of the standing queue. Selection is reproducible via
+    #   set(QUERIES) - union(CORRECTNESS_r01..r05).
+    # NEXT-ROTATION QUEUE (round 7): the remaining 43 never-checked
+    # entries:
     #   session_path_trigrams, theil_sen_daily_trend,
     #   incremental_stats_merge, psi_value_drift, rfm_segmentation,
     #   abandoned_clicks, auc_quality_classifier, ks_two_sample_binned,
-    #   table_fingerprint_events, calibration_ece,
-    #   cusum_changepoint_daily, vocab_oov_rate, forecast_backtest_mase,
-    #   peak_concurrency_sweep, group_split_no_leakage, heaps_law_fit,
-    #   ndcg_truncation_audit, weak_label_model,
-    #   embedding_class_separation, mahalanobis_outliers, als_half_step,
-    #   distinctive_terms_by_source, functional_dependency_audit,
-    #   paragraph_dedup_reassembly, cluster_purity_nmi,
-    #   tar_shard_roundtrip, footer_zone_map_stats, raking_ipf_weights,
-    #   kfold_cv_ridge, business_days_lag, markov_next_event_accuracy,
-    #   association_rules_metrics, decayed_engagement_score,
-    #   blocking_quality_metrics, velocity_rule_alerts,
-    #   weighted_median_by_status, price_volume_mix_decomposition,
-    #   sequence_gap_audit, rollup_cascade_parity,
-    #   fk_discovery_containment, state_machine_conformance,
-    #   nucleus_coverage_stats, source_jsd_matrix
-    "try_functions_surface",
-    "column_profile_all",
-    "column_profile_approx",
-    "tablefmt_concurrency_audit",
-    "time_travel_versions",
-    "incremental_mv_refresh",
-    "streaming_tablefmt_sink",
-    "tablefmt_optimize_roundtrip",
-    "tablefmt_schema_evolution",
-    "snapshot_delta_stats",
-    "small_file_compaction_stats",
-    "k_anonymity_audit",
-    "cascade_delete_audit",
-    "pseudonymization_roundtrip",
-    "group_mean_imputation",
-    "churn_labels_audit",
-    "dp_noisy_counts",
-    "kcore_mutual_knn",
-    "hits_authority_knn",
-    "personalized_pagerank_knn",
-    "clustering_coefficient_knn",
-    "label_propagation_knn",
-    "bfs_blast_radius",
-    "triangle_count_knn",
-    "knn_reciprocity",
-    "streaming_session_stats",
-    "streaming_dedup_counts",
-    "streaming_join_attribution",
-    "streaming_exactly_once_counts",
-    "streaming_late_drop_audit",
-    "streaming_zscore_alerts",
-    "datetime_functions_surface",
-    "null_semantics_surface",
-    "regexp_functions_surface",
-    "hof_functions_surface",
-    "bitwise_functions_surface",
-    "map_functions_surface",
-    "stat_moments_surface",
-    "decimal_money_surface",
-    "xml_parse_surface",
-    "odds_by_draw_type",
-    "multimodal_decode_roundtrip",
-    "grouping_sets_sales",
-    "bucketed_join_no_shuffle",
-    "partition_pruned_scan_audit",
-    "schema_evolution_roundtrip",
-    "secrets_scan_stats",
-    "dedup_prefix_filter_join",
-    "fuzzy_join_blocked",
-    "udtf_lateral_segments",
+    #   table_fingerprint_events, calibration_ece, cusum_changepoint_daily,
+    #   vocab_oov_rate, forecast_backtest_mase, peak_concurrency_sweep,
+    #   group_split_no_leakage, heaps_law_fit, ndcg_truncation_audit,
+    #   weak_label_model, embedding_class_separation, mahalanobis_outliers,
+    #   als_half_step, distinctive_terms_by_source,
+    #   functional_dependency_audit, paragraph_dedup_reassembly,
+    #   cluster_purity_nmi, tar_shard_roundtrip, footer_zone_map_stats,
+    #   raking_ipf_weights, kfold_cv_ridge, business_days_lag,
+    #   markov_next_event_accuracy, association_rules_metrics,
+    #   decayed_engagement_score, blocking_quality_metrics,
+    #   velocity_rule_alerts, weighted_median_by_status,
+    #   price_volume_mix_decomposition, sequence_gap_audit,
+    #   rollup_cascade_parity, fk_discovery_containment,
+    #   state_machine_conformance, nucleus_coverage_stats, source_jsd_matrix
+    "tablefmt_stats_pruned_read",
+    "tablefmt_zorder_skipping",
+    "tablefmt_cdf_counts",
+    "tablefmt_merge_audit",
+    "time_travel_timestamp",
+    "knn_lsh_indexed_cosine",
+    "percentiles_by_group_approx",
+    "temperature_mixture_counts",
+    "repeated_span_stats",
+    "repeated_span_incremental",
+    "compression_ratio_by_lang",
+    "semdedup_incremental_index",
+    "activity_streaks",
+    "ngram_diversity_by_lang",
+    "count_min_heavy_hitters",
+    "bloom_semi_join_audit",
+    "ewma_daily_value",
+    "trend_slope_by_type",
+    "dup_cluster_size_dist",
+    "hll_set_ops_audit",
+    "rendezvous_shard_assignment",
+    "ivm_join_delta",
+    "neyman_allocation_sample",
+    "decile_shift_by_source",
+    "quality_classifier_scores",
+    "token_budget_selection",
+    "canonical_doc_per_cluster",
+    "chunk_embedding_pooling",
+    "approx_percentile_audit",
+    "epoch_shuffle_orders",
+    "cdc_apply_tombstones",
+    "bpe_pair_counts",
+    "sorted_neighborhood_pairs",
+    "skyline_orders",
+    "pca_variance_audit",
+    "welch_ab_test",
+    "phrase_search_positional",
+    "attribution_models",
+    "frequent_item_pairs",
+    "ols_normal_equations",
+    "quantile_normalize_lengths",
+    "bootstrap_ci_mean",
+    "conformal_threshold_coverage",
+    "edit_distance_join_parts",
+    "langid_agreement_metrics",
+    "join_size_estimation",
+    "holt_forecast_daily",
+    "similar_docs_query",
+    "mutual_information_event_dow",
+    "facility_location_coreset",
 ]
 
 
@@ -15883,6 +15858,145 @@ def time_travel_timestamp(spark, sf_dir):
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("version")
+
+
+
+
+@query(
+    "tablefmt_upgrade_audit",
+    oracle="""
+    WITH nn AS (SELECT max(o_orderkey) AS n FROM orders),
+    win AS (
+      SELECT (SELECT n FROM nn) // 4 + 1 AS lo, (SELECT n FROM nn) // 2 AS hi
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(o.o_totalprice), 2) AS sum_price,
+           CAST(4 AS BIGINT) AS n_files_before_scan,
+           CAST(1 AS BIGINT) AS n_files_after_scan,
+           TRUE AS files_carried_by_reference
+    FROM orders o, win w
+    WHERE o.o_orderkey >= w.lo AND o.o_orderkey <= w.hi
+    """,
+)
+def tablefmt_upgrade_audit(spark, sf_dir):
+    """Manifest stats backfill for legacy tables
+    (operators/tablefmt.py::upgrade_stats): a table whose manifest
+    predates footer-stats recording prunes NOTHING — every file is
+    conservatively scanned/rewritten. One `upgrade_stats` call
+    harvests each unstatted file's parquet-footer [min, max]
+    driver-side (metadata IO only, no Spark job, no data rewrite) and
+    publishes a single metadata-only commit. The entry builds a
+    4-file key-range table, STRIPS the recorded stats to simulate the
+    legacy state, pins that a quartile `read_pruned` then scans all 4
+    files, upgrades, and pins that the same read scans exactly 1 file
+    while returning identical rows (oracle recomputes count+sum from
+    source) and that the upgrade carried every data file BY REFERENCE
+    (same names, no rewrite) — the migration path that retires
+    per-file scan fallbacks on a 100 TB legacy lake for the cost of
+    reading footers once."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_upgrade_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n = o.agg(F.max("o_orderkey")).collect()[0][0]
+    b1, b2, b3 = n // 4, n // 2, (3 * n) // 4
+    tf.create(spark, root, o.filter(F.col("o_orderkey") <= b1).coalesce(1))
+    for lo, hi in [(b1, b2), (b2, b3), (b3, n)]:
+        tf.commit_append(
+            spark,
+            root,
+            o.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1),
+        )
+    # simulate a legacy pre-stats manifest: strip the recorded stats
+    mp = tf._manifest_path(root, tf.current_version(root))
+    with open(mp) as fh:
+        man = _json.load(fh)
+    legacy_files = list(man["files"])
+    man.pop("stats", None)
+    _os.remove(mp)
+    with open(mp, "w") as fh:
+        _json.dump(man, fh)
+
+    before = tf.read_pruned(spark, root, "o_orderkey", b1 + 1, b2)
+    n_before = len(before.inputFiles())
+    v = tf.upgrade_stats(spark, root)
+    man1 = tf._load_manifest(root, v)
+    carried = man1["files"] == legacy_files and man1["action"] == "upgrade_stats"
+    pruned = tf.read_pruned(spark, root, "o_orderkey", b1 + 1, b2)
+    n_after = len(pruned.inputFiles())
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.lit(n_before).cast("long").alias("n_files_before_scan"),
+        F.lit(n_after).cast("long").alias("n_files_after_scan"),
+        F.lit(carried).alias("files_carried_by_reference"),
+    )
+
+
+@query(
+    "tablefmt_staging_vacuum_audit",
+    oracle="""
+    SELECT CAST(count(*) + count(*) FILTER (WHERE o_orderkey % 3 = 0)
+           AS BIGINT) AS n_rows_final,
+           TRUE AS staged_survived_vacuum,
+           TRUE AS marker_retired,
+           CAST(1 AS BIGINT) AS n_orphans_deleted
+    FROM orders
+    """,
+)
+def tablefmt_staging_vacuum_audit(spark, sf_dir):
+    """Two-phase commit safe under concurrent VACUUM
+    (operators/tablefmt.py::stage_files / publish_append / vacuum):
+    phase 1 stages data files with NO manifest reference — exactly
+    the files a naive vacuum would treat as orphans and delete,
+    losing the writer's data and leaving phase 2 to commit a manifest
+    pointing at nothing. Staging registers a `_log/_staged.*` marker
+    that vacuum honors as a reference; the entry stages a batch, runs
+    an aggressive vacuum BETWEEN the phases (which must still delete
+    a real orphan from an overwritten version — pinned at 1 — while
+    sparing every staged file), publishes, and pins that the final
+    snapshot contains all rows and that the marker was retired at
+    publish. The oracle recomputes the final row count from source.
+    This is the Delta retention-age rule as an explicit registration
+    — the invariant that makes concurrent maintenance safe on a
+    production lake."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_stagevac_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tf.create(spark, root, o.coalesce(1))
+    # an upsert rewrite makes v0's file an unreferenced orphan
+    tf.commit_upsert(spark, root, o.coalesce(1), key="o_orderkey")
+    staged = tf.stage_files(
+        spark, root, o.filter(F.col("o_orderkey") % 3 == 0).coalesce(1)
+    )
+    stats = tf.vacuum(root, keep_last=1)  # races between the phases
+    survived = all(
+        _os.path.exists(_os.path.join(tf._data_dir(root), fn)) for fn in staged
+    )
+    v = tf.publish_append(root, staged, expected_version=tf.current_version(root) + 1)
+    retired = tf._staged_marker_glob(root) == []
+    return tf.read(spark, root, version=v).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_final"),
+        F.lit(survived).alias("staged_survived_vacuum"),
+        F.lit(retired).alias("marker_retired"),
+        F.lit(stats["n_files_deleted"]).cast("long").alias("n_orphans_deleted"),
+    )
 
 
 # must run after every @query registration in this module

@@ -496,3 +496,24 @@ def test_cross_source_overlap_counts_and_coef(spark):
     assert (r["source_a"], r["source_b"]) == ("a", "b")
     assert r["n_shared_chunks"] == 1 and (r["n_a"], r["n_b"]) == (2, 1)
     assert r["overlap_coef"] == 1.0
+
+
+def test_minhash_lsh_bucket_cap_bounds_mega_clusters(spark):
+    """The max_bucket_size skew guard (docs/SCALING.md round-6 review):
+    a mega duplicate cluster contributes s(s-1)/2 pairs per shared
+    bucket; capping drops oversized buckets before the self-join so a
+    pathological cluster cannot dominate quadratically. Default (None)
+    leaves the candidate set untouched."""
+    mega = [(i, "the same boilerplate page body repeated everywhere") for i in range(30)]
+    normal = [(100, "a perfectly unique document about lotteries"),
+              (101, "a perfectly unique document about lotteries today")]
+    df = spark.createDataFrame(mega + normal, ["doc_id", "text"])
+    uncapped = minhash_lsh_pairs(df, threshold=0.4)
+    capped = minhash_lsh_pairs(df, threshold=0.4, max_bucket_size=10)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 30 * 29 // 2  # quadratic blowup from the mega cluster
+    # cap kills the mega cluster's buckets (size 30 > 10) but keeps the
+    # small near-dup pair, whose buckets are size <= 2
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert n_cap < n_un and all(a >= 100 for a, _ in got)

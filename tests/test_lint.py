@@ -114,3 +114,38 @@ def test_entire_catalog_free_of_cartesians_and_row_udfs(spark):
         if bad:
             offenders[name] = bad
     assert offenders == {}
+
+
+def test_docs_track_catalog_size():
+    """Drift guard (round-6 verdict ask #2): the README's catalog count
+    and docs/PLAN_AUDIT.md's row set must track the registry exactly —
+    adding a catalog entry without regenerating the audit or updating
+    the count is a test failure, not silent doc rot."""
+    import re
+    from pathlib import Path
+
+    import __spark_entry__ as e
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (
+        QUERIES,
+    )
+
+    n = len(QUERIES)
+    assert len(e.queries()) == n
+    assert len(e.oracle_sql()) == n  # every entry carries a DuckDB oracle
+
+    repo = Path(__file__).resolve().parent.parent
+    readme = (repo / "README.md").read_text()
+    m = re.search(r"catalog: (\d+) queries, ALL (\d+) DuckDB-oracled", readme)
+    assert m, "README catalog-count line missing"
+    assert int(m.group(1)) == n == int(m.group(2)), (
+        f"README says {m.group(1)}/{m.group(2)} queries, registry has {n}"
+    )
+
+    audit = (repo / "docs" / "PLAN_AUDIT.md").read_text()
+    rows = {
+        line.split("|")[1].strip()
+        for line in audit.splitlines()
+        if line.startswith("| ")
+    }
+    missing = sorted(set(QUERIES) - rows)
+    assert missing == [], f"entries with no PLAN_AUDIT row: {missing}"
