@@ -197,6 +197,9 @@ HEADLINE = [
     "time_travel_timestamp",
     "tablefmt_upgrade_audit",
     "tablefmt_staging_vacuum_audit",
+    "tablefmt_mor_delete_audit",
+    "tablefmt_bloom_skipping",
+    "streaming_mor_cdc_sink",
     "weak_label_model",
     "bfs_blast_radius",
     "embedding_class_separation",

@@ -16,9 +16,22 @@ same core design as Delta Lake / Iceberg, radically reduced:
 - Readers pin a manifest and read only its files: snapshot isolation
   for free, because later commits never mutate referenced files.
 - Commit N+1 must be created by the holder of the next version number;
-  `_publish` is an atomic rename, so a lost race surfaces as
-  FileExistsError (optimistic concurrency, Delta-style).
-- `vacuum` deletes files unreferenced by the retained versions.
+  `_publish` is an atomic create-exclusive link, so a lost race
+  surfaces as FileExistsError with no check-then-act window
+  (optimistic concurrency, Delta-style). Manifests record their
+  commit wall-clock: time travel works by version OR by timestamp.
+- Deletes come in two flavors: copy-on-write (`commit_delete` —
+  rewrite matching files) and MERGE-ON-READ (`commit_delete_mor` /
+  `commit_delete_keys` — metadata-only predicate deletes and
+  Iceberg-v2-style equality-delete files, scoped to the files that
+  existed at delete time so later writes sequence correctly;
+  `optimize` materializes them).
+- Per-file footer [min,max] stats (zone maps) and optional per-file
+  BLOOM indexes drive file skipping for range and equality probes
+  respectively — both pure driver-side manifest decisions.
+- `vacuum` deletes files unreferenced by the retained versions
+  (staged-but-unpublished two-phase-commit files are marker-protected
+  until published or expired).
 
 Scale notes: data files move through Spark writers (distributed);
 manifest handling is driver-side metadata, exactly as in real table
@@ -180,6 +193,8 @@ def _next_payload(
     schema: StructType | None = None,
     meta: dict | None = None,
     stats: dict | None = None,
+    new_deletes: list[dict] | None = None,
+    new_blooms: dict | None = None,
 ) -> dict:
     """Build a manifest payload, carrying forward from ``prev``:
 
@@ -224,6 +239,30 @@ def _next_payload(
         elif f in prev_stats:
             merged_stats[f] = prev_stats[f]
     payload["stats"] = merged_stats
+    prev_blooms = prev.get("blooms", {})
+    merged_blooms = {}
+    for f in files:
+        if new_blooms and f in new_blooms:
+            merged_blooms[f] = new_blooms[f]
+        elif f in prev_blooms:
+            merged_blooms[f] = prev_blooms[f]
+    if merged_blooms:
+        payload["blooms"] = merged_blooms
+    # Merge-on-read deletes carry forward SCOPED to the files that
+    # existed when the delete was committed: the applies_to set is
+    # intersected with this snapshot's files, so a rewritten file
+    # (new name) sheds old deletes — exactly Delta/Iceberg commit
+    # sequencing — and a delete whose scope emptied out disappears
+    # (its key files become vacuumable).
+    fset = set(files)
+    deletes = []
+    for d in prev.get("deletes", []):
+        scoped = [f for f in d["applies_to"] if f in fset]
+        if scoped:
+            deletes.append({**d, "applies_to": scoped})
+    deletes.extend(new_deletes or [])
+    if deletes:
+        payload["deletes"] = deletes
     return payload
 
 
@@ -287,8 +326,7 @@ def read(
             raise ValueError("pass version= or timestamp=, not both")
         version = version_at_timestamp(root, timestamp)
     man = _load_manifest(root, version)
-    paths = [os.path.join(_data_dir(root), f) for f in man["files"]]
-    if not paths:
+    if not man["files"]:
         sch = man.get("schema")
         if sch is None:
             raise ValueError(
@@ -297,10 +335,60 @@ def read(
                 "empty frame"
             )
         return spark.createDataFrame([], StructType.fromJson(sch))
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*paths)
+    return _read_with_deletes(
+        spark, root, man, man["files"], merge_schema=merge_schema
+    )
+
+
+def _read_with_deletes(
+    spark: SparkSession,
+    root: str,
+    man: dict,
+    files: list[str],
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read a manifest's file subset with its merge-on-read deletes
+    applied. Files are grouped by WHICH deletes scope to them (one
+    scan per distinct group — in the common case a single group, so a
+    single scan); predicate deletes become NOT(p) filters that
+    Catalyst pushes into the parquet scan, equality-key deletes become
+    broadcast anti-joins against the (small) delete-key files. Files
+    with no applicable delete read with zero overhead."""
+    dels = man.get("deletes", [])
+
+    def reader():
+        r = spark.read
+        return r.option("mergeSchema", "true") if merge_schema else r
+
+    if not dels:
+        return reader().parquet(
+            *[os.path.join(_data_dir(root), f) for f in files]
+        )
+    scopes: dict[tuple, list[str]] = {}
+    for f in files:
+        ids = tuple(
+            i for i, d in enumerate(dels) if f in set(d["applies_to"])
+        )
+        scopes.setdefault(ids, []).append(f)
+    parts = []
+    for ids, fnames in scopes.items():
+        df = reader().parquet(
+            *[os.path.join(_data_dir(root), f) for f in fnames]
+        )
+        for i in ids:
+            d = dels[i]
+            if d["kind"] == "predicate":
+                df = df.filter(f"NOT ({d['predicate']})")
+            else:  # equality-key delete files
+                keys = spark.read.parquet(
+                    *[os.path.join(_data_dir(root), f) for f in d["files"]]
+                )
+                df = df.join(F.broadcast(keys), d["key"], "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
+    return out
 
 
 def read_pruned(
@@ -333,8 +421,7 @@ def read_pruned(
         return read(spark, root, version=version).filter(
             (F.col(col) >= lo) & (F.col(col) <= hi)
         ).limit(0)
-    paths = [os.path.join(_data_dir(root), f) for f in keep]
-    return spark.read.parquet(*paths).filter(
+    return _read_with_deletes(spark, root, man, keep).filter(
         (F.col(col) >= lo) & (F.col(col) <= hi)
     )
 
@@ -544,7 +631,11 @@ def upgrade_stats(spark: SparkSession, root: str) -> int:
 
 
 def commit_upsert(
-    spark: SparkSession, root: str, updates: DataFrame, key: str
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+    meta: dict | None = None,
 ) -> int:
     """Copy-on-write MERGE: rows matching on ``key`` are replaced,
     new keys appended. Untouched files carry forward by reference."""
@@ -557,8 +648,10 @@ def commit_upsert(
     new_files = list(untouched)
     st: dict = {}
     if touched:
-        tpaths = [os.path.join(_data_dir(root), f) for f in touched]
-        base = spark.read.parquet(*tpaths)
+        # read the touched base THROUGH any merge-on-read deletes so a
+        # rewrite can never resurrect logically-deleted rows (the
+        # rewritten file's new name drops out of every delete's scope)
+        base = _read_with_deletes(spark, root, prev, touched)
         merged = base.join(updates.select(key), key, "left_anti").unionByName(
             updates
         )
@@ -569,7 +662,13 @@ def commit_upsert(
         root,
         prev_v + 1,
         _next_payload(
-            prev, prev_v + 1, "upsert", new_files, schema=updates.schema, stats=st
+            prev,
+            prev_v + 1,
+            "upsert",
+            new_files,
+            schema=updates.schema,
+            meta=meta,
+            stats=st,
         ),
     )
     return prev_v + 1
@@ -584,8 +683,7 @@ def commit_delete(spark: SparkSession, root: str, predicate: str) -> int:
     new_files = []
     st: dict = {}
     for fn in prev["files"]:
-        path = os.path.join(_data_dir(root), fn)
-        part = spark.read.parquet(path)
+        part = _read_with_deletes(spark, root, prev, [fn])
         n_match = part.filter(predicate).limit(1).count()
         if n_match == 0:
             new_files.append(fn)
@@ -597,6 +695,229 @@ def commit_delete(spark: SparkSession, root: str, predicate: str) -> int:
         root,
         prev_v + 1,
         _next_payload(prev, prev_v + 1, "delete", new_files, stats=st),
+    )
+    return prev_v + 1
+
+
+def _bloom_positions(
+    spark: SparkSession, value, m: int, k: int, dtype: str
+) -> list[int]:
+    """The k bloom bit positions for a probe value — evaluated with the
+    SAME JVM xxhash64 the index build used (one 1-row job; a Python
+    reimplementation would silently diverge from Spark's seed/avalanche
+    and probe the wrong bits). The probe literal is cast to the
+    indexed column's recorded dtype: xxhash64 is type-width sensitive,
+    so hashing a 32-bit literal against a 64-bit column would probe
+    the wrong bits entirely."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(
+                    F.xxhash64(F.lit(value).cast(dtype), F.lit(i)), F.lit(m)
+                ).alias(f"p{i}")
+                for i in range(k)
+            ]
+        )
+        .collect()[0]
+    )
+    return [row[f"p{i}"] for i in range(k)]
+
+
+def add_bloom_index(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    bits_per_row: int = 16,
+    k: int = 3,
+) -> int:
+    """Build a per-file BLOOM FILTER index on ``col`` and publish it as
+    a metadata commit (Delta `bloomFilterIndex` spirit): equality
+    probes on a high-cardinality column whose values are SCATTERED
+    across files — where min/max zone maps cannot prune because every
+    file spans the full range — skip files whose bloom provably lacks
+    the value. Sized at ``bits_per_row`` bits per row (k=3 → ~0.5%
+    false-positive rate at 16), rounded up to a power of two per file.
+
+    Fully distributed build: one scan computes the k bit positions per
+    row, aggregates them into 64-bit words keyed by (file, word_index)
+    with bit_or — so the driver collects O(index size) words (the
+    bytes it must store in the manifest anyway), never O(rows). Files
+    rewritten by later commits lose their bloom (new name) and read
+    conservatively until re-indexed; `read_bloom_pruned` includes any
+    file without a bloom."""
+    import base64
+
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    if not prev["files"]:
+        return prev_v
+    paths = [os.path.join(_data_dir(root), f) for f in prev["files"]]
+    df = spark.read.parquet(*paths).select(
+        F.input_file_name().alias("_f"), F.col(col).alias("_v")
+    )
+    dtype = df.schema["_v"].dataType.simpleString()
+    max_rows = (
+        df.groupBy("_f").count().agg(F.max("count")).collect()[0][0] or 1
+    )
+    m = 1 << max(int(bits_per_row * max_rows - 1).bit_length(), 6)
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("_v"), F.lit(i)), F.lit(m))
+                for i in range(k)
+            ]
+        )
+    ).alias("p")
+    words = (
+        df.select("_f", pos)
+        .groupBy("_f", F.floor(F.col("p") / 64).alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    per_file: dict[str, dict[int, int]] = {}
+    for r in words:
+        per_file.setdefault(os.path.basename(r._f), {})[r.w] = r.bits
+    blooms: dict = {}
+    for fn in prev["files"]:
+        buf = bytearray(m // 8)
+        for w, bits in per_file.get(fn, {}).items():
+            buf[w * 8 : w * 8 + 8] = int(bits & 0xFFFFFFFFFFFFFFFF).to_bytes(
+                8, "little"
+            )
+        blooms[fn] = {
+            **prev.get("blooms", {}).get(fn, {}),
+            col: {
+                "m": m,
+                "k": k,
+                "dtype": dtype,
+                "bitmap": base64.b64encode(bytes(buf)).decode(),
+            },
+        }
+    _publish(
+        root,
+        prev_v + 1,
+        _next_payload(
+            prev,
+            prev_v + 1,
+            "bloom_index",
+            list(prev["files"]),
+            new_blooms=blooms,
+        ),
+    )
+    return prev_v + 1
+
+
+def read_bloom_pruned(
+    spark: SparkSession, root: str, col: str, value, version: int | None = None
+) -> DataFrame:
+    """Equality-probe read that SKIPS files whose bloom index provably
+    lacks ``value`` — the point-lookup complement to `read_pruned`'s
+    range zone maps: min/max can't prune a scattered high-cardinality
+    column, a bloom can. Pure driver-side metadata decision (bitmap
+    probes against the manifest); the equality filter is applied too,
+    so results are exactly `read(...).filter(col == value)` — a bloom
+    false positive costs a scan, never a wrong answer, and a file
+    with no bloom for ``col`` is conservatively included."""
+    import base64
+
+    man = _load_manifest(root, version)
+    blooms = man.get("blooms", {})
+    pos_cache: dict[tuple, list[int]] = {}
+    keep = []
+    for fn in man["files"]:
+        b = blooms.get(fn, {}).get(col)
+        if b is None:
+            keep.append(fn)
+            continue
+        key = (b["m"], b["k"], b["dtype"])
+        if key not in pos_cache:
+            pos_cache[key] = _bloom_positions(
+                spark, value, b["m"], b["k"], b["dtype"]
+            )
+        bitmap = base64.b64decode(b["bitmap"])
+        if all(bitmap[p // 8] & (1 << (p % 8)) for p in pos_cache[key]):
+            keep.append(fn)
+    if not keep:
+        return read(spark, root, version=version).filter(
+            F.col(col) == F.lit(value)
+        ).limit(0)
+    return _read_with_deletes(spark, root, man, keep).filter(
+        F.col(col) == F.lit(value)
+    )
+
+
+def commit_delete_mor(root: str, predicate: str) -> int:
+    """Merge-on-read DELETE WHERE predicate: a METADATA-ONLY commit —
+    no file is read, no file is rewritten, commit cost is one manifest
+    regardless of table size (the property that makes a DELETE on a
+    100 TB table instantaneous; Delta deletion-vector / Iceberg v2
+    delete spirit, expressed as a scoped predicate). Readers apply
+    NOT(predicate) to exactly the files that existed at delete time —
+    Catalyst pushes it into those scans — while files written LATER
+    are untouched, so a subsequent upsert of a matching row is not
+    retro-deleted (commit sequencing, pinned by tests). `optimize`
+    materializes and clears these; `read_cdf` across an un-compacted
+    MOR delete raises (no file delta to diff)."""
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    d = {
+        "kind": "predicate",
+        "predicate": predicate,
+        "applies_to": list(prev["files"]),
+    }
+    _publish(
+        root,
+        prev_v + 1,
+        _next_payload(
+            prev, prev_v + 1, "delete_mor", list(prev["files"]), new_deletes=[d]
+        ),
+    )
+    return prev_v + 1
+
+
+def commit_delete_keys(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key: str,
+    meta: dict | None = None,
+) -> int:
+    """Merge-on-read equality-key DELETE (Iceberg v2 equality-delete
+    files): the keys land as a SMALL delete-key parquet; no data file
+    is rewritten. Readers anti-join the delete keys (broadcast)
+    against exactly the files whose manifest-stats key range
+    intersects the deleted keys — files that provably contain none of
+    them read with zero overhead, files written after the delete are
+    never affected. Commit cost is O(|keys|), not O(table)."""
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    touched, _ = _touched_files(
+        spark, root, prev["files"], key, keys.select(key),
+        man_stats=prev.get("stats"),
+    )
+    kfiles = _write_data_files(spark, root, keys.select(key).distinct())
+    d = {
+        "kind": "keys",
+        "key": key,
+        "files": kfiles,
+        "applies_to": touched,
+    }
+    _publish(
+        root,
+        prev_v + 1,
+        _next_payload(
+            prev,
+            prev_v + 1,
+            "delete_keys",
+            list(prev["files"]),
+            meta=meta,
+            new_deletes=[d],
+        ),
     )
     return prev_v + 1
 
@@ -618,8 +939,12 @@ def optimize(spark: SparkSession, root: str, target_files: int = 1) -> int:
         # (keeps the "optimize returns a new version" contract)
         _publish(root, prev_v + 1, _next_payload(prev, prev_v + 1, "optimize", []))
         return prev_v + 1
-    paths = [os.path.join(_data_dir(root), f) for f in prev["files"]]
-    df = spark.read.parquet(*paths).coalesce(target_files)
+    # read THROUGH the merge-on-read deletes: compaction materializes
+    # them, and because every output file is new, the scoped delete
+    # entries vanish from the published manifest automatically
+    df = _read_with_deletes(spark, root, prev, prev["files"]).coalesce(
+        target_files
+    )
     st: dict = {}
     files = _write_data_files(spark, root, df, stats=st)
     _publish(
@@ -731,14 +1056,20 @@ def read_cdf(
             "read_cdf needs the manifest schema to type empty delta sides — "
             "recommit (any append/upsert) to record it"
         )
+    if old_man.get("deletes", []) != new_man.get("deletes", []):
+        raise ValueError(
+            "read_cdf across an un-compacted merge-on-read delete: the "
+            "logical change has no data-file delta to diff — run optimize() "
+            "to materialize the deletes, then take CDF across the compaction"
+        )
     sch = StructType.fromJson(new_man["schema"])
     pre = (
-        read_files(spark, root, removed)
+        _read_with_deletes(spark, root, old_man, removed)
         if removed
         else spark.createDataFrame([], sch)
     )
     post = (
-        read_files(spark, root, added)
+        _read_with_deletes(spark, root, new_man, added)
         if added
         else spark.createDataFrame([], sch)
     )
@@ -806,9 +1137,7 @@ def commit_merge(
         man_stats=prev.get("stats"),
     )
     if touched:
-        base = spark.read.parquet(
-            *[os.path.join(_data_dir(root), f) for f in touched]
-        )
+        base = _read_with_deletes(spark, root, prev, touched)
     else:
         sch = prev.get("schema")
         base = (
@@ -893,7 +1222,10 @@ def vacuum(
     keep_from = max(0, last - keep_last + 1)
     referenced: set[str] = set()
     for v in range(keep_from, last + 1):
-        referenced.update(_load_manifest(root, v)["files"])
+        man = _load_manifest(root, v)
+        referenced.update(man["files"])
+        for d in man.get("deletes", []):
+            referenced.update(d.get("files", []))  # equality-delete keys
     now = time.time()
     for mk in _staged_marker_glob(root):
         p = os.path.join(_log_dir(root), mk)

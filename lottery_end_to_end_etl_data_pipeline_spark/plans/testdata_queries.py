@@ -15999,5 +15999,277 @@ def tablefmt_staging_vacuum_audit(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "tablefmt_mor_delete_audit",
+    oracle="""
+    WITH nn AS (SELECT max(o_orderkey) AS n FROM orders),
+    b AS (SELECT (SELECT n FROM nn) // 4 AS b1, (SELECT n FROM nn) // 2 AS b2),
+    base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    after_del AS (
+      SELECT k, p FROM base, b
+      WHERE NOT (k % 10 = 1)
+        AND NOT (k > b.b1 AND k <= b.b2 AND k % 7 = 0)
+    ),
+    appended AS (
+      SELECT k, p + 1000.0 AS p FROM base, b WHERE k % 10 = 1 AND k <= b.b1
+    ),
+    fin AS (SELECT * FROM after_del UNION ALL SELECT * FROM appended)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(p), 2) AS sum_price,
+           TRUE AS mor_files_unchanged,
+           CAST(1 AS BIGINT) AS n_key_scoped_files
+    FROM fin
+    """,
+)
+def tablefmt_mor_delete_audit(spark, sf_dir):
+    """Merge-on-read DELETE (operators/tablefmt.py::commit_delete_mor
+    / commit_delete_keys — Delta deletion-vector / Iceberg v2
+    equality-delete semantics): a predicate DELETE on the whole table
+    is a METADATA-ONLY commit (pinned: the manifest's data-file list
+    is byte-identical before and after — on a 100 TB table the DELETE
+    costs one manifest write, zero data IO), and an equality-key
+    DELETE lands as a small delete-key file whose anti-join is
+    manifest-stats SCOPED to the single file whose key range can
+    contain the keys (pinned: applies_to length 1 of 4). Readers
+    apply NOT(pred) as a pushed-down scan filter and the key set as a
+    broadcast anti-join. Deletes are sequenced by file scope: a LATER
+    append of rows matching the deleted predicate survives (the new
+    file postdates the delete), which the oracle replays exactly.
+    `optimize` materializes and clears; `read_cdf` refuses to diff
+    across an un-compacted MOR delete."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_mor_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    n = o.agg(F.max("k")).collect()[0][0]
+    b1, b2, b3 = n // 4, n // 2, (3 * n) // 4
+    tf.create(spark, root, o.filter(F.col("k") <= b1).coalesce(1))
+    for lo, hi in [(b1, b2), (b2, b3), (b3, n)]:
+        tf.commit_append(
+            spark,
+            root,
+            o.filter((F.col("k") > lo) & (F.col("k") <= hi)).coalesce(1),
+        )
+    files_before = tf._load_manifest(root, None)["files"]
+    v1 = tf.commit_delete_mor(root, "k % 10 = 1")
+    unchanged = tf._load_manifest(root, v1)["files"] == files_before
+    v2 = tf.commit_delete_keys(
+        spark,
+        root,
+        o.filter(
+            (F.col("k") > b1) & (F.col("k") <= b2) & (F.col("k") % 7 == 0)
+        ).select("k"),
+        key="k",
+    )
+    key_del = [
+        d for d in tf._load_manifest(root, v2)["deletes"] if d["kind"] == "keys"
+    ][0]
+    # commit sequencing: re-append rows MATCHING the deleted predicate;
+    # they postdate the delete's file scope and must survive
+    tf.commit_append(
+        spark,
+        root,
+        o.filter((F.col("k") % 10 == 1) & (F.col("k") <= b1)).withColumn(
+            "p", F.col("p") + 1000.0
+        ),
+    )
+    return tf.read(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("p"), 2).alias("sum_price"),
+        F.lit(unchanged).alias("mor_files_unchanged"),
+        F.lit(len(key_del["applies_to"])).cast("long").alias("n_key_scoped_files"),
+    )
+
+
+
+
+@query(
+    "tablefmt_bloom_skipping",
+    oracle="""
+    WITH nn AS (SELECT max(o_orderkey) AS n FROM orders),
+    probe AS (
+      SELECT max(o_orderkey) AS pk FROM orders
+      WHERE o_orderkey <= (SELECT n FROM nn) // 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(o_totalprice), 2) AS sum_price,
+           TRUE AS zone_maps_scan_all,
+           TRUE AS bloom_skips
+    FROM orders, probe WHERE o_orderkey = probe.pk
+    """,
+)
+def tablefmt_bloom_skipping(spark, sf_dir):
+    """Bloom-filter file skipping
+    (operators/tablefmt.py::add_bloom_index / read_bloom_pruned —
+    Delta `bloomFilterIndex` spirit): orders lands as 4 files RANGED
+    BY o_custkey, so every file spans nearly the full o_orderkey
+    range and zone maps cannot prune an o_orderkey point probe
+    (pinned: `read_pruned` on the probe key scans all 4 files). A
+    per-file bloom index on o_orderkey — built fully distributed, one
+    scan aggregating k bit positions into 64-bit words keyed by
+    (file, word) with bit_or, driver collect bounded by INDEX size
+    not row count — then skips every file whose bitmap provably lacks
+    the key (pinned: fewer than 4 files scanned) while returning
+    exactly the rows the plain equality filter returns (the oracle
+    recomputes them from source). This is the point-lookup complement
+    to min/max zone maps: on a 100 TB table a needle query touches
+    only bloom-positive files, and a false positive costs a scan,
+    never a wrong answer."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_bloom_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tf.create(spark, root, o.repartitionByRange(4, F.col("o_custkey")))
+    n = o.agg(F.max("o_orderkey")).collect()[0][0]
+    pk = o.filter(F.col("o_orderkey") <= n // 2).agg(
+        F.max("o_orderkey")
+    ).collect()[0][0]
+    n_files = len(tf._load_manifest(root, None)["files"])
+    zone = tf.read_pruned(spark, root, "o_orderkey", pk, pk)
+    zone_all = len(zone.inputFiles()) == n_files
+    tf.add_bloom_index(spark, root, "o_orderkey")
+    probe = tf.read_bloom_pruned(spark, root, "o_orderkey", pk)
+    skips = len(probe.inputFiles()) < n_files
+    return probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.lit(zone_all).alias("zone_maps_scan_all"),
+        F.lit(skips).alias("bloom_skips"),
+    )
+
+
+
+
+@query(
+    "streaming_mor_cdc_sink",
+    oracle="""
+    WITH nn AS (SELECT max(o_orderkey) AS n FROM orders),
+    n3 AS (SELECT (SELECT n FROM nn) // 3 AS a, 2 * ((SELECT n FROM nn) // 3) AS b),
+    b0 AS (
+      SELECT o_orderkey AS k, o_totalprice AS v FROM orders, n3
+      WHERE o_orderkey <= n3.a
+    ),
+    b1 AS (
+      SELECT o_orderkey AS k, o_totalprice + 5.0 AS v FROM orders, n3
+      WHERE o_orderkey <= n3.a AND o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders, n3
+      WHERE o_orderkey > n3.a AND o_orderkey <= n3.b
+    ),
+    state1 AS (
+      SELECT k, v FROM b0 WHERE k NOT IN (SELECT k FROM b1)
+      UNION ALL SELECT k, v FROM b1
+    ),
+    final AS (SELECT * FROM state1 WHERE k % 7 <> 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(v), 2) AS sum_v,
+           CAST(4 AS BIGINT) AS n_versions,
+           TRUE AS replay_skipped
+    FROM final
+    """,
+)
+def streaming_mor_cdc_sink(spark, sf_dir):
+    """Streaming CDC apply into the table format with MERGE-ON-READ
+    tombstones (streaming x lakehouse: foreachBatch routes each
+    micro-batch's upserts to `commit_upsert` and its deletes to
+    `commit_delete_keys` — the delete lands as an equality-delete
+    file, METADATA-COST, no data rewrite inside the streaming hot
+    path; compaction is a separate maintenance concern, exactly the
+    Delta/Iceberg CDC-sink architecture). Exactly-once via the
+    cumulative txn ledger: each commit carries its micro-batch txn id
+    inside the atomic manifest publish, so a FULL REPLAY from a fresh
+    checkpoint (run twice below) re-commits nothing — pinned by
+    n_versions = 4 (create + 2 upsert batches + 1 tombstone batch,
+    unchanged after the replay). The oracle replays the CDC log in
+    SQL: inserts, key-overlapping updates, then tombstones."""
+    import os
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    base = f"{tempfile.gettempdir()}/spark_graft_morcdc_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/src")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    n = o.agg(F.max("k")).collect()[0][0]
+    a, b = n // 3, 2 * (n // 3)
+    batches = [
+        o.filter(F.col("k") <= a).select(F.lit("u").alias("op"), "k", "v"),
+        o.filter((F.col("k") <= a) & (F.col("k") % 10 == 0))
+        .withColumn("v", F.col("v") + 5.0)
+        .unionByName(o.filter((F.col("k") > a) & (F.col("k") <= b)))
+        .select(F.lit("u").alias("op"), "k", "v"),
+        o.filter((F.col("k") % 7 == 0) & (F.col("k") <= b)).select(
+            F.lit("d").alias("op"), "k", F.lit(0.0).alias("v")
+        ),
+    ]
+    for i, bdf in enumerate(batches):
+        pdir = f"{base}/b{i}"
+        bdf.coalesce(1).write.mode("overwrite").parquet(pdir)
+        part = [x for x in os.listdir(pdir) if x.endswith(".parquet")][0]
+        dst = f"{base}/src/batch_{i}.parquet"
+        shutil.copy(f"{pdir}/{part}", dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    root = f"{base}/table"
+    tf.create(spark, root, o.limit(0))
+    app_id = "morcdc"
+
+    def sink(batch_df, batch_id):
+        s = batch_df.sparkSession
+        ledger = tf.committed_meta_values(root, "txn")
+        txn_u, txn_d = f"{app_id}-{batch_id}-u", f"{app_id}-{batch_id}-d"
+        ups = batch_df.filter(F.col("op") == "u").select("k", "v")
+        dels = batch_df.filter(F.col("op") == "d").select("k")
+        if txn_u not in ledger and not ups.isEmpty():
+            tf.commit_upsert(s, root, ups, key="k", meta={"txn": txn_u})
+        if txn_d not in ledger and not dels.isEmpty():
+            tf.commit_delete_keys(s, root, dels, key="k", meta={"txn": txn_d})
+
+    schema = spark.read.parquet(f"{base}/src").schema
+    for attempt in ("ckpt1", "ckpt2"):  # second run = full replay
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{base}/src")
+        )
+        with stream_state_width(spark):
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", f"{base}/{attempt}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    n_versions = tf.current_version(root) + 1
+    return tf.read(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
+        F.lit(n_versions == 4).alias("replay_skipped"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

@@ -549,3 +549,116 @@ def test_upgrade_stats_backfills_pre_stats_manifest(spark, root):
     assert len(touched) == 1 and len(untouched) == 1
     # idempotent
     assert tf.upgrade_stats(spark, root) == 1
+
+
+# ---- merge-on-read deletes (round 6): metadata-only DELETE, scoped ----
+# sequencing, equality-delete files, compaction materialization
+
+
+def test_mor_predicate_delete_is_metadata_only(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    files_before = tf._load_manifest(root, 0)["files"]
+    v = tf.commit_delete_mor(root, "k >= 2")
+    man = tf._load_manifest(root, v)
+    assert man["action"] == "delete_mor"
+    assert man["files"] == files_before  # zero files rewritten
+    assert {r.k for r in tf.read(spark, root).collect()} == {1}
+    # pruned read path honors the delete too
+    got = {r.k for r in tf.read_pruned(spark, root, "k", 1, 3).collect()}
+    assert got == {1}
+
+
+def test_mor_delete_sequencing_upsert_not_retrodeleted(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_delete_mor(root, "k = 2")
+    # a LATER upsert re-inserts k=2: the delete is scoped to the files
+    # that existed when it was committed, so the new row survives and
+    # the old one does not resurrect through the rewrite
+    tf.commit_upsert(spark, root, _df(spark, [(2, "new")]), key="k")
+    got = {(r.k, r.v) for r in tf.read(spark, root).collect()}
+    assert got == {(1, "a"), (2, "new")}
+    # the rewrite shed the delete's scope entirely
+    assert "deletes" not in tf._load_manifest(root, None)
+
+
+def test_mor_equality_keys_scoped_by_stats_and_vacuum_safe(spark, root):
+    df = _df(spark, [(i, f"v{i}") for i in range(1, 9)]).repartitionByRange(
+        2, F.col("k")
+    )
+    tf.create(spark, root, df)
+    v = tf.commit_delete_keys(
+        spark, root, spark.createDataFrame([(2,), (3,)], "k long"), key="k"
+    )
+    man = tf._load_manifest(root, v)
+    (d,) = man["deletes"]
+    assert d["kind"] == "keys" and len(d["applies_to"]) == 1  # stats-scoped
+    assert {r.k for r in tf.read(spark, root).collect()} == {1, 4, 5, 6, 7, 8}
+    # vacuum must treat the delete-key files as referenced
+    tf.vacuum(root, keep_last=1)
+    assert {r.k for r in tf.read(spark, root).collect()} == {1, 4, 5, 6, 7, 8}
+
+
+def test_optimize_materializes_mor_deletes(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    tf.commit_delete_mor(root, "k = 1")
+    tf.commit_delete_keys(
+        spark, root, spark.createDataFrame([(3,)], "k long"), key="k"
+    )
+    v = tf.optimize(spark, root)
+    man = tf._load_manifest(root, v)
+    assert "deletes" not in man  # compaction cleared every scoped delete
+    assert {r.k for r in tf.read(spark, root).collect()} == {2}
+
+
+def test_read_cdf_across_mor_delete_raises_until_compacted(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    v1 = tf.commit_delete_mor(root, "k = 2")
+    with pytest.raises(ValueError, match="un-compacted merge-on-read"):
+        tf.read_cdf(spark, root, 0, v1, key="k")
+    v2 = tf.optimize(spark, root)
+    changes = {
+        (r.k, r._change_type)
+        for r in tf.read_cdf(spark, root, 0, v2, key="k").collect()
+    }
+    assert changes == {(2, "delete")}
+
+
+# ---- bloom-filter file skipping (round 6) ----
+
+
+def test_bloom_index_skips_files_minmax_cannot(spark, root):
+    # files are ranged by k, but u is a scattered permutation: every
+    # file spans u's full range, so zone maps can't prune a u-probe —
+    # the bloom can
+    rows = [(k, (k * 37) % 80) for k in range(80)]
+    df = spark.createDataFrame(rows, "k long, u long").repartitionByRange(
+        4, F.col("k")
+    )
+    tf.create(spark, root, df)
+    tf.add_bloom_index(spark, root, "u")
+    man = tf._load_manifest(root, None)
+    assert man["action"] == "bloom_index"
+    assert all("u" in man["blooms"][f] for f in man["files"])
+    probe = tf.read_bloom_pruned(spark, root, "u", 37)  # k=1 -> file 0
+    n_scanned = len(probe.inputFiles())
+    assert n_scanned < len(man["files"])  # skipped at least one file
+    assert [(r.k, r.u) for r in probe.collect()] == [(1, 37)]
+    # absent value: exact-empty result regardless of bloom FPs
+    assert tf.read_bloom_pruned(spark, root, "u", 999).count() == 0
+
+
+def test_bloom_survives_append_conservatively(spark, root):
+    df = spark.createDataFrame(
+        [(k, k * 3) for k in range(40)], "k long, u long"
+    ).coalesce(1)
+    tf.create(spark, root, df)
+    tf.add_bloom_index(spark, root, "u")
+    # a later append has NO bloom yet: it must be scanned, not skipped
+    tf.commit_append(
+        spark, root, spark.createDataFrame([(100, 999)], "k long, u long")
+    )
+    got = [(r.k, r.u) for r in tf.read_bloom_pruned(spark, root, "u", 999).collect()]
+    assert got == [(100, 999)]
+    # old file's bloom carried forward by reference across the append
+    man = tf._load_manifest(root, None)
+    assert sum(1 for f in man["files"] if man.get("blooms", {}).get(f)) == 1
