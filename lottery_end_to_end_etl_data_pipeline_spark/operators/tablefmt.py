@@ -1056,7 +1056,20 @@ def read_cdf(
             "read_cdf needs the manifest schema to type empty delta sides — "
             "recommit (any append/upsert) to record it"
         )
-    if old_man.get("deletes", []) != new_man.get("deletes", []):
+    # A merge-on-read delete committed BETWEEN the versions is a logical
+    # change with no data-file delta — nothing to diff, so refuse. But a
+    # delete that merely got PRUNED (its scoped files were rewritten or
+    # compacted away) IS visible in the file delta: identify deletes by
+    # content (ignoring the shrinking applies_to scope) and raise only
+    # when the new snapshot carries a delete the old one didn't.
+    def _delete_identity(d: dict) -> tuple:
+        if d["kind"] == "predicate":
+            return ("predicate", d["predicate"])
+        return ("keys", d["key"], tuple(d["files"]))
+
+    old_ids = {_delete_identity(d) for d in old_man.get("deletes", [])}
+    new_ids = {_delete_identity(d) for d in new_man.get("deletes", [])}
+    if new_ids - old_ids:
         raise ValueError(
             "read_cdf across an un-compacted merge-on-read delete: the "
             "logical change has no data-file delta to diff — run optimize() "

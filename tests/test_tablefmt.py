@@ -662,3 +662,30 @@ def test_bloom_survives_append_conservatively(spark, root):
     # old file's bloom carried forward by reference across the append
     man = tf._load_manifest(root, None)
     assert sum(1 for f in man["files"] if man.get("blooms", {}).get(f)) == 1
+
+
+def test_read_cdf_allows_pruned_deletes_visible_in_file_delta(spark, root):
+    # a MOR delete followed by an upsert that rewrites the scoped file:
+    # the delete's effect materialized INTO the file delta, so CDF
+    # between those versions is well-defined (delete + update rows),
+    # while CDF across the delete itself still refuses
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    v1 = tf.commit_delete_mor(root, "k = 2")
+    v2 = tf.commit_upsert(spark, root, _df(spark, [(1, "A")]), key="k")
+    with pytest.raises(ValueError, match="un-compacted merge-on-read"):
+        tf.read_cdf(spark, root, 0, v1, key="k")
+    changes = {
+        (r.k, r._change_type)
+        for r in tf.read_cdf(spark, root, v1, v2, key="k").collect()
+    }
+    # k=2 was ALREADY logically deleted at v1 (the pre-image applies
+    # v1's scoped delete), so v1->v2 is just the update
+    assert changes == {(1, "update")}
+    # and from v0 all the way to v2 (spanning the delete commit) the
+    # rewrite made everything file-visible too: new set has no delete
+    # entry the old lacks
+    changes0 = {
+        (r.k, r._change_type)
+        for r in tf.read_cdf(spark, root, 0, v2, key="k").collect()
+    }
+    assert changes0 == {(1, "update"), (2, "delete")}
