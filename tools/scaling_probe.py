@@ -80,6 +80,11 @@ PROBES = [
     ("column_profile_all", "multi-distinct Expand agg"),
     ("column_profile_approx", "approx profile + exact AUDIT join"),
     ("column_profile_approx_frame", "Expand-free HLL profile alone"),
+    # round-6 lakehouse additions: table builds are linear in input;
+    # the MOR delete commits themselves are metadata-cost
+    ("tablefmt_mor_delete_audit", "4-file build + 2 MOR deletes + append"),
+    ("tablefmt_bloom_skipping", "4-file build + distributed bloom index"),
+    ("streaming_mor_cdc_sink", "3-batch CDC drain x2 (replay)"),
 ]
 
 
@@ -148,6 +153,13 @@ def main() -> None:
         tcells = " | ".join(f"{t:.2f}" for t in times)
         lines.append(f"| `{name}` | {note} | {tcells} | {b:+.2f} | {b_hi:+.2f} |")
     lines.append("")
+    # preserve hand-written plan-review sections across regenerations
+    if out.exists():
+        old = out.read_text()
+        idx = old.find("\n## Plan review")
+        if idx != -1:
+            lines.append(old[idx + 1 :].rstrip())
+            lines.append("")
     out.write_text("\n".join(lines))
     print(f"wrote {out}")
 
