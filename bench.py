@@ -200,6 +200,7 @@ HEADLINE = [
     "tablefmt_mor_delete_audit",
     "tablefmt_bloom_skipping",
     "streaming_mor_cdc_sink",
+    "tablefmt_constraints_audit",
     "weak_label_model",
     "bfs_blast_radius",
     "embedding_class_separation",

@@ -195,6 +195,7 @@ def _next_payload(
     stats: dict | None = None,
     new_deletes: list[dict] | None = None,
     new_blooms: dict | None = None,
+    new_constraints: dict | None = None,
 ) -> dict:
     """Build a manifest payload, carrying forward from ``prev``:
 
@@ -263,6 +264,13 @@ def _next_payload(
     deletes.extend(new_deletes or [])
     if deletes:
         payload["deletes"] = deletes
+    cons = (
+        new_constraints
+        if new_constraints is not None
+        else prev.get("constraints", {})
+    )
+    if cons:
+        payload["constraints"] = cons
     return payload
 
 
@@ -447,21 +455,142 @@ def history(root: str) -> list[dict]:
     return out
 
 
+def _resolve_commit_schema(
+    prev: dict, df: DataFrame, evolve: bool
+) -> StructType:
+    """Schema enforcement at the commit boundary (Delta-style: writers
+    cannot silently drift a table's schema).
+
+    - Same columns, same types: accepted.
+    - A SUBSET of columns (types matching): accepted — readers backfill
+      the missing columns as NULL via merge_schema; the manifest keeps
+      the FULL schema (a narrow writer never narrows the table).
+    - NEW columns: rejected unless ``evolve=True`` (explicit additive
+      evolution); the manifest schema becomes the union, existing rows
+      surface the new columns as NULL.
+    - A TYPE CHANGE on an existing column: always rejected — that is a
+      rewrite (new table / explicit migration), not an append.
+    Returns the schema the new manifest should record."""
+    prev_sch = prev.get("schema")
+    if prev_sch is None:
+        return df.schema
+    table = StructType.fromJson(prev_sch)
+    prev_types = {f.name: f.dataType for f in table.fields}
+    mismatched = [
+        f.name
+        for f in df.schema.fields
+        if f.name in prev_types and f.dataType != prev_types[f.name]
+    ]
+    if mismatched:
+        raise ValueError(
+            f"schema enforcement: column type change rejected for "
+            f"{mismatched} (table: "
+            f"{[str(prev_types[c]) for c in mismatched]}, batch: "
+            f"{[str(df.schema[c].dataType) for c in mismatched]}); a type "
+            "change is a migration, not an append"
+        )
+    new_cols = [f for f in df.schema.fields if f.name not in prev_types]
+    if new_cols and not evolve:
+        raise ValueError(
+            f"schema enforcement: batch adds column(s) "
+            f"{[f.name for f in new_cols]} not in the table schema; pass "
+            "evolve=True for explicit additive evolution"
+        )
+    return StructType(table.fields + new_cols)
+
+
 def commit_append(
-    spark: SparkSession, root: str, df: DataFrame, meta: dict | None = None
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    meta: dict | None = None,
+    evolve: bool = False,
 ) -> int:
     """Append-only commit: previous files carried by reference.
     ``meta`` (e.g. a streaming transaction id) is recorded in the
-    manifest for idempotence checks — see `committed_meta_values`."""
+    manifest for idempotence checks — see `committed_meta_values`.
+    Schema is ENFORCED against the table (`_resolve_commit_schema`);
+    ``evolve=True`` permits additive new columns. CHECK constraints
+    registered via `add_constraint` validate the incoming batch (one
+    filter pass over the batch only, never the table)."""
     prev_v = current_version(root)
     prev = _load_manifest(root, prev_v)
+    sch = _resolve_commit_schema(prev, df, evolve)
+    _check_constraints(prev, df)
     st: dict = {}
     files = prev["files"] + _write_data_files(spark, root, df, stats=st)
     _publish(
         root,
         prev_v + 1,
         _next_payload(
-            prev, prev_v + 1, "append", files, schema=df.schema, meta=meta, stats=st
+            prev, prev_v + 1, "append", files, schema=sch, meta=meta, stats=st
+        ),
+    )
+    return prev_v + 1
+
+
+def _check_constraints(prev: dict, df: DataFrame) -> None:
+    """Validate the incoming batch against the table's registered CHECK
+    constraints (Delta `ADD CONSTRAINT` semantics): one filter pass
+    over the BATCH per constraint — commit cost never scales with
+    table size — and a violation rejects the whole commit before any
+    manifest is published (data files may be staged but are never
+    referenced, so vacuum reclaims them)."""
+    for name, pred in prev.get("constraints", {}).items():
+        try:
+            bad = df.filter(f"NOT ({pred})").limit(1).count()
+        except Exception as e:  # unparseable / column-missing predicate
+            raise ValueError(
+                f"CHECK constraint '{name}' ({pred}) failed to evaluate "
+                f"against the batch schema {df.columns}: {e}"
+            ) from e
+        if bad:
+            row = df.filter(f"NOT ({pred})").limit(1).collect()[0]
+            raise ValueError(
+                f"CHECK constraint '{name}' ({pred}) violated by incoming "
+                f"batch, e.g. {row.asDict()}"
+            )
+
+
+def add_constraint(root: str, name: str, predicate: str) -> int:
+    """Register a CHECK constraint as a metadata commit; every
+    subsequent append/upsert/merge validates its batch against it.
+    The constraint is NOT retroactively checked against existing rows
+    (validate with `read(...).filter(NOT pred)` first if needed)."""
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    cons = dict(prev.get("constraints", {}))
+    cons[name] = predicate
+    _publish(
+        root,
+        prev_v + 1,
+        _next_payload(
+            prev,
+            prev_v + 1,
+            "add_constraint",
+            list(prev["files"]),
+            new_constraints=cons,
+        ),
+    )
+    return prev_v + 1
+
+
+def drop_constraint(root: str, name: str) -> int:
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    cons = dict(prev.get("constraints", {}))
+    if name not in cons:
+        raise KeyError(f"no constraint named {name!r} on {root}")
+    del cons[name]
+    _publish(
+        root,
+        prev_v + 1,
+        _next_payload(
+            prev,
+            prev_v + 1,
+            "drop_constraint",
+            list(prev["files"]),
+            new_constraints=cons,
         ),
     )
     return prev_v + 1
@@ -636,11 +765,16 @@ def commit_upsert(
     updates: DataFrame,
     key: str,
     meta: dict | None = None,
+    evolve: bool = False,
 ) -> int:
     """Copy-on-write MERGE: rows matching on ``key`` are replaced,
-    new keys appended. Untouched files carry forward by reference."""
+    new keys appended. Untouched files carry forward by reference.
+    Schema-enforced and CHECK-constraint-validated like
+    `commit_append`."""
     prev_v = current_version(root)
     prev = _load_manifest(root, prev_v)
+    sch = _resolve_commit_schema(prev, updates, evolve)
+    _check_constraints(prev, updates)
     touched, untouched = _touched_files(
         spark, root, prev["files"], key, updates.select(key),
         man_stats=prev.get("stats"),
@@ -666,7 +800,7 @@ def commit_upsert(
             prev_v + 1,
             "upsert",
             new_files,
-            schema=updates.schema,
+            schema=sch,
             meta=meta,
             stats=st,
         ),
@@ -1187,6 +1321,9 @@ def commit_merge(
     if not_matched_insert:
         inserts = source.join(base.select(key), key, "left_anti")
         result = result.unionByName(inserts.select(*out_cols))
+    # constraints validate the REWRITTEN portion (touched files +
+    # inserts), never the untouched table
+    _check_constraints(prev, result)
     new_files = list(untouched)
     st: dict = {}
     new_files += _write_data_files(spark, root, result, stats=st)

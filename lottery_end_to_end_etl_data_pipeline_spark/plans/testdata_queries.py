@@ -14301,6 +14301,7 @@ def tablefmt_schema_evolution(spark, sf_dir):
         orders.filter(F.col("o_orderkey") % 2 == 1).select(
             "o_orderkey", "o_totalprice", "o_orderpriority"
         ),
+        evolve=True,  # additive evolution is explicit (schema enforcement)
     )
     evolved = tf.read(spark, root, merge_schema=True)
     return evolved.agg(
@@ -16268,6 +16269,76 @@ def streaming_mor_cdc_sink(spark, sf_dir):
         F.round(F.sum("v"), 2).alias("sum_v"),
         F.lit(n_versions).cast("long").alias("n_versions"),
         F.lit(n_versions == 4).alias("replay_skipped"),
+    )
+
+
+
+
+@query(
+    "tablefmt_constraints_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(value), 2) AS sum_value,
+           TRUE AS constraint_rejected,
+           TRUE AS type_drift_rejected,
+           CAST(3 AS BIGINT) AS n_versions
+    FROM events
+    """,
+)
+def tablefmt_constraints_audit(spark, sf_dir):
+    """Commit-boundary data quality (operators/tablefmt.py::
+    add_constraint / _resolve_commit_schema — Delta CHECK-constraint
+    and schema-enforcement semantics): a registered CHECK constraint
+    validates every incoming batch with ONE filter pass over the
+    BATCH (commit cost never scales with table size), and a violation
+    rejects the whole commit BEFORE any manifest publish — pinned by
+    appending a negated-value batch (caught, table unchanged) and by
+    n_versions = 3 (create + add_constraint + the one valid append;
+    the two rejected commits left no version). Schema enforcement
+    likewise rejects a writer whose column types drift (value
+    restringed — caught), the silent-corruption vector of
+    schema-on-read lakes. The oracle recomputes the final state from
+    source: exactly the full events table, because only the valid
+    halves ever committed."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_constr_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    tf.create(spark, root, ev.filter(F.col("event_id") % 2 == 0))
+    tf.add_constraint(root, "value_nonneg", "value >= 0")
+    tf.commit_append(spark, root, ev.filter(F.col("event_id") % 2 == 1))
+
+    rejected = False
+    try:
+        tf.commit_append(
+            spark,
+            root,
+            ev.filter(F.col("event_id") % 2 == 1).withColumn(
+                "value", -F.col("value") - 1.0
+            ),
+        )
+    except ValueError:
+        rejected = True
+    drift = False
+    try:
+        tf.commit_append(
+            spark, root, ev.withColumn("value", F.col("value").cast("string"))
+        )
+    except ValueError:
+        drift = True
+
+    n_versions = tf.current_version(root) + 1
+    return tf.read(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.lit(rejected).alias("constraint_rejected"),
+        F.lit(drift).alias("type_drift_rejected"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
     )
 
 

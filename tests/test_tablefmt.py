@@ -129,11 +129,16 @@ def test_optimize_preserves_rows_and_versions(spark, root):
 
 def test_merge_schema_read_backfills_nulls(spark, root):
     tf.create(spark, root, spark.createDataFrame([(1,)], ["k"]))
-    tf.commit_append(
-        spark, root, spark.createDataFrame([(2, "x")], ["k", "extra"])
-    )
+    evolved = spark.createDataFrame([(2, "x")], ["k", "extra"])
+    # schema enforcement: additive evolution must be EXPLICIT
+    with pytest.raises(ValueError, match="schema enforcement"):
+        tf.commit_append(spark, root, evolved)
+    tf.commit_append(spark, root, evolved, evolve=True)
     got = {r.k: r.extra for r in tf.read(spark, root, merge_schema=True).collect()}
     assert got == {1: None, 2: "x"}
+    # manifest schema is the UNION after evolution
+    man = tf._load_manifest(root, None)
+    assert [f["name"] for f in man["schema"]["fields"]] == ["k", "extra"]
 
 
 def test_txn_ledger_survives_vacuum_retention(spark, root):
@@ -689,3 +694,62 @@ def test_read_cdf_allows_pruned_deletes_visible_in_file_delta(spark, root):
         for r in tf.read_cdf(spark, root, 0, v2, key="k").collect()
     }
     assert changes0 == {(1, "update"), (2, "delete")}
+
+
+# ---- schema enforcement + CHECK constraints (round 6) ----
+
+
+def test_schema_enforcement_rejects_type_change(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]))
+    bad = spark.createDataFrame([(2, 99)], "k long, v long")  # v was string
+    with pytest.raises(ValueError, match="type change"):
+        tf.commit_append(spark, root, bad)
+    with pytest.raises(ValueError, match="type change"):
+        tf.commit_upsert(spark, root, bad, key="k")
+    # evolve does NOT bless a type change
+    with pytest.raises(ValueError, match="type change"):
+        tf.commit_append(spark, root, bad, evolve=True)
+
+
+def test_schema_subset_write_keeps_full_table_schema(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]))
+    tf.commit_append(spark, root, spark.createDataFrame([(2,)], "k long"))
+    man = tf._load_manifest(root, None)
+    assert [f["name"] for f in man["schema"]["fields"]] == ["k", "v"]
+    got = {r.k: r.v for r in tf.read(spark, root, merge_schema=True).collect()}
+    assert got == {1: "a", 2: None}
+
+
+def test_check_constraint_lifecycle(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]))
+    tf.add_constraint(root, "k_positive", "k > 0")
+    tf.commit_append(spark, root, _df(spark, [(2, "b")]))  # valid
+    with pytest.raises(ValueError, match="k_positive"):
+        tf.commit_append(spark, root, _df(spark, [(-5, "bad")]))
+    with pytest.raises(ValueError, match="k_positive"):
+        tf.commit_upsert(spark, root, _df(spark, [(-5, "bad")]), key="k")
+    with pytest.raises(ValueError, match="k_positive"):
+        tf.commit_merge(spark, root, _df(spark, [(-5, "bad")]), key="k")
+    # rejection published no manifest: table unchanged and readable
+    assert {r.k for r in tf.read(spark, root).collect()} == {1, 2}
+    tf.drop_constraint(root, "k_positive")
+    tf.commit_append(spark, root, _df(spark, [(-5, "now ok")]))
+    assert {r.k for r in tf.read(spark, root).collect()} == {1, 2, -5}
+    with pytest.raises(KeyError):
+        tf.drop_constraint(root, "nope")
+
+
+def test_constraint_survives_commits_and_vacuum(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    tf.add_constraint(root, "k_small", "k < 100")
+    tf.commit_upsert(spark, root, _df(spark, [(1, "A")]), key="k")
+    tf.vacuum(root, keep_last=1)
+    with pytest.raises(ValueError, match="k_small"):
+        tf.commit_append(spark, root, _df(spark, [(200, "big")]))
+
+
+def test_constraint_on_missing_column_errors_clearly(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]))
+    tf.add_constraint(root, "typo", "nonexistent_col > 0")
+    with pytest.raises(ValueError, match="failed to evaluate"):
+        tf.commit_append(spark, root, _df(spark, [(2, "b")]))
