@@ -201,6 +201,7 @@ HEADLINE = [
     "tablefmt_bloom_skipping",
     "streaming_mor_cdc_sink",
     "tablefmt_constraints_audit",
+    "tablefmt_restore_clone_audit",
     "weak_label_model",
     "bfs_blast_radius",
     "embedding_class_separation",

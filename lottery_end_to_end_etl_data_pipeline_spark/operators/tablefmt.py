@@ -1354,6 +1354,70 @@ def read_files(spark: SparkSession, root: str, files: list[str]) -> DataFrame:
     )
 
 
+def restore(root: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION (Delta RESTORE): publish a NEW
+    commit whose file set, schema, stats, blooms and scoped deletes
+    are exactly the target version's — a rollback that moves history
+    FORWARD (the bad commits stay reachable for audit until vacuum),
+    costs one manifest, and rewrites nothing because data files are
+    immutable. Fails if the target manifest was vacuumed away."""
+    prev_v = current_version(root)
+    if not os.path.exists(_manifest_path(root, version)):
+        raise FileNotFoundError(
+            f"version {version} of {root} was vacuumed; cannot restore"
+        )
+    target = _load_manifest(root, version)
+    prev = _load_manifest(root, prev_v)
+    payload = _next_payload(
+        None,  # rebuild from the TARGET state, not the current one
+        prev_v + 1,
+        "restore",
+        list(target["files"]),
+        meta={"restored_from": version},
+    )
+    for key in ("schema", "stats", "blooms", "deletes", "constraints"):
+        if key in target:
+            payload[key] = target[key]
+    # the cumulative txn ledger must NOT roll back: exactly-once
+    # replay protection survives a restore
+    payload["ledger"] = prev.get("ledger", {})
+    _publish(root, prev_v + 1, payload)
+    return prev_v + 1
+
+
+def clone(src_root: str, dst_root: str, version: int | None = None) -> int:
+    """Zero-copy CLONE: materialize a snapshot of ``src_root`` as an
+    INDEPENDENT table at ``dst_root`` by HARDLINKING its immutable
+    data files (same-filesystem, instant, no bytes copied — safe
+    because committed files are never mutated, only unreferenced) and
+    publishing a fresh v0 manifest carrying the snapshot's schema,
+    stats, blooms and scoped deletes. After the clone the tables
+    evolve independently: new commits on either side write new files;
+    a vacuum on one side unlinks only its own references, and the
+    shared bytes survive until BOTH sides drop them (hardlink
+    refcounting). On an object store the hardlink swaps for a
+    same-bucket metadata copy; nothing else changes."""
+    man = _load_manifest(src_root, version)
+    os.makedirs(_log_dir(dst_root), exist_ok=True)
+    os.makedirs(_data_dir(dst_root), exist_ok=True)
+    for fn in man["files"]:
+        dst = os.path.join(_data_dir(dst_root), fn)
+        if not os.path.exists(dst):
+            os.link(os.path.join(_data_dir(src_root), fn), dst)
+    for d in man.get("deletes", []):
+        for fn in d.get("files", []):  # equality-delete key files too
+            dst = os.path.join(_data_dir(dst_root), fn)
+            if not os.path.exists(dst):
+                os.link(os.path.join(_data_dir(src_root), fn), dst)
+    payload = _next_payload(None, 0, "clone", list(man["files"]))
+    for key in ("schema", "stats", "blooms", "deletes", "constraints"):
+        if key in man:
+            payload[key] = man[key]
+    payload["meta"] = {"cloned_from": src_root, "src_version": man["version"]}
+    _publish(dst_root, 0, payload)
+    return 0
+
+
 def vacuum(
     root: str, keep_last: int = 2, staging_ttl_seconds: float = 24 * 3600
 ) -> dict:

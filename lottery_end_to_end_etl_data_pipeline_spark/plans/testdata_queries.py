@@ -16342,5 +16342,70 @@ def tablefmt_constraints_audit(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "tablefmt_restore_clone_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(value), 2) AS sum_value,
+           TRUE AS restore_is_forward_commit,
+           TRUE AS clone_zero_copy,
+           TRUE AS clone_independent
+    FROM events
+    """,
+)
+def tablefmt_restore_clone_audit(spark, sf_dir):
+    """RESTORE + zero-copy CLONE (operators/tablefmt.py::restore /
+    clone — Delta RESTORE and CLONE semantics): a bad DELETE is rolled
+    back by publishing a new commit whose file set is the target
+    version's — history moves FORWARD (the bad commit stays reachable
+    for audit, pinned by re-reading it) and nothing rewrites, because
+    data files are immutable. The restored table is then CLONEd by
+    HARDLINKING its data files (pinned: same inode on both sides —
+    zero bytes copied, instant at any table size) into an independent
+    table: a subsequent DELETE on the source leaves the clone's rows
+    intact (pinned). The oracle recomputes the restored state from
+    source — exactly the full events table, because restore undid the
+    delete."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    base = f"{tempfile.gettempdir()}/spark_graft_restore_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    src, dst = f"{base}/src", f"{base}/dst"
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    tf.create(spark, src, ev)
+    tf.commit_delete(spark, src, "value < 200")  # the bad commit
+    v = tf.restore(src, 0)
+    man = tf._load_manifest(src, v)
+    forward = (
+        man["action"] == "restore"
+        and tf.read(spark, src, version=1).count() < ev.count()
+    )
+    tf.clone(src, dst)
+    fn = tf._load_manifest(dst, None)["files"][0]
+    zero_copy = (
+        _os.stat(_os.path.join(tf._data_dir(src), fn)).st_ino
+        == _os.stat(_os.path.join(tf._data_dir(dst), fn)).st_ino
+    )
+    tf.commit_delete_mor(src, "value >= 0")  # src diverges (drops all)
+    independent = (
+        tf.read(spark, src).count() == 0
+        and tf.read(spark, dst).count() == ev.count()
+    )
+    return tf.read(spark, dst).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.lit(forward).alias("restore_is_forward_commit"),
+        F.lit(zero_copy).alias("clone_zero_copy"),
+        F.lit(independent).alias("clone_independent"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

@@ -753,3 +753,64 @@ def test_constraint_on_missing_column_errors_clearly(spark, root):
     tf.add_constraint(root, "typo", "nonexistent_col > 0")
     with pytest.raises(ValueError, match="failed to evaluate"):
         tf.commit_append(spark, root, _df(spark, [(2, "b")]))
+
+
+# ---- RESTORE + zero-copy CLONE (round 6) ----
+
+
+def test_restore_rolls_back_as_forward_commit(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_append(
+        spark, root, _df(spark, [(3, "c")]).coalesce(1), meta={"txn": "t1"}
+    )
+    tf.commit_delete(spark, root, "k = 1")
+    v = tf.restore(root, 0)
+    assert tf._load_manifest(root, v)["action"] == "restore"
+    assert {(r.k, r.v) for r in tf.read(spark, root).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    # history moved FORWARD (bad commits still reachable) and the txn
+    # ledger did NOT roll back: replay protection survives the restore
+    assert [h["action"] for h in tf.history(root)][-1] == "restore"
+    assert tf.read(spark, root, version=2).count() == 2  # the deleted state
+    assert "t1" in tf.committed_meta_values(root, "txn")
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tf.restore(root, 99)
+
+
+def test_clone_is_zero_copy_and_independent(spark, root):
+    src, dst = f"{root}/src", f"{root}/dst"
+    tf.create(spark, src, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_append(spark, src, _df(spark, [(3, "c")]).coalesce(1))
+    tf.clone(src, dst)
+    assert {r.k for r in tf.read(spark, dst).collect()} == {1, 2, 3}
+    # zero-copy: the shared data file is the SAME inode, not a copy
+    fn = tf._load_manifest(dst, None)["files"][0]
+    assert (
+        os.stat(os.path.join(tf._data_dir(src), fn)).st_ino
+        == os.stat(os.path.join(tf._data_dir(dst), fn)).st_ino
+    )
+    # independent evolution: divergent writes don't cross
+    tf.commit_append(spark, dst, _df(spark, [(4, "d")]).coalesce(1))
+    tf.commit_delete(spark, src, "k = 1")
+    assert {r.k for r in tf.read(spark, dst).collect()} == {1, 2, 3, 4}
+    assert {r.k for r in tf.read(spark, src).collect()} == {2, 3}
+    # vacuum on src unlinks only ITS references; shared bytes survive
+    # through the clone's hardlinks
+    tf.optimize(spark, src)
+    tf.vacuum(src, keep_last=1)
+    assert {r.k for r in tf.read(spark, dst).collect()} == {1, 2, 3, 4}
+
+
+def test_clone_carries_deletes_and_constraints(spark, root):
+    src, dst = f"{root}/src", f"{root}/dst"
+    tf.create(spark, src, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.add_constraint(src, "k_pos", "k > 0")
+    tf.commit_delete_keys(
+        spark, src, spark.createDataFrame([(2,)], "k long"), key="k"
+    )
+    tf.clone(src, dst)
+    assert {r.k for r in tf.read(spark, dst).collect()} == {1}
+    with pytest.raises(ValueError, match="k_pos"):
+        tf.commit_append(spark, dst, _df(spark, [(-1, "bad")]))
