@@ -202,6 +202,7 @@ HEADLINE = [
     "streaming_mor_cdc_sink",
     "tablefmt_constraints_audit",
     "tablefmt_restore_clone_audit",
+    "tablefmt_metadata_agg_audit",
     "weak_label_model",
     "bfs_blast_radius",
     "embedding_class_separation",

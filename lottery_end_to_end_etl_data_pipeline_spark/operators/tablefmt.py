@@ -114,11 +114,16 @@ def _footer_stats(path: str) -> dict:
         return {}
     out: dict = {}
     md = pq.ParquetFile(path).metadata
+    out["#rows"] = md.num_rows  # '#' cannot collide with a column name key
+                                # produced below (columns come from leaf
+                                # names, and '#rows' is filtered on read)
     for ci in range(md.num_columns):
         leaf = md.schema.column(ci)
         name = leaf.name
         if leaf.path != name:
             continue  # nested leaf: its stats are NOT the top-level column's
+        if name == "#rows":
+            continue  # never let a column shadow the row-count key
         lo = hi = None
         ok = True
         for rg in range(md.num_row_groups):
@@ -748,7 +753,7 @@ def upgrade_stats(spark: SparkSession, root: str) -> int:
     have = prev.get("stats", {})
     st: dict = {}
     for fn in prev["files"]:
-        if not have.get(fn):
+        if not any(k != "#rows" for k in have.get(fn, {})):
             st[fn] = _footer_stats(os.path.join(_data_dir(root), fn))
     if not st:
         return prev_v
@@ -1352,6 +1357,47 @@ def read_files(spark: SparkSession, root: str, files: list[str]) -> DataFrame:
     return spark.read.parquet(
         *[os.path.join(_data_dir(root), f) for f in files]
     )
+
+
+def snapshot_row_count(root: str, version: int | None = None) -> int | None:
+    """COUNT(*) answered from MANIFEST METADATA ALONE — zero data IO,
+    O(files) driver work, the same trick Delta uses to satisfy
+    `SELECT count(*)` from stats. Returns None (caller falls back to a
+    scan) when the answer is not provable from metadata: a file
+    without a recorded row count, or any merge-on-read delete (its
+    filtered rows are unknown without reading)."""
+    man = _load_manifest(root, version)
+    if man.get("deletes"):
+        return None
+    stats = man.get("stats", {})
+    total = 0
+    for fn in man["files"]:
+        n = stats.get(fn, {}).get("#rows")
+        if n is None:
+            return None
+        total += n
+    return total
+
+
+def snapshot_min_max(
+    root: str, col: str, version: int | None = None
+) -> tuple | None:
+    """MIN/MAX of ``col`` from manifest zone maps alone — zero data
+    IO. None when unprovable: a file lacking stats for ``col``, or any
+    merge-on-read delete (a deleted row might hold the extremum).
+    NULL-only files record no stats, so a provable answer is exact."""
+    man = _load_manifest(root, version)
+    if man.get("deletes"):
+        return None
+    stats = man.get("stats", {})
+    lo = hi = None
+    for fn in man["files"]:
+        rng = stats.get(fn, {}).get(col)
+        if rng is None:
+            return None
+        lo = rng[0] if lo is None else min(lo, rng[0])
+        hi = rng[1] if hi is None else max(hi, rng[1])
+    return (lo, hi)
 
 
 def restore(root: str, version: int) -> int:

@@ -16407,5 +16407,64 @@ def tablefmt_restore_clone_audit(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "tablefmt_metadata_agg_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_meta,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           TRUE AS agg_matches_scan,
+           TRUE AS refuses_under_mor
+    FROM orders
+    """,
+)
+def tablefmt_metadata_agg_audit(spark, sf_dir):
+    """Metadata-only aggregates (operators/tablefmt.py::
+    snapshot_row_count / snapshot_min_max — how Delta answers
+    `SELECT count(*)` and MIN/MAX from stats): COUNT and column
+    MIN/MAX come from the manifest's per-file row counts and zone
+    maps with ZERO data IO and O(files) driver work — on a 100 TB
+    table the answer costs a manifest read. Soundness is the point:
+    the metadata answers are pinned equal to the scan-computed truth
+    (which the oracle recomputes from source), and after a
+    merge-on-read DELETE — when the row count is NOT provable from
+    metadata — the API refuses with None instead of returning the
+    stale pre-delete answer (pinned), the difference between a fast
+    path and a wrong one."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_metaagg_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tf.create(spark, root, o.repartitionByRange(4, F.col("o_orderkey")))
+
+    meta_n = tf.snapshot_row_count(root)
+    meta_mm = tf.snapshot_min_max(root, "o_orderkey")
+    scan = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+    ).collect()[0]
+    matches = meta_n == scan.n and meta_mm == (scan.lo, scan.hi)
+    tf.commit_delete_mor(root, "o_totalprice < 0")  # any MOR delete
+    refuses = (
+        tf.snapshot_row_count(root) is None
+        and tf.snapshot_min_max(root, "o_orderkey") is None
+    )
+    return spark.range(1).select(
+        F.lit(meta_n).cast("long").alias("n_rows_meta"),
+        F.lit(meta_mm[0]).cast("long").alias("min_key"),
+        F.lit(meta_mm[1]).cast("long").alias("max_key"),
+        F.lit(matches).alias("agg_matches_scan"),
+        F.lit(refuses).alias("refuses_under_mor"),
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()

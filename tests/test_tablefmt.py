@@ -814,3 +814,48 @@ def test_clone_carries_deletes_and_constraints(spark, root):
     assert {r.k for r in tf.read(spark, dst).collect()} == {1}
     with pytest.raises(ValueError, match="k_pos"):
         tf.commit_append(spark, dst, _df(spark, [(-1, "bad")]))
+
+
+# ---- metadata-only aggregates (round 6) ----
+
+
+def test_snapshot_count_and_minmax_from_metadata(spark, root):
+    df = _df(spark, [(i, f"v{i}") for i in range(1, 9)]).repartitionByRange(
+        2, F.col("k")
+    )
+    tf.create(spark, root, df)
+    assert tf.snapshot_row_count(root) == 8
+    assert tf.snapshot_min_max(root, "k") == (1, 8)
+    tf.commit_append(spark, root, _df(spark, [(20, "x")]).coalesce(1))
+    assert tf.snapshot_row_count(root) == 9
+    assert tf.snapshot_min_max(root, "k") == (1, 20)
+    # earlier versions still answer from their own manifests
+    assert tf.snapshot_row_count(root, version=0) == 8
+
+
+def test_metadata_aggregates_refuse_under_mor_deletes(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_delete_mor(root, "k = 2")
+    # a MOR delete makes counts unprovable from metadata: must refuse,
+    # never return the stale pre-delete answer
+    assert tf.snapshot_row_count(root) is None
+    assert tf.snapshot_min_max(root, "k") is None
+    tf.optimize(spark, root)  # materialize -> provable again
+    assert tf.snapshot_row_count(root) == 1
+    assert tf.snapshot_min_max(root, "k") == (1, 1)
+
+
+def test_metadata_count_refuses_without_recorded_rows(spark, root):
+    import json
+
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    p = tf._manifest_path(root, 0)
+    with open(p) as f:
+        man = json.load(f)
+    for fn in man["stats"]:
+        man["stats"][fn].pop("#rows", None)
+    os.remove(p)
+    with open(p, "w") as f:
+        json.dump(man, f)
+    assert tf.snapshot_row_count(root) is None  # pre-rows manifest
+    assert tf.upgrade_stats(spark, root) == 0  # column stats present: no-op
