@@ -203,6 +203,9 @@ HEADLINE = [
     "tablefmt_constraints_audit",
     "tablefmt_restore_clone_audit",
     "tablefmt_metadata_agg_audit",
+    "tablefmt_partition_pruning",
+    "tablefmt_replace_where_audit",
+    "tablefmt_partition_evolution_audit",
     "weak_label_model",
     "bfs_blast_radius",
     "embedding_class_separation",

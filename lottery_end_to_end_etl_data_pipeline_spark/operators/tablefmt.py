@@ -46,11 +46,15 @@ a conditional PUT; nothing else changes.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
+import re
 import shutil
 import time
+import urllib.parse
 import uuid
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -148,18 +152,288 @@ def _footer_stats(path: str) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Hidden partitioning (Iceberg-style transforms).
+#
+# A partition SPEC is a list of transform strings over source columns:
+#   "col"              identity
+#   "year(ts)"         -> "2026"            (zero-padded date_format,
+#   "month(ts)"        -> "2026-08"          so LEXICOGRAPHIC order ==
+#   "day(ts)"          -> "2026-08-15"       CHRONOLOGICAL order and
+#   "hour(ts)"         -> "2026-08-15 03"    range pruning is a string
+#                                            comparison)
+#   "bucket(N,col)"    -> crc32(cast(col as string)) % N  (int; crc32 is
+#                         computable identically JVM-side and driver-side,
+#                         so equality probes prune with no Spark job)
+#   "truncate(N,col)"  -> col - col % N (ints) / substring 1..N (strings)
+#
+# Manifests record specs {spec_id: [transforms]}, the current_spec id,
+# and per-file {"spec": id, "tuple": [values]} — so PARTITION EVOLUTION
+# is free: each file prunes under the spec it was WRITTEN with (Iceberg
+# semantics), and changing the spec is a metadata-only commit.
+#
+# The transform columns are written as derived __p* COPIES and live only
+# in the staging directory names, never in the data files — readers see
+# the original columns untouched, and queries filter on SOURCE columns
+# while pruning happens on the transformed tuples ("hidden": users never
+# see or maintain the partition columns, unlike Hive).
+# ---------------------------------------------------------------------------
+
+_TIME_KINDS = {"year": 4, "month": 7, "day": 10, "hour": 13}
+_TIME_FMT = {
+    "year": "yyyy",
+    "month": "yyyy-MM",
+    "day": "yyyy-MM-dd",
+    "hour": "yyyy-MM-dd HH",
+}
+_TRANSFORM_RE = re.compile(
+    r"^(?:(year|month|day|hour)\((\w+)\)"
+    r"|(bucket|truncate)\((\d+)\s*,\s*(\w+)\)"
+    r"|(\w+))$"
+)
+
+
+def _parse_transform(t: str) -> dict:
+    m = _TRANSFORM_RE.match(t.strip())
+    if not m:
+        raise ValueError(
+            f"unparseable partition transform {t!r}; expected col, "
+            "year|month|day|hour(col), bucket(N,col) or truncate(N,col)"
+        )
+    if m.group(1):
+        return {"kind": m.group(1), "col": m.group(2), "n": None}
+    if m.group(3):
+        return {"kind": m.group(3), "col": m.group(5), "n": int(m.group(4))}
+    return {"kind": "identity", "col": m.group(6), "n": None}
+
+
+def _transform_expr(tr: dict, df: DataFrame):
+    """The Spark-side derived partition value for one transform."""
+    c, kind, n = tr["col"], tr["kind"], tr["n"]
+    if c not in df.columns:
+        raise ValueError(f"partition transform column {c!r} not in {df.columns}")
+    if kind == "identity":
+        return F.col(c)
+    if kind in _TIME_KINDS:
+        return F.date_format(F.col(c), _TIME_FMT[kind])
+    if kind == "bucket":
+        return F.pmod(F.crc32(F.col(c).cast("string")), F.lit(n)).cast("int")
+    # truncate: Iceberg floor-to-multiple for ints, prefix for strings
+    dt = dict(df.dtypes).get(c, "")
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return (F.col(c) - F.pmod(F.col(c), F.lit(n))).cast("long")
+    return F.substring(F.col(c), 1, n)
+
+
+def _transform_probe(tr: dict, v):
+    """Driver-side mirror of `_transform_expr` for a probe constant —
+    lets pruning decisions happen with zero Spark jobs. Monotone
+    transforms (identity/time/truncate) support range probes; bucket
+    supports equality only (enforced by the caller)."""
+    kind, n = tr["kind"], tr["n"]
+    if v is None:
+        raise ValueError("cannot transform a NULL probe")
+    if kind == "identity":
+        if isinstance(v, _dt.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return v
+    if kind in _TIME_KINDS:
+        if isinstance(v, _dt.datetime):
+            s = v.strftime("%Y-%m-%d %H:%M:%S")
+        elif isinstance(v, _dt.date):
+            s = v.isoformat() + " 00:00:00"
+        else:
+            s = str(v)
+        return s[: _TIME_KINDS[kind]]
+    if kind == "bucket":
+        return zlib.crc32(str(v).encode("utf-8")) % n
+    if isinstance(v, int):
+        return v - (v % n)
+    return str(v)[:n]
+
+
+def _typed_part_value(tr: dict, raw: str | None, schema: dict | None):
+    """Parse a hive-directory partition value back to the type the
+    driver-side probe transform produces, so comparisons are typed.
+    Unparseable values stay strings (pruning then falls back to
+    conservative inclusion when the comparison raises)."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    kind = tr["kind"]
+    if kind == "bucket":
+        return int(raw)
+    int_types = {"byte", "short", "integer", "long"}
+    src_type = None
+    if schema:
+        for f in schema.get("fields", []):
+            if f["name"] == tr["col"]:
+                src_type = f["type"]
+    if kind in ("identity", "truncate") and src_type in int_types:
+        return int(raw)
+    if kind == "identity" and src_type == "double":
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
+    return raw
+
+
+def _current_spec(man: dict) -> tuple[str | None, list[str] | None]:
+    sid = man.get("current_spec")
+    if sid is None:
+        return None, None
+    return sid, man.get("specs", {}).get(str(sid))
+
+
+def _partition_keep(man: dict, fn: str, col: str, lo, hi) -> bool:
+    """Partition pruning for one file: False ONLY when the file's
+    recorded partition tuple PROVES no row can satisfy
+    ``lo <= col <= hi`` under the spec the file was written with.
+    Files without partition info (pre-spec files, staged appends,
+    zorder rewrites) are conservatively kept; any comparison error
+    keeps the file too — pruning is an optimization, never a
+    semantics change."""
+    pinfo = man.get("partitions", {}).get(fn)
+    if not pinfo:
+        return True
+    spec = man.get("specs", {}).get(str(pinfo["spec"]))
+    if not spec or len(spec) != len(pinfo["tuple"]):
+        return True
+    for t, v in zip(spec, pinfo["tuple"]):
+        try:
+            tr = _parse_transform(t)
+        except ValueError:
+            continue
+        if tr["col"] != col:
+            continue
+        try:
+            if v is None:
+                # an all-NULL partition can never satisfy a range filter
+                return False
+            if tr["kind"] == "bucket":
+                if lo == hi and v != _transform_probe(tr, lo):
+                    return False
+                continue  # range probes don't prune hash buckets
+            tlo = _transform_probe(tr, lo)
+            thi = _transform_probe(tr, hi)
+            if v < tlo or v > thi:
+                return False
+        except Exception:
+            continue  # incomparable probe/value: conservative include
+    return True
+
+
+def _partition_fully_inside(man: dict, fn: str, col: str, lo, hi) -> bool:
+    """True ONLY when the file's partition tuple proves EVERY row
+    satisfies ``lo <= col <= hi`` — the drop-whole-file test of
+    `commit_replace_where`. Identity tuples are exact; monotone
+    grouping transforms (time/truncate) require the file's group to
+    sit STRICTLY between the probe endpoints' groups (an endpoint
+    group may be partially covered, so it falls to the rewrite path —
+    correct, just more IO). Bucket never proves containment."""
+    pinfo = man.get("partitions", {}).get(fn)
+    if not pinfo:
+        return False
+    spec = man.get("specs", {}).get(str(pinfo["spec"]))
+    if not spec or len(spec) != len(pinfo["tuple"]):
+        return False
+    for t, v in zip(spec, pinfo["tuple"]):
+        try:
+            tr = _parse_transform(t)
+        except ValueError:
+            continue
+        if tr["col"] != col or v is None:
+            continue
+        try:
+            if tr["kind"] == "identity":
+                if lo <= v <= hi:
+                    return True
+            elif tr["kind"] != "bucket":
+                tlo = _transform_probe(tr, lo)
+                thi = _transform_probe(tr, hi)
+                if tlo < v < thi:
+                    return True
+        except Exception:
+            continue
+    return False
+
+
 def _write_data_files(
-    spark: SparkSession, root: str, df: DataFrame, stats: dict | None = None
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    stats: dict | None = None,
+    spec: list[str] | None = None,
+    spec_id: str | None = None,
+    partitions: dict | None = None,
+    schema_json: dict | None = None,
 ) -> list[str]:
     """Write df as new immutable data files; return their names.
     When ``stats`` (a dict to fill) is given, each new file's
     footer-derived per-column [min, max] is recorded into it keyed by
     file name — harvested driver-side from the footer just written,
-    no extra Spark job."""
+    no extra Spark job.
+
+    When ``spec`` (a list of partition transforms) is given, the rows
+    are hash-clustered by their derived partition tuple and written
+    through `partitionBy` on __p* COPY columns — one file per
+    partition in the common case, with the tuple parsed from the
+    hive directory names and recorded into ``partitions`` keyed by
+    file name. The __p* columns live only in directory names; data
+    files keep the original columns untouched."""
     staging = os.path.join(root, f"_staging_{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
     os.makedirs(_data_dir(root), exist_ok=True)
-    names = []
+    names: list[str] = []
+    if spec and not all(
+        _parse_transform(t)["col"] in df.columns for t in spec
+    ):
+        # a narrow batch missing a partition source column (subset
+        # writes are legal) can't be partitioned — write unpartitioned;
+        # its files simply carry no tuple and never prune (conservative)
+        spec = None
+    if spec:
+        trs = [_parse_transform(t) for t in spec]
+        pcols = [f"__p{i}" for i in range(len(trs))]
+        w = df
+        for pc, tr in zip(pcols, trs):
+            w = w.withColumn(pc, _transform_expr(tr, df))
+        (
+            w.repartition(*[F.col(pc) for pc in pcols])
+            .write.mode("overwrite")
+            .partitionBy(*pcols)
+            .parquet(staging)
+        )
+        found = []
+        for dirpath, _dirs, fns in os.walk(staging):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    found.append(os.path.join(dirpath, fn))
+        for src in sorted(found):
+            rel = os.path.relpath(os.path.dirname(src), staging)
+            raw = [
+                urllib.parse.unquote(seg.split("=", 1)[1])
+                for seg in (rel.split(os.sep) if rel != "." else [])
+                if "=" in seg
+            ]
+            name = f"{uuid.uuid4().hex}.parquet"
+            dest = os.path.join(_data_dir(root), name)
+            shutil.move(src, dest)
+            names.append(name)
+            if stats is not None:
+                stats[name] = _footer_stats(dest)
+            if partitions is not None and len(raw) == len(trs):
+                partitions[name] = {
+                    "spec": spec_id,
+                    "tuple": [
+                        _typed_part_value(tr, rv, schema_json)
+                        for tr, rv in zip(trs, raw)
+                    ],
+                }
+        shutil.rmtree(staging)
+        return names
+    df.write.mode("overwrite").parquet(staging)
     for fn in sorted(os.listdir(staging)):
         if fn.endswith(".parquet"):
             name = f"{uuid.uuid4().hex}.parquet"
@@ -201,6 +475,9 @@ def _next_payload(
     new_deletes: list[dict] | None = None,
     new_blooms: dict | None = None,
     new_constraints: dict | None = None,
+    new_partitions: dict | None = None,
+    specs: dict | None = None,
+    current_spec: str | None = None,
 ) -> dict:
     """Build a manifest payload, carrying forward from ``prev``:
 
@@ -276,19 +553,119 @@ def _next_payload(
     )
     if cons:
         payload["constraints"] = cons
+    # partition specs carry forward (or are replaced by an explicit
+    # evolution commit); per-file partition tuples merge exactly like
+    # stats — new files from the argument, carried files from prev
+    sp = specs if specs is not None else prev.get("specs")
+    if sp:
+        payload["specs"] = sp
+    cs = current_spec if current_spec is not None else prev.get("current_spec")
+    if cs is not None:
+        payload["current_spec"] = cs
+    prev_parts = prev.get("partitions", {})
+    merged_parts = {}
+    for f in files:
+        if new_partitions and f in new_partitions:
+            merged_parts[f] = new_partitions[f]
+        elif f in prev_parts:
+            merged_parts[f] = prev_parts[f]
+    if merged_parts:
+        payload["partitions"] = merged_parts
     return payload
 
 
-def create(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Initialize the table at version 0 (idempotent re-create)."""
+def create(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Initialize the table at version 0 (idempotent re-create).
+
+    ``partition_by`` takes Iceberg-style hidden-partitioning transforms
+    (e.g. ``["day(event_ts)", "bucket(8, user_id)"]``); the spec is
+    recorded in the manifest, every data file carries its partition
+    tuple, and all subsequent write paths partition automatically.
+    Queries keep filtering on the SOURCE columns — `read_pruned` turns
+    those filters into tuple-level file skipping with zero IO."""
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(_log_dir(root), exist_ok=True)
     st: dict = {}
-    files = _write_data_files(spark, root, df, stats=st)
+    specs = None
+    sid = None
+    pt: dict = {}
+    if partition_by:
+        for tstr in partition_by:  # validate before any write
+            tr = _parse_transform(tstr)
+            if tr["col"] not in df.columns:
+                raise ValueError(
+                    f"partition transform {tstr!r}: column {tr['col']!r} "
+                    f"not in {df.columns}"
+                )
+        sid = "0"
+        specs = {sid: list(partition_by)}
+    files = _write_data_files(
+        spark,
+        root,
+        df,
+        stats=st,
+        spec=partition_by,
+        spec_id=sid,
+        partitions=pt,
+        schema_json=df.schema.jsonValue(),
+    )
     _publish(
-        root, 0, _next_payload(None, 0, "create", files, schema=df.schema, stats=st)
+        root,
+        0,
+        _next_payload(
+            None,
+            0,
+            "create",
+            files,
+            schema=df.schema,
+            stats=st,
+            new_partitions=pt,
+            specs=specs,
+            current_spec=sid,
+        ),
     )
     return 0
+
+
+def set_partition_spec(root: str, transforms: list[str]) -> int:
+    """PARTITION EVOLUTION as a metadata-only commit (Iceberg
+    semantics): register a new spec and make it current. NO data is
+    rewritten — existing files keep the tuples of the spec they were
+    written with and continue to prune under it, while new writes
+    partition under the new spec. The transforms are validated against
+    the table schema before publishing."""
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    sch = prev.get("schema")
+    cols = {f["name"] for f in sch.get("fields", [])} if sch else None
+    for tstr in transforms:
+        tr = _parse_transform(tstr)
+        if cols is not None and tr["col"] not in cols:
+            raise ValueError(
+                f"partition transform {tstr!r}: column {tr['col']!r} "
+                f"not in table schema {sorted(cols)}"
+            )
+    specs = dict(prev.get("specs", {}))
+    sid = str(max((int(k) for k in specs), default=-1) + 1)
+    specs[sid] = list(transforms)
+    _publish(
+        root,
+        prev_v + 1,
+        _next_payload(
+            prev,
+            prev_v + 1,
+            "set_partition_spec",
+            list(prev["files"]),
+            specs=specs,
+            current_spec=sid,
+        ),
+    )
+    return prev_v + 1
 
 
 def version_at_timestamp(root: str, ts: float) -> int:
@@ -427,6 +804,8 @@ def read_pruned(
     stats = man.get("stats", {})
     keep = []
     for fn in man["files"]:
+        if not _partition_keep(man, fn, col, lo, hi):
+            continue  # the file's partition TUPLE proves no row matches
         rng = stats.get(fn, {}).get(col)
         if rng is None or not (rng[1] < lo or rng[0] > hi):
             keep.append(fn)
@@ -523,12 +902,18 @@ def commit_append(
     sch = _resolve_commit_schema(prev, df, evolve)
     _check_constraints(prev, df)
     st: dict = {}
-    files = prev["files"] + _write_data_files(spark, root, df, stats=st)
+    pt: dict = {}
+    sid, spec = _current_spec(prev)
+    files = prev["files"] + _write_data_files(
+        spark, root, df, stats=st, spec=spec, spec_id=sid,
+        partitions=pt, schema_json=prev.get("schema"),
+    )
     _publish(
         root,
         prev_v + 1,
         _next_payload(
-            prev, prev_v + 1, "append", files, schema=sch, meta=meta, stats=st
+            prev, prev_v + 1, "append", files, schema=sch, meta=meta,
+            stats=st, new_partitions=pt,
         ),
     )
     return prev_v + 1
@@ -786,6 +1171,12 @@ def commit_upsert(
     )
     new_files = list(untouched)
     st: dict = {}
+    pt: dict = {}
+    sid, spec = _current_spec(prev)
+    wkw = dict(
+        stats=st, spec=spec, spec_id=sid, partitions=pt,
+        schema_json=prev.get("schema"),
+    )
     if touched:
         # read the touched base THROUGH any merge-on-read deletes so a
         # rewrite can never resurrect logically-deleted rows (the
@@ -794,9 +1185,9 @@ def commit_upsert(
         merged = base.join(updates.select(key), key, "left_anti").unionByName(
             updates
         )
-        new_files += _write_data_files(spark, root, merged, stats=st)
+        new_files += _write_data_files(spark, root, merged, **wkw)
     else:
-        new_files += _write_data_files(spark, root, updates, stats=st)
+        new_files += _write_data_files(spark, root, updates, **wkw)
     _publish(
         root,
         prev_v + 1,
@@ -808,6 +1199,7 @@ def commit_upsert(
             schema=sch,
             meta=meta,
             stats=st,
+            new_partitions=pt,
         ),
     )
     return prev_v + 1
@@ -821,6 +1213,8 @@ def commit_delete(spark: SparkSession, root: str, predicate: str) -> int:
     prev = _load_manifest(root, prev_v)
     new_files = []
     st: dict = {}
+    pt: dict = {}
+    sid, spec = _current_spec(prev)
     for fn in prev["files"]:
         part = _read_with_deletes(spark, root, prev, [fn])
         n_match = part.filter(predicate).limit(1).count()
@@ -829,11 +1223,104 @@ def commit_delete(spark: SparkSession, root: str, predicate: str) -> int:
         else:
             kept = part.filter(f"NOT ({predicate})")
             if kept.limit(1).count() > 0:
-                new_files += _write_data_files(spark, root, kept, stats=st)
+                new_files += _write_data_files(
+                    spark, root, kept, stats=st, spec=spec, spec_id=sid,
+                    partitions=pt, schema_json=prev.get("schema"),
+                )
     _publish(
         root,
         prev_v + 1,
-        _next_payload(prev, prev_v + 1, "delete", new_files, stats=st),
+        _next_payload(
+            prev, prev_v + 1, "delete", new_files, stats=st, new_partitions=pt
+        ),
+    )
+    return prev_v + 1
+
+
+def commit_replace_where(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    df: DataFrame,
+    evolve: bool = False,
+) -> int:
+    """Dynamic partition overwrite (Delta ``replaceWhere``): atomically
+    replace every row with ``lo <= col <= hi`` by ``df``, in ONE
+    commit. The incoming batch must itself satisfy the predicate
+    (rows outside the range reject the commit — Delta semantics), so
+    concurrent readers flip from old range-contents to new with no
+    intermediate state.
+
+    File handling is three-way, decided driver-side from the manifest:
+      - files PROVABLY fully inside the range (partition tuple, or
+        zone-map [min,max] within [lo,hi]) are DROPPED — zero IO;
+      - files provably disjoint (partition tuple or zone map) are
+        CARRIED by reference — zero IO;
+      - straddling files are rewritten minus the matching rows
+        (copy-on-write, the only data IO besides writing ``df``).
+    On a partition-aligned overwrite of a partitioned table the
+    straddle set is empty: the whole operation is "write the new
+    partition, swap manifests" — exactly how a 100 TB table replaces
+    one day of data."""
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    sch = _resolve_commit_schema(prev, df, evolve)
+    _check_constraints(prev, df)
+    in_range = (F.col(col) >= lo) & (F.col(col) <= hi)
+    stray = df.filter(~in_range | F.col(col).isNull()).limit(1).collect()
+    if stray:
+        raise ValueError(
+            f"replaceWhere: incoming batch has rows outside "
+            f"{lo!r} <= {col} <= {hi!r}, e.g. {stray[0].asDict()}"
+        )
+    stats = prev.get("stats", {})
+    carried, straddle = [], []
+    for fn in prev["files"]:
+        rng = stats.get(fn, {}).get(col)
+        fully_inside = _partition_fully_inside(prev, fn, col, lo, hi) or (
+            rng is not None
+            and rng[0] is not None
+            and lo <= rng[0]
+            and rng[1] <= hi
+        )
+        if fully_inside:
+            continue  # dropped: every row is being replaced
+        disjoint = not _partition_keep(prev, fn, col, lo, hi) or (
+            rng is not None and (rng[1] < lo or rng[0] > hi)
+        )
+        if disjoint:
+            carried.append(fn)
+        else:
+            straddle.append(fn)
+    new_files = list(carried)
+    st: dict = {}
+    pt: dict = {}
+    sid, spec = _current_spec(prev)
+    wkw = dict(
+        stats=st, spec=spec, spec_id=sid, partitions=pt,
+        schema_json=prev.get("schema"),
+    )
+    if straddle:
+        # NULL col rows never match the range predicate, so they survive
+        kept = _read_with_deletes(spark, root, prev, straddle).filter(
+            ~((F.col(col) >= lo) & (F.col(col) <= hi)) | F.col(col).isNull()
+        )
+        new_files += _write_data_files(spark, root, kept, **wkw)
+    new_files += _write_data_files(spark, root, df, **wkw)
+    _publish(
+        root,
+        prev_v + 1,
+        _next_payload(
+            prev,
+            prev_v + 1,
+            "replace_where",
+            new_files,
+            schema=sch,
+            stats=st,
+            new_partitions=pt,
+        ),
     )
     return prev_v + 1
 
@@ -1085,11 +1572,21 @@ def optimize(spark: SparkSession, root: str, target_files: int = 1) -> int:
         target_files
     )
     st: dict = {}
-    files = _write_data_files(spark, root, df, stats=st)
+    pt: dict = {}
+    sid, spec = _current_spec(prev)
+    # a partitioned table compacts WITHIN partitions (one file per
+    # partition tuple) so the rewritten files keep their tuples and
+    # partition pruning survives compaction
+    files = _write_data_files(
+        spark, root, df, stats=st, spec=spec, spec_id=sid,
+        partitions=pt, schema_json=prev.get("schema"),
+    )
     _publish(
         root,
         prev_v + 1,
-        _next_payload(prev, prev_v + 1, "optimize", files, stats=st),
+        _next_payload(
+            prev, prev_v + 1, "optimize", files, stats=st, new_partitions=pt
+        ),
     )
     return prev_v + 1
 
@@ -1331,11 +1828,18 @@ def commit_merge(
     _check_constraints(prev, result)
     new_files = list(untouched)
     st: dict = {}
-    new_files += _write_data_files(spark, root, result, stats=st)
+    pt: dict = {}
+    sid, spec = _current_spec(prev)
+    new_files += _write_data_files(
+        spark, root, result, stats=st, spec=spec, spec_id=sid,
+        partitions=pt, schema_json=prev.get("schema"),
+    )
     _publish(
         root,
         prev_v + 1,
-        _next_payload(prev, prev_v + 1, "merge", new_files, stats=st),
+        _next_payload(
+            prev, prev_v + 1, "merge", new_files, stats=st, new_partitions=pt
+        ),
     )
     return prev_v + 1
 

@@ -4640,6 +4640,13 @@ _DRIVER_WINDOW_PRIORITY = [
     #   price_volume_mix_decomposition, sequence_gap_audit,
     #   rollup_cascade_parity, fk_discovery_containment,
     #   state_machine_conformance, nucleus_coverage_stats, source_jsd_matrix
+    # plus the entries added after the r06 freeze:
+    #   tablefmt_upgrade_audit, tablefmt_staging_vacuum_audit,
+    #   tablefmt_mor_delete_audit, tablefmt_bloom_skipping,
+    #   streaming_mor_cdc_sink, tablefmt_constraints_audit,
+    #   tablefmt_restore_clone_audit, tablefmt_metadata_agg_audit,
+    #   tablefmt_partition_pruning, tablefmt_replace_where_audit,
+    #   tablefmt_partition_evolution_audit
     "tablefmt_stats_pruned_read",
     "tablefmt_zorder_skipping",
     "tablefmt_cdf_counts",
@@ -16463,6 +16470,197 @@ def tablefmt_metadata_agg_audit(spark, sf_dir):
         F.lit(meta_mm[1]).cast("long").alias("max_key"),
         F.lit(matches).alias("agg_matches_scan"),
         F.lit(refuses).alias("refuses_under_mor"),
+    )
+
+
+@query(
+    "tablefmt_partition_pruning",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(value), 2) AS sum_value,
+           (SELECT n FROM days) AS n_files_total,
+           CAST(3 AS BIGINT) AS n_files_scanned
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-12 23:59:59'
+    """,
+)
+def tablefmt_partition_pruning(spark, sf_dir):
+    """HIDDEN PARTITIONING (operators/tablefmt.py::create(partition_by=)
+    — Iceberg-style transforms, here ``day(ts)``): the table lands as
+    one file per day with its partition TUPLE recorded in the manifest,
+    and a 3-day range probe on the SOURCE timestamp column must (a)
+    return exactly what the plain filter returns (the oracle recomputes
+    count+sum with the same bounds) and (b) SCAN exactly 3 of the ~30
+    day-files, pinned from the executed read's `inputFiles()`. Unlike
+    Hive partitioning the user never sees or maintains a partition
+    column — pruning maps the ts-range probe onto the transform
+    driver-side with zero IO and zero Spark jobs. This is THE layout
+    decision that makes a time-ranged query on a 100 TB event table
+    read only the days it asks for."""
+    import datetime as _dtm
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_hpart_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tf.create(spark, root, ev, partition_by=["day(ts)"])
+    lo = _dtm.datetime(2024, 1, 10, 0, 0, 0)
+    hi = _dtm.datetime(2024, 1, 12, 23, 59, 59)
+    pruned = tf.read_pruned(spark, root, "ts", lo, hi)
+    n_scanned = len(pruned.inputFiles())
+    n_total = len(tf._load_manifest(root, None)["files"])
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.lit(n_total).cast("long").alias("n_files_total"),
+        F.lit(n_scanned).cast("long").alias("n_files_scanned"),
+    )
+
+
+@query(
+    "tablefmt_replace_where_audit",
+    oracle="""
+    WITH tgt AS (
+      SELECT min(event_type) AS ty FROM events
+    )
+    SELECT CAST((SELECT count(*) FROM events) AS BIGINT) AS n_rows,
+           ROUND((SELECT 2 * sum(value) FROM events, tgt
+                  WHERE event_type = tgt.ty), 2) AS sum_replaced,
+           ROUND((SELECT sum(value) FROM events, tgt
+                  WHERE event_type = tgt.ty), 2) AS sum_v0,
+           TRUE AS partition_aligned,
+           TRUE AS rejects_stray_rows
+    """,
+)
+def tablefmt_replace_where_audit(spark, sf_dir):
+    """Dynamic partition overwrite (operators/tablefmt.py::
+    commit_replace_where — Delta ``replaceWhere``): on a table
+    partitioned by event_type, replacing one type's rows (values
+    doubled) must swap EXACTLY that partition — every other
+    partition's files carried BY REFERENCE with zero IO
+    (``partition_aligned`` pins carried == all-but-replaced from the
+    manifests), the replaced slice's sum doubles (oracle recomputes
+    both sums from source), version 0 still reads the original sum
+    (snapshot isolation across the overwrite), and a batch containing
+    rows OUTSIDE the predicate rejects the commit before any manifest
+    is published (Delta semantics, pinned). At 100 TB this is the
+    idempotent daily-reload primitive: rewrite one partition, swap
+    manifests, readers never see a half-replaced table."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_rwhere_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tf.create(spark, root, ev, partition_by=["event_type"])
+    man0 = tf._load_manifest(root, None)
+    ty = ev.agg(F.min("event_type")).collect()[0][0]
+    repl = ev.filter(F.col("event_type") == ty).withColumn(
+        "value", F.col("value") * 2
+    )
+    v1 = tf.commit_replace_where(spark, root, "event_type", ty, ty, repl)
+    man1 = tf._load_manifest(root, v1)
+    carried = set(man0["files"]) & set(man1["files"])
+    dropped = set(man0["files"]) - set(man1["files"])
+    aligned = len(carried) == len(man0["files"]) - len(dropped) and dropped
+    try:
+        tf.commit_replace_where(spark, root, "event_type", ty, ty, ev.limit(9))
+        rejects = False
+    except ValueError:
+        rejects = True
+    cur = tf.read(spark, root)
+    sum_v0 = (
+        tf.read(spark, root, version=0)
+        .filter(F.col("event_type") == ty)
+        .agg(F.round(F.sum("value"), 2))
+        .collect()[0][0]
+    )
+    return cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == ty, F.col("value"))), 2
+        ).alias("sum_replaced"),
+        F.lit(sum_v0).alias("sum_v0"),
+        F.lit(bool(aligned)).alias("partition_aligned"),
+        F.lit(rejects).alias("rejects_stray_rows"),
+    )
+
+
+@query(
+    "tablefmt_partition_evolution_audit",
+    oracle="""
+    SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+           TRUE AS evolution_metadata_only,
+           TRUE AS old_spec_prunes,
+           TRUE AS new_spec_prunes
+    FROM events
+    """,
+)
+def tablefmt_partition_evolution_audit(spark, sf_dir):
+    """PARTITION EVOLUTION (operators/tablefmt.py::set_partition_spec —
+    the Iceberg capability Hive-style layouts cannot offer): a table
+    partitioned by ``day(ts)`` switches its spec to ``event_type``
+    with a METADATA-ONLY commit (pinned: the file set is byte-for-byte
+    the previous version's — no rewrite), new appends partition under
+    the new spec, and pruning then works PER FILE under the spec each
+    file was WRITTEN with: a ts-day probe still skips the old
+    day-files (``old_spec_prunes``), an event-type probe skips the new
+    type-files (``new_spec_prunes``), and both probes stay exactly
+    row-correct against the full scan. At 100 TB this is how a table
+    changes its partitioning strategy without rewriting history."""
+    import datetime as _dtm
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_pevol_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    tf.create(spark, root, ev, partition_by=["day(ts)"])
+    files_v0 = set(tf._load_manifest(root, None)["files"])
+    v1 = tf.set_partition_spec(root, ["event_type"])
+    meta_only = set(tf._load_manifest(root, v1)["files"]) == files_v0
+    v2 = tf.commit_append(
+        spark, root, ev.withColumn("event_id", F.col("event_id") + 10**9)
+    )
+    man = tf._load_manifest(root, v2)
+    n_total = len(man["files"])
+    full = tf.read(spark, root)
+    lo = _dtm.datetime(2024, 1, 10, 0, 0, 0)
+    hi = _dtm.datetime(2024, 1, 10, 23, 59, 59)
+    by_ts = tf.read_pruned(spark, root, "ts", lo, hi)
+    old_prunes = (
+        len(by_ts.inputFiles()) < n_total
+        and by_ts.count()
+        == full.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+    )
+    ty = ev.agg(F.min("event_type")).collect()[0][0]
+    by_ty = tf.read_pruned(spark, root, "event_type", ty, ty)
+    new_prunes = (
+        len(by_ty.inputFiles()) < n_total
+        and by_ty.count() == full.filter(F.col("event_type") == ty).count()
+    )
+    return full.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(bool(meta_only)).alias("evolution_metadata_only"),
+        F.lit(bool(old_prunes)).alias("old_spec_prunes"),
+        F.lit(bool(new_prunes)).alias("new_spec_prunes"),
     )
 
 

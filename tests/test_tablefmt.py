@@ -859,3 +859,168 @@ def test_metadata_count_refuses_without_recorded_rows(spark, root):
         json.dump(man, f)
     assert tf.snapshot_row_count(root) is None  # pre-rows manifest
     assert tf.upgrade_stats(spark, root) == 0  # column stats present: no-op
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning (Iceberg-style transforms + partition evolution)
+# ---------------------------------------------------------------------------
+
+
+def _part_df(spark):
+    import datetime as dt
+
+    rows = [
+        (i, f"u{i % 3}", dt.datetime(2024, 1, 1 + i % 4, i % 24, 0, 0), float(i))
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, ["k", "grp", "ts", "v"])
+
+
+def test_partitioned_create_identity_pruning(spark, root):
+    df = _part_df(spark)
+    tf.create(spark, root, df, partition_by=["grp"])
+    man = tf._load_manifest(root, None)
+    assert man["current_spec"] == "0" and man["specs"] == {"0": ["grp"]}
+    assert len(man["files"]) == 3  # one per grp value
+    assert all(
+        p["spec"] == "0" and len(p["tuple"]) == 1
+        for p in man["partitions"].values()
+    )
+    # data files keep the ORIGINAL columns (the __p* copies live only
+    # in staging directory names)
+    assert set(tf.read(spark, root).columns) == {"k", "grp", "ts", "v"}
+    pr = tf.read_pruned(spark, root, "grp", "u1", "u1")
+    assert len(pr.inputFiles()) == 1  # tuple-level skip, no zone map needed
+    assert pr.count() == df.filter(F.col("grp") == "u1").count()
+
+
+def test_day_transform_range_pruning(spark, root):
+    import datetime as dt
+
+    df = _part_df(spark)
+    tf.create(spark, root, df, partition_by=["day(ts)"])
+    man = tf._load_manifest(root, None)
+    assert len(man["files"]) == 4  # 4 distinct days
+    lo = dt.datetime(2024, 1, 2, 0, 0, 0)
+    hi = dt.datetime(2024, 1, 3, 23, 59, 59)
+    pr = tf.read_pruned(spark, root, "ts", lo, hi)
+    assert len(pr.inputFiles()) == 2  # exactly the two covered days
+    assert pr.count() == df.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+
+
+def test_bucket_transform_equality_pruning(spark, root):
+    df = _part_df(spark)
+    tf.create(spark, root, df, partition_by=["bucket(4, k)"])
+    man = tf._load_manifest(root, None)
+    assert sorted({p["tuple"][0] for p in man["partitions"].values()}) == [0, 1, 2, 3]
+    pr = tf.read_pruned(spark, root, "k", 17, 17)
+    assert len(pr.inputFiles()) == 1  # crc32 bucket computed driver-side
+    assert pr.count() == 1
+    # a RANGE probe must not prune on a hash bucket (not monotone)
+    pr_range = tf.read_pruned(spark, root, "k", 0, 39)
+    assert pr_range.count() == 40
+
+
+def test_partition_tuples_survive_upsert_and_optimize(spark, root):
+    df = _part_df(spark)
+    tf.create(spark, root, df, partition_by=["grp"])
+    import datetime as dt
+
+    ups = spark.createDataFrame(
+        [(1, "u1", dt.datetime(2024, 1, 5), 99.0)], ["k", "grp", "ts", "v"]
+    )
+    tf.commit_upsert(spark, root, ups, "k")
+    tf.optimize(spark, root)
+    man = tf._load_manifest(root, None)
+    # every surviving file still carries a tuple: pruning works post-compaction
+    assert set(man["partitions"]) == set(man["files"])
+    pr = tf.read_pruned(spark, root, "grp", "u2", "u2")
+    assert len(pr.inputFiles()) == 1
+    assert pr.count() == _part_df(spark).filter(F.col("grp") == "u2").count()
+
+
+def test_partition_evolution_prunes_each_file_under_its_spec(spark, root):
+    import datetime as dt
+
+    df = _part_df(spark)
+    tf.create(spark, root, df, partition_by=["day(ts)"])
+    n_v0 = len(tf._load_manifest(root, None)["files"])
+    tf.set_partition_spec(root, ["grp"])  # metadata-only: no rewrite
+    man1 = tf._load_manifest(root, None)
+    assert man1["current_spec"] == "1"
+    assert set(man1["files"]) == set(tf._load_manifest(root, 0)["files"])
+    more = df.withColumn("k", F.col("k") + 100)
+    tf.commit_append(spark, root, more)
+    man2 = tf._load_manifest(root, None)
+    assert {p["spec"] for p in man2["partitions"].values()} == {"0", "1"}
+    # grp probe prunes the NEW files (spec 1) but keeps all old day-files
+    pr = tf.read_pruned(spark, root, "grp", "u0", "u0")
+    assert len(pr.inputFiles()) == n_v0 + 1
+    assert pr.count() == df.filter(F.col("grp") == "u0").count() * 2
+    # ts probe prunes the OLD files (spec 0) under their original spec
+    lo, hi = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 23, 59, 59)
+    pr2 = tf.read_pruned(spark, root, "ts", lo, hi)
+    exp = df.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count() * 2
+    assert pr2.count() == exp
+    assert len(pr2.inputFiles()) < len(man2["files"])
+
+
+def test_replace_where_is_partition_aligned_swap(spark, root):
+    df = _part_df(spark)
+    tf.create(spark, root, df, partition_by=["grp"])
+    man0 = tf._load_manifest(root, None)
+    new_u1 = (
+        df.filter(F.col("grp") == "u1")
+        .withColumn("v", F.col("v") * 10)
+        .limit(5)
+    )
+    v = tf.commit_replace_where(spark, root, "grp", "u1", "u1", new_u1)
+    man1 = tf._load_manifest(root, v)
+    carried = set(man0["files"]) & set(man1["files"])
+    # partition-aligned: the other two partitions carried BY REFERENCE,
+    # zero straddle rewrites
+    assert len(carried) == 2
+    got = tf.read(spark, root)
+    assert got.filter(F.col("grp") == "u1").count() == 5
+    assert got.filter(F.col("grp") != "u1").count() == df.filter(
+        F.col("grp") != "u1"
+    ).count()
+
+
+def test_replace_where_rejects_rows_outside_predicate(spark, root):
+    df = _part_df(spark)
+    tf.create(spark, root, df, partition_by=["grp"])
+    with pytest.raises(ValueError, match="outside"):
+        tf.commit_replace_where(spark, root, "grp", "u1", "u1", df.limit(10))
+
+
+def test_replace_where_unpartitioned_falls_back_to_zone_maps(spark, root):
+    # replaceWhere works on ANY table: zone maps decide drop/carry/straddle
+    df = _part_df(spark)
+    tf.create(spark, root, df.repartitionByRange(4, "k").sortWithinPartitions("k"))
+    man0 = tf._load_manifest(root, None)
+    repl = df.filter((F.col("k") >= 10) & (F.col("k") <= 19)).withColumn(
+        "v", F.lit(0.0)
+    )
+    v = tf.commit_replace_where(spark, root, "k", 10, 19, repl)
+    man1 = tf._load_manifest(root, v)
+    assert set(man0["files"]) & set(man1["files"])  # disjoint files carried
+    got = tf.read(spark, root, version=v)
+    assert got.count() == 40
+    assert got.filter((F.col("k") >= 10) & (F.col("k") <= 19)).agg(
+        F.sum("v")
+    ).collect()[0][0] == 0.0
+
+
+def test_narrow_batch_missing_partition_column_stays_readable(spark, root):
+    df = _part_df(spark)
+    tf.create(spark, root, df, partition_by=["day(ts)"])
+    narrow = spark.createDataFrame([(1000, "u9")], ["k", "grp"])
+    tf.commit_append(spark, root, narrow)  # subset write: unpartitionable
+    man = tf._load_manifest(root, None)
+    unpart = [f for f in man["files"] if f not in man.get("partitions", {})]
+    assert unpart  # the narrow batch's files carry no tuple...
+    pr = tf.read_pruned(spark, root, "k", 1000, 1000)
+    scanned = {os.path.basename(p) for p in pr.inputFiles()}
+    assert scanned & set(unpart)
+    assert pr.count() == 1  # ...and are conservatively scanned, never lost
