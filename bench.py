@@ -206,6 +206,7 @@ HEADLINE = [
     "tablefmt_partition_pruning",
     "tablefmt_replace_where_audit",
     "tablefmt_partition_evolution_audit",
+    "tablefmt_readstream_audit",
     "weak_label_model",
     "bfs_blast_radius",
     "embedding_class_separation",

@@ -4646,7 +4646,7 @@ _DRIVER_WINDOW_PRIORITY = [
     #   streaming_mor_cdc_sink, tablefmt_constraints_audit,
     #   tablefmt_restore_clone_audit, tablefmt_metadata_agg_audit,
     #   tablefmt_partition_pruning, tablefmt_replace_where_audit,
-    #   tablefmt_partition_evolution_audit
+    #   tablefmt_partition_evolution_audit, tablefmt_readstream_audit
     "tablefmt_stats_pruned_read",
     "tablefmt_zorder_skipping",
     "tablefmt_cdf_counts",
@@ -16661,6 +16661,84 @@ def tablefmt_partition_evolution_audit(spark, sf_dir):
         F.lit(bool(meta_only)).alias("evolution_metadata_only"),
         F.lit(bool(old_prunes)).alias("old_spec_prunes"),
         F.lit(bool(new_prunes)).alias("new_spec_prunes"),
+    )
+
+
+@query(
+    "tablefmt_readstream_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(value), 2) AS sum_value,
+           TRUE AS exactly_once,
+           TRUE AS resume_incremental
+    FROM events
+    """,
+)
+def tablefmt_readstream_audit(spark, sf_dir):
+    """The table as a STREAMING SOURCE (sources/tablefmt_stream.py —
+    Delta ``readStream`` parity via Spark 4's Python streaming
+    DataSource): offsets are table versions, so a checkpointed
+    consumer gets each committed row EXACTLY ONCE. Pinned here:
+    a first drain replays two append commits from version 0; an
+    OPTIMIZE rewrite then lands (same rows, new files) followed by a
+    third append; the second drain — resuming from the SAME
+    checkpoint — must emit ONLY the third append (``resume_
+    incremental``: the rewrite's files are recognized as
+    dataChange=false and skipped, nothing re-emitted, nothing lost).
+    The sink's totals equal the source table's (oracle recomputes from
+    events), and ``exactly_once`` pins zero duplicate event_ids.
+    Offset resolution is O(commits) driver-side manifest metadata;
+    rows move as Arrow RecordBatches with one input partition per
+    added file — the fan-out a 100 TB backfill needs."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+    from lottery_end_to_end_etl_data_pipeline_spark.sources import (
+        tablefmt_stream as tstream,
+    )
+
+    tstream.register(spark)
+    tag = abs(hash(sf_dir)) % 10**8
+    base = f"{tempfile.gettempdir()}/spark_graft_rstream_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    root, ckpt, out = f"{base}/t", f"{base}/ck", f"{base}/out"
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    tf.create(spark, root, ev.filter(F.col("event_id") % 3 == 0).coalesce(2))
+    tf.commit_append(
+        spark, root, ev.filter(F.col("event_id") % 3 == 1).coalesce(2)
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("tablefmt_stream")
+            .option("startingVersion", -1)
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    n_first = spark.read.parquet(out).count()
+    tf.optimize(spark, root)  # rewrite: must NOT re-emit
+    tf.commit_append(
+        spark, root, ev.filter(F.col("event_id") % 3 == 2).coalesce(2)
+    )
+    drain()
+    sink = spark.read.parquet(out)
+    n_expected_first = ev.filter(F.col("event_id") % 3 < 2).count()
+    resume_ok = n_first == n_expected_first
+    return sink.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.count(F.lit(1)) == F.countDistinct("event_id")).alias(
+            "exactly_once"
+        ),
+        F.lit(bool(resume_ok)).alias("resume_incremental"),
     )
 
 

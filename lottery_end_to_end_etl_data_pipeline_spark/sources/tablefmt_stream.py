@@ -1,0 +1,226 @@
+"""Structured-Streaming SOURCE over the versioned table format —
+``spark.readStream.format("tablefmt_stream").load(<table root>)``.
+
+Delta Lake exposes every table as a streaming source (micro-batches =
+commit ranges, offsets = versions); this module gives the repo's
+lakehouse layer (`operators/tablefmt.py`) the same capability through
+Spark 4's Python streaming DataSource API (`DataSourceStreamReader`).
+The reference has no streaming story at all (batch Lambda + CTAS,
+reference terraform/modules/orchestration/main.tf); this is the
+capability a production lake uses to fan a table out to downstream
+consumers without re-scanning it.
+
+Semantics (mirroring Delta's ``readStream`` contract):
+
+- OFFSETS are table versions. A micro-batch covers the commits in
+  ``(start_version, end_version]``; Structured Streaming checkpoints
+  the offsets, and because manifests and data files are immutable a
+  replayed range yields byte-identical rows — exactly-once end to end
+  when paired with an idempotent sink.
+- APPEND commits ("create"/"append") stream exactly their ADDED files.
+- REWRITE commits that change no rows ("optimize"/"zorder") are
+  skipped silently — their files carry no new data (Delta's
+  ``dataChange=false`` behavior).
+- Pure-metadata commits (constraints, spec changes, stats upgrades,
+  staging publishes) are skipped.
+- CHANGE commits ("upsert"/"delete"/"merge"/"replace_where"/
+  "delete_mor"/"delete_keys"/"restore") RAISE by default — silently
+  streaming them would duplicate or lose rows. Pass
+  ``.option("skipChangeCommits", "true")`` to skip them wholesale
+  (Delta's option of the same name).
+- ``.option("startingVersion", N)`` begins at version N (default: the
+  table's CURRENT version at stream start, i.e. only new commits —
+  pass 0 to replay history; requires those manifests to be retained,
+  so mind `vacuum`'s ``keep_versions``).
+
+Scale shape: offset resolution and partition planning are driver-side
+manifest reads (KB-sized JSON, O(commits) — never O(data)); each added
+file becomes one input partition, so a large append fans out across
+the cluster, and rows move as Arrow RecordBatches (vectorized, never
+row-at-a-time Python). Backpressure comes from
+``maxFilesPerTrigger`` (default 64): ``latestOffset`` advances at most
+that many files per micro-batch, so a backfill of 10k files drains as
+bounded batches instead of one giant one under a continuous trigger.
+(``Trigger.AvailableNow`` snapshots the FIRST offset ``latestOffset``
+returns as its end — one bounded batch per invocation — so a full
+drain under pacing uses a processingTime trigger; the checkpoint makes
+repeated availableNow invocations equivalent.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+# actions whose added files are NEW rows (stream them)
+_APPEND_ACTIONS = {"create", "append", "publish_append"}
+# actions that add files but change no rows (skip silently)
+_REWRITE_ACTIONS = {"optimize", "zorder"}
+# actions that change or remove rows (error unless skipChangeCommits)
+_CHANGE_ACTIONS = {
+    "upsert",
+    "delete",
+    "merge",
+    "replace_where",
+    "delete_mor",
+    "delete_keys",
+    "restore",
+}
+
+
+def _manifest(root: str, v: int) -> dict:
+    with open(os.path.join(root, "_log", f"v{v:05d}.json")) as f:
+        return json.load(f)
+
+
+def _current_version(root: str) -> int:
+    log = os.path.join(root, "_log")
+    vs = [
+        int(f[1:6])
+        for f in os.listdir(log)
+        if f.startswith("v") and f.endswith(".json") and f[1:6].isdigit()
+    ]
+    if not vs:
+        raise FileNotFoundError(f"no commits under {root}")
+    return max(vs)
+
+
+class _FilesPartition(InputPartition):
+    def __init__(self, paths: tuple, columns: tuple):
+        self.paths = paths
+        self.columns = columns
+
+
+class TableChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError(
+                "tablefmt_stream requires the table root: .load(<root>)"
+            )
+        self.schema = schema
+        self.skip_change = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        sv = options.get("startingVersion")
+        # default: only commits AFTER stream start (Delta's default)
+        self.start_version = (
+            int(sv) if sv is not None else _current_version(self.root)
+        )
+        self.max_files = int(options.get("maxFilesPerTrigger", "64"))
+
+    # -- offset management (driver-side manifest metadata only) -------
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def _added_files(self, v: int) -> list[str]:
+        """Files a commit ADDED, classified by its action."""
+        man = _manifest(self.root, v)
+        action = man.get("action", "")
+        if action in _REWRITE_ACTIONS:
+            return []
+        if action in _CHANGE_ACTIONS:
+            if self.skip_change:
+                return []
+            raise ValueError(
+                f"tablefmt_stream: commit v{v} is a {action!r} (a change "
+                "commit); streaming it would duplicate or drop rows. Set "
+                ".option('skipChangeCommits', 'true') to skip such commits, "
+                "or start past them with .option('startingVersion', N)"
+            )
+        prev = set(_manifest(self.root, v - 1)["files"]) if v > 0 else set()
+        return [f for f in man["files"] if f not in prev]
+
+    def latestOffset(self) -> dict:
+        """Advance at most ``maxFilesPerTrigger`` files per batch —
+        bounded micro-batches under backfill, O(commits) driver work."""
+        # Spark guarantees latestOffset is called after initialOffset /
+        # checkpoint restore; track progress via the last end we handed
+        # out (partitions() receives the authoritative start anyway).
+        cur = _current_version(self.root)
+        start = getattr(self, "_last_end", None)
+        if start is None:
+            start = self.start_version
+        n = 0
+        end = start
+        for v in range(start + 1, cur + 1):
+            n += len(self._added_files(v))
+            end = v
+            if n >= self.max_files:
+                break
+        self._last_end = end
+        return {"version": end}
+
+    def partitions(self, start: dict, end: dict):
+        files: list[str] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            files.extend(self._added_files(v))
+        cols = tuple(f.name for f in self.schema.fields)
+        data = os.path.join(self.root, "data")
+        if not files:
+            # Spark requires >= 1 partition; an empty file list reads 0 rows
+            return [_FilesPartition((), cols)]
+        return [
+            _FilesPartition((os.path.join(data, f),), cols) for f in files
+        ]
+
+    # -- executor-side read: Arrow batches, never row-at-a-time -------
+
+    def read(self, partition: _FilesPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for path in partition.paths:
+            tbl = pq.read_table(path)
+            # align to the declared schema: narrow appends may lack
+            # columns (read back as NULL), and field order must match
+            arrays = []
+            for name in partition.columns:
+                if name in tbl.column_names:
+                    arrays.append(tbl.column(name))
+                else:
+                    arrays.append(pa.nulls(tbl.num_rows))
+            aligned = pa.table(dict(zip(partition.columns, arrays)))
+            for batch in aligned.to_batches():
+                yield batch
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint; nothing to clean
+
+
+class TableChangesDataSource(DataSource):
+    """``spark.readStream.format("tablefmt_stream").load(root)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tablefmt_stream"
+
+    def schema(self):
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                "tablefmt_stream requires the table root: .load(<root>)"
+            )
+        man = _manifest(root, _current_version(root))
+        sch = man.get("schema")
+        if sch is None:
+            raise ValueError(
+                f"table {root} has no recorded schema (pre-schema manifest); "
+                "run one schema-carrying commit before streaming it"
+            )
+        return StructType.fromJson(sch)
+
+    def streamReader(self, schema: StructType) -> TableChangesStreamReader:
+        return TableChangesStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(TableChangesDataSource)

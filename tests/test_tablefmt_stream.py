@@ -1,0 +1,153 @@
+"""Streaming SOURCE over the table format (Delta readStream parity):
+version offsets, checkpoint resume, rewrite skipping, change-commit
+refusal, schema alignment for narrow appends."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+from lottery_end_to_end_etl_data_pipeline_spark.sources import tablefmt_stream as ts
+
+
+@pytest.fixture()
+def dirs():
+    base = tempfile.mkdtemp(prefix="tfstream_")
+    yield {
+        "root": os.path.join(base, "t"),
+        "ckpt": os.path.join(base, "ck"),
+        "out": os.path.join(base, "out"),
+    }
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _drain(spark, d, **opts):
+    reader = spark.readStream.format("tablefmt_stream").option(
+        "startingVersion", -1
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(d["root"])
+        .writeStream.format("parquet")
+        .option("path", d["out"])
+        .option("checkpointLocation", d["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def _sink_rows(spark, d):
+    return sorted(
+        (r.k, r.v) for r in spark.read.parquet(d["out"]).collect()
+    )
+
+
+def test_stream_replays_history_exactly_once(spark, dirs):
+    ts.register(spark)
+    tf.create(spark, dirs["root"], spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    tf.commit_append(spark, dirs["root"], spark.createDataFrame([(3, "c")], ["k", "v"]))
+    _drain(spark, dirs)
+    assert _sink_rows(spark, dirs) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_resumes_from_checkpoint_and_skips_rewrites(spark, dirs):
+    ts.register(spark)
+    tf.create(spark, dirs["root"], spark.createDataFrame([(1, "a")], ["k", "v"]))
+    _drain(spark, dirs)
+    tf.commit_append(spark, dirs["root"], spark.createDataFrame([(2, "b")], ["k", "v"]))
+    tf.optimize(spark, dirs["root"])  # rewrite: same rows, new files
+    tf.optimize_zorder(spark, dirs["root"], ["k"], target_files=1)
+    tf.commit_append(spark, dirs["root"], spark.createDataFrame([(3, "c")], ["k", "v"]))
+    _drain(spark, dirs)
+    # the optimize/zorder files must NOT re-emit rows 1-2
+    assert _sink_rows(spark, dirs) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_change_commit_raises_unless_skipped(spark, dirs):
+    ts.register(spark)
+    tf.create(spark, dirs["root"], spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    tf.commit_delete_mor(dirs["root"], "k = 1")
+    tf.commit_append(spark, dirs["root"], spark.createDataFrame([(3, "c")], ["k", "v"]))
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _drain(spark, dirs)
+    import shutil
+
+    shutil.rmtree(dirs["ckpt"], ignore_errors=True)
+    shutil.rmtree(dirs["out"], ignore_errors=True)
+    _drain(spark, dirs, skipChangeCommits="true")
+    # the delete commit is skipped wholesale; appends flow as written
+    assert _sink_rows(spark, dirs) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_narrow_append_backfills_missing_columns_as_null(spark, dirs):
+    ts.register(spark)
+    tf.create(spark, dirs["root"], spark.createDataFrame([(1, "a")], ["k", "v"]))
+    tf.commit_append(spark, dirs["root"], spark.createDataFrame([(2,)], ["k"]))
+    _drain(spark, dirs)
+    assert _sink_rows(spark, dirs) == [(1, "a"), (2, None)]
+
+
+def test_max_files_per_trigger_bounds_microbatches(spark, dirs):
+    # pacing needs a continuous trigger: availableNow snapshots the
+    # FIRST paced offset as its end, by design (one bounded batch)
+    import time
+
+    ts.register(spark)
+    tf.create(spark, dirs["root"], spark.createDataFrame([(1, "a")], ["k", "v"]))
+    for i in range(2, 6):
+        tf.commit_append(
+            spark, dirs["root"],
+            spark.createDataFrame([(i, chr(96 + i))], ["k", "v"]),
+        )
+    q = (
+        spark.readStream.format("tablefmt_stream")
+        .option("startingVersion", -1)
+        .option("maxFilesPerTrigger", "1")
+        .load(dirs["root"])
+        .writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            try:
+                if len(_sink_rows(spark, dirs)) >= 5:
+                    break
+            except Exception:
+                pass  # sink not yet materialized
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(_sink_rows(spark, dirs)) == 5  # nothing lost under pacing
+    offsets = os.listdir(os.path.join(dirs["ckpt"], "offsets"))
+    assert len(offsets) > 2  # backfill drained as MULTIPLE bounded batches
+
+
+def test_stream_defaults_to_new_commits_only(spark, dirs):
+    ts.register(spark)
+    tf.create(spark, dirs["root"], spark.createDataFrame([(1, "a")], ["k", "v"]))
+    q = (
+        spark.readStream.format("tablefmt_stream")
+        .load(dirs["root"])  # no startingVersion: current version onward
+        .writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import glob
+
+    files = glob.glob(os.path.join(dirs["out"], "*.parquet"))
+    if files:
+        assert spark.read.parquet(dirs["out"]).count() == 0
