@@ -369,6 +369,9 @@ def _write_data_files(
     spec_id: str | None = None,
     partitions: dict | None = None,
     schema_json: dict | None = None,
+    sort_within: str | None = None,
+    drop_cols: tuple = (),
+    n_files: int | None = None,
 ) -> list[str]:
     """Write df as new immutable data files; return their names.
     When ``stats`` (a dict to fill) is given, each new file's
@@ -399,12 +402,27 @@ def _write_data_files(
         w = df
         for pc, tr in zip(pcols, trs):
             w = w.withColumn(pc, _transform_expr(tr, df))
-        (
-            w.repartition(*[F.col(pc) for pc in pcols])
-            .write.mode("overwrite")
-            .partitionBy(*pcols)
-            .parquet(staging)
-        )
+        if sort_within and n_files:
+            # cluster inside partitions (e.g. Z-order): one RANGE
+            # shuffle on (partition tuple, cluster key) splits big
+            # partitions into several cluster-tight files — each file
+            # stays inside ONE partition directory, so tuples are
+            # preserved AND zone maps on the clustered columns are
+            # tight per file
+            w = w.repartitionByRange(
+                n_files, *[F.col(pc) for pc in pcols], F.col(sort_within)
+            )
+        else:
+            w = w.repartition(*[F.col(pc) for pc in pcols])
+        if sort_within:
+            # sort by (tuple, key) so a range task straddling two
+            # partition directories still writes each file in key
+            # order; the narrow projection after the sort preserves
+            # per-task row order into the written files
+            w = w.sortWithinPartitions(*pcols, sort_within)
+        if drop_cols:
+            w = w.drop(*drop_cols)
+        w.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
         found = []
         for dirpath, _dirs, fns in os.walk(staging):
             for fn in fns:
@@ -1642,16 +1660,36 @@ def optimize_zorder(
         for j, sc in enumerate(scaled):
             bit = F.shiftright(sc, i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
-    clustered = (
-        df.withColumn("_z", z)
-        .repartitionByRange(target_files, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
-    )
     st: dict = {}
-    files = _write_data_files(spark, root, clustered, stats=st)
+    pt: dict = {}
+    sid, spec = _current_spec(prev)
+    if spec:
+        # partitioned table: cluster WITHIN partitions — rows hash to
+        # their partition tuple (as every partitioned write does) and
+        # sort by Z-value inside each, so the rewritten files keep
+        # their partition tuples (partition pruning survives the
+        # zorder) AND get tight per-file zone maps on the clustered
+        # columns within each partition
+        clustered = df.withColumn("_z", z)
+        files = _write_data_files(
+            spark, root, clustered, stats=st, spec=spec, spec_id=sid,
+            partitions=pt, schema_json=prev.get("schema"),
+            sort_within="_z", drop_cols=("_z",), n_files=target_files,
+        )
+    else:
+        clustered = (
+            df.withColumn("_z", z)
+            .repartitionByRange(target_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        files = _write_data_files(spark, root, clustered, stats=st)
     _publish(
-        root, prev_v + 1, _next_payload(prev, prev_v + 1, "zorder", files, stats=st)
+        root,
+        prev_v + 1,
+        _next_payload(
+            prev, prev_v + 1, "zorder", files, stats=st, new_partitions=pt
+        ),
     )
     return prev_v + 1
 

@@ -1024,3 +1024,31 @@ def test_narrow_batch_missing_partition_column_stays_readable(spark, root):
     scanned = {os.path.basename(p) for p in pr.inputFiles()}
     assert scanned & set(unpart)
     assert pr.count() == 1  # ...and are conservatively scanned, never lost
+
+
+def test_zorder_on_partitioned_table_keeps_tuples_and_tightens_stats(
+    spark, root
+):
+    import datetime as dt
+
+    rows = [
+        (i, f"u{i % 2}", dt.datetime(2024, 1, 1 + i % 2), float(i % 50))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["k", "grp", "ts", "v"])
+    tf.create(spark, root, df, partition_by=["grp"])
+    tf.optimize_zorder(spark, root, ["k", "v"], target_files=8)
+    man = tf._load_manifest(root, None)
+    # every rewritten file keeps a partition tuple: partition pruning
+    # SURVIVES the zorder
+    assert set(man["partitions"]) == set(man["files"])
+    pr = tf.read_pruned(spark, root, "grp", "u1", "u1")
+    assert len(pr.inputFiles()) < len(man["files"])
+    assert pr.count() == 200
+    # and the clustered column's zone maps prune WITHIN the partition
+    pr2 = tf.read_pruned(spark, root, "k", 0, 24)
+    assert len(pr2.inputFiles()) < len(man["files"])
+    assert pr2.count() == 25
+    # rows are intact post-rewrite
+    assert tf.read(spark, root).count() == 400
+    assert "_z" not in tf.read(spark, root).columns

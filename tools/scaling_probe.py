@@ -85,6 +85,12 @@ PROBES = [
     ("tablefmt_mor_delete_audit", "4-file build + 2 MOR deletes + append"),
     ("tablefmt_bloom_skipping", "4-file build + distributed bloom index"),
     ("streaming_mor_cdc_sink", "3-batch CDC drain x2 (replay)"),
+    # round-6 partitioning + streaming-source additions: the build is
+    # one partitioned write (linear in input, ~30 day-files); pruning
+    # itself is driver-side metadata so the read side scales with the
+    # PROBED slice, not the table
+    ("tablefmt_partition_pruning", "day-partitioned build + 3-day pruned read"),
+    ("tablefmt_readstream_audit", "2 checkpointed readStream drains"),
 ]
 
 
