@@ -372,6 +372,7 @@ def _write_data_files(
     sort_within: str | None = None,
     drop_cols: tuple = (),
     n_files: int | None = None,
+    files_per_partition: int = 1,
 ) -> list[str]:
     """Write df as new immutable data files; return their names.
     When ``stats`` (a dict to fill) is given, each new file's
@@ -412,6 +413,27 @@ def _write_data_files(
             w = w.repartitionByRange(
                 n_files, *[F.col(pc) for pc in pcols], F.col(sort_within)
             )
+        elif files_per_partition > 1:
+            # WRITE PARALLELISM inside hot partitions: hash-clustering
+            # by tuple alone funnels each partition through ONE task —
+            # fine at test scale, a straggler when one day holds a TB.
+            # A row-hash salt fans each tuple across up to
+            # ``files_per_partition`` tasks; every task still writes
+            # into the tuple's single directory, so manifest tuples
+            # and pruning are unchanged — there are just several files
+            # per partition, which is exactly how real table formats
+            # lay out large partitions.
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(files_per_partition),
+            )
+            # explicit numPartitions: AQE would otherwise coalesce a
+            # small shuffle back into one task and undo the fan-out
+            n_tasks = max(
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+                files_per_partition,
+            )
+            w = w.repartition(n_tasks, *[F.col(pc) for pc in pcols], salt)
         else:
             w = w.repartition(*[F.col(pc) for pc in pcols])
         if sort_within:
@@ -496,6 +518,7 @@ def _next_payload(
     new_partitions: dict | None = None,
     specs: dict | None = None,
     current_spec: str | None = None,
+    props: dict | None = None,
 ) -> dict:
     """Build a manifest payload, carrying forward from ``prev``:
 
@@ -571,6 +594,10 @@ def _next_payload(
     )
     if cons:
         payload["constraints"] = cons
+    # table properties carry forward unless explicitly replaced
+    pr = props if props is not None else prev.get("props")
+    if pr:
+        payload["props"] = pr
     # partition specs carry forward (or are replaced by an explicit
     # evolution commit); per-file partition tuples merge exactly like
     # stats — new files from the argument, carried files from prev
@@ -592,11 +619,43 @@ def _next_payload(
     return payload
 
 
+def _write_parallelism(man: dict) -> int:
+    """The ``write.files_per_partition`` table property (default 1):
+    how many tasks/files a single partition tuple fans out across.
+    Raise it on tables whose hottest partition is too big for one
+    writer task — pruning is unaffected (several files share a
+    tuple)."""
+    try:
+        return max(1, int(man.get("props", {}).get("write.files_per_partition", 1)))
+    except (TypeError, ValueError):
+        return 1
+
+
+def set_table_property(root: str, key: str, value) -> int:
+    """Set a table property as a metadata-only commit (Delta
+    ``TBLPROPERTIES``). Recognized today: ``write.files_per_partition``
+    (write parallelism inside hot partitions). Unknown keys are stored
+    and carried — properties are an open namespace."""
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    props = dict(prev.get("props", {}))
+    props[key] = value
+    _publish(
+        root,
+        prev_v + 1,
+        _next_payload(
+            prev, prev_v + 1, "set_property", list(prev["files"]), props=props
+        ),
+    )
+    return prev_v + 1
+
+
 def create(
     spark: SparkSession,
     root: str,
     df: DataFrame,
     partition_by: list[str] | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Initialize the table at version 0 (idempotent re-create).
 
@@ -631,6 +690,7 @@ def create(
         spec_id=sid,
         partitions=pt,
         schema_json=df.schema.jsonValue(),
+        files_per_partition=_write_parallelism({"props": properties or {}}),
     )
     _publish(
         root,
@@ -645,6 +705,7 @@ def create(
             new_partitions=pt,
             specs=specs,
             current_spec=sid,
+            props=properties,
         ),
     )
     return 0
@@ -925,6 +986,7 @@ def commit_append(
     files = prev["files"] + _write_data_files(
         spark, root, df, stats=st, spec=spec, spec_id=sid,
         partitions=pt, schema_json=prev.get("schema"),
+        files_per_partition=_write_parallelism(prev),
     )
     _publish(
         root,
@@ -1194,6 +1256,7 @@ def commit_upsert(
     wkw = dict(
         stats=st, spec=spec, spec_id=sid, partitions=pt,
         schema_json=prev.get("schema"),
+        files_per_partition=_write_parallelism(prev),
     )
     if touched:
         # read the touched base THROUGH any merge-on-read deletes so a
@@ -1244,6 +1307,7 @@ def commit_delete(spark: SparkSession, root: str, predicate: str) -> int:
                 new_files += _write_data_files(
                     spark, root, kept, stats=st, spec=spec, spec_id=sid,
                     partitions=pt, schema_json=prev.get("schema"),
+                    files_per_partition=_write_parallelism(prev),
                 )
     _publish(
         root,
@@ -1319,6 +1383,7 @@ def commit_replace_where(
     wkw = dict(
         stats=st, spec=spec, spec_id=sid, partitions=pt,
         schema_json=prev.get("schema"),
+        files_per_partition=_write_parallelism(prev),
     )
     if straddle:
         # NULL col rows never match the range predicate, so they survive
@@ -1598,6 +1663,7 @@ def optimize(spark: SparkSession, root: str, target_files: int = 1) -> int:
     files = _write_data_files(
         spark, root, df, stats=st, spec=spec, spec_id=sid,
         partitions=pt, schema_json=prev.get("schema"),
+        files_per_partition=_write_parallelism(prev),
     )
     _publish(
         root,
@@ -1871,6 +1937,7 @@ def commit_merge(
     new_files += _write_data_files(
         spark, root, result, stats=st, spec=spec, spec_id=sid,
         partitions=pt, schema_json=prev.get("schema"),
+        files_per_partition=_write_parallelism(prev),
     )
     _publish(
         root,

@@ -1052,3 +1052,44 @@ def test_zorder_on_partitioned_table_keeps_tuples_and_tightens_stats(
     # rows are intact post-rewrite
     assert tf.read(spark, root).count() == 400
     assert "_z" not in tf.read(spark, root).columns
+
+
+def test_files_per_partition_property_fans_out_hot_partitions(spark, root):
+    rows = [(i, f"u{i % 2}", float(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "grp", "v"])
+    tf.create(
+        spark, root, df,
+        partition_by=["grp"],
+        properties={"write.files_per_partition": 4},
+    )
+    man = tf._load_manifest(root, None)
+    per_tuple: dict = {}
+    for p in man["partitions"].values():
+        per_tuple[p["tuple"][0]] = per_tuple.get(p["tuple"][0], 0) + 1
+    # each hot partition fans across SEVERAL writer tasks/files...
+    assert all(n > 1 for n in per_tuple.values()), per_tuple
+    # ...while pruning and row fidelity are unchanged
+    pr = tf.read_pruned(spark, root, "grp", "u1", "u1")
+    assert pr.count() == 1000
+    assert len(pr.inputFiles()) == per_tuple["u1"]
+    assert tf.read(spark, root).count() == 2000
+
+
+def test_set_table_property_is_metadata_commit_and_applies_forward(
+    spark, root
+):
+    df = spark.createDataFrame(
+        [(i, "only", float(i)) for i in range(1000)], ["k", "grp", "v"]
+    )
+    tf.create(spark, root, df, partition_by=["grp"])
+    n0 = len(tf._load_manifest(root, None)["files"])
+    assert n0 == 1  # default: one file for the single partition
+    v = tf.set_table_property(root, "write.files_per_partition", 4)
+    assert set(tf._load_manifest(root, v)["files"]) == set(
+        tf._load_manifest(root, 0)["files"]
+    )  # metadata-only
+    tf.commit_append(spark, root, df.withColumn("k", F.col("k") + 10_000))
+    man = tf._load_manifest(root, None)
+    new_files = [f for f in man["files"] if f not in set(tf._load_manifest(root, 0)["files"])]
+    assert len(new_files) > 1  # the property applies to later writes
+    assert tf.read(spark, root).count() == 2000
