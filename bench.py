@@ -207,6 +207,8 @@ HEADLINE = [
     "tablefmt_replace_where_audit",
     "tablefmt_partition_evolution_audit",
     "tablefmt_readstream_audit",
+    "tablefmt_metadata_tables",
+    "preference_pair_mining",
     "weak_label_model",
     "bfs_blast_radius",
     "embedding_class_separation",

@@ -879,22 +879,46 @@ def read_pruned(
     `read(...).filter(lo <= col <= hi)` — pruning is an optimization,
     never a semantics change (pinned by `tests/test_tablefmt.py`,
     including the inputFiles() file-skipping assert)."""
+    return read_pruned_multi(spark, root, [(col, lo, hi)], version=version)
+
+
+def read_pruned_multi(
+    spark: SparkSession,
+    root: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """`read_pruned` for a CONJUNCTION of range predicates
+    ``[(col, lo, hi), ...]``: a file is skipped when ANY predicate's
+    zone map or partition tuple proves it empty — the read shape that
+    pays off Z-ordered layouts, where every clustered column's
+    per-file [min, max] is tight at once. Semantics are exactly
+    ``read(...).filter(AND(lo_i <= col_i <= hi_i))``; pruning is a
+    driver-side manifest decision with zero IO."""
+    if not predicates:
+        raise ValueError("read_pruned_multi needs at least one (col, lo, hi)")
     man = _load_manifest(root, version)
     stats = man.get("stats", {})
     keep = []
     for fn in man["files"]:
-        if not _partition_keep(man, fn, col, lo, hi):
-            continue  # the file's partition TUPLE proves no row matches
-        rng = stats.get(fn, {}).get(col)
-        if rng is None or not (rng[1] < lo or rng[0] > hi):
+        ok = True
+        for col, lo, hi in predicates:
+            if not _partition_keep(man, fn, col, lo, hi):
+                ok = False  # the partition TUPLE proves no row matches
+                break
+            rng = stats.get(fn, {}).get(col)
+            if rng is not None and (rng[1] < lo or rng[0] > hi):
+                ok = False  # the zone map proves no row matches
+                break
+        if ok:
             keep.append(fn)
+    cond = None
+    for col, lo, hi in predicates:
+        c = (F.col(col) >= lo) & (F.col(col) <= hi)
+        cond = c if cond is None else (cond & c)
     if not keep:
-        return read(spark, root, version=version).filter(
-            (F.col(col) >= lo) & (F.col(col) <= hi)
-        ).limit(0)
-    return _read_with_deletes(spark, root, man, keep).filter(
-        (F.col(col) >= lo) & (F.col(col) <= hi)
-    )
+        return read(spark, root, version=version).filter(cond).limit(0)
+    return _read_with_deletes(spark, root, man, keep).filter(cond)
 
 
 def history(root: str) -> list[dict]:
@@ -1172,6 +1196,7 @@ def _touched_files(
     key: str,
     keys_df: DataFrame,
     man_stats: dict | None = None,
+    man: dict | None = None,
 ) -> tuple[list[str], list[str]]:
     """Split a file set into (touched, untouched) by file-level key
     min/max pruning — the file-skipping step that makes copy-on-write
@@ -1184,13 +1209,68 @@ def _touched_files(
     recorded stats for ``key`` (pre-stats manifest not yet passed
     through `upgrade_stats`, or a non-primitive key) is conservatively
     counted as touched — correct, just a wasted rewrite; run
-    `upgrade_stats` once to backfill."""
+    `upgrade_stats` once to backfill.
+
+    When the table is bucket-partitioned on ``key`` (pass ``man``),
+    the incoming keys' DISTINCT buckets (one tiny agg, at most N
+    values) additionally rule out every file whose recorded bucket the
+    batch can't touch — the skip zone maps can't provide, because a
+    hash bucket's key range spans the whole table. An upsert touching
+    k of N buckets then rewrites at most k/N of the files regardless
+    of key distribution."""
     bounds = keys_df.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
+    man = man or {}
+    man_stats = man_stats if man_stats is not None else man.get("stats", {})
     man_stats = man_stats or {}
+    # incoming buckets per modulus, for every bucket(N, key) transform
+    # any spec uses (normally zero or one modulus)
+    moduli = set()
+    for spec in man.get("specs", {}).values():
+        for tstr in spec:
+            try:
+                tr = _parse_transform(tstr)
+            except ValueError:
+                continue
+            if tr["kind"] == "bucket" and tr["col"] == key:
+                moduli.add(tr["n"])
+    in_buckets: dict[int, set] = {}
+    for n in moduli:
+        in_buckets[n] = {
+            r.b
+            for r in keys_df.select(
+                F.pmod(F.crc32(F.col(key).cast("string")), F.lit(n))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+    parts = man.get("partitions", {})
+    specs = man.get("specs", {})
     touched, untouched = [], []
     for fn in files:
+        pinfo = parts.get(fn)
+        if pinfo and in_buckets:
+            spec = specs.get(str(pinfo["spec"]), [])
+            missed = False
+            for tstr, v in zip(spec, pinfo["tuple"]):
+                try:
+                    tr = _parse_transform(tstr)
+                except ValueError:
+                    continue
+                if (
+                    tr["kind"] == "bucket"
+                    and tr["col"] == key
+                    and v is not None
+                    and v not in in_buckets.get(tr["n"], {v})
+                ):
+                    missed = True
+                    break
+            if missed:
+                untouched.append(fn)  # no incoming key hashes to this bucket
+                continue
         rng = man_stats.get(fn, {}).get(key)
         if rng is None:
             touched.append(fn)  # unknown bounds: must assume a hit
@@ -1247,7 +1327,7 @@ def commit_upsert(
     _check_constraints(prev, updates)
     touched, untouched = _touched_files(
         spark, root, prev["files"], key, updates.select(key),
-        man_stats=prev.get("stats"),
+        man_stats=prev.get("stats"), man=prev,
     )
     new_files = list(untouched)
     st: dict = {}
@@ -1607,7 +1687,7 @@ def commit_delete_keys(
     prev = _load_manifest(root, prev_v)
     touched, _ = _touched_files(
         spark, root, prev["files"], key, keys.select(key),
-        man_stats=prev.get("stats"),
+        man_stats=prev.get("stats"), man=prev,
     )
     kfiles = _write_data_files(spark, root, keys.select(key).distinct())
     d = {
@@ -1887,7 +1967,7 @@ def commit_merge(
     prev = _load_manifest(root, prev_v)
     touched, untouched = _touched_files(
         spark, root, prev["files"], key, source.select(key),
-        man_stats=prev.get("stats"),
+        man_stats=prev.get("stats"), man=prev,
     )
     if touched:
         base = _read_with_deletes(spark, root, prev, touched)
@@ -2007,6 +2087,81 @@ def snapshot_min_max(
         lo = rng[0] if lo is None else min(lo, rng[0])
         hi = rng[1] if hi is None else max(hi, rng[1])
     return (lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# Metadata tables (Iceberg's `table.files` / `.partitions` / `.snapshots`,
+# Delta's DESCRIBE DETAIL/HISTORY): the manifest surfaced AS DataFrames so
+# operators can introspect layout with SQL. All driver-side manifest reads
+# — O(files) metadata, zero data IO at any table size.
+# ---------------------------------------------------------------------------
+
+
+def files_table(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """One row per data file of the pinned snapshot: name, on-disk
+    size, manifest row count (null when the file predates stats),
+    partition spec id + tuple (null for unpartitioned files)."""
+    man = _load_manifest(root, version)
+    stats = man.get("stats", {})
+    parts = man.get("partitions", {})
+    rows = []
+    for fn in man["files"]:
+        path = os.path.join(_data_dir(root), fn)
+        nrows = stats.get(fn, {}).get("#rows")
+        p = parts.get(fn)
+        rows.append(
+            (
+                fn,
+                int(os.path.getsize(path)) if os.path.exists(path) else None,
+                int(nrows) if nrows is not None else None,
+                str(p["spec"]) if p else None,
+                json.dumps(p["tuple"]) if p else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file string, size_bytes long, n_rows long, "
+        "spec_id string, partition_tuple string",
+    )
+
+
+def partitions_table(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """One row per partition tuple of the pinned snapshot: file count
+    and (when every member file has recorded stats) row count. Files
+    without partition info aggregate under a NULL tuple."""
+    ft = files_table(spark, root, version)
+    return ft.groupBy("spec_id", "partition_tuple").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("size_bytes").cast("long").alias("size_bytes"),
+    )
+
+
+def snapshots_table(spark: SparkSession, root: str) -> DataFrame:
+    """One row per RETAINED commit: version, action, wall-clock,
+    file count, and the provable row count (null when metadata can't
+    prove it — MOR deletes or missing stats), i.e. `history()` joined
+    with `snapshot_row_count` as a frame."""
+    rows = []
+    for h in history(root):
+        n = snapshot_row_count(root, h["version"])
+        rows.append(
+            (
+                h["version"],
+                h["action"],
+                float(h["ts"]),
+                h["n_files"],
+                int(n) if n is not None else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, action string, ts double, n_files long, n_rows long",
+    )
 
 
 def restore(root: str, version: int) -> int:

@@ -4646,7 +4646,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   streaming_mor_cdc_sink, tablefmt_constraints_audit,
     #   tablefmt_restore_clone_audit, tablefmt_metadata_agg_audit,
     #   tablefmt_partition_pruning, tablefmt_replace_where_audit,
-    #   tablefmt_partition_evolution_audit, tablefmt_readstream_audit
+    #   tablefmt_partition_evolution_audit, tablefmt_readstream_audit,
+    #   tablefmt_metadata_tables, preference_pair_mining
     "tablefmt_stats_pruned_read",
     "tablefmt_zorder_skipping",
     "tablefmt_cdf_counts",
@@ -16739,6 +16740,171 @@ def tablefmt_readstream_audit(spark, sf_dir):
             "exactly_once"
         ),
         F.lit(bool(resume_ok)).alias("resume_incremental"),
+    )
+
+
+@query(
+    "tablefmt_metadata_tables",
+    oracle="""
+    WITH ty AS (SELECT min(event_type) AS v FROM events),
+    base AS (SELECT count(*) AS n FROM events),
+    app AS (SELECT count(*) AS n FROM events, ty WHERE event_type = ty.v)
+    SELECT CAST((SELECT count(DISTINCT event_type) FROM events) + 1 AS BIGINT)
+             AS n_files,
+           CAST((SELECT n FROM base) + (SELECT n FROM app) AS BIGINT)
+             AS n_rows_meta,
+           CAST((SELECT count(DISTINCT event_type) FROM events) AS BIGINT)
+             AS n_partitions,
+           CAST(2 AS BIGINT) AS n_snapshots,
+           TRUE AS sizes_positive,
+           TRUE AS partition_rows_match
+    """,
+)
+def tablefmt_metadata_tables(spark, sf_dir):
+    """METADATA TABLES (operators/tablefmt.py::files_table /
+    partitions_table / snapshots_table — Iceberg's ``table.files`` /
+    ``.partitions`` / ``.snapshots``, Delta's DESCRIBE DETAIL+HISTORY):
+    the manifest surfaced AS DataFrames, built from driver-side
+    metadata with ZERO data IO at any table size. Pinned: on an
+    event_type-partitioned table plus one same-type append, the files
+    table counts types+1 files whose manifest row counts SUM to the
+    true total (oracle recomputes from source), the partitions table
+    groups those files back to exactly |types| tuples whose per-tuple
+    row counts MATCH a real groupBy of the data
+    (``partition_rows_match`` — metadata agrees with the bytes), every
+    file reports a positive on-disk size, and the snapshots table
+    lists both commits with provable row counts. This is how a 100 TB
+    table answers "what does my layout look like" without reading
+    data."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_metatbl_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tf.create(spark, root, ev, partition_by=["event_type"])
+    ty = ev.agg(F.min("event_type")).collect()[0][0]
+    tf.commit_append(
+        spark,
+        root,
+        ev.filter(F.col("event_type") == ty).withColumn(
+            "event_id", F.col("event_id") + 10**9
+        ),
+    )
+    ft = tf.files_table(spark, root)
+    pt = tf.partitions_table(spark, root)
+    snaps = tf.snapshots_table(spark, root)
+    # metadata row counts vs the actual data, per partition tuple
+    actual = (
+        tf.read(spark, root)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_actual"))
+        .withColumn(
+            "partition_tuple",
+            F.concat(F.lit('["'), F.col("event_type"), F.lit('"]')),
+        )
+    )
+    mismatch = (
+        pt.join(actual, "partition_tuple", "full_outer")
+        .filter(
+            ~F.col("n_rows").eqNullSafe(F.col("n_actual"))
+        )
+        .count()
+    )
+    return spark.range(1).select(
+        F.lit(ft.count()).cast("long").alias("n_files"),
+        F.lit(ft.agg(F.sum("n_rows")).collect()[0][0])
+        .cast("long")
+        .alias("n_rows_meta"),
+        F.lit(pt.count()).cast("long").alias("n_partitions"),
+        F.lit(snaps.count()).cast("long").alias("n_snapshots"),
+        F.lit(
+            ft.filter(
+                (F.col("size_bytes") <= 0) | F.col("size_bytes").isNull()
+            ).count()
+            == 0
+        ).alias("sizes_positive"),
+        F.lit(mismatch == 0).alias("partition_rows_match"),
+    )
+
+
+@query(
+    "preference_pair_mining",
+    oracle="""
+    WITH s AS (
+      SELECT source, lang, doc_id,
+             length(text) - length(replace(text, ' ', '')) AS score
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY score DESC, doc_id DESC) AS rc,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY score ASC, doc_id ASC) AS rr,
+             count(*) OVER (PARTITION BY source, lang) AS n_docs
+      FROM s
+    )
+    SELECT c.source, c.lang,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.doc_id AS BIGINT) AS chosen_doc,
+           CAST(r.doc_id AS BIGINT) AS rejected_doc,
+           CAST(c.score - r.score AS BIGINT) AS gap
+    FROM ranked c JOIN ranked r
+      ON c.source = r.source AND c.lang = r.lang
+    WHERE c.rc = 1 AND r.rr = 1 AND c.n_docs >= 2 AND c.score - r.score >= 1
+    ORDER BY c.source, c.lang
+    """,
+)
+def preference_pair_mining(spark, sf_dir):
+    """PREFERENCE-PAIR construction (DPO/RLHF data prep): within each
+    prompt group — here (source, lang) stands in for responses to the
+    same prompt — pick the highest-scoring candidate as CHOSEN and the
+    lowest as REJECTED, with a deterministic integer score (whitespace
+    token count), deterministic tie-breaks (doc_id), and a minimum
+    quality GAP so near-ties never become training pairs. One
+    hash-partitioned aggregation over the corpus: `max_by`/`min_by` on
+    (score, doc_id) structs gives both extremes in a single shuffle,
+    no self-join, no window over the full corpus — at 100 TB this is
+    one pass + one small-group reduce, the cheapest possible shape for
+    argmax-per-group. The oracle mirrors with rank windows and pins
+    pair identity, group size, and gap exactly."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .withColumn(
+            "score",
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", " ", ""))
+            ).cast("long"),
+        )
+    )
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max_by("doc_id", F.struct("score", "doc_id")).cast("long").alias(
+            "chosen_doc"
+        ),
+        F.max("score").alias("cs"),
+        F.min_by("doc_id", F.struct("score", "doc_id")).cast("long").alias(
+            "rejected_doc"
+        ),
+        F.min("score").alias("rs"),
+    )
+    return (
+        g.filter((F.col("n_docs") >= 2) & (F.col("cs") - F.col("rs") >= 1))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "chosen_doc",
+            "rejected_doc",
+            (F.col("cs") - F.col("rs")).cast("long").alias("gap"),
+        )
+        .orderBy("source", "lang")
     )
 
 

@@ -1093,3 +1093,76 @@ def test_set_table_property_is_metadata_commit_and_applies_forward(
     new_files = [f for f in man["files"] if f not in set(tf._load_manifest(root, 0)["files"])]
     assert len(new_files) > 1  # the property applies to later writes
     assert tf.read(spark, root).count() == 2000
+
+
+def test_metadata_tables_report_layout_without_data_io(spark, root):
+    df = spark.createDataFrame(
+        [(i, f"u{i % 2}", float(i)) for i in range(100)], ["k", "grp", "v"]
+    )
+    tf.create(spark, root, df, partition_by=["grp"])
+    tf.commit_append(spark, root, spark.createDataFrame([(1000,)], ["k"]))
+    ft = tf.files_table(spark, root)
+    rows = {r.file: r for r in ft.collect()}
+    man = tf._load_manifest(root, None)
+    assert set(rows) == set(man["files"])
+    assert all(r.size_bytes and r.size_bytes > 0 for r in rows.values())
+    # manifest row counts sum to the true total
+    assert ft.agg(F.sum("n_rows")).collect()[0][0] == 101
+    # the narrow append has no partition tuple; the others do
+    tuples = {r.partition_tuple for r in rows.values()}
+    assert None in tuples and '["u0"]' in tuples and '["u1"]' in tuples
+    pt = {r.partition_tuple: r for r in tf.partitions_table(spark, root).collect()}
+    assert pt['["u0"]'].n_rows == 50 and pt['["u1"]'].n_rows == 50
+    snaps = tf.snapshots_table(spark, root).collect()
+    assert [s.action for s in snaps] == ["create", "append"]
+    assert snaps[-1].n_rows == 101
+
+
+def test_snapshots_table_refuses_unprovable_counts(spark, root):
+    tf.create(spark, root, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    tf.commit_delete_mor(root, "k = 1")
+    snaps = {s.version: s for s in tf.snapshots_table(spark, root).collect()}
+    assert snaps[0].n_rows == 2
+    assert snaps[1].n_rows is None  # MOR delete: not provable from metadata
+
+
+def test_read_pruned_multi_skips_on_any_predicate(spark, root):
+    # 4 key-range files; a conjunction over two columns must skip files
+    # either column's zone map rules out, and return the exact filter rows
+    df = spark.createDataFrame(
+        [(i, i % 100, float(i)) for i in range(400)], ["k", "m", "v"]
+    )
+    tf.create(
+        spark, root, df.repartitionByRange(4, "k").sortWithinPartitions("k")
+    )
+    pr = tf.read_pruned_multi(spark, root, [("k", 0, 99), ("m", 10, 19)])
+    assert len(pr.inputFiles()) == 1  # k-range alone pins one file
+    exp = df.filter(
+        (F.col("k") <= 99) & (F.col("m") >= 10) & (F.col("m") <= 19)
+    ).count()
+    assert pr.count() == exp == 10
+    # an impossible conjunction returns an empty, correctly-typed frame
+    empty = tf.read_pruned_multi(spark, root, [("k", 0, 99), ("k", 300, 399)])
+    assert empty.count() == 0 and empty.columns == ["k", "m", "v"]
+
+
+def test_bucket_partitioned_upsert_skips_untouched_buckets(spark, root):
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 401)], ["k", "v"]
+    )
+    tf.create(spark, root, df, partition_by=["bucket(8, k)"])
+    man0 = tf._load_manifest(root, None)
+    assert len(man0["files"]) == 8
+    # an upsert of 3 keys hashes into at most 3 buckets: at least 5 of
+    # the 8 files must carry forward BY REFERENCE (zone maps alone
+    # cannot skip here — every bucket spans the full key range)
+    ups = spark.createDataFrame(
+        [(7, "V7"), (123, "V123"), (399, "V399")], ["k", "v"]
+    )
+    tf.commit_upsert(spark, root, ups, "k")
+    man1 = tf._load_manifest(root, None)
+    carried = set(man0["files"]) & set(man1["files"])
+    assert len(carried) >= 5
+    got = {r.k: r.v for r in tf.read(spark, root).collect()}
+    assert len(got) == 400
+    assert got[7] == "V7" and got[123] == "V123" and got[1] == "v1"
