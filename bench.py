@@ -209,6 +209,7 @@ HEADLINE = [
     "tablefmt_readstream_audit",
     "tablefmt_metadata_tables",
     "preference_pair_mining",
+    "tablefmt_stream_sink_roundtrip",
     "weak_label_model",
     "bfs_blast_radius",
     "embedding_class_separation",

@@ -4647,7 +4647,8 @@ _DRIVER_WINDOW_PRIORITY = [
     #   tablefmt_restore_clone_audit, tablefmt_metadata_agg_audit,
     #   tablefmt_partition_pruning, tablefmt_replace_where_audit,
     #   tablefmt_partition_evolution_audit, tablefmt_readstream_audit,
-    #   tablefmt_metadata_tables, preference_pair_mining
+    #   tablefmt_metadata_tables, preference_pair_mining,
+    #   tablefmt_stream_sink_roundtrip
     "tablefmt_stats_pruned_read",
     "tablefmt_zorder_skipping",
     "tablefmt_cdf_counts",
@@ -16905,6 +16906,86 @@ def preference_pair_mining(spark, sf_dir):
             (F.col("cs") - F.col("rs")).cast("long").alias("gap"),
         )
         .orderBy("source", "lang")
+    )
+
+
+@query(
+    "tablefmt_stream_sink_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(2 * value), 2) AS sum_doubled,
+           TRUE AS exactly_once_replay,
+           CAST(1 AS BIGINT) AS n_sink_appends
+    FROM events
+    """,
+)
+def tablefmt_stream_sink_roundtrip(spark, sf_dir):
+    """TABLE-TO-TABLE STREAMING at the official DataSource surface
+    (sources/tablefmt_stream.py -> transformation ->
+    sources/tablefmt_sink.py): a source table's commits stream through
+    a projection into a destination table, one atomic manifest commit
+    per micro-batch. Executors write Arrow batches to a vacuum-safe
+    staging area; the driver's commit moves them into the table and
+    publishes through the optimistic-concurrency append loop with
+    ``sink::<txnAppId> = batchId`` recorded in the SAME manifest — so
+    a full replay from a FRESH checkpoint (pinned here) is a ledger
+    no-op, not duplicate rows: exactly-once end to end. The oracle
+    recomputes the doubled totals from source; ``n_sink_appends`` pins
+    one commit per non-empty micro-batch. This is the incremental
+    silver->gold hop of a 100 TB lakehouse, expressed as two manifest
+    reads and one bounded write per trigger."""
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+    from lottery_end_to_end_etl_data_pipeline_spark.sources import (
+        tablefmt_sink as tsink,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.sources import (
+        tablefmt_stream as tstream,
+    )
+
+    tsink.register(spark)
+    tstream.register(spark)
+    tag = abs(hash(sf_dir)) % 10**8
+    base = f"{tempfile.gettempdir()}/spark_graft_t2t_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    src_t, dst_t, ckpt = f"{base}/src", f"{base}/dst", f"{base}/ck"
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    tf.create(spark, src_t, ev.filter(F.col("event_id") % 2 == 0).coalesce(2))
+    tf.commit_append(
+        spark, src_t, ev.filter(F.col("event_id") % 2 == 1).coalesce(2)
+    )
+    tf.create(
+        spark, dst_t, spark.createDataFrame([], "event_id long, value double")
+    )
+
+    def pump(cp):
+        q = (
+            spark.readStream.format("tablefmt_stream")
+            .option("startingVersion", -1)
+            .load(src_t)
+            .withColumn("value", F.col("value") * 2)
+            .writeStream.format("tablefmt_sink")
+            .option("path", dst_t)
+            .option("txnAppId", "t2t")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    pump(ckpt)
+    n_after_first = tf.read(spark, dst_t).count()
+    n_appends = sum(1 for h in tf.history(dst_t) if h["action"] == "append")
+    pump(f"{ckpt}_fresh")  # full replay, fresh checkpoint, same txnAppId
+    out = tf.read(spark, dst_t)
+    replay_noop = out.count() == n_after_first
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("sum_doubled"),
+        F.lit(bool(replay_noop)).alias("exactly_once_replay"),
+        F.lit(n_appends).cast("long").alias("n_sink_appends"),
     )
 
 

@@ -1,0 +1,166 @@
+"""Structured-Streaming SINK into the versioned table format —
+``df.writeStream.format("tablefmt_sink").option("path", root)`` —
+through Spark 4's Python streaming DataSource writer API.
+
+The repo already streams INTO tables via a ``foreachBatch`` helper
+(`streaming_mor_cdc_sink` routes CDC upserts/deletes); this module is
+the symmetric half of `sources/tablefmt_stream.py` at the OFFICIAL
+sink surface, with the exactly-once contract Delta's streaming sink
+makes (txn-id-per-micro-batch recorded in the commit it de-dupes):
+
+- Executors (`write`) stream their partition's Arrow batches straight
+  to a parquet file under ``<root>/_streaming/`` — a staging area the
+  table's `vacuum` never scans, so there is NO window in which a
+  concurrent vacuum can delete data that a later commit will
+  reference. One file per non-empty task, vectorized end to end
+  (`DataSourceStreamArrowWriter`: no row-at-a-time Python).
+- The driver (`commit`) is the ONLY place a micro-batch becomes
+  visible: it moves the staged files into ``data/`` and publishes one
+  manifest through the table's optimistic-concurrency append loop
+  (`publish_append` — losers of a version race retry the cheap
+  metadata phase, data is written once). The manifest records
+  ``sink::<txnAppId> = batchId`` in the cumulative txn ledger, so a
+  REPLAYED micro-batch (sink failed after publish, checkpoint replays)
+  is recognized and dropped — the atomic manifest publish and the
+  idempotence marker are the same write, which is exactly why this is
+  exactly-once rather than at-least-once.
+- ``abort`` removes the staged files; an aborted batch leaves no trace
+  because nothing referenced them yet.
+
+Schema safety: the batch schema Spark hands the writer is checked
+against the table's recorded schema at PLAN time via the driver-side
+``commit`` (name subset — additive evolution stays an explicit batch
+operation, as in `commit_append(evolve=True)`).
+
+Scale shape: executor IO is all-parallel Arrow; the driver does
+O(tasks) renames + one manifest write per micro-batch — the same
+metadata-bounded commit cost as every other table operation.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    name: str
+    n_rows: int
+
+
+def _staging_dir(root: str) -> str:
+    return os.path.join(root, "_streaming")
+
+
+class TableSinkStreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError(
+                "tablefmt_sink requires the table root: .option('path', root)"
+            )
+        if not os.path.isdir(os.path.join(self.root, "_log")):
+            raise ValueError(
+                f"tablefmt_sink: {self.root} is not an initialized table — "
+                "tablefmt.create(...) it first (empty frame is fine)"
+            )
+        self.app = options.get("txnAppId", "tablefmt_sink")
+        self.schema = schema
+
+    # -- executor side: Arrow batches -> one staged parquet file ------
+
+    def write(self, iterator) -> WriterCommitMessage | None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            # empty task: nothing staged (the runtime requires a real
+            # WriterCommitMessage, so an empty sentinel stands for None)
+            return _StagedFile(name="", n_rows=0)
+        os.makedirs(_staging_dir(self.root), exist_ok=True)
+        name = f"{uuid.uuid4().hex}.parquet"
+        tbl = pa.Table.from_batches(batches)
+        pq.write_table(tbl, os.path.join(_staging_dir(self.root), name))
+        return _StagedFile(name=name, n_rows=tbl.num_rows)
+
+    # -- driver side: the micro-batch becomes ONE table commit --------
+
+    def _cleanup(self, names: list[str]) -> None:
+        for n in names:
+            try:
+                os.remove(os.path.join(_staging_dir(self.root), n))
+            except OSError:
+                pass
+
+    def commit(self, messages, batchId: int) -> None:
+        from lottery_end_to_end_etl_data_pipeline_spark.operators import (
+            tablefmt as tf,
+        )
+
+        names = sorted(m.name for m in messages if m is not None and m.name)
+        key = f"sink::{self.app}"
+        done = {str(v) for v in tf.committed_meta_values(self.root, key)}
+        if str(batchId) in done:
+            # checkpoint replay of an already-published micro-batch:
+            # exactly-once means this must be a no-op
+            self._cleanup(names)
+            return
+        if not names:
+            return  # empty micro-batch: nothing to publish
+        # schema gate: staged batches must not widen the table silently
+        man = tf._load_manifest(self.root, None)
+        sch = man.get("schema")
+        if sch is not None:
+            table_cols = {f["name"] for f in sch.get("fields", [])}
+            extra = [f.name for f in self.schema.fields if f.name not in table_cols]
+            if extra:
+                self._cleanup(names)
+                raise ValueError(
+                    f"tablefmt_sink: batch adds column(s) {extra} not in the "
+                    "table schema; evolve the table explicitly with "
+                    "commit_append(evolve=True) before streaming into it"
+                )
+        for n in names:
+            os.replace(
+                os.path.join(_staging_dir(self.root), n),
+                os.path.join(tf._data_dir(self.root), n),
+            )
+        while True:  # optimistic-concurrency append loop
+            try:
+                tf.publish_append(
+                    self.root,
+                    names,
+                    tf.current_version(self.root) + 1,
+                    meta={key: int(batchId)},
+                )
+                return
+            except FileExistsError:
+                continue  # lost a version race: retry the metadata phase
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup([m.name for m in messages if m is not None and m.name])
+
+
+class TableSinkDataSource(DataSource):
+    """``df.writeStream.format("tablefmt_sink").option("path", root)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tablefmt_sink"
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return TableSinkStreamWriter(self.options, schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(TableSinkDataSource)

@@ -1,0 +1,126 @@
+"""Streaming SINK into the table format (official DataSource writer):
+exactly-once micro-batch commits, schema gating, and a full
+table-to-table streaming round trip (tablefmt_stream -> tablefmt_sink)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+from lottery_end_to_end_etl_data_pipeline_spark.sources import tablefmt_sink as tsink
+from lottery_end_to_end_etl_data_pipeline_spark.sources import tablefmt_stream as tstream
+
+
+@pytest.fixture()
+def dirs():
+    base = tempfile.mkdtemp(prefix="tfsink_")
+    yield {
+        "root": os.path.join(base, "t"),
+        "src": os.path.join(base, "src"),
+        "ckpt": os.path.join(base, "ck"),
+    }
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _drain_files_to_table(spark, d, app="app1"):
+    q = (
+        spark.readStream.schema("k long, v string")
+        .parquet(d["src"])
+        .writeStream.format("tablefmt_sink")
+        .option("path", d["root"])
+        .option("txnAppId", app)
+        .option("checkpointLocation", d["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_sink_appends_microbatches_exactly_once(spark, dirs):
+    tsink.register(spark)
+    tf.create(spark, dirs["root"], spark.createDataFrame([], "k long, v string"))
+    os.makedirs(dirs["src"])
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).write.mode(
+        "append"
+    ).parquet(dirs["src"])
+    _drain_files_to_table(spark, dirs)
+    spark.createDataFrame([(3, "c")], ["k", "v"]).write.mode("append").parquet(
+        dirs["src"]
+    )
+    _drain_files_to_table(spark, dirs)
+    rows = sorted((r.k, r.v) for r in tf.read(spark, dirs["root"]).collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    # fresh checkpoint + same txnAppId: the ledger drops the replay
+    shutil.rmtree(dirs["ckpt"])
+    _drain_files_to_table(spark, dirs)
+    rows2 = sorted((r.k, r.v) for r in tf.read(spark, dirs["root"]).collect())
+    assert rows2 == rows
+    # no staged-file litter after replay
+    staging = os.path.join(dirs["root"], "_streaming")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+
+def test_sink_requires_initialized_table(spark, dirs):
+    tsink.register(spark)
+    os.makedirs(dirs["src"])
+    spark.createDataFrame([(1, "a")], ["k", "v"]).write.parquet(
+        dirs["src"], mode="append"
+    )
+    with pytest.raises(Exception, match="not an initialized table"):
+        _drain_files_to_table(spark, dirs)
+
+
+def test_sink_rejects_silent_schema_widening(spark, dirs):
+    tsink.register(spark)
+    tf.create(spark, dirs["root"], spark.createDataFrame([], "k long"))
+    os.makedirs(dirs["src"])
+    spark.createDataFrame([(1, "a")], ["k", "v"]).write.parquet(
+        dirs["src"], mode="append"
+    )
+    with pytest.raises(Exception, match="evolve"):
+        _drain_files_to_table(spark, dirs)
+    assert tf.read(spark, dirs["root"]).count() == 0  # nothing published
+
+
+def test_table_to_table_streaming_roundtrip(spark, dirs):
+    """The full loop at the official API surface: one table streams
+    THROUGH a transformation INTO another table, exactly once."""
+    tsink.register(spark)
+    tstream.register(spark)
+    src_t = dirs["root"] + "_src"
+    tf.create(spark, src_t, spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "x"]))
+    tf.commit_append(spark, src_t, spark.createDataFrame([(3, 30.0)], ["k", "x"]))
+    tf.create(spark, dirs["root"], spark.createDataFrame([], "k long, x double"))
+
+    def pump():
+        q = (
+            spark.readStream.format("tablefmt_stream")
+            .option("startingVersion", -1)
+            .load(src_t)
+            .withColumn("x", F.col("x") * 2)
+            .writeStream.format("tablefmt_sink")
+            .option("path", dirs["root"])
+            .option("txnAppId", "t2t")
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    pump()
+    got = {r.k: r.x for r in tf.read(spark, dirs["root"]).collect()}
+    assert got == {1: 20.0, 2: 40.0, 3: 60.0}
+    # more commits on the source flow through incrementally
+    tf.commit_append(spark, src_t, spark.createDataFrame([(4, 40.0)], ["k", "x"]))
+    pump()
+    got2 = {r.k: r.x for r in tf.read(spark, dirs["root"]).collect()}
+    assert got2 == {1: 20.0, 2: 40.0, 3: 60.0, 4: 80.0}
+    # the destination's history is one commit per non-empty micro-batch
+    assert [h["action"] for h in tf.history(dirs["root"])] == [
+        "create",
+        "append",
+        "append",
+    ]
