@@ -121,13 +121,17 @@ def _footer_stats(path: str) -> dict:
     out["#rows"] = md.num_rows  # '#' cannot collide with a column name key
                                 # produced below (columns come from leaf
                                 # names, and '#rows' is filtered on read)
+    try:
+        out["#bytes"] = os.path.getsize(path)  # size for compaction
+    except OSError:                            # decisions without listing
+        pass
     for ci in range(md.num_columns):
         leaf = md.schema.column(ci)
         name = leaf.name
         if leaf.path != name:
             continue  # nested leaf: its stats are NOT the top-level column's
-        if name == "#rows":
-            continue  # never let a column shadow the row-count key
+        if name.startswith("#"):
+            continue  # never let a column shadow the #rows/#bytes keys
         lo = hi = None
         ok = True
         for rg in range(md.num_row_groups):
@@ -1298,7 +1302,7 @@ def upgrade_stats(spark: SparkSession, root: str) -> int:
     have = prev.get("stats", {})
     st: dict = {}
     for fn in prev["files"]:
-        if not any(k != "#rows" for k in have.get(fn, {})):
+        if not any(not k.startswith("#") for k in have.get(fn, {})):
             st[fn] = _footer_stats(os.path.join(_data_dir(root), fn))
     if not st:
         return prev_v
@@ -1711,7 +1715,12 @@ def commit_delete_keys(
     return prev_v + 1
 
 
-def optimize(spark: SparkSession, root: str, target_files: int = 1) -> int:
+def optimize(
+    spark: SparkSession,
+    root: str,
+    target_files: int = 1,
+    min_file_bytes: int | None = None,
+) -> int:
     """OPTIMIZE (bin-packing compaction) as a table commit: rewrite
     the current snapshot's files into ``target_files`` larger ones and
     publish the result as a new version — logically a no-op (readers
@@ -1720,9 +1729,60 @@ def optimize(spark: SparkSession, root: str, target_files: int = 1) -> int:
     `vacuum` to reclaim the fragments once retention allows.
     `maintenance.py::compact_small_files` is the same operation for
     free-standing parquet directories; here the manifest swap makes
-    it transactional."""
+    it transactional.
+
+    ``min_file_bytes`` makes the compaction INCREMENTAL (how real
+    OPTIMIZE runs on big tables): only files smaller than the
+    threshold are read and rewritten; every file already at size is
+    carried by reference — commit cost scales with the small-file
+    backlog, never with the table. Merge-on-read deletes scoped to a
+    carried file stay scoped to it; deletes on compacted files
+    materialize. On a partitioned table the rewrite re-partitions, so
+    compacted rows land back in per-tuple files and pruning is
+    unaffected."""
     prev_v = current_version(root)
     prev = _load_manifest(root, prev_v)
+    if min_file_bytes is not None and prev["files"]:
+        man_stats = prev.get("stats", {})
+
+        def _size(fn: str) -> int:
+            b = man_stats.get(fn, {}).get("#bytes")
+            if b is not None:
+                return int(b)  # manifest-recorded: no listing, no stat call
+            return os.path.getsize(os.path.join(_data_dir(root), fn))
+
+        small = [fn for fn in prev["files"] if _size(fn) < min_file_bytes]
+        carried = [fn for fn in prev["files"] if fn not in set(small)]
+        if len(small) < 2:
+            # nothing worth compacting: publish a no-op commit to keep
+            # the "optimize returns a new version" contract
+            _publish(
+                root,
+                prev_v + 1,
+                _next_payload(
+                    prev, prev_v + 1, "optimize", list(prev["files"])
+                ),
+            )
+            return prev_v + 1
+        df = _read_with_deletes(spark, root, prev, small).coalesce(
+            target_files
+        )
+        st: dict = {}
+        pt: dict = {}
+        sid, spec = _current_spec(prev)
+        files = carried + _write_data_files(
+            spark, root, df, stats=st, spec=spec, spec_id=sid,
+            partitions=pt, schema_json=prev.get("schema"),
+        )
+        _publish(
+            root,
+            prev_v + 1,
+            _next_payload(
+                prev, prev_v + 1, "optimize", files, stats=st,
+                new_partitions=pt,
+            ),
+        )
+        return prev_v + 1
     if not prev["files"]:
         # empty snapshot: nothing to compact — publish a no-op commit
         # (keeps the "optimize returns a new version" contract)

@@ -1166,3 +1166,41 @@ def test_bucket_partitioned_upsert_skips_untouched_buckets(spark, root):
     got = {r.k: r.v for r in tf.read(spark, root).collect()}
     assert len(got) == 400
     assert got[7] == "V7" and got[123] == "V123" and got[1] == "v1"
+
+
+def test_incremental_optimize_compacts_only_small_files(spark, root):
+    # one big file + several tiny appends: incremental OPTIMIZE must
+    # carry the big file BY REFERENCE and fold only the backlog
+    big = spark.createDataFrame(
+        [(i, "x" * 200) for i in range(5000)], ["k", "v"]
+    )
+    tf.create(spark, root, big.coalesce(1))
+    for i in range(3):
+        tf.commit_append(
+            spark, root,
+            spark.createDataFrame([(100000 + i, "s")], ["k", "v"]).coalesce(1),
+        )
+    man0 = tf._load_manifest(root, None)
+    sizes = {
+        fn: os.path.getsize(os.path.join(tf._data_dir(root), fn))
+        for fn in man0["files"]
+    }
+    threshold = max(sizes.values())  # strictly smaller than the big file
+    v = tf.optimize(spark, root, min_file_bytes=threshold)
+    man1 = tf._load_manifest(root, v)
+    big_file = max(sizes, key=sizes.get)
+    assert big_file in man1["files"]  # carried by reference, zero IO
+    assert len(man1["files"]) < len(man0["files"])
+    assert tf.read(spark, root).count() == 5003
+    # MOR delete scoped to the carried big file survives the compaction
+    tf.commit_delete_mor(root, "k = 0")
+    v2 = tf.optimize(spark, root, min_file_bytes=threshold)
+    assert tf.read(spark, root).count() == 5002
+
+
+def test_incremental_optimize_noop_when_nothing_small(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    v = tf.optimize(spark, root, min_file_bytes=1)  # nothing below 1 byte
+    man = tf._load_manifest(root, v)
+    assert man["action"] == "optimize"
+    assert set(man["files"]) == set(tf._load_manifest(root, 0)["files"])
