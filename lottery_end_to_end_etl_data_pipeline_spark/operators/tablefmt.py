@@ -134,11 +134,16 @@ def _footer_stats(path: str) -> dict:
             continue  # never let a column shadow the #rows/#bytes keys
         lo = hi = None
         ok = True
+        nulls = 0
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:
                 ok = False
                 break
+            if st.null_count is None:
+                nulls = None  # unknown: readers must assume nulls exist
+            elif nulls is not None:
+                nulls += st.null_count
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
@@ -152,7 +157,13 @@ def _footer_stats(path: str) -> dict:
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
         if ok and lo is not None:
-            out[name] = [lo, hi]
+            # [min, max, null_count] — the null count is what lets a
+            # whole-file decision (replaceWhere drop) PROVE that no
+            # NULL rows hide outside the [min, max] envelope; parquet
+            # stats exclude nulls from min/max. Older manifests carry
+            # 2-element entries; readers treat a missing count as
+            # "nulls unknown" (conservative).
+            out[name] = [lo, hi] if nulls is None else [lo, hi, nulls]
     return out
 
 
@@ -284,6 +295,85 @@ def _typed_part_value(tr: dict, raw: str | None, schema: dict | None):
     return raw
 
 
+_INT_TYPES = {"byte", "short", "integer", "long"}
+
+
+def _src_type(man: dict, col: str) -> str | None:
+    sch = man.get("schema")
+    if not sch:
+        return None
+    for f in sch.get("fields", []):
+        if f["name"] == col:
+            return f["type"] if isinstance(f["type"], str) else None
+    return None
+
+
+def _probe_compatible(kind: str, src_type: str | None, v) -> bool:
+    """Gate driver-side pruning on probe/column TYPE agreement: the
+    tuple values were rendered by Spark's own casts at write time, so
+    a probe whose Python rendering could differ (int probe on a double
+    column, timestamp identity with fractional seconds) must NOT prune
+    — a wrong bucket or a truncated microsecond would silently drop
+    files that contain matching rows. Incompatible probes fall through
+    to zone maps / full scan: correctness first, pruning second."""
+    if isinstance(v, bool):
+        return False
+    if kind in _TIME_KINDS:
+        return src_type in ("date", "timestamp", "timestamp_ntz") and isinstance(
+            v, (str, _dt.date, _dt.datetime)
+        )
+    if kind in ("bucket", "truncate"):
+        if src_type in _INT_TYPES:
+            return isinstance(v, int)
+        if src_type == "string":
+            return isinstance(v, str)
+        return False
+    # identity
+    if src_type in _INT_TYPES:
+        return isinstance(v, int)
+    if src_type in ("float", "double"):
+        return isinstance(v, (int, float))
+    if src_type == "string":
+        return isinstance(v, str)
+    if src_type == "date":
+        return isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+    return False  # timestamps etc: dir-string rendering is ambiguous
+
+
+def _validate_spec_types(transforms: list[str], fields: dict) -> None:
+    """Reject transform/column-type pairings whose driver-side probe
+    mirror would be ambiguous BEFORE any data is written: bucket and
+    truncate need int or string columns (their crc32/floor mirrors are
+    exact only there), time transforms need date/timestamp columns.
+    Identity accepts any type (pruning simply disables itself for
+    types it can't mirror)."""
+    for tstr in transforms:
+        tr = _parse_transform(tstr)
+        if tr["col"] not in fields:
+            raise ValueError(
+                f"partition transform {tstr!r}: column {tr['col']!r} not in "
+                f"{sorted(fields)}"
+            )
+        ty = fields[tr["col"]]
+        ty = ty if isinstance(ty, str) else "nested"
+        if tr["kind"] in ("bucket", "truncate") and ty not in (
+            _INT_TYPES | {"string"}
+        ):
+            raise ValueError(
+                f"partition transform {tstr!r}: {tr['kind']} needs an "
+                f"int or string column, got {ty}"
+            )
+        if tr["kind"] in _TIME_KINDS and ty not in (
+            "date",
+            "timestamp",
+            "timestamp_ntz",
+        ):
+            raise ValueError(
+                f"partition transform {tstr!r}: {tr['kind']} needs a "
+                f"date/timestamp column, got {ty}"
+            )
+
+
 def _current_spec(man: dict) -> tuple[str | None, list[str] | None]:
     sid = man.get("current_spec")
     if sid is None:
@@ -305,6 +395,7 @@ def _partition_keep(man: dict, fn: str, col: str, lo, hi) -> bool:
     spec = man.get("specs", {}).get(str(pinfo["spec"]))
     if not spec or len(spec) != len(pinfo["tuple"]):
         return True
+    src = _src_type(man, col)
     for t, v in zip(spec, pinfo["tuple"]):
         try:
             tr = _parse_transform(t)
@@ -316,6 +407,11 @@ def _partition_keep(man: dict, fn: str, col: str, lo, hi) -> bool:
             if v is None:
                 # an all-NULL partition can never satisfy a range filter
                 return False
+            if not (
+                _probe_compatible(tr["kind"], src, lo)
+                and _probe_compatible(tr["kind"], src, hi)
+            ):
+                continue  # type-ambiguous probe: never prune on it
             if tr["kind"] == "bucket":
                 if lo == hi and v != _transform_probe(tr, lo):
                     return False
@@ -343,6 +439,7 @@ def _partition_fully_inside(man: dict, fn: str, col: str, lo, hi) -> bool:
     spec = man.get("specs", {}).get(str(pinfo["spec"]))
     if not spec or len(spec) != len(pinfo["tuple"]):
         return False
+    src = _src_type(man, col)
     for t, v in zip(spec, pinfo["tuple"]):
         try:
             tr = _parse_transform(t)
@@ -350,9 +447,16 @@ def _partition_fully_inside(man: dict, fn: str, col: str, lo, hi) -> bool:
             continue
         if tr["col"] != col or v is None:
             continue
+        if not (
+            _probe_compatible(tr["kind"], src, lo)
+            and _probe_compatible(tr["kind"], src, hi)
+        ):
+            continue  # type-ambiguous probe: never prove containment on it
         try:
             if tr["kind"] == "identity":
-                if lo <= v <= hi:
+                tlo = _transform_probe(tr, lo)
+                thi = _transform_probe(tr, hi)
+                if tlo <= v <= thi:
                     return True
             elif tr["kind"] != "bucket":
                 tlo = _transform_probe(tr, lo)
@@ -676,13 +780,11 @@ def create(
     sid = None
     pt: dict = {}
     if partition_by:
-        for tstr in partition_by:  # validate before any write
-            tr = _parse_transform(tstr)
-            if tr["col"] not in df.columns:
-                raise ValueError(
-                    f"partition transform {tstr!r}: column {tr['col']!r} "
-                    f"not in {df.columns}"
-                )
+        # validate transforms AND column types before any write
+        _validate_spec_types(
+            partition_by,
+            {f["name"]: f["type"] for f in df.schema.jsonValue()["fields"]},
+        )
         sid = "0"
         specs = {sid: list(partition_by)}
     files = _write_data_files(
@@ -725,14 +827,13 @@ def set_partition_spec(root: str, transforms: list[str]) -> int:
     prev_v = current_version(root)
     prev = _load_manifest(root, prev_v)
     sch = prev.get("schema")
-    cols = {f["name"] for f in sch.get("fields", [])} if sch else None
-    for tstr in transforms:
-        tr = _parse_transform(tstr)
-        if cols is not None and tr["col"] not in cols:
-            raise ValueError(
-                f"partition transform {tstr!r}: column {tr['col']!r} "
-                f"not in table schema {sorted(cols)}"
-            )
+    if sch:
+        _validate_spec_types(
+            transforms, {f["name"]: f["type"] for f in sch.get("fields", [])}
+        )
+    else:
+        for tstr in transforms:
+            _parse_transform(tstr)  # syntax check only (pre-schema table)
     specs = dict(prev.get("specs", {}))
     sid = str(max((int(k) for k in specs), default=-1) + 1)
     specs[sid] = list(transforms)
@@ -1182,11 +1283,17 @@ def committed_meta_values(root: str, key: str) -> set:
     manifests are additionally scanned for their per-commit ``meta``.)
     """
     latest = _load_manifest(root, None)
-    out = set(latest.get("ledger", {}).get(key, []))
+    if "ledger" in latest:
+        # the cumulative ledger already folds every prior commit's meta
+        # (including the latest's own) — one manifest read answers the
+        # query, O(1) in table history. The per-version scan below is
+        # ONLY for tables whose latest manifest predates the ledger.
+        return set(latest["ledger"].get(key, []))
+    out: set = set()
     for v in range(current_version(root) + 1):
         p = _manifest_path(root, v)
         if not os.path.exists(p):
-            continue  # vacuumed away; the cumulative ledger carries these
+            continue  # vacuumed away
         meta = _load_manifest(root, v).get("meta", {})
         if key in meta:
             out.add(meta[key])
@@ -1279,7 +1386,7 @@ def _touched_files(
         if rng is None:
             touched.append(fn)  # unknown bounds: must assume a hit
             continue
-        lo, hi = rng
+        lo, hi = rng[0], rng[1]  # entries may carry [lo, hi, null_count]
         if lo is None or bounds.lo is None or hi < bounds.lo or lo > bounds.hi:
             untouched.append(fn)
         else:
@@ -1445,11 +1552,20 @@ def commit_replace_where(
     carried, straddle = [], []
     for fn in prev["files"]:
         rng = stats.get(fn, {}).get(col)
+        # a zone-map drop needs TWO proofs: the [min, max] envelope is
+        # inside the range AND the file holds no NULL col rows (parquet
+        # min/max exclude nulls, and NULL rows never match the
+        # predicate, so dropping a file on its envelope alone would
+        # silently delete them). Manifests record the null count as
+        # stats[col][2]; entries without it (pre-null-count manifests)
+        # fall to the rewrite path — correct, just more IO.
         fully_inside = _partition_fully_inside(prev, fn, col, lo, hi) or (
             rng is not None
             and rng[0] is not None
             and lo <= rng[0]
             and rng[1] <= hi
+            and len(rng) > 2
+            and rng[2] == 0
         )
         if fully_inside:
             continue  # dropped: every row is being replaced
@@ -1752,7 +1868,8 @@ def optimize(
             return os.path.getsize(os.path.join(_data_dir(root), fn))
 
         small = [fn for fn in prev["files"] if _size(fn) < min_file_bytes]
-        carried = [fn for fn in prev["files"] if fn not in set(small)]
+        small_set = set(small)
+        carried = [fn for fn in prev["files"] if fn not in small_set]
         if len(small) < 2:
             # nothing worth compacting: publish a no-op commit to keep
             # the "optimize returns a new version" contract
@@ -1773,6 +1890,7 @@ def optimize(
         files = carried + _write_data_files(
             spark, root, df, stats=st, spec=spec, spec_id=sid,
             partitions=pt, schema_json=prev.get("schema"),
+            files_per_partition=_write_parallelism(prev),
         )
         _publish(
             root,
@@ -2196,7 +2314,14 @@ def partitions_table(
     ft = files_table(spark, root, version)
     return ft.groupBy("spec_id", "partition_tuple").agg(
         F.count(F.lit(1)).cast("long").alias("n_files"),
-        F.sum("n_rows").cast("long").alias("n_rows"),
+        # NULL, not an undercount, when ANY member file lacks a
+        # recorded row count (F.sum would silently skip the NULLs and
+        # report an authoritative-looking wrong number)
+        F.when(
+            F.count("n_rows") == F.count(F.lit(1)), F.sum("n_rows")
+        )
+        .cast("long")
+        .alias("n_rows"),
         F.sum("size_bytes").cast("long").alias("size_bytes"),
     )
 

@@ -10,10 +10,15 @@ makes (txn-id-per-micro-batch recorded in the commit it de-dupes):
 
 - Executors (`write`) stream their partition's Arrow batches straight
   to a parquet file under ``<root>/_streaming/`` — a staging area the
-  table's `vacuum` never scans, so there is NO window in which a
-  concurrent vacuum can delete data that a later commit will
-  reference. One file per non-empty task, vectorized end to end
-  (`DataSourceStreamArrowWriter`: no row-at-a-time Python).
+  table's `vacuum` never scans; when the driver later moves them into
+  ``data/`` it first registers a ``_log/_staged.*`` marker (the same
+  vacuum protection the batch two-phase commit uses), so there is NO
+  window in which a concurrent vacuum can delete data that a later
+  commit will reference. One file per non-empty task, vectorized end
+  to end (`DataSourceStreamArrowWriter`: no row-at-a-time Python).
+- The table's CHECK constraints are enforced on every staged batch
+  before publish (one filter pass over the batch, never the table),
+  same contract as `commit_append`.
 - The driver (`commit`) is the ONLY place a micro-batch becomes
   visible: it moves the staged files into ``data/`` and publishes one
   manifest through the table's optimistic-concurrency append loop
@@ -130,6 +135,54 @@ class TableSinkStreamWriter(DataSourceStreamArrowWriter):
                     "table schema; evolve the table explicitly with "
                     "commit_append(evolve=True) before streaming into it"
                 )
+        # CHECK constraints: the commit boundary enforces them for every
+        # write path, streaming included — one filter pass over the
+        # staged BATCH (never the table), rejecting before any publish
+        cons = man.get("constraints", {})
+        if cons:
+            # the DataSource commit hook runs in its own Python worker
+            # with no SparkSession, so the one-pass batch validation
+            # runs on DuckDB over the staged parquet instead (identical
+            # NULL semantics: WHERE NOT(pred) excludes NULL-pred rows,
+            # matching Spark's filter). A predicate DuckDB cannot
+            # evaluate REFUSES the publish — never publish unvalidated.
+            import duckdb
+
+            paths = [os.path.join(_staging_dir(self.root), n) for n in names]
+            con = duckdb.connect()
+            for cname, pred in cons.items():
+                try:
+                    bad = con.execute(
+                        f"SELECT count(*) FROM read_parquet(?) "
+                        f"WHERE NOT ({pred})",
+                        [paths],
+                    ).fetchone()[0]
+                except Exception as e:
+                    self._cleanup(names)
+                    raise ValueError(
+                        f"tablefmt_sink: CHECK constraint {cname!r} "
+                        f"({pred}) could not be evaluated against the "
+                        f"staged batch ({e}); refusing to publish "
+                        "unvalidated rows"
+                    ) from e
+                if bad:
+                    self._cleanup(names)
+                    raise ValueError(
+                        f"tablefmt_sink: CHECK constraint {cname!r} "
+                        f"({pred}) violated by {bad} row(s) in the "
+                        "micro-batch; commit rejected"
+                    )
+        # a _staged.* marker makes the files vacuum-referenced from the
+        # instant they enter data/ until the manifest publish lands —
+        # publish_append retires it; abort/crash leaves it to TTL-expire
+        marker = os.path.join(
+            tf._log_dir(self.root), f"_staged.{uuid.uuid4().hex}.json"
+        )
+        import json as _json
+        import time as _time
+
+        with open(marker, "w") as f:
+            _json.dump({"files": names, "ts": _time.time()}, f)
         for n in names:
             os.replace(
                 os.path.join(_staging_dir(self.root), n),

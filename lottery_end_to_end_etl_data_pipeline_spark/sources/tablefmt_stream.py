@@ -28,10 +28,11 @@ Semantics (mirroring Delta's ``readStream`` contract):
   streaming them would duplicate or lose rows. Pass
   ``.option("skipChangeCommits", "true")`` to skip them wholesale
   (Delta's option of the same name).
-- ``.option("startingVersion", N)`` begins at version N (default: the
-  table's CURRENT version at stream start, i.e. only new commits —
-  pass 0 to replay history; requires those manifests to be retained,
-  so mind `vacuum`'s ``keep_versions``).
+- ``.option("startingVersion", N)`` begins AT version N, inclusive —
+  Delta's semantics, so ``startingVersion=0`` replays the full history
+  including the create commit (requires those manifests to be
+  retained, so mind `vacuum`'s retention). Default: only commits
+  AFTER stream start.
 
 Scale shape: offset resolution and partition planning are driver-side
 manifest reads (KB-sized JSON, O(commits) — never O(data)); each added
@@ -110,9 +111,13 @@ class TableChangesStreamReader(DataSourceStreamReader):
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
         sv = options.get("startingVersion")
-        # default: only commits AFTER stream start (Delta's default)
+        # offsets mark the last CONSUMED version, so "start AT N
+        # inclusive" (Delta semantics) stores N-1; the default consumes
+        # only commits AFTER stream start
         self.start_version = (
-            int(sv) if sv is not None else _current_version(self.root)
+            max(-1, int(sv) - 1)
+            if sv is not None
+            else _current_version(self.root)
         )
         self.max_files = int(options.get("maxFilesPerTrigger", "64"))
 
@@ -141,10 +146,16 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         """Advance at most ``maxFilesPerTrigger`` files per batch —
-        bounded micro-batches under backfill, O(commits) driver work."""
-        # Spark guarantees latestOffset is called after initialOffset /
-        # checkpoint restore; track progress via the last end we handed
-        # out (partitions() receives the authoritative start anyway).
+        bounded micro-batches under backfill, O(commits) driver work.
+
+        Pacing is tracked from the last end this reader handed out
+        (seeded from ``partitions()``/``commit()``, which receive the
+        authoritative checkpointed offsets). KNOWN LIMIT: on a restart
+        into a large backlog, the FIRST latestOffset call has no
+        checkpoint visibility yet (the Python API doesn't pass it), so
+        that one batch is unpaced; every subsequent batch is bounded.
+        Correctness is unaffected — offsets and replay come from the
+        checkpoint, pacing only shapes batch size."""
         cur = _current_version(self.root)
         start = getattr(self, "_last_end", None)
         if start is None:
@@ -160,6 +171,11 @@ class TableChangesStreamReader(DataSourceStreamReader):
         return {"version": end}
 
     def partitions(self, start: dict, end: dict):
+        # seed the pacing cursor with the authoritative offsets (covers
+        # checkpoint restarts, where initialOffset is never consulted)
+        self._last_end = max(
+            end["version"], getattr(self, "_last_end", end["version"])
+        )
         files: list[str] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             files.extend(self._added_files(v))

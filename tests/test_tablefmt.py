@@ -215,14 +215,14 @@ def test_manifests_record_footer_stats(spark, root):
     tf.create(spark, root, _df(spark, [(1, "a"), (5, "b")]).coalesce(1))
     man = tf._load_manifest(root, 0)
     (fn,) = man["files"]
-    assert man["stats"][fn]["k"] == [1, 5]
-    assert man["stats"][fn]["v"] == ["a", "b"]
+    assert man["stats"][fn]["k"] == [1, 5, 0]  # [min, max, null_count]
+    assert man["stats"][fn]["v"] == ["a", "b", 0]
     # carried-by-reference files keep their stats across commits
     tf.commit_append(spark, root, _df(spark, [(9, "c")]).coalesce(1))
     man1 = tf._load_manifest(root, 1)
-    assert man1["stats"][fn]["k"] == [1, 5]
+    assert man1["stats"][fn]["k"] == [1, 5, 0]
     new = [f for f in man1["files"] if f != fn]
-    assert man1["stats"][new[0]]["k"] == [9, 9]
+    assert man1["stats"][new[0]]["k"] == [9, 9, 0]
 
 
 def test_upsert_prunes_from_manifest_stats_without_scan(spark, root, monkeypatch):
@@ -282,7 +282,7 @@ def test_zorder_improves_second_column_pruning(spark, root):
     man0 = tf._load_manifest(root, 0)
     assert len(man0["files"]) == 4
     # linear layout: y stats are full-width in every file
-    assert all(st["y"] == [0, 15] for st in man0["stats"].values())
+    assert all(st["y"][:2] == [0, 15] for st in man0["stats"].values())
     before = tf.read_pruned(spark, root, "y", 0, 3, version=0)
     assert len(before.inputFiles()) == 4  # no skipping possible
     v = tf.optimize_zorder(spark, root, ["x", "y"], target_files=8)
@@ -405,7 +405,7 @@ def test_footer_stats_ignore_nested_leaves(spark, root):
     tf.create(spark, root, df)
     man = tf._load_manifest(root, 0)
     (stats,) = man["stats"].values()
-    assert stats["id"] == [1, 2], stats  # NOT the nested 900..999 range
+    assert stats["id"][:2] == [1, 2], stats  # NOT the nested 900..999 range
     assert "payload" not in stats
     # pruned read on id=[1,1] keeps the file and returns the row
     got = tf.read_pruned(spark, root, "id", 1, 1).collect()
@@ -1204,3 +1204,115 @@ def test_incremental_optimize_noop_when_nothing_small(spark, root):
     man = tf._load_manifest(root, v)
     assert man["action"] == "optimize"
     assert set(man["files"]) == set(tf._load_manifest(root, 0)["files"])
+
+
+# ---------------------------------------------------------------------------
+# Round-6 self-review regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_replace_where_preserves_null_rows_in_covered_files(spark, root):
+    # a file whose non-null [min,max] sits inside the replace range but
+    # which ALSO holds NULL-col rows must NOT be dropped whole: parquet
+    # min/max exclude nulls, and NULL rows never match the predicate
+    df = spark.createDataFrame(
+        [(10, "a"), (15, "b"), (19, "c"), (None, "n1"), (None, "n2")],
+        "k int, v string",
+    ).coalesce(1)
+    tf.create(spark, root, df)
+    repl = spark.createDataFrame([(12, "R")], "k int, v string")
+    tf.commit_replace_where(spark, root, "k", 10, 19, repl)
+    got = sorted(
+        (r.k, r.v) for r in tf.read(spark, root).collect()
+        if r.k is None
+    )
+    assert got == [(None, "n1"), (None, "n2")]  # nulls survived
+    assert tf.read(spark, root).count() == 3  # 2 nulls + the replacement
+
+
+def test_replace_where_still_drops_null_free_files_by_metadata(spark, root):
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k int, v string"
+    )
+    tf.create(
+        spark, root, df.repartitionByRange(4, "k").sortWithinPartitions("k")
+    )
+    man0 = tf._load_manifest(root, None)
+    # the manifest proves zero nulls for k, so the covered file drops
+    assert all(
+        len(s["k"]) == 3 and s["k"][2] == 0
+        for s in man0["stats"].values()
+        if "k" in s
+    )
+    repl = df.filter((F.col("k") >= 10) & (F.col("k") <= 19))
+    v = tf.commit_replace_where(spark, root, "k", 10, 19, repl)
+    man1 = tf._load_manifest(root, v)
+    dropped = set(man0["files"]) - set(man1["files"])
+    assert dropped  # whole-file drop happened on metadata alone
+    assert tf.read(spark, root).count() == 40
+
+
+def test_bucket_transform_rejects_non_int_string_columns(spark, root):
+    df = spark.createDataFrame([(1.5, "a")], "x double, v string")
+    with pytest.raises(ValueError, match="int or string"):
+        tf.create(spark, root, df, partition_by=["bucket(4, x)"])
+    tf.create(spark, root, df)
+    with pytest.raises(ValueError, match="int or string"):
+        tf.set_partition_spec(root, ["truncate(2, x)"])
+    with pytest.raises(ValueError, match="date/timestamp"):
+        tf.set_partition_spec(root, ["day(v)"])
+
+
+def test_type_mismatched_probe_never_prunes_wrong(spark, root):
+    # float probe on an int bucket column: pruning must DISABLE itself
+    # (a str(float) crc32 would hash to the wrong bucket), not drop rows
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 41)], "k int, v string"
+    )
+    tf.create(spark, root, df, partition_by=["bucket(4, k)"])
+    pr = tf.read_pruned(spark, root, "k", 17.0, 17.0)
+    assert pr.count() == 1  # row found despite the float-typed probe
+    assert len(pr.inputFiles()) == len(tf._load_manifest(root, None)["files"])
+
+
+def test_identity_timestamp_partition_never_prunes_on_string_render(
+    spark, root
+):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0, 500000)),
+            (2, dt.datetime(2024, 1, 2, 0, 0, 0)),
+        ],
+        "k long, ts timestamp",
+    )
+    tf.create(spark, root, df, partition_by=["ts"])
+    lo = dt.datetime(2024, 1, 1)
+    hi = dt.datetime(2024, 1, 1, 0, 0, 0, 999999)
+    pr = tf.read_pruned(spark, root, "ts", lo, hi)
+    # sub-second dir renderings are ambiguous: identity-on-timestamp
+    # pruning is disabled, and the microsecond row is NOT lost
+    assert pr.count() == 1
+
+
+def test_partitions_table_refuses_partial_row_counts(spark, root):
+    import json
+
+    tf.create(spark, root, spark.createDataFrame([(1, "u0")], ["k", "grp"]),
+              partition_by=["grp"])
+    tf.commit_append(spark, root, spark.createDataFrame([(2, "u0")], ["k", "grp"]))
+    # surgically strip one member file's stats (a pre-stats legacy file)
+    v = tf.current_version(root)
+    p = tf._manifest_path(root, v)
+    man = json.load(open(p))
+    victim = [f for f in man["files"] if f in man.get("partitions", {})][-1]
+    man["stats"].pop(victim, None)
+    os.remove(p)
+    with open(p, "w") as f:
+        json.dump(man, f)
+    pt = {
+        r.partition_tuple: r
+        for r in tf.partitions_table(spark, root).collect()
+    }
+    assert pt['["u0"]'].n_rows is None  # refuses, never undercounts

@@ -124,3 +124,18 @@ def test_table_to_table_streaming_roundtrip(spark, dirs):
         "append",
         "append",
     ]
+
+
+def test_sink_enforces_check_constraints(spark, dirs):
+    tsink.register(spark)
+    tf.create(spark, dirs["root"], spark.createDataFrame([], "k long, v string"))
+    tf.add_constraint(dirs["root"], "k_pos", "k > 0")
+    os.makedirs(dirs["src"])
+    spark.createDataFrame([(-1, "bad")], ["k", "v"]).write.mode(
+        "append"
+    ).parquet(dirs["src"])
+    with pytest.raises(Exception, match="k_pos"):
+        _drain_files_to_table(spark, dirs)
+    assert tf.read(spark, dirs["root"]).count() == 0  # nothing published
+    staging = os.path.join(dirs["root"], "_streaming")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []

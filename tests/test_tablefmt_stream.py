@@ -151,3 +151,38 @@ def test_stream_defaults_to_new_commits_only(spark, dirs):
     files = glob.glob(os.path.join(dirs["out"], "*.parquet"))
     if files:
         assert spark.read.parquet(dirs["out"]).count() == 0
+
+
+def test_starting_version_zero_is_inclusive_delta_semantics(spark, dirs):
+    ts.register(spark)
+    tf.create(spark, dirs["root"], spark.createDataFrame([(1, "a")], ["k", "v"]))
+    tf.commit_append(spark, dirs["root"], spark.createDataFrame([(2, "b")], ["k", "v"]))
+    q = (
+        spark.readStream.format("tablefmt_stream")
+        .option("startingVersion", 0)  # inclusive: v0's create included
+        .load(dirs["root"])
+        .writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert _sink_rows(spark, dirs) == [(1, "a"), (2, "b")]
+    # startingVersion=1 skips the create commit's rows
+    import shutil
+
+    shutil.rmtree(dirs["ckpt"])
+    shutil.rmtree(dirs["out"])
+    q2 = (
+        spark.readStream.format("tablefmt_stream")
+        .option("startingVersion", 1)
+        .load(dirs["root"])
+        .writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert _sink_rows(spark, dirs) == [(2, "b")]
