@@ -4614,91 +4614,69 @@ def cross_source_contamination(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # Round-6 rotation (VERDICT r5 ask #1): 50 entries drawn ENTIRELY
-    # from the set never seen in any driver CORRECTNESS window through
-    # r05 (93 such entries at the r06 freeze, all mirror-verified
-    # green). Fronted: the 4 tablefmt entries added after the r05
-    # window froze, plus this round's new time_travel_timestamp; then
-    # the head of the standing queue. Selection is reproducible via
-    #   set(QUERIES) - union(CORRECTNESS_r01..r05).
-    # NEXT-ROTATION QUEUE (round 7): the remaining 43 never-checked
-    # entries:
-    #   session_path_trigrams, theil_sen_daily_trend,
-    #   incremental_stats_merge, psi_value_drift, rfm_segmentation,
-    #   abandoned_clicks, auc_quality_classifier, ks_two_sample_binned,
-    #   table_fingerprint_events, calibration_ece, cusum_changepoint_daily,
-    #   vocab_oov_rate, forecast_backtest_mase, peak_concurrency_sweep,
-    #   group_split_no_leakage, heaps_law_fit, ndcg_truncation_audit,
-    #   weak_label_model, embedding_class_separation, mahalanobis_outliers,
-    #   als_half_step, distinctive_terms_by_source,
-    #   functional_dependency_audit, paragraph_dedup_reassembly,
-    #   cluster_purity_nmi, tar_shard_roundtrip, footer_zone_map_stats,
-    #   raking_ipf_weights, kfold_cv_ridge, business_days_lag,
-    #   markov_next_event_accuracy, association_rules_metrics,
-    #   decayed_engagement_score, blocking_quality_metrics,
-    #   velocity_rule_alerts, weighted_median_by_status,
-    #   price_volume_mix_decomposition, sequence_gap_audit,
-    #   rollup_cascade_parity, fk_discovery_containment,
-    #   state_machine_conformance, nucleus_coverage_stats, source_jsd_matrix
-    # plus the entries added after the r06 freeze:
-    #   tablefmt_upgrade_audit, tablefmt_staging_vacuum_audit,
-    #   tablefmt_mor_delete_audit, tablefmt_bloom_skipping,
-    #   streaming_mor_cdc_sink, tablefmt_constraints_audit,
-    #   tablefmt_restore_clone_audit, tablefmt_metadata_agg_audit,
+    # Round-7 rotation (VERDICT r6 ask #1): the 50 oldest entries that
+    # have NEVER appeared in any driver CORRECTNESS window r01-r06
+    # (58 such entries at the r07 start; all mirror-verified green).
+    # Composition: the 43-entry standing queue recorded in the r06
+    # comment, then the first 7 of the 15 post-r06-freeze entries in
+    # registry order. Selection is reproducible via
+    #   [n for n in QUERIES if n not in union(CORRECTNESS_r01..r06)][:50]
+    # REMAINING FOR ROUND 8 (8 entries): tablefmt_metadata_agg_audit,
     #   tablefmt_partition_pruning, tablefmt_replace_where_audit,
     #   tablefmt_partition_evolution_audit, tablefmt_readstream_audit,
     #   tablefmt_metadata_tables, preference_pair_mining,
     #   tablefmt_stream_sink_roundtrip
-    "tablefmt_stats_pruned_read",
-    "tablefmt_zorder_skipping",
-    "tablefmt_cdf_counts",
-    "tablefmt_merge_audit",
-    "time_travel_timestamp",
-    "knn_lsh_indexed_cosine",
-    "percentiles_by_group_approx",
-    "temperature_mixture_counts",
-    "repeated_span_stats",
-    "repeated_span_incremental",
-    "compression_ratio_by_lang",
-    "semdedup_incremental_index",
-    "activity_streaks",
-    "ngram_diversity_by_lang",
-    "count_min_heavy_hitters",
-    "bloom_semi_join_audit",
-    "ewma_daily_value",
-    "trend_slope_by_type",
-    "dup_cluster_size_dist",
-    "hll_set_ops_audit",
-    "rendezvous_shard_assignment",
-    "ivm_join_delta",
-    "neyman_allocation_sample",
-    "decile_shift_by_source",
-    "quality_classifier_scores",
-    "token_budget_selection",
-    "canonical_doc_per_cluster",
-    "chunk_embedding_pooling",
-    "approx_percentile_audit",
-    "epoch_shuffle_orders",
-    "cdc_apply_tombstones",
-    "bpe_pair_counts",
-    "sorted_neighborhood_pairs",
-    "skyline_orders",
-    "pca_variance_audit",
-    "welch_ab_test",
-    "phrase_search_positional",
-    "attribution_models",
-    "frequent_item_pairs",
-    "ols_normal_equations",
-    "quantile_normalize_lengths",
-    "bootstrap_ci_mean",
-    "conformal_threshold_coverage",
-    "edit_distance_join_parts",
-    "langid_agreement_metrics",
-    "join_size_estimation",
-    "holt_forecast_daily",
-    "similar_docs_query",
-    "mutual_information_event_dow",
-    "facility_location_coreset",
+    # plus any entries added during round 7 itself.
+    "session_path_trigrams",
+    "theil_sen_daily_trend",
+    "incremental_stats_merge",
+    "psi_value_drift",
+    "rfm_segmentation",
+    "abandoned_clicks",
+    "auc_quality_classifier",
+    "ks_two_sample_binned",
+    "table_fingerprint_events",
+    "calibration_ece",
+    "cusum_changepoint_daily",
+    "vocab_oov_rate",
+    "forecast_backtest_mase",
+    "peak_concurrency_sweep",
+    "group_split_no_leakage",
+    "heaps_law_fit",
+    "ndcg_truncation_audit",
+    "weak_label_model",
+    "embedding_class_separation",
+    "mahalanobis_outliers",
+    "als_half_step",
+    "distinctive_terms_by_source",
+    "functional_dependency_audit",
+    "paragraph_dedup_reassembly",
+    "cluster_purity_nmi",
+    "tar_shard_roundtrip",
+    "footer_zone_map_stats",
+    "raking_ipf_weights",
+    "kfold_cv_ridge",
+    "business_days_lag",
+    "markov_next_event_accuracy",
+    "association_rules_metrics",
+    "decayed_engagement_score",
+    "blocking_quality_metrics",
+    "velocity_rule_alerts",
+    "weighted_median_by_status",
+    "price_volume_mix_decomposition",
+    "sequence_gap_audit",
+    "rollup_cascade_parity",
+    "fk_discovery_containment",
+    "state_machine_conformance",
+    "nucleus_coverage_stats",
+    "source_jsd_matrix",
+    "tablefmt_upgrade_audit",
+    "tablefmt_staging_vacuum_audit",
+    "tablefmt_mor_delete_audit",
+    "tablefmt_bloom_skipping",
+    "streaming_mor_cdc_sink",
+    "tablefmt_constraints_audit",
+    "tablefmt_restore_clone_audit",
 ]
 
 
