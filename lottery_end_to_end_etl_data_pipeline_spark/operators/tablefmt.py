@@ -69,6 +69,13 @@ def _data_dir(root: str) -> str:
     return os.path.join(root, "data")
 
 
+# manifest file name: "v<digits>.json". Written zero-padded to 5 digits
+# (naturally widening past v99999), parsed by the FULL numeric run — a
+# fixed f[1:6] slice would silently truncate v123456 → 12345 and resolve
+# reads/offsets against the wrong manifest.
+_MANIFEST_NAME_RE = re.compile(r"^v(\d+)\.json$")
+
+
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"v{version:05d}.json")
 
@@ -297,6 +304,13 @@ def _typed_part_value(tr: dict, raw: str | None, schema: dict | None):
 
 _INT_TYPES = {"byte", "short", "integer", "long"}
 
+# canonical zero-padded date / datetime renderings — the only string
+# probe shapes whose positional slice matches the tuple values Spark
+# wrote (strftime output); '2024-1-5' et al. must NOT prune
+_CANONICAL_TIME_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2}(\.\d{1,9})?)?$"
+)
+
 
 def _src_type(man: dict, col: str) -> str | None:
     sch = man.get("schema")
@@ -319,9 +333,17 @@ def _probe_compatible(kind: str, src_type: str | None, v) -> bool:
     if isinstance(v, bool):
         return False
     if kind in _TIME_KINDS:
-        return src_type in ("date", "timestamp", "timestamp_ntz") and isinstance(
-            v, (str, _dt.date, _dt.datetime)
-        )
+        if src_type not in ("date", "timestamp", "timestamp_ntz"):
+            return False
+        if isinstance(v, str):
+            # _transform_probe slices string probes POSITIONALLY, so a
+            # Spark-castable-but-non-canonical probe like '2024-1-5'
+            # would produce a malformed transformed bound and prune
+            # files that contain matching rows. Only canonical
+            # zero-padded renderings are positionally safe; anything
+            # else falls through to zone maps / full scan.
+            return bool(_CANONICAL_TIME_RE.match(v))
+        return isinstance(v, (_dt.date, _dt.datetime))
     if kind in ("bucket", "truncate"):
         if src_type in _INT_TYPES:
             return isinstance(v, int)
@@ -405,7 +427,17 @@ def _partition_keep(man: dict, fn: str, col: str, lo, hi) -> bool:
             continue
         try:
             if v is None:
-                # an all-NULL partition can never satisfy a range filter
+                # Hive directory encoding conflates NULL with the EMPTY
+                # STRING: Spark renders both as __HIVE_DEFAULT_PARTITION__
+                # and _typed_part_value maps that to None. For a STRING
+                # source column the tuple therefore does NOT prove
+                # all-NULL — the file may hold rows with col='' that
+                # satisfy a probe like '' <= col <= hi — so keep it
+                # (unknown source type keeps too). For every other type
+                # '' is unrepresentable and the default dir IS a proven
+                # all-NULL partition, which no range filter can match.
+                if src == "string" or src is None:
+                    continue
                 return False
             if not (
                 _probe_compatible(tr["kind"], src, lo)
@@ -595,14 +627,14 @@ def _write_data_files(
 
 
 def current_version(root: str) -> int:
-    logs = [
-        f
-        for f in os.listdir(_log_dir(root))
-        if f.startswith("v") and f.endswith(".json") and f[1:6].isdigit()
+    vs = [
+        int(m.group(1))
+        for m in (_MANIFEST_NAME_RE.match(f) for f in os.listdir(_log_dir(root)))
+        if m
     ]
-    if not logs:
+    if not vs:
         raise FileNotFoundError(f"no commits under {root}")
-    return max(int(f[1:6]) for f in logs)
+    return max(vs)
 
 
 def _load_manifest(root: str, version: int | None) -> dict:
@@ -1284,12 +1316,28 @@ def committed_meta_values(root: str, key: str) -> set:
     """
     latest = _load_manifest(root, None)
     if "ledger" in latest:
-        # the cumulative ledger already folds every prior commit's meta
-        # (including the latest's own) — one manifest read answers the
-        # query, O(1) in table history. The per-version scan below is
-        # ONLY for tables whose latest manifest predates the ledger.
-        return set(latest["ledger"].get(key, []))
-    out: set = set()
+        # the cumulative ledger folds every commit's meta FROM THE
+        # FIRST LEDGER-BEARING MANIFEST k onward, plus k-1's (each
+        # _next_payload absorbs its immediate predecessor's meta). A
+        # table with two or more PRE-ledger commits that was later
+        # upgraded still needs versions 0..k-2 scanned, or a replayed
+        # pre-upgrade micro-batch would be re-applied. Scan upward and
+        # stop at the first ledger — everything after is covered by
+        # induction; a modern table (ledger at v0) pays exactly one
+        # extra manifest read.
+        out = set(latest["ledger"].get(key, []))
+        for v in range(current_version(root) + 1):
+            p = _manifest_path(root, v)
+            if not os.path.exists(p):
+                continue  # vacuumed away
+            m = _load_manifest(root, v)
+            if "ledger" in m:
+                break
+            mv = m.get("meta", {})
+            if key in mv:
+                out.add(mv[key])
+        return out
+    out = set()
     for v in range(current_version(root) + 1):
         p = _manifest_path(root, v)
         if not os.path.exists(p):

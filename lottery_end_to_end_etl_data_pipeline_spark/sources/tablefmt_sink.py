@@ -198,7 +198,30 @@ class TableSinkStreamWriter(DataSourceStreamArrowWriter):
                 )
                 return
             except FileExistsError:
-                continue  # lost a version race: retry the metadata phase
+                # Lost a version race. The winner may have been a ZOMBIE
+                # TWIN of this driver committing the SAME batchId (old
+                # and new drivers sharing one checkpoint): blindly
+                # retrying would publish the micro-batch twice — the
+                # exact duplicate the txn ledger exists to prevent, so
+                # re-validate the ledger INSIDE conflict resolution
+                # (Delta re-checks setTransaction the same way).
+                done_now = {
+                    str(v) for v in tf.committed_meta_values(self.root, key)
+                }
+                if str(batchId) in done_now:
+                    # our copies are unreferenced duplicates: delete
+                    # them from data/ and retire our staging marker
+                    for n in names:
+                        try:
+                            os.remove(os.path.join(tf._data_dir(self.root), n))
+                        except OSError:
+                            pass
+                    try:
+                        os.remove(marker)
+                    except OSError:
+                        pass
+                    return
+                continue  # genuine foreign commit: retry the metadata phase
 
     def abort(self, messages, batchId: int) -> None:
         self._cleanup([m.name for m in messages if m is not None and m.name])

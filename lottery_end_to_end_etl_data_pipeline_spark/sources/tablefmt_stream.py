@@ -52,6 +52,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
+
+_MANIFEST_NAME_RE = re.compile(r"^v(\d+)\.json$")
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -82,11 +85,14 @@ def _manifest(root: str, v: int) -> dict:
 
 
 def _current_version(root: str) -> int:
+    # parse the FULL numeric run — a fixed f[1:6] slice would truncate
+    # v123456 → 12345 and resolve streaming offsets against the wrong
+    # manifest, silently corrupting the offset sequence
     log = os.path.join(root, "_log")
     vs = [
-        int(f[1:6])
-        for f in os.listdir(log)
-        if f.startswith("v") and f.endswith(".json") and f[1:6].isdigit()
+        int(m.group(1))
+        for m in (_MANIFEST_NAME_RE.match(f) for f in os.listdir(log))
+        if m
     ]
     if not vs:
         raise FileNotFoundError(f"no commits under {root}")

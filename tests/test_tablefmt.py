@@ -1316,3 +1316,117 @@ def test_partitions_table_refuses_partial_row_counts(spark, root):
         for r in tf.partitions_table(spark, root).collect()
     }
     assert pt['["u0"]'].n_rows is None  # refuses, never undercounts
+
+
+# ---------------------------------------------------------------------------
+# Round-7 advisory fixes: hive NULL/'' conflation, non-canonical time
+# probes, pre-ledger txn recovery, 6-digit manifest versions.
+# ---------------------------------------------------------------------------
+
+
+def test_empty_string_partition_never_pruned(spark, root):
+    # Spark renders BOTH NULL and '' as __HIVE_DEFAULT_PARTITION__ for a
+    # string partition column, so the recorded None tuple does NOT prove
+    # the file is all-NULL: rows with grp='' can satisfy '' <= grp <= hi
+    # and must never be skipped (the advisory's silently-wrong read).
+    df = spark.createDataFrame(
+        [(1, "", 1.0), (2, "", 2.0), (3, "click", 3.0), (4, None, 4.0)],
+        ["k", "grp", "v"],
+    )
+    tf.create(spark, root, df, partition_by=["grp"])
+    pr = tf.read_pruned(spark, root, "grp", "", "b")
+    got = {(r.k, r.grp) for r in pr.collect()}
+    assert got == {(1, ""), (2, "")}  # '' rows survive; NULL never matches
+    # and replaceWhere must treat the default partition as a straddle
+    # (rewrite), NOT as provably disjoint — stale '' rows must not survive
+    new = spark.createDataFrame([(9, "", 9.0)], ["k", "grp", "v"])
+    tf.commit_replace_where(spark, root, "grp", "", "", new)
+    after = {(r.k, r.grp) for r in tf.read(spark, root).collect()}
+    assert (1, "") not in after and (2, "") not in after
+    assert (9, "") in after and (3, "click") in after
+    # the NULL row never matched the range predicate and must survive
+    assert any(k == 4 and g is None for k, g in after)
+
+
+def test_int_null_partition_still_prunes(spark, root):
+    # for NON-string columns '' is unrepresentable, so the default
+    # partition IS proven all-NULL and range probes still skip it
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, None, "b"), (3, 20, "c")], ["k", "b", "v"]
+    )
+    tf.create(spark, root, df, partition_by=["b"])
+    pr = tf.read_pruned(spark, root, "b", 0, 99)
+    man = tf._load_manifest(root, None)
+    null_files = [
+        fn
+        for fn, p in man["partitions"].items()
+        if p["tuple"][0] is None
+    ]
+    assert null_files, "expected a __HIVE_DEFAULT_PARTITION__ file"
+    kept = {os.path.basename(p) for p in pr.inputFiles()}
+    assert not (kept & set(null_files))  # proven-NULL file skipped
+    assert {r.k for r in pr.collect()} == {1, 3}
+
+
+def test_non_canonical_time_probe_never_prunes(spark, root):
+    # '2024-1-2' is Spark-castable but NOT canonical: a positional slice
+    # would build a malformed transformed bound and prune files holding
+    # matching rows. Such probes must disable tuple pruning entirely.
+    df = _part_df(spark)
+    tf.create(spark, root, df, partition_by=["day(ts)"])
+    pr = tf.read_pruned(spark, root, "ts", "2024-1-2", "2024-1-3")
+    assert len(pr.inputFiles()) == 4  # no pruning on a malformed probe
+    import datetime as dt
+
+    lo, hi = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3)
+    expect = df.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+    assert pr.count() == expect
+    # canonical strings still prune (zero-padded == strftime rendering)
+    pr2 = tf.read_pruned(
+        spark, root, "ts", "2024-01-02 00:00:00", "2024-01-03 23:59:59"
+    )
+    assert len(pr2.inputFiles()) == 2
+    hi2 = dt.datetime(2024, 1, 3, 23, 59, 59)
+    assert pr2.count() == df.filter(
+        (F.col("ts") >= lo) & (F.col("ts") <= hi2)
+    ).count()
+
+
+def test_committed_meta_values_recovers_pre_ledger_history(spark, root):
+    # a table with >=2 PRE-ledger commits later upgraded: the cumulative
+    # ledger only absorbed its immediate predecessor's meta, so the
+    # older txn ids must come from the retained-manifest scan — or a
+    # replayed pre-upgrade micro-batch would be re-applied
+    os.makedirs(tf._log_dir(root), exist_ok=True)
+    tf._publish(
+        root, 0,
+        {"version": 0, "action": "create", "files": [],
+         "meta": {"sink::app": 0}},
+    )
+    tf._publish(
+        root, 1,
+        {"version": 1, "action": "append", "files": [],
+         "meta": {"sink::app": 1}},
+    )
+    prev = tf._load_manifest(root, 1)
+    payload = tf._next_payload(
+        prev, 2, "append", [], meta={"sink::app": 2}
+    )
+    assert "ledger" in payload  # the upgrade commit
+    tf._publish(root, 2, payload)
+    assert tf.committed_meta_values(root, "sink::app") == {0, 1, 2}
+
+
+def test_manifest_versions_beyond_five_digits(spark, root):
+    os.makedirs(tf._log_dir(root), exist_ok=True)
+    tf._publish(root, 0, {"version": 0, "action": "create", "files": []})
+    tf._publish(
+        root, 123456, {"version": 123456, "action": "append", "files": []}
+    )
+    # full numeric parse: v123456 must not be read as 12345
+    assert tf.current_version(root) == 123456
+    from lottery_end_to_end_etl_data_pipeline_spark.sources import (
+        tablefmt_stream as ts,
+    )
+
+    assert ts._current_version(root) == 123456

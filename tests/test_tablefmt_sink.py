@@ -139,3 +139,62 @@ def test_sink_enforces_check_constraints(spark, dirs):
     assert tf.read(spark, dirs["root"]).count() == 0  # nothing published
     staging = os.path.join(dirs["root"], "_streaming")
     assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+
+def test_sink_zombie_twin_same_batch_not_duplicated(spark, dirs, monkeypatch):
+    # Zombie-driver scenario: an OLD driver and its NEW replacement both
+    # commit batchId=0. The loser's FileExistsError retry must re-check
+    # the txn ledger and no-op (Delta re-validates setTransaction inside
+    # conflict resolution) — a blind retry would duplicate the batch.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tsink.register(spark)
+    root = dirs["root"]
+    tf.create(spark, root, spark.createDataFrame([], "k long, v string"))
+    schema = spark.createDataFrame([], "k long, v string").schema
+    writer = tsink.TableSinkStreamWriter(
+        {"path": root, "txnAppId": "app"}, schema
+    )
+
+    def stage(name, rows):
+        os.makedirs(tsink._staging_dir(root), exist_ok=True)
+        tbl = pa.table(
+            {"k": [r[0] for r in rows], "v": [r[1] for r in rows]}
+        )
+        pq.write_table(tbl, os.path.join(tsink._staging_dir(root), name))
+        return tsink._StagedFile(name=name, n_rows=len(rows))
+
+    old_msg = stage("old.parquet", [(1, "a")])
+    orig_publish = tf.publish_append
+    fired = {"n": 0}
+
+    def interleaved(root_, names_, version_, schema=None, meta=None):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # the NEW driver's identical micro-batch lands first,
+            # recording the same txn id at the version the old driver
+            # was about to take
+            stage("new.parquet", [(1, "a")])
+            os.replace(
+                os.path.join(tsink._staging_dir(root_), "new.parquet"),
+                os.path.join(tf._data_dir(root_), "new.parquet"),
+            )
+            orig_publish(root_, ["new.parquet"], version_, meta=meta)
+        return orig_publish(
+            root_, names_, version_, schema=schema, meta=meta
+        )
+
+    monkeypatch.setattr(tf, "publish_append", interleaved)
+    writer.commit([old_msg], batchId=0)
+    rows = [(r.k, r.v) for r in tf.read(spark, root).collect()]
+    assert rows == [(1, "a")]  # exactly once, not twice
+    # the loser's duplicate file was removed from data/, and its
+    # staging marker retired (no vacuum-protected orphan)
+    assert not os.path.exists(
+        os.path.join(tf._data_dir(root), "old.parquet")
+    )
+    markers = [
+        m for m in os.listdir(tf._log_dir(root)) if m.startswith("_staged.")
+    ]
+    assert markers == []
