@@ -46,6 +46,7 @@ a conditional PUT; nothing else changes.
 
 from __future__ import annotations
 
+import copy
 import datetime as _dt
 import json
 import os
@@ -80,6 +81,179 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"v{version:05d}.json")
 
 
+def _ckpt_path(root: str, version: int) -> str:
+    """Checkpoint SIDECAR: a full-snapshot materialization written by
+    `vacuum` at the retention horizon so delta chains never dangle.
+    Never the commit artifact itself — `_publish` owns vNNNNN.json."""
+    return os.path.join(_log_dir(root), f"v{version:05d}.ckpt.json")
+
+
+def _manifest_exists(root: str, version: int) -> bool:
+    return os.path.exists(_manifest_path(root, version)) or os.path.exists(
+        _ckpt_path(root, version)
+    )
+
+
+# Delta-log cadence (Delta Lake style): commits between checkpoints
+# write only what CHANGED — O(files touched), not O(table) — and every
+# ``log.checkpoint_interval``-th version writes a full snapshot so
+# reconstruction replays at most interval-1 deltas. At 100 TB (~10^6
+# files) a full-snapshot-per-commit log costs hundreds of MB per
+# append; the delta log costs KBs.
+_CKPT_INTERVAL_DEFAULT = 20
+
+
+def _ckpt_interval(payload: dict) -> int:
+    try:
+        return max(
+            1,
+            int(
+                payload.get("props", {}).get(
+                    "log.checkpoint_interval", _CKPT_INTERVAL_DEFAULT
+                )
+            ),
+        )
+    except (TypeError, ValueError):
+        return _CKPT_INTERVAL_DEFAULT
+
+
+# fields a delta records as a whole replacement value when they differ
+# from the previous snapshot (JSON null = field absent in the snapshot)
+_REPLACE_FIELDS = (
+    "schema",
+    "meta",
+    "deletes",
+    "constraints",
+    "props",
+    "specs",
+    "current_spec",
+)
+# per-file maps a delta records additively (diff of changed keys)
+_MAP_FIELDS = ("stats", "partitions", "blooms")
+
+
+def _delta_payload(prev: dict, payload: dict) -> dict | None:
+    """The delta form of ``payload`` against snapshot ``prev``, or
+    None when the pair can't be expressed as a delta (presence
+    mismatch on a diff-map field, a carried file shedding a map entry
+    — shapes only hand-built manifests produce). Falling back to a
+    full manifest is always correct, just bigger."""
+    d: dict = {
+        "version": payload["version"],
+        "action": payload["action"],
+        "delta_of": prev["version"],
+    }
+    if "ts" in payload:
+        d["ts"] = payload["ts"]
+    pf, nf = prev.get("files", []), payload["files"]
+    pset, nset = set(pf), set(nf)
+    d["files_add"] = [f for f in nf if f not in pset]
+    d["files_remove"] = [f for f in pf if f not in nset]
+    for fld in _MAP_FIELDS + ("ledger",):
+        if (fld in payload) != (fld in prev):
+            return None  # presence flip: write a full manifest
+    for fld in _MAP_FIELDS:
+        pm, nm = prev.get(fld, {}), payload.get(fld, {})
+        for f in nset:
+            if f in pm and f not in nm:
+                return None  # surviving file shed its entry: not additive
+        add = {f: v for f, v in nm.items() if pm.get(f) != v}
+        if add:
+            d[fld + "_add"] = add
+    pl, nl = prev.get("ledger", {}), payload.get("ledger", {})
+    if any(k not in nl for k in pl):
+        return None  # ledger keys never shrink; hand-built shape
+    ladd = {}
+    for k, vals in nl.items():
+        pv = set(pl.get(k, []))
+        new = [v for v in vals if v not in pv]
+        if new:
+            ladd[k] = new
+    if ladd:
+        d["ledger_add"] = ladd
+    sets = {
+        fld: payload.get(fld)
+        for fld in _REPLACE_FIELDS
+        if payload.get(fld) != prev.get(fld)
+    }
+    if sets:
+        d["set"] = sets
+    return d
+
+
+def _apply_delta(prev: dict, d: dict) -> dict:
+    """Reconstruct the full snapshot a delta manifest describes."""
+    removed = set(d.get("files_remove", []))
+    files = [f for f in prev.get("files", []) if f not in removed]
+    files += d.get("files_add", [])
+    man: dict = {"version": d["version"], "action": d["action"], "files": files}
+    if "ts" in d:
+        man["ts"] = d["ts"]
+    for fld in _MAP_FIELDS:
+        if fld not in prev and fld + "_add" not in d:
+            continue
+        pm = prev.get(fld, {})
+        add = d.get(fld + "_add", {})
+        merged = {
+            f: add[f] if f in add else pm[f]
+            for f in files
+            if f in add or f in pm
+        }
+        if merged or fld in prev:
+            man[fld] = merged
+    if "ledger" in prev or "ledger_add" in d:
+        ledger = {k: list(v) for k, v in prev.get("ledger", {}).items()}
+        for k, vals in d.get("ledger_add", {}).items():
+            cur = ledger.setdefault(k, [])
+            for v in vals:
+                if v not in cur:
+                    cur.append(v)
+        man["ledger"] = ledger
+    sets = d.get("set", {})
+    for fld in _REPLACE_FIELDS:
+        if fld in sets:
+            if sets[fld] is not None:
+                man[fld] = sets[fld]
+        elif fld in prev:
+            man[fld] = prev[fld]
+    return man
+
+
+# Reconstructed-snapshot cache: keyed by manifest path, validated by
+# (inode, mtime_ns, size) so a recreated table at the same tempdir path
+# can never serve a stale snapshot. Bounded FIFO; entries are returned
+# as deep copies so no caller can corrupt the cache in place.
+_SNAP_CACHE: dict[str, tuple[tuple, dict]] = {}
+_SNAP_CACHE_MAX = 256
+
+
+def _snapshot(root: str, version: int) -> dict:
+    """Full snapshot dict for ``version``: the manifest itself when it
+    is full, checkpoint-sidecar when the original was vacuumed, or the
+    base-snapshot-plus-delta reconstruction (at most interval-1 deltas
+    deep, each hop cached)."""
+    # Prefer the checkpoint sidecar when present: after a vacuum the
+    # original vNNNNN.json at the retention horizon may be a DELTA
+    # whose base manifests are gone — the sidecar is its materialized
+    # full snapshot.
+    path = _ckpt_path(root, version)
+    if not os.path.exists(path):
+        path = _manifest_path(root, version)
+    st = os.stat(path)  # FileNotFoundError here == "version not retained"
+    key = (st.st_ino, st.st_mtime_ns, st.st_size)
+    hit = _SNAP_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    with open(path) as f:
+        raw = json.load(f)
+    if "delta_of" in raw:
+        raw = _apply_delta(_snapshot(root, raw["delta_of"]), raw)
+    if len(_SNAP_CACHE) >= _SNAP_CACHE_MAX:
+        _SNAP_CACHE.pop(next(iter(_SNAP_CACHE)))
+    _SNAP_CACHE[path] = (key, raw)
+    return raw
+
+
 def _publish(root: str, version: int, payload: dict) -> None:
     """Atomically publish a manifest; lost races raise.
 
@@ -90,11 +264,33 @@ def _publish(root: str, version: int, payload: dict) -> None:
     so two racing writers could both survive an exists() check and the
     later one would overwrite the winner's manifest — a lost commit).
     Every manifest records its commit wall-clock under ``ts`` for
-    timestamp-based time travel (`version_at_timestamp`)."""
+    timestamp-based time travel (`version_at_timestamp`).
+
+    WHAT hits disk is cadence-dependent: version 0 and every
+    ``log.checkpoint_interval``-th version write the full snapshot;
+    every other version writes the DELTA against its predecessor —
+    bytes are O(files touched by the commit), never O(table). Callers
+    keep passing full payloads; readers keep receiving full snapshots
+    via `_load_manifest` — the delta encoding is invisible outside
+    `_publish`/`_snapshot`."""
     payload.setdefault("ts", time.time())
+    body = payload
+    if (
+        version > 0
+        and "files" in payload
+        and version % _ckpt_interval(payload) != 0
+    ):
+        try:
+            prev = _snapshot(root, version - 1)
+        except (OSError, ValueError, KeyError):
+            prev = None
+        if prev is not None and prev.get("version") == version - 1:
+            delta = _delta_payload(prev, payload)
+            if delta is not None:
+                body = delta
     tmp = _manifest_path(root, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
-        json.dump(payload, f, indent=1)
+        json.dump(body, f, indent=1)
     final = _manifest_path(root, version)
     try:
         os.link(tmp, final)
@@ -590,6 +786,7 @@ def _write_data_files(
             for fn in fns:
                 if fn.endswith(".parquet"):
                     found.append(os.path.join(dirpath, fn))
+        moves = []
         for src in sorted(found):
             rel = os.path.relpath(os.path.dirname(src), staging)
             raw = [
@@ -598,11 +795,11 @@ def _write_data_files(
                 if "=" in seg
             ]
             name = f"{uuid.uuid4().hex}.parquet"
-            dest = os.path.join(_data_dir(root), name)
-            shutil.move(src, dest)
+            moves.append((src, name))
             names.append(name)
-            if stats is not None:
-                stats[name] = _footer_stats(dest)
+            # tuple parsing is pure string work on the directory path —
+            # stays driver-side (no IO); footer reads + renames go
+            # through _commit_staged_files (executor-side when wide)
             if partitions is not None and len(raw) == len(trs):
                 partitions[name] = {
                     "spec": spec_id,
@@ -611,19 +808,70 @@ def _write_data_files(
                         for tr, rv in zip(trs, raw)
                     ],
                 }
+        _commit_staged_files(spark, root, moves, stats)
         shutil.rmtree(staging)
         return names
     df.write.mode("overwrite").parquet(staging)
+    moves = []
     for fn in sorted(os.listdir(staging)):
         if fn.endswith(".parquet"):
             name = f"{uuid.uuid4().hex}.parquet"
-            dest = os.path.join(_data_dir(root), name)
-            shutil.move(os.path.join(staging, fn), dest)
+            moves.append((os.path.join(staging, fn), name))
             names.append(name)
-            if stats is not None:
-                stats[name] = _footer_stats(dest)
+    _commit_staged_files(spark, root, moves, stats)
     shutil.rmtree(staging)
     return names
+
+
+# Commits of at least this many files harvest footer stats and finalize
+# renames ON EXECUTORS (one map task per file batch) instead of a
+# driver-side file-by-file loop: a 100 TB write commits thousands of
+# files, and per-file driver IO is the classic metadata bottleneck.
+# Below the threshold the driver loop is strictly faster (no job
+# scheduling overhead), so small commits keep it.
+_DIST_COMMIT_MIN_FILES = 33
+
+
+def _commit_staged_files(
+    spark: SparkSession | None,
+    root: str,
+    moves: list[tuple],
+    stats: dict | None,
+) -> None:
+    """Finalize staged files into data/ and harvest their footer stats.
+
+    ``moves`` is [(staged_path, final_name)]. Wide commits distribute
+    the per-file work (rename + footer read) across executors — the
+    stand-in for task-commit messages on a shared filesystem: each
+    task touches only its own files, and the driver receives a small
+    [(name, stats)] list (KBs) to fold into the manifest. Narrow
+    commits do the same loop driver-side."""
+    if not moves:
+        return
+    data_dir = _data_dir(root)
+    want_stats = stats is not None
+    if spark is not None and len(moves) >= _DIST_COMMIT_MIN_FILES:
+        def _finalize(pair):
+            src, name = pair
+            dest = os.path.join(data_dir, name)
+            shutil.move(src, dest)
+            return name, (_footer_stats(dest) if want_stats else None)
+
+        n_slices = min(len(moves), 64)
+        harvested = (
+            spark.sparkContext.parallelize(moves, n_slices)
+            .map(_finalize)
+            .collect()
+        )
+        if want_stats:
+            for name, st_ in harvested:
+                stats[name] = st_
+        return
+    for src, name in moves:
+        dest = os.path.join(data_dir, name)
+        shutil.move(src, dest)
+        if want_stats:
+            stats[name] = _footer_stats(dest)
 
 
 def current_version(root: str) -> int:
@@ -638,10 +886,13 @@ def current_version(root: str) -> int:
 
 
 def _load_manifest(root: str, version: int | None) -> dict:
+    """Full snapshot at ``version`` (latest when None) — reconstructed
+    from the delta log + checkpoints; callers never see the encoding.
+    Returns a private deep copy (the cache must survive caller
+    mutation)."""
     if version is None:
         version = current_version(root)
-    with open(_manifest_path(root, version)) as f:
-        return json.load(f)
+    return copy.deepcopy(_snapshot(root, version))
 
 
 def _next_payload(
@@ -757,6 +1008,166 @@ def _next_payload(
     if merged_parts:
         payload["partitions"] = merged_parts
     return payload
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A concurrent commit SEMANTICALLY conflicts with this one — the
+    winner touched files or delete scopes this commit read or rewrote,
+    so replaying the file-level changes onto the new head could lose
+    or duplicate rows. Re-run the operation against the new snapshot."""
+
+
+# Actions a ROW-READING commit (merge/upsert/delete/replaceWhere) may
+# rebase over: they change no row and add none, so the loser's output
+# is still correct against the new head. Appends and row-changes are
+# excluded — the loser's join/filter never saw their rows (Delta raises
+# ConcurrentAppend/ConcurrentDeleteRead for the same reason).
+# add_constraint is excluded too: rows written by the loser were never
+# validated against the winner's new constraint.
+_REBASE_SAFE_ACTIONS = {
+    "optimize",
+    "zorder",
+    "set_property",
+    "upgrade_stats",
+    "bloom_index",
+    "set_partition_spec",
+    "drop_constraint",
+}
+
+
+def _commit_action(root: str, version: int) -> str:
+    """Action string of a commit — present in both full and delta
+    manifest forms, so this never pays a snapshot reconstruction."""
+    path = _manifest_path(root, version)
+    if not os.path.exists(path):
+        path = _ckpt_path(root, version)
+    with open(path) as f:
+        return json.load(f).get("action", "")
+
+
+def _scoped_deletes_fingerprint(man: dict, files: set) -> str:
+    """Canonical fingerprint of the delete entries that apply to any of
+    ``files`` — if this differs between the loser's base and the new
+    head, a concurrent MOR delete targeted rows the loser is about to
+    rewrite (rewriting would resurrect them) and the rebase must
+    abort."""
+    out = []
+    for d in man.get("deletes", []):
+        inter = sorted(set(d.get("applies_to", [])) & files)
+        if inter:
+            out.append(
+                {
+                    **{k: v for k, v in d.items() if k != "applies_to"},
+                    "applies_to": inter,
+                }
+            )
+    return json.dumps(sorted(out, key=lambda x: json.dumps(x, sort_keys=True)))
+
+
+# Rebase telemetry for audits: how often the optimistic loop replayed a
+# commit onto a new head vs raised a true conflict (process-local).
+REBASE_STATS = {"rebased": 0, "conflicts": 0}
+
+
+def _publish_rebasable(
+    root: str,
+    base: dict,
+    action: str,
+    new_files: list[str],
+    *,
+    reads_rows: bool,
+    guard_files: list[str] | None = None,
+    schema: StructType | None = None,
+    meta: dict | None = None,
+    stats: dict | None = None,
+    new_partitions: dict | None = None,
+    new_deletes: list[dict] | None = None,
+    max_rebases: int = 10,
+) -> int:
+    """Optimistic-concurrency publish with SEMANTIC conflict detection
+    (the Delta/Iceberg commit protocol for non-append operations).
+
+    The commit is expressed as file-level changes against ``base``:
+    ``removed`` = base files absent from ``new_files``, ``added`` =
+    the rest. On a lost version race the loser does NOT raise blindly:
+    it reloads the head, verifies the winners' commits are compatible —
+      * every file this commit removed or read (``guard_files``) must
+        still exist at head (nobody compacted/rewrote it under us);
+      * no winner added a MOR delete scoped to those files (our
+        rewrite would resurrect the deleted rows);
+      * when this commit READ rows to compute its output
+        (``reads_rows``), every intervening action must be
+        row-preserving (`_REBASE_SAFE_ACTIONS`) — a concurrent append
+        or row-change holds rows our joins never saw;
+    — then REBASES: replays removed/added onto the head's file list
+    and retries the (metadata-only) publish. Data files are written
+    once; only the manifest race replays. A true overlap raises
+    `ConcurrentCommitError`."""
+    removed = set(base["files"]) - set(new_files)
+    base_fset = set(base["files"])
+    added = [f for f in new_files if f not in base_fset]
+    guard = removed | set(guard_files or [])
+    man = base
+    v = base["version"]
+    rebases = 0
+    while True:
+        files = (
+            list(new_files)
+            if rebases == 0
+            else [f for f in man["files"] if f not in removed] + added
+        )
+        payload = _next_payload(
+            man,
+            v + 1,
+            action,
+            files,
+            schema=schema,
+            meta=meta,
+            stats=stats,
+            new_partitions=new_partitions,
+            new_deletes=new_deletes,
+        )
+        try:
+            _publish(root, v + 1, payload)
+            return v + 1
+        except FileExistsError:
+            head_v = current_version(root)
+            if rebases >= max_rebases:
+                REBASE_STATS["conflicts"] += 1
+                raise ConcurrentCommitError(
+                    f"{action} on {root}: gave up after {rebases} rebases "
+                    f"(head moved to v{head_v})"
+                ) from None
+            for iv in range(v + 1, head_v + 1):
+                act = _commit_action(root, iv)
+                if reads_rows and act not in _REBASE_SAFE_ACTIONS:
+                    REBASE_STATS["conflicts"] += 1
+                    raise ConcurrentCommitError(
+                        f"{action} on {root}: concurrent {act!r} commit "
+                        f"v{iv} may hold rows this {action} never read; "
+                        "re-run against the new snapshot"
+                    ) from None
+            head = _load_manifest(root, head_v)
+            head_fset = set(head["files"])
+            lost = sorted(guard - head_fset)
+            if lost:
+                REBASE_STATS["conflicts"] += 1
+                raise ConcurrentCommitError(
+                    f"{action} on {root}: files {lost[:3]}... were "
+                    "rewritten or removed by a concurrent commit"
+                ) from None
+            if _scoped_deletes_fingerprint(
+                head, guard
+            ) != _scoped_deletes_fingerprint(base, guard):
+                REBASE_STATS["conflicts"] += 1
+                raise ConcurrentCommitError(
+                    f"{action} on {root}: a concurrent merge-on-read "
+                    "delete targets files this commit rewrites; "
+                    "rebasing would resurrect deleted rows"
+                ) from None
+            man, v = head, head_v
+            rebases += 1
+            REBASE_STATS["rebased"] += 1
 
 
 def _write_parallelism(man: dict) -> int:
@@ -1149,15 +1560,12 @@ def commit_append(
         partitions=pt, schema_json=prev.get("schema"),
         files_per_partition=_write_parallelism(prev),
     )
-    _publish(
-        root,
-        prev_v + 1,
-        _next_payload(
-            prev, prev_v + 1, "append", files, schema=sch, meta=meta,
-            stats=st, new_partitions=pt,
-        ),
+    # appends remove nothing and read nothing: the rebase loop always
+    # succeeds against any winner (Delta: appends never conflict)
+    return _publish_rebasable(
+        root, prev, "append", files, reads_rows=False,
+        schema=sch, meta=meta, stats=st, new_partitions=pt,
     )
-    return prev_v + 1
 
 
 def _check_constraints(prev: dict, df: DataFrame) -> None:
@@ -1508,21 +1916,63 @@ def commit_upsert(
         new_files += _write_data_files(spark, root, merged, **wkw)
     else:
         new_files += _write_data_files(spark, root, updates, **wkw)
-    _publish(
-        root,
-        prev_v + 1,
-        _next_payload(
-            prev,
-            prev_v + 1,
-            "upsert",
-            new_files,
-            schema=sch,
-            meta=meta,
-            stats=st,
-            new_partitions=pt,
-        ),
+    return _publish_rebasable(
+        root, prev, "upsert", new_files, reads_rows=True,
+        schema=sch, meta=meta, stats=st, new_partitions=pt,
     )
-    return prev_v + 1
+
+
+def commit_upsert_mor(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+    meta: dict | None = None,
+    evolve: bool = False,
+) -> int:
+    """MERGE-ON-READ upsert (Iceberg v2 equality-delete update): ONE
+    commit that (a) appends the incoming rows as new data files and
+    (b) masks their OLD versions with an equality-delete keyed on
+    ``key``, scoped to exactly the pre-existing files whose stats
+    range intersects the incoming keys. files_rewritten = 0 — the
+    write cost is O(batch), never O(files holding matched keys) — so
+    a streaming CDC sink can upsert every micro-batch without the
+    copy-on-write rewrite `commit_upsert` pays; `optimize` later
+    materializes the tombstones and clears them (compaction as a
+    separate maintenance concern). Readers see exactly the
+    `commit_upsert` result: `_read_with_deletes` anti-joins the keys
+    against only the scoped files, and files written AFTER this
+    commit (including its own new files) are never masked."""
+    prev_v = current_version(root)
+    prev = _load_manifest(root, prev_v)
+    sch = _resolve_commit_schema(prev, updates, evolve)
+    _check_constraints(prev, updates)
+    touched, _ = _touched_files(
+        spark, root, prev["files"], key, updates.select(key),
+        man_stats=prev.get("stats"), man=prev,
+    )
+    st: dict = {}
+    pt: dict = {}
+    sid, spec = _current_spec(prev)
+    new_data = _write_data_files(
+        spark, root, updates, stats=st, spec=spec, spec_id=sid,
+        partitions=pt, schema_json=prev.get("schema"),
+        files_per_partition=_write_parallelism(prev),
+    )
+    new_deletes = []
+    if touched:
+        kfiles = _write_data_files(
+            spark, root, updates.select(key).distinct()
+        )
+        new_deletes.append(
+            {"kind": "keys", "key": key, "files": kfiles,
+             "applies_to": touched}
+        )
+    return _publish_rebasable(
+        root, prev, "upsert_mor", prev["files"] + new_data,
+        reads_rows=False, guard_files=touched, schema=sch, meta=meta,
+        stats=st, new_partitions=pt, new_deletes=new_deletes,
+    )
 
 
 def commit_delete(spark: SparkSession, root: str, predicate: str) -> int:
@@ -1548,14 +1998,10 @@ def commit_delete(spark: SparkSession, root: str, predicate: str) -> int:
                     partitions=pt, schema_json=prev.get("schema"),
                     files_per_partition=_write_parallelism(prev),
                 )
-    _publish(
-        root,
-        prev_v + 1,
-        _next_payload(
-            prev, prev_v + 1, "delete", new_files, stats=st, new_partitions=pt
-        ),
+    return _publish_rebasable(
+        root, prev, "delete", new_files, reads_rows=True,
+        stats=st, new_partitions=pt,
     )
-    return prev_v + 1
 
 
 def commit_replace_where(
@@ -1640,20 +2086,10 @@ def commit_replace_where(
         )
         new_files += _write_data_files(spark, root, kept, **wkw)
     new_files += _write_data_files(spark, root, df, **wkw)
-    _publish(
-        root,
-        prev_v + 1,
-        _next_payload(
-            prev,
-            prev_v + 1,
-            "replace_where",
-            new_files,
-            schema=sch,
-            stats=st,
-            new_partitions=pt,
-        ),
+    return _publish_rebasable(
+        root, prev, "replace_where", new_files, reads_rows=True,
+        schema=sch, stats=st, new_partitions=pt,
     )
-    return prev_v + 1
 
 
 def _bloom_positions(
@@ -1827,14 +2263,10 @@ def commit_delete_mor(root: str, predicate: str) -> int:
         "predicate": predicate,
         "applies_to": list(prev["files"]),
     }
-    _publish(
-        root,
-        prev_v + 1,
-        _next_payload(
-            prev, prev_v + 1, "delete_mor", list(prev["files"]), new_deletes=[d]
-        ),
+    return _publish_rebasable(
+        root, prev, "delete_mor", list(prev["files"]), reads_rows=False,
+        guard_files=d["applies_to"], new_deletes=[d],
     )
-    return prev_v + 1
 
 
 def commit_delete_keys(
@@ -1864,19 +2296,10 @@ def commit_delete_keys(
         "files": kfiles,
         "applies_to": touched,
     }
-    _publish(
-        root,
-        prev_v + 1,
-        _next_payload(
-            prev,
-            prev_v + 1,
-            "delete_keys",
-            list(prev["files"]),
-            meta=meta,
-            new_deletes=[d],
-        ),
+    return _publish_rebasable(
+        root, prev, "delete_keys", list(prev["files"]), reads_rows=False,
+        guard_files=d["applies_to"], meta=meta, new_deletes=[d],
     )
-    return prev_v + 1
 
 
 def optimize(
@@ -1921,14 +2344,10 @@ def optimize(
         if len(small) < 2:
             # nothing worth compacting: publish a no-op commit to keep
             # the "optimize returns a new version" contract
-            _publish(
-                root,
-                prev_v + 1,
-                _next_payload(
-                    prev, prev_v + 1, "optimize", list(prev["files"])
-                ),
+            return _publish_rebasable(
+                root, prev, "optimize", list(prev["files"]),
+                reads_rows=False,
             )
-            return prev_v + 1
         df = _read_with_deletes(spark, root, prev, small).coalesce(
             target_files
         )
@@ -1940,20 +2359,16 @@ def optimize(
             partitions=pt, schema_json=prev.get("schema"),
             files_per_partition=_write_parallelism(prev),
         )
-        _publish(
-            root,
-            prev_v + 1,
-            _next_payload(
-                prev, prev_v + 1, "optimize", files, stats=st,
-                new_partitions=pt,
-            ),
+        return _publish_rebasable(
+            root, prev, "optimize", files, reads_rows=False,
+            stats=st, new_partitions=pt,
         )
-        return prev_v + 1
     if not prev["files"]:
         # empty snapshot: nothing to compact — publish a no-op commit
         # (keeps the "optimize returns a new version" contract)
-        _publish(root, prev_v + 1, _next_payload(prev, prev_v + 1, "optimize", []))
-        return prev_v + 1
+        return _publish_rebasable(
+            root, prev, "optimize", [], reads_rows=False,
+        )
     # read THROUGH the merge-on-read deletes: compaction materializes
     # them, and because every output file is new, the scoped delete
     # entries vanish from the published manifest automatically
@@ -1971,14 +2386,10 @@ def optimize(
         partitions=pt, schema_json=prev.get("schema"),
         files_per_partition=_write_parallelism(prev),
     )
-    _publish(
-        root,
-        prev_v + 1,
-        _next_payload(
-            prev, prev_v + 1, "optimize", files, stats=st, new_partitions=pt
-        ),
+    return _publish_rebasable(
+        root, prev, "optimize", files, reads_rows=False,
+        stats=st, new_partitions=pt,
     )
-    return prev_v + 1
 
 
 def optimize_zorder(
@@ -2008,8 +2419,9 @@ def optimize_zorder(
     prev_v = current_version(root)
     prev = _load_manifest(root, prev_v)
     if not prev["files"]:
-        _publish(root, prev_v + 1, _next_payload(prev, prev_v + 1, "zorder", []))
-        return prev_v + 1
+        return _publish_rebasable(
+            root, prev, "zorder", [], reads_rows=False,
+        )
     df = read(spark, root, version=prev_v)
     env = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
@@ -2056,14 +2468,10 @@ def optimize_zorder(
             .drop("_z")
         )
         files = _write_data_files(spark, root, clustered, stats=st)
-    _publish(
-        root,
-        prev_v + 1,
-        _next_payload(
-            prev, prev_v + 1, "zorder", files, stats=st, new_partitions=pt
-        ),
+    return _publish_rebasable(
+        root, prev, "zorder", files, reads_rows=False,
+        stats=st, new_partitions=pt,
     )
-    return prev_v + 1
 
 
 def read_cdf(
@@ -2245,14 +2653,10 @@ def commit_merge(
         partitions=pt, schema_json=prev.get("schema"),
         files_per_partition=_write_parallelism(prev),
     )
-    _publish(
-        root,
-        prev_v + 1,
-        _next_payload(
-            prev, prev_v + 1, "merge", new_files, stats=st, new_partitions=pt
-        ),
+    return _publish_rebasable(
+        root, prev, "merge", new_files, reads_rows=True,
+        stats=st, new_partitions=pt,
     )
-    return prev_v + 1
 
 
 def changed_files(root: str, from_version: int, to_version: int) -> list[str]:
@@ -2405,7 +2809,7 @@ def restore(root: str, version: int) -> int:
     costs one manifest, and rewrites nothing because data files are
     immutable. Fails if the target manifest was vacuumed away."""
     prev_v = current_version(root)
-    if not os.path.exists(_manifest_path(root, version)):
+    if not _manifest_exists(root, version):
         raise FileNotFoundError(
             f"version {version} of {root} was vacuumed; cannot restore"
         )
@@ -2500,10 +2904,28 @@ def vacuum(
         if fn not in referenced:
             os.remove(os.path.join(_data_dir(root), fn))
             deleted += 1
+    # Before any manifest leaves the log, materialize the retention
+    # horizon as a full-snapshot CHECKPOINT SIDECAR: delta manifests
+    # inside the window may chain back past keep_from, and deleting
+    # their base would strand every retained version. The sidecar is
+    # written atomically (tmp + link; idempotent if present) and the
+    # in-window manifests stay byte-identical — only reconstruction's
+    # starting point moves.
+    if keep_from > 0 and not os.path.exists(_ckpt_path(root, keep_from)):
+        snap = _snapshot(root, keep_from)
+        tmp = _ckpt_path(root, keep_from) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+        try:
+            os.link(tmp, _ckpt_path(root, keep_from))
+        except FileExistsError:
+            pass  # a racing vacuum wrote the identical snapshot
+        finally:
+            os.remove(tmp)
     for v in range(keep_from):
-        p = _manifest_path(root, v)
-        if os.path.exists(p):
-            os.remove(p)
+        for p in (_manifest_path(root, v), _ckpt_path(root, v)):
+            if os.path.exists(p):
+                os.remove(p)
     return {
         "n_files_kept": len(referenced),
         "n_files_deleted": deleted,

@@ -15905,9 +15905,11 @@ def tablefmt_upgrade_audit(spark, sf_dir):
             ).coalesce(1),
         )
     # simulate a legacy pre-stats manifest: strip the recorded stats
+    # (reconstruct the snapshot first — the on-disk form may be a
+    # delta — and write the stripped form back as a FULL manifest,
+    # which is exactly what a legacy pre-delta-log table looked like)
     mp = tf._manifest_path(root, tf.current_version(root))
-    with open(mp) as fh:
-        man = _json.load(fh)
+    man = tf._load_manifest(root, tf.current_version(root))
     legacy_files = list(man["files"])
     man.pop("stats", None)
     _os.remove(mp)
@@ -16964,6 +16966,217 @@ def tablefmt_stream_sink_roundtrip(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("sum_doubled"),
         F.lit(bool(replay_noop)).alias("exactly_once_replay"),
         F.lit(n_appends).cast("long").alias("n_sink_appends"),
+    )
+
+
+@query(
+    "streaming_mor_upsert_sink",
+    oracle="""
+    WITH nn AS (SELECT max(o_orderkey) AS n FROM orders),
+    n3 AS (SELECT (SELECT n FROM nn) // 3 AS a, 2 * ((SELECT n FROM nn) // 3) AS b),
+    b0 AS (
+      SELECT o_orderkey AS k, o_totalprice AS v FROM orders, n3
+      WHERE o_orderkey <= n3.a
+    ),
+    b1 AS (
+      SELECT o_orderkey AS k, o_totalprice + 5.0 AS v FROM orders, n3
+      WHERE o_orderkey <= n3.a AND o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders, n3
+      WHERE o_orderkey > n3.a AND o_orderkey <= n3.b
+    ),
+    state1 AS (
+      SELECT k, v FROM b0 WHERE k NOT IN (SELECT k FROM b1)
+      UNION ALL SELECT k, v FROM b1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(v), 2) AS sum_v,
+           CAST(0 AS BIGINT) AS files_rewritten,
+           TRUE AS compacted_parity
+    FROM state1
+    """,
+)
+def streaming_mor_upsert_sink(spark, sf_dir):
+    """Streaming CDC upserts with MERGE-ON-READ updates (the round-7
+    close of the one rewrite left in the streaming hot path): each
+    micro-batch routes to `commit_upsert_mor`, which appends the new
+    row versions and masks the old ones with an equality-delete in ONE
+    commit — Iceberg-v2 positional/equality update semantics, write
+    cost O(batch). files_rewritten (original files dropped by an
+    upsert commit) is pinned to ZERO across both update batches — the
+    COW twin (`streaming_mor_cdc_sink` routes upserts through
+    `commit_upsert`) rewrites every key-overlapping file instead.
+    After the drain, `optimize` materializes the tombstones;
+    compacted_parity pins that the post-compaction read equals the
+    merge-on-read view (same count + sum). Oracle replays the CDC log
+    in SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    base = f"{tempfile.gettempdir()}/spark_graft_morups_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/src")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    n = o.agg(F.max("k")).collect()[0][0]
+    a, b = n // 3, 2 * (n // 3)
+    batches = [
+        o.filter(F.col("k") <= a).select(F.lit("u").alias("op"), "k", "v"),
+        o.filter((F.col("k") <= a) & (F.col("k") % 10 == 0))
+        .withColumn("v", F.col("v") + 5.0)
+        .unionByName(o.filter((F.col("k") > a) & (F.col("k") <= b)))
+        .select(F.lit("u").alias("op"), "k", "v"),
+    ]
+    for i, bdf in enumerate(batches):
+        pdir = f"{base}/b{i}"
+        bdf.coalesce(1).write.mode("overwrite").parquet(pdir)
+        part = [x for x in os.listdir(pdir) if x.endswith(".parquet")][0]
+        dst = f"{base}/src/batch_{i}.parquet"
+        shutil.copy(f"{pdir}/{part}", dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    root = f"{base}/table"
+    tf.create(spark, root, o.limit(0).drop("op") if "op" in o.columns else o.limit(0))
+
+    def sink(batch_df, batch_id):
+        s = batch_df.sparkSession
+        ledger = tf.committed_meta_values(root, "txn")
+        txn = f"morups-{batch_id}"
+        ups = batch_df.filter(F.col("op") == "u").select("k", "v")
+        if txn not in ledger and not ups.isEmpty():
+            tf.commit_upsert_mor(s, root, ups, key="k", meta={"txn": txn})
+
+    schema = spark.read.parquet(f"{base}/src").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/src")
+    )
+    with stream_state_width(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # files_rewritten across the upsert commits: original files an
+    # upsert dropped from the snapshot (MOR pins this to zero)
+    rewritten = 0
+    head_v = tf.current_version(root)
+    for v in range(1, head_v + 1):
+        prevf = set(tf._load_manifest(root, v - 1)["files"])
+        curf = set(tf._load_manifest(root, v)["files"])
+        rewritten += len(prevf - curf)
+    pre = tf.read(spark, root).agg(
+        F.count(F.lit(1)), F.round(F.sum("v"), 2)
+    ).collect()[0]
+    tf.optimize(spark, root)
+    post = tf.read(spark, root).agg(
+        F.count(F.lit(1)), F.round(F.sum("v"), 2)
+    ).collect()[0]
+    cleared = not tf._load_manifest(root, None).get("deletes")
+    parity = bool(pre[0] == post[0] and pre[1] == post[1] and cleared)
+    return tf.read(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+        F.lit(rewritten).cast("long").alias("files_rewritten"),
+        F.lit(parity).alias("compacted_parity"),
+    )
+
+
+@query(
+    "tablefmt_rebase_audit",
+    oracle="""
+    WITH nn AS (SELECT max(o_orderkey) AS n FROM orders),
+    n3 AS (SELECT (SELECT n FROM nn) // 3 AS a, 2 * ((SELECT n FROM nn) // 3) AS b),
+    rows0 AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders, n3
+              WHERE o_orderkey <= n3.b),
+    merged AS (
+      SELECT k, CASE WHEN k % 10 = 0 AND k <= (SELECT a FROM n3)
+                     THEN v + 5.0 ELSE v END AS v
+      FROM rows0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(v), 2) AS sum_v,
+           CAST(1 AS BIGINT) AS n_rebases,
+           CAST(0 AS BIGINT) AS n_conflicts,
+           CAST(2 AS BIGINT) AS head_version
+    FROM merged
+    """,
+)
+def tablefmt_rebase_audit(spark, sf_dir):
+    """Semantic conflict detection for non-append commits (round-7
+    verdict ask #4): a MERGE and an OPTIMIZE race on DISJOINT file
+    sets and BOTH commit. Deterministic replay of the race: the
+    compaction's file rewrite is computed against the v0 snapshot,
+    the merge lands first (v1), then the compaction's publish loses
+    the version race and must REBASE — replay its removed/added files
+    onto the merge's head after verifying the merge touched none of
+    its sources and added no tombstones over them — rather than
+    raise. Pins the rebase counter (exactly one rebase, zero
+    conflicts), the head version, and full read parity of the merged
+    + compacted table against the SQL oracle."""
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_rebase_{tag}"
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    n = o.agg(F.max("k")).collect()[0][0]
+    a, b = n // 3, 2 * (n // 3)
+    # two small low-range files (compaction's targets) + one high file
+    # (the merge's target): provably disjoint commit footprints
+    tf.create(spark, root, o.filter(F.col("k") <= a // 2).coalesce(1))
+    tf.commit_append(
+        spark, root,
+        o.filter((F.col("k") > a // 2) & (F.col("k") <= a)).coalesce(1),
+    )
+    tf.commit_append(
+        spark, root,
+        o.filter((F.col("k") > a) & (F.col("k") <= b)).coalesce(1),
+    )
+    base = tf._load_manifest(root, None)  # v2: the loser's snapshot
+    lo_files = [
+        f for f in base["files"]
+        if base["stats"][f]["k"][1] <= a
+    ]
+    upd = o.filter((F.col("k") <= a) & (F.col("k") % 10 == 0)).withColumn(
+        "v", F.col("v") + 5.0
+    )
+    # Loser's WRITE phase against the (soon stale) v2 snapshot: a
+    # sort-rewrite of the HIGH file (single-file optimize). The merge
+    # below updates LOW-range keys, so its touched set (stats-pruned)
+    # is exactly the two low files — disjoint from the loser's source.
+    r0 = dict(tf.REBASE_STATS)
+    hi_file = [f for f in base["files"] if f not in set(lo_files)]
+    df_hi = tf._read_with_deletes(spark, root, base, hi_file).sort("k")
+    st: dict = {}
+    files = [f for f in base["files"] if f not in set(hi_file)]
+    files += tf._write_data_files(spark, root, df_hi.coalesce(1), stats=st)
+    # winner lands first at v3: merge rewrites the LOW files
+    tf.commit_merge(spark, root, upd, key="k")
+    v = tf._publish_rebasable(
+        root, base, "optimize", files, reads_rows=False, stats=st
+    )
+    n_rebases = tf.REBASE_STATS["rebased"] - r0["rebased"]
+    n_conflicts = tf.REBASE_STATS["conflicts"] - r0["conflicts"]
+    head_rel = v - 2  # versions after the loser's base snapshot
+    return tf.read(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+        F.lit(n_rebases).cast("long").alias("n_rebases"),
+        F.lit(n_conflicts).cast("long").alias("n_conflicts"),
+        F.lit(head_rel).cast("long").alias("head_version"),
     )
 
 

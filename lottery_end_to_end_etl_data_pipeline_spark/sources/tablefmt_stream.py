@@ -70,6 +70,7 @@ _REWRITE_ACTIONS = {"optimize", "zorder"}
 # actions that change or remove rows (error unless skipChangeCommits)
 _CHANGE_ACTIONS = {
     "upsert",
+    "upsert_mor",
     "delete",
     "merge",
     "replace_where",
@@ -79,9 +80,21 @@ _CHANGE_ACTIONS = {
 }
 
 
-def _manifest(root: str, v: int) -> dict:
+def _raw_manifest(root: str, v: int) -> dict:
+    """The manifest AS WRITTEN — full snapshot or delta. Deltas are the
+    streaming fast path: their ``files_add`` is exactly the answer to
+    'what did this commit add', no snapshot diff needed."""
     with open(os.path.join(root, "_log", f"v{v:05d}.json")) as f:
         return json.load(f)
+
+
+def _manifest(root: str, v: int) -> dict:
+    """Full reconstructed snapshot at ``v`` (delta-log aware)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import (
+        tablefmt as tf,
+    )
+
+    return tf._load_manifest(root, v)
 
 
 def _current_version(root: str) -> int:
@@ -134,8 +147,8 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
     def _added_files(self, v: int) -> list[str]:
         """Files a commit ADDED, classified by its action."""
-        man = _manifest(self.root, v)
-        action = man.get("action", "")
+        raw = _raw_manifest(self.root, v)
+        action = raw.get("action", "")
         if action in _REWRITE_ACTIONS:
             return []
         if action in _CHANGE_ACTIONS:
@@ -147,8 +160,12 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 ".option('skipChangeCommits', 'true') to skip such commits, "
                 "or start past them with .option('startingVersion', N)"
             )
+        if "delta_of" in raw:
+            # delta manifests record their adds directly: O(commit)
+            # offset resolution with no snapshot reconstruction
+            return list(raw.get("files_add", []))
         prev = set(_manifest(self.root, v - 1)["files"]) if v > 0 else set()
-        return [f for f in man["files"] if f not in prev]
+        return [f for f in raw["files"] if f not in prev]
 
     def latestOffset(self) -> dict:
         """Advance at most ``maxFilesPerTrigger`` files per batch —

@@ -54,13 +54,9 @@ def test_upsert_carries_unpruned_files_by_reference(spark, root):
         2, F.col("k")
     )
     tf.create(spark, root, df)
-    import json
-
-    with open(tf._manifest_path(root, 0)) as f:
-        v0_files = set(json.load(f)["files"])
+    v0_files = set(tf._load_manifest(root, 0)["files"])
     tf.commit_upsert(spark, root, _df(spark, [(8, "V8")]), key="k")
-    with open(tf._manifest_path(root, 1)) as f:
-        v1_files = set(json.load(f)["files"])
+    v1_files = set(tf._load_manifest(root, 1)["files"])
     assert v0_files & v1_files, "low-range file should be referenced, not rewritten"
     got = dict((r.k, r.v) for r in tf.read(spark, root).collect())
     assert got[8] == "V8" and got[1] == "v1" and len(got) == 8
@@ -489,9 +485,10 @@ def test_read_cdf_pre_schema_manifest_raises(spark, root):
 
     tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
     tf.commit_append(spark, root, _df(spark, [(2, "b")]).coalesce(1))
+    # reconstruct (the on-disk v1 is a delta) and write back a full
+    # manifest without the schema — the legacy shape under test
     p = tf._manifest_path(root, 1)
-    with open(p) as f:
-        man = json.load(f)
+    man = tf._load_manifest(root, 1)
     del man["schema"]
     os.remove(p)
     with open(p, "w") as f:
@@ -1305,7 +1302,7 @@ def test_partitions_table_refuses_partial_row_counts(spark, root):
     # surgically strip one member file's stats (a pre-stats legacy file)
     v = tf.current_version(root)
     p = tf._manifest_path(root, v)
-    man = json.load(open(p))
+    man = tf._load_manifest(root, v)  # delta-log aware reconstruction
     victim = [f for f in man["files"] if f in man.get("partitions", {})][-1]
     man["stats"].pop(victim, None)
     os.remove(p)
@@ -1430,3 +1427,274 @@ def test_manifest_versions_beyond_five_digits(spark, root):
     )
 
     assert ts._current_version(root) == 123456
+
+
+# ---------------------------------------------------------------------------
+# Round-7: O(delta) manifest log + checkpoint sidecars + retention.
+# ---------------------------------------------------------------------------
+
+
+def test_delta_log_commit_bytes_are_o_of_files_added(spark, root):
+    import json
+
+    tf.create(spark, root, _df(spark, [(0, "x")]).coalesce(1))
+    sizes = {}
+    for i in range(1, 25):
+        tf.commit_append(
+            spark, root, _df(spark, [(i, f"v{i}")]).coalesce(1)
+        )
+        sizes[i] = os.path.getsize(tf._manifest_path(root, i))
+    # every non-checkpoint commit adds exactly one file: manifest bytes
+    # must stay FLAT while the table grows 24x (O(delta), not O(table))
+    delta_sizes = [s for v, s in sizes.items() if v % 20 != 0]
+    assert max(delta_sizes) <= min(delta_sizes) + 512
+    # the on-disk forms: v19 is a delta recording only its adds;
+    # v20 is the interval checkpoint carrying the full snapshot
+    raw19 = json.load(open(tf._manifest_path(root, 19)))
+    assert raw19["delta_of"] == 18 and len(raw19["files_add"]) == 1
+    raw20 = json.load(open(tf._manifest_path(root, 20)))
+    assert "delta_of" not in raw20 and len(raw20["files"]) == 21
+    assert sizes[20] > 3 * max(delta_sizes)
+    # read correctness and time travel are unchanged by the encoding
+    assert tf.read(spark, root).count() == 25
+    assert tf.read(spark, root, version=7).count() == 8
+    acts = [h["action"] for h in tf.history(root)]
+    assert acts == ["create"] + ["append"] * 24
+
+
+def test_delta_log_preserves_full_surface_through_reconstruction(
+    spark, root
+):
+    # push every carried field through a delta hop: schema, stats,
+    # partitions, constraints, props, deletes, ledger
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, "u0", dt.datetime(2024, 1, 1), 1.0),
+         (2, "u1", dt.datetime(2024, 1, 2), 2.0)],
+        ["k", "grp", "ts", "v"],
+    )
+    tf.create(spark, root, df, partition_by=["grp"])
+    tf.add_constraint(root, "v_pos", "v >= 0")
+    tf.set_table_property(root, "write.files_per_partition", 1)
+    v = tf.current_version(root)
+    tf.publish_append(root, [], v + 1, meta={"sink::a": 1})
+    man = tf._load_manifest(root, None)
+    assert man["constraints"] == {"v_pos": "v >= 0"}
+    assert man["props"]["write.files_per_partition"] == 1
+    assert set(man["partitions"]) == set(man["files"])
+    assert man["specs"] == {"0": ["grp"]} and man["current_spec"] == "0"
+    assert tf.committed_meta_values(root, "sink::a") == {1}
+    assert all(man["stats"].get(f) for f in man["files"])
+    # schema survived three metadata-only delta hops
+    cols = {f["name"] for f in man["schema"]["fields"]}
+    assert cols == {"k", "grp", "ts", "v"}
+
+
+def test_vacuum_checkpoints_delta_chain_and_retention(spark, root):
+    tf.create(spark, root, _df(spark, [(0, "x")]).coalesce(1))
+    tf.publish_append(root, [], 1, meta={"sink::app": 7})  # txn ledger
+    for i in range(2, 9):
+        tf.commit_append(
+            spark, root, _df(spark, [(i, f"v{i}")]).coalesce(1)
+        )
+    tf.vacuum(root, keep_last=3)  # keep_from = 6; v6..v8 are deltas
+    assert os.path.exists(tf._ckpt_path(root, 6))
+    assert not os.path.exists(tf._manifest_path(root, 3))
+    # retained versions reconstruct through the sidecar
+    assert tf.read(spark, root, version=6).count() == 6
+    assert tf.read(spark, root).count() == 8
+    # vacuumed-horizon behavior is the documented error, and the
+    # cumulative txn ledger survives manifest expiry intact
+    with pytest.raises(FileNotFoundError):
+        tf.read(spark, root, version=3)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tf.restore(root, 3)
+    assert tf.committed_meta_values(root, "sink::app") == {7}
+    # a second vacuum is idempotent on the sidecar
+    tf.vacuum(root, keep_last=3)
+    assert tf.read(spark, root).count() == 8
+
+
+def test_wide_commit_harvests_stats_on_executors(spark, root, monkeypatch):
+    # a commit of N files must NOT read N footers on the driver: wide
+    # commits harvest stats + finalize renames in executor tasks and
+    # hand the driver a small [(name, stats)] list. Pinned by counting
+    # driver-side _footer_stats calls (executors re-import the real
+    # module, so the counter only sees driver work).
+    calls = {"n": 0}
+    real = tf._footer_stats
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(tf, "_footer_stats", counting)
+    monkeypatch.setattr(tf, "_DIST_COMMIT_MIN_FILES", 4)
+    df = _df(spark, [(i, f"v{i}") for i in range(40)]).repartition(8)
+    tf.create(spark, root, df)
+    assert calls["n"] == 0, "wide commit read footers on the driver"
+    man = tf._load_manifest(root, 0)
+    assert len(man["files"]) == 8
+    assert all(man["stats"][f].get("k") for f in man["files"])
+    assert all(man["stats"][f].get("#rows") for f in man["files"])
+    assert tf.read(spark, root).count() == 40
+    # pruning still works off the executor-harvested stats: a probe
+    # above every file's max keeps only the file(s) holding the
+    # global max (hash layout => wide per-file ranges, so probe there)
+    kmax = max(man["stats"][f]["k"][1] for f in man["files"])
+    kept = tf.read_pruned(spark, root, "k", kmax, 10**9).inputFiles()
+    assert 0 < len(kept) < 8
+    # a narrow commit stays driver-side (no per-commit job overhead)
+    tf.commit_append(spark, root, _df(spark, [(99, "z")]).coalesce(1))
+    assert calls["n"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-7: semantic conflict detection + rebase for non-append commits.
+# ---------------------------------------------------------------------------
+
+
+def _two_range_files(spark, root):
+    # two SMALL low-range files + one BIG high-range file, so an
+    # incremental optimize can target exactly the low fragments while
+    # a merge touches only the high file (disjoint sets)
+    tf.create(
+        spark, root, _df(spark, [(i, f"v{i}") for i in range(1, 5)]).coalesce(1)
+    )
+    tf.commit_append(
+        spark, root, _df(spark, [(i, f"v{i}") for i in range(50, 54)]).coalesce(1)
+    )
+    tf.commit_append(
+        spark, root,
+        _df(spark, [(i, f"v{i}") for i in range(100, 300)]).coalesce(1),
+    )
+    man = tf._load_manifest(root, None)
+    lo_files = [f for f in man["files"] if man["stats"][f]["k"][1] < 100]
+    hi_files = [f for f in man["files"] if man["stats"][f]["k"][0] >= 100]
+    assert len(lo_files) == 2 and len(hi_files) == 1
+    return lo_files, hi_files
+
+
+def test_optimize_rebases_over_disjoint_merge(spark, root, monkeypatch):
+    # MERGE (touches only the high-range file) wins the version race
+    # against OPTIMIZE (compacts only the low-range files): disjoint
+    # file sets, so the loser must REBASE and both must commit.
+    lo_files, hi_files = _two_range_files(spark, root)
+    orig_publish = tf._publish
+    state = {"raced": False}
+    src = spark.createDataFrame([(100, "MERGED"), (999, "NEW")], ["k", "v"])
+
+    def racy(root_, version, payload):
+        if payload.get("action") == "optimize" and not state["raced"]:
+            state["raced"] = True
+            tf.commit_merge(spark, root_, src, key="k")
+        return orig_publish(root_, version, payload)
+
+    monkeypatch.setattr(tf, "_publish", racy)
+    before_rebases = tf.REBASE_STATS["rebased"]
+    # threshold between the small low fragments and the big high file
+    size = lambda f: os.path.getsize(os.path.join(tf._data_dir(root), f))
+    cut = (max(size(f) for f in lo_files) + min(size(f) for f in hi_files)) // 2
+    assert max(size(f) for f in lo_files) < cut < min(size(f) for f in hi_files)
+    v = tf.optimize(spark, root, min_file_bytes=cut)
+    assert v == 4 and tf.current_version(root) == 4
+    assert tf.REBASE_STATS["rebased"] == before_rebases + 1
+    got = dict((r.k, r.v) for r in tf.read(spark, root).collect())
+    # merge applied...
+    assert got[100] == "MERGED" and got[999] == "NEW"
+    # ...and the low range survived compaction intact
+    assert got[1] == "v1" and got[50] == "v50" and len(got) == 209
+    # the low-range fragments were really compacted away
+    head = tf._load_manifest(root, None)
+    assert not (set(lo_files) & set(head["files"]))
+    acts = [h["action"] for h in tf.history(root)]
+    assert acts == ["create", "append", "append", "merge", "optimize"]
+
+
+def test_merge_conflicts_with_concurrent_row_change(spark, root, monkeypatch):
+    # a MERGE racing a commit that changed rows it read must RAISE
+    # (rebasing could lose the winner's rows), and the winner's state
+    # must stand untouched
+    _two_range_files(spark, root)
+    orig_publish = tf._publish
+    state = {"raced": False}
+
+    def racy(root_, version, payload):
+        if payload.get("action") == "merge" and not state["raced"]:
+            state["raced"] = True
+            tf.commit_delete(spark, root_, "k >= 100")
+        return orig_publish(root_, version, payload)
+
+    monkeypatch.setattr(tf, "_publish", racy)
+    src = spark.createDataFrame([(100, "MERGED")], ["k", "v"])
+    with pytest.raises(tf.ConcurrentCommitError):
+        tf.commit_merge(spark, root, src, key="k")
+    got = {r.k for r in tf.read(spark, root).collect()}
+    assert got == {1, 2, 3, 4, 50, 51, 52, 53}  # winner's delete stands
+
+
+def test_append_never_conflicts(spark, root, monkeypatch):
+    # concurrent appends both land: the loser rebases unconditionally
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    orig_publish = tf._publish
+    state = {"raced": False}
+
+    def racy(root_, version, payload):
+        if payload.get("action") == "append" and not state["raced"]:
+            state["raced"] = True
+            tf.commit_append(
+                spark, root_, _df(spark, [(2, "winner")]).coalesce(1)
+            )
+        return orig_publish(root_, version, payload)
+
+    monkeypatch.setattr(tf, "_publish", racy)
+    tf.commit_append(spark, root, _df(spark, [(3, "loser")]).coalesce(1))
+    got = {(r.k, r.v) for r in tf.read(spark, root).collect()}
+    assert got == {(1, "a"), (2, "winner"), (3, "loser")}
+    assert tf.current_version(root) == 2
+
+
+def test_upsert_mor_rewrites_nothing_and_matches_cow(spark, root):
+    rows = [(i, f"v{i}") for i in range(1, 9)]
+    tf.create(
+        spark, root, _df(spark, rows).repartitionByRange(2, F.col("k"))
+    )
+    man0 = tf._load_manifest(root, 0)
+    ups = spark.createDataFrame(
+        [(2, "B"), (8, "H"), (9, "NEW")], ["k", "v"]
+    )
+    v = tf.commit_upsert_mor(spark, root, ups, key="k")
+    man1 = tf._load_manifest(root, v)
+    # files_rewritten = 0: every original file still referenced, the
+    # old row versions are masked by an equality-delete entry
+    assert set(man0["files"]) <= set(man1["files"])
+    assert man1["deletes"] and man1["deletes"][0]["kind"] == "keys"
+    expect = {i: f"v{i}" for i in range(1, 9)}
+    expect.update({2: "B", 8: "H", 9: "NEW"})
+    got = dict((r.k, r.v) for r in tf.read(spark, root).collect())
+    assert got == expect
+    # chained MOR upsert of the same key resolves to the newest version
+    tf.commit_upsert_mor(
+        spark, root, spark.createDataFrame([(9, "NEWER")], ["k", "v"]), "k"
+    )
+    expect[9] = "NEWER"
+    got = dict((r.k, r.v) for r in tf.read(spark, root).collect())
+    assert got == expect
+    # compaction materializes the tombstones and clears the entries
+    tf.optimize(spark, root)
+    man = tf._load_manifest(root, None)
+    assert not man.get("deletes")
+    got = dict((r.k, r.v) for r in tf.read(spark, root).collect())
+    assert got == expect
+
+
+def test_upsert_mor_pure_insert_needs_no_delete(spark, root):
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    tf.commit_upsert_mor(
+        spark, root, spark.createDataFrame([(100, "z")], ["k", "v"]), "k"
+    )
+    man = tf._load_manifest(root, None)
+    # incoming keys miss every file's range: no tombstone written
+    assert not man.get("deletes")
+    assert {r.k for r in tf.read(spark, root).collect()} == {1, 100}
