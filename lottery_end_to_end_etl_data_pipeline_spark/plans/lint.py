@@ -101,6 +101,29 @@ def lint_plan(df: DataFrame) -> list[Finding]:
                             "window with empty PARTITION BY funnels all "
                             "rows through one task")
                 )
+        elif name == "ExpandExec":
+            # Catalyst plans N exact DISTINCT aggregates in one pass by
+            # EXPANDING every input row N+1 times (grouping-set id per
+            # copy): row volume multiplies by the projection count
+            # before the shuffle. Fine for grouping sets / a couple of
+            # countDistincts; a whole-table exact profiler over K
+            # columns replays the table K+1 times — the worst scaler in
+            # docs/SCALING.md (column_profile_all, b_hi +0.77). The
+            # production path is approx_count_distinct (no Expand);
+            # keep exact multi-distinct for oracle checks only.
+            try:
+                n_proj = node.projections().size()
+            except Exception:
+                n_proj = 0
+            if n_proj > 6:
+                findings.append(
+                    Finding(
+                        "expand-multi-distinct", "warn", name,
+                        f"Expand multiplies every row x{n_proj} before "
+                        "the shuffle; use approx_count_distinct or gate "
+                        "on column count",
+                    )
+                )
         elif name == "ShuffleExchangeExec":
             if node.outputPartitioning().toString() == "SinglePartition":
                 # The final stage of a GLOBAL aggregate legitimately

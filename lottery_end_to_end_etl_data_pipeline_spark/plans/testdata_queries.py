@@ -4626,7 +4626,10 @@ _DRIVER_WINDOW_PRIORITY = [
     #   tablefmt_partition_evolution_audit, tablefmt_readstream_audit,
     #   tablefmt_metadata_tables, preference_pair_mining,
     #   tablefmt_stream_sink_roundtrip
-    # plus any entries added during round 7 itself.
+    # plus the 2 entries added during round 7:
+    #   streaming_mor_upsert_sink, tablefmt_rebase_audit
+    # (10 total -> the r08 window tops up with re-verification of the
+    # oldest r01 entries once every catalog entry has a record).
     "session_path_trigrams",
     "theil_sen_daily_trend",
     "incremental_stats_merge",
@@ -11797,9 +11800,16 @@ def column_profile_all(spark, sf_dir):
     profiler would run N times collapses into a single `.agg()`
     (Catalyst plans the multi-distinct via Expand: one pass, x6 rows
     map-side, each partial agg mergeable), then a `stack` unpivot of
-    the 1-row result driver-side. At 100 TB swap the exact distincts
-    for `approx_count_distinct` one-for-one; min/max/null counts are
-    already single-pass mergeable."""
+    the 1-row result driver-side.
+
+    ORACLE-ONLY (round-7 demotion): the Expand replays every row once
+    per exact distinct — the worst scaler in docs/SCALING.md (b_hi
+    +0.77) and flagged by the plan linter's `expand-multi-distinct`
+    rule above 8 projections. The PRODUCTION profiler is the
+    Expand-free `_column_profile_approx_frame` (approx_count_distinct,
+    b_hi +0.41) exercised by `column_profile_approx`, which audits
+    this exact form against it. Keep this entry for exact-count
+    oracle checks; never put it on a 100 TB hot path."""
     aggs = []
     for c, typ in _PROFILE_COLS:
         col = F.col(c)

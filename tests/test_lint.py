@@ -149,3 +149,27 @@ def test_docs_track_catalog_size():
     }
     missing = sorted(set(QUERIES) - rows)
     assert missing == [], f"entries with no PLAN_AUDIT row: {missing}"
+
+
+def test_detects_wide_expand_multi_distinct(spark):
+    # 12 exact countDistincts over one table: Catalyst plans ONE pass
+    # via Expand — every row replayed 13x before the shuffle. The
+    # linter flags it; the approx profile (no Expand) stays clean.
+    df = spark.range(1000).select(
+        *[(F.col("id") * (i + 1) % 97).alias(f"c{i}") for i in range(12)]
+    )
+    wide = df.agg(
+        *[F.countDistinct(f"c{i}").alias(f"d{i}") for i in range(12)]
+    )
+    assert "expand-multi-distinct" in _rules(wide)
+    with pytest.raises(PlanLintError, match="expand-multi-distinct"):
+        assert_scalable(wide)
+    approx = df.agg(
+        *[F.approx_count_distinct(f"c{i}").alias(f"d{i}") for i in range(12)]
+    )
+    assert "expand-multi-distinct" not in _rules(approx)
+    # a normal grouping-sets / small multi-distinct shape is NOT flagged
+    small = df.agg(
+        F.countDistinct("c0"), F.countDistinct("c1"), F.countDistinct("c2")
+    )
+    assert "expand-multi-distinct" not in _rules(small)

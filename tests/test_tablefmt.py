@@ -1511,6 +1511,13 @@ def test_vacuum_checkpoints_delta_chain_and_retention(spark, root):
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         tf.restore(root, 3)
     assert tf.committed_meta_values(root, "sink::app") == {7}
+    # timestamp time travel at the horizon: a ts inside the window
+    # resolves, a ts preceding the first retained commit raises
+    h = tf.history(root)
+    assert [x["version"] for x in h] == [6, 7, 8]
+    assert tf.version_at_timestamp(root, h[1]["ts"]) == 7
+    with pytest.raises(ValueError, match="precedes the first retained"):
+        tf.version_at_timestamp(root, h[0]["ts"] - 10.0)
     # a second vacuum is idempotent on the sidecar
     tf.vacuum(root, keep_last=3)
     assert tf.read(spark, root).count() == 8

@@ -1,0 +1,147 @@
+"""Standing sf1 bench gate (round-7 verdict ask #6): run the 30 most
+data-bound headline queries at sf1 (~10x sf0.1, built deterministically
+by tools/make_sf1.py) under the same min-of-2 / dispersion / regression
+protocol as bench.py, writing BENCH_SF1.json at the repo root.
+
+Purpose: catch SUPERLINEAR DRIFT as a per-round gate instead of a probe
+doc — the sf0.1 headline bench cannot see a query whose constant is
+fine but whose exponent crept up (docs/SCALING.md flagged
+sessionize_batch_30m b_hi +0.83, paragraph_dedup_reassembly +0.74,
+column_profile_all +0.77; all three are in this gate's list). A query
+is flagged when its min-of-2 at sf1 regresses >30% against the
+previous round's recorded min-of-2 — `regressions_vs_prev: []` is the
+green state.
+
+Usage: python tools/bench_sf1.py          # builds localdata/sf1 if absent
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+from lottery_end_to_end_etl_data_pipeline_spark import get_session  # noqa: E402
+from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (  # noqa: E402
+    QUERIES,
+)
+
+# The 30 most data-bound headline queries (top of BENCH_DETAIL.json by
+# sf0.1 cost, minus fixed-overhead streaming/tablefmt round-trips whose
+# cost is checkpoint machinery, measured flat in docs/SCALING.md) plus
+# the SCALING watch items. Fixed list so regression keys are stable
+# across rounds.
+SF1_QUERIES = [
+    "column_profile_all",
+    "column_profile_approx",
+    "sessionize_batch_30m",
+    "paragraph_dedup_reassembly",
+    "semdedup_stats",
+    "dedup_prefix_filter_join",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_capped",
+    "dedup_embedding_cosine",
+    "frequent_item_pairs",
+    "hits_authority_knn",
+    "kcore_mutual_knn",
+    "personalized_pagerank_knn",
+    "label_propagation_knn",
+    "dup_cluster_size_dist",
+    "bucketed_join_no_shuffle",
+    "bloom_semi_join_audit",
+    "cdc_apply_tombstones",
+    "blocking_quality_metrics",
+    "iqr_filter",
+    "facility_location_coreset",
+    "weighted_median_by_status",
+    "repeated_span_incremental",
+    "repeated_span_stats",
+    "cdc_chunk_stats",
+    "hard_negative_mining",
+    "knn_label_agreement",
+    "star_join_revenue",
+    "bm25_topk",
+    "knn_brute_cosine",
+]
+
+
+def main() -> None:
+    sf1 = _REPO / "localdata" / "sf1"
+    if not sf1.is_dir():
+        print("building localdata/sf1 via tools/make_sf1.py ...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, str(_REPO / "tools" / "make_sf1.py")], check=True
+        )
+    spark = get_session("bench_sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm pass at sf0.01: Janino codegen + JIT outside the timed region
+    warm = "/root/testdata/sf0.01"
+    if os.path.isdir(warm):
+        for name in SF1_QUERIES:
+            if name in QUERIES:
+                try:
+                    QUERIES[name](spark, warm).collect()
+                except Exception:
+                    pass
+
+    passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    t_min: dict[str, float] = {}
+    t_max: dict[str, float] = {}
+    for p in range(passes):
+        for name in SF1_QUERIES:
+            if name not in QUERIES:
+                continue
+            t0 = time.monotonic()
+            QUERIES[name](spark, str(sf1)).collect()
+            dt = round(time.monotonic() - t0, 3)
+            t_min[name] = min(t_min.get(name, dt), dt)
+            t_max[name] = max(t_max.get(name, dt), dt)
+            print(f"pass {p + 1}/{passes} {name}: {dt}s", file=sys.stderr)
+
+    out_path = _REPO / "BENCH_SF1.json"
+    prev: dict = {}
+    if out_path.exists():
+        try:
+            prev = json.loads(out_path.read_text()).get("queries", {})
+        except Exception:
+            prev = {}
+    regressions = sorted(
+        (
+            (k, round(t_min[k] / prev[k], 2))
+            for k in t_min
+            if prev.get(k, 0) > 0.5 and t_min[k] > 1.3 * prev[k]
+        ),
+        key=lambda kv: -kv[1],
+    )
+    dispersion = {
+        k: round(t_max[k] / t_min[k], 2) if t_min[k] > 0 else 1.0
+        for k in t_min
+    }
+    disp_sorted = sorted(dispersion.values())
+    out = {
+        "metric": "sf1_gate_total",
+        "value": round(sum(t_min.values()), 3),
+        "unit": "sec",
+        "n_queries": len(t_min),
+        "passes": passes,
+        "sec_per_query": round(sum(t_min.values()) / max(len(t_min), 1), 3),
+        "dispersion_p50": disp_sorted[len(disp_sorted) // 2] if disp_sorted else 1.0,
+        "dispersion_max": disp_sorted[-1] if disp_sorted else 1.0,
+        "regressions_vs_prev": [list(kv) for kv in regressions],
+        "queries": t_min,
+        "sf": str(sf1),
+    }
+    out_path.write_text(json.dumps(out, indent=1) + "\n")
+    compact = {k: out[k] for k in out if k != "queries"}
+    compact["queries_file"] = "BENCH_SF1.json"
+    print(json.dumps(compact, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
