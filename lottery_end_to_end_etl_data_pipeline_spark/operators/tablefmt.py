@@ -2523,11 +2523,20 @@ def read_cdf(
 
     old_ids = {_delete_identity(d) for d in old_man.get("deletes", [])}
     new_ids = {_delete_identity(d) for d in new_man.get("deletes", [])}
-    if new_ids - old_ids:
+    fresh_deletes = [
+        d
+        for d in new_man.get("deletes", [])
+        if _delete_identity(d) not in old_ids
+    ]
+    if any(
+        d["kind"] != "keys" or d.get("key") != key for d in fresh_deletes
+    ):
         raise ValueError(
-            "read_cdf across an un-compacted merge-on-read delete: the "
-            "logical change has no data-file delta to diff — run optimize() "
-            "to materialize the deletes, then take CDF across the compaction"
+            "read_cdf across an un-compacted merge-on-read PREDICATE "
+            "delete (or an equality delete on a different key): the "
+            "logical change has no data-file delta to diff — run "
+            "optimize() to materialize the deletes, then take CDF "
+            "across the compaction"
         )
     sch = StructType.fromJson(new_man["schema"])
     pre = (
@@ -2535,6 +2544,37 @@ def read_cdf(
         if removed
         else spark.createDataFrame([], sch)
     )
+    if fresh_deletes:
+        # Equality-key MOR commits (delete_keys / upsert_mor) between
+        # the versions: the PRE-IMAGE of a masked row lives in a file
+        # CARRIED by both snapshots, not in a removed file. Read only
+        # the carried files the fresh tombstones apply to, through the
+        # OLD snapshot's deletes, restricted (broadcast semi-join) to
+        # the tombstoned keys — O(changed files + keys), never a table
+        # scan. The post side already masks superseded intermediate
+        # versions because added files are read through the NEW
+        # snapshot's deletes (chained upsert_mor folds to the latest).
+        old_fset = set(old_man["files"])
+        scoped = sorted(
+            {
+                f
+                for d in fresh_deletes
+                for f in d.get("applies_to", [])
+                if f in old_fset
+            }
+        )
+        if scoped:
+            keys_df = spark.read.parquet(
+                *[
+                    os.path.join(_data_dir(root), kf)
+                    for d in fresh_deletes
+                    for kf in d.get("files", [])
+                ]
+            ).distinct()
+            pre_extra = _read_with_deletes(
+                spark, root, old_man, scoped
+            ).join(F.broadcast(keys_df), key, "left_semi")
+            pre = pre.unionByName(pre_extra, allowMissingColumns=True)
     post = (
         _read_with_deletes(spark, root, new_man, added)
         if added

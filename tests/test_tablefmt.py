@@ -1705,3 +1705,43 @@ def test_upsert_mor_pure_insert_needs_no_delete(spark, root):
     # incoming keys miss every file's range: no tombstone written
     assert not man.get("deletes")
     assert {r.k for r in tf.read(spark, root).collect()} == {1, 100}
+
+
+def test_read_cdf_across_equality_mor_commits(spark, root):
+    # CDF now SUPPORTS un-compacted equality-key MOR commits
+    # (delete_keys / upsert_mor): pre-images come from the carried
+    # files the tombstones apply to, restricted to the tombstoned
+    # keys — predicate MOR deletes still refuse.
+    tf.create(
+        spark, root, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1)
+    )
+    v1 = tf.commit_upsert_mor(
+        spark, root,
+        spark.createDataFrame([(2, "B"), (9, "new")], ["k", "v"]), "k",
+    )
+    ch1 = {
+        (r.k, r.v, r._change_type)
+        for r in tf.read_cdf(spark, root, 0, v1, key="k").collect()
+    }
+    assert ch1 == {(2, "B", "update"), (9, "new", "insert")}
+    v2 = tf.commit_delete_keys(
+        spark, root, spark.createDataFrame([(1,)], ["k"]), "k"
+    )
+    ch2 = {
+        (r.k, r._change_type)
+        for r in tf.read_cdf(spark, root, v1, v2, key="k").collect()
+    }
+    assert ch2 == {(1, "delete")}
+    # chained MOR upserts fold to the LATEST post-image (one row/key)
+    v3 = tf.commit_upsert_mor(
+        spark, root, spark.createDataFrame([(2, "BB")], ["k", "v"]), "k"
+    )
+    ch3 = sorted(
+        (r.k, r.v, r._change_type)
+        for r in tf.read_cdf(spark, root, 0, v3, key="k").collect()
+    )
+    assert ch3 == [
+        (1, "a", "delete"),
+        (2, "BB", "update"),
+        (9, "new", "insert"),
+    ]
