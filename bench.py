@@ -243,6 +243,8 @@ HEADLINE = [
     "churn_labels_audit",
     "nucleus_coverage_stats",
     "source_jsd_matrix",
+    "streaming_mor_upsert_sink",
+    "tablefmt_rebase_audit",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

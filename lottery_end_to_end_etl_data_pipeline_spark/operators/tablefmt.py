@@ -10,16 +10,29 @@ same core design as Delta Lake / Iceberg, radically reduced:
     <root>/_log/v00000.json, v00001.json, ...   (the commit log)
     <root>/data/<uuid>.parquet                  (immutable data files)
 
-- Every commit writes NEW immutable data files plus one manifest
-  listing the complete file set of that version (full-snapshot
-  manifests, like Delta checkpoints — no log replay needed to read).
+- Every commit writes NEW immutable data files plus one manifest.
+  The log is DELTA-ENCODED (round 7, Delta-Lake-style): commits
+  between checkpoints record only what changed (files added/removed,
+  stat diffs, ledger additions, replaced scalar fields) — manifest
+  bytes are O(files touched), never O(table) — and every
+  `log.checkpoint_interval`-th version (default 20) writes the full
+  snapshot, so reconstruction replays at most interval-1 deltas.
+  `vacuum` materializes a checkpoint SIDECAR at the retention horizon
+  before expiring older manifests, so chains never dangle. The
+  encoding is invisible outside `_publish`/`_snapshot`: every reader
+  receives full snapshots from `_load_manifest`.
 - Readers pin a manifest and read only its files: snapshot isolation
   for free, because later commits never mutate referenced files.
 - Commit N+1 must be created by the holder of the next version number;
   `_publish` is an atomic create-exclusive link, so a lost race
   surfaces as FileExistsError with no check-then-act window
-  (optimistic concurrency, Delta-style). Manifests record their
-  commit wall-clock: time travel works by version OR by timestamp.
+  (optimistic concurrency, Delta-style). Non-append commits publish
+  through `_publish_rebasable`: a loser REBASES its file-level delta
+  onto the new head when the winners are compatible (disjoint files,
+  no new tombstones on its sources, row-preserving when it read
+  rows) and raises `ConcurrentCommitError` on true overlap.
+  Manifests record their commit wall-clock: time travel works by
+  version OR by timestamp.
 - Deletes come in two flavors: copy-on-write (`commit_delete` —
   rewrite matching files) and MERGE-ON-READ (`commit_delete_mor` /
   `commit_delete_keys` — metadata-only predicate deletes and
@@ -35,8 +48,12 @@ same core design as Delta Lake / Iceberg, radically reduced:
 
 Scale notes: data files move through Spark writers (distributed);
 manifest handling is driver-side metadata, exactly as in real table
-formats (manifests are KB-sized regardless of data size). Upsert and
-delete are copy-on-write: files with NO matching rows are carried
+formats — and since round 7 the per-commit manifest is KB-sized
+regardless of table size (delta log), and wide commits harvest
+footer stats + finalize renames ON EXECUTORS (`_commit_staged_files`)
+instead of a per-file driver loop. Upsert and delete are
+copy-on-write (or merge-on-read via `commit_upsert_mor` /
+`commit_delete_keys`): files with NO matching rows are carried
 forward by REFERENCE (never rewritten); only touched files rewrite.
 File-level min/max pruning decides "touched" — the same mechanics
 that let a 100 TB table absorb a 1k-row upsert by rewriting a handful
