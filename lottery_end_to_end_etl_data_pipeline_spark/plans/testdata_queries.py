@@ -4626,8 +4626,9 @@ _DRIVER_WINDOW_PRIORITY = [
     #   tablefmt_partition_evolution_audit, tablefmt_readstream_audit,
     #   tablefmt_metadata_tables, preference_pair_mining,
     #   tablefmt_stream_sink_roundtrip
-    # plus the 2 entries added during round 7:
-    #   streaming_mor_upsert_sink, tablefmt_rebase_audit
+    # plus the 3 entries added during round 7:
+    #   streaming_mor_upsert_sink, tablefmt_rebase_audit,
+    #   tablefmt_cdf_mor_audit
     # (10 total -> the r08 window tops up with re-verification of the
     # oldest r01 entries once every catalog entry has a record).
     "session_path_trigrams",
@@ -17187,6 +17188,80 @@ def tablefmt_rebase_audit(spark, sf_dir):
         F.lit(n_rebases).cast("long").alias("n_rebases"),
         F.lit(n_conflicts).cast("long").alias("n_conflicts"),
         F.lit(head_rel).cast("long").alias("head_version"),
+    )
+
+
+@query(
+    "tablefmt_cdf_mor_audit",
+    oracle="""
+    WITH nn AS (SELECT max(o_orderkey) AS n FROM orders),
+    base AS (
+      SELECT o_orderkey AS k, o_totalprice AS v FROM orders, nn
+      WHERE o_orderkey <= nn.n // 2
+    ),
+    ups AS (
+      SELECT k, v + 9.0 AS v FROM base WHERE k % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders, nn
+      WHERE o_orderkey > nn.n // 2 AND o_orderkey <= nn.n // 2 + 50
+    ),
+    dels AS (SELECT k FROM base WHERE k % 17 = 0 AND k % 10 <> 0),
+    cdf AS (
+      SELECT u.k, u.v,
+             CASE WHEN b.k IS NULL THEN 'insert' ELSE 'update' END AS ct
+      FROM ups u LEFT JOIN base b USING (k)
+      UNION ALL
+      SELECT d.k, b.v, 'delete' FROM dels d JOIN base b USING (k)
+    )
+    SELECT ct AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(sum(v), 2) AS sum_v
+    FROM cdf GROUP BY ct
+    """,
+)
+def tablefmt_cdf_mor_audit(spark, sf_dir):
+    """Change-data-feed ACROSS un-compacted merge-on-read commits
+    (round-7 extension): one `commit_upsert_mor` (updates + inserts,
+    zero files rewritten) followed by one `commit_delete_keys`
+    (equality tombstones, zero files rewritten), then `read_cdf`
+    spanning BOTH — pre-images of masked rows come from the carried
+    files the fresh tombstones apply to, read through the old
+    snapshot's deletes and broadcast-semi-joined to the tombstoned
+    keys, so CDF costs O(changed files + keys) with no compaction
+    required. The oracle recomputes the exact per-change-type row
+    counts and value sums from the same CDC log in SQL. Predicate MOR
+    deletes still refuse (pinned in tests)."""
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
+
+    tag = abs(hash(sf_dir)) % 10**8
+    root = f"{tempfile.gettempdir()}/spark_graft_cdfmor_{tag}"
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    n = o.agg(F.max("k")).collect()[0][0]
+    half = n // 2
+    base = o.filter(F.col("k") <= half)
+    tf.create(spark, root, base.repartition(4))
+    ups = (
+        base.filter(F.col("k") % 10 == 0)
+        .withColumn("v", F.col("v") + 9.0)
+        .unionByName(o.filter((F.col("k") > half) & (F.col("k") <= half + 50)))
+    )
+    v1 = tf.commit_upsert_mor(spark, root, ups, key="k")
+    dels = base.filter((F.col("k") % 17 == 0) & (F.col("k") % 10 != 0)).select(
+        "k"
+    )
+    v2 = tf.commit_delete_keys(spark, root, dels, key="k")
+    assert v2 == v1 + 1
+    return (
+        tf.read_cdf(spark, root, 0, v2, key="k")
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("v"), 2).alias("sum_v"),
+        )
     )
 
 
