@@ -266,7 +266,10 @@ def _snapshot(root: str, version: int) -> dict:
     if "delta_of" in raw:
         raw = _apply_delta(_snapshot(root, raw["delta_of"]), raw)
     if len(_SNAP_CACHE) >= _SNAP_CACHE_MAX:
-        _SNAP_CACHE.pop(next(iter(_SNAP_CACHE)))
+        try:  # concurrent writers share the cache; a racing evict is fine
+            _SNAP_CACHE.pop(next(iter(_SNAP_CACHE)))
+        except (KeyError, StopIteration):
+            pass
     _SNAP_CACHE[path] = (key, raw)
     return raw
 

@@ -1771,3 +1771,38 @@ def test_thousand_commit_table_latest_commit_writes_kbs(spark, root):
     assert got == {(0, "x"), (1, "y")}
     assert tf.read(spark, root, version=500).count() == 1
     assert len(tf.history(root)) == 1002
+
+
+def test_threaded_concurrent_appends_all_land(spark, root):
+    # REAL concurrency through the optimistic rebase loop: 6 writer
+    # threads x 3 appends each race on one table — every commit must
+    # land exactly once (appends never conflict, losers rebase), no
+    # version lost, no row lost, manifests reconstruct cleanly.
+    import threading
+
+    tf.create(spark, root, _df(spark, [(0, "seed")]).coalesce(1))
+    errs = []
+
+    def appender(i):
+        try:
+            for j in range(3):
+                tf.commit_append(
+                    spark, root,
+                    _df(spark, [(100 * (i + 1) + j, f"w{i}")]).coalesce(1),
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(i,)) for i in range(6)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert tf.current_version(root) == 18
+    rows = {r.k for r in tf.read(spark, root).collect()}
+    assert len(rows) == 19  # seed + 18 appended rows, none lost
+    acts = [h["action"] for h in tf.history(root)]
+    assert acts == ["create"] + ["append"] * 18
