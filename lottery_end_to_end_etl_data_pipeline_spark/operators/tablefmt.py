@@ -238,8 +238,10 @@ def _apply_delta(prev: dict, d: dict) -> dict:
 
 # Reconstructed-snapshot cache: keyed by manifest path, validated by
 # (inode, mtime_ns, size) so a recreated table at the same tempdir path
-# can never serve a stale snapshot. Bounded FIFO; entries are returned
-# as deep copies so no caller can corrupt the cache in place.
+# can never serve a stale snapshot. Bounded FIFO. `_snapshot` returns
+# the SHARED cached object (internal callers — _publish's delta diff,
+# vacuum — are read-only by contract); the public `_load_manifest`
+# deep-copies, so no external caller can corrupt the cache in place.
 _SNAP_CACHE: dict[str, tuple[tuple, dict]] = {}
 _SNAP_CACHE_MAX = 256
 
@@ -266,9 +268,11 @@ def _snapshot(root: str, version: int) -> dict:
     if "delta_of" in raw:
         raw = _apply_delta(_snapshot(root, raw["delta_of"]), raw)
     if len(_SNAP_CACHE) >= _SNAP_CACHE_MAX:
-        try:  # concurrent writers share the cache; a racing evict is fine
+        try:  # concurrent writers share the cache; a racing evict is
+            # fine, and so is a dict-mutated-during-iteration race
+            # (RuntimeError) — eviction is best-effort
             _SNAP_CACHE.pop(next(iter(_SNAP_CACHE)))
-        except (KeyError, StopIteration):
+        except (KeyError, StopIteration, RuntimeError):
             pass
     _SNAP_CACHE[path] = (key, raw)
     return raw
@@ -874,7 +878,13 @@ def _commit_staged_files(
         def _finalize(pair):
             src, name = pair
             dest = os.path.join(data_dir, name)
-            shutil.move(src, dest)
+            # idempotent under task retry/speculation: a re-executed
+            # task whose first attempt already moved this file must
+            # not fail the commit — the file is finished in data/
+            if os.path.exists(src):
+                shutil.move(src, dest)
+            elif not os.path.exists(dest):
+                raise FileNotFoundError(f"{src} vanished before finalize")
             return name, (_footer_stats(dest) if want_stats else None)
 
         n_slices = min(len(moves), 64)
@@ -895,14 +905,25 @@ def _commit_staged_files(
 
 
 def current_version(root: str) -> int:
-    vs = [
+    vs = _retained_versions(root)
+    if not vs:
+        raise FileNotFoundError(f"no commits under {root}")
+    return vs[-1]
+
+
+def _retained_versions(root: str) -> list[int]:
+    """Sorted versions whose manifest is still on disk — ONE listdir,
+    no per-version exists probes. Metadata iterators (history, txn
+    ledger scan, timestamp travel) walk this list; iterating
+    range(current_version) with exists() checks would cost O(total
+    history) stat calls per query on a vacuumed long-history table
+    (e.g. ~10^5 probes per micro-batch for the streaming sink's
+    exactly-once check at version 100k)."""
+    return sorted(
         int(m.group(1))
         for m in (_MANIFEST_NAME_RE.match(f) for f in os.listdir(_log_dir(root)))
         if m
-    ]
-    if not vs:
-        raise FileNotFoundError(f"no commits under {root}")
-    return max(vs)
+    )
 
 
 def _load_manifest(root: str, version: int | None) -> dict:
@@ -1089,6 +1110,29 @@ def _scoped_deletes_fingerprint(man: dict, files: set) -> str:
 REBASE_STATS = {"rebased": 0, "conflicts": 0}
 
 
+def _merge_rebase_schema(
+    head_schema: dict | None, ours: StructType, action: str, root: str
+) -> StructType:
+    """The schema a REBASED commit must publish: the union of the
+    head's schema (which may carry a concurrent evolve's new columns —
+    republishing only our base-resolved schema would silently DROP
+    them) and our own additions. A type conflict on a shared column is
+    a true metadata conflict and raises."""
+    if head_schema is None:
+        return ours
+    merged = StructType.fromJson(head_schema)
+    have = {f.name: f.dataType for f in merged.fields}
+    for f in ours.fields:
+        if f.name not in have:
+            merged = merged.add(f)
+        elif have[f.name] != f.dataType:
+            raise ConcurrentCommitError(
+                f"{action} on {root}: concurrent schema change conflicts "
+                f"on column {f.name!r} ({have[f.name]} vs {f.dataType})"
+            )
+    return merged
+
+
 def _publish_rebasable(
     root: str,
     base: dict,
@@ -1096,6 +1140,7 @@ def _publish_rebasable(
     new_files: list[str],
     *,
     reads_rows: bool,
+    adds_rows: bool = False,
     guard_files: list[str] | None = None,
     schema: StructType | None = None,
     meta: dict | None = None,
@@ -1119,6 +1164,13 @@ def _publish_rebasable(
         (``reads_rows``), every intervening action must be
         row-preserving (`_REBASE_SAFE_ACTIONS`) — a concurrent append
         or row-change holds rows our joins never saw;
+      * when this commit ADDS rows (``adds_rows``), the head's CHECK
+        constraints must equal the base's — our rows were validated
+        against the base's constraints only, so rebasing over a
+        concurrent add_constraint would publish unvalidated data;
+      * a rebased commit publishes the UNION of the head's schema and
+        its own (a concurrent evolve's columns survive; a type
+        conflict raises);
     — then REBASES: replays removed/added onto the head's file list
     and retries the (metadata-only) publish. Data files are written
     once; only the manifest race replays. A true overlap raises
@@ -1168,6 +1220,16 @@ def _publish_rebasable(
                         "re-run against the new snapshot"
                     ) from None
             head = _load_manifest(root, head_v)
+            if adds_rows and head.get("constraints", {}) != base.get(
+                "constraints", {}
+            ):
+                # our rows were validated against the BASE constraints
+                REBASE_STATS["conflicts"] += 1
+                raise ConcurrentCommitError(
+                    f"{action} on {root}: CHECK constraints changed "
+                    "concurrently; re-run so the batch validates against "
+                    "the new constraint set"
+                ) from None
             head_fset = set(head["files"])
             lost = sorted(guard - head_fset)
             if lost:
@@ -1185,6 +1247,10 @@ def _publish_rebasable(
                     "delete targets files this commit rewrites; "
                     "rebasing would resurrect deleted rows"
                 ) from None
+            if schema is not None:
+                schema = _merge_rebase_schema(
+                    head.get("schema"), schema, action, root
+                )
             man, v = head, head_v
             rebases += 1
             REBASE_STATS["rebased"] += 1
@@ -1323,10 +1389,10 @@ def version_at_timestamp(root: str, ts: float) -> int:
     file's mtime, which on an immutable log is the publish time.
     Raises if ``ts`` precedes the first retained commit."""
     best = None
-    for v in range(current_version(root) + 1):
+    for v in _retained_versions(root):
         p = _manifest_path(root, v)
         if not os.path.exists(p):
-            continue  # vacuumed away
+            p = _ckpt_path(root, v)
         man = _load_manifest(root, v)
         if man.get("ts", os.path.getmtime(p)) <= ts:
             best = v
@@ -1494,10 +1560,10 @@ def history(root: str) -> list[dict]:
     `vacuum` are skipped, same guard as `committed_meta_values` —
     history never crashes on a vacuumed table)."""
     out = []
-    for v in range(current_version(root) + 1):
+    for v in _retained_versions(root):
         p = _manifest_path(root, v)
         if not os.path.exists(p):
-            continue  # vacuumed away
+            p = _ckpt_path(root, v)
         man = _load_manifest(root, v)
         out.append(
             {
@@ -1580,11 +1646,15 @@ def commit_append(
         partitions=pt, schema_json=prev.get("schema"),
         files_per_partition=_write_parallelism(prev),
     )
-    # appends remove nothing and read nothing: the rebase loop always
-    # succeeds against any winner (Delta: appends never conflict)
+    # appends remove nothing and read nothing: the rebase loop
+    # succeeds against any winner except a concurrent constraint
+    # change (Delta: appends never conflict on files). The high cap
+    # keeps heavily-contended streaming appends from ever giving up —
+    # each retry is metadata-only.
     return _publish_rebasable(
-        root, prev, "append", files, reads_rows=False,
+        root, prev, "append", files, reads_rows=False, adds_rows=True,
         schema=sch, meta=meta, stats=st, new_partitions=pt,
+        max_rebases=1000,
     )
 
 
@@ -1754,10 +1824,7 @@ def committed_meta_values(root: str, key: str) -> set:
         # induction; a modern table (ledger at v0) pays exactly one
         # extra manifest read.
         out = set(latest["ledger"].get(key, []))
-        for v in range(current_version(root) + 1):
-            p = _manifest_path(root, v)
-            if not os.path.exists(p):
-                continue  # vacuumed away
+        for v in _retained_versions(root):
             m = _load_manifest(root, v)
             if "ledger" in m:
                 break
@@ -1766,10 +1833,7 @@ def committed_meta_values(root: str, key: str) -> set:
                 out.add(mv[key])
         return out
     out = set()
-    for v in range(current_version(root) + 1):
-        p = _manifest_path(root, v)
-        if not os.path.exists(p):
-            continue  # vacuumed away
+    for v in _retained_versions(root):
         meta = _load_manifest(root, v).get("meta", {})
         if key in meta:
             out.add(meta[key])
@@ -1937,7 +2001,7 @@ def commit_upsert(
     else:
         new_files += _write_data_files(spark, root, updates, **wkw)
     return _publish_rebasable(
-        root, prev, "upsert", new_files, reads_rows=True,
+        root, prev, "upsert", new_files, reads_rows=True, adds_rows=True,
         schema=sch, meta=meta, stats=st, new_partitions=pt,
     )
 
@@ -1988,10 +2052,16 @@ def commit_upsert_mor(
             {"kind": "keys", "key": key, "files": kfiles,
              "applies_to": touched}
         )
+    # reads_rows=True: the tombstone SCOPE is a read of the base
+    # snapshot — rebasing over a concurrent append/row-change could
+    # leave a same-key row unmasked (two racing upserts of a NEW key
+    # would otherwise both land and duplicate it). Rebase remains
+    # available over row-preserving winners (optimize/metadata).
     return _publish_rebasable(
         root, prev, "upsert_mor", prev["files"] + new_data,
-        reads_rows=False, guard_files=touched, schema=sch, meta=meta,
-        stats=st, new_partitions=pt, new_deletes=new_deletes,
+        reads_rows=True, adds_rows=True, guard_files=touched,
+        schema=sch, meta=meta, stats=st, new_partitions=pt,
+        new_deletes=new_deletes,
     )
 
 
@@ -2108,7 +2178,7 @@ def commit_replace_where(
     new_files += _write_data_files(spark, root, df, **wkw)
     return _publish_rebasable(
         root, prev, "replace_where", new_files, reads_rows=True,
-        schema=sch, stats=st, new_partitions=pt,
+        adds_rows=True, schema=sch, stats=st, new_partitions=pt,
     )
 
 
@@ -2283,8 +2353,12 @@ def commit_delete_mor(root: str, predicate: str) -> int:
         "predicate": predicate,
         "applies_to": list(prev["files"]),
     }
+    # reads_rows=True: the predicate's applies_to scope is a read of
+    # the base snapshot — a rebased delete over a concurrent append
+    # would silently miss the appended rows (Delta raises the same
+    # ConcurrentAppend conflict under serializable isolation)
     return _publish_rebasable(
-        root, prev, "delete_mor", list(prev["files"]), reads_rows=False,
+        root, prev, "delete_mor", list(prev["files"]), reads_rows=True,
         guard_files=d["applies_to"], new_deletes=[d],
     )
 
@@ -2316,8 +2390,9 @@ def commit_delete_keys(
         "files": kfiles,
         "applies_to": touched,
     }
+    # reads_rows=True: same scope-is-a-read reasoning as delete_mor
     return _publish_rebasable(
-        root, prev, "delete_keys", list(prev["files"]), reads_rows=False,
+        root, prev, "delete_keys", list(prev["files"]), reads_rows=True,
         guard_files=d["applies_to"], meta=meta, new_deletes=[d],
     )
 
@@ -2714,7 +2789,7 @@ def commit_merge(
         files_per_partition=_write_parallelism(prev),
     )
     return _publish_rebasable(
-        root, prev, "merge", new_files, reads_rows=True,
+        root, prev, "merge", new_files, reads_rows=True, adds_rows=True,
         stats=st, new_partitions=pt,
     )
 

@@ -11806,7 +11806,7 @@ def column_profile_all(spark, sf_dir):
     ORACLE-ONLY (round-7 demotion): the Expand replays every row once
     per exact distinct — the worst scaler in docs/SCALING.md (b_hi
     +0.77) and flagged by the plan linter's `expand-multi-distinct`
-    rule above 8 projections. The PRODUCTION profiler is the
+    rule above 6 projections. The PRODUCTION profiler is the
     Expand-free `_column_profile_approx_frame` (approx_count_distinct,
     b_hi +0.41) exercised by `column_profile_approx`, which audits
     this exact form against it. Keep this entry for exact-count

@@ -52,9 +52,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
-
-_MANIFEST_NAME_RE = re.compile(r"^v(\d+)\.json$")
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -98,18 +95,14 @@ def _manifest(root: str, v: int) -> dict:
 
 
 def _current_version(root: str) -> int:
-    # parse the FULL numeric run — a fixed f[1:6] slice would truncate
-    # v123456 → 12345 and resolve streaming offsets against the wrong
-    # manifest, silently corrupting the offset sequence
-    log = os.path.join(root, "_log")
-    vs = [
-        int(m.group(1))
-        for m in (_MANIFEST_NAME_RE.match(f) for f in os.listdir(log))
-        if m
-    ]
-    if not vs:
-        raise FileNotFoundError(f"no commits under {root}")
-    return max(vs)
+    # delegate to the table format's single lister (full-numeric-run
+    # parse, checkpoint-sidecar-aware) — a second copy of the name
+    # grammar here already cost one synchronized two-file fix
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import (
+        tablefmt as tf,
+    )
+
+    return tf.current_version(root)
 
 
 class _FilesPartition(InputPartition):

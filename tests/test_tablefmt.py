@@ -1806,3 +1806,119 @@ def test_threaded_concurrent_appends_all_land(spark, root):
     assert len(rows) == 19  # seed + 18 appended rows, none lost
     acts = [h["action"] for h in tf.history(root)]
     assert acts == ["create"] + ["append"] * 18
+
+
+# ---------------------------------------------------------------------------
+# Round-7 post-review hardening: rebase schema/constraint/MOR-scope races.
+# ---------------------------------------------------------------------------
+
+
+def test_rebase_preserves_concurrent_schema_evolution(spark, root, monkeypatch):
+    # writer A evolves the schema (adds column x) and wins the race;
+    # writer B's plain append rebases — the rebased manifest must keep
+    # A's column (republishing B's base-resolved schema would drop it)
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    orig_publish = tf._publish
+    state = {"raced": False}
+    wide = spark.createDataFrame([(50, "w", 1.5)], ["k", "v", "x"])
+
+    def racy(root_, version, payload):
+        if payload.get("action") == "append" and not state["raced"]:
+            state["raced"] = True
+            tf.commit_append(spark, root_, wide, evolve=True)
+        return orig_publish(root_, version, payload)
+
+    monkeypatch.setattr(tf, "_publish", racy)
+    tf.commit_append(spark, root, _df(spark, [(2, "b")]).coalesce(1))
+    man = tf._load_manifest(root, None)
+    cols = {f["name"] for f in man["schema"]["fields"]}
+    assert cols == {"k", "v", "x"}  # the evolved column survived the rebase
+    got = {
+        (r.k, r.v, r.x)
+        for r in tf.read(spark, root, merge_schema=True).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", None), (50, "w", 1.5)}
+
+
+def test_concurrent_new_key_mor_upserts_conflict(spark, root, monkeypatch):
+    # two MOR upserts of the SAME NEW key (outside every base file's
+    # range): the loser must RAISE, not rebase — both landing would
+    # duplicate the key, an outcome no serial order produces
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    orig_publish = tf._publish
+    state = {"raced": False}
+
+    def racy(root_, version, payload):
+        if payload.get("action") == "upsert_mor" and not state["raced"]:
+            state["raced"] = True
+            tf.commit_upsert_mor(
+                spark, root_,
+                spark.createDataFrame([(100, "winner")], ["k", "v"]), "k",
+            )
+        return orig_publish(root_, version, payload)
+
+    monkeypatch.setattr(tf, "_publish", racy)
+    with pytest.raises(tf.ConcurrentCommitError):
+        tf.commit_upsert_mor(
+            spark, root,
+            spark.createDataFrame([(100, "loser")], ["k", "v"]), "k",
+        )
+    got = dict((r.k, r.v) for r in tf.read(spark, root).collect())
+    assert got == {1: "a", 100: "winner"}  # exactly one version of k=100
+
+
+def test_append_conflicts_with_concurrent_add_constraint(
+    spark, root, monkeypatch
+):
+    # writer A registers CHECK v_pos and wins; writer B's append of a
+    # VIOLATING batch was validated against the base (no constraints) —
+    # rebasing would publish unvalidated data, so B must raise
+    df = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+    tf.create(spark, root, df.coalesce(1))
+    orig_publish = tf._publish
+    state = {"raced": False}
+
+    def racy(root_, version, payload):
+        if payload.get("action") == "append" and not state["raced"]:
+            state["raced"] = True
+            tf.add_constraint(root_, "v_pos", "v >= 0")
+        return orig_publish(root_, version, payload)
+
+    monkeypatch.setattr(tf, "_publish", racy)
+    bad = spark.createDataFrame([(2, -5.0)], ["k", "v"])
+    with pytest.raises(tf.ConcurrentCommitError, match="constraints"):
+        tf.commit_append(spark, root, bad.coalesce(1))
+    # the table never saw the unvalidated row
+    assert {r.k for r in tf.read(spark, root).collect()} == {1}
+    assert tf._load_manifest(root, None)["constraints"] == {
+        "v_pos": "v >= 0"
+    }
+
+
+def test_finalize_is_idempotent_under_task_retry(spark, root, monkeypatch):
+    # simulate a retried finalize task: one staged file already moved
+    # by a prior attempt — the commit must succeed, not FileNotFoundError
+    monkeypatch.setattr(tf, "_DIST_COMMIT_MIN_FILES", 10**9)  # driver path
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    os.makedirs(tf._data_dir(root), exist_ok=True)
+    # exercise the executor closure directly on a staged pair
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(root, "_stage_test")
+    os.makedirs(staging)
+    srcp = os.path.join(staging, "part.parquet")
+    pq.write_table(pa.table({"k": [9], "v": ["z"]}), srcp)
+    name = "retrytest.parquet"
+    dest = os.path.join(tf._data_dir(root), name)
+    import shutil as _sh
+
+    _sh.copy(srcp, dest)  # "first attempt" already finalized it
+    os.remove(srcp)  # and the staged copy is gone
+    # driver-path _commit_staged_files must tolerate the same state via
+    # the executor closure's guard; call the distributed branch with a
+    # tiny threshold to go through _finalize
+    monkeypatch.setattr(tf, "_DIST_COMMIT_MIN_FILES", 1)
+    stats: dict = {}
+    tf._commit_staged_files(spark, root, [(srcp, name)], stats)
+    assert stats[name].get("k") == [9, 9, 0]
