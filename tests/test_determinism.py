@@ -1,0 +1,75 @@
+"""Partition-order determinism pins (VERDICT r7 #1/#2).
+
+The driver's correctness gate hash-compares raw value reprs, so a
+query whose output depends on double-summation ORDER (which varies
+with partitioning/task scheduling) is a flake even when every run is
+"close". The r07 window caught exactly two such entries —
+``kfold_cv_ridge`` and ``price_volume_mix_decomposition`` — both of
+which ROUND()ed algebra over raw sum(double) aggregates. The fix
+aggregates EXACT integers (units / cents / decimal) first and runs
+the fragile double algebra only on the tiny per-group aggregate.
+
+This module pins that contract: output must be BIT-IDENTICAL under
+``spark.sql.shuffle.partitions`` in {1, 7, 200} AND under a
+``repartition(13)`` of every input table (which reshuffles the rows
+arbitrarily before any aggregation). Float comparison is by repr —
+no rounding tolerance, the same standard the driver applies.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries as tq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# The two r07 driver flakes, plus the verdict's named audit candidates
+# (each ROUNDs arithmetic on aggregates): all must be invariant.
+PINNED = [
+    "kfold_cv_ridge",
+    "price_volume_mix_decomposition",
+    "theil_sen_daily_trend",
+    "welch_ab_test",
+    "daily_autocorrelation",
+    "cusum_changepoint_daily",
+]
+
+
+def _exact_rows(df):
+    """Collected rows with floats kept at full precision (repr), rows
+    sorted for order-insensitive comparison — bitwise equality or bust."""
+    cols = sorted(df.columns)
+    rows = [
+        tuple(repr(r[c]) for c in cols)
+        for r in df.collect()
+    ]
+    return sorted(rows)
+
+
+def _run(spark, name, shuffle_partitions, repartition_input=None):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_t = tq.t
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        if repartition_input:
+            def t_reshuffled(s, sf_dir, tbl, _orig=orig_t, _n=repartition_input):
+                return _orig(s, sf_dir, tbl).repartition(_n)
+
+            tq.t = t_reshuffled
+        return _exact_rows(tq.QUERIES[name](spark, SF_DIR))
+    finally:
+        tq.t = orig_t
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_output_invariant_under_partitioning(spark, name):
+    base = _run(spark, name, 1)
+    for sp in (7, 200):
+        assert _run(spark, name, sp) == base, (
+            f"{name}: output differs at shuffle.partitions={sp}"
+        )
+    assert _run(spark, name, 7, repartition_input=13) == base, (
+        f"{name}: output differs under repartition(13) of the input"
+    )

@@ -1,0 +1,98 @@
+"""Catalog-wide partition-order-determinism sweep (VERDICT r7 #2).
+
+Runs EVERY ``queries()`` entry twice — (a) shuffle.partitions=3 with
+every input table ``repartition(13)``-ed (arbitrary row order, deep
+partial-agg merge trees), (b) shuffle.partitions=32 on the raw scan —
+and compares outputs at FULL float precision (repr, no rounding).
+Any difference means the entry's output depends on double-summation
+order, i.e. it can flake the driver's hash gate under a different
+executor count — the exact defect class behind the r07
+``kfold_cv_ridge`` / ``price_volume_mix_decomposition`` failures.
+
+Usage: python tools/check_invariance.py [--sf /root/testdata/sf0.001]
+       [-q name ...] [--skip name ...]
+
+Exit 1 if any entry differs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from lottery_end_to_end_etl_data_pipeline_spark import get_session  # noqa: E402
+import lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries as tq  # noqa: E402
+
+# Entries whose OUTPUT is legitimately partitioning-dependent and says
+# so in its contract. Keep this list tiny and documented; anything
+# else that differs is a defect.
+KNOWN_VARIANT: dict[str, str] = {}
+
+
+def _exact_rows(df):
+    cols = sorted(df.columns)
+    rows = [tuple(repr(r[c]) for c in cols) for r in df.collect()]
+    return sorted(rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("-q", "--queries", nargs="*", default=None)
+    ap.add_argument("--skip", nargs="*", default=[])
+    args = ap.parse_args()
+
+    spark = get_session("check-invariance")
+    queries = entry_mod.queries()
+    names = args.queries or list(queries)
+    names = [n for n in names if n not in set(args.skip)]
+
+    orig_t = tq.t
+
+    def t_reshuffled(s, sf_dir, tbl):
+        return orig_t(s, sf_dir, tbl).repartition(13)
+
+    failures, errors = [], []
+    for i, name in enumerate(names):
+        fn = queries[name]
+        t0 = time.monotonic()
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            tq.t = t_reshuffled
+            a = _exact_rows(fn(spark, args.sf))
+            tq.t = orig_t
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            b = _exact_rows(fn(spark, args.sf))
+        except Exception as e:  # noqa: BLE001
+            errors.append(name)
+            print(f"ERR   {name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
+        finally:
+            tq.t = orig_t
+        dt = time.monotonic() - t0
+        if a != b:
+            if name in KNOWN_VARIANT:
+                print(f"VAR   {name}: differs (documented: {KNOWN_VARIANT[name]})",
+                      flush=True)
+            else:
+                failures.append(name)
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
+                print(f"FAIL  {name}: partition-order-DEPENDENT, first diffs: "
+                      f"{diff}", flush=True)
+        else:
+            print(f"OK    {name} ({i + 1}/{len(names)}, {dt:.2f}s)", flush=True)
+
+    print(f"\n{len(names) - len(failures) - len(errors)}/{len(names)} invariant; "
+          f"{len(failures)} dependent, {len(errors)} errors")
+    if failures:
+        print("DEPENDENT:", " ".join(failures))
+    return 1 if failures or errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
