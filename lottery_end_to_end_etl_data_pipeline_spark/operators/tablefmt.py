@@ -69,6 +69,7 @@ import json
 import os
 import re
 import shutil
+import threading
 import time
 import urllib.parse
 import uuid
@@ -118,16 +119,27 @@ def _manifest_exists(root: str, version: int) -> bool:
 # files) a full-snapshot-per-commit log costs hundreds of MB per
 # append; the delta log costs KBs.
 _CKPT_INTERVAL_DEFAULT = 20
+# Upper clamp on the configurable cadence: a delta chain is at most
+# interval-1 hops, and each hop is a manifest read + fold — an
+# unbounded interval lets one bad property value make EVERY cold read
+# replay the whole log (and, before _snapshot went iterative, blow the
+# recursion limit — a hard table outage). 1000 deltas ≈ a few MB of
+# manifest reads worst-case, still snappy; beyond that the user should
+# be checkpointing anyway.
+_CKPT_INTERVAL_MAX = 1000
 
 
 def _ckpt_interval(payload: dict) -> int:
     try:
-        return max(
-            1,
-            int(
-                payload.get("props", {}).get(
-                    "log.checkpoint_interval", _CKPT_INTERVAL_DEFAULT
-                )
+        return min(
+            _CKPT_INTERVAL_MAX,
+            max(
+                1,
+                int(
+                    payload.get("props", {}).get(
+                        "log.checkpoint_interval", _CKPT_INTERVAL_DEFAULT
+                    )
+                ),
             ),
         )
     except (TypeError, ValueError):
@@ -246,27 +258,7 @@ _SNAP_CACHE: dict[str, tuple[tuple, dict]] = {}
 _SNAP_CACHE_MAX = 256
 
 
-def _snapshot(root: str, version: int) -> dict:
-    """Full snapshot dict for ``version``: the manifest itself when it
-    is full, checkpoint-sidecar when the original was vacuumed, or the
-    base-snapshot-plus-delta reconstruction (at most interval-1 deltas
-    deep, each hop cached)."""
-    # Prefer the checkpoint sidecar when present: after a vacuum the
-    # original vNNNNN.json at the retention horizon may be a DELTA
-    # whose base manifests are gone — the sidecar is its materialized
-    # full snapshot.
-    path = _ckpt_path(root, version)
-    if not os.path.exists(path):
-        path = _manifest_path(root, version)
-    st = os.stat(path)  # FileNotFoundError here == "version not retained"
-    key = (st.st_ino, st.st_mtime_ns, st.st_size)
-    hit = _SNAP_CACHE.get(path)
-    if hit is not None and hit[0] == key:
-        return hit[1]
-    with open(path) as f:
-        raw = json.load(f)
-    if "delta_of" in raw:
-        raw = _apply_delta(_snapshot(root, raw["delta_of"]), raw)
+def _snap_cache_put(path: str, key: tuple, snap: dict) -> None:
     if len(_SNAP_CACHE) >= _SNAP_CACHE_MAX:
         try:  # concurrent writers share the cache; a racing evict is
             # fine, and so is a dict-mutated-during-iteration race
@@ -274,8 +266,47 @@ def _snapshot(root: str, version: int) -> dict:
             _SNAP_CACHE.pop(next(iter(_SNAP_CACHE)))
         except (KeyError, StopIteration, RuntimeError):
             pass
-    _SNAP_CACHE[path] = (key, raw)
-    return raw
+    _SNAP_CACHE[path] = (key, snap)
+
+
+def _snapshot(root: str, version: int) -> dict:
+    """Full snapshot dict for ``version``: the manifest itself when it
+    is full, checkpoint-sidecar when the original was vacuumed, or the
+    base-snapshot-plus-delta reconstruction (at most interval-1 deltas
+    deep, each hop cached). Reconstruction is ITERATIVE — walk
+    ``delta_of`` links collecting deltas until a full manifest,
+    sidecar, or cache hit, then fold forward — so chain depth is
+    bounded by disk, not by the Python recursion limit (a recursive
+    walk made any chain longer than ~1000 — e.g. a mis-set
+    log.checkpoint_interval, now also clamped — an unreadable table)."""
+    chain: list[tuple[str, tuple, dict]] = []  # newest-first pending deltas
+    cur = version
+    while True:
+        # Prefer the checkpoint sidecar when present: after a vacuum
+        # the original vNNNNN.json at the retention horizon may be a
+        # DELTA whose base manifests are gone — the sidecar is its
+        # materialized full snapshot.
+        path = _ckpt_path(root, cur)
+        if not os.path.exists(path):
+            path = _manifest_path(root, cur)
+        st = os.stat(path)  # FileNotFoundError == "version not retained"
+        key = (st.st_ino, st.st_mtime_ns, st.st_size)
+        hit = _SNAP_CACHE.get(path)
+        if hit is not None and hit[0] == key:
+            snap = hit[1]
+            break
+        with open(path) as f:
+            raw = json.load(f)
+        if "delta_of" not in raw:
+            snap = raw
+            _snap_cache_put(path, key, snap)
+            break
+        chain.append((path, key, raw))
+        cur = raw["delta_of"]
+    for path, key, raw in reversed(chain):
+        snap = _apply_delta(snap, raw)
+        _snap_cache_put(path, key, snap)
+    return snap
 
 
 def _publish(root: str, version: int, payload: dict) -> None:
@@ -880,9 +911,17 @@ def _commit_staged_files(
             dest = os.path.join(data_dir, name)
             # idempotent under task retry/speculation: a re-executed
             # task whose first attempt already moved this file must
-            # not fail the commit — the file is finished in data/
+            # not fail the commit — the file is finished in data/.
+            # The exists() probe alone is check-then-act: under
+            # speculation two attempts can BOTH pass it and the slower
+            # move then raises — so "src gone but dest exists" inside
+            # the handler is also success, not failure.
             if os.path.exists(src):
-                shutil.move(src, dest)
+                try:
+                    shutil.move(src, dest)
+                except FileNotFoundError:
+                    if not os.path.exists(dest):
+                        raise
             elif not os.path.exists(dest):
                 raise FileNotFoundError(f"{src} vanished before finalize")
             return name, (_footer_stats(dest) if want_stats else None)
@@ -1107,7 +1146,17 @@ def _scoped_deletes_fingerprint(man: dict, files: set) -> str:
 
 # Rebase telemetry for audits: how often the optimistic loop replayed a
 # commit onto a new head vs raised a true conflict (process-local).
+# Increments go through _bump_rebase_stat: concurrent writer THREADS
+# share this dict (the multi-writer stress test exercises exactly
+# that), and a bare ``dict[k] += 1`` is a read-modify-write that can
+# drop updates — telemetry the rebase audit pins exact values against.
 REBASE_STATS = {"rebased": 0, "conflicts": 0}
+_REBASE_STATS_LOCK = threading.Lock()
+
+
+def _bump_rebase_stat(key: str) -> None:
+    with _REBASE_STATS_LOCK:
+        REBASE_STATS[key] += 1
 
 
 def _merge_rebase_schema(
@@ -1205,7 +1254,7 @@ def _publish_rebasable(
         except FileExistsError:
             head_v = current_version(root)
             if rebases >= max_rebases:
-                REBASE_STATS["conflicts"] += 1
+                _bump_rebase_stat("conflicts")
                 raise ConcurrentCommitError(
                     f"{action} on {root}: gave up after {rebases} rebases "
                     f"(head moved to v{head_v})"
@@ -1213,7 +1262,7 @@ def _publish_rebasable(
             for iv in range(v + 1, head_v + 1):
                 act = _commit_action(root, iv)
                 if reads_rows and act not in _REBASE_SAFE_ACTIONS:
-                    REBASE_STATS["conflicts"] += 1
+                    _bump_rebase_stat("conflicts")
                     raise ConcurrentCommitError(
                         f"{action} on {root}: concurrent {act!r} commit "
                         f"v{iv} may hold rows this {action} never read; "
@@ -1224,7 +1273,7 @@ def _publish_rebasable(
                 "constraints", {}
             ):
                 # our rows were validated against the BASE constraints
-                REBASE_STATS["conflicts"] += 1
+                _bump_rebase_stat("conflicts")
                 raise ConcurrentCommitError(
                     f"{action} on {root}: CHECK constraints changed "
                     "concurrently; re-run so the batch validates against "
@@ -1233,7 +1282,7 @@ def _publish_rebasable(
             head_fset = set(head["files"])
             lost = sorted(guard - head_fset)
             if lost:
-                REBASE_STATS["conflicts"] += 1
+                _bump_rebase_stat("conflicts")
                 raise ConcurrentCommitError(
                     f"{action} on {root}: files {lost[:3]}... were "
                     "rewritten or removed by a concurrent commit"
@@ -1241,7 +1290,7 @@ def _publish_rebasable(
             if _scoped_deletes_fingerprint(
                 head, guard
             ) != _scoped_deletes_fingerprint(base, guard):
-                REBASE_STATS["conflicts"] += 1
+                _bump_rebase_stat("conflicts")
                 raise ConcurrentCommitError(
                     f"{action} on {root}: a concurrent merge-on-read "
                     "delete targets files this commit rewrites; "
@@ -1253,7 +1302,7 @@ def _publish_rebasable(
                 )
             man, v = head, head_v
             rebases += 1
-            REBASE_STATS["rebased"] += 1
+            _bump_rebase_stat("rebased")
 
 
 def _write_parallelism(man: dict) -> int:

@@ -6542,10 +6542,16 @@ def dau_wau_stickiness(spark, sf_dir):
     SELECT lang,
            COUNT(*) AS n_media,
            CAST(SUM(4 + doc_id % 5) AS BIGINT) AS total_width,
-           round(AVG(round((0.299*(doc_id % 256) + 0.587*(doc_id % 256)
-                            + 0.114*(doc_id % 256)) / 255.0, 6)), 6) AS avg_luma,
-           round(SUM(round((160 + 2 * (n_chars % 160)) / 16000.0, 6)), 4) AS total_audio_s,
-           round(AVG(round((101 + 2 * (doc_id % 450)) / 32768.0, 6)), 6) AS avg_rms
+           round(CAST(SUM(CAST(round(round((0.299*(doc_id % 256)
+                    + 0.587*(doc_id % 256) + 0.114*(doc_id % 256)) / 255.0, 6)
+                    * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_luma,
+           round(CAST(SUM(CAST(round(round((160 + 2 * (n_chars % 160))
+                    / 16000.0, 6) * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0, 4) AS total_audio_s,
+           round(CAST(SUM(CAST(round(round((101 + 2 * (doc_id % 450))
+                    / 32768.0, 6) * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_rms
     FROM documents GROUP BY lang
     """,
 )
@@ -6616,9 +6622,32 @@ def multimodal_decode_roundtrip(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             F.sum("width").cast("long").alias("total_width"),
-            F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
-            F.round(F.sum("duration_s"), 4).alias("total_audio_s"),
-            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            # Decoded per-row features are exact 6-decimal values, so
+            # aggregate them as integer MICRO-UNITS (order-independent
+            # BIGINT sums) and divide once — summing the raw doubles
+            # made the rounded last digit depend on partition order
+            # (caught by tools/check_invariance.py, same class as the
+            # r07 kfold/price-volume driver flakes).
+            F.round(
+                F.sum(F.round(F.col("mean_luma") * 1000000, 0).cast("long"))
+                .cast("double")
+                / F.lit(1000000.0)
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_luma"),
+            F.round(
+                F.sum(F.round(F.col("duration_s") * 1000000, 0).cast("long"))
+                .cast("double")
+                / F.lit(1000000.0),
+                4,
+            ).alias("total_audio_s"),
+            F.round(
+                F.sum(F.round(F.col("rms") * 1000000, 0).cast("long"))
+                .cast("double")
+                / F.lit(1000000.0)
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_rms"),
         )
     )
 

@@ -80,8 +80,20 @@ _CHANGE_ACTIONS = {
 def _raw_manifest(root: str, v: int) -> dict:
     """The manifest AS WRITTEN — full snapshot or delta. Deltas are the
     streaming fast path: their ``files_add`` is exactly the answer to
-    'what did this commit add', no snapshot diff needed."""
-    with open(os.path.join(root, "_log", f"v{v:05d}.json")) as f:
+    'what did this commit add', no snapshot diff needed. Path comes
+    from the table format's single name-grammar owner (a second copy
+    of the grammar here already cost one synchronized two-file fix);
+    after a vacuum the original vNNNNN.json at the horizon may be gone
+    with only the checkpoint sidecar left — fall back to it (a full
+    snapshot, handled by the caller's delta-vs-full branch)."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators import (
+        tablefmt as tf,
+    )
+
+    path = tf._manifest_path(root, v)
+    if not os.path.exists(path):
+        path = tf._ckpt_path(root, v)
+    with open(path) as f:
         return json.load(f)
 
 

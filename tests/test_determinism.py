@@ -29,6 +29,10 @@ SF_DIR = "/root/testdata/sf0.001"
 PINNED = [
     "kfold_cv_ridge",
     "price_volume_mix_decomposition",
+    # found DEPENDENT by the full-catalog tools/check_invariance.py
+    # sweep (r08): summed raw 6-decimal doubles before ROUND — now
+    # aggregates integer micro-units
+    "multimodal_decode_roundtrip",
     "theil_sen_daily_trend",
     "welch_ab_test",
     "daily_autocorrelation",

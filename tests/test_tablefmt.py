@@ -1922,3 +1922,80 @@ def test_finalize_is_idempotent_under_task_retry(spark, root, monkeypatch):
     stats: dict = {}
     tf._commit_staged_files(spark, root, [(srcp, name)], stats)
     assert stats[name].get("k") == [9, 9, 0]
+
+
+def test_snapshot_reconstruction_is_iterative_not_recursive(spark, root):
+    # A delta chain deeper than the Python recursion limit must stay
+    # readable by a cold process (advisory: recursive _snapshot +
+    # unclamped checkpoint interval made such a table a hard outage).
+    import json
+    import sys
+
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    base = tf._load_manifest(root, 0)
+    depth = sys.getrecursionlimit() + 500
+    for v in range(1, depth + 1):
+        with open(tf._manifest_path(root, v), "w") as f:
+            json.dump(
+                {
+                    "version": v,
+                    "action": "append",
+                    "delta_of": v - 1,
+                    "ts": base.get("ts", 0),
+                    "files_add": [],
+                    "files_remove": [],
+                },
+                f,
+            )
+    tf._SNAP_CACHE.clear()  # cold-process read: nothing pre-folded
+    snap = tf._load_manifest(root, depth)
+    assert snap["version"] == depth
+    assert snap["files"] == base["files"]
+    # and the table itself reads
+    assert {r.k for r in tf.read(spark, root).collect()} == {1}
+
+
+def test_checkpoint_interval_is_clamped():
+    assert tf._ckpt_interval({"props": {"log.checkpoint_interval": "5000"}}) == (
+        tf._CKPT_INTERVAL_MAX
+    )
+    assert tf._ckpt_interval({"props": {"log.checkpoint_interval": "0"}}) == 1
+    assert tf._ckpt_interval({}) == tf._CKPT_INTERVAL_DEFAULT
+
+
+def test_rebase_stats_counters_are_thread_safe():
+    # 8 threads x 20k locked increments must lose zero updates — the
+    # rebase audit pins exact counter values, so dropped increments
+    # are user-visible telemetry corruption.
+    import threading
+
+    before = dict(tf.REBASE_STATS)
+    n_threads, n_inc = 8, 20000
+
+    def bump():
+        for _ in range(n_inc):
+            tf._bump_rebase_stat("rebased")
+
+    ts = [threading.Thread(target=bump) for _ in range(n_threads)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert tf.REBASE_STATS["rebased"] == before["rebased"] + n_threads * n_inc
+    tf.REBASE_STATS["rebased"] = before["rebased"]  # restore telemetry
+
+
+def test_stream_raw_manifest_uses_shared_grammar_and_ckpt_fallback(spark, root):
+    # _raw_manifest must resolve via the table format's path helpers —
+    # including the checkpoint-sidecar fallback after a vacuum removed
+    # the original manifest at the retention horizon.
+    import shutil
+
+    from lottery_end_to_end_etl_data_pipeline_spark.sources import (
+        tablefmt_stream as tfs,
+    )
+
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    assert tfs._raw_manifest(root, 0)["version"] == 0
+    shutil.move(tf._manifest_path(root, 0), tf._ckpt_path(root, 0))
+    assert tfs._raw_manifest(root, 0)["version"] == 0
