@@ -1588,7 +1588,7 @@ def test_optimize_rebases_over_disjoint_merge(spark, root, monkeypatch):
     # against OPTIMIZE (compacts only the low-range files): disjoint
     # file sets, so the loser must REBASE and both must commit.
     lo_files, hi_files = _two_range_files(spark, root)
-    orig_publish = tf._publish
+    orig_publish = tf._write_manifest_atomic
     state = {"raced": False}
     src = spark.createDataFrame([(100, "MERGED"), (999, "NEW")], ["k", "v"])
 
@@ -1598,7 +1598,7 @@ def test_optimize_rebases_over_disjoint_merge(spark, root, monkeypatch):
             tf.commit_merge(spark, root_, src, key="k")
         return orig_publish(root_, version, payload)
 
-    monkeypatch.setattr(tf, "_publish", racy)
+    monkeypatch.setattr(tf, "_write_manifest_atomic", racy)
     before_rebases = tf.REBASE_STATS["rebased"]
     # threshold between the small low fragments and the big high file
     size = lambda f: os.path.getsize(os.path.join(tf._data_dir(root), f))
@@ -1624,7 +1624,7 @@ def test_merge_conflicts_with_concurrent_row_change(spark, root, monkeypatch):
     # (rebasing could lose the winner's rows), and the winner's state
     # must stand untouched
     _two_range_files(spark, root)
-    orig_publish = tf._publish
+    orig_publish = tf._write_manifest_atomic
     state = {"raced": False}
 
     def racy(root_, version, payload):
@@ -1633,7 +1633,7 @@ def test_merge_conflicts_with_concurrent_row_change(spark, root, monkeypatch):
             tf.commit_delete(spark, root_, "k >= 100")
         return orig_publish(root_, version, payload)
 
-    monkeypatch.setattr(tf, "_publish", racy)
+    monkeypatch.setattr(tf, "_write_manifest_atomic", racy)
     src = spark.createDataFrame([(100, "MERGED")], ["k", "v"])
     with pytest.raises(tf.ConcurrentCommitError):
         tf.commit_merge(spark, root, src, key="k")
@@ -1644,7 +1644,7 @@ def test_merge_conflicts_with_concurrent_row_change(spark, root, monkeypatch):
 def test_append_never_conflicts(spark, root, monkeypatch):
     # concurrent appends both land: the loser rebases unconditionally
     tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
-    orig_publish = tf._publish
+    orig_publish = tf._write_manifest_atomic
     state = {"raced": False}
 
     def racy(root_, version, payload):
@@ -1655,7 +1655,7 @@ def test_append_never_conflicts(spark, root, monkeypatch):
             )
         return orig_publish(root_, version, payload)
 
-    monkeypatch.setattr(tf, "_publish", racy)
+    monkeypatch.setattr(tf, "_write_manifest_atomic", racy)
     tf.commit_append(spark, root, _df(spark, [(3, "loser")]).coalesce(1))
     got = {(r.k, r.v) for r in tf.read(spark, root).collect()}
     assert got == {(1, "a"), (2, "winner"), (3, "loser")}
@@ -1818,7 +1818,7 @@ def test_rebase_preserves_concurrent_schema_evolution(spark, root, monkeypatch):
     # writer B's plain append rebases — the rebased manifest must keep
     # A's column (republishing B's base-resolved schema would drop it)
     tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
-    orig_publish = tf._publish
+    orig_publish = tf._write_manifest_atomic
     state = {"raced": False}
     wide = spark.createDataFrame([(50, "w", 1.5)], ["k", "v", "x"])
 
@@ -1828,7 +1828,7 @@ def test_rebase_preserves_concurrent_schema_evolution(spark, root, monkeypatch):
             tf.commit_append(spark, root_, wide, evolve=True)
         return orig_publish(root_, version, payload)
 
-    monkeypatch.setattr(tf, "_publish", racy)
+    monkeypatch.setattr(tf, "_write_manifest_atomic", racy)
     tf.commit_append(spark, root, _df(spark, [(2, "b")]).coalesce(1))
     man = tf._load_manifest(root, None)
     cols = {f["name"] for f in man["schema"]["fields"]}
@@ -1845,7 +1845,7 @@ def test_concurrent_new_key_mor_upserts_conflict(spark, root, monkeypatch):
     # range): the loser must RAISE, not rebase — both landing would
     # duplicate the key, an outcome no serial order produces
     tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
-    orig_publish = tf._publish
+    orig_publish = tf._write_manifest_atomic
     state = {"raced": False}
 
     def racy(root_, version, payload):
@@ -1857,7 +1857,7 @@ def test_concurrent_new_key_mor_upserts_conflict(spark, root, monkeypatch):
             )
         return orig_publish(root_, version, payload)
 
-    monkeypatch.setattr(tf, "_publish", racy)
+    monkeypatch.setattr(tf, "_write_manifest_atomic", racy)
     with pytest.raises(tf.ConcurrentCommitError):
         tf.commit_upsert_mor(
             spark, root,
@@ -1875,7 +1875,7 @@ def test_append_conflicts_with_concurrent_add_constraint(
     # rebasing would publish unvalidated data, so B must raise
     df = spark.createDataFrame([(1, 1.0)], ["k", "v"])
     tf.create(spark, root, df.coalesce(1))
-    orig_publish = tf._publish
+    orig_publish = tf._write_manifest_atomic
     state = {"raced": False}
 
     def racy(root_, version, payload):
@@ -1884,7 +1884,7 @@ def test_append_conflicts_with_concurrent_add_constraint(
             tf.add_constraint(root_, "v_pos", "v >= 0")
         return orig_publish(root_, version, payload)
 
-    monkeypatch.setattr(tf, "_publish", racy)
+    monkeypatch.setattr(tf, "_write_manifest_atomic", racy)
     bad = spark.createDataFrame([(2, -5.0)], ["k", "v"])
     with pytest.raises(tf.ConcurrentCommitError, match="constraints"):
         tf.commit_append(spark, root, bad.coalesce(1))
@@ -1999,3 +1999,88 @@ def test_stream_raw_manifest_uses_shared_grammar_and_ckpt_fallback(spark, root):
     assert tfs._raw_manifest(root, 0)["version"] == 0
     shutil.move(tf._manifest_path(root, 0), tf._ckpt_path(root, 0))
     assert tfs._raw_manifest(root, 0)["version"] == 0
+
+
+def _norm_manifest(m):
+    # normalize for semantic comparison: drop volatile ts, treat a
+    # missing map/list field as empty
+    return {
+        k: v
+        for k, v in m.items()
+        if k != "ts" and v not in (None, {}, [])
+    }
+
+
+def test_next_delta_matches_payload_diff_semantics(spark, root):
+    # the delta-native builder must reconstruct to EXACTLY what the
+    # full-payload builder would have produced, for an append carrying
+    # stats/partitions/meta and for a remove that rescopes MOR deletes
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.add_constraint(root, "c1", "k > -999")
+    tf.commit_upsert_mor(spark, root, _df(spark, [(2, "B")]), key="k")
+    prev = tf._load_manifest(root, None)
+    v = prev["version"]
+
+    fa = ["zz-new.parquet"]
+    st = {"zz-new.parquet": {"k": [5, 9, 0]}}
+    meta = {"txn": "batch-7"}
+    full = tf._next_payload(
+        prev, v + 1, "append", prev["files"] + fa, meta=meta, stats=st
+    )
+    delta = tf._next_delta(prev, v + 1, "append", fa, [], meta=meta, stats=st)
+    rec = tf._apply_delta(prev, delta)
+    assert _norm_manifest(rec) == _norm_manifest(full)
+
+    # removal path: drop one pre-existing file (rescopes deletes)
+    drop = [f for f in prev["files"] if f in prev.get("stats", {})][0]
+    keep = [f for f in prev["files"] if f != drop]
+    full2 = tf._next_payload(prev, v + 1, "delete", keep)
+    delta2 = tf._next_delta(prev, v + 1, "delete", [], [drop])
+    rec2 = tf._apply_delta(prev, delta2)
+    assert _norm_manifest(rec2) == _norm_manifest(full2)
+
+
+def test_append_commit_does_o_of_files_touched_work(spark, root):
+    # VERDICT r7 #4: a commit on an N-file table must do O(files
+    # touched) dict work. Proxy: poison the head snapshot's file list —
+    # any iteration/copy/diff of it on the append path fails the test.
+    class _NoTouch(list):
+        def __iter__(self):
+            raise AssertionError("commit path iterated the table file list")
+
+        def __contains__(self, item):
+            raise AssertionError("commit path probed the table file list")
+
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_append(spark, root, _df(spark, [(3, "c")]).coalesce(1))
+    v = tf.current_version(root)
+    assert (v + 1) % tf._CKPT_INTERVAL_DEFAULT != 0  # off checkpoint cadence
+    snap = tf._snapshot(root, v)
+    real_files = snap["files"]
+    snap["files"] = _NoTouch(real_files)
+    try:
+        tf.commit_append(spark, root, _df(spark, [(4, "d")]).coalesce(1))
+    finally:
+        snap["files"] = real_files
+    tf._SNAP_CACHE.clear()
+    assert {r.k for r in tf.read(spark, root).collect()} == {1, 2, 3, 4}
+    # carried-file stats survived the delta encoding
+    man = tf._load_manifest(root, None)
+    assert set(man["stats"]) == set(man["files"])
+
+
+def test_metadata_commits_are_delta_encoded(spark, root):
+    import json
+
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.set_table_property(root, "custom.key", "v1")
+    tf.add_constraint(root, "pos", "k > 0")
+    tf.drop_constraint(root, "pos")
+    for v in (1, 2, 3):
+        raw = json.load(open(tf._manifest_path(root, v)))
+        assert raw.get("delta_of") == v - 1, f"v{v} not delta-encoded"
+        assert "files" not in raw
+    man = tf._load_manifest(root, None)
+    assert man["props"]["custom.key"] == "v1"
+    assert man.get("constraints", {}) == {}
+    assert len(man["files"]) >= 1
