@@ -77,3 +77,42 @@ def test_output_invariant_under_partitioning(spark, name):
     assert _run(spark, name, 7, repartition_input=13) == base, (
         f"{name}: output differs under repartition(13) of the input"
     )
+
+
+def test_sequence_gap_audit_hierarchy_matches_global_window(spark, tmp_path):
+    """The driver testdata's orderkeys are DENSE (zero gaps), so the
+    oracle pass alone never exercises the 3-level range-sharded gap
+    logic. Craft a key set with gaps of every topology — inside one
+    bucket, across adjacent buckets, spanning many EMPTY buckets, and
+    across super-bucket boundaries (bucket width is ceil(span/4096),
+    super-bucket fan 64) — and check the hierarchical result against a
+    brute-force global-window computation of the same spec."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = 4096 * 64 * 4  # width 256, super-bucket covers 16384 keys
+    keys = set(range(1, 2000))          # dense head (in-bucket pairs)
+    keys |= {2100, 2101}                # gap of 100 inside a bucket
+    keys |= {300_000, 320_000}          # gap spanning ~78 empty buckets
+    keys |= {16_384 * 10 - 1, 16_384 * 10 + 1}  # super-bucket boundary
+    keys |= {span - 5, span}            # tail, cross-super gap
+    keys |= set(range(700_000, 700_050, 7))  # within-bucket gaps of 6
+    ks = sorted(keys)
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(ks, pa.int64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = {
+        r["n_present"]: r
+        for r in tq.QUERIES["sequence_gap_audit"](spark, str(tmp_path)).collect()
+    }
+    row = next(iter(got.values()))
+    # brute force on the same keys
+    gaps = [b - a - 1 for a, b in zip(ks, ks[1:]) if b - a > 1]
+    assert row["n_present"] == len(ks)
+    assert row["span"] == ks[-1] - ks[0] + 1
+    assert row["n_gaps"] == len(gaps)
+    assert row["n_missing"] == sum(gaps)
+    assert row["largest_gap"] == max(gaps)
+    # self-consistency the spec guarantees: missing = span - present
+    assert row["n_missing"] == row["span"] - row["n_present"]
