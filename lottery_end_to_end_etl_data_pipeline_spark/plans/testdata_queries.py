@@ -15363,39 +15363,90 @@ def price_volume_mix_decomposition(spark, sf_dir):
     """,
 )
 def sequence_gap_audit(spark, sf_dir):
-    """Sequence-continuity audit (missing invoice/draw numbers): lag
-    over the ordered key finds every gap, its width, and the total
+    """Sequence-continuity audit (missing invoice/draw numbers): every
+    gap between adjacent present keys, its width, and the total
     missing count against the key span — the completeness check the
     reference's draw numbering needs (a skipped `numero_sorteo` means
     a draw was never ingested; SURVEY S4's incremental guard tells
-    you what is NEW, this tells you what is ABSENT). The global
-    window is over the KEY COLUMN ONLY (one long per row) and exists
-    to detect adjacency; at extreme scale the same audit shards by
-    key range (gaps inside ranges + boundary pairs between ranges)
-    with identical results — the range-partitioned form of the same
-    lag."""
-    s = t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.lag("o_orderkey").over(Window.orderBy("o_orderkey")).alias("pk"),
-    )
-    gaps = s.filter(F.col("k") - F.col("pk") > 1).select(
-        (F.col("k") - F.col("pk") - 1).alias("missing")
-    )
-    stats = t(spark, sf_dir, "orders").agg(
-        F.count(F.lit(1)).cast("long").alias("n_present"),
-        (F.max("o_orderkey") - F.min("o_orderkey") + 1)
-        .cast("long")
-        .alias("span"),
-    )
-    return (
-        gaps.agg(
-            F.count(F.lit(1)).cast("long").alias("n_gaps"),
-            F.coalesce(F.sum("missing"), F.lit(0)).cast("long").alias("n_missing"),
-            F.coalesce(F.max("missing"), F.lit(0)).cast("long").alias("largest_gap"),
+    you what is NEW, this tells you what is ABSENT).
+
+    RANGE-SHARDED (r08, VERDICT r7 #5 — replaces the corpus-wide
+    Window.orderBy(key) the repo's own linter flagged): a 3-level
+    hierarchical gaps-and-islands. Keys land in 4,096 fixed-width
+    range buckets; adjacent-pair gaps INSIDE a bucket come from a lag
+    window PARTITIONED by bucket (parallel, balanced); gaps BETWEEN
+    consecutive nonempty buckets pair each bucket's max with the next
+    bucket's min via a lag partitioned by super-bucket (64 buckets
+    each, <= 4,096 summary rows); the <= 64 super-bucket boundaries
+    resolve the same way one level up. Every level's window is
+    partitioned and every level's input is a bounded aggregate, so no
+    task ever sees more than max(rows/4096, 4096) items at ANY corpus
+    size — the plan has NO global window and NO single-partition
+    exchange. The (count, min, max) bounds come from one documented
+    1-row scalar fetch (replacing the broadcast crossJoin, which
+    plan-audited as a nested-loop join). Identical results to the
+    single-window oracle: bucket edges align between levels, so each
+    adjacent present-key pair is paired exactly once."""
+    n_b, fan = 4096, 64
+    o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    # bounded scalar fetch: one row, three longs (documented driver IO)
+    bounds = o.agg(
+        F.count(F.lit(1)).alias("n"), F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()[0]
+    n_present, lo, hi = int(bounds["n"]), bounds["lo"], bounds["hi"]
+    if n_present == 0:
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("n_present"),
+            F.lit(0).cast("long").alias("span"),
+            F.lit(0).cast("long").alias("n_gaps"),
+            F.lit(0).cast("long").alias("n_missing"),
+            F.lit(0).cast("long").alias("largest_gap"),
         )
-        .crossJoin(F.broadcast(stats))
-        .select("n_present", "span", "n_gaps", "n_missing", "largest_gap")
+    span = int(hi) - int(lo) + 1
+    width = max(1, -(-span // n_b))  # ceil
+    pts = o.select("k", ((F.col("k") - F.lit(int(lo))) / F.lit(width)).cast(
+        "long"
+    ).alias("b"))
+    # level 1: adjacent pairs inside each range bucket (parallel lags)
+    w_b = Window.partitionBy("b").orderBy("k")
+    in_bucket = (
+        pts.withColumn("pk", F.lag("k").over(w_b))
+        .filter(F.col("k") - F.col("pk") > 1)
+        .select((F.col("k") - F.col("pk") - 1).alias("missing"))
     )
+    # level 2: per-bucket summaries; pair consecutive nonempty buckets
+    # within each super-bucket (lag skips EMPTY buckets — they have no
+    # summary row, so a gap spanning them pairs correctly)
+    bs = pts.groupBy("b").agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+    w_sb = Window.partitionBy((F.col("b") / fan).cast("long")).orderBy("b")
+    between = (
+        bs.withColumn("pmx", F.lag("mx").over(w_sb))
+        .filter(F.col("mn") - F.col("pmx") > 1)
+        .select((F.col("mn") - F.col("pmx") - 1).alias("missing"))
+    )
+    # level 3: per-super-bucket summaries; pair consecutive nonempty
+    # super-buckets (<= 64 rows under the 4,096-bucket spine)
+    sbs = (
+        bs.groupBy((F.col("b") / fan).cast("long").alias("sb"))
+        .agg(
+            F.min_by("mn", F.col("b")).alias("first_mn"),
+            F.max_by("mx", F.col("b")).alias("last_mx"),
+        )
+    )
+    w_ssb = Window.partitionBy((F.col("sb") / fan).cast("long")).orderBy("sb")
+    across = (
+        sbs.withColumn("pmx", F.lag("last_mx").over(w_ssb))
+        .filter(F.col("first_mn") - F.col("pmx") > 1)
+        .select((F.col("first_mn") - F.col("pmx") - 1).alias("missing"))
+    )
+    gaps = in_bucket.unionByName(between).unionByName(across)
+    return gaps.agg(
+        F.lit(n_present).cast("long").alias("n_present"),
+        F.lit(span).cast("long").alias("span"),
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.coalesce(F.sum("missing"), F.lit(0)).cast("long").alias("n_missing"),
+        F.coalesce(F.max("missing"), F.lit(0)).cast("long").alias("largest_gap"),
+    ).select("n_present", "span", "n_gaps", "n_missing", "largest_gap")
 
 
 @query(
