@@ -269,16 +269,21 @@ def _snap_cache_put(path: str, key: tuple, snap: dict) -> None:
     _SNAP_CACHE[path] = (key, snap)
 
 
-def _snapshot(root: str, version: int) -> dict:
-    """Full snapshot dict for ``version``: the manifest itself when it
-    is full, checkpoint-sidecar when the original was vacuumed, or the
-    base-snapshot-plus-delta reconstruction (at most interval-1 deltas
-    deep, each hop cached). Reconstruction is ITERATIVE — walk
+def _snapshot(root: str, version: int | None) -> dict:
+    """Full snapshot dict for ``version`` (latest when None): the
+    manifest itself when it is full, checkpoint-sidecar when the
+    original was vacuumed, or the base-snapshot-plus-delta
+    reconstruction (at most interval-1 deltas deep, each hop cached).
+    Callers receive the SHARED cache object — read-only by contract
+    (the public `_load_manifest` wraps this in a deep copy for
+    mutation-safe callers). Reconstruction is ITERATIVE — walk
     ``delta_of`` links collecting deltas until a full manifest,
     sidecar, or cache hit, then fold forward — so chain depth is
     bounded by disk, not by the Python recursion limit (a recursive
     walk made any chain longer than ~1000 — e.g. a mis-set
     log.checkpoint_interval, now also clamped — an unreadable table)."""
+    if version is None:
+        version = current_version(root)
     chain: list[tuple[str, tuple, dict]] = []  # newest-first pending deltas
     cur = version
     while True:
@@ -1091,9 +1096,12 @@ def _load_manifest(root: str, version: int | None) -> dict:
     """Full snapshot at ``version`` (latest when None) — reconstructed
     from the delta log + checkpoints; callers never see the encoding.
     Returns a private deep copy (the cache must survive caller
-    mutation)."""
-    if version is None:
-        version = current_version(root)
+    mutation). Internal READ-ONLY paths (read/prune/history/metadata
+    iterators, vacuum's reference sweep, the commit heads) use
+    `_snapshot` directly instead: the deepcopy is O(table-files) heap
+    churn per call — ~100 MB per read at 10^6 files — and those
+    callers never mutate by contract. Keep the copy for any path that
+    writes into the dict or hands it to user code."""
     return copy.deepcopy(_snapshot(root, version))
 
 
@@ -1573,7 +1581,7 @@ def version_at_timestamp(root: str, ts: float) -> int:
         p = _manifest_path(root, v)
         if not os.path.exists(p):
             p = _ckpt_path(root, v)
-        man = _load_manifest(root, v)
+        man = _snapshot(root, v)
         if man.get("ts", os.path.getmtime(p)) <= ts:
             best = v
     if best is None:
@@ -1608,7 +1616,7 @@ def read(
         if version is not None:
             raise ValueError("pass version= or timestamp=, not both")
         version = version_at_timestamp(root, timestamp)
-    man = _load_manifest(root, version)
+    man = _snapshot(root, version)
     if not man["files"]:
         sch = man.get("schema")
         if sch is None:
@@ -1711,7 +1719,7 @@ def read_pruned_multi(
     driver-side manifest decision with zero IO."""
     if not predicates:
         raise ValueError("read_pruned_multi needs at least one (col, lo, hi)")
-    man = _load_manifest(root, version)
+    man = _snapshot(root, version)
     stats = man.get("stats", {})
     keep = []
     for fn in man["files"]:
@@ -1744,7 +1752,7 @@ def history(root: str) -> list[dict]:
         p = _manifest_path(root, v)
         if not os.path.exists(p):
             p = _ckpt_path(root, v)
-        man = _load_manifest(root, v)
+        man = _snapshot(root, v)
         out.append(
             {
                 "version": v,
@@ -1992,7 +2000,7 @@ def committed_meta_values(root: str, key: str) -> set:
     pre-retention micro-batch is correctly rejected. (Pre-ledger
     manifests are additionally scanned for their per-commit ``meta``.)
     """
-    latest = _load_manifest(root, None)
+    latest = _snapshot(root, None)
     if "ledger" in latest:
         # the cumulative ledger folds every commit's meta FROM THE
         # FIRST LEDGER-BEARING MANIFEST k onward, plus k-1's (each
@@ -2005,7 +2013,7 @@ def committed_meta_values(root: str, key: str) -> set:
         # extra manifest read.
         out = set(latest["ledger"].get(key, []))
         for v in _retained_versions(root):
-            m = _load_manifest(root, v)
+            m = _snapshot(root, v)
             if "ledger" in m:
                 break
             mv = m.get("meta", {})
@@ -2014,7 +2022,7 @@ def committed_meta_values(root: str, key: str) -> set:
         return out
     out = set()
     for v in _retained_versions(root):
-        meta = _load_manifest(root, v).get("meta", {})
+        meta = _snapshot(root, v).get("meta", {})
         if key in meta:
             out.add(meta[key])
     return out
@@ -2488,7 +2496,7 @@ def read_bloom_pruned(
     with no bloom for ``col`` is conservatively included."""
     import base64
 
-    man = _load_manifest(root, version)
+    man = _snapshot(root, version)
     blooms = man.get("blooms", {})
     pos_cache: dict[tuple, list[int]] = {}
     keep = []
@@ -2774,8 +2782,8 @@ def read_cdf(
 
     Requires the snapshots to share a schema (CDF across a schema
     change should be taken per evolution epoch)."""
-    old_man = _load_manifest(root, from_version)
-    new_man = _load_manifest(root, to_version)
+    old_man = _snapshot(root, from_version)
+    new_man = _snapshot(root, to_version)
     old_files, new_files = set(old_man["files"]), set(new_man["files"])
     removed = [f for f in old_man["files"] if f not in new_files]
     added = [f for f in new_man["files"] if f not in old_files]
@@ -2981,8 +2989,8 @@ def changed_files(root: str, from_version: int, to_version: int) -> list[str]:
     diffing. (For upsert/delete commits the added files contain
     rewritten survivors too, so consumers needing row-level CDC should
     pair this with `apply_cdc`'s key-diff instead.)"""
-    old = set(_load_manifest(root, from_version)["files"])
-    new = _load_manifest(root, to_version)["files"]
+    old = set(_snapshot(root, from_version)["files"])
+    new = _snapshot(root, to_version)["files"]
     return [f for f in new if f not in old]
 
 
@@ -3000,7 +3008,7 @@ def snapshot_row_count(root: str, version: int | None = None) -> int | None:
     scan) when the answer is not provable from metadata: a file
     without a recorded row count, or any merge-on-read delete (its
     filtered rows are unknown without reading)."""
-    man = _load_manifest(root, version)
+    man = _snapshot(root, version)
     if man.get("deletes"):
         return None
     stats = man.get("stats", {})
@@ -3020,7 +3028,7 @@ def snapshot_min_max(
     IO. None when unprovable: a file lacking stats for ``col``, or any
     merge-on-read delete (a deleted row might hold the extremum).
     NULL-only files record no stats, so a provable answer is exact."""
-    man = _load_manifest(root, version)
+    man = _snapshot(root, version)
     if man.get("deletes"):
         return None
     stats = man.get("stats", {})
@@ -3048,7 +3056,7 @@ def files_table(
     """One row per data file of the pinned snapshot: name, on-disk
     size, manifest row count (null when the file predates stats),
     partition spec id + tuple (null for unpartitioned files)."""
-    man = _load_manifest(root, version)
+    man = _snapshot(root, version)
     stats = man.get("stats", {})
     parts = man.get("partitions", {})
     rows = []
@@ -3198,7 +3206,7 @@ def vacuum(
     keep_from = max(0, last - keep_last + 1)
     referenced: set[str] = set()
     for v in range(keep_from, last + 1):
-        man = _load_manifest(root, v)
+        man = _snapshot(root, v)
         referenced.update(man["files"])
         for d in man.get("deletes", []):
             referenced.update(d.get("files", []))  # equality-delete keys
