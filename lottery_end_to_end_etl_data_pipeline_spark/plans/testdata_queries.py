@@ -15,7 +15,15 @@ Determinism discipline (the driver hash-compares values):
   from round-half boundaries in either engine;
 - every top-k has a total deterministic ORDER BY (unique tie-break
   key) in both forms, and ranks on a *rounded* score so last-ulp
-  engine differences cannot reorder the cut line.
+  engine differences cannot reorder the cut line;
+- PARTITION-ORDER determinism (r08, after two r07 driver flakes):
+  ROUND() must never sit on arithmetic over raw sum(double) whose
+  summation order varies with partitioning — aggregate EXACT values
+  first (integer units/cents, DECIMAL(38,x), micro-units) and do the
+  double algebra on the tiny aggregate. Enforced by
+  tools/check_invariance.py (full catalog, two partitionings, repr-
+  level compare — wired into tools/verify_all.py) and pinned for the
+  riskiest entries in tests/test_determinism.py.
 
 Scale notes are per-query docstrings: which side broadcasts, what
 shuffles, what prunes. These queries are the bench workload too.

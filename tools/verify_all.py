@@ -2,11 +2,14 @@
 
 Runs, in order (stopping on first failure):
   1. pytest tests/ -q
-  2. tools/check_oracle.py  (full catalog vs DuckDB at sf0.01)
-  3. tools/plan_audit.py    (regenerates docs/PLAN_AUDIT.md)
-  4. bench.py               (refreshes BENCH_DETAIL.json)
+  2. tools/check_oracle.py     (full catalog vs DuckDB at sf0.01)
+  3. tools/check_invariance.py (full catalog, partition-order
+     determinism at sf0.001 — the r07 driver-flake class)
+  4. tools/plan_audit.py       (regenerates docs/PLAN_AUDIT.md)
+  5. bench.py                  (refreshes BENCH_DETAIL.json)
 
 Usage: python tools/verify_all.py [--skip-bench] [--skip-audit]
+       [--skip-invariance]
 Exit code 0 only if every stage passes.
 """
 
@@ -36,10 +39,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument("--skip-audit", action="store_true")
+    ap.add_argument("--skip-invariance", action="store_true")
     args = ap.parse_args()
 
     run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
     run("oracle-mirror", [sys.executable, "tools/check_oracle.py"])
+    if not args.skip_invariance:
+        run(
+            "invariance-sweep",
+            [sys.executable, "tools/check_invariance.py"],
+        )
     if not args.skip_audit:
         run("plan-audit", [sys.executable, "tools/plan_audit.py"])
     if not args.skip_bench:
