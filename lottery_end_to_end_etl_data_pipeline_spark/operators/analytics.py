@@ -301,6 +301,7 @@ def welch_t_stats(
     group_col: str,
     value_col: str,
     baseline: str,
+    exact_decimals: int | None = None,
 ) -> DataFrame:
     """Welch's unequal-variance t-test of every group against a
     baseline group — the A/B-significance surface (does this
@@ -313,12 +314,42 @@ def welch_t_stats(
               ((v_g/n_g)²/(n_g−1) + (v_b/n_b)²/(n_b−1))
 
     Scale shape: ONE hash aggregate (map-side co-moments) + a 1-row
-    broadcast of the baseline stats — no second scan, no window."""
-    stats = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(value_col).alias("m"),
-        F.var_samp(value_col).alias("v"),
-    )
+    broadcast of the baseline stats — no second scan, no window.
+
+    ``exact_decimals``: when the values are exact N-decimal numbers
+    (money, rates), pass N to aggregate integer-scaled sufficient
+    statistics instead of streaming co-moments — BIGINT/DECIMAL sums
+    are order-independent, so the (m, v) inputs to the t/dof algebra
+    are bit-identical at any partitioning (the r07/r08 driver-flake
+    class: avg/var_samp merge order varies with task scheduling and
+    can flip a rounded last digit). The square sum rides
+    DECIMAL(38,0) so it never overflows."""
+    if exact_decimals is not None:
+        scale = float(10 ** exact_decimals)
+        xi = F.round(F.col(value_col) * F.lit(scale), 0).cast("long")
+        nd = F.col("nn").cast("double")
+        s1d = F.col("s1i").cast("double") / F.lit(scale)
+        s2d = F.col("s2i").cast("double") / F.lit(scale * scale)
+        stats = (
+            df.groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("nn"),
+                F.sum(xi).alias("s1i"),
+                F.sum((xi * xi).cast("decimal(38,0)")).alias("s2i"),
+            )
+            .select(
+                group_col,
+                F.col("nn").alias("n"),
+                (s1d / nd).alias("m"),
+                ((s2d - s1d * s1d / nd) / (nd - F.lit(1.0))).alias("v"),
+            )
+        )
+    else:
+        stats = df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value_col).alias("m"),
+            F.var_samp(value_col).alias("v"),
+        )
     base = stats.filter(F.col(group_col) == baseline).select(
         F.col("n").alias("_bn"), F.col("m").alias("_bm"), F.col("v").alias("_bv")
     )

@@ -425,13 +425,21 @@ def _next_delta(
         "files_add": list(files_add),
         "files_remove": list(files_remove),
     }
+    # Map fields record every entry the caller supplies that DIFFERS
+    # from the previous snapshot — not just entries for added files —
+    # so a stats-refresh on carried files round-trips exactly like the
+    # full-payload path (`_delta_payload` diffs over all files; this
+    # diffs over the caller's map, O(|map|) = O(files touched by the
+    # commit's intent). Entries for files absent from the new file set
+    # are dropped at `_apply_delta` fold time, same as the twin.
     for fld, src in (
         ("stats", stats),
         ("partitions", new_partitions),
         ("blooms", new_blooms),
     ):
         if src:
-            add = {f: src[f] for f in files_add if f in src}
+            pm = prev.get(fld, {})
+            add = {f: v for f, v in src.items() if pm.get(f) != v}
             if add:
                 d[fld + "_add"] = add
     # ledger: cumulative txn ids — new meta values not already present
@@ -2535,7 +2543,7 @@ def commit_delete_mor(root: str, predicate: str) -> int:
     materializes and clears these; `read_cdf` across an un-compacted
     MOR delete raises (no file delta to diff)."""
     prev_v = current_version(root)
-    prev = _load_manifest(root, prev_v)
+    prev = _snapshot(root, prev_v)  # read-only: no deepcopy
     d = {
         "kind": "predicate",
         "predicate": predicate,
@@ -2546,8 +2554,8 @@ def commit_delete_mor(root: str, predicate: str) -> int:
     # would silently miss the appended rows (Delta raises the same
     # ConcurrentAppend conflict under serializable isolation)
     return _publish_rebasable(
-        root, prev, "delete_mor", list(prev["files"]), reads_rows=True,
-        guard_files=d["applies_to"], new_deletes=[d],
+        root, prev, "delete_mor", files_add=[], files_remove=[],
+        reads_rows=True, guard_files=d["applies_to"], new_deletes=[d],
     )
 
 
@@ -2566,7 +2574,7 @@ def commit_delete_keys(
     them read with zero overhead, files written after the delete are
     never affected. Commit cost is O(|keys|), not O(table)."""
     prev_v = current_version(root)
-    prev = _load_manifest(root, prev_v)
+    prev = _snapshot(root, prev_v)  # read-only: no deepcopy
     touched, _ = _touched_files(
         spark, root, prev["files"], key, keys.select(key),
         man_stats=prev.get("stats"), man=prev,
@@ -2580,8 +2588,9 @@ def commit_delete_keys(
     }
     # reads_rows=True: same scope-is-a-read reasoning as delete_mor
     return _publish_rebasable(
-        root, prev, "delete_keys", list(prev["files"]), reads_rows=True,
-        guard_files=d["applies_to"], meta=meta, new_deletes=[d],
+        root, prev, "delete_keys", files_add=[], files_remove=[],
+        reads_rows=True, guard_files=d["applies_to"], meta=meta,
+        new_deletes=[d],
     )
 
 

@@ -1,0 +1,34 @@
+"""The partition-order-determinism comparison standard.
+
+One definition, two enforcers: `tools/check_invariance.py` (the
+full-catalog sweep) and `tests/test_determinism.py` (the pinned
+entries) both import from here, so the standard — repr-level floats,
+no rounding tolerance, order-insensitive rows/columns, exactly what
+the driver's hash gate effectively demands — cannot drift between the
+sweep and the pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def exact_rows(df: DataFrame) -> list[tuple]:
+    """Collected rows with floats kept at FULL precision (repr) —
+    bitwise equality or bust — columns sorted by name and rows sorted
+    for order-insensitive comparison."""
+    cols = sorted(df.columns)
+    rows = [tuple(repr(r[c]) for c in cols) for r in df.collect()]
+    return sorted(rows)
+
+
+def reshuffled_t(orig_t, n_partitions: int = 13):
+    """A drop-in replacement for ``testdata_queries.t`` that
+    repartitions every input table — arbitrary row order and task
+    assignment ahead of any aggregation, the adversarial input shape
+    for summation-order dependence."""
+
+    def t_reshuffled(spark, sf_dir, name):
+        return orig_t(spark, sf_dir, name).repartition(n_partitions)
+
+    return t_reshuffled

@@ -5785,7 +5785,8 @@ def winsorized_value_stats(spark, sf_dir):
     "daily_autocorrelation",
     oracle="""
     WITH daily AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, sum(value) AS v
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v
       FROM events GROUP BY 1
     ), lagged AS (
       SELECT d, v,
@@ -5806,11 +5807,20 @@ def daily_autocorrelation(spark, sf_dir):
     is the right detrender). The lag window is GLOBAL but runs over
     the daily AGGREGATE (days, not events — same cardinality-bounded
     pattern as the Pareto entry); corr's co-moments merge in one
-    final aggregate."""
+    final aggregate. DETERMINISM (r08 hardening, same class as the
+    r07 kfold flake): the daily total is an exact BIGINT cents sum
+    (order-independent) converted to double once, so corr's inputs
+    are bit-identical at any partitioning; corr itself then runs
+    over the single-partition window output."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
-    ).agg(F.sum("value").alias("v"))
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+            / F.lit(100.0)
+        ).alias("v")
+    )
     w = Window.orderBy("d")
     lagged = daily.select(
         "v",
@@ -9061,9 +9071,20 @@ def pca_variance_audit(spark, sf_dir):
 @query(
     "welch_ab_test",
     oracle="""
-    WITH stats AS (
-      SELECT event_type, COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+    WITH stats0 AS (
+      SELECT event_type, COUNT(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS s1i,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS s2i
       FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n,
+             (CAST(s1i AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS m,
+             (CAST(s2i AS DOUBLE) / 10000.0
+              - (CAST(s1i AS DOUBLE) / 100.0) * (CAST(s1i AS DOUBLE) / 100.0)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v
+      FROM stats0
     ),
     base AS (SELECT n AS bn, m AS bm, v AS bv FROM stats WHERE event_type = 'view')
     SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
@@ -9083,12 +9104,19 @@ def welch_ab_test(spark, sf_dir):
     aggregates, so the oracle replays it EXACTLY (no distribution
     lookup needed; the statistic itself is the value-checked
     surface). One map-side-combined hash aggregate + a 1-row
-    broadcast of the baseline stats; no second scan."""
+    broadcast of the baseline stats; no second scan. DETERMINISM
+    (r08 hardening): values are exact cents, so the sufficient
+    statistics aggregate as order-independent integer sums
+    (exact_decimals=2) and the t/dof algebra sees bit-identical
+    (n, m, v) at any partitioning."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
         welch_t_stats,
     )
 
-    return welch_t_stats(t(spark, sf_dir, "events"), "event_type", "value", "view")
+    return welch_t_stats(
+        t(spark, sf_dir, "events"), "event_type", "value", "view",
+        exact_decimals=2,
+    )
 
 
 @query(
@@ -10971,12 +10999,16 @@ def calibration_ece(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
-             AVG(value) AS x
+             (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+               / CAST(count(*) AS DOUBLE) AS x
       FROM events GROUP BY 1, 2
     ),
     mu AS (
       SELECT event_type, d, x,
-             AVG(x) OVER (PARTITION BY event_type) AS m
+             SUM(x) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+               / COUNT(*) OVER (PARTITION BY event_type) AS m
       FROM daily
     ),
     c AS (
@@ -11005,14 +11037,34 @@ def cusum_changepoint_daily(spark, sf_dir):
     the per-type argmax are windows over that CALENDAR-BOUNDED daily
     table — never over raw events. Ranking ties break on a 6-decimal
     rounded magnitude then date, keeping the argmax engine-portable
-    despite float-sum jitter."""
+    despite float-sum jitter. DETERMINISM (r08 hardening): the daily
+    level is an exact cents sum / exact count (order-independent),
+    and the per-type mean sums the daily values over the d-SORTED
+    full window frame rather than a hash aggregate — so every float
+    sum in the pipeline accumulates in one fixed order at any
+    partitioning."""
     daily = (
         t(spark, sf_dir, "events")
         .groupBy(
             "event_type",
             F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
         )
-        .agg(F.avg("value").alias("x"))
+        .agg(
+            (
+                (
+                    F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
+                        "double"
+                    )
+                    / F.lit(100.0)
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("x")
+        )
+    )
+    w_all = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     w_mean = Window.partitionBy("event_type")
     w_cum = (
@@ -11022,7 +11074,11 @@ def cusum_changepoint_daily(spark, sf_dir):
     )
     c = daily.withColumn(
         "cusum",
-        F.sum(F.col("x") - F.avg("x").over(w_mean)).over(w_cum),
+        F.sum(
+            F.col("x")
+            - F.sum("x").over(w_all)
+            / F.count(F.lit(1)).over(w_mean).cast("double")
+        ).over(w_cum),
     )
     w_rank = Window.partitionBy("event_type").orderBy(
         F.round(F.abs(F.col("cusum")), 6).desc(), F.asc("d")

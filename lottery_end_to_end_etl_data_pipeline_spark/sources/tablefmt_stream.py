@@ -169,7 +169,24 @@ class TableChangesStreamReader(DataSourceStreamReader):
             # delta manifests record their adds directly: O(commit)
             # offset resolution with no snapshot reconstruction
             return list(raw.get("files_add", []))
-        prev = set(_manifest(self.root, v - 1)["files"]) if v > 0 else set()
+        if v == 0:
+            return list(raw["files"])
+        try:
+            prev = set(_manifest(self.root, v - 1)["files"])
+        except (FileNotFoundError, OSError) as e:
+            # Full snapshot whose predecessor was vacuumed away — e.g.
+            # v was served from its checkpoint sidecar at the retention
+            # horizon. The adds are no longer derivable, so fail with a
+            # restart recipe instead of an opaque missing-file error
+            # (the checkpointed offsets already past v are unaffected —
+            # this only triggers when a NEW/backfilling reader starts
+            # before the horizon).
+            raise ValueError(
+                f"tablefmt_stream: commit v{v}'s predecessor manifest was "
+                "vacuumed, so its added files cannot be derived; restart "
+                f"the stream with .option('startingVersion', {v}) (snapshot "
+                "semantics) or from a fresh checkpoint"
+            ) from e
         return [f for f in raw["files"] if f not in prev]
 
     def latestOffset(self) -> dict:

@@ -12,8 +12,10 @@ the fragile double algebra only on the tiny per-group aggregate.
 This module pins that contract: output must be BIT-IDENTICAL under
 ``spark.sql.shuffle.partitions`` in {1, 7, 200} AND under a
 ``repartition(13)`` of every input table (which reshuffles the rows
-arbitrarily before any aggregation). Float comparison is by repr —
-no rounding tolerance, the same standard the driver applies.
+arbitrarily before any aggregation). The comparison standard (repr-
+level floats, no tolerance — what the driver's hash effectively
+demands) is shared with the full-catalog sweep via
+``plans.invariance`` so the pin and the sweep cannot drift.
 """
 
 from __future__ import annotations
@@ -21,17 +23,26 @@ from __future__ import annotations
 import pytest
 
 import lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries as tq
+from lottery_end_to_end_etl_data_pipeline_spark.plans.invariance import (
+    exact_rows,
+    reshuffled_t,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# The two r07 driver flakes, plus the verdict's named audit candidates
-# (each ROUNDs arithmetic on aggregates): all must be invariant.
+# The two r07 driver flakes plus every audit candidate the r7 verdict
+# named — ALL now aggregate exact values before any rounded algebra:
+# kfold/price-volume/welch use integer units/cents sufficient stats,
+# multimodal aggregates integer micro-units, daily_autocorrelation
+# sums exact cents per day, cusum additionally fixes its per-type
+# mean's summation ORDER (d-sorted full window frame instead of a
+# hash aggregate), and theil_sen's inputs are exact by construction
+# (per-day counts + integer day offsets).
 PINNED = [
     "kfold_cv_ridge",
     "price_volume_mix_decomposition",
     # found DEPENDENT by the full-catalog tools/check_invariance.py
-    # sweep (r08): summed raw 6-decimal doubles before ROUND — now
-    # aggregates integer micro-units
+    # sweep (r08): summed raw 6-decimal doubles before ROUND
     "multimodal_decode_roundtrip",
     "theil_sen_daily_trend",
     "welch_ab_test",
@@ -40,28 +51,14 @@ PINNED = [
 ]
 
 
-def _exact_rows(df):
-    """Collected rows with floats kept at full precision (repr), rows
-    sorted for order-insensitive comparison — bitwise equality or bust."""
-    cols = sorted(df.columns)
-    rows = [
-        tuple(repr(r[c]) for c in cols)
-        for r in df.collect()
-    ]
-    return sorted(rows)
-
-
 def _run(spark, name, shuffle_partitions, repartition_input=None):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     orig_t = tq.t
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         if repartition_input:
-            def t_reshuffled(s, sf_dir, tbl, _orig=orig_t, _n=repartition_input):
-                return _orig(s, sf_dir, tbl).repartition(_n)
-
-            tq.t = t_reshuffled
-        return _exact_rows(tq.QUERIES[name](spark, SF_DIR))
+            tq.t = reshuffled_t(orig_t, repartition_input)
+        return exact_rows(tq.QUERIES[name](spark, SF_DIR))
     finally:
         tq.t = orig_t
         spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -2084,3 +2084,21 @@ def test_metadata_commits_are_delta_encoded(spark, root):
     assert man["props"]["custom.key"] == "v1"
     assert man.get("constraints", {}) == {}
     assert len(man["files"]) >= 1
+
+
+def test_next_delta_honors_carried_file_stats_updates(spark, root):
+    # a stats-refresh for files NOT in files_add (the upgrade_stats
+    # shape) must survive the delta encoding exactly like the
+    # full-payload path — review finding: the first delta-native cut
+    # silently filtered map args to files_add
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    prev = tf._load_manifest(root, None)
+    carried = prev["files"][0]
+    new_stats = {carried: {"k": [1, 2, 0], "#rows": 2, "refreshed": [1, 1, 0]}}
+    full = tf._next_payload(
+        prev, 1, "upgrade_stats", list(prev["files"]), stats=new_stats
+    )
+    delta = tf._next_delta(prev, 1, "upgrade_stats", [], [], stats=new_stats)
+    rec = tf._apply_delta(prev, delta)
+    assert _norm_manifest(rec) == _norm_manifest(full)
+    assert rec["stats"][carried]["refreshed"] == [1, 1, 0]

@@ -27,17 +27,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import __spark_entry__ as entry_mod  # noqa: E402
 from lottery_end_to_end_etl_data_pipeline_spark import get_session  # noqa: E402
 import lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries as tq  # noqa: E402
+from lottery_end_to_end_etl_data_pipeline_spark.plans.invariance import (  # noqa: E402
+    exact_rows,
+    reshuffled_t,
+)
 
 # Entries whose OUTPUT is legitimately partitioning-dependent and says
 # so in its contract. Keep this list tiny and documented; anything
 # else that differs is a defect.
 KNOWN_VARIANT: dict[str, str] = {}
-
-
-def _exact_rows(df):
-    cols = sorted(df.columns)
-    rows = [tuple(repr(r[c]) for c in cols) for r in df.collect()]
-    return sorted(rows)
 
 
 def main() -> int:
@@ -53,9 +51,7 @@ def main() -> int:
     names = [n for n in names if n not in set(args.skip)]
 
     orig_t = tq.t
-
-    def t_reshuffled(s, sf_dir, tbl):
-        return orig_t(s, sf_dir, tbl).repartition(13)
+    t_reshuffled = reshuffled_t(orig_t, 13)
 
     failures, errors = [], []
     for i, name in enumerate(names):
@@ -64,10 +60,10 @@ def main() -> int:
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "3")
             tq.t = t_reshuffled
-            a = _exact_rows(fn(spark, args.sf))
+            a = exact_rows(fn(spark, args.sf))
             tq.t = orig_t
             spark.conf.set("spark.sql.shuffle.partitions", "32")
-            b = _exact_rows(fn(spark, args.sf))
+            b = exact_rows(fn(spark, args.sf))
         except Exception as e:  # noqa: BLE001
             errors.append(name)
             print(f"ERR   {name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
