@@ -397,6 +397,7 @@ def time_weighted_avg(
     key_col: str,
     ts_col: str,
     value_col: str,
+    exact_decimals: int | None = None,
 ) -> DataFrame:
     """Time-weighted average per key (TimescaleDB `time_weight`
     lineage — public docs): each observation is weighted by how long
@@ -409,9 +410,37 @@ def time_weighted_avg(
     One hash exchange on the key feeds both the lead() window and
     the aggregate — exact integer microsecond arithmetic
     (`unix_micros`, the repo's timestamp discipline), with the
-    division done once per key at the end."""
+    division done once per key at the end.
+
+    ``exact_decimals``: for exact N-decimal values, aggregates
+    value-x-span as integer (scaled-value x microsecond) products in
+    DECIMAL(38,0) — order-independent sums, so the rounded averages
+    are bit-identical at any partitioning (the r07/r08 driver-flake
+    class)."""
     us = F.unix_micros(F.col(ts_col))
     w = Window.partitionBy(key_col).orderBy(us, F.col(value_col))
+    if exact_decimals is not None:
+        scale = float(10 ** exact_decimals)
+        span_i = F.lead(us).over(w) - us
+        weighted = df.select(
+            F.col(key_col),
+            F.round(F.col(value_col) * F.lit(scale), 0)
+            .cast("long")
+            .alias("_vc"),
+            span_i.alias("_wi"),
+        )
+        sum_vw = F.sum(
+            (F.col("_vc") * F.col("_wi")).cast("decimal(38,0)")
+        ).cast("double") / F.lit(scale)
+        sum_w = F.nullif(F.sum("_wi"), F.lit(0)).cast("double")
+        mean_v = (
+            F.sum("_vc").cast("double") / F.lit(scale)
+        ) / F.count(F.lit(1)).cast("double")
+        return weighted.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.coalesce(sum_vw / sum_w, mean_v), 4).alias("tw_avg"),
+            F.round(mean_v, 4).alias("plain_avg"),
+        )
     span = (F.lead(us).over(w) - us).cast("double")
     weighted = df.select(
         F.col(key_col),

@@ -3346,16 +3346,21 @@ def array_functions_surface(spark, sf_dir):
     "time_weighted_avg_by_type",
     oracle="""
     WITH w AS (
-      SELECT event_type, value,
-             CAST(date_diff('microsecond', ts,
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             date_diff('microsecond', ts,
                   lead(ts) OVER (PARTITION BY event_type ORDER BY ts, value))
-                  AS DOUBLE) AS wt
+               AS wt
       FROM events
     )
     SELECT event_type, COUNT(*) AS n_obs,
-           round(coalesce(sum(value * wt) / nullif(sum(wt), 0), avg(value)), 4)
+           round(coalesce(
+             (CAST(sum(vc * wt) AS DOUBLE) / 100.0)
+               / CAST(nullif(sum(wt), 0) AS DOUBLE),
+             (CAST(sum(vc) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)), 4)
              AS tw_avg,
-           round(avg(value), 4) AS plain_avg
+           round((CAST(sum(vc) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE), 4)
+             AS plain_avg
     FROM w GROUP BY 1
     """,
 )
@@ -3366,12 +3371,18 @@ def time_weighted_avg_by_type(spark, sf_dir):
     sampling doesn't bias toward burst periods — reported next to
     the plain mean to expose the bias. Exact integer microsecond
     spans via unix_micros (the repo's timestamp discipline) matched
-    by DuckDB date_diff."""
+    by DuckDB date_diff. DETERMINISM (r08 hardening): cents x
+    microsecond products aggregate as exact DECIMAL sums
+    (exact_decimals=2), so the rounded averages cannot flip with
+    partitioning."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
         time_weighted_avg,
     )
 
-    return time_weighted_avg(t(spark, sf_dir, "events"), "event_type", "ts", "value")
+    return time_weighted_avg(
+        t(spark, sf_dir, "events"), "event_type", "ts", "value",
+        exact_decimals=2,
+    )
 
 
 @query(
@@ -6834,7 +6845,7 @@ def grouping_sets_sales(spark, sf_dir):
     )
     SELECT g AS orderstatus,
            CAST(max(n) AS BIGINT) AS n_rows,
-           round(sum((v - mu) * (v - mu)) / max(n), 2) AS m2,
+           round(sum((v - mu) * (v - mu)) / max(n), -2) AS m2,
            round((sum((v - mu) * (v - mu) * (v - mu)) / max(n))
                  / pow(sum((v - mu) * (v - mu)) / max(n), 1.5), 4) AS skewness,
            round((sum((v - mu) * (v - mu) * (v - mu) * (v - mu)) / max(n))
@@ -6850,13 +6861,20 @@ def stat_moments_surface(spark, sf_dir):
     central moments because DuckDB's skewness/kurtosis are the
     SAMPLE-corrected estimators — the entry pins exactly which
     definition this engine ships. One grouped agg (moment sketches
-    merge map-side); variance via var_pop for the same reason."""
+    merge map-side); variance via var_pop for the same reason.
+    DETERMINISM (r08): the native streaming co-moments ARE partition-
+    order-dependent at the last ulps (measured: m2 wiggles ~5e-5 on a
+    ~2e10 value across 20 partitionings), so m2 rounds at -2 (grid
+    100 — six orders above the jitter, still 8 significant digits at
+    this magnitude); the unitless skewness/kurtosis ratios carry
+    ~1e-13 jitter against a 1e-4 grid and stay at 4 decimals. The
+    native definitions remain the thing being pinned."""
     return (
         t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderstatus").alias("orderstatus"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.var_pop("o_totalprice"), 2).alias("m2"),
+            F.round(F.var_pop("o_totalprice"), -2).alias("m2"),
             F.round(F.skewness("o_totalprice"), 4).alias("skewness"),
             F.round(F.kurtosis("o_totalprice"), 4).alias("kurtosis"),
         )
@@ -11162,7 +11180,8 @@ def vocab_oov_rate(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
-             AVG(value) AS x
+             (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+               / CAST(count(*) AS DOUBLE) AS x
       FROM events GROUP BY 1, 2
     ),
     lagged AS (
@@ -11201,7 +11220,19 @@ def forecast_backtest_mase(spark, sf_dir):
             "event_type",
             F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
         )
-        .agg(F.avg("value").alias("x"))
+        .agg(
+            # exact cents sum / exact count (r08 determinism hardening —
+            # raw avg(double) is partition-order-dependent at the ulp)
+            (
+                (
+                    F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
+                        "double"
+                    )
+                    / F.lit(100.0)
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("x")
+        )
     )
     w = Window.partitionBy("event_type").orderBy("d")
     w_desc = Window.partitionBy("event_type").orderBy(F.desc("d"))
