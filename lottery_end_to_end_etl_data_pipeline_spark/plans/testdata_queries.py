@@ -861,7 +861,9 @@ def variant_json_stats(spark, sf_dir):
     oracle="""
     SELECT r.r_name AS region, year(o.o_orderdate) AS year,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                      AS DOUBLE) / 10000.0, 2) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -873,12 +875,21 @@ def variant_json_stats(spark, sf_dir):
 def star_join_revenue(spark, sf_dir):
     """J1 at full star depth — the flagship query. Scale: lineitem⋈
     orders is the only big shuffle; customer/nation/region broadcast.
-    Catalyst pushes the revenue projection into the scan."""
+    Catalyst pushes the revenue projection into the scan.
+    DETERMINISM (r08, caught by the sf0.01 invariance sweep): the
+    revenue term is EXACT integer cents x discount-percent units
+    (price and discount are exact 2-decimal values), summed as
+    BIGINT — a raw double sum of ~2e8 magnitude carries ~1e-4
+    partition-order jitter against the 0.01 rounding grid, a real
+    per-environment hash-flip risk on the flagship entry."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
+    rev_units = F.round(F.col("l_extendedprice") * 100, 0).cast(
+        "long"
+    ) * F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -888,7 +899,7 @@ def star_join_revenue(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(rev_units).cast("double") / F.lit(10000.0), 2
             ).alias("revenue"),
         )
     )
@@ -7226,7 +7237,8 @@ def triangle_count_knn(spark, sf_dir):
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
              CAST(count(*) AS BIGINT) AS n_events,
-             round(avg(value), 6) AS day_avg
+             round((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                    / 100.0) / CAST(count(*) AS DOUBLE), 6) AS day_avg
       FROM events GROUP BY 1, 2
     ),
     framed AS (
@@ -7254,13 +7266,27 @@ def ewma_daily_value(spark, sf_dir):
     OBSERVED days (gap days don't contribute zero — the
     observation-EWMA convention). Both engines fold the identical
     rounded day-averages left-to-right, so values hash-match at 4
-    decimals."""
+    decimals. DETERMINISM (r08, caught by the sf0.01 invariance
+    sweep): day_avg divides by count, so its value lands anywhere
+    relative to the 1e-6 rounding grid — the underlying sum is now
+    exact cents (order-independent), making every day_avg (and the
+    order-fixed array fold downstream) bit-identical at any
+    partitioning."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 6).alias("day_avg"),
+        F.round(
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("day_avg"),
     )
     w = (
         Window.partitionBy("event_type")
