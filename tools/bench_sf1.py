@@ -68,6 +68,11 @@ SF1_QUERIES = [
     "star_join_revenue",
     "bm25_topk",
     "knn_brute_cosine",
+    # r08 additions: track the rewritten plans at scale — the 3-level
+    # range-sharded gap audit (replaced a corpus-wide global window)
+    # and the Arrow multimodal decode path
+    "sequence_gap_audit",
+    "multimodal_decode_roundtrip",
 ]
 
 
