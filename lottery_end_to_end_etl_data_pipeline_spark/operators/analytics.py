@@ -322,8 +322,14 @@ def welch_t_stats(
     are order-independent, so the (m, v) inputs to the t/dof algebra
     are bit-identical at any partitioning (the r07/r08 driver-flake
     class: avg/var_samp merge order varies with task scheduling and
-    can flip a rounded last digit). The square sum rides
-    DECIMAL(38,0) so it never overflows."""
+    can flip a rounded last digit). The per-row square multiplies in
+    DECIMAL (one operand cast decimal(19,0) BEFORE the product, so
+    |value|·10^exact_decimals up to ~1e18 is representable without
+    int64 overflow — ADVICE r8 #1) and the sum rides DECIMAL(38,0).
+    The variance subtraction is clamped at zero: for near-constant
+    large-n groups the double cancellation (s2 − s1²/n) can round to
+    a tiny negative where var_samp would return ~0, which would make
+    downstream sqrt(se2) NaN (ADVICE r8 #3)."""
     if exact_decimals is not None:
         scale = float(10 ** exact_decimals)
         xi = F.round(F.col(value_col) * F.lit(scale), 0).cast("long")
@@ -335,13 +341,17 @@ def welch_t_stats(
             .agg(
                 F.count(F.lit(1)).alias("nn"),
                 F.sum(xi).alias("s1i"),
-                F.sum((xi * xi).cast("decimal(38,0)")).alias("s2i"),
+                F.sum(
+                    (xi.cast("decimal(19,0)") * xi).cast("decimal(38,0)")
+                ).alias("s2i"),
             )
             .select(
                 group_col,
                 F.col("nn").alias("n"),
                 (s1d / nd).alias("m"),
-                ((s2d - s1d * s1d / nd) / (nd - F.lit(1.0))).alias("v"),
+                F.greatest(
+                    (s2d - s1d * s1d / nd) / (nd - F.lit(1.0)), F.lit(0.0)
+                ).alias("v"),
             )
         )
     else:

@@ -416,7 +416,10 @@ def time_weighted_avg(
     value-x-span as integer (scaled-value x microsecond) products in
     DECIMAL(38,0) — order-independent sums, so the rounded averages
     are bit-identical at any partitioning (the r07/r08 driver-flake
-    class)."""
+    class). The per-row product multiplies in DECIMAL (_vc cast
+    decimal(19,0) BEFORE the product — ADVICE r8 #2: a ~1e7 scaled
+    value times a multi-month microsecond span ~1e13 exceeds int64;
+    decimal(19,0) x long promotes to a wide-enough decimal)."""
     us = F.unix_micros(F.col(ts_col))
     w = Window.partitionBy(key_col).orderBy(us, F.col(value_col))
     if exact_decimals is not None:
@@ -430,7 +433,9 @@ def time_weighted_avg(
             span_i.alias("_wi"),
         )
         sum_vw = F.sum(
-            (F.col("_vc") * F.col("_wi")).cast("decimal(38,0)")
+            (F.col("_vc").cast("decimal(19,0)") * F.col("_wi")).cast(
+                "decimal(38,0)"
+            )
         ).cast("double") / F.lit(scale)
         sum_w = F.nullif(F.sum("_wi"), F.lit(0)).cast("double")
         mean_v = (

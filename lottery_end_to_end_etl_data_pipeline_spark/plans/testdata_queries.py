@@ -4644,73 +4644,72 @@ def cross_source_contamination(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # Round-8 rotation (VERDICT r7 asks #3/#8). Composition, in order:
-    # (a) the 11 entries with NO driver record in any CORRECTNESS
-    #     window r01-r07 (the r07 comment's standing queue) — after
-    #     this round EVERY catalog entry has been driver-verified at
-    #     least once;
-    # (b) the 4 entries recorded but NEVER GREEN: the two r07
-    #     hash-flakes kfold_cv_ridge / price_volume_mix_decomposition
-    #     (fixed this round: exact integer/decimal sufficient stats,
-    #     see their docstrings + tests/test_determinism.py) and the
-    #     r01/r02 err-era dedup_simhash / knn_lsh_cosine (fixed in
-    #     r02/r03 but never re-windowed);
-    # (c) fill to 50 with the OLDEST green records for drift
-    #     re-verification: entries whose last green record is r02,
-    #     in registry order (35 of 44; the 9 leftovers lead the r09
-    #     fill, then the r03-era records).
+    # Round-9 rotation (VERDICT r8 asks #1/#2/#3/#6). Composition:
+    # (a) the 4 entries with no green driver record: the two r07/r08
+    #     signed-zero hash-reds kfold_cv_ridge /
+    #     price_volume_mix_decomposition (root cause FOUND and fixed
+    #     this round — DuckDB round() emits -0.0 where Spark's
+    #     BigDecimal round emits +0.0; hashed surfaces are now exact
+    #     BIGINTs + wide-margin booleans, see their docstrings), the
+    #     new exact_int_divergence_probe (VERDICT r8 #2 localizer),
+    #     and the new knn_pq_cluster_recall (VERDICT r8 #6 — PQ's
+    #     first driver-checkable surface);
+    # (b) the 9 entries whose last green record is r02 (the r08
+    #     comment's standing fill queue);
+    # (c) fill to 50 with the oldest remaining records: last green
+    #     r03, in registry order (37 of 50; the other 13 lead r10).
     # Selection is reproducible from the CORRECTNESS_r0*.json files:
-    #   never_recorded + never_green + (last_green == r02)[:35]
-    "tablefmt_metadata_agg_audit",
-    "tablefmt_partition_pruning",
-    "tablefmt_replace_where_audit",
-    "tablefmt_partition_evolution_audit",
-    "tablefmt_readstream_audit",
-    "tablefmt_metadata_tables",
-    "preference_pair_mining",
-    "tablefmt_stream_sink_roundtrip",
-    "streaming_mor_upsert_sink",
-    "tablefmt_rebase_audit",
-    "tablefmt_cdf_mor_audit",
+    #   never_green + (last_green == r02) + (last_green == r03)[:37]
     "kfold_cv_ridge",
     "price_volume_mix_decomposition",
-    "dedup_simhash",
-    "knn_lsh_cosine",
-    "gold_frequency_shape",
-    "gold_terminations_shape",
-    "gold_letters_shape",
-    "gold_geo_shape",
-    "gold_leaderboard_shape",
-    "gold_time_series_shape",
-    "value_counts",
-    "top_k_customers",
-    "nunique_per_group",
-    "group_size_having",
-    "multi_col_mean",
-    "collect_set_per_group",
-    "null_counts",
-    "duplicate_rows",
-    "global_distincts",
-    "describe_stats",
-    "iqr_filter",
-    "histogram_bins",
-    "case_tiers",
-    "date_range_filter",
-    "isin_membership",
-    "null_fill_replace",
-    "event_time_buckets",
-    "json_extract",
-    "star_join_revenue",
-    "anti_join_unmatched",
-    "semi_join_matched",
-    "reconcile_diff",
-    "unpivot_metrics",
-    "explode_tokens",
-    "dropdup_pairs",
-    "topk_per_group_window",
-    "running_total_window",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
+    "exact_int_divergence_probe",
+    "knn_pq_cluster_recall",
+    "dedup_ngram_jaccard_capped",
+    "dedup_embedding_cosine",
+    "knn_brute_cosine",
+    "text_stats_by_lang",
+    "lang_id_confusion",
+    "doc_fingerprint_dups",
+    "binary_features",
+    "multipath_union_scan",
+    "quality_score_buckets",
+    "gold_draw_summary_shape",
+    "variant_json_stats",
+    "knn_join_topk",
+    "embedding_dim_stats",
+    "hll_sketch_workflow",
+    "repetition_filter_stats",
+    "streaming_enriched_counts",
+    "dedup_near_exact_cluster",
+    "rollup_flag_status",
+    "cube_priority_status",
+    "pivot_flag_by_status",
+    "percentiles_by_group",
+    "salted_join_skew",
+    "sql_string_interface",
+    "asof_join_latest_order",
+    "streaming_windowed_counts",
+    "asof_event_to_prior_purchase",
+    "range_join_signup_windows",
+    "hypertable_rollup",
+    "stratified_sample_counts",
+    "mixture_downsample_counts",
+    "zorder_cell_stats",
+    "train_test_split_counts",
+    "k_fold_counts",
+    "det_shuffle_head",
+    "sequence_packing_stats",
+    "decontaminate_containment",
+    "pii_redaction_counts",
+    "lag_lead_inter_event",
+    "ntile_price_deciles",
+    "window_function_surface",
+    "set_ops_surface",
+    "array_functions_surface",
+    "time_weighted_avg_by_type",
+    "gapfill_locf_daily",
+    "sessionize_batch_30m",
+    "bm25_topk",
 ]
 
 
@@ -8026,14 +8025,18 @@ def dup_cluster_size_dist(spark, sf_dir):
     clustering (resolve_components, rounds=3) → sizes → histogram.
     The oracle replays the identical propagation, so the whole
     distribution is value-checked. Histogram cardinality is bounded
-    by max cluster size — tiny at any corpus scale."""
+    by max cluster size — tiny at any corpus scale. r09 (VERDICT r8
+    #5): the truth pairs come from `ngram_jaccard_prefix_filtered` —
+    the PPJoin prefix/length/positional filters are LOSSLESS (proven
+    identical pair set, tests/test_curation_ops.py), so the output is
+    byte-identical while the candidate join shrinks ~8.8x at sf1."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_filtered,
         resolve_components,
     )
 
     docs = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    pairs = ngram_jaccard_prefix_filtered(docs, threshold=0.8)
     labels = resolve_components(pairs, rounds=3)
     clusters = labels.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
     return clusters.groupBy(
@@ -13799,7 +13802,8 @@ def raking_ipf_weights(spark, sf_dir):
       FROM pts GROUP BY fold
     ),
     fs AS (
-      SELECT fold, CAST(nn AS DOUBLE) AS n,
+      SELECT fold, nn, sxi, syc, sxxi, sxyc,
+             CAST(nn AS DOUBLE) AS n,
              CAST(sxi AS DOUBLE) AS sx,
              CAST(syc AS DOUBLE) / 100.0 AS sy,
              CAST(sxxi AS DOUBLE) AS sxx,
@@ -13816,22 +13820,26 @@ def raking_ipf_weights(spark, sf_dir):
       FROM fse
     ),
     fit AS (
-      SELECT f.fold, f.n AS n_test,
-             round((t.sxy - f.sxy - (t.sx - f.sx) * (t.sy - f.sy) / (t.n - f.n))
+      SELECT f.fold, f.nn, f.sxi, f.syc, f.sxxi, f.sxyc,
+             f.n, f.sx, f.sy, f.sxx, f.sxy, f.syy,
+             (t.sxy - f.sxy - (t.sx - f.sx) * (t.sy - f.sy) / (t.n - f.n))
                    / (t.sxx - f.sxx - (t.sx - f.sx) * (t.sx - f.sx) / (t.n - f.n)
-                      + 10.0), 6) AS b,
-             round(((t.sy - f.sy)
+                      + 10.0) AS b,
+             ((t.sy - f.sy)
                     - ((t.sxy - f.sxy - (t.sx - f.sx) * (t.sy - f.sy) / (t.n - f.n))
                        / (t.sxx - f.sxx - (t.sx - f.sx) * (t.sx - f.sx) / (t.n - f.n)
                           + 10.0)) * (t.sx - f.sx))
-                   / (t.n - f.n), 6) AS a,
-             f.sx, f.sy, f.sxx, f.sxy, f.syy
+                   / (t.n - f.n) AS a
       FROM fs f CROSS JOIN tots t
     )
     SELECT CAST(fold AS BIGINT) AS fold,
-           CAST(n_test AS BIGINT) AS n_test, a AS intercept, b AS slope,
-           ROUND(1.0 - (syy - 2*a*sy - 2*b*sxy + 2*a*b*sx + a*a*n_test + b*b*sxx)
-                 / (syy - sy*sy/n_test), 4) AS r2_oof
+           CAST(nn AS BIGINT) AS n_test,
+           CAST(sxi AS BIGINT) AS sum_x, CAST(syc AS BIGINT) AS sum_y_cents,
+           CAST(sxxi AS BIGINT) AS sum_xx, CAST(sxyc AS BIGINT) AS sum_xy_cents,
+           a > 0.0 AS intercept_positive,
+           abs(b) < 1000.0 AS slope_abs_lt_1000,
+           abs(1.0 - (syy - 2*a*sy - 2*b*sxy + 2*a*b*sx + a*a*n + b*b*sxx)
+                 / (syy - sy*sy/n)) < 0.05 AS r2_near_zero
     FROM fit ORDER BY fold
     """,
 )
@@ -13852,9 +13860,23 @@ def kfold_cv_ridge(spark, sf_dir):
     sums of xi, yc, xi*xi, xi*yc are BIGINT (order-independent:
     integer addition is associative) and sum(yc*yc) is DECIMAL(38,0)
     (yc^2 <= ~1.1e14 per row; 6e6 rows exceed int64). Only the tiny
-    5-row aggregate is converted to double, so the fragile
-    leave-one-fold-out cancellation runs on bit-identical inputs at
-    ANY partitioning/parallelism. The `ols_normal_equations` /
+    5-row aggregate is converted to double.
+
+    HASHED SURFACE (r09, VERDICT r8 #1 — root cause FOUND): the r07/
+    r08 driver reds were SIGNED ZERO, not summation order. r2_oof is
+    ~ -1e-4 on this corpus (price is independent of quantity), and
+    ROUND(-1e-4, 4) returns -0.0 in DuckDB but +0.0 in Spark (whose
+    round goes through java BigDecimal, which has no signed zero) —
+    measured at sf0.01: the DuckDB oracle emitted -0.0 in exactly the
+    2 of 5 r2_oof cells. A repr/bytes-hashing comparator distinguishes
+    '-0.0' from '0.0' while every ==-based local mirror passes, which
+    reproduces the two-round local-green/driver-red split exactly.
+    Per the r8 verdict the hashed surface is now exact BIGINTs only
+    (the per-fold sufficient statistics) plus wide-margin tolerance
+    booleans for the derived doubles (intercept ~5.3e4 vs >0, |slope|
+    ~3-11 vs <1000, |r2| ~1e-4 vs <0.05 — margins of 1e2..1e4x, and
+    both engines compute them from bit-identical integer inputs with
+    the same expression tree). The `ols_normal_equations` /
     `train_test_split` primitives compose into this shape; pandas
     would loop k times over the data."""
     pts = t(spark, sf_dir, "lineitem").select(
@@ -13887,6 +13909,11 @@ def kfold_cv_ridge(spark, sf_dir):
     )
     fs = fse.select(
         "fold",
+        "nn",
+        "sxi",
+        "syc",
+        "sxxi",
+        "sxyc",
         F.col("nn").cast("double").alias("n"),
         F.col("sxi").cast("double").alias("sx"),
         (F.col("syc").cast("double") / F.lit(100.0)).alias("sy"),
@@ -13909,29 +13936,31 @@ def kfold_cv_ridge(spark, sf_dir):
         (F.col("tsxy") - F.col("sxy") - tr_sx * tr_sy / tr_n)
         / (F.col("tsxx") - F.col("sxx") - tr_sx * tr_sx / tr_n + lam)
     )
+    # raw doubles — NEVER rounded: the derived model quality surfaces
+    # only as wide-margin booleans (signed-zero-proof, see docstring)
     fit = (
         fs.crossJoin(F.broadcast(tots))
-        .withColumn("b", F.round(b_expr, 6))
-        .withColumn("a", F.round((tr_sy - b_expr * tr_sx) / tr_n, 6))
+        .withColumn("b", b_expr)
+        .withColumn("a", (tr_sy - b_expr * tr_sx) / tr_n)
     )
+    r2_expr = 1.0 - (
+        F.col("syy")
+        - 2 * F.col("a") * F.col("sy")
+        - 2 * F.col("b") * F.col("sxy")
+        + 2 * F.col("a") * F.col("b") * F.col("sx")
+        + F.col("a") * F.col("a") * F.col("n")
+        + F.col("b") * F.col("b") * F.col("sxx")
+    ) / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
     return fit.select(
         F.col("fold").cast("long").alias("fold"),
-        F.col("n").cast("long").alias("n_test"),
-        F.col("a").alias("intercept"),
-        F.col("b").alias("slope"),
-        F.round(
-            1.0
-            - (
-                F.col("syy")
-                - 2 * F.col("a") * F.col("sy")
-                - 2 * F.col("b") * F.col("sxy")
-                + 2 * F.col("a") * F.col("b") * F.col("sx")
-                + F.col("a") * F.col("a") * F.col("n")
-                + F.col("b") * F.col("b") * F.col("sxx")
-            )
-            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
-            4,
-        ).alias("r2_oof"),
+        F.col("nn").cast("long").alias("n_test"),
+        F.col("sxi").cast("long").alias("sum_x"),
+        F.col("syc").cast("long").alias("sum_y_cents"),
+        F.col("sxxi").cast("long").alias("sum_xx"),
+        F.col("sxyc").cast("long").alias("sum_xy_cents"),
+        (F.col("a") > F.lit(0.0)).alias("intercept_positive"),
+        (F.abs(F.col("b")) < F.lit(1000.0)).alias("slope_abs_lt_1000"),
+        (F.abs(r2_expr) < F.lit(0.05)).alias("r2_near_zero"),
     ).orderBy("fold")
 
 
@@ -15094,17 +15123,21 @@ def blocking_quality_metrics(spark, sf_dir):
     PAIR COMPLETENESS (what fraction of true matches survive
     blocking; the recall you silently traded) and REDUCTION RATIO
     (what fraction of the n^2 pair space you avoided). The truth
-    side reuses the oracled `ngram_jaccard_pairs` operator; the
+    side reuses the PPJoin-filtered `ngram_jaccard_prefix_filtered`
+    (r09, VERDICT r8 #5 — lossless vs the full inverted index, so the
+    metrics are byte-identical at ~8.8x fewer candidates); the
     candidate join is block-keyed and bounded by block sizes. This
     is the measurement loop for `fuzzy_join_blocked` /
     `sorted_neighborhood_pairs`: tune keys until completeness holds
     and reduction stays high, at any corpus size."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_filtered,
     )
 
     docs = t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    truth = ngram_jaccard_prefix_filtered(docs, threshold=0.8).select(
+        "id_a", "id_b"
+    )
     toks = docs.select(
         "doc_id",
         F.filter(
@@ -15362,26 +15395,31 @@ def weighted_median_by_status(spark, sf_dir):
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY 1, 2
     ),
-    per AS (
-      SELECT p_brand, period,
-             CAST(qi AS DOUBLE) AS q,
-             (CAST(revc AS DOUBLE) / 100.0) / CAST(qi AS DOUBLE) AS unit_p,
-             CAST(revc AS DOUBLE) / 100.0 AS rev
-      FROM pere
-    ),
     wide AS (
       SELECT b0.p_brand,
-             b0.q AS q0, b1.q AS q1, b0.unit_p AS p0, b1.unit_p AS p1,
-             b0.rev AS rev0, b1.rev AS rev1
-      FROM per b0 JOIN per b1
+             b0.qi AS q0i, b1.qi AS q1i, b0.revc AS revc0, b1.revc AS revc1,
+             CAST(b0.qi AS DOUBLE) AS q0, CAST(b1.qi AS DOUBLE) AS q1,
+             (CAST(b0.revc AS DOUBLE) / 100.0) / CAST(b0.qi AS DOUBLE) AS p0,
+             (CAST(b1.revc AS DOUBLE) / 100.0) / CAST(b1.qi AS DOUBLE) AS p1,
+             CAST(b0.revc AS DOUBLE) / 100.0 AS rev0,
+             CAST(b1.revc AS DOUBLE) / 100.0 AS rev1
+      FROM pere b0 JOIN pere b1
         ON b1.p_brand = b0.p_brand AND b0.period = 0 AND b1.period = 1
     )
     SELECT p_brand,
-           ROUND(rev1 - rev0, 2) AS delta_rev,
-           ROUND((q1 - q0) * p0, 2) AS volume_effect,
-           ROUND(q1 * (p1 - p0), 2) AS price_effect,
-           ROUND(rev1 - rev0 - (q1 - q0) * p0 - q1 * (p1 - p0), 2)
-             AS residual
+           CAST(q0i AS BIGINT) AS q0_units, CAST(q1i AS BIGINT) AS q1_units,
+           CAST(revc0 AS BIGINT) AS rev0_cents,
+           CAST(revc1 AS BIGINT) AS rev1_cents,
+           CAST(revc1 - revc0 AS BIGINT) AS delta_rev_cents,
+           CAST(CASE WHEN q1i > q0i THEN 1 WHEN q1i < q0i THEN -1 ELSE 0 END
+                AS BIGINT) AS volume_sign,
+           CAST(CASE WHEN CAST(revc1 AS HUGEINT) * q0i
+                          > CAST(revc0 AS HUGEINT) * q1i THEN 1
+                     WHEN CAST(revc1 AS HUGEINT) * q0i
+                          < CAST(revc0 AS HUGEINT) * q1i THEN -1
+                     ELSE 0 END AS BIGINT) AS price_sign,
+           abs(rev1 - rev0 - (q1 - q0) * p0 - q1 * (p1 - p0)) < 0.01
+             AS decomposition_closes
     FROM wide ORDER BY p_brand
     """,
 )
@@ -15392,15 +15430,26 @@ def price_volume_mix_decomposition(spark, sf_dir):
     HIGHER prices": volume effect = dq x old price, price effect =
     new quantity x dp, with the residual proving the decomposition
     closes exactly (identically zero under this two-factor split —
-    a nonzero residual would flag a formula bug, which is why it is
-    hashed). One fact-dim broadcast join, one (brand, period)
-    aggregate, and a brand-keyed self-join of the tiny aggregate.
-    DETERMINISM (r07 driver flake, VERDICT r7 #2): quantity and
-    revenue are aggregated as EXACT integers (units / cents —
-    BIGINT sums are order-independent), and only the 25-row
-    (brand, period) aggregate converts to double, so unit_p and
-    the price/volume effects are bit-identical at any
-    partitioning/parallelism in both engines."""
+    a nonzero residual would flag a formula bug). One fact-dim
+    broadcast join, one (brand, period) aggregate, and a brand-keyed
+    self-join of the tiny aggregate. DETERMINISM (r07 flake):
+    quantity and revenue are aggregated as EXACT integers (units /
+    cents — BIGINT sums are order-independent); only the 25-row
+    aggregate converts to double.
+
+    HASHED SURFACE (r09, VERDICT r8 #2 — root cause FOUND): the r07/
+    r08 driver reds were SIGNED ZERO. The residual is ~ +/-1e-9 in
+    double, and ROUND(-1e-9, 2) returns -0.0 in DuckDB but +0.0 in
+    Spark (java BigDecimal has no signed zero) — measured at sf0.01:
+    DuckDB emitted -0.0 in 17 of 25 residual cells, Spark in none. A
+    repr-hashing comparator flags those while ==-based local mirrors
+    pass (-0.0 == 0.0), reproducing the local-green/driver-red split
+    exactly. Per the r8 verdict the hashed surface is now exact
+    BIGINTs (units, cents, delta_rev_cents = revc1 - revc0) plus two
+    EXACT integer sign columns (price_sign compares revc1*q0 vs
+    revc0*q1 in decimal — cross-multiplication avoids division) and
+    one wide-margin boolean (|residual| < 0.01 vs actual ~1e-9) in
+    place of the rounded-double effect columns."""
     per = (
         t(spark, sf_dir, "lineitem")
         .join(
@@ -15417,50 +15466,66 @@ def price_volume_mix_decomposition(spark, sf_dir):
                 "revc"
             ),
         )
-        .select(
-            "p_brand",
-            "period",
-            F.col("qi").cast("double").alias("q"),
-            (
-                (F.col("revc").cast("double") / F.lit(100.0))
-                / F.col("qi").cast("double")
-            ).alias("unit_p"),
-            (F.col("revc").cast("double") / F.lit(100.0)).alias("rev"),
-        )
     )
     p0 = per.filter(F.col("period") == 0).select(
         "p_brand",
-        F.col("q").alias("q0"),
-        F.col("unit_p").alias("p0"),
-        F.col("rev").alias("rev0"),
+        F.col("qi").alias("q0i"),
+        F.col("revc").alias("revc0"),
     )
     p1 = per.filter(F.col("period") == 1).select(
         "p_brand",
-        F.col("q").alias("q1"),
-        F.col("unit_p").alias("p1"),
-        F.col("rev").alias("rev1"),
+        F.col("qi").alias("q1i"),
+        F.col("revc").alias("revc1"),
     )
-    return (
-        p0.join(p1, "p_brand")
-        .select(
-            "p_brand",
-            F.round(F.col("rev1") - F.col("rev0"), 2).alias("delta_rev"),
-            F.round((F.col("q1") - F.col("q0")) * F.col("p0"), 2).alias(
-                "volume_effect"
-            ),
-            F.round(F.col("q1") * (F.col("p1") - F.col("p0")), 2).alias(
-                "price_effect"
-            ),
-            F.round(
+    wide = p0.join(p1, "p_brand").select(
+        "p_brand",
+        "q0i",
+        "q1i",
+        "revc0",
+        "revc1",
+        F.col("q0i").cast("double").alias("q0"),
+        F.col("q1i").cast("double").alias("q1"),
+        (
+            (F.col("revc0").cast("double") / F.lit(100.0))
+            / F.col("q0i").cast("double")
+        ).alias("p0"),
+        (
+            (F.col("revc1").cast("double") / F.lit(100.0))
+            / F.col("q1i").cast("double")
+        ).alias("p1"),
+        (F.col("revc0").cast("double") / F.lit(100.0)).alias("rev0"),
+        (F.col("revc1").cast("double") / F.lit(100.0)).alias("rev1"),
+    )
+    # exact integer cross-multiplication: p1 > p0 <=> revc1*q0 > revc0*q1
+    # (quantities are positive); decimal(19,0)x(19,0) -> decimal(38,0)
+    # never overflows at any SF (revc ~1e12 cents x q ~1e7 at sf10)
+    x1 = F.col("revc1").cast("decimal(19,0)") * F.col("q0i").cast("decimal(19,0)")
+    x0 = F.col("revc0").cast("decimal(19,0)") * F.col("q1i").cast("decimal(19,0)")
+    return wide.select(
+        "p_brand",
+        F.col("q0i").cast("long").alias("q0_units"),
+        F.col("q1i").cast("long").alias("q1_units"),
+        F.col("revc0").cast("long").alias("rev0_cents"),
+        F.col("revc1").cast("long").alias("rev1_cents"),
+        (F.col("revc1") - F.col("revc0")).cast("long").alias("delta_rev_cents"),
+        F.when(F.col("q1i") > F.col("q0i"), 1)
+        .when(F.col("q1i") < F.col("q0i"), -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("volume_sign"),
+        F.when(x1 > x0, 1).when(x1 < x0, -1).otherwise(0).cast("long").alias(
+            "price_sign"
+        ),
+        (
+            F.abs(
                 F.col("rev1")
                 - F.col("rev0")
                 - (F.col("q1") - F.col("q0")) * F.col("p0")
-                - F.col("q1") * (F.col("p1") - F.col("p0")),
-                2,
-            ).alias("residual"),
-        )
-        .orderBy("p_brand")
-    )
+                - F.col("q1") * (F.col("p1") - F.col("p0"))
+            )
+            < F.lit(0.01)
+        ).alias("decomposition_closes"),
+    ).orderBy("p_brand")
 
 
 @query(
@@ -17590,6 +17655,148 @@ def tablefmt_cdf_mor_audit(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.round(F.sum("v"), 2).alias("sum_v"),
         )
+    )
+
+
+@query(
+    "exact_int_divergence_probe",
+    oracle="""
+    WITH pts AS (
+      SELECT ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)),
+              1, 8))::UBIGINT % 5 AS fold,
+             CAST(l_quantity AS BIGINT) AS xi,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      FROM lineitem
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(xi) AS BIGINT) AS sum_qty,
+           CAST(sum(yc) AS BIGINT) AS sum_price_cents,
+           CAST(sum(xi * xi) AS BIGINT) AS sum_qty_sq,
+           CAST(sum(xi * yc) AS BIGINT) AS sum_qty_price_cents
+    FROM pts GROUP BY fold ORDER BY fold
+    """,
+)
+def exact_int_divergence_probe(spark, sf_dir):
+    """Divergence localizer (VERDICT r8 #2): the exact-INTEGER slice
+    of `kfold_cv_ridge`'s pipeline — md5 fold assignment, integer
+    units/cents extraction, BIGINT sufficient-statistic sums — with
+    ZERO double arithmetic anywhere on the surface. If the driver
+    ever reds THIS entry, the Spark-vs-oracle divergence is in data
+    or environment (parquet readers, md5/conv, integer casts), not in
+    float algebra; if this stays green while a double-surfaced entry
+    reds, the divergence is float-rendering (as with the r07/r08
+    signed-zero reds, diagnosed locally this round — see
+    `kfold_cv_ridge`). Integer sums are associative, so this is
+    partition-order-proof by construction."""
+    pts = t(spark, sf_dir, "lineitem").select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast(
+                            "string"
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("fold"),
+        F.col("l_quantity").cast("long").alias("xi"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("yc"),
+    )
+    return (
+        pts.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("xi").alias("sum_qty"),
+            F.sum("yc").alias("sum_price_cents"),
+            F.sum(F.col("xi") * F.col("xi")).alias("sum_qty_sq"),
+            F.sum(F.col("xi") * F.col("yc")).alias("sum_qty_price_cents"),
+        )
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+            F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+            F.col("sum_qty_sq").cast("long").alias("sum_qty_sq"),
+            F.col("sum_qty_price_cents").cast("long").alias("sum_qty_price_cents"),
+        )
+        .orderBy("fold")
+    )
+
+
+@query(
+    "knn_pq_cluster_recall",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_corpus, CAST(10 AS BIGINT) AS k,
+           TRUE AS cluster_resolution_ok
+    FROM embeddings
+    """,
+)
+def knn_pq_cluster_recall(spark, sf_dir):
+    """Product-quantization ADC top-k with a driver-checkable audit
+    (VERDICT r8 #6 — previously the one operator with no catalog
+    entry). PQ's design point is CLUSTER resolution, not fine order
+    (within-cluster neighbors share codes and tie), and the synthetic
+    embeddings are near-orthogonal (no clusters to resolve), so the
+    audit constructs a deterministic clustered corpus FROM the table:
+    centers are the 8 vectors with vec_id < 8, each row becomes
+    center[vec_id % 8] + 0.05 x its own embedding (one broadcast join
+    + zip_with — no RNG, no collect of the corpus). pq_fit (m=4, k=8,
+    3 Lloyd iters, md5-seeded) -> pq_encode (narrow literal-codebook
+    projection) -> knn_pq ADC scan; the hashed boolean asserts every
+    ADC top-10 for a cluster-0 member query lies in cluster 0 —
+    macroscopic margins (inter-center distance ~sqrt(2) vs 0.05
+    spread), so centroid ulp jitter cannot flip it. Scale path:
+    codes are m bytes/vector (16x memory cut at d=64/m=4); pair with
+    the IVF cell prune (`knn_ivf_cosine`) for probed-cell-only scans
+    at 100 TB."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_pq,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    centers = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") % 8).alias("cluster"),
+        F.col("embedding").alias("center"),
+    )
+    corpus = (
+        emb.withColumn("cluster", F.col("vec_id") % 8)
+        .join(F.broadcast(centers), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            F.zip_with(
+                "center",
+                "embedding",
+                lambda c, e: (c.cast("double") + F.lit(0.05) * e.cast("double")).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+    )
+    books = pq_fit(corpus, m=4, k=8, n_iters=3)
+    enc = pq_encode(corpus, books)
+    qrow = corpus.filter(F.col("vec_id") == 8).first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    top = knn_pq(enc, books, qvec, k=10, exclude_id=8)
+    bad = (
+        top.join(corpus.select(F.col("vec_id").alias("id"), "cluster"), "id")
+        .filter(F.col("cluster") != qrow["cluster"])
+        .count()
+    )
+    return spark.range(1).select(
+        F.lit(n_corpus).cast("long").alias("n_corpus"),
+        F.lit(10).cast("long").alias("k"),
+        F.lit(bad == 0).alias("cluster_resolution_ok"),
     )
 
 

@@ -20,6 +20,8 @@ demands) is shared with the full-catalog sweep via
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 import lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries as tq
@@ -28,7 +30,14 @@ from lottery_end_to_end_etl_data_pipeline_spark.plans.invariance import (
     reshuffled_t,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+# ADVICE r8 #4: resolve the testdata dir from the env (driver default)
+# and skip rather than fail on hosts without the generated parquet.
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"testdata dir {SF_DIR} absent on this host",
+)
 
 # The two r07 driver flakes plus every audit candidate the r7 verdict
 # named — ALL now aggregate exact values before any rounded algebra:
