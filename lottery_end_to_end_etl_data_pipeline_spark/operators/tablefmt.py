@@ -916,6 +916,19 @@ def _write_data_files(
     staging = os.path.join(root, f"_staging_{uuid.uuid4().hex}")
     os.makedirs(_data_dir(root), exist_ok=True)
     names: list[str] = []
+
+    def _done(ns: list[str]) -> list[str]:
+        # EVERY write path registers its finalized-but-unpublished
+        # files in a _log/_staged.* marker BEFORE returning (r09,
+        # VERDICT r8 #9): between this return and the manifest
+        # publish, the files are in data/ but referenced by nothing —
+        # a concurrent vacuum would otherwise delete them and the
+        # later publish would commit a manifest pointing at nothing
+        # (stats are harvested at write time, so nothing re-checks).
+        # The marker is retired after publish (_retire_staging_markers)
+        # or expires via vacuum's staging TTL if the writer dies.
+        _register_staging_marker(root, ns)
+        return ns
     if spec and not all(
         _parse_transform(t)["col"] in df.columns for t in spec
     ):
@@ -1000,7 +1013,7 @@ def _write_data_files(
                 }
         _commit_staged_files(spark, root, moves, stats)
         shutil.rmtree(staging)
-        return names
+        return _done(names)
     df.write.mode("overwrite").parquet(staging)
     moves = []
     for fn in sorted(os.listdir(staging)):
@@ -1010,7 +1023,40 @@ def _write_data_files(
             names.append(name)
     _commit_staged_files(spark, root, moves, stats)
     shutil.rmtree(staging)
-    return names
+    return _done(names)
+
+
+def _register_staging_marker(root: str, names: list[str]) -> None:
+    """Register finalized-but-unpublished data files so vacuum treats
+    them as referenced (two-phase-commit phase-1 protection, extended
+    to EVERY write path in r09). No-op for empty writes."""
+    if not names:
+        return
+    os.makedirs(_log_dir(root), exist_ok=True)
+    marker = os.path.join(_log_dir(root), f"_staged.{uuid.uuid4().hex}.json")
+    with open(marker, "w") as f:
+        json.dump({"files": names, "ts": time.time()}, f)
+
+
+def _retire_staging_markers(root: str, published: set[str]) -> None:
+    """Remove staging markers whose files are all manifest-referenced
+    now (publish succeeded). Markers for other in-flight writers are
+    left alone; markers orphaned by dead writers expire via vacuum's
+    ``staging_ttl_seconds``."""
+    if not published:
+        return
+    for mk in _staged_marker_glob(root):
+        p = os.path.join(_log_dir(root), mk)
+        try:
+            with open(p) as f:
+                names = set(json.load(f).get("files", []))
+        except (OSError, ValueError):
+            continue
+        if names and names <= published:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass  # concurrent retire of the same marker
 
 
 # Commits of at least this many files harvest footer stats and finalize
@@ -1399,6 +1445,7 @@ def _publish_rebasable(
         )
         try:
             _publish_delta(root, man, delta)
+            _retire_staging_markers(root, set(added))
             return v + 1
         except FileExistsError:
             head_v = current_version(root)
@@ -1539,6 +1586,7 @@ def create(
             props=properties,
         ),
     )
+    _retire_staging_markers(root, set(files))
     return 0
 
 
@@ -1939,14 +1987,12 @@ def stage_files(spark: SparkSession, root: str, df: DataFrame) -> list[str]:
     marker so a `vacuum` running between phase 1 and phase 2 treats
     them as referenced instead of deleting them out from under the
     writer (Delta's retention-age rule, expressed as an explicit
-    registration). `publish_append` retires the marker once the files
-    are manifest-referenced; abandoned markers expire after
+    registration; since r09 `_write_data_files` registers the marker
+    itself, so EVERY write path is protected, not just this explicit
+    two-phase one). `publish_append` retires the marker once the
+    files are manifest-referenced; abandoned markers expire after
     ``staging_ttl_seconds`` at the next vacuum."""
-    names = _write_data_files(spark, root, df)
-    marker = os.path.join(_log_dir(root), f"_staged.{uuid.uuid4().hex}.json")
-    with open(marker, "w") as f:
-        json.dump({"files": names, "ts": time.time()}, f)
-    return names
+    return _write_data_files(spark, root, df)
 
 
 def publish_append(
@@ -1984,16 +2030,7 @@ def publish_append(
     # The staged files are now manifest-referenced: retire any staging
     # marker fully covered by this commit (vacuum protection no longer
     # needed). Markers for other in-flight writers are left alone.
-    published = set(staged)
-    for mk in _staged_marker_glob(root):
-        p = os.path.join(_log_dir(root), mk)
-        try:
-            with open(p) as f:
-                names = set(json.load(f).get("files", []))
-        except (OSError, ValueError):
-            continue
-        if names and names <= published:
-            os.remove(p)
+    _retire_staging_markers(root, set(staged))
     return expected_version
 
 
@@ -3258,6 +3295,18 @@ def vacuum(
         for p in (_manifest_path(root, v), _ckpt_path(root, v)):
             if os.path.exists(p):
                 os.remove(p)
+    # Crash debris: a writer killed mid-manifest/sidecar write leaves a
+    # *.tmp.<uuid> file behind (the atomic link never happened, so the
+    # log itself is untouched — readers never see tmp names). Collect
+    # them on the same presumed-dead TTL as staging markers.
+    for fn in os.listdir(_log_dir(root)):
+        if ".tmp." in fn:
+            p = os.path.join(_log_dir(root), fn)
+            try:
+                if now - os.path.getmtime(p) > staging_ttl_seconds:
+                    os.remove(p)
+            except FileNotFoundError:
+                pass  # racing vacuum collected it first
     return {
         "n_files_kept": len(referenced),
         "n_files_deleted": deleted,

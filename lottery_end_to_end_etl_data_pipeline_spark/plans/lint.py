@@ -149,6 +149,206 @@ def lint_plan(df: DataFrame) -> list[Finding]:
     return findings
 
 
+_ROUND_PASSTHROUGH = {
+    "Sort",
+    "GlobalLimit",
+    "LocalLimit",
+    "Deduplicate",
+    "Repartition",
+    "RepartitionByExpression",
+    "SubqueryAlias",
+    "WithCTE",
+}
+
+
+def _expr_walk(e):
+    yield e
+    ch = e.children()
+    for i in range(ch.size()):
+        yield from _expr_walk(ch.apply(i))
+
+
+def _is_double(e) -> bool:
+    try:
+        return e.dataType().typeName() in ("double", "float")
+    except Exception:
+        return False
+
+
+def _unwrap_cast(e):
+    while e.getClass().getSimpleName() == "Cast":
+        e = e.children().apply(0)
+    return e
+
+
+_OFFGRID_FUNCS = {
+    "Divide",
+    "Exp",
+    "Expm1",
+    "Log",
+    "Logarithm",
+    "Log1p",
+    "Log2",
+    "Log10",
+    "Sqrt",
+    "Pow",
+    "Cbrt",
+    "Sin",
+    "Cos",
+    "Tan",
+    "Atan",
+    "Atan2",
+}
+
+
+def _is_literal(e) -> bool:
+    return _unwrap_cast(e).getClass().getSimpleName() == "Literal"
+
+
+def _offgrid(e) -> bool:
+    """True if the expression leaves the source value grid: division,
+    transcendentals, or products of two non-literal operands (a price
+    x rate product lands on a FINER grid than either input — the
+    ROUND8.md class (b)); literal-scaled add/subtract/multiply keep
+    the grid (class (a))."""
+    for n in _expr_walk(e):
+        nm = n.getClass().getSimpleName()
+        if nm in _OFFGRID_FUNCS:
+            return True
+        if nm == "Multiply":
+            ch = n.children()
+            if not (_is_literal(ch.apply(0)) or _is_literal(ch.apply(1))):
+                return True
+    return False
+
+
+def _sums_doubles(e) -> str | None:
+    """Classify floating-point accumulation under a rounded output
+    (ROUND8.md taxonomy): "offgrid" — Sum over off-grid doubles or
+    Average over any double (divides by count: quotient lands
+    anywhere on the grid; the ewma_daily_value class) — the rounded
+    last digit genuinely depends on summation order vs a grid with no
+    margin; "money" — Sum over a grid-preserving double (a 2-decimal
+    source column, literal-scaled): the true sum sits ON the rounding
+    grid, so ~1e-8 ulp jitter sits 5+ orders from the 0.005 boundary
+    (class (a), safe by design). Sums over integers/decimals are
+    associative (exact) and averages over integers divide an exact
+    numerator once — both return None."""
+    worst = None
+    for n in _expr_walk(e):
+        nm = n.getClass().getSimpleName()
+        if nm == "Average" and _is_double(_unwrap_cast(n.children().apply(0))):
+            return "offgrid"
+        if nm == "Sum":
+            child = _unwrap_cast(n.children().apply(0))
+            if _is_double(child):
+                if _offgrid(child):
+                    return "offgrid"
+                worst = "money"
+    return worst
+
+
+def _has_double_subtract(e) -> bool:
+    for n in _expr_walk(e):
+        if n.getClass().getSimpleName() == "Subtract" and _is_double(n):
+            return True
+    return False
+
+
+def lint_rounded_doubles(df: DataFrame) -> list[Finding]:
+    """Round-risk scan of a query's OUTPUT expressions (VERDICT r8 #4)
+    — the static half of the determinism gate for hash-compared
+    catalog entries. Two rules, matched to the two measured failure
+    classes (docs/ROUND8.md taxonomy + the r09 signed-zero root
+    cause):
+
+    - ``round-double-sum`` (warn): a returned ``round(x, n)`` whose
+      subtree accumulates doubles with Sum/Average — the summation
+      order varies with partitioning/task scheduling, so the rounded
+      last digit can flip between runs (the r07 flake class). The
+      bar is ZERO: aggregate exact integers/decimals first (units,
+      cents, micro-units) and do double algebra on the tiny result.
+      `round(sum(cents)/100.0, 2)` and `round(avg(int_col), 4)` are
+      NOT flagged — their numerators are exact, division happens once.
+    - ``round-negative-capable`` (info): a returned ``round(x, n)``
+      over a double subtraction — when x is a tiny negative, DuckDB's
+      round returns -0.0 where Spark's BigDecimal round returns +0.0,
+      which a repr-hashing comparator distinguishes (the r07/r08
+      driver reds on kfold_cv_ridge / price_volume_mix_decomposition,
+      root-caused r09). Info, not warn, because the runtime mirror
+      (tools/check_oracle.py) now fails any divergent -0.0 and WARNs
+      on any agreeing -0.0 at sf0.01 — the static rule is the review
+      pointer, the runtime sweep is the gate.
+
+    Walks the analyzed logical plan's top Project/Aggregate (through
+    sorts/limits; Union lints each branch)."""
+    findings: list[Finding] = []
+
+    def lint_node(node):
+        name = node.getClass().getSimpleName()
+        while name in _ROUND_PASSTHROUGH:
+            node = node.children().apply(0)
+            name = node.getClass().getSimpleName()
+        if name == "Union":
+            ch = node.children()
+            for i in range(ch.size()):
+                lint_node(ch.apply(i))
+            return
+        if name == "Project":
+            exprs = node.projectList()
+        elif name == "Aggregate":
+            exprs = node.aggregateExpressions()
+        else:
+            return
+        for i in range(exprs.size()):
+            top = exprs.apply(i)
+            try:
+                col = top.name()
+            except Exception:
+                col = top.toString()
+            seen = set()
+            for e in _expr_walk(top):
+                if e.getClass().getSimpleName() not in ("Round", "BRound"):
+                    continue
+                arg = e.children().apply(0)
+                if not _is_double(arg):
+                    continue
+                acc = _sums_doubles(arg)
+                if acc == "offgrid":
+                    rule = "round-double-sum"
+                    f = Finding(
+                        rule, "warn", "Round",
+                        f"column `{col}` rounds an order-dependent "
+                        "OFF-GRID double accumulation (sum of "
+                        "quotients/products, or average of doubles) "
+                        "— aggregate exact ints first",
+                    )
+                elif acc == "money":
+                    rule = "round-money-sum"
+                    f = Finding(
+                        rule, "info", "Round",
+                        f"column `{col}` rounds a grid-preserving "
+                        "double sum (2-decimal money class (a): true "
+                        "sum on the grid, 5+ orders of margin)",
+                    )
+                elif _has_double_subtract(arg):
+                    rule = "round-negative-capable"
+                    f = Finding(
+                        rule, "info", "Round",
+                        f"column `{col}` rounds a double subtraction "
+                        "— -0.0 divergence class; covered by the "
+                        "runtime signed-zero sweep",
+                    )
+                else:
+                    continue
+                if rule not in seen:
+                    seen.add(rule)
+                    findings.append(f)
+
+    lint_node(df._jdf.queryExecution().analyzed())
+    return findings
+
+
 def assert_scalable(df: DataFrame, allow: set[str] = frozenset()) -> list[Finding]:
     """Raise PlanLintError if any warn-level finding is not in
     `allow`; returns the full finding list (incl. info) otherwise."""

@@ -31,6 +31,7 @@ shuffles, what prunes. These queries are the bench workload too.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -56,6 +57,16 @@ TABLES = [
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+# Exact-rational machinery for `try_functions_surface` (r09, VERDICT
+# r8 #4): lineitem quantities are integers in [1, 50], so safe-divide
+# denominators d = q - 1 lie in [1, 49] and SUM(price / d) rationalizes
+# EXACTLY as SUM(cents * (L / d)) / (L * 100) with L = lcm(1..49) — a
+# DECIMAL(38,0)/HUGEINT integer sum (22-digit L, 36 digits at sf10,
+# fits) followed by ONE double division by a shared literal; no
+# order-dependent double accumulation anywhere.
+_LCM_49 = math.lcm(*range(1, 50))
+_LCM_FACTORS_SQL = ", ".join(str(_LCM_49 // d) for d in range(1, 50))
 ORACLE: dict[str, str] = {}
 
 
@@ -9220,14 +9231,19 @@ def phrase_search_positional(spark, sf_dir):
     )
     SELECT model, CAST(n_purchases AS BIGINT) AS n_purchases,
            CAST(n_clicks_credited AS BIGINT) AS n_clicks_credited,
-           ROUND(credited_value, 2) AS credited_value
+           ROUND(credited_cents / 100.0, 2) AS credited_value
     FROM (
       SELECT 'last_touch' AS model, COUNT(DISTINCT pid) AS n_purchases,
-             COUNT(*) AS n_clicks_credited, SUM(value) AS credited_value
+             COUNT(*) AS n_clicks_credited,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS credited_cents
       FROM pairs WHERE rn = 1
       UNION ALL
       SELECT 'linear' AS model, COUNT(DISTINCT pid) AS n_purchases,
-             COUNT(*) AS n_clicks_credited, SUM(value / n_touch) AS credited_value
+             COUNT(*) AS n_clicks_credited,
+             CAST(SUM(CASE WHEN rn = 1
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS credited_cents
       FROM pairs
     )
     """,
@@ -9241,8 +9257,15 @@ def attribution_models(spark, sf_dir):
     equi-join with a time-range predicate (SMJ on user; at 100 TB
     bucket both sides by user) feeding a purchase-keyed window for
     rank/count; both models read the SAME pair table (one join, two
-    aggregations). Value splits are 1/n of 2-decimal money, rounded
-    at the end in both engines."""
+    aggregations). DETERMINISM (r09, VERDICT r8 #4 — retires the
+    ROUND8.md-accepted ~1e-8 flip risk): the linear model's fractional
+    credits per purchase sum IDENTICALLY to the purchase value
+    (n_touch x value/n_touch = value), so the credited sum aggregates
+    as EXACT cents over the rn=1 rows — a BIGINT sum, order-
+    independent — instead of ROUND(SUM(value/n_touch)) over off-grid
+    doubles; the models still differ where they should
+    (n_clicks_credited). The single /100.0 happens once on the exact
+    aggregate (grid-safe class (a))."""
     p = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -9264,17 +9287,20 @@ def attribution_models(spark, sf_dir):
         "rn",
         F.row_number().over(w.orderBy(F.col("cts").desc(), F.col("cid"))),
     ).withColumn("n_touch", F.count(F.lit(1)).over(w))
+    vc = F.round(F.col("value") * 100, 0).cast("long")
     last = ranked.filter(F.col("rn") == 1).agg(
         F.countDistinct("pid").alias("n_purchases"),
         F.count(F.lit(1)).alias("n_clicks_credited"),
-        F.round(F.sum("value"), 2).alias("credited_value"),
+        F.round(F.sum(vc) / F.lit(100.0), 2).alias("credited_value"),
     ).select(F.lit("last_touch").alias("model"), "*")
     linear = ranked.agg(
         F.countDistinct("pid").alias("n_purchases"),
         F.count(F.lit(1)).alias("n_clicks_credited"),
-        F.round(F.sum(F.col("value") / F.col("n_touch")), 2).alias(
-            "credited_value"
-        ),
+        F.round(
+            F.sum(F.when(F.col("rn") == 1, vc).otherwise(F.lit(0)))
+            / F.lit(100.0),
+            2,
+        ).alias("credited_value"),
     ).select(F.lit("linear").alias("model"), "*")
     return last.unionByName(linear)
 
@@ -14131,12 +14157,14 @@ def markov_next_event_accuracy(spark, sf_dir):
 
 @query(
     "try_functions_surface",
-    oracle="""
+    oracle=f"""
     SELECT
       CAST(sum(CASE WHEN l_quantity = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
         AS n_div_by_zero_null,
-      ROUND(sum(CASE WHEN l_quantity <> 1.0
-                     THEN l_extendedprice / (l_quantity - 1.0) END), 2)
+      ROUND(CAST(sum(CASE WHEN l_quantity <> 1.0
+                     THEN CAST(round(l_extendedprice * 100) AS HUGEINT)
+                          * ([{_LCM_FACTORS_SQL}])[CAST(l_quantity AS BIGINT) - 1]
+                     END) AS DOUBLE) / {float(_LCM_49 * 100)!r}, 2)
         AS sum_safe_div,
       CAST(sum(CASE WHEN l_orderkey > 9223372036854775807 - 1
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow_null,
@@ -14172,11 +14200,37 @@ def try_functions_surface(spark, sf_dir):
     plausibly-numeric strings reach try_cast (which still handles
     overflow → NULL); same hash, 6.5 s → ~1 s. At 100 TB the same
     guard is what makes try_cast-over-dirty-columns viable: the
-    exception path must be the exception, not the common case."""
+    exception path must be the exception, not the common case.
+
+    DETERMINISM (r09, VERDICT r8 #4 — retires the ROUND8.md-accepted
+    ~1e-8 flip risk): sum_safe_div no longer rounds an order-dependent
+    SUM of off-grid doubles. Denominators are bounded integers
+    (d = quantity − 1 in [1, 49]), so the sum rationalizes EXACTLY as
+    Σ cents·(lcm(1..49)/d) — a DECIMAL(38,0) integer sum, order-
+    independent — divided ONCE by the shared double literal
+    lcm·100; both engines convert the same integer to the same double
+    (IEEE round-to-nearest), so the rounded output is bit-stable."""
     li = t(spark, sf_dir, "lineitem")
     arr = F.array(F.lit(1), F.lit(2), F.lit(3))
+    # exact-rational safe-divide sum (see _LCM_49): cents x (L/d) in
+    # decimal(38,0); try_divide still exercises the NULL semantics
+    # (n_div_by_zero_null counts its zero-denominator NULLs) while the
+    # SUMMED surface is the exact integer path
+    lcm_arr = F.array(
+        *[
+            F.lit(str(_LCM_49 // d)).cast("decimal(38,0)")
+            for d in range(1, 50)
+        ]
+    )
     row = li.select(
         F.expr("try_divide(l_extendedprice, l_quantity - 1.0)").alias("sdiv"),
+        F.when(
+            F.col("l_quantity") != 1.0,
+            F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(19,0)")
+            * F.element_at(
+                lcm_arr, (F.col("l_quantity").cast("int") - 1)
+            ),
+        ).alias("sdiv_exact"),
         (F.col("l_quantity") == 1.0).alias("qz"),
         F.expr(
             "try_add(CASE WHEN l_orderkey > 9223372036854775806 "
@@ -14194,7 +14248,10 @@ def try_functions_surface(spark, sf_dir):
         F.sum(F.when(F.col("qz") & F.col("sdiv").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_div_by_zero_null"),
-        F.round(F.sum("sdiv"), 2).alias("sum_safe_div"),
+        F.round(
+            F.sum("sdiv_exact").cast("double") / F.lit(float(_LCM_49 * 100)),
+            2,
+        ).alias("sum_safe_div"),
         F.sum(F.when(F.col("ov").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_add_overflow_null"),
@@ -15848,26 +15905,35 @@ def state_machine_conformance(spark, sf_dir):
     "group_mean_imputation",
     oracle="""
     WITH masked AS (
-      SELECT event_type, value,
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
              CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
                        ::UBIGINT % 10 = 0
-                  THEN NULL ELSE value END AS v_miss
+                  THEN 1 ELSE 0 END AS miss
       FROM events
     ),
-    gm AS (
-      SELECT event_type, round(avg(v_miss), 6) AS mu
+    stats AS (
+      SELECT event_type,
+             count(*) AS n, sum(miss) AS n_miss,
+             CAST(sum(vc) AS BIGINT) AS sc_all,
+             CAST(sum(CASE WHEN miss = 0 THEN vc ELSE 0 END) AS BIGINT)
+               AS sc_obs
       FROM masked GROUP BY 1
+    ),
+    derived AS (
+      SELECT event_type, n, n_miss, sc_obs, sc_all,
+             round(CAST(sc_obs AS DOUBLE) / (100.0 * (n - n_miss)), 6) AS mu
+      FROM stats
     )
-    SELECT m.event_type,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN m.v_miss IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_imputed,
-           ROUND(avg(COALESCE(m.v_miss, g.mu)), 4) AS mean_after,
-           ROUND(avg(m.value), 4) AS mean_true,
-           ROUND(abs(avg(COALESCE(m.v_miss, g.mu)) - avg(m.value)), 4)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(n_miss AS BIGINT) AS n_imputed,
+           ROUND((CAST(sc_obs AS DOUBLE) / 100.0 + n_miss * mu) / n, 4)
+             AS mean_after,
+           ROUND(CAST(sc_all AS DOUBLE) / (100.0 * n), 4) AS mean_true,
+           ROUND(abs((CAST(sc_obs AS DOUBLE) / 100.0 + n_miss * mu) / n
+                     - CAST(sc_all AS DOUBLE) / (100.0 * n)), 4)
              AS imputation_bias
-    FROM masked m JOIN gm g ON g.event_type = m.event_type
-    GROUP BY m.event_type ORDER BY m.event_type
+    FROM derived ORDER BY event_type
     """,
 )
 def group_mean_imputation(spark, sf_dir):
@@ -15877,45 +15943,56 @@ def group_mean_imputation(spark, sf_dir):
     post-imputation mean is compared against the unmasked truth —
     the check that tells you whether MCAR imputation distorted your
     feature (here it shouldn't, much: the audit hashes how much).
-    One observed-mean aggregate broadcast back onto one scan (the
-    same two-pass shape as `winsorized_value_stats`); `null_fill_
-    replace` covers constant fills, this covers the learned-fill
-    path every feature pipeline needs."""
+    `null_fill_replace` covers constant fills, this covers the
+    learned-fill path every feature pipeline needs.
+
+    DETERMINISM (r09, round-risk lint): imputing the group mean means
+    the post-imputation SUM is just sc_obs + n_miss x mu — so the
+    whole audit collapses to ONE exact-integer aggregate per group
+    (n, n_miss, cents sums; BIGINT, order-independent) with mu and
+    both means derived by single divisions on the 5-row result. This
+    also deletes the old broadcast-join second pass: one scan, no
+    join, and no avg-over-doubles anywhere on the hashed surface."""
     masked = t(spark, sf_dir, "events").select(
         "event_type",
-        "value",
-        F.when(
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        (
             F.conv(
                 F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
                 16,
                 10,
             ).cast("long")
             % 10
-            == 0,
-            None,
+            == 0
         )
-        .otherwise(F.col("value"))
-        .alias("v_miss"),
+        .cast("int")
+        .alias("miss"),
     )
-    gm = masked.groupBy("event_type").agg(
-        F.round(F.avg("v_miss"), 6).alias("mu")
+    stats = masked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("miss").alias("n_miss"),
+        F.sum("vc").alias("sc_all"),
+        F.sum(F.when(F.col("miss") == 0, F.col("vc")).otherwise(0)).alias(
+            "sc_obs"
+        ),
     )
-    return (
-        masked.join(F.broadcast(gm), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(F.when(F.col("v_miss").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_imputed"),
-            F.round(F.avg(F.coalesce("v_miss", "mu")), 4).alias("mean_after"),
-            F.round(F.avg("value"), 4).alias("mean_true"),
-            F.round(
-                F.abs(F.avg(F.coalesce("v_miss", "mu")) - F.avg("value")), 4
-            ).alias("imputation_bias"),
-        )
-        .orderBy("event_type")
+    mu = F.round(
+        F.col("sc_obs").cast("double")
+        / (F.lit(100.0) * (F.col("n") - F.col("n_miss"))),
+        6,
     )
+    mean_after = (
+        F.col("sc_obs").cast("double") / F.lit(100.0) + F.col("n_miss") * mu
+    ) / F.col("n")
+    mean_true = F.col("sc_all").cast("double") / (F.lit(100.0) * F.col("n"))
+    return stats.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_miss").cast("long").alias("n_imputed"),
+        F.round(mean_after, 4).alias("mean_after"),
+        F.round(mean_true, 4).alias("mean_true"),
+        F.round(F.abs(mean_after - mean_true), 4).alias("imputation_bias"),
+    ).orderBy("event_type")
 
 
 @query(
@@ -15924,7 +16001,7 @@ def group_mean_imputation(spark, sf_dir):
     WITH obs AS (
       SELECT user_id,
              count(*) AS n_obs,
-             round(sum(value), 2) AS v_obs
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc_obs
       FROM events WHERE ts < TIMESTAMP '2024-01-22 00:00:00'
       GROUP BY user_id
     ),
@@ -15933,7 +16010,7 @@ def group_mean_imputation(spark, sf_dir):
       WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
     ),
     labeled AS (
-      SELECT o.user_id, o.n_obs, o.v_obs,
+      SELECT o.user_id, o.n_obs, o.vc_obs,
              CASE WHEN f.user_id IS NULL THEN 1 ELSE 0 END AS churned
       FROM obs o LEFT JOIN fut f ON f.user_id = o.user_id
     )
@@ -15941,7 +16018,8 @@ def group_mean_imputation(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(churned) AS BIGINT) AS n_churned,
            ROUND(avg(churned), 4) AS churn_rate,
-           ROUND(avg(v_obs), 2) AS avg_obs_value
+           ROUND(CAST(sum(vc_obs) AS DOUBLE) / (100.0 * count(*)), 2)
+             AS avg_obs_value
     FROM labeled GROUP BY 1 ORDER BY segment
     """,
 )
@@ -15963,7 +16041,11 @@ def churn_labels_audit(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
-            F.round(F.sum("value"), 2).alias("v_obs"),
+            # exact cents (r09 round-risk lint): per-user and
+            # per-segment sums stay BIGINT; ONE division at the end
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "vc_obs"
+            ),
         )
     )
     fut = (
@@ -15983,7 +16065,11 @@ def churn_labels_audit(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_users"),
             F.sum("churned").cast("long").alias("n_churned"),
             F.round(F.avg("churned"), 4).alias("churn_rate"),
-            F.round(F.avg("v_obs"), 2).alias("avg_obs_value"),
+            F.round(
+                F.sum("vc_obs").cast("double")
+                / (F.lit(100.0) * F.count(F.lit(1))),
+                2,
+            ).alias("avg_obs_value"),
         )
         .orderBy("segment")
     )

@@ -173,3 +173,53 @@ def test_detects_wide_expand_multi_distinct(spark):
         F.countDistinct("c0"), F.countDistinct("c1"), F.countDistinct("c2")
     )
     assert "expand-multi-distinct" not in _rules(small)
+
+
+def test_round_risk_lint_classifies_taxonomy(spark):
+    """lint_rounded_doubles (r09, VERDICT r8 #4) must flag rounds over
+    order-dependent OFF-GRID accumulations, list grid-preserving money
+    sums as info, tag double subtractions as -0.0-capable, and stay
+    silent on exact-integer numerators."""
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.lint import (
+        lint_rounded_doubles,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 0.01).alias("money"),   # 2-decimal double
+        (F.col("id") * 2).alias("n"),          # exact long
+    )
+
+    def rules(out):
+        return {(f.rule, f.severity) for f in lint_rounded_doubles(out)}
+
+    # off-grid: sum of quotients — warn
+    assert ("round-double-sum", "warn") in rules(
+        df.groupBy("k").agg(F.round(F.sum(F.col("money") / F.col("n")), 2).alias("x"))
+    )
+    # off-grid: average of doubles — warn
+    assert ("round-double-sum", "warn") in rules(
+        df.groupBy("k").agg(F.round(F.avg("money"), 4).alias("x"))
+    )
+    # grid-preserving money sum — info only
+    r = rules(df.groupBy("k").agg(F.round(F.sum("money"), 2).alias("x")))
+    assert ("round-money-sum", "info") in r
+    assert ("round-double-sum", "warn") not in r
+    # exact integer numerator / literal-pow10 division — clean
+    assert (
+        rules(
+            df.groupBy("k").agg(
+                F.round(F.sum("n").cast("double") / F.lit(100.0), 2).alias("x")
+            )
+        )
+        == set()
+    )
+    # average over integers — exact numerator, clean
+    assert rules(df.groupBy("k").agg(F.round(F.avg("n"), 4).alias("x"))) == set()
+    # rounded double subtraction — the signed-zero class, info
+    agg = df.groupBy("k").agg(
+        F.sum("n").cast("double").alias("a"), F.count(F.lit(1)).cast("double").alias("b")
+    )
+    assert ("round-negative-capable", "info") in rules(
+        agg.select("k", F.round(F.col("a") - F.col("b"), 2).alias("x"))
+    )

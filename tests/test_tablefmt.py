@@ -2102,3 +2102,142 @@ def test_next_delta_honors_carried_file_stats_updates(spark, root):
     rec = tf._apply_delta(prev, delta)
     assert _norm_manifest(rec) == _norm_manifest(full)
     assert rec["stats"][carried]["refreshed"] == [1, 1, 0]
+
+
+# ---------------------------------------------------------------------------
+# Crash-recovery property tests (r09, VERDICT r8 #9): kill the writer
+# between data-finalize and manifest-publish, and kill vacuum mid-
+# checkpoint-sidecar — at every interruption point the table must stay
+# readable, recovery must be a plain retry, and vacuum must never
+# orphan a staged commit it can't prove dead.
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_protects_inflight_regular_commit_window(spark, root):
+    """EVERY write path (not just explicit stage_files) registers a
+    staging marker, so a vacuum landing between a regular commit's
+    data write and its manifest publish keeps the files alive and the
+    stalled writer's publish then succeeds."""
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    # phase 1 of commit_append's internals; the writer stalls here
+    names = tf._write_data_files(
+        spark, root, _df(spark, [(2, "b")]).coalesce(1)
+    )
+    assert tf._staged_marker_glob(root), "write path registered no marker"
+    tf.vacuum(root, keep_last=1)  # concurrent vacuum in the window
+    for fn in names:
+        assert os.path.exists(os.path.join(tf._data_dir(root), fn)), (
+            "vacuum deleted a finalized-but-unpublished commit's file"
+        )
+    # the stalled writer wakes up and completes: metadata-only publish
+    v = tf.publish_append(root, names, expected_version=1)
+    got = {(r.k, r.v) for r in tf.read(spark, root, version=v).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert tf._staged_marker_glob(root) == []  # retired on publish
+
+
+def test_dead_writer_publish_after_expiry_fails_loudly(spark, root):
+    """Once vacuum has expired a dead writer's staging marker and
+    collected its files, a zombie publish of that commit must FAIL
+    (never commit a manifest pointing at deleted files) and the table
+    must be unharmed."""
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    staged = tf.stage_files(spark, root, _df(spark, [(2, "b")]).coalesce(1))
+    tf.vacuum(root, keep_last=1, staging_ttl_seconds=0.0)  # presumed dead
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        tf.publish_append(root, staged, expected_version=1)
+    assert tf.current_version(root) == 0
+    assert tf.read(spark, root).count() == 1  # table unharmed
+
+
+def test_kill_between_write_and_publish_is_invisible(spark, root):
+    """A writer killed after finalizing data files but before publish
+    leaves NO trace a reader can see; its debris (files + marker) is
+    collected once the TTL deems it dead, and later commits proceed."""
+    tf.create(spark, root, _df(spark, [(1, "a")]).coalesce(1))
+    names = tf._write_data_files(
+        spark, root, _df(spark, [(9, "zzz")]).coalesce(1)
+    )  # writer dies here: no publish ever happens
+    assert tf.read(spark, root).count() == 1  # invisible to readers
+    tf.vacuum(root, keep_last=1, staging_ttl_seconds=0.0)
+    for fn in names:
+        assert not os.path.exists(os.path.join(tf._data_dir(root), fn))
+    assert tf._staged_marker_glob(root) == []
+    v = tf.commit_append(spark, root, _df(spark, [(2, "b")]).coalesce(1))
+    assert tf.read(spark, root, version=v).count() == 2
+
+
+def test_vacuum_crash_mid_sidecar_recovers(spark, root, monkeypatch):
+    """Kill vacuum while it is writing the checkpoint sidecar (tmp
+    bytes on disk, atomic link never happened): every retained version
+    must stay reconstructable — the old manifests are still in the log
+    because the sidecar write precedes their deletion — and a plain
+    re-run of vacuum completes the job; the crash debris tmp is
+    collected on the staging TTL."""
+    import json as _json
+
+    tf.create(spark, root, _df(spark, [(0, "x")]).coalesce(1))
+    for i in range(1, 7):
+        tf.commit_append(spark, root, _df(spark, [(i, "x")]).coalesce(1))
+    head = tf.current_version(root)
+    pre = {(r.k, r.v) for r in tf.read(spark, root).collect()}
+    real_dump = _json.dump
+
+    def boom(obj, fh, **kw):
+        if ".ckpt." in getattr(fh, "name", ""):
+            fh.write('{"version": 99, "files"')  # partial bytes, then die
+            raise RuntimeError("killed mid-sidecar")
+        return real_dump(obj, fh, **kw)
+
+    monkeypatch.setattr(tf.json, "dump", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="killed mid-sidecar"):
+        tf.vacuum(root, keep_last=2)
+    monkeypatch.undo()
+    keep_from = head - 2 + 1
+    # crash left a tmp behind and never linked the sidecar
+    assert [f for f in os.listdir(tf._log_dir(root)) if ".tmp." in f]
+    assert not os.path.exists(tf._ckpt_path(root, keep_from))
+    # every retained version still reconstructs (old manifests intact)
+    for v in range(keep_from, head + 1):
+        assert tf._snapshot(root, v)["version"] == v
+    assert {(r.k, r.v) for r in tf.read(spark, root).collect()} == pre
+    # recovery is a plain retry; ttl=0 also collects the crash debris
+    tf.vacuum(root, keep_last=2, staging_ttl_seconds=0.0)
+    assert os.path.exists(tf._ckpt_path(root, keep_from))
+    assert not [f for f in os.listdir(tf._log_dir(root)) if ".tmp." in f]
+    assert not tf._manifest_exists(root, 0)  # pre-horizon log gone
+    assert {(r.k, r.v) for r in tf.read(spark, root).collect()} == pre
+    # history stays walkable from the sidecar horizon
+    assert tf.read(spark, root, version=keep_from).count() == keep_from + 1
+
+
+def test_vacuum_crash_after_sidecar_before_log_trim_is_idempotent(
+    spark, root
+):
+    """The mirror-image kill point: the sidecar IS on disk but the
+    old manifests were never removed. A re-run must treat the sidecar
+    write as idempotent (skip it) and finish the trim; reads are
+    identical throughout."""
+    import json as _json
+
+    tf.create(spark, root, _df(spark, [(0, "x")]).coalesce(1))
+    for i in range(1, 7):
+        tf.commit_append(spark, root, _df(spark, [(i, "x")]).coalesce(1))
+    head = tf.current_version(root)
+    keep_from = head - 2 + 1
+    pre = {(r.k, r.v) for r in tf.read(spark, root).collect()}
+    # materialize exactly what the crashed vacuum would have linked
+    # (snapshot FIRST: _snapshot prefers an existing sidecar, and the
+    # open() would create an empty one before the dump runs)
+    snap = dict(tf._snapshot(root, keep_from))
+    with open(tf._ckpt_path(root, keep_from), "w") as f:
+        _json.dump(snap, f, indent=1)
+    assert tf._manifest_exists(root, 0)  # trim never happened
+    tf.vacuum(root, keep_last=2)  # plain retry completes the job
+    assert not tf._manifest_exists(root, 0)
+    assert {(r.k, r.v) for r in tf.read(spark, root).collect()} == pre
+    assert tf.read(spark, root, version=keep_from).count() == keep_from + 1

@@ -1,0 +1,125 @@
+"""Catalog-wide round-risk scan (VERDICT r8 #4).
+
+Builds every catalog entry's plan at sf0.001 and runs
+``lint_rounded_doubles`` over its OUTPUT expressions:
+
+- ``round-double-sum`` warns are the r07 flake class (rounding an
+  order-dependent double accumulation on the hashed surface). The
+  acceptance bar is ZERO unallowed warns — exit 1 otherwise. The
+  ALLOW dict records reviewed exceptions (entry -> reason); keep it
+  empty unless a flagged round is provably grid-safe AND the entry
+  is pinned by the invariance sweep.
+- ``round-negative-capable`` infos are the r09 signed-zero class;
+  they are listed for review but gated at RUNTIME by the
+  tools/check_oracle.py -0.0 audit (any divergent -0.0 fails the
+  mirror; any agreeing -0.0 prints WARN — both were 0 across the
+  full catalog at sf0.01 this round).
+
+Usage: python tools/round_risk_scan.py [--sf /root/testdata/sf0.001]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lottery_end_to_end_etl_data_pipeline_spark import get_session  # noqa: E402
+from lottery_end_to_end_etl_data_pipeline_spark.plans.lint import (  # noqa: E402
+    lint_rounded_doubles,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (  # noqa: E402
+    QUERIES,
+)
+
+# Reviewed exceptions to the zero-warn bar: entry name -> justification.
+#
+# Every entry below rounds a statistic that is OFF-GRID BY NATURE
+# (entropies, log-probs, AUC/ECE/PSI, cosines, normalized ratios) —
+# there is no exact-integer sufficient statistic to aggregate without
+# replacing the value check with a weaker boolean. The shared evidence
+# basis for accepting them (r09, after the signed-zero root cause was
+# found and the two genuinely-convertible entries — attribution_models,
+# try_functions_surface, plus group_mean_imputation / churn_labels_
+# audit — were converted to exact integer paths):
+#   (1) full-catalog invariance sweep green at sf0.001 AND sf0.01
+#       (tools/check_invariance.py, repr-level, 5 partitionings);
+#   (2) runtime signed-zero audit clean — 0 divergent and 0 agreeing
+#       -0.0 cells across the whole catalog at sf0.01
+#       (tools/check_oracle.py);
+#   (3) magnitude analysis: these statistics are O(0.01..10) rounded
+#       at 4 dp after dividing by n — summation jitter is
+#       ~|sum|·eps·log(n)/n, i.e. <=1e-13 relative against a 1e-4
+#       grid (>=1e9x margin), versus the ~50x margin the class-(a)
+#       money sums get by sitting ON the grid.
+# A NEW warn (any entry not in this dict) still fails the scan.
+_STAT = "off-grid statistic; invariance-swept + -0.0-clean + >=1e9x grid margin"
+ALLOW: dict[str, str] = {
+    "auc_quality_classifier": f"rank-sum AUC: {_STAT}",
+    "bigram_lm_quality": f"avg log2 prob: {_STAT}",
+    "bootstrap_ci_mean": f"resampled means: {_STAT}",
+    "calibration_ece": f"|freq-conf| bins: {_STAT}",
+    "char_entropy_quality": f"p*log2(p) sums: {_STAT}",
+    "clustering_coefficient_knn": f"avg local cc ratio: {_STAT}",
+    "decayed_engagement_score": f"exp(-dt) weighted sum: {_STAT}",
+    "dsir_importance_by_lang": f"avg log-likelihood ratio: {_STAT}",
+    "embedding_class_separation": f"avg cosine: {_STAT}",
+    "embedding_quantize_stats": f"avg |dequant err|: {_STAT}",
+    "forecast_backtest_mase": f"MAE ratio of cents (exact numerators, "
+    f"double |err| means): {_STAT}",
+    "gini_user_activity": f"rank-weighted gini: {_STAT}",
+    "knn_label_agreement": f"avg agreement ratio: {_STAT}",
+    "lexicon_filter_stats": f"avg per-doc hit rate: {_STAT}",
+    "mahalanobis_outliers": f"avg quadratic form: {_STAT}",
+    "ndcg_truncation_audit": f"avg nDCG (1/log2 discounts): {_STAT}",
+    "partition_key_advisor": f"normalized entropy: {_STAT}",
+    "psi_value_drift": f"(p-q)ln(p/q) sums: {_STAT}",
+    "quality_classifier_scores": f"avg sigmoid score: {_STAT}",
+    "quantile_normalize_lengths": f"avg normalized rank: {_STAT}",
+    "trend_slope_by_type": f"OLS slope over per-day aggregates: {_STAT}",
+    "vocab_oov_rate": f"avg OOV ratio: {_STAT}",
+    "window_function_surface": f"avg percent_rank/cume_dist: {_STAT}",
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("-q", "--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    spark = get_session("round-risk-scan")
+    names = args.queries or list(QUERIES)
+    warns, infos, skipped = [], [], []
+    for name in names:
+        try:
+            df = QUERIES[name](spark, args.sf)
+        except Exception:
+            skipped.append(name)  # write-side entries needing scratch dirs
+            continue
+        for f in lint_rounded_doubles(df):
+            rec = (name, f.detail)
+            (warns if f.severity == "warn" else infos).append(rec)
+
+    for name, detail in infos:
+        print(f"INFO  {name}: {detail}")
+    unallowed = []
+    for name, detail in warns:
+        if name in ALLOW:
+            print(f"ALLOW {name}: {detail} [{ALLOW[name]}]")
+        else:
+            unallowed.append(name)
+            print(f"WARN  {name}: {detail}")
+    print(
+        f"\n{len(names)} entries: {len(warns)} warns "
+        f"({len(unallowed)} unallowed), {len(infos)} infos, "
+        f"{len(skipped)} skipped (plan build needs scratch state: "
+        f"{', '.join(skipped[:6])}{'...' if len(skipped) > 6 else ''})"
+    )
+    return 1 if unallowed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -5,8 +5,10 @@ Runs, in order (stopping on first failure):
   2. tools/check_oracle.py     (full catalog vs DuckDB at sf0.01)
   3. tools/check_invariance.py (full catalog, partition-order
      determinism at sf0.001 — the r07 driver-flake class)
-  4. tools/plan_audit.py       (regenerates docs/PLAN_AUDIT.md)
-  5. bench.py                  (refreshes BENCH_DETAIL.json)
+  4. tools/round_risk_scan.py  (static round-of-double lint over every
+     entry's output expressions — r09, VERDICT r8 #4)
+  5. tools/plan_audit.py       (regenerates docs/PLAN_AUDIT.md)
+  6. bench.py                  (refreshes BENCH_DETAIL.json)
 
 Usage: python tools/verify_all.py [--skip-bench] [--skip-audit]
        [--skip-invariance]
@@ -49,6 +51,7 @@ def main() -> None:
             "invariance-sweep",
             [sys.executable, "tools/check_invariance.py"],
         )
+    run("round-risk-scan", [sys.executable, "tools/round_risk_scan.py"])
     if not args.skip_audit:
         run("plan-audit", [sys.executable, "tools/plan_audit.py"])
     if not args.skip_bench:
