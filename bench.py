@@ -245,6 +245,9 @@ HEADLINE = [
     "source_jsd_matrix",
     "streaming_mor_upsert_sink",
     "tablefmt_rebase_audit",
+    # r09 additions
+    "exact_int_divergence_probe",
+    "knn_pq_cluster_recall",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

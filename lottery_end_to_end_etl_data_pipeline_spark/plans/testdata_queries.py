@@ -17868,6 +17868,9 @@ def knn_pq_cluster_recall(spark, sf_dir):
                 ),
             ).alias("embedding"),
         )
+        # pq_fit's Lloyd iterations + encode + the membership check are
+        # ~8 separate jobs; materialize the construction join once
+        .localCheckpoint(eager=True)
     )
     books = pq_fit(corpus, m=4, k=8, n_iters=3)
     enc = pq_encode(corpus, books)
