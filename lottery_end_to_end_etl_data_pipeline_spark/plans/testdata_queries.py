@@ -14158,23 +14158,36 @@ def markov_next_event_accuracy(spark, sf_dir):
 @query(
     "try_functions_surface",
     oracle=f"""
+    WITH per_d AS (
+      SELECT CASE WHEN l_quantity <> 1.0
+                  THEN CAST(l_quantity AS BIGINT) - 1 ELSE 0 END AS d,
+             count(*) AS cnt,
+             CAST(sum(CASE WHEN l_quantity = 1.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p_divnull,
+             CAST(sum(CASE WHEN l_quantity <> 1.0
+                      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS svc,
+             CAST(sum(CASE WHEN l_orderkey > 9223372036854775807 - 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS p_ov,
+             CAST(count(*) - count(TRY_CAST(l_returnflag AS INTEGER))
+                  AS BIGINT) AS p_int,
+             CAST(count(*) - count(TRY_CAST(l_shipdate AS DATE))
+                  AS BIGINT) AS p_date,
+             CAST(sum(CASE WHEN l_linenumber > 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p_elem
+      FROM lineitem GROUP BY 1
+    )
     SELECT
-      CAST(sum(CASE WHEN l_quantity = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_div_by_zero_null,
-      ROUND(CAST(sum(CASE WHEN l_quantity <> 1.0
-                     THEN CAST(round(l_extendedprice * 100) AS HUGEINT)
-                          * ([{_LCM_FACTORS_SQL}])[CAST(l_quantity AS BIGINT) - 1]
-                     END) AS DOUBLE) / {float(_LCM_49 * 100)!r}, 2)
+      CAST(sum(p_divnull) AS BIGINT) AS n_div_by_zero_null,
+      ROUND(CAST(sum(CAST(svc AS HUGEINT)
+                     * ([{_LCM_FACTORS_SQL}])[greatest(d, 1)])
+                 AS DOUBLE) / {float(_LCM_49 * 100)!r}, 2)
         AS sum_safe_div,
-      CAST(sum(CASE WHEN l_orderkey > 9223372036854775807 - 1
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow_null,
-      CAST(count(*) - count(TRY_CAST(l_returnflag AS INTEGER)) AS BIGINT)
-        AS n_bad_int_casts,
-      CAST(count(*) - count(TRY_CAST(l_shipdate AS DATE)) AS BIGINT)
-        AS n_bad_date_casts,
-      CAST(sum(CASE WHEN l_linenumber > 3 THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_elem_oob_null
-    FROM lineitem
+      CAST(sum(p_ov) AS BIGINT) AS n_add_overflow_null,
+      CAST(sum(p_int) AS BIGINT) AS n_bad_int_casts,
+      CAST(sum(p_date) AS BIGINT) AS n_bad_date_casts,
+      CAST(sum(p_elem) AS BIGINT) AS n_elem_oob_null
+    FROM per_d
     """,
 )
 def try_functions_surface(spark, sf_dir):
@@ -14206,16 +14219,18 @@ def try_functions_surface(spark, sf_dir):
     ~1e-8 flip risk): sum_safe_div no longer rounds an order-dependent
     SUM of off-grid doubles. Denominators are bounded integers
     (d = quantity − 1 in [1, 49]), so the sum rationalizes EXACTLY as
-    Σ cents·(lcm(1..49)/d) — a DECIMAL(38,0) integer sum, order-
-    independent — divided ONCE by the shared double literal
-    lcm·100; both engines convert the same integer to the same double
-    (IEEE round-to-nearest), so the rounded output is bit-stable."""
+    Σ_d cents_sum(d)·(lcm(1..49)/d) — BIGINT per-denominator cents
+    sums (one hash aggregate keyed by d, order-independent) combined
+    by 49 DECIMAL multiplies on the 49-ROW aggregate (never per row —
+    a first cut multiplied decimals per input row and cost 0.78→1.49 s
+    at sf0.1), then divided ONCE by the shared double literal lcm·100;
+    both engines convert the same integer to the same double (IEEE
+    round-to-nearest), so the rounded output is bit-stable."""
     li = t(spark, sf_dir, "lineitem")
     arr = F.array(F.lit(1), F.lit(2), F.lit(3))
-    # exact-rational safe-divide sum (see _LCM_49): cents x (L/d) in
-    # decimal(38,0); try_divide still exercises the NULL semantics
-    # (n_div_by_zero_null counts its zero-denominator NULLs) while the
-    # SUMMED surface is the exact integer path
+    # exact-rational safe-divide sum (see _LCM_49): per-d BIGINT cents
+    # sums, decimal math deferred to the 49-row aggregate; try_divide
+    # still exercises the NULL semantics (n_div_by_zero_null)
     lcm_arr = F.array(
         *[
             F.lit(str(_LCM_49 // d)).cast("decimal(38,0)")
@@ -14224,13 +14239,15 @@ def try_functions_surface(spark, sf_dir):
     )
     row = li.select(
         F.expr("try_divide(l_extendedprice, l_quantity - 1.0)").alias("sdiv"),
+        F.when(F.col("l_quantity") != 1.0, F.col("l_quantity").cast("int") - 1)
+        .otherwise(0)
+        .alias("d"),
         F.when(
             F.col("l_quantity") != 1.0,
-            F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(19,0)")
-            * F.element_at(
-                lcm_arr, (F.col("l_quantity").cast("int") - 1)
-            ),
-        ).alias("sdiv_exact"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long"),
+        )
+        .otherwise(0)
+        .alias("vc"),
         (F.col("l_quantity") == 1.0).alias("qz"),
         F.expr(
             "try_add(CASE WHEN l_orderkey > 9223372036854775806 "
@@ -14244,26 +14261,29 @@ def try_functions_surface(spark, sf_dir):
         F.expr("try_cast(cast(l_shipdate AS STRING) AS DATE)").alias("ok_date"),
         F.try_element_at(arr, F.col("l_linenumber")).alias("elem"),
     )
-    return row.agg(
-        F.sum(F.when(F.col("qz") & F.col("sdiv").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_div_by_zero_null"),
+    per_d = row.groupBy("d").agg(
+        F.sum(F.when(F.col("qz") & F.col("sdiv").isNull(), 1).otherwise(0)).alias(
+            "p_divnull"
+        ),
+        F.sum("vc").alias("svc"),
+        F.sum(F.when(F.col("ov").isNull(), 1).otherwise(0)).alias("p_ov"),
+        F.sum(F.when(F.col("bad_int").isNull(), 1).otherwise(0)).alias("p_int"),
+        F.sum(F.when(F.col("ok_date").isNull(), 1).otherwise(0)).alias("p_date"),
+        F.sum(F.when(F.col("elem").isNull(), 1).otherwise(0)).alias("p_elem"),
+    )
+    # d=0 carries svc=0, so its LUT factor (index clamped to 1) is inert
+    lut = F.element_at(lcm_arr, F.greatest(F.col("d"), F.lit(1)))
+    return per_d.agg(
+        F.sum("p_divnull").cast("long").alias("n_div_by_zero_null"),
         F.round(
-            F.sum("sdiv_exact").cast("double") / F.lit(float(_LCM_49 * 100)),
+            F.sum(F.col("svc").cast("decimal(19,0)") * lut).cast("double")
+            / F.lit(float(_LCM_49 * 100)),
             2,
         ).alias("sum_safe_div"),
-        F.sum(F.when(F.col("ov").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_add_overflow_null"),
-        F.sum(F.when(F.col("bad_int").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_bad_int_casts"),
-        F.sum(F.when(F.col("ok_date").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_bad_date_casts"),
-        F.sum(F.when(F.col("elem").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_elem_oob_null"),
+        F.sum("p_ov").cast("long").alias("n_add_overflow_null"),
+        F.sum("p_int").cast("long").alias("n_bad_int_casts"),
+        F.sum("p_date").cast("long").alias("n_bad_date_casts"),
+        F.sum("p_elem").cast("long").alias("n_elem_oob_null"),
     )
 
 
