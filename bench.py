@@ -248,6 +248,7 @@ HEADLINE = [
     # r09 additions
     "exact_int_divergence_probe",
     "knn_pq_cluster_recall",
+    "ntile_price_deciles_sharded",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,
