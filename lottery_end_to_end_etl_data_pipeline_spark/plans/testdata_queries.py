@@ -4668,13 +4668,15 @@ _DRIVER_WINDOW_PRIORITY = [
     # (b) the 9 entries whose last green record is r02 (the r08
     #     comment's standing fill queue);
     # (c) fill to 50 with the oldest remaining records: last green
-    #     r03, in registry order (37 of 50; the other 13 lead r10).
+    #     r03, in registry order (36 of 50; the other 14 lead r10,
+    #     starting with bm25_topk).
     # Selection is reproducible from the CORRECTNESS_r0*.json files:
-    #   never_green + (last_green == r02) + (last_green == r03)[:37]
+    #   never_green + (last_green == r02) + (last_green == r03)[:36]
     "kfold_cv_ridge",
     "price_volume_mix_decomposition",
     "exact_int_divergence_probe",
     "knn_pq_cluster_recall",
+    "ntile_price_deciles_sharded",
     "dedup_ngram_jaccard_capped",
     "dedup_embedding_cosine",
     "knn_brute_cosine",
@@ -4720,7 +4722,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "time_weighted_avg_by_type",
     "gapfill_locf_daily",
     "sessionize_batch_30m",
-    "bm25_topk",
 ]
 
 
