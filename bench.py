@@ -249,6 +249,15 @@ HEADLINE = [
     "exact_int_divergence_probe",
     "knn_pq_cluster_recall",
     "ntile_price_deciles_sharded",
+    # r09 continuation: driver surfaces for the formerly pytest-only
+    # operators (normalize_text, ORC, int8 ANN, expect_* DQ,
+    # multimodal kernels, write_token_shards)
+    "unicode_nfc_dedup",
+    "orc_roundtrip_audit",
+    "knn_int8_indexed_recall",
+    "dq_expectations_report",
+    "multimodal_feature_pipeline",
+    "token_shard_write_audit",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

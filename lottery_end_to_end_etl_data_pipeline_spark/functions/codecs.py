@@ -100,6 +100,34 @@ def decode_ppm_features(payload: bytes) -> tuple[int, int, float, str]:
     return width, height, mean_luma, f"{bits:016x}"
 
 
+def resize_ppm_nn(data: bytes, max_side: int) -> tuple[int, int, bytes]:
+    """`resize_images` decode callable: REAL nearest-neighbor PPM
+    downsampling (parse → pixel resample → re-encode), the contract a
+    PIL.Image.thumbnail wrapper would have. Images already within
+    `max_side` pass through byte-identical.
+
+    Output geometry is pure INTEGER arithmetic —
+    ``nw = max(1, w * max_side // max(w, h))`` — so a SQL oracle can
+    predict the resized dimensions exactly (no float scale whose
+    last-ulp could differ between engines). Source pixel for output
+    (x, y) is ``(x * w // nw, y * h // nh)`` — the standard
+    floor-mapped nearest-neighbor grid."""
+    width, height, rgb = decode_ppm(data)
+    m = max(width, height)
+    if m <= max_side:
+        return width, height, data
+    nw = max(1, width * max_side // m)
+    nh = max(1, height * max_side // m)
+    out = bytearray()
+    for y in range(nh):
+        sy = y * height // nh
+        for x in range(nw):
+            sx = x * width // nw
+            p = 3 * (sy * width + sx)
+            out += rgb[p : p + 3]
+    return nw, nh, encode_ppm(nw, nh, bytes(out))
+
+
 # --------------------------------------------------------------------------
 # WAV (RIFF PCM 16-bit)
 # --------------------------------------------------------------------------

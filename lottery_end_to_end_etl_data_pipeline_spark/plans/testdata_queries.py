@@ -4667,16 +4667,28 @@ _DRIVER_WINDOW_PRIORITY = [
     #     first driver-checkable surface);
     # (b) the 9 entries whose last green record is r02 (the r08
     #     comment's standing fill queue);
-    # (c) fill to 50 with the oldest remaining records: last green
-    #     r03, in registry order (36 of 50; the other 14 lead r10,
-    #     starting with bm25_topk).
+    # (c) the 6 round-9-continuation entries (driver surfaces for the
+    #     remaining pytest-only operators — normalize_text, ORC,
+    #     int8 ANN, expect_* DQ, multimodal kernels,
+    #     write_token_shards), never-green so they lead the fill per
+    #     the standing never_green-first policy;
+    # (d) fill to 50 with the oldest remaining records: last green
+    #     r03, in registry order (30 of 50; the displaced 6 —
+    #     window_function_surface .. sessionize_batch_30m — plus the
+    #     other 14 lead r10, starting with window_function_surface).
     # Selection is reproducible from the CORRECTNESS_r0*.json files:
-    #   never_green + (last_green == r02) + (last_green == r03)[:36]
+    #   never_green + (last_green == r02) + (last_green == r03)[:30]
     "kfold_cv_ridge",
     "price_volume_mix_decomposition",
     "exact_int_divergence_probe",
     "knn_pq_cluster_recall",
     "ntile_price_deciles_sharded",
+    "unicode_nfc_dedup",
+    "orc_roundtrip_audit",
+    "knn_int8_indexed_recall",
+    "dq_expectations_report",
+    "multimodal_feature_pipeline",
+    "token_shard_write_audit",
     "dedup_ngram_jaccard_capped",
     "dedup_embedding_cosine",
     "knn_brute_cosine",
@@ -4716,12 +4728,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "pii_redaction_counts",
     "lag_lead_inter_event",
     "ntile_price_deciles",
-    "window_function_surface",
-    "set_ops_surface",
-    "array_functions_surface",
-    "time_weighted_avg_by_type",
-    "gapfill_locf_daily",
-    "sessionize_batch_30m",
 ]
 
 
@@ -17993,6 +17999,423 @@ def ntile_price_deciles_sharded(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("hi"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: driver-checkable surfaces for the remaining
+# pytest-only operators (the knn_pq gap class closed by VERDICT r8 #6,
+# applied to every other query-shaped operator found by an
+# unreferenced-function sweep): normalize_text, ORC source/sink,
+# int8-quantized ANN, the expect_* DQ forms, the multimodal
+# feature/resize/frame kernels, and write_token_shards.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unicode_nfc_dedup",
+    oracle=r"""
+    WITH marked AS (
+      SELECT text FROM documents WHERE contains(text, 'a')
+    ),
+    variants AS (
+      SELECT replace(text, 'a', 'a' || chr(769)) AS v FROM marked
+      UNION ALL
+      SELECT replace(text, 'a', chr(225)) AS v FROM marked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_raw,
+           CAST(COUNT(DISTINCT trim(regexp_replace(nfc_normalize(v), '\s+', ' ', 'g')))
+                AS BIGINT) AS n_distinct_nfc
+    FROM variants
+    """,
+)
+def unicode_nfc_dedup(spark, sf_dir):
+    """Unicode canonicalization as a dedup key
+    (operators/text.py::normalize_text — previously pytest-only, the
+    same no-driver-record gap class VERDICT r8 #6 closed for knn_pq):
+    every 'a' in each document is rewritten BOTH as precomposed U+00E1
+    and as decomposed 'a' + U+0301 (two variants per doc) — visually
+    identical strings with different code points, the exact corruption
+    web-crawled corpora carry. Raw distinct counts see two keys per
+    text; after NFC (Arrow-batched `unicodedata.normalize` kernel —
+    Unicode normalization has no JVM built-in, the documented
+    Pandas-kernel case) the variants collapse and the distinct count
+    halves. The DuckDB oracle mirrors with its native nfc_normalize,
+    so the two independent NFC implementations must agree exactly.
+    All hashed columns are BIGINT counts."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.text import normalize_text
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").contains("a"))
+        .select("text")
+    )
+    # decomposed: base 'a' + U+0301 combining acute; composed: U+00E1
+    # (explicit escapes so no editor NFC pass can collapse them).
+    dec = docs.select(
+        F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301")).alias("v")
+    )
+    com = docs.select(
+        F.replace(F.col("text"), F.lit("a"), F.lit("\u00e1")).alias("v")
+    )
+    variants = dec.unionAll(com)
+    normed = normalize_text(variants, text_col="v", out_col="v_nfc")
+    return normed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.countDistinct("v").cast("long").alias("n_distinct_raw"),
+        F.countDistinct("v_nfc").cast("long").alias("n_distinct_nfc"),
+    )
+
+
+@query(
+    "orc_roundtrip_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
+    FROM events WHERE event_id % 4 IN (1, 3)
+    """,
+)
+def orc_roundtrip_audit(spark, sf_dir):
+    """ORC sink + source, driver-checked end to end
+    (sources/writers.py::write_orc / readers.py::read_orc —
+    previously pytest-only): the events table is written
+    Hive-partitioned by a derived key to ORC, read back, partition-
+    pruned to half the partitions, and aggregated. The oracle predicts
+    every aggregate from the parquet source, so a row lost in the
+    roundtrip, a timestamp shifted by the ORC encoding (micros are
+    compared exactly), or a broken partition filter all break the
+    hash. Scale shape: the partition filter prunes directories before
+    any ORC stripe is opened — same pruning class as
+    `tablefmt_partition_pruning`, here on the builtin format."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.readers import read_orc
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.writers import write_orc
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "part", (F.col("event_id") % 4).cast("int")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_orc_{tag}"
+    write_orc(ev, path, partition_cols=["part"])
+    back = read_orc(spark, path).filter(F.col("part").isin(1, 3))
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )
+
+
+@query(
+    "knn_int8_indexed_recall",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_corpus, CAST(10 AS BIGINT) AS k,
+           TRUE AS cluster_resolution_ok, TRUE AS inline_index_parity
+    FROM embeddings
+    """,
+)
+def knn_int8_indexed_recall(spark, sf_dir):
+    """Int8-quantized ANN, inline AND persisted-index probe
+    (operators/similarity.py::knn_quantized / write_quantized_index /
+    knn_quantized_indexed — previously pytest-only): the same
+    deterministic clustered corpus as `knn_pq_cluster_recall`
+    (centers = the 8 vec_id<8 embeddings, each row = its cluster
+    center + 0.05 x its own embedding — one broadcast join, no RNG).
+    `write_quantized_index` persists the 4x-smaller int8 codes +
+    1-row codebook; the probe shortlists on code distance reading
+    ONLY the codes table and exactly re-ranks the shortlist against
+    the float corpus. Hashed booleans: every top-10 for a cluster-0
+    query lies in cluster 0 (margins macroscopic — inter-center
+    ~sqrt(2) vs 0.05 spread vs ~(range/255) quantization error), and
+    the persisted-index probe returns the IDENTICAL id list as the
+    inline `knn_quantized` path (both re-rank on exact cosine with
+    the same deterministic tiebreak)."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        knn_quantized,
+        knn_quantized_indexed,
+        write_quantized_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    centers = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") % 8).alias("cluster"),
+        F.col("embedding").alias("center"),
+    )
+    corpus = (
+        emb.withColumn("cluster", F.col("vec_id") % 8)
+        .join(F.broadcast(centers), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            F.zip_with(
+                "center",
+                "embedding",
+                lambda c, e: (c.cast("double") + F.lit(0.05) * e.cast("double")).cast(
+                    "float"
+                ),
+            ).alias("embedding"),
+        )
+        # quantize stats + index write + 2 probes are ~6 jobs over
+        # this frame; materialize the construction join once
+        .localCheckpoint(eager=True)
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_int8_{tag}"
+    write_quantized_index(corpus, path)
+    qrow = corpus.filter(F.col("vec_id") == 8).first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    idx_ids = [
+        r["vec_id"]
+        for r in knn_quantized_indexed(spark, path, corpus, qvec, k=10).collect()
+    ]
+    inline_ids = [
+        r["vec_id"] for r in knn_quantized(corpus, qvec, k=10).collect()
+    ]
+    clusters = {
+        r["vec_id"]: r["cluster"]
+        for r in corpus.select("vec_id", "cluster")
+        .filter(F.col("vec_id").isin(idx_ids))
+        .collect()
+    }
+    ok = all(clusters[i] == qrow["cluster"] for i in idx_ids)
+    return spark.range(1).select(
+        F.lit(n_corpus).cast("long").alias("n_corpus"),
+        F.lit(10).cast("long").alias("k"),
+        F.lit(ok).alias("cluster_resolution_ok"),
+        F.lit(idx_ids == inline_ids).alias("inline_index_parity"),
+    )
+
+
+@query(
+    "dq_expectations_report",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'o_orderkey_unique' AS "check",
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             (COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)) = 0 AS ok
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey_not_null',
+             CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT),
+             COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice_non_negative',
+             CAST(COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT),
+             COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) = 0
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus_in_set',
+             CAST(COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                             AND o_orderstatus NOT IN ('F', 'O') THEN 1 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT),
+             COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('F', 'O') THEN 1 END) = 0
+      FROM orders
+    ) ORDER BY "check"
+    """,
+)
+def dq_expectations_report(spark, sf_dir):
+    """The standalone expectation forms of the DQ gate
+    (operators/quality.py::expect_unique / expect_not_null /
+    expect_non_negative / expect_in_set composed by run_checks —
+    previously pytest-only; `fused_report` has its own driver record
+    via `data_contract_report`): four expectations over orders, one
+    deliberately violating (the allowed status set omits 'P', so the
+    violation COUNTING is value-checked, not just the zero path).
+    Each standalone check is one aggregate scan — the documented
+    trade against `fused_report`'s single fused scan; report shape
+    (check, n_violations, n_rows, ok) is the quality-module
+    contract."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.quality import (
+        expect_in_set,
+        expect_non_negative,
+        expect_not_null,
+        expect_unique,
+        run_checks,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    report = run_checks(
+        [
+            expect_unique(o, "o_orderkey"),
+            expect_not_null(o, "o_custkey"),
+            expect_non_negative(o, "o_totalprice"),
+            expect_in_set(o, "o_orderstatus", ["F", "O"]),
+        ]
+    )
+    return report.orderBy("check")
+
+
+@query(
+    "multimodal_feature_pipeline",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(11 + 9 * (4 + doc_id % 5)) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT (doc_id % 5) * 256 + (doc_id % 256)) AS BIGINT)
+               AS n_distinct_payloads,
+           CAST(SUM(CASE WHEN doc_id % 5 IN (0, 1) THEN 1 ELSE 2 END) AS BIGINT)
+               AS n_frames,
+           CAST(SUM(CASE WHEN doc_id % 5 IN (0, 1) THEN 32 ELSE 64 END) AS BIGINT)
+               AS total_frame_bytes,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 5 END) AS BIGINT)
+               AS total_resized_w,
+           CAST(SUM(CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 3
+                    WHEN 2 THEN 2 WHEN 3 THEN 2 ELSE 1 END) AS BIGINT)
+               AS total_resized_h
+    FROM documents
+    """,
+)
+def multimodal_feature_pipeline(spark, sf_dir):
+    """The rest of the multimodal surface, driver-checked
+    (operators/multimodal.py::attach_media_meta / binary_stats /
+    frame_sample / resize_images / image_features_arrow — previously
+    pytest-only; `multimodal_decode_roundtrip` covers the
+    image_features/audio_features decode path): per document a
+    genuine PPM is encoded from SQL-predictable parameters (width =
+    4 + doc_id%5, height 3, gray = doc_id%256 — single-digit widths
+    keep the P6 header at exactly 11 bytes, so n_bytes = 11 + 9w).
+    Stages: attach_media_meta (typed meta struct) -> binary_stats
+    (pre-decode triage: sizes + content md5) -> frame_sample
+    (1-to-N stride fan-out; frames per doc = min(4, max(1,
+    n_bytes//32))) -> resize_images with the REAL nearest-neighbor
+    PPM kernel (functions/codecs.py::resize_ppm_nn; integer-exact
+    output geometry) -> image_features_arrow (mapInArrow transport)
+    re-DECODING the resized payloads, so the resized bytes are
+    verified by a second real parse, not trusted. Every oracle
+    column is an exact BIGINT predicted from the construction
+    parameters alone."""
+    import pandas as pd  # noqa: PLC0415
+
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.codecs import (
+        decode_ppm_features,
+        encode_ppm,
+        resize_ppm_nn,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.multimodal import (
+        attach_media_meta,
+        binary_stats,
+        frame_sample,
+        image_features_arrow,
+        resize_images,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            img = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, v = 4 + did % 5, did % 256
+                img.append(encode_ppm(w, 3, bytes([v, v, v]) * (w * 3)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": img})
+
+    media = attach_media_meta(
+        docs.mapInPandas(encode, "media_id long, content binary")
+    ).localCheckpoint(eager=True)  # encode once; 4 downstream consumers
+    b_agg = binary_stats(media).agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.countDistinct("content_md5").cast("long").alias("n_distinct_payloads"),
+    )
+    f_agg = frame_sample(media, every_n_bytes=32, max_frames=4).agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.octet_length("frame_bytes")).cast("long").alias("total_frame_bytes"),
+    )
+    resized = resize_images(media, max_side=5, decode=resize_ppm_nn)
+    r_agg = image_features_arrow(
+        resized.select("media_id", "content"), decode=decode_ppm_features
+    ).agg(
+        F.sum("width").cast("long").alias("total_resized_w"),
+        F.sum("height").cast("long").alias("total_resized_h"),
+    )
+    return b_agg.crossJoin(f_agg).crossJoin(r_agg)
+
+
+@query(
+    "token_shard_write_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8
+                  AS BIGINT) AS shard,
+             1 + (n_chars % 97) AS tok
+      FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           TRUE AS bins_ok,
+           TRUE AS bins_bounded
+    FROM d GROUP BY shard ORDER BY shard
+    """,
+)
+def token_shard_write_audit(spark, sf_dir):
+    """The training-serving shard layout, driver-checked end to end
+    (operators/packing.py::write_token_shards — previously
+    pytest-only): md5 shard assignment -> greedy document-aligned
+    packing (the applyInPandas state fold) -> Hive-partitioned write
+    by shard -> manifest write -> manifest READ-BACK. The hashed
+    surface is what a SQL oracle can predict about a greedy fold:
+    per-shard doc/token CONSERVATION (the md5 shard split is
+    engine-portable, so the oracle recomputes it from the source),
+    plus two validity booleans — every bin fits the budget (or is a
+    lone oversized doc) and the bin count lies in
+    [ceil(tokens/budget), n_docs], which any correct greedy packing
+    satisfies and any dropped/duplicated/misassigned row breaks.
+    Token counts are synthesized exactly (1 + n_chars % 97) so every
+    hashed column is BIGINT/boolean."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.packing import (
+        write_token_shards,
+    )
+
+    budget = 256
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (1 + F.col("n_chars") % 97).cast("long").alias("tok")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_tokshards_{tag}"
+    manifest = write_token_shards(docs, path, "doc_id", "tok", budget, n_shards=8)
+    return (
+        manifest.groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.countDistinct("bin_id").cast("long").alias("n_bins"),
+            F.every(
+                (F.col("n_tokens") <= budget) | (F.col("n_docs") == 1)
+            ).alias("bins_ok"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            "bins_ok",
+            (
+                (F.col("n_bins") >= F.expr(f"(n_tokens + {budget - 1}) div {budget}"))
+                & (F.col("n_bins") <= F.col("n_docs"))
+            ).alias("bins_bounded"),
+        )
+        .orderBy("shard")
     )
 
 

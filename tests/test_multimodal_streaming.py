@@ -334,6 +334,37 @@ def test_ppm_roundtrip_and_malformed():
         decode_ppm(data[:-1])  # truncated pixels
 
 
+def test_resize_ppm_nn_exact_geometry_and_pixels():
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.codecs import (
+        decode_ppm,
+        encode_ppm,
+        resize_ppm_nn,
+    )
+
+    # 4x2 image with per-pixel distinct colors: pixel (x, y) = 10*y + x
+    rgb = bytes(
+        b for y in range(2) for x in range(4) for b in (10 * y + x,) * 3
+    )
+    data = encode_ppm(4, 2, rgb)
+    # max_side=2: nw = 4*2//4 = 2, nh = max(1, 2*2//4) = 1
+    nw, nh, out = resize_ppm_nn(data, 2)
+    assert (nw, nh) == (2, 1)
+    w2, h2, rgb2 = decode_ppm(out)
+    assert (w2, h2) == (2, 1)
+    # nearest-neighbor source pixels: x=0 -> sx=0, x=1 -> sx=1*4//2=2;
+    # y=0 -> sy=0 — i.e. colors 0 and 2 from the top row
+    assert rgb2 == bytes((0, 0, 0, 2, 2, 2))
+    # within max_side: byte-identical passthrough
+    assert resize_ppm_nn(data, 4) == (4, 2, data)
+    # integer-exact dims for the catalog-entry constructions
+    # (w = 4..8, h = 3, max_side = 5)
+    for w, want in [(4, (4, 3)), (5, (5, 3)), (6, (5, 2)), (7, (5, 2)), (8, (5, 1))]:
+        px = bytes([7, 7, 7]) * (w * 3)
+        got = resize_ppm_nn(encode_ppm(w, 3, px), 5)
+        assert got[:2] == want, (w, got[:2])
+        decode_ppm(got[2])  # resized payload must re-parse
+
+
 def test_wav_roundtrip_chunk_walk_and_exact_rms():
     from lottery_end_to_end_etl_data_pipeline_spark.functions.codecs import (
         decode_wav,
