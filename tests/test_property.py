@@ -276,6 +276,54 @@ def test_codec_roundtrip_properties():
     check_wav()
 
 
+def test_resize_ppm_nn_properties():
+    """For ANY image and max_side: output geometry matches the integer
+    formula, resized payload re-parses as valid PPM, every output pixel
+    exists in the source (nearest-neighbor never invents colors), and
+    images already within bounds pass through byte-identical
+    (pure-Python property, no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lottery_end_to_end_etl_data_pipeline_spark.functions.codecs import (
+        decode_ppm,
+        encode_ppm,
+        resize_ppm_nn,
+    )
+
+    @settings(max_examples=40, deadline=None, derandomize=True)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        max_side=st.integers(1, 12),
+        data=st.data(),
+    )
+    def check(w, h, max_side, data):
+        rgb = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        payload = encode_ppm(w, h, rgb)
+        nw, nh, out = resize_ppm_nn(payload, max_side)
+        m = max(w, h)
+        if m <= max_side:
+            assert (nw, nh, out) == (w, h, payload)
+            return
+        assert nw == max(1, w * max_side // m)
+        assert nh == max(1, h * max_side // m)
+        assert max(nw, nh) <= max_side
+        w2, h2, rgb2 = decode_ppm(out)
+        assert (w2, h2) == (nw, nh)
+        src_pixels = {rgb[3 * p : 3 * p + 3] for p in range(w * h)}
+        for p in range(nw * nh):
+            assert rgb2[3 * p : 3 * p + 3] in src_pixels
+
+    check()
+
+
 def test_cms_invariant_property(spark):
     """For ANY stream, every CMS estimate >= the true count and the
     sketch never exceeds depth x width cells."""

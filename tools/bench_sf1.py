@@ -73,6 +73,14 @@ SF1_QUERIES = [
     # and the Arrow multimodal decode path
     "sequence_gap_audit",
     "multimodal_decode_roundtrip",
+    # r09 continuation additions: the data-bound new surfaces — the
+    # ORC roundtrip (full events write+pruned read), the NFC Arrow
+    # kernel over 2x documents, the shard-packed layout write, and
+    # the PPM encode/resize/re-decode kernel chain
+    "orc_roundtrip_audit",
+    "unicode_nfc_dedup",
+    "token_shard_write_audit",
+    "multimodal_feature_pipeline",
 ]
 
 
