@@ -18024,7 +18024,9 @@ def ntile_price_deciles_sharded(spark, sf_dir):
     "unicode_nfc_dedup",
     oracle=r"""
     WITH marked AS (
-      SELECT text FROM documents WHERE contains(text, 'a')
+      SELECT regexp_replace(text, '[^ -~]', '', 'g') AS text
+      FROM documents
+      WHERE contains(regexp_replace(text, '[^ -~]', '', 'g'), 'a')
     ),
     variants AS (
       SELECT replace(text, 'a', 'a' || chr(769)) AS v FROM marked
@@ -18051,13 +18053,21 @@ def unicode_nfc_dedup(spark, sf_dir):
     Pandas-kernel case) the variants collapse and the distinct count
     halves. The DuckDB oracle mirrors with its native nfc_normalize,
     so the two independent NFC implementations must agree exactly.
-    All hashed columns are BIGINT counts."""
+    All hashed columns are BIGINT counts.
+
+    The input is pre-sanitized to printable ASCII on BOTH sides so the
+    oracle's fidelity never hinges on fixture luck: normalize_text
+    also strips control/zero-width chars and collapses UNICODE
+    whitespace (Python \s), which DuckDB's ASCII-\s regexp cannot
+    mirror — after the sanitize those passes are vacuous BY
+    CONSTRUCTION for every input, and the entry isolates exactly what
+    it claims to check: the two NFC implementations."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.text import normalize_text
 
     docs = (
         t(spark, sf_dir, "documents")
+        .select(F.regexp_replace(F.col("text"), "[^ -~]", "").alias("text"))
         .filter(F.col("text").contains("a"))
-        .select("text")
     )
     # decomposed: base 'a' + U+0301 combining acute; composed: U+00E1
     # (explicit escapes so no editor NFC pass can collapse them).
