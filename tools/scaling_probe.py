@@ -91,6 +91,11 @@ PROBES = [
     # PROBED slice, not the table
     ("tablefmt_partition_pruning", "day-partitioned build + 3-day pruned read"),
     ("tablefmt_readstream_audit", "2 checkpointed readStream drains"),
+    # r09 continuation: the data-bound new surfaces
+    ("unicode_nfc_dedup", "ASCII sanitize + NFC Arrow kernel over 2x docs"),
+    ("orc_roundtrip_audit", "partitioned ORC write + pruned read"),
+    ("token_shard_write_audit", "shard pack + partitioned write + manifest"),
+    ("multimodal_feature_pipeline", "PPM encode/resize/re-decode kernel chain"),
 ]
 
 
