@@ -17945,28 +17945,42 @@ def ntile_price_deciles_sharded(spark, sf_dir):
     parity surface; THIS entry is its production twin, same oracle).
 
     TeraSort-style distributed ranking: (1) ONE range exchange on the
-    total order (price, orderkey) + a within-partition sort — every
-    task sorts rows/n_part items, no single-reducer stage; (2) global
-    rank = per-partition row_number + the partition's offset, where
-    offsets are the running sum of the <= n_part per-partition counts
-    (a bounded driver fetch of n_part longs, the documented scalar-
-    fetch class) broadcast back; (3) ntile's bucket arithmetic
-    (first n%10 buckets get one extra row) is exact integer algebra
-    on the rank. The sorted frame is localCheckpoint'ed so the counts
-    job and the rank job see the SAME range boundaries (the
-    RangePartitioner re-samples per execution otherwise). Ranks are
-    independent of where the boundaries land — (price, orderkey) is a
-    strict total order — so the output is partition-count-invariant
-    by construction. At 100 TB this is exactly how distributed
-    ranking/percentile materialization runs: one range shuffle,
-    parallel sorts, metadata-sized coordination."""
+    total order (price, orderkey) + a within-partition sort — the
+    ONLY full-data movement in the plan; (2) `monotonically_
+    increasing_id` over the sorted frame encodes (partition id <<
+    33) | row-position-within-partition, so the within-partition
+    rank is a bit-op PROJECTION — no window, no second exchange
+    (the r9 review caught the previous row_number()-over-pid form
+    re-exchanging the whole table by hash(pid): Window.partitionBy
+    cannot consume RangePartitioning, and PLAN_AUDIT recorded
+    shuffles=2 against a one-exchange docstring — this form makes
+    the claim true, and deletes the pid-hash skew and the dead
+    re-sort with it); (3) global rank = position + the partition's
+    offset (running sum of the <= n_part per-partition counts — a
+    bounded driver fetch broadcast back), and ntile's bucket
+    arithmetic (first n%10 buckets get one extra row) is exact
+    integer algebra on the rank. The counts groupBy and the final
+    decile groupBy shuffle only partial-aggregated, metadata-sized
+    rows. The sorted frame is localCheckpoint'ed so the counts and
+    rank jobs see the SAME sampled range boundaries and the SAME
+    frozen (pid, pos) assignment; ranks are boundary-independent —
+    (price, orderkey) is a strict total order — so the output is
+    partition-count-invariant by construction. Stated honestly:
+    localCheckpoint is non-reliable storage sized to this audit —
+    at 100 TB the materialization step is a persisted sorted table
+    (or precomputed boundaries reused across jobs), same plan
+    shape; the id encoding caps rows/task at 2^33, far above any
+    sane task size."""
     b = 10
     o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sh = (
         o.repartitionByRange(n_part, F.col("o_totalprice"), F.col("o_orderkey"))
         .sortWithinPartitions("o_totalprice", "o_orderkey")
-        .withColumn("pid", F.spark_partition_id())
+        .withColumn("mid", F.monotonically_increasing_id())
+        .withColumn("pid", F.shiftright("mid", 33).cast("int"))
+        .withColumn("pos", F.col("mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .drop("mid")
         .localCheckpoint(eager=True)
     )
     # bounded driver fetch: <= n_part (pid, count) rows
@@ -17980,11 +17994,8 @@ def ntile_price_deciles_sharded(spark, sf_dir):
         offs.append((p, acc))
         acc += cnts[p]
     odf = spark.createDataFrame(offs, "pid int, off long")
-    wr = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    ranked = (
-        sh.withColumn("rn", F.row_number().over(wr))
-        .join(F.broadcast(odf), "pid")
-        .withColumn("rank", F.col("rn").cast("long") + F.col("off"))
+    ranked = sh.join(F.broadcast(odf), "pid").withColumn(
+        "rank", F.col("pos") + F.col("off") + 1
     )
     size, rem = divmod(n, b)
     if size == 0:  # degenerate n < b: first n buckets get one row each
