@@ -349,8 +349,18 @@ def welch_t_stats(
                 group_col,
                 F.col("nn").alias("n"),
                 (s1d / nd).alias("m"),
-                F.greatest(
-                    (s2d - s1d * s1d / nd) / (nd - F.lit(1.0)), F.lit(0.0)
+                # n = 1 must yield NULL exactly like var_samp — and the
+                # CASE also guards the (n-1) divisor, which under ANSI
+                # (this repo's default) THROWS on zero rather than
+                # returning NULL. The clamp stays inside the guard so
+                # it can never turn a NULL variance into 0.0
+                # (greatest() skips NULLs — r09 continuation review).
+                F.when(
+                    F.col("nn") > 1,
+                    F.greatest(
+                        (s2d - s1d * s1d / nd) / (nd - F.lit(1.0)),
+                        F.lit(0.0),
+                    ),
                 ).alias("v"),
             )
         )
@@ -365,16 +375,23 @@ def welch_t_stats(
     )
     g = stats.filter(F.col(group_col) != baseline).crossJoin(F.broadcast(base))
     se2 = F.col("v") / F.col("n") + F.col("_bv") / F.col("_bn")
-    dof = (se2 * se2) / (
-        (F.col("v") / F.col("n")) ** 2 / (F.col("n") - 1)
-        + (F.col("_bv") / F.col("_bn")) ** 2 / (F.col("_bn") - 1)
-    )
+    dof_den = (F.col("v") / F.col("n")) ** 2 / (F.col("n") - 1) + (
+        F.col("_bv") / F.col("_bn")
+    ) ** 2 / (F.col("_bn") - 1)
+    # se2 = 0 (two exactly-constant groups) and dof_den = 0 are zero
+    # DIVISORS: under ANSI they throw, under ANSI-off they'd make
+    # NaN/Infinity — either way not a t statistic. CASE-guard to NULL,
+    # which is also what a NULL variance (n = 1 group) propagates to.
     return g.select(
         group_col,
         "n",
         F.round(F.col("m") - F.col("_bm"), 4).alias("mean_diff"),
-        F.round((F.col("m") - F.col("_bm")) / F.sqrt(se2), 4).alias("t_stat"),
-        F.round(dof, 2).alias("welch_dof"),
+        F.round(
+            F.when(se2 > 0, (F.col("m") - F.col("_bm")) / F.sqrt(se2)), 4
+        ).alias("t_stat"),
+        F.round(F.when(dof_den > 0, (se2 * se2) / dof_den), 2).alias(
+            "welch_dof"
+        ),
     )
 
 

@@ -911,6 +911,7 @@ def pq_fit(
     n_iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seed_ids: list | None = None,
 ) -> list[list[list[float]]]:
     """Train Product-Quantization codebooks: split each vector into
     `m` contiguous subspaces and run an independent L2 k-means of `k`
@@ -927,17 +928,37 @@ def pq_fit(
     (kilobytes) regardless of corpus size; only the codebooks
     (m·k·sub_dim floats) reach the driver. Init is deterministic:
     the k smallest-md5(id) rows seed every subspace (same portable
-    seeding as `kmeans_fit`). Empty cells keep their centroid."""
+    seeding as `kmeans_fit`) — OR pass `seed_ids` (exactly k ids,
+    in seed order) to pin initialization explicitly: md5 seeding is
+    corpus-dependent and can land multiple seeds in one natural
+    cluster while leaving another unseeded (observed 7-of-8 coverage
+    on the synthetic audit corpus — r09 continuation review); a
+    caller that KNOWS a stratification can guarantee one seed per
+    stratum. Empty cells keep their centroid."""
     dim = len(df.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
-    seed_rows = (
-        df.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(k)
-        .collect()
-    )
+    if seed_ids is not None:
+        if len(seed_ids) != k:
+            raise ValueError(f"seed_ids has {len(seed_ids)} ids, need k={k}")
+        by_id = {
+            r[id_col]: r
+            for r in df.filter(F.col(id_col).isin(list(seed_ids)))
+            .select(id_col, vec_col)
+            .collect()
+        }
+        missing = [i for i in seed_ids if i not in by_id]
+        if missing:
+            raise ValueError(f"seed ids not in corpus: {missing}")
+        seed_rows = [by_id[i] for i in seed_ids]
+    else:
+        seed_rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(k)
+            .collect()
+        )
     books = [
         [
             [float(x) for x in r[vec_col][s * sub_dim : (s + 1) * sub_dim]]

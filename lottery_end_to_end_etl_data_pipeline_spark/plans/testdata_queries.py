@@ -3377,7 +3377,7 @@ def array_functions_surface(spark, sf_dir):
     )
     SELECT event_type, COUNT(*) AS n_obs,
            round(coalesce(
-             (CAST(sum(vc * wt) AS DOUBLE) / 100.0)
+             (CAST(sum(CAST(vc AS HUGEINT) * wt) AS DOUBLE) / 100.0)
                / CAST(nullif(sum(wt), 0) AS DOUBLE),
              (CAST(sum(vc) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE)), 4)
              AS tw_avg,
@@ -3396,7 +3396,10 @@ def time_weighted_avg_by_type(spark, sf_dir):
     by DuckDB date_diff. DETERMINISM (r08 hardening): cents x
     microsecond products aggregate as exact DECIMAL sums
     (exact_decimals=2), so the rounded averages cannot flip with
-    partitioning."""
+    partitioning. The oracle's product is HUGEINT-widened to match
+    (r09 continuation review: DuckDB BIGINT*BIGINT aborts on
+    overflow at exactly the magnitudes the DECIMAL widening on the
+    Spark side was added for)."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.temporal import (
         time_weighted_avg,
     )
@@ -9139,26 +9142,33 @@ def pca_variance_audit(spark, sf_dir):
     WITH stats0 AS (
       SELECT event_type, COUNT(*) AS n,
              sum(CAST(round(value * 100) AS BIGINT)) AS s1i,
-             sum(CAST(round(value * 100) AS BIGINT)
+             sum(CAST(round(value * 100) AS HUGEINT)
                  * CAST(round(value * 100) AS BIGINT)) AS s2i
       FROM events GROUP BY event_type
     ),
     stats AS (
       SELECT event_type, n,
              (CAST(s1i AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS m,
-             (CAST(s2i AS DOUBLE) / 10000.0
-              - (CAST(s1i AS DOUBLE) / 100.0) * (CAST(s1i AS DOUBLE) / 100.0)
-                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v
+             CASE WHEN n > 1 THEN GREATEST(
+               (CAST(s2i AS DOUBLE) / 10000.0
+                - (CAST(s1i AS DOUBLE) / 100.0) * (CAST(s1i AS DOUBLE) / 100.0)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 0.0) END AS v
       FROM stats0
     ),
-    base AS (SELECT n AS bn, m AS bm, v AS bv FROM stats WHERE event_type = 'view')
-    SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
-           ROUND(s.m - b.bm, 4) AS mean_diff,
-           ROUND((s.m - b.bm) / SQRT(s.v / s.n + b.bv / b.bn), 4) AS t_stat,
-           ROUND(POWER(s.v / s.n + b.bv / b.bn, 2) /
-                 (POWER(s.v / s.n, 2) / (s.n - 1) +
-                  POWER(b.bv / b.bn, 2) / (b.bn - 1)), 2) AS welch_dof
-    FROM stats s CROSS JOIN base b WHERE s.event_type <> 'view'
+    base AS (SELECT n AS bn, m AS bm, v AS bv FROM stats WHERE event_type = 'view'),
+    j AS (
+      SELECT s.event_type, s.n, s.m, s.v, b.bn, b.bm, b.bv,
+             s.v / s.n + b.bv / b.bn AS se2,
+             POWER(s.v / s.n, 2) / (s.n - 1)
+               + POWER(b.bv / b.bn, 2) / (b.bn - 1) AS dof_den
+      FROM stats s CROSS JOIN base b WHERE s.event_type <> 'view'
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(m - bm, 4) AS mean_diff,
+           ROUND(CASE WHEN se2 > 0 THEN (m - bm) / SQRT(se2) END, 4) AS t_stat,
+           ROUND(CASE WHEN dof_den > 0 THEN POWER(se2, 2) / dof_den END, 2)
+               AS welch_dof
+    FROM j
     """,
 )
 def welch_ab_test(spark, sf_dir):
@@ -9173,7 +9183,15 @@ def welch_ab_test(spark, sf_dir):
     (r08 hardening): values are exact cents, so the sufficient
     statistics aggregate as order-independent integer sums
     (exact_decimals=2) and the t/dof algebra sees bit-identical
-    (n, m, v) at any partitioning."""
+    (n, m, v) at any partitioning. EDGE MIRRORING (r09 continuation
+    review): the oracle replays the operator's guards exactly —
+    HUGEINT-widened cents product (DuckDB BIGINT*BIGINT aborts on
+    overflow where the Spark side multiplies in DECIMAL), the n>1
+    CASE around the clamped variance (NULL like var_samp for
+    singleton groups; the clamp can never fabricate 0.0 from NULL),
+    and se2>0 / dof_den>0 CASEs around the divisions (Spark-ANSI
+    throws on zero divisors, DuckDB yields NULL — both sides now
+    emit NULL by the same explicit rule)."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import (
         welch_t_stats,
     )
@@ -17869,11 +17887,17 @@ def knn_pq_cluster_recall(spark, sf_dir):
     centers are the 8 vectors with vec_id < 8, each row becomes
     center[vec_id % 8] + 0.05 x its own embedding (one broadcast join
     + zip_with — no RNG, no collect of the corpus). pq_fit (m=4, k=8,
-    3 Lloyd iters, md5-seeded) -> pq_encode (narrow literal-codebook
-    projection) -> knn_pq ADC scan; the hashed boolean asserts every
-    ADC top-10 for a cluster-0 member query lies in cluster 0 —
-    macroscopic margins (inter-center distance ~sqrt(2) vs 0.05
-    spread), so centroid ulp jitter cannot flip it. Scale path:
+    3 Lloyd iters) is seeded EXPLICITLY with vec_ids 0..7 — exactly
+    one seed per constructed cluster (r09 continuation review:
+    md5-order seeding landed 2 seeds in one cluster and 0 in another
+    on this corpus, leaving cluster resolution hostage to which
+    centroid absorbed the unseeded cluster; with one seed per
+    stratum the macroscopic-margin claim is structural, not
+    corpus-lucky) -> pq_encode (narrow literal-codebook projection)
+    -> knn_pq ADC scan; the hashed boolean asserts every ADC top-10
+    for a cluster-0 member query lies in cluster 0 — macroscopic
+    margins (inter-center distance ~sqrt(2) vs 0.05 spread), so
+    centroid ulp jitter cannot flip it. Scale path:
     codes are m bytes/vector (16x memory cut at d=64/m=4); pair with
     the IVF cell prune (`knn_ivf_cosine`) for probed-cell-only scans
     at 100 TB."""
@@ -17907,9 +17931,11 @@ def knn_pq_cluster_recall(spark, sf_dir):
         # ~8 separate jobs; materialize the construction join once
         .localCheckpoint(eager=True)
     )
-    books = pq_fit(corpus, m=4, k=8, n_iters=3)
+    books = pq_fit(corpus, m=4, k=8, n_iters=3, seed_ids=list(range(8)))
     enc = pq_encode(corpus, books)
     qrow = corpus.filter(F.col("vec_id") == 8).first()
+    if qrow is None:  # audit needs >= 9 embeddings rows to have a query
+        raise ValueError("embeddings table too small for the PQ audit: no vec_id == 8")
     qvec = [float(x) for x in qrow["embedding"]]
     top = knn_pq(enc, books, qvec, k=10, exclude_id=8)
     bad = (
@@ -18205,6 +18231,8 @@ def knn_int8_indexed_recall(spark, sf_dir):
     path = f"{tempfile.gettempdir()}/spark_graft_int8_{tag}"
     write_quantized_index(corpus, path)
     qrow = corpus.filter(F.col("vec_id") == 8).first()
+    if qrow is None:  # audit needs >= 9 embeddings rows to have a query
+        raise ValueError("embeddings table too small for the int8 audit: no vec_id == 8")
     qvec = [float(x) for x in qrow["embedding"]]
     idx_ids = [
         r["vec_id"]

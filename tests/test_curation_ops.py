@@ -206,6 +206,50 @@ def test_pq_adc_matches_numpy_and_high_recall_on_clustered(spark):
     assert recall >= 0.5, recall
 
 
+def test_pq_fit_explicit_seed_ids(spark):
+    """seed_ids pins initialization: codebooks start from exactly the
+    given rows in the given order (validated via n_iters=0 ... which
+    pq_fit doesn't special-case, so use the contract errors plus a
+    one-seed-per-cluster fit whose subspace-0 centroids must separate
+    all 8 clusters)."""
+    import pytest as _pytest
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+    )
+
+    rows = _clustered_vecs()
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster long, embedding array<float>"
+    )
+    # one seed per cluster: rows 0, 20, 40, ... are cluster 0..7 reps
+    per_cluster = {}
+    for vid, c, _ in rows:
+        per_cluster.setdefault(c, vid)
+    seeds = [per_cluster[c] for c in sorted(per_cluster)]
+    books = pq_fit(df, m=4, k=8, n_iters=3, seed_ids=seeds)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    # with one seed per cluster, members of a cluster share their full
+    # code word with their seed far more often than with any other
+    # cluster — check codes separate clusters on a sample
+    enc = {r.vec_id: tuple(r.pq_code) for r in pq_encode(df, books).collect()}
+    cluster_of = {r[0]: r[1] for r in rows}
+    same = diff = 0
+    for vid, code in enc.items():
+        for sid in seeds:
+            if enc[sid] == code:
+                if cluster_of[sid] == cluster_of[vid]:
+                    same += 1
+                else:
+                    diff += 1
+    assert same > diff, (same, diff)
+    with _pytest.raises(ValueError, match="need k"):
+        pq_fit(df, m=4, k=8, seed_ids=seeds[:3])
+    with _pytest.raises(ValueError, match="not in corpus"):
+        pq_fit(df, m=4, k=8, seed_ids=[10**9 + i for i in range(8)])
+
+
 def test_sorted_neighborhood_candidates_pairs_and_block_bounds(spark):
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
         sorted_neighborhood_candidates,
@@ -323,6 +367,35 @@ def test_welch_t_stats_matches_scipy_formula(spark):
     assert r.g == "b" and r.n == 40
     assert abs(r.t_stat - round(t_want, 4)) < 1e-9
     assert abs(r.welch_dof - round(dof_want, 2)) < 1e-9
+
+
+def test_welch_t_stats_degenerate_groups_yield_null_not_throw(spark):
+    """r09 continuation review: under Spark-ANSI (this repo's default)
+    an unguarded zero divisor THROWS — singleton groups ((n-1) = 0 in
+    the exact-path variance) and two exactly-constant groups
+    (se2 = 0 after the clamp) must instead yield NULL t/dof, matching
+    var_samp semantics and the mirrored DuckDB oracle."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.analytics import welch_t_stats
+
+    rows = (
+        [("base", 10.0), ("base", 12.0), ("base", 11.0)]
+        + [("single", 7.5)]                      # n = 1 -> v NULL
+        + [("const", 5.0), ("const", 5.0)]       # v = 0 exactly
+    )
+    df = spark.createDataFrame(rows, "g string, value double")
+    for kwargs in ({}, {"exact_decimals": 1}):
+        out = {r["g"]: r for r in welch_t_stats(df, "g", "value", "base", **kwargs).collect()}
+        assert out["single"]["t_stat"] is None and out["single"]["welch_dof"] is None
+        assert out["single"]["mean_diff"] is not None
+        # const group vs non-constant base: se2 > 0, finite stats
+        assert out["const"]["t_stat"] is not None
+    # both sides constant: se2 = 0 -> guarded NULL, not a throw
+    rows2 = [("base", 5.0), ("base", 5.0), ("x", 6.0), ("x", 6.0)]
+    df2 = spark.createDataFrame(rows2, "g string, value double")
+    for kwargs in ({}, {"exact_decimals": 1}):
+        r2 = welch_t_stats(df2, "g", "value", "base", **kwargs).collect()[0]
+        assert r2["t_stat"] is None and r2["welch_dof"] is None
+        assert r2["mean_diff"] == 1.0
 
 
 def test_phrase_search_counts_overlapping_and_multi(spark):

@@ -32,9 +32,12 @@ from lottery_end_to_end_etl_data_pipeline_spark.plans.invariance import (
 
 # ADVICE r8 #4: resolve the testdata dir from the env (driver default)
 # and skip rather than fail on hosts without the generated parquet.
+# Scoped to the tests that READ it (a module-level pytestmark also
+# skipped the gap-audit hierarchy test, which builds its own parquet
+# in tmp_path — r09 continuation review).
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 
-pytestmark = pytest.mark.skipif(
+needs_sf_dir = pytest.mark.skipif(
     not os.path.isdir(SF_DIR),
     reason=f"testdata dir {SF_DIR} absent on this host",
 )
@@ -73,6 +76,7 @@ def _run(spark, name, shuffle_partitions, repartition_input=None):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+@needs_sf_dir
 @pytest.mark.parametrize("name", PINNED)
 def test_output_invariant_under_partitioning(spark, name):
     base = _run(spark, name, 1)

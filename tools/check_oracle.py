@@ -126,11 +126,16 @@ def main() -> int:
         # means a rounded near-zero double survived into the output —
         # the r07/r08 failure class one engine-version bump away from
         # flipping. Report it so the catalog can be kept at zero.
-        nz = sum(1 for r in s_rows for x in r if x == "-0.0") + sum(
-            1 for r in d_rows for x in r if x == "-0.0"
-        )
-        if nz:
-            print(f"WARN  {name}: {nz} signed-zero (-0.0) cells on the hashed surface")
+        nz_s = sum(1 for r in s_rows for x in r if x == "-0.0")
+        nz_d = sum(1 for r in d_rows for x in r if x == "-0.0")
+        if nz_s or nz_d:
+            # per-side counts: equal counts = both engines agree (hash
+            # green today, still one version bump from flipping);
+            # unequal counts = the divergent r07/r08 class itself.
+            print(
+                f"WARN  {name}: signed-zero (-0.0) cells on the hashed "
+                f"surface: {nz_s} spark / {nz_d} oracle"
+            )
         if sorted(s_cols) != sorted(d_cols):
             failures.append(name)
             print(f"FAIL  {name}: columns {sorted(s_cols)} != {sorted(d_cols)}")
