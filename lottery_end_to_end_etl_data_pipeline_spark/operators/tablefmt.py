@@ -917,18 +917,23 @@ def _write_data_files(
     os.makedirs(_data_dir(root), exist_ok=True)
     names: list[str] = []
 
-    def _done(ns: list[str]) -> list[str]:
-        # EVERY write path registers its finalized-but-unpublished
-        # files in a _log/_staged.* marker BEFORE returning (r09,
-        # VERDICT r8 #9): between this return and the manifest
-        # publish, the files are in data/ but referenced by nothing —
-        # a concurrent vacuum would otherwise delete them and the
-        # later publish would commit a manifest pointing at nothing
-        # (stats are harvested at write time, so nothing re-checks).
-        # The marker is retired after publish (_retire_staging_markers)
-        # or expires via vacuum's staging TTL if the writer dies.
-        _register_staging_marker(root, ns)
-        return ns
+    def _finish(moves: list) -> list[str]:
+        # EVERY write path registers its files in a _log/_staged.*
+        # marker BEFORE _commit_staged_files moves them into data/
+        # (r09, VERDICT r8 #9; ordering fixed by the r09 continuation
+        # review — registering AFTER the move left a window where
+        # finalized files sat in data/ unreferenced and unmarked, so
+        # a concurrent vacuum could delete them and the later publish
+        # would commit a manifest pointing at nothing; stats are
+        # harvested at write time, nothing re-checks). A marker naming
+        # files not yet moved is harmless: it only widens vacuum's
+        # referenced set. The marker is retired after publish
+        # (_retire_staging_markers) or expires via vacuum's staging
+        # TTL if the writer dies.
+        _register_staging_marker(root, names)
+        _commit_staged_files(spark, root, moves, stats)
+        shutil.rmtree(staging)
+        return names
     if spec and not all(
         _parse_transform(t)["col"] in df.columns for t in spec
     ):
@@ -1011,9 +1016,7 @@ def _write_data_files(
                         for tr, rv in zip(trs, raw)
                     ],
                 }
-        _commit_staged_files(spark, root, moves, stats)
-        shutil.rmtree(staging)
-        return _done(names)
+        return _finish(moves)
     df.write.mode("overwrite").parquet(staging)
     moves = []
     for fn in sorted(os.listdir(staging)):
@@ -1021,9 +1024,7 @@ def _write_data_files(
             name = f"{uuid.uuid4().hex}.parquet"
             moves.append((os.path.join(staging, fn), name))
             names.append(name)
-    _commit_staged_files(spark, root, moves, stats)
-    shutil.rmtree(staging)
-    return _done(names)
+    return _finish(moves)
 
 
 def _register_staging_marker(root: str, names: list[str]) -> None:
@@ -1034,8 +1035,15 @@ def _register_staging_marker(root: str, names: list[str]) -> None:
         return
     os.makedirs(_log_dir(root), exist_ok=True)
     marker = os.path.join(_log_dir(root), f"_staged.{uuid.uuid4().hex}.json")
-    with open(marker, "w") as f:
+    # tmp+rename, same discipline as _write_manifest_atomic: a vacuum
+    # reading a torn half-written marker would hit the except branch
+    # and skip EXACTLY the files the marker exists to protect (r09
+    # continuation review). The .tmp never matches the marker glob;
+    # crash debris is collected by vacuum's staging-TTL tmp sweep.
+    tmp = marker + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
         json.dump({"files": names, "ts": time.time()}, f)
+    os.replace(tmp, marker)
 
 
 def _retire_staging_markers(root: str, published: set[str]) -> None:
@@ -1445,7 +1453,15 @@ def _publish_rebasable(
         )
         try:
             _publish_delta(root, man, delta)
-            _retire_staging_markers(root, set(added))
+            # delete-key sidecar files ride new_deletes with
+            # files_add=[] (MOR upsert/delete) — retire their markers
+            # too, or a streaming CDC sink leaks one stale marker per
+            # micro-batch for the full staging TTL (r09 continuation
+            # review)
+            sidecars = {
+                f for d in (new_deletes or []) for f in d.get("files", [])
+            }
+            _retire_staging_markers(root, set(added) | sidecars)
             return v + 1
         except FileExistsError:
             head_v = current_version(root)
@@ -3265,14 +3281,20 @@ def vacuum(
         except (OSError, ValueError):
             continue
         if now - marker.get("ts", now) > staging_ttl_seconds:
-            os.remove(p)  # abandoned staging: expire it
+            try:
+                os.remove(p)  # abandoned staging: expire it
+            except FileNotFoundError:
+                pass  # racing vacuum expired it first
         else:
             referenced.update(marker.get("files", []))
     deleted = 0
     for fn in os.listdir(_data_dir(root)):
         if fn not in referenced:
-            os.remove(os.path.join(_data_dir(root), fn))
-            deleted += 1
+            try:
+                os.remove(os.path.join(_data_dir(root), fn))
+                deleted += 1
+            except FileNotFoundError:
+                pass  # racing vacuum reclaimed it first
     # Before any manifest leaves the log, materialize the retention
     # horizon as a full-snapshot CHECKPOINT SIDECAR: delta manifests
     # inside the window may chain back past keep_from, and deleting
@@ -3293,8 +3315,10 @@ def vacuum(
             os.remove(tmp)
     for v in range(keep_from):
         for p in (_manifest_path(root, v), _ckpt_path(root, v)):
-            if os.path.exists(p):
+            try:
                 os.remove(p)
+            except FileNotFoundError:
+                pass  # absent, or a racing vacuum trimmed it first
     # Crash debris: a writer killed mid-manifest/sidecar write leaves a
     # *.tmp.<uuid> file behind (the atomic link never happened, so the
     # log itself is untouched — readers never see tmp names). Collect

@@ -149,23 +149,64 @@ def lint_plan(df: DataFrame) -> list[Finding]:
     return findings
 
 
-_ROUND_PASSTHROUGH = {
-    "Sort",
-    "GlobalLimit",
-    "LocalLimit",
-    "Deduplicate",
-    "Repartition",
-    "RepartitionByExpression",
-    "SubqueryAlias",
-    "WithCTE",
-}
-
-
 def _expr_walk(e):
     yield e
     ch = e.children()
     for i in range(ch.size()):
         yield from _expr_walk(ch.apply(i))
+
+
+def _expr_walk_env(e, env, _seen=None):
+    """_expr_walk that CHASES attribute references through the plan's
+    alias environment (exprId -> defining expression), so a round over
+    an alias of a lower-level sum classifies by the sum it actually
+    rounds, not by the opaque AttributeReference (r09 continuation
+    review: the top-node-only walk returned zero findings for
+    agg(sum(x).alias('s')).select(round('s', 2)))."""
+    if _seen is None:
+        _seen = set()
+    yield e
+    if e.getClass().getSimpleName() == "AttributeReference":
+        try:
+            eid = e.exprId().id()
+        except Exception:
+            return
+        if eid in env and eid not in _seen:
+            _seen.add(eid)
+            yield from _expr_walk_env(env[eid], env, _seen)
+        return
+    ch = e.children()
+    for i in range(ch.size()):
+        yield from _expr_walk_env(ch.apply(i), env, _seen)
+
+
+def _attr_env(plan) -> dict:
+    """exprId -> defining child expression, collected from every
+    Project/Aggregate alias ANYWHERE in the plan tree (including CTE
+    definitions — WithCTE's children are cteDefs :+ plan, all of
+    which get visited)."""
+    env: dict = {}
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        nm = node.getClass().getSimpleName()
+        exprs = None
+        if nm == "Project":
+            exprs = node.projectList()
+        elif nm == "Aggregate":
+            exprs = node.aggregateExpressions()
+        if exprs is not None:
+            for i in range(exprs.size()):
+                e = exprs.apply(i)
+                if e.getClass().getSimpleName() == "Alias":
+                    try:
+                        env[e.exprId().id()] = e.child()
+                    except Exception:
+                        pass
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return env
 
 
 def _is_double(e) -> bool:
@@ -205,13 +246,17 @@ def _is_literal(e) -> bool:
     return _unwrap_cast(e).getClass().getSimpleName() == "Literal"
 
 
-def _offgrid(e) -> bool:
+_EXACT_IN_DOUBLE = {"integer", "long", "short", "byte", "boolean"}
+
+
+def _offgrid(e, env=None) -> bool:
     """True if the expression leaves the source value grid: division,
     transcendentals, or products of two non-literal operands (a price
     x rate product lands on a FINER grid than either input — the
     ROUND8.md class (b)); literal-scaled add/subtract/multiply keep
     the grid (class (a))."""
-    for n in _expr_walk(e):
+    walk = _expr_walk(e) if env is None else _expr_walk_env(e, env)
+    for n in walk:
         nm = n.getClass().getSimpleName()
         if nm in _OFFGRID_FUNCS:
             return True
@@ -222,34 +267,50 @@ def _offgrid(e) -> bool:
     return False
 
 
-def _sums_doubles(e) -> str | None:
+def _sums_doubles(e, env=None) -> str | None:
     """Classify floating-point accumulation under a rounded output
-    (ROUND8.md taxonomy): "offgrid" — Sum over off-grid doubles or
-    Average over any double (divides by count: quotient lands
-    anywhere on the grid; the ewma_daily_value class) — the rounded
-    last digit genuinely depends on summation order vs a grid with no
-    margin; "money" — Sum over a grid-preserving double (a 2-decimal
-    source column, literal-scaled): the true sum sits ON the rounding
-    grid, so ~1e-8 ulp jitter sits 5+ orders from the 0.005 boundary
-    (class (a), safe by design). Sums over integers/decimals are
-    associative (exact) and averages over integers divide an exact
-    numerator once — both return None."""
+    (ROUND8.md taxonomy): "offgrid" — Sum/Average accumulating
+    doubles whose source grid gives the rounding no margin; "money" —
+    Sum over a grid-preserving double (a fixed-decimal source,
+    literal-scaled): the true sum sits ON the rounding grid, so
+    ~1e-8 ulp jitter sits 5+ orders from the boundary (class (a),
+    safe by design). Returns None for exact accumulations.
+
+    Classification is by the DIRECT accumulation type first (r09
+    continuation review: unwrapping casts misread the accumulation —
+    Sum(cast(double_expr AS decimal)) is an EXACT decimal sum, the
+    lint's own recommended remediation, and was warned; Sum(
+    cast(decimal AS double)) is a genuinely floating accumulation
+    and was cleared). Integer-typed sources cast to double stay
+    clean: integer-valued doubles add exactly (2^53 caveat noted in
+    ROUND8.md)."""
     worst = None
-    for n in _expr_walk(e):
+    walk = _expr_walk(e) if env is None else _expr_walk_env(e, env)
+    for n in walk:
         nm = n.getClass().getSimpleName()
-        if nm == "Average" and _is_double(_unwrap_cast(n.children().apply(0))):
+        if nm not in ("Average", "Sum"):
+            continue
+        child = n.children().apply(0)
+        if not _is_double(child):
+            continue  # decimal/integer accumulation: exact
+        src = _unwrap_cast(child)
+        try:
+            src_exact_int = src.dataType().typeName() in _EXACT_IN_DOUBLE
+        except Exception:
+            src_exact_int = False
+        if src_exact_int:
+            continue  # integer-valued double addends: exact sum
+        if nm == "Average":
+            return "offgrid"  # divides by count: quotient off-grid
+        if _offgrid(child, env):
             return "offgrid"
-        if nm == "Sum":
-            child = _unwrap_cast(n.children().apply(0))
-            if _is_double(child):
-                if _offgrid(child):
-                    return "offgrid"
-                worst = "money"
+        worst = "money"
     return worst
 
 
-def _has_double_subtract(e) -> bool:
-    for n in _expr_walk(e):
+def _has_double_subtract(e, env=None) -> bool:
+    walk = _expr_walk(e) if env is None else _expr_walk_env(e, env)
+    for n in walk:
         if n.getClass().getSimpleName() == "Subtract" and _is_double(n):
             return True
     return False
@@ -278,74 +339,78 @@ def lint_rounded_doubles(df: DataFrame) -> list[Finding]:
       root-caused r09). Info, not warn, because the runtime mirror
       (tools/check_oracle.py) now fails any divergent -0.0 and WARNs
       on any agreeing -0.0 at sf0.01 — the static rule is the review
-      pointer, the runtime sweep is the gate.
+      pointer, the runtime sweep is the gate. Tagged INDEPENDENTLY of
+      the sum classification (a money-sum subtraction like
+      round(sum(rev) - sum(cost), 2) is both classes — r09
+      continuation review: the elif chain hid the -0.0 pointer
+      whenever a money sum was present).
 
-    Walks the analyzed logical plan's top Project/Aggregate (through
-    sorts/limits; Union lints each branch)."""
+    Walks EVERY Project/Aggregate in the analyzed plan (r09
+    continuation review: the top-node-only walk missed rounds below
+    Filter/Join roots and inside CTE definitions entirely, and an
+    aliased lower-level sum classified as an opaque attribute), with
+    attribute references chased through the plan-wide alias
+    environment. Rounds in filter/join predicates are not output
+    columns and stay out of scope."""
     findings: list[Finding] = []
+    root = df._jdf.queryExecution().analyzed()
+    env = _attr_env(root)
 
-    def lint_node(node):
-        name = node.getClass().getSimpleName()
-        while name in _ROUND_PASSTHROUGH:
-            node = node.children().apply(0)
-            name = node.getClass().getSimpleName()
-        if name == "Union":
-            ch = node.children()
-            for i in range(ch.size()):
-                lint_node(ch.apply(i))
-            return
-        if name == "Project":
+    stack = [root]
+    seen_cols: set[tuple[str, str]] = set()
+    while stack:
+        node = stack.pop()
+        nm = node.getClass().getSimpleName()
+        exprs = None
+        if nm == "Project":
             exprs = node.projectList()
-        elif name == "Aggregate":
+        elif nm == "Aggregate":
             exprs = node.aggregateExpressions()
-        else:
-            return
-        for i in range(exprs.size()):
-            top = exprs.apply(i)
-            try:
-                col = top.name()
-            except Exception:
-                col = top.toString()
-            seen = set()
-            for e in _expr_walk(top):
-                if e.getClass().getSimpleName() not in ("Round", "BRound"):
-                    continue
-                arg = e.children().apply(0)
-                if not _is_double(arg):
-                    continue
-                acc = _sums_doubles(arg)
-                if acc == "offgrid":
-                    rule = "round-double-sum"
-                    f = Finding(
-                        rule, "warn", "Round",
-                        f"column `{col}` rounds an order-dependent "
-                        "OFF-GRID double accumulation (sum of "
-                        "quotients/products, or average of doubles) "
-                        "— aggregate exact ints first",
-                    )
-                elif acc == "money":
-                    rule = "round-money-sum"
-                    f = Finding(
-                        rule, "info", "Round",
-                        f"column `{col}` rounds a grid-preserving "
-                        "double sum (2-decimal money class (a): true "
-                        "sum on the grid, 5+ orders of margin)",
-                    )
-                elif _has_double_subtract(arg):
-                    rule = "round-negative-capable"
-                    f = Finding(
-                        rule, "info", "Round",
-                        f"column `{col}` rounds a double subtraction "
-                        "— -0.0 divergence class; covered by the "
-                        "runtime signed-zero sweep",
-                    )
-                else:
-                    continue
-                if rule not in seen:
-                    seen.add(rule)
-                    findings.append(f)
-
-    lint_node(df._jdf.queryExecution().analyzed())
+        if exprs is not None:
+            for i in range(exprs.size()):
+                top = exprs.apply(i)
+                try:
+                    col = top.name()
+                except Exception:
+                    col = top.toString()
+                for e in _expr_walk(top):
+                    if e.getClass().getSimpleName() not in ("Round", "BRound"):
+                        continue
+                    arg = e.children().apply(0)
+                    if not _is_double(arg):
+                        continue
+                    acc = _sums_doubles(arg, env)
+                    if acc == "offgrid":
+                        hits = [(
+                            "round-double-sum", "warn",
+                            f"column `{col}` rounds an order-dependent "
+                            "OFF-GRID double accumulation (sum of "
+                            "quotients/products, or average of doubles) "
+                            "— aggregate exact ints first",
+                        )]
+                    elif acc == "money":
+                        hits = [(
+                            "round-money-sum", "info",
+                            f"column `{col}` rounds a grid-preserving "
+                            "double sum (2-decimal money class (a): true "
+                            "sum on the grid, 5+ orders of margin)",
+                        )]
+                    else:
+                        hits = []
+                    if _has_double_subtract(arg, env):
+                        hits.append((
+                            "round-negative-capable", "info",
+                            f"column `{col}` rounds a double subtraction "
+                            "— -0.0 divergence class; covered by the "
+                            "runtime signed-zero sweep",
+                        ))
+                    for rule, sev, detail in hits:
+                        if (rule, col) not in seen_cols:
+                            seen_cols.add((rule, col))
+                            findings.append(Finding(rule, sev, "Round", detail))
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
     return findings
 
 

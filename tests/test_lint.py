@@ -223,3 +223,65 @@ def test_round_risk_lint_classifies_taxonomy(spark):
     assert ("round-negative-capable", "info") in rules(
         agg.select("k", F.round(F.col("a") - F.col("b"), 2).alias("x"))
     )
+
+
+def test_round_risk_lint_sees_through_aliases_filters_ctes(spark):
+    """r09 continuation review: the top-node-only walk returned zero
+    findings for (1) a round over an ALIAS of a lower-level off-grid
+    sum, (2) the same query under a trailing Filter, (3) SQL CTEs
+    (WithCTE's child 0 is a cteDef, not the main plan), and (4)
+    misclassified the cast DIRECTION on sums; (5) the elif chain hid
+    the -0.0 tag behind a money sum."""
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.lint import (
+        lint_rounded_doubles,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 0.01).alias("money"),
+        (F.col("id") * 2).alias("n"),
+    )
+
+    def rules(out):
+        return {(f.rule, f.severity) for f in lint_rounded_doubles(out)}
+
+    # (1) alias of an off-grid sum, rounded one level up
+    aliased = (
+        df.groupBy("k")
+        .agg(F.sum(F.col("money") / F.col("n")).alias("s"))
+        .select("k", F.round("s", 2).alias("x"))
+    )
+    assert ("round-double-sum", "warn") in rules(aliased)
+    # (2) same, under a Filter root
+    assert ("round-double-sum", "warn") in rules(aliased.filter("k > 1"))
+    # (3) SQL CTE
+    df.createOrReplaceTempView("_lintcte")
+    cte = spark.sql(
+        "WITH c AS (SELECT k, money, n FROM _lintcte) "
+        "SELECT k, ROUND(SUM(money / n), 2) AS x FROM c GROUP BY k"
+    )
+    assert ("round-double-sum", "warn") in rules(cte)
+    # (4a) exact DECIMAL accumulation of a cast double — the lint's own
+    # remediation — must NOT warn
+    exact = df.groupBy("k").agg(
+        F.round(
+            F.sum((F.col("money") / F.col("n")).cast("decimal(38,10)"))
+            .cast("double"),
+            2,
+        ).alias("x")
+    )
+    assert ("round-double-sum", "warn") not in rules(exact)
+    # (4b) genuinely floating accumulation of decimal-sourced doubles
+    # is classified (money class: fixed-decimal grid, margin holds)
+    dec = df.select("k", F.col("money").cast("decimal(10,2)").alias("d"))
+    floaty = dec.groupBy("k").agg(
+        F.round(F.sum(F.col("d").cast("double")), 2).alias("x")
+    )
+    assert ("round-money-sum", "info") in rules(floaty)
+    # (5) money sum MINUS money sum carries BOTH tags
+    both = df.groupBy("k").agg(
+        F.round(F.sum("money") - F.sum("money"), 2).alias("x")
+    )
+    r = rules(both)
+    assert ("round-money-sum", "info") in r
+    assert ("round-negative-capable", "info") in r

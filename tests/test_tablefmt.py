@@ -2241,3 +2241,61 @@ def test_vacuum_crash_after_sidecar_before_log_trim_is_idempotent(
     assert not tf._manifest_exists(root, 0)
     assert {(r.k, r.v) for r in tf.read(spark, root).collect()} == pre
     assert tf.read(spark, root, version=keep_from).count() == keep_from + 1
+
+
+def test_marker_registered_before_files_reach_data_dir(spark, root, monkeypatch):
+    """r09 continuation review: the staging marker must exist BEFORE
+    _commit_staged_files moves files into data/ — registering after
+    the move left a window where finalized files sat in data/
+    unreferenced and unmarked, so a concurrent vacuum could delete
+    them and the later publish would commit a manifest pointing at
+    nothing. Assert the ordering by checking, at move time, that a
+    live marker already covers every name being moved."""
+    import json as _json
+
+    tf.create(spark, root, _df(spark, [(0, "x")]).coalesce(1))
+    real = tf._commit_staged_files
+    seen: list[bool] = []
+
+    def checked(spark_, root_, moves, stats):
+        names = {n for _, n in moves}
+        marked: set[str] = set()
+        for mk in tf._staged_marker_glob(root_):
+            with open(os.path.join(tf._log_dir(root_), mk)) as f:
+                marked.update(_json.load(f).get("files", []))
+        seen.append(names <= marked)
+        return real(spark_, root_, moves, stats)
+
+    monkeypatch.setattr(tf, "_commit_staged_files", checked)
+    tf.commit_append(spark, root, _df(spark, [(1, "y")]).coalesce(1))
+    assert seen and all(seen)
+
+
+def test_mor_sidecar_markers_retired_after_publish(spark, root):
+    """r09 continuation review: delete-key sidecar files ride
+    new_deletes with files_add=[] (commit_delete_keys) or separate
+    from files_add (commit_upsert_mor), so retiring only set(added)
+    leaked one stale marker per MOR commit for the full staging TTL —
+    a streaming CDC sink accumulates ~1440/day. After each publish,
+    no live marker may reference the sidecar (or any published)
+    files."""
+    import json as _json
+
+    def live_marked() -> set:
+        out: set = set()
+        for mk in tf._staged_marker_glob(root):
+            with open(os.path.join(tf._log_dir(root), mk)) as f:
+                out.update(_json.load(f).get("files", []))
+        return out
+
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_upsert_mor(
+        spark, root, _df(spark, [(2, "B"), (3, "c")]).coalesce(1), key="k"
+    )
+    assert live_marked() == set(), "upsert_mor left stale staging markers"
+    tf.commit_delete_keys(
+        spark, root, spark.createDataFrame([(1,)], ["k"]), key="k"
+    )
+    assert live_marked() == set(), "delete_keys left stale staging markers"
+    got = {(r.k, r.v) for r in tf.read(spark, root).collect()}
+    assert got == {(2, "B"), (3, "c")}
