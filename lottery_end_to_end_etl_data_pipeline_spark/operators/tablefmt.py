@@ -1431,8 +1431,8 @@ def _publish_rebasable(
         added = list(files_add or [])
         removed = set(files_remove or [])
     else:
-        removed = set(base["files"]) - set(new_files)
         base_fset = set(base["files"])
+        removed = base_fset - set(new_files)
         added = [f for f in new_files if f not in base_fset]
     guard = removed | set(guard_files or [])
     man = base

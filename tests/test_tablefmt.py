@@ -2039,6 +2039,25 @@ def test_next_delta_matches_payload_diff_semantics(spark, root):
     rec2 = tf._apply_delta(prev, delta2)
     assert _norm_manifest(rec2) == _norm_manifest(full2)
 
+    # carried-file map refresh (r09 continuation review: the original
+    # delta builder keyed map diffs by files_add only and silently
+    # dropped a stats update for a CARRIED file; this parity pin only
+    # exercised added-file maps, so the divergence landed green) —
+    # refresh stats for an existing file alongside an append
+    carried = [f for f in prev["files"] if f in prev.get("stats", {})][0]
+    st3 = {
+        "zz-new3.parquet": {"k": [5, 9, 0]},
+        carried: {"k": [-7, 123, 0]},  # differs from the recorded stats
+    }
+    fa3 = ["zz-new3.parquet"]
+    full3 = tf._next_payload(
+        prev, v + 1, "append", prev["files"] + fa3, stats=st3
+    )
+    delta3 = tf._next_delta(prev, v + 1, "append", fa3, [], stats=st3)
+    rec3 = tf._apply_delta(prev, delta3)
+    assert _norm_manifest(rec3) == _norm_manifest(full3)
+    assert rec3["stats"][carried] == {"k": [-7, 123, 0]}
+
 
 def test_append_commit_does_o_of_files_touched_work(spark, root):
     # VERDICT r7 #4: a commit on an N-file table must do O(files
