@@ -1582,8 +1582,14 @@ def prefix_filter_candidate_count(
     threshold: float = 0.8,
 ) -> tuple[int, int]:
     """(prefix_candidates, full_index_candidates) — the measured
-    pruning ratio of prefix filtering vs the full inverted index, for
-    tests and capacity planning."""
+    pruning ratio of the ACTUAL `ngram_jaccard_prefix_filtered`
+    candidate join (same t − 1e-4 prefix length, same PPJoin length +
+    positional predicates) vs the full inverted index, for tests and
+    capacity planning. (r09 continuation review: this counter had
+    kept the pre-PPJoin join shape, so it overstated the operator's
+    candidate volume ~9x at sf1 — a capacity plan based on it
+    described a join the operator no longer runs.)"""
+    t_eff = threshold - 1e-4
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
     )
@@ -1603,18 +1609,34 @@ def prefix_filter_candidate_count(
     dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = postings.join(dfreq, "shingle").join(sizes, "id")
     w = Window.partitionBy("id").orderBy("_df", "shingle")
-    plen = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    plen = (
+        F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + 1
+    ).cast("int")
     pref = (
         ranked.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= plen)
-        .select("id", "shingle")
+        .select("id", "shingle", "_rn", "n_sh")
+    )
+    overlap_need = F.ceil(
+        F.lit(t_eff / (1.0 + t_eff)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
+    overlap_ub = (
+        F.least(
+            F.col("a.n_sh") - F.col("a._rn"), F.col("b.n_sh") - F.col("b._rn")
+        )
+        + 1
     )
     prefix = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= F.lit(t_eff) * F.greatest("a.n_sh", "b.n_sh")
+            )
+            & (overlap_ub >= overlap_need),
         )
         .select(F.col("a.id"), F.col("b.id"))
         .distinct()

