@@ -1654,7 +1654,11 @@ def version_at_timestamp(root: str, ts: float) -> int:
         if not os.path.exists(p):
             p = _ckpt_path(root, v)
         man = _snapshot(root, v)
-        if man.get("ts", os.path.getmtime(p)) <= ts:
+        # lazy mtime fallback (r09 continuation review): the eager
+        # .get default stat'ed every manifest even when 'ts' exists,
+        # and raced a concurrent vacuum's trim into FileNotFoundError
+        mts = man["ts"] if "ts" in man else os.path.getmtime(p)
+        if mts <= ts:
             best = v
     if best is None:
         raise ValueError(
@@ -1830,7 +1834,8 @@ def history(root: str) -> list[dict]:
                 "version": v,
                 "action": man["action"],
                 "n_files": len(man["files"]),
-                "ts": man.get("ts", os.path.getmtime(p)),
+                # lazy fallback: see version_at_timestamp
+                "ts": man["ts"] if "ts" in man else os.path.getmtime(p),
             }
         )
     return out

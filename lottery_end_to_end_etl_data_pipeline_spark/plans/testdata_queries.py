@@ -14194,7 +14194,6 @@ def markov_next_event_accuracy(spark, sf_dir):
     WITH per_d AS (
       SELECT CASE WHEN l_quantity <> 1.0
                   THEN CAST(l_quantity AS BIGINT) - 1 ELSE 0 END AS d,
-             count(*) AS cnt,
              CAST(sum(CASE WHEN l_quantity = 1.0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS p_divnull,
              CAST(sum(CASE WHEN l_quantity <> 1.0

@@ -2318,3 +2318,36 @@ def test_mor_sidecar_markers_retired_after_publish(spark, root):
     assert live_marked() == set(), "delete_keys left stale staging markers"
     got = {(r.k, r.v) for r in tf.read(spark, root).collect()}
     assert got == {(2, "B"), (3, "c")}
+
+
+def test_read_paths_do_not_mutate_cached_snapshot(spark, root):
+    """r09 continuation review: ~20 read paths share the process-wide
+    cached snapshot object with the read-only contract enforced only
+    by comments. This pin makes it self-enforcing: exercise every
+    converted read path against a table carrying files, stats,
+    partitions, AND equality-delete sidecars, then assert the cached
+    object is byte-identical to a pre-captured deep copy — any future
+    in-place sort/setdefault/pop in a reader corrupts the cache for
+    the whole process and fails here."""
+    import copy
+
+    tf.create(
+        spark, root, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1)
+    )
+    tf.commit_append(spark, root, _df(spark, [(4, "d")]).coalesce(1))
+    tf.commit_delete_keys(
+        spark, root, spark.createDataFrame([(2,)], ["k"]), key="k"
+    )
+    v = tf.current_version(root)
+    snap = tf._snapshot(root, v)
+    before = copy.deepcopy(snap)
+
+    tf.read(spark, root).collect()
+    tf.read(spark, root, version=v).collect()
+    tf.history(root)
+    tf.version_at_timestamp(root, __import__("time").time() + 10)
+    tf.files_table(spark, root).collect()
+    tf.snapshot_row_count(root)
+    tf.vacuum(root, keep_last=10)
+
+    assert snap == before, "a read path mutated the cached snapshot"
