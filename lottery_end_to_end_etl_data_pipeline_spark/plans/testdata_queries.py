@@ -11716,7 +11716,7 @@ def snapshot_delta_stats(spark, sf_dir):
       FROM fit
     )
     SELECT CAST(vmax AS BIGINT) AS vocab_total,
-           ROUND(b, 4) AS heaps_beta,
+           ROUND(b, 4) + 0.0 AS heaps_beta,
            ROUND(EXP((sy - b * sx) / m), 2) AS heaps_k
     FROM beta
     """,
@@ -11733,7 +11733,20 @@ def heaps_law_fit(spark, sf_dir):
     aggregate), ten decile checkpoints come from a bounded ×10
     explode over the vocab table, and the log-log OLS runs over the
     10-point table. Both engines replay the identical integer counts
-    and the same closed-form fit."""
+    and the same closed-form fit.
+
+    SIGNED-ZERO GUARD (r09 continuation — caught LIVE by the final
+    verification sweep): this synthetic corpus saturates its
+    vocabulary instantly, so beta ~ -1e-6 and ROUND(beta, 4) lands
+    exactly on the ±0.0 razor edge — the slope's ulp-level sign
+    varies with the 10-point summation order (DuckDB's parallel
+    aggregation included), flipping the repr between '0.0' and
+    '-0.0' run to run (the r07/r08 driver-red class, here live at
+    the mirror). Both sides add `+ 0.0` after the round: IEEE
+    defines -0.0 + 0.0 = +0.0, so the zero's sign is normalized
+    deterministically while every nonzero value is bit-unchanged;
+    value-level flips stay impossible (|beta| sits ~50x from the
+    5e-5 rounding boundary)."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.text import tokens
 
     docs = t(spark, sf_dir, "documents")
@@ -11762,7 +11775,8 @@ def heaps_law_fit(spark, sf_dir):
     )
     return fit.select(
         F.col("vmax").cast("long").alias("vocab_total"),
-        F.round("b", 4).alias("heaps_beta"),
+        # + 0.0 normalizes a rounded -0.0 to +0.0 (see docstring)
+        (F.round("b", 4) + F.lit(0.0)).alias("heaps_beta"),
         F.round(
             F.exp((F.col("sy") - F.col("b") * F.col("sx")) / F.col("m")), 2
         ).alias("heaps_k"),

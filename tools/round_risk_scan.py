@@ -106,7 +106,14 @@ ALLOW: dict[str, str] = {
     "mutual_information_event_dow": f"p*ln(p/q) sums: {_STAT}",
     "incremental_stats_merge": f"Chan-merged moments (the operator IS "
     f"double moment algebra): {_STAT}",
-    "heaps_law_fit": f"log-log OLS fit: {_STAT}",
+    # the one ALLOW whose blanket margin claim proved WRONG: on the
+    # saturating synthetic corpus beta ~ -1e-6, so round(beta,4) sat
+    # on the ±0.0 razor edge and the final r09 sweep caught a LIVE
+    # run-to-run '-0.0' flip (DuckDB's parallel agg order). Fixed by
+    # +0.0 sign normalization on BOTH engines (IEEE: -0.0 + 0.0 =
+    # +0.0); value-level flips remain impossible (|beta| ~50x from
+    # the 5e-5 boundary).
+    "heaps_law_fit": f"log-log OLS fit, zero-sign normalized: {_STAT}",
     "als_half_step": f"least-squares factor updates: {_STAT}",
     "cluster_purity_nmi": f"entropy-normalized MI: {_STAT}",
     "raking_ipf_weights": f"iterative proportional fitting: {_STAT}",
