@@ -942,6 +942,11 @@ def pq_fit(
     if seed_ids is not None:
         if len(seed_ids) != k:
             raise ValueError(f"seed_ids has {len(seed_ids)} ids, need k={k}")
+        if len(set(seed_ids)) != k:
+            # duplicates would seed identical centroids — silently
+            # recreating the unseeded-cluster defect seed_ids exists
+            # to prevent (r09 continuation self-review)
+            raise ValueError("seed_ids contains duplicate ids")
         by_id = {
             r[id_col]: r
             for r in df.filter(F.col(id_col).isin(list(seed_ids)))

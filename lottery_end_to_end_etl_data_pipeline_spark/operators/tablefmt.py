@@ -3292,14 +3292,39 @@ def vacuum(
                 pass  # racing vacuum expired it first
         else:
             referenced.update(marker.get("files", []))
+    # Files published by the about-to-be-trimmed versions reclaim
+    # immediately (they belong to no in-flight writer — their
+    # manifests are still on disk at this point, so membership is
+    # knowable); files NEVER seen in any manifest get a staging-TTL
+    # age grace before deletion. This closes the residual TOCTOU the
+    # marker protocol alone cannot (r09 continuation self-review): a
+    # writer registering its marker AFTER this vacuum's marker glob
+    # but moving files into data/ BEFORE the sweep below would
+    # otherwise lose them — young unpublished files are now presumed
+    # in-flight until the same TTL that governs abandoned markers.
+    published_ever = set(referenced)
+    for v in range(keep_from):
+        try:
+            m = _snapshot(root, v)
+        except Exception:  # noqa: BLE001 — already-trimmed base
+            continue
+        published_ever.update(m["files"])
+        for d in m.get("deletes", []):
+            published_ever.update(d.get("files", []))
     deleted = 0
     for fn in os.listdir(_data_dir(root)):
-        if fn not in referenced:
-            try:
-                os.remove(os.path.join(_data_dir(root), fn))
-                deleted += 1
-            except FileNotFoundError:
-                pass  # racing vacuum reclaimed it first
+        if fn in referenced:
+            continue
+        p = os.path.join(_data_dir(root), fn)
+        try:
+            if fn not in published_ever and (
+                now - os.path.getmtime(p) <= staging_ttl_seconds
+            ):
+                continue  # possible in-flight staging: grace-protected
+            os.remove(p)
+            deleted += 1
+        except FileNotFoundError:
+            pass  # racing vacuum reclaimed it first
     # Before any manifest leaves the log, materialize the retention
     # horizon as a full-snapshot CHECKPOINT SIDECAR: delta manifests
     # inside the window may chain back past keep_from, and deleting

@@ -222,6 +222,33 @@ def _unwrap_cast(e):
     return e
 
 
+def _resolve_source(e, env, depth: int = 16):
+    """Unwrap casts/aliases AND chase attribute references through
+    the plan alias environment until a source expression is reached —
+    so `cast(n as double).alias('nd')` referenced one level up still
+    classifies by its integer source, and a literal operand behind an
+    alias still reads as a literal (r09 continuation self-review:
+    the syntactic unwrap alone stopped at the AttributeReference)."""
+    for _ in range(depth):
+        nm = e.getClass().getSimpleName()
+        if nm == "Cast":
+            e = e.children().apply(0)
+        elif nm == "Alias":
+            e = e.child()
+        elif nm == "AttributeReference" and env:
+            try:
+                eid = e.exprId().id()
+            except Exception:
+                break
+            nxt = env.get(eid)
+            if nxt is None:
+                break
+            e = nxt
+        else:
+            break
+    return e
+
+
 _OFFGRID_FUNCS = {
     "Divide",
     "Exp",
@@ -242,8 +269,10 @@ _OFFGRID_FUNCS = {
 }
 
 
-def _is_literal(e) -> bool:
-    return _unwrap_cast(e).getClass().getSimpleName() == "Literal"
+def _is_literal(e, env=None) -> bool:
+    return (
+        _resolve_source(e, env or {}).getClass().getSimpleName() == "Literal"
+    )
 
 
 _EXACT_IN_DOUBLE = {"integer", "long", "short", "byte", "boolean"}
@@ -262,7 +291,9 @@ def _offgrid(e, env=None) -> bool:
             return True
         if nm == "Multiply":
             ch = n.children()
-            if not (_is_literal(ch.apply(0)) or _is_literal(ch.apply(1))):
+            if not (
+                _is_literal(ch.apply(0), env) or _is_literal(ch.apply(1), env)
+            ):
                 return True
     return False
 
@@ -293,7 +324,7 @@ def _sums_doubles(e, env=None) -> str | None:
         child = n.children().apply(0)
         if not _is_double(child):
             continue  # decimal/integer accumulation: exact
-        src = _unwrap_cast(child)
+        src = _resolve_source(child, env or {})
         try:
             src_exact_int = src.dataType().typeName() in _EXACT_IN_DOUBLE
         except Exception:

@@ -285,3 +285,38 @@ def test_round_risk_lint_sees_through_aliases_filters_ctes(spark):
     r = rules(both)
     assert ("round-money-sum", "info") in r
     assert ("round-negative-capable", "info") in r
+
+
+def test_round_risk_lint_resolves_sources_through_aliases(spark):
+    """r09 continuation self-review: the exact-int-source and literal
+    checks unwrapped casts syntactically but stopped at an
+    AttributeReference, so an int-to-double cast (or literal operand)
+    behind an alias flipped the classification."""
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.lint import (
+        lint_rounded_doubles,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 2).alias("n"),
+        F.lit(0.25).alias("rate"),
+    )
+
+    def rules(out):
+        return {(f.rule, f.severity) for f in lint_rounded_doubles(out)}
+
+    # integer source cast to double BEHIND an alias: exact sum, clean
+    pre = df.select("k", F.col("n").cast("double").alias("nd"))
+    assert rules(
+        pre.groupBy("k").agg(F.round(F.sum("nd"), 2).alias("x"))
+    ) == set()
+    # literal operand behind an alias: literal-scaled product keeps
+    # the grid — money info, NOT an off-grid warn
+    pre2 = df.select("k", (F.col("n") * 0.01).alias("money"), "rate")
+    r = rules(
+        pre2.groupBy("k").agg(
+            F.round(F.sum(F.col("money") * F.col("rate")), 2).alias("x")
+        )
+    )
+    assert ("round-double-sum", "warn") not in r
+    assert ("round-money-sum", "info") in r

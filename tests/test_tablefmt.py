@@ -2351,3 +2351,27 @@ def test_read_paths_do_not_mutate_cached_snapshot(spark, root):
     tf.vacuum(root, keep_last=10)
 
     assert snap == before, "a read path mutated the cached snapshot"
+
+
+def test_vacuum_grace_protects_unpublished_young_files(spark, root):
+    """r09 continuation self-review: the marker protocol alone leaves
+    a TOCTOU — a writer registering its marker AFTER vacuum's marker
+    glob but moving files into data/ BEFORE the sweep would lose
+    them. Vacuum now grace-protects NEVER-published files younger
+    than the staging TTL (simulated here by dropping an unmarked
+    fresh file into data/), while files published by trimmed versions
+    still reclaim immediately."""
+    tf.create(spark, root, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    tf.commit_upsert(spark, root, _df(spark, [(1, "A")]), key="k")
+    tf.commit_delete(spark, root, "k = 2")
+    # an in-flight writer's freshly moved, not-yet-marked file
+    orphan = os.path.join(tf._data_dir(root), "zz-inflight.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1stub")
+    stats = tf.vacuum(root, keep_last=2)  # default 24h staging TTL
+    assert os.path.exists(orphan), "grace failed: in-flight file deleted"
+    # published-then-superseded files still reclaimed immediately
+    assert stats["n_files_deleted"] >= 1
+    # past the TTL the same file is presumed-dead debris
+    tf.vacuum(root, keep_last=2, staging_ttl_seconds=0.0)
+    assert not os.path.exists(orphan)

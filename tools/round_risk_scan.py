@@ -129,7 +129,7 @@ def main() -> int:
 
     spark = get_session("round-risk-scan")
     names = args.queries or list(QUERIES)
-    warns, infos, skipped, broken = [], [], [], []
+    warns, infos, broken = [], [], []
     for name in names:
         try:
             df = QUERIES[name](spark, args.sf)
@@ -159,7 +159,7 @@ def main() -> int:
     print(
         f"\n{len(names)} entries: {len(warns)} warns "
         f"({len(unallowed)} unallowed), {len(infos)} infos, "
-        f"{len(skipped)} skipped, {len(broken)} broken"
+        f"{len(broken)} broken"
         f"{': ' + ', '.join(broken[:6]) if broken else ''}"
     )
     return 1 if unallowed or broken else 0
