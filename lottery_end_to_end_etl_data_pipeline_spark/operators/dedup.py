@@ -1450,6 +1450,63 @@ def keep_canonical(
     )
 
 
+def _ppjoin_prefix(sh: DataFrame, t_eff: float) -> DataFrame:
+    """Prefix postings for PPJoin over a (id, sh: array<string>)
+    frame: canonical rarest-first shingle order, first
+    ``n − ⌈t_eff·n⌉ + 1`` postings per document, with the rank and
+    set size riding along for the positional/length filters. The
+    SINGLE definition of the prefix shape shared by the operator
+    (`ngram_jaccard_prefix_filtered`) and its measurement counter
+    (`prefix_filter_candidate_count`) so the two can't drift apart
+    again (r09 ADVICE; the counter had once kept a stale shape)."""
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    postings = sh.select("id", F.explode("sh").alias("shingle"))
+    dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = postings.join(dfreq, "shingle").join(sizes, "id")
+    w = Window.partitionBy("id").orderBy("_df", "shingle")
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + 1
+    ).cast("int")
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("id", "shingle", "_rn", "n_sh")
+    )
+
+
+def _ppjoin_candidates(pref: DataFrame, t_eff: float) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from the PPJoin prefix
+    self-join: shingle equality + id ordering + the canonical LENGTH
+    and POSITIONAL filters (see `ngram_jaccard_prefix_filtered` for
+    the lossless-at-t_eff argument). Shared by the operator and the
+    counter — one definition of the candidate join."""
+    a = pref.alias("a")
+    b = pref.alias("b")
+    overlap_need = F.ceil(
+        F.lit(t_eff / (1.0 + t_eff)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
+    overlap_ub = (
+        F.least(
+            F.col("a.n_sh") - F.col("a._rn"), F.col("b.n_sh") - F.col("b._rn")
+        )
+        + 1
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= F.lit(t_eff) * F.greatest("a.n_sh", "b.n_sh")
+            )
+            & (overlap_ub >= overlap_need),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ngram_jaccard_prefix_filtered(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1513,44 +1570,7 @@ def ngram_jaccard_prefix_filtered(
         .select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
         .localCheckpoint(eager=True)
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    postings = sh.select("id", F.explode("sh").alias("shingle"))
-    dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = postings.join(dfreq, "shingle").join(sizes, "id")
-    w = Window.partitionBy("id").orderBy("_df", "shingle")
-    prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + 1
-    ).cast("int")
-    pref = (
-        ranked.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= prefix_len)
-        .select("id", "shingle", "_rn", "n_sh")
-    )
-    a = pref.alias("a")
-    b = pref.alias("b")
-    overlap_need = F.ceil(
-        F.lit(t_eff / (1.0 + t_eff)) * (F.col("a.n_sh") + F.col("b.n_sh"))
-    )
-    overlap_ub = (
-        F.least(
-            F.col("a.n_sh") - F.col("a._rn"), F.col("b.n_sh") - F.col("b._rn")
-        )
-        + 1
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (
-                F.least("a.n_sh", "b.n_sh")
-                >= F.lit(t_eff) * F.greatest("a.n_sh", "b.n_sh")
-            )
-            & (overlap_ub >= overlap_need),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _ppjoin_candidates(_ppjoin_prefix(sh, t_eff), t_eff)
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_sh_b"))
     verified = (
@@ -1583,12 +1603,13 @@ def prefix_filter_candidate_count(
 ) -> tuple[int, int]:
     """(prefix_candidates, full_index_candidates) — the measured
     pruning ratio of the ACTUAL `ngram_jaccard_prefix_filtered`
-    candidate join (same t − 1e-4 prefix length, same PPJoin length +
-    positional predicates) vs the full inverted index, for tests and
-    capacity planning. (r09 continuation review: this counter had
-    kept the pre-PPJoin join shape, so it overstated the operator's
-    candidate volume ~9x at sf1 — a capacity plan based on it
-    described a join the operator no longer runs.)"""
+    candidate join vs the full inverted index, for tests and capacity
+    planning. The prefix side calls the SAME `_ppjoin_prefix` /
+    `_ppjoin_candidates` helpers the operator runs — by construction,
+    not by parallel maintenance. (r09 continuation review: this
+    counter had kept the pre-PPJoin join shape, so it overstated the
+    operator's candidate volume ~9x at sf1; r09 ADVICE then flagged
+    the hand-duplicated predicates, now extracted.)"""
     t_eff = threshold - 1e-4
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
@@ -1605,43 +1626,7 @@ def prefix_filter_candidate_count(
         .distinct()
         .count()
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = postings.join(dfreq, "shingle").join(sizes, "id")
-    w = Window.partitionBy("id").orderBy("_df", "shingle")
-    plen = (
-        F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + 1
-    ).cast("int")
-    pref = (
-        ranked.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= plen)
-        .select("id", "shingle", "_rn", "n_sh")
-    )
-    overlap_need = F.ceil(
-        F.lit(t_eff / (1.0 + t_eff)) * (F.col("a.n_sh") + F.col("b.n_sh"))
-    )
-    overlap_ub = (
-        F.least(
-            F.col("a.n_sh") - F.col("a._rn"), F.col("b.n_sh") - F.col("b._rn")
-        )
-        + 1
-    )
-    prefix = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (
-                F.least("a.n_sh", "b.n_sh")
-                >= F.lit(t_eff) * F.greatest("a.n_sh", "b.n_sh")
-            )
-            & (overlap_ub >= overlap_need),
-        )
-        .select(F.col("a.id"), F.col("b.id"))
-        .distinct()
-        .count()
-    )
+    prefix = _ppjoin_candidates(_ppjoin_prefix(sh, t_eff), t_eff).count()
     return prefix, full
 
 

@@ -3312,7 +3312,9 @@ def vacuum(
         for d in m.get("deletes", []):
             published_ever.update(d.get("files", []))
     deleted = 0
+    scanned = 0
     for fn in os.listdir(_data_dir(root)):
+        scanned += 1
         if fn in referenced:
             continue
         p = os.path.join(_data_dir(root), fn)
@@ -3324,7 +3326,7 @@ def vacuum(
             os.remove(p)
             deleted += 1
         except FileNotFoundError:
-            pass  # racing vacuum reclaimed it first
+            scanned -= 1  # racing vacuum reclaimed it before our sweep
     # Before any manifest leaves the log, materialize the retention
     # horizon as a full-snapshot CHECKPOINT SIDECAR: delta manifests
     # inside the window may chain back past keep_from, and deleting
@@ -3362,7 +3364,13 @@ def vacuum(
             except FileNotFoundError:
                 pass  # racing vacuum collected it first
     return {
-        "n_files_kept": len(referenced),
+        # Kept = what actually remains in data/ after the sweep
+        # (scanned - deleted), NOT len(referenced): grace-protected
+        # never-published young files are kept-but-unreferenced, and
+        # referenced names already reclaimed by a racing vacuum are
+        # referenced-but-absent — counting during the sweep keeps the
+        # stats summing to the data-dir contents (r09 ADVICE).
+        "n_files_kept": scanned - deleted,
         "n_files_deleted": deleted,
         "n_versions_kept": last - keep_from + 1,
     }

@@ -404,6 +404,16 @@ def lint_rounded_doubles(df: DataFrame) -> list[Finding]:
                     col = top.name()
                 except Exception:
                     col = top.toString()
+                # Dedupe key: the NamedExpression's exprId is unique
+                # per output attribute, so two same-named columns in
+                # different subplans/CTEs report separately, while
+                # re-visits of the SAME attribute (alias chasing /
+                # plan re-walks) stay deduped. Fallback keys on the
+                # owning node's JVM hashCode, not the bare name.
+                try:
+                    col_key = f"eid:{top.exprId().id()}"
+                except Exception:
+                    col_key = f"node:{node.hashCode()}:{col}"
                 for e in _expr_walk(top):
                     if e.getClass().getSimpleName() not in ("Round", "BRound"):
                         continue
@@ -436,8 +446,8 @@ def lint_rounded_doubles(df: DataFrame) -> list[Finding]:
                             "runtime signed-zero sweep",
                         ))
                     for rule, sev, detail in hits:
-                        if (rule, col) not in seen_cols:
-                            seen_cols.add((rule, col))
+                        if (rule, col_key) not in seen_cols:
+                            seen_cols.add((rule, col_key))
                             findings.append(Finding(rule, sev, "Round", detail))
         ch = node.children()
         for i in range(ch.size()):
