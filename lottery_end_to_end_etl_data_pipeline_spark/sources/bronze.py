@@ -324,3 +324,62 @@ def format_bronze_document(
         lines.append("CENTENARES")
     lines.extend(body_rows)
     return "\n".join(lines) + "\n"
+
+
+def format_bronze_documents(spec: DataFrame) -> DataFrame:
+    """Vectorized `format_bronze_document`: compose Bronze draw
+    documents for a whole DataFrame of draw specs, entirely JVM-side.
+
+    `spec` columns: ``file`` (string), ``numero_sorteo``,
+    ``primer_premio``, ``segundo_premio``, ``tercer_premio``, ``r1``,
+    ``r2``, ``r3`` (integral), ``tipo_sorteo``, ``fecha_sorteo``,
+    ``fecha_caducidad`` (string), ``body_rows`` (array<string>).
+    Returns (file, content) — the exact input contract of
+    `parse_draws`, so the engine round-trips its own Bronze layer
+    without a driver-side loop (the scalar form collects per-row; this
+    one formats millions of draws distributed). Byte parity with the
+    scalar `format_bronze_document` — including the CENTENARES
+    section-marker rule (scraping.py:149-150) — is pinned by
+    `tests/test_parser_roundtrip.py::test_vectorized_formatter_parity`.
+
+    Scale shape: pure per-row projection (format_string / array ops) —
+    no shuffle, no UDF, whole-stage codegen throughout."""
+    header_block = F.array(
+        F.lit("HEADER"),
+        F.format_string(
+            "SORTEO %s NO. %d FECHA DEL SORTEO: %s",
+            F.col("tipo_sorteo"),
+            F.col("numero_sorteo"),
+            F.col("fecha_sorteo"),
+        ),
+        F.format_string("FECHA DE CADUCIDAD: %s", F.col("fecha_caducidad")),
+        F.format_string(
+            "PRIMER PREMIO %d ||| SEGUNDO PREMIO %d ||| TERCER PREMIO %d "
+            "REINTEGROS %d, %d, %d",
+            F.col("primer_premio"),
+            F.col("segundo_premio"),
+            F.col("tercer_premio"),
+            F.col("r1"),
+            F.col("r2"),
+            F.col("r3"),
+        ),
+        F.lit(""),
+        F.lit("BODY"),
+    )
+    # Section-marker rule: a body not opening with `00MIL` gets a
+    # CENTENARES marker line first (empty bodies included — same
+    # falsy-short-circuit as the scalar form).
+    marker = F.when(
+        (F.size("body_rows") > 0)
+        & F.startswith(F.trim(F.get("body_rows", 0)), F.lit("00MIL")),
+        F.array().cast("array<string>"),
+    ).otherwise(F.array(F.lit("CENTENARES")))
+    return spec.select(
+        "file",
+        F.concat(
+            F.array_join(
+                F.concat(header_block, marker, F.col("body_rows")), "\n"
+            ),
+            F.lit("\n"),
+        ).alias("content"),
+    )
