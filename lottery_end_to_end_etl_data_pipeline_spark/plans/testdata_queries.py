@@ -12021,6 +12021,18 @@ def column_profile_all(spark, sf_dir):
     b_hi +0.41) exercised by `column_profile_approx`, which audits
     this exact form against it. Keep this entry for exact-count
     oracle checks; never put it on a 100 TB hot path."""
+    return _profile_exact_frame(t(spark, sf_dir, "orders")).orderBy(
+        "column_name"
+    )
+
+
+def _profile_exact_frame(df: DataFrame) -> DataFrame:
+    """Exact profile aggregate over an orders-shaped frame: nulls,
+    EXACT distinct, min, max per `_PROFILE_COLS` column, stacked to
+    (column_name, n_nulls, n_distinct, min_val, max_val). Pays the
+    Expand x6 row replication — callers bound the input (the full
+    scan only in the oracle-only `column_profile_all`; the audit
+    entry feeds a 1/16 md5 sample)."""
     aggs = []
     for c, typ in _PROFILE_COLS:
         col = F.col(c)
@@ -12036,7 +12048,7 @@ def column_profile_all(spark, sf_dir):
                 F.max(col).cast("string").alias(f"mx_{c}"),
             ]
         )
-    one = t(spark, sf_dir, "orders").agg(*aggs)
+    one = df.agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
     )
@@ -12045,7 +12057,7 @@ def column_profile_all(spark, sf_dir):
             f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
             "(column_name, n_nulls, n_distinct, min_val, max_val)"
         )
-    ).orderBy("column_name")
+    )
 
 
 def _column_profile_approx_frame(spark, sf_dir):
@@ -12058,6 +12070,10 @@ def _column_profile_approx_frame(spark, sf_dir):
     partial aggregate; the HLL++ sketches are plain mergeable
     aggregation buffers, so the row stream stays 1x. Plan-asserted
     Expand-free in `tests/test_plans.py`."""
+    return _profile_approx_frame(t(spark, sf_dir, "orders"))
+
+
+def _profile_approx_frame(df: DataFrame) -> DataFrame:
     aggs = []
     for c, typ in _PROFILE_COLS:
         col = F.col(c)
@@ -12073,7 +12089,7 @@ def _column_profile_approx_frame(spark, sf_dir):
                 F.max(col).cast("string").alias(f"mx_{c}"),
             ]
         )
-    one = t(spark, sf_dir, "orders").agg(*aggs)
+    one = df.agg(*aggs)
     stack_args = ", ".join(
         f"'{c}', nn_{c}, ad_{c}, mn_{c}, mx_{c}" for c, _ in _PROFILE_COLS
     )
@@ -12092,7 +12108,8 @@ def _column_profile_approx_frame(spark, sf_dir):
         f"""
     SELECT '{c}' AS column_name,
            CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-           CAST(count(DISTINCT {c}) AS BIGINT) AS n_exact,
+           CAST(count(DISTINCT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+                                    THEN {c} END) AS BIGINT) AS n_exact_sample,
            TRUE AS apx_ok,
            CAST(min({'CAST(o_orderdate AS DATE)' if c == 'o_orderdate' else c}) AS VARCHAR) AS min_val,
            CAST(max({'CAST(o_orderdate AS DATE)' if c == 'o_orderdate' else c}) AS VARCHAR) AS max_val
@@ -12105,27 +12122,40 @@ def column_profile_approx(spark, sf_dir):
     """`column_profile_all`'s 100 TB-default sibling (round-4 verdict
     finding #3): the profile aggregate runs Expand-FREE — nulls,
     min/max and HLL++ `approx_count_distinct` (rsd 2%) in one plain
-    hash aggregate via `_column_profile_approx_frame` — instead of
-    paying the x6 row-replication Expand multiplier that exact
-    multi-column distincts force. The audit layer (this entry's
-    oracled surface, the `hll_sketch_workflow` move): a SECOND,
-    audit-only exact-distinct aggregate joins in to pin every
-    estimate within 10% of truth as a hash-checkable boolean —
-    production drops that audit side and keeps the single Expand-free
-    scan."""
-    apx = _column_profile_approx_frame(spark, sf_dir)
-    exact = column_profile_all(spark, sf_dir).select(
-        "column_name", F.col("n_distinct").alias("n_exact")
+    hash aggregate via `_profile_approx_frame` — instead of paying
+    the x6 row-replication Expand multiplier that exact multi-column
+    distincts force. The audit layer (this entry's oracled surface):
+    the sketch is pinned against EXACT distincts on a deterministic
+    1/16 md5 sample of the table — approx and exact both computed on
+    the SAME sample, agreement within 10% hashed as a boolean.
+    r10 (VERDICT r9 #5): the audit previously re-ran the FULL exact
+    Expand profile, making the audit entry itself the bench's worst
+    scaler (~18 s at sf1) while the production frame cost ~4 s; the
+    sampled exact side bounds the Expand to 1/16 of the rows (x6/16
+    < 1x replication) so the audit now scales like the production
+    scan it certifies. The md5-keyed sample is engine-portable — the
+    oracle recomputes the identical membership."""
+    base = t(spark, sf_dir, "orders")
+    apx_full = _profile_approx_frame(base)
+    samp = base.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    )
+    exact_s = _profile_exact_frame(samp).select(
+        "column_name", F.col("n_distinct").alias("n_exact_sample")
+    )
+    apx_s = _profile_approx_frame(samp).select(
+        "column_name", F.col("n_approx_distinct").alias("n_apx_sample")
     )
     return (
-        apx.join(F.broadcast(exact), "column_name")
+        apx_full.join(F.broadcast(exact_s), "column_name")
+        .join(F.broadcast(apx_s), "column_name")
         .select(
             "column_name",
             "n_nulls",
-            "n_exact",
+            "n_exact_sample",
             (
-                F.abs(F.col("n_approx_distinct") - F.col("n_exact"))
-                <= 0.10 * F.col("n_exact")
+                F.abs(F.col("n_apx_sample") - F.col("n_exact_sample"))
+                <= 0.10 * F.col("n_exact_sample")
             ).alias("apx_ok"),
             "min_val",
             "max_val",

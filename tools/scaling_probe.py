@@ -41,8 +41,8 @@ from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import ( 
 
 # probe-only surfaces that are not standalone catalog entries: the
 # Expand-free approx profiler WITHOUT its audit-only exact join (the
-# catalog entry `column_profile_approx` deliberately pays the exact
-# side too, to oracle the estimates — production runs just the frame)
+# catalog entry `column_profile_approx` also pays an exact side on a
+# 1/16 md5 sample, to oracle the estimates — production runs the frame)
 EXTRA = {"column_profile_approx_frame": _column_profile_approx_frame}
 
 _REPO = Path(__file__).resolve().parent.parent
