@@ -30,6 +30,10 @@ sampling, no shuffles. Output: <repo>/localdata/sf1/*.parquet
 (~170 MB, gitignored).
 
 Usage: python tools/make_sf1.py [--replicas 10]
+       python tools/make_sf1.py --src localdata/sf1 --out localdata/sf10 \
+           --offset 1000000000   # second-level replication -> sf10
+           (the bigger offset keeps second-level key ranges disjoint
+           from sf1's replica shifts)
 """
 
 from __future__ import annotations
@@ -59,14 +63,16 @@ SHIFT: dict[str, list[str]] = {
 COPY_ONLY = ["region", "nation"]
 
 
-def replicate(name: str, src_dir: str, out_dir: str, replicas: int) -> int:
+def replicate(
+    name: str, src_dir: str, out_dir: str, replicas: int, offset: int = OFFSET
+) -> int:
     tbl = pq.read_table(f"{src_dir}/{name}.parquet")
     pieces = []
     for i in range(replicas):
         rep = tbl
         for col in SHIFT[name]:
             idx = rep.schema.get_field_index(col)
-            shifted = pc.add(rep.column(col), pa.scalar(i * OFFSET, type=rep.schema.field(col).type))
+            shifted = pc.add(rep.column(col), pa.scalar(i * offset, type=rep.schema.field(col).type))
             rep = rep.set_column(idx, rep.schema.field(col), shifted)
         if name == "documents" and i > 0:
             idx = rep.schema.get_field_index("text")
@@ -91,20 +97,24 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--src", default=SRC)
+    ap.add_argument("--out", default=None, help="output dir (default localdata/sf1)")
+    ap.add_argument("--offset", type=int, default=OFFSET)
     args = ap.parse_args()
-    out_dir = str(Path(__file__).resolve().parent.parent / "localdata" / "sf1")
+    out_dir = args.out or str(
+        Path(__file__).resolve().parent.parent / "localdata" / "sf1"
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in COPY_ONLY:
         t = pq.read_table(f"{args.src}/{name}.parquet")
         pq.write_table(t, f"{out_dir}/{name}.parquet")
         print(f"{name}: {t.num_rows} rows (copied 1x)")
     for name in SHIFT:
-        n = replicate(name, args.src, out_dir, args.replicas)
+        n = replicate(name, args.src, out_dir, args.replicas, args.offset)
         print(f"{name}: {n} rows ({args.replicas}x)")
     total = sum(
         os.path.getsize(os.path.join(out_dir, f)) for f in os.listdir(out_dir)
     )
-    print(f"sf1 at {out_dir}: {total / 1e6:.1f} MB")
+    print(f"output at {out_dir}: {total / 1e6:.1f} MB")
 
 
 if __name__ == "__main__":
