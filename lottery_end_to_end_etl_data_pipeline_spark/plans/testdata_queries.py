@@ -18782,5 +18782,143 @@ def bronze_parser_roundtrip(spark, sf_dir):
     return hdr_agg.join(prem_agg, "tipo_sorteo").orderBy("tipo_sorteo")
 
 
+@query(
+    "quality_calibration_ece",
+    oracle="""
+    WITH d AS (
+      SELECT ('0x' || substr(md5('q' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS ci,
+             CASE WHEN ('0x' || substr(md5('l' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       < ('0x' || substr(md5('q' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    )
+    SELECT CAST(ci * 10 // 65536 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(ci) AS BIGINT) AS conf_sum,
+           ROUND(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS acc,
+           ROUND(SUM(ci) / (65536.0 * COUNT(*)), 6) AS avg_conf,
+           ROUND(ABS(SUM(y) / CAST(COUNT(*) AS DOUBLE)
+                     - SUM(ci) / (65536.0 * COUNT(*))), 6) AS gap
+    FROM d GROUP BY 1 ORDER BY bin
+    """,
+)
+def quality_calibration_ece(spark, sf_dir):
+    """Quality-classifier CALIBRATION audit (reliability bins / per-bin
+    ECE terms) — the step before thresholding any learned quality
+    filter over a pretraining corpus: a filter that says 0.9 must be
+    right ~90% of the time in the 0.9 bin, or the kept/dropped split
+    is systematically biased against whole strata. Per confidence
+    decile: count, positives, exact confidence mass, accuracy, mean
+    confidence, |acc − conf| (the bin's ECE term before the n/N
+    weight).
+
+    Determinism discipline: confidence is an exact dyadic
+    (md5-16-bit / 2^16 — every double op below is EXACT: the *10 and
+    /65536 binning can't straddle a boundary in one engine only, and
+    the confidence SUM is exact integer mass), the label is sampled
+    calibrated-by-construction (y = 1 iff an independent md5 draw <
+    conf, so acc ≈ conf per bin and gap is small-but-nonzero), and
+    acc/avg_conf/gap divide exact integer aggregates ONCE at the end.
+
+    Scale shape: one projection + one 10-group hash aggregate with
+    map-side partials — the cheapest possible full-scan audit; at
+    100 TB the same plan profiles a real classifier column instead of
+    the synthetic md5 scores."""
+    docs = t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    ci = F.conv(
+        F.substring(F.md5(F.concat(F.lit("q"), ds)), 1, 4), 16, 10
+    ).cast("long")
+    li = F.conv(
+        F.substring(F.md5(F.concat(F.lit("l"), ds)), 1, 4), 16, 10
+    ).cast("long")
+    d = docs.select(
+        ci.alias("ci"), F.when(li < ci, 1).otherwise(0).alias("y")
+    )
+    n = F.count(F.lit(1))
+    acc = F.sum("y") / n.cast("double")
+    avg_conf = F.sum("ci") / (F.lit(65536.0) * n)
+    return (
+        d.groupBy(F.expr("ci * 10 div 65536").alias("bin"))
+        .agg(
+            n.cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("ci").cast("long").alias("conf_sum"),
+            F.round(acc, 6).alias("acc"),
+            F.round(avg_conf, 6).alias("avg_conf"),
+            F.round(F.abs(acc - avg_conf), 6).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "tokenizer_fertility_audit",
+    oracle=r"""
+    WITH d AS (
+      SELECT lang,
+             strlen(text) AS n_bytes,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+             list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                     w -> (length(w) + 3) // 4)) AS n_sub
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_sub) AS BIGINT) AS total_subtokens,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           ROUND(SUM(n_sub) / CAST(SUM(n_words) AS DOUBLE), 6) AS fertility,
+           ROUND(SUM(n_bytes) / CAST(SUM(n_sub) AS DOUBLE), 6) AS bytes_per_subtoken
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_audit(spark, sf_dir):
+    """Tokenizer FERTILITY audit by language — subtokens-per-word and
+    bytes-per-subtoken, the numbers a token-budget plan needs before
+    mixing a multilingual corpus (high-fertility languages consume
+    disproportionate context window per byte of text; a mixture
+    weighted by bytes silently underweights them in tokens). Subtoken
+    counts use the deterministic BPE-ish proxy ceil(len(word)/4)
+    (integer form (len+3) div 4) over whitespace words — engine-
+    portable, no tokenizer binary in the loop; swapping in a real
+    tokenizer changes one per-row expression, not the plan.
+
+    Scale shape: per-row array HOFs (split + transform/aggregate,
+    all JVM-side) feeding a lang-keyed hash aggregate of exact
+    integer masses; the two ratios divide the exact sums once. No
+    explode — the per-doc word list never leaves its row."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_sub = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + ((F.length(w) + 3) / 4).cast("long"),
+    )
+    d = docs.select(
+        "lang",
+        F.octet_length("text").alias("n_bytes"),
+        F.size(words).cast("long").alias("n_words"),
+        n_sub.alias("n_sub"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_sub").cast("long").alias("total_subtokens"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.round(
+                F.sum("n_sub") / F.sum("n_words").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_bytes") / F.sum("n_sub").cast("double"), 6
+            ).alias("bytes_per_subtoken"),
+        )
+        .orderBy("lang")
+    )
+
+
 # must run after every @query registration in this module
 _promote_driver_window()
