@@ -258,6 +258,12 @@ HEADLINE = [
     "dq_expectations_report",
     "multimodal_feature_pipeline",
     "token_shard_write_audit",
+    # r10 additions: the Bronze parser round-trip (the reference's one
+    # custom operator, driver-checked end to end) and the two new
+    # curation audits
+    "bronze_parser_roundtrip",
+    "quality_calibration_ece",
+    "tokenizer_fertility_audit",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4660,20 +4660,23 @@ def cross_source_contamination(spark, sf_dir):
 _DRIVER_WINDOW_PRIORITY = [
     # Round-10 rotation (VERDICT r9 asks #1/#3). Composition, by the
     # standing reproducible rule over CORRECTNESS_r0*.json:
-    #   never_green + (last_green == r03) + (last_green == r04)[:29]
-    # (a) never-green first: the ONE new entry,
-    #     bronze_parser_roundtrip — the P1-P6 Bronze parser's first
-    #     driver surface (VERDICT r9 #1);
+    #   never_green + (last_green == r03) + (last_green == r04)[:27]
+    # (a) never-green first: the THREE new r10 entries —
+    #     bronze_parser_roundtrip (the P1-P6 Bronze parser's first
+    #     driver surface, VERDICT r9 #1), quality_calibration_ece,
+    #     and tokenizer_fertility_audit;
     # (b) all 20 remaining last-green-r03 entries, registry order
     #     (window_function_surface .. dsir_importance_by_lang — the
     #     exact queue the r9 comment promised r10);
-    # (c) fill to 50 with the OLDEST remaining: the first 29
+    # (c) fill to 50 with the OLDEST remaining: the first 27
     #     last-green-r04 entries in registry order (r04 has 50
-    #     total; the other 21 lead the r11 fill, starting with
-    #     bucketed_join_no_shuffle).
+    #     total; the other 23 lead the r11 fill, starting with
+    #     session_window_native).
     # After r10 lands, no oracled entry's newest driver record is
     # older than r04.
     "bronze_parser_roundtrip",
+    "quality_calibration_ece",
+    "tokenizer_fertility_audit",
     "window_function_surface",
     "set_ops_surface",
     "array_functions_surface",
@@ -4721,8 +4724,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "event_transition_matrix",
     "top_tfidf_terms",
     "weighted_sample_events",
-    "session_window_native",
-    "streaming_sliding_counts",
 ]
 
 

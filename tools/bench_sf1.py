@@ -81,6 +81,9 @@ SF1_QUERIES = [
     "unicode_nfc_dedup",
     "token_shard_write_audit",
     "multimodal_feature_pipeline",
+    # r10: the Bronze parser round-trip is data-bound (doc synthesis +
+    # parse windows over the mod-17 orders subset) — track it at sf1
+    "bronze_parser_roundtrip",
 ]
 
 
