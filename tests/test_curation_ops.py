@@ -820,3 +820,40 @@ def test_auc_score_level_formula_matches_pairwise(spark):
         ).alias("auc")
     ).first()["auc"]
     assert abs(got - pairwise) < 1e-12
+
+
+def test_pq_hof_argmin_bit_parity_with_unrolled(spark):
+    """The r10 HOF argmin (`_pq_code_for` over one `_lit_codebooks`
+    literal) must pick BIT-IDENTICAL codes to the fully-unrolled
+    `_sq_dist_to_lit` chain it replaced — same zip_with/aggregate
+    left-fold order, same first-minimum tie-break — including on
+    exact distance TIES (duplicate centroids)."""
+    from pyspark.sql import functions as F
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        _lit_codebooks,
+        _pq_code_for,
+        _sq_dist_to_lit,
+    )
+
+    rows = _clustered_vecs()
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster long, embedding array<float>"
+    )
+    sub_dim, k = 4, 6
+    # centroids from corpus rows; centroid 3 DUPLICATES centroid 1 so
+    # ties exercise the first-minimum rule
+    base = [list(map(float, r[2][:sub_dim])) for r in rows[:k]]
+    base[3] = list(base[1])
+    books = [base, [list(reversed(c)) for c in base]]
+    sub = F.transform(
+        F.slice("embedding", 1, sub_dim), lambda x: x.cast("double")
+    )
+    for s in (0, 1):
+        darr = F.array(*[_sq_dist_to_lit(sub, books[s][c]) for c in range(k)])
+        unrolled = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        hof = _pq_code_for(sub, F.lit(s), _lit_codebooks(books))
+        n_diff = df.select(
+            (unrolled != hof).cast("int").alias("d")
+        ).agg(F.sum("d")).first()[0]
+        assert n_diff == 0
