@@ -18724,6 +18724,9 @@ def bronze_parser_roundtrip(spark, sf_dir):
     # ingest path reads Bronze from storage and needs no checkpoint.
     docs = format_bronze_documents(spec).localCheckpoint(eager=True)
     headers, premios = parse_draws(docs, strict=True)
+    # (Measured, r10: also checkpointing `headers` here LOSES ~1.5 s —
+    # the eager materialization job costs more than the duplicate
+    # header branches it would deduplicate at audit sizes.)
 
     epoch = F.lit("1970-01-01").cast("date")
     rein = F.split(F.col("reintegros"), ",")
