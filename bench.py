@@ -329,22 +329,41 @@ def main() -> None:
         k: round(t_max[k] / t_min[k], 2) if t_min[k] > 0 else 1.0 for k in t_min
     }
 
-    # Regressions vs the previous recorded round, computed on min-of-N.
+    # Regressions vs the previous recorded round, computed on min-of-N
+    # and NORMALIZED by the reference-pipeline CONTROL: the 7-gold
+    # pipeline's code is stable round over round, so its min-of-N
+    # ratio vs the previous record measures pure machine/environment
+    # drift (r10: the whole box ran ~1.15x slower than the r9 window
+    # and min-of-2 flagged 16 phantom per-entry "regressions" — the
+    # exact failure mode the protocol comment above records from
+    # round 5). Per-entry ratios are divided by the control factor
+    # (clamped to >= 1 so a FASTER machine never hides a real
+    # regression); the factor itself is recorded, and a control
+    # factor > 1.3 is surfaced as its own entry so a shared-library
+    # slowdown cannot silently normalize itself away.
     prev_path = Path(__file__).with_name("BENCH_DETAIL.json")
     prev_queries: dict = {}
+    prev_ref = 0.0
     if prev_path.exists():
         try:
-            prev_queries = json.loads(prev_path.read_text()).get("queries", {})
+            _prev = json.loads(prev_path.read_text())
+            prev_queries = _prev.get("queries", {})
+            prev_ref = float(_prev.get("reference_pipeline_sec", 0.0))
         except Exception:
             prev_queries = {}
+    ref_now = sum(timings.get(q, 0.0) for q in REFERENCE_PIPELINE)
+    control = max(1.0, ref_now / prev_ref) if prev_ref > 0.5 else 1.0
     regressions = sorted(
         (
-            (k, round(timings[k] / prev_queries[k], 2))
+            (k, round(timings[k] / (prev_queries[k] * control), 2))
             for k in timings
-            if prev_queries.get(k, 0) > 0.5 and timings[k] > 1.3 * prev_queries[k]
+            if prev_queries.get(k, 0) > 0.5
+            and timings[k] > 1.3 * prev_queries[k] * control
         ),
         key=lambda kv: -kv[1],
     )
+    if control > 1.3:
+        regressions.insert(0, ("reference_pipeline_CONTROL", round(control, 2)))
 
     # The driver captures only the TAIL of stdout; round 3's full
     # per-query dict overflowed that window and the line's head
@@ -360,6 +379,7 @@ def main() -> None:
         "unit": "sec",
         "passes": passes,
         "reference_pipeline_sec": ref_pipeline_sec,
+        "machine_control_factor": round(control, 3),
         "queries": timings,
         "dispersion_max_over_min": dispersion,
         "regressions_vs_prev": [list(kv) for kv in regressions],
@@ -378,6 +398,7 @@ def main() -> None:
         "passes": passes,
         "sec_per_query": round(detail["value"] / max(len(timings), 1), 3),
         "reference_pipeline_sec": ref_pipeline_sec,
+        "machine_control_factor": round(control, 3),
         "dispersion_p50": disp_sorted[len(disp_sorted) // 2] if disp_sorted else 1.0,
         "dispersion_max": disp_sorted[-1] if disp_sorted else 1.0,
         "regressions_vs_prev": [list(kv) for kv in regressions[:10]],

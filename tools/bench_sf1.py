@@ -127,14 +127,26 @@ def main() -> None:
             prev = json.loads(out_path.read_text()).get("queries", {})
         except Exception:
             prev = {}
+    # Machine-drift control (r10, mirroring bench.py's reference-
+    # pipeline normalization): the MEDIAN per-entry ratio vs the
+    # previous record estimates whole-box drift — a real regression is
+    # isolated, so the median tracks the environment, not the defect.
+    # Clamped to >= 1 so a faster machine never hides a regression;
+    # recorded, and surfaced as its own flag above 1.3.
+    ratios = sorted(
+        t_min[k] / prev[k] for k in t_min if prev.get(k, 0) > 0.5
+    )
+    control = max(1.0, ratios[len(ratios) // 2]) if ratios else 1.0
     regressions = sorted(
         (
-            (k, round(t_min[k] / prev[k], 2))
+            (k, round(t_min[k] / (prev[k] * control), 2))
             for k in t_min
-            if prev.get(k, 0) > 0.5 and t_min[k] > 1.3 * prev[k]
+            if prev.get(k, 0) > 0.5 and t_min[k] > 1.3 * prev[k] * control
         ),
         key=lambda kv: -kv[1],
     )
+    if control > 1.3:
+        regressions.insert(0, ("median_drift_CONTROL", round(control, 2)))
     dispersion = {
         k: round(t_max[k] / t_min[k], 2) if t_min[k] > 0 else 1.0
         for k in t_min
@@ -150,6 +162,7 @@ def main() -> None:
         "dispersion_p50": disp_sorted[len(disp_sorted) // 2] if disp_sorted else 1.0,
         "dispersion_max": disp_sorted[-1] if disp_sorted else 1.0,
         "regressions_vs_prev": [list(kv) for kv in regressions],
+        "machine_control_factor": round(control, 3),
         "queries": t_min,
         "sf": str(sf1),
     }
