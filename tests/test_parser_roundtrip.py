@@ -83,3 +83,156 @@ def test_roundtrip_parses_back(spark):
     # empty-body draw: header parsed, zero premio rows
     assert hdr["c.txt"]["numero_sorteo"] == "9"
     assert not [key for key in prem if key[0] == "c.txt"]
+
+
+# --- property: format -> parse is the identity on the spec ---------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_NAME = st.from_regex(r"[A-Z]{2,8}( [A-Z]{2,8})?", fullmatch=True)
+_LETRAS = st.from_regex(r"[A-Z]{1,5}", fullmatch=True)
+_CITY = st.one_of(_NAME, st.just("DE ESTA CAPITAL"))
+
+
+def _fmt_money(cents: int) -> str:
+    return f"{cents // 100:,}.{cents % 100:02d}"
+
+
+_ITEM = st.fixed_dictionaries(
+    {
+        "numero": st.integers(0, 999_999),
+        "letras": _LETRAS,
+        "cents": st.integers(0, 10**9),
+        # None | NO VENDIDO | (vendedor, ciudad|None, depto|None, decoy?)
+        "seller": st.one_of(
+            st.none(),
+            st.just("NO VENDIDO"),
+            st.tuples(
+                _NAME,
+                st.one_of(st.none(), _CITY),
+                st.one_of(st.none(), _NAME),
+                st.booleans(),
+            ),
+        ),
+    }
+)
+
+_SPEC = st.fixed_dictionaries(
+    {
+        "num": st.integers(1, 10**9),
+        "tipo": st.from_regex(r"[A-Z]{3,12}", fullmatch=True),
+        "fecha": st.dates().map(lambda d: d.strftime("%d/%m/%Y")),
+        "cad": st.dates().map(lambda d: d.strftime("%d/%m/%Y")),
+        "p": st.tuples(
+            st.integers(0, 10**7), st.integers(0, 10**7), st.integers(0, 10**7)
+        ),
+        "r": st.tuples(
+            st.integers(0, 9), st.integers(0, 9), st.integers(0, 9)
+        ),
+        "items": st.lists(_ITEM, max_size=6),
+        "pre_prize_seller": st.booleans(),  # must be DROPPED by parse
+    }
+)
+
+
+def _body_rows(spec) -> list[str]:
+    rows = ["NO VENDIDO"] if spec["pre_prize_seller"] else []
+    for it in spec["items"]:
+        rows.append(
+            f"{it['numero']}  {it['letras']}  ....  {_fmt_money(it['cents'])}"
+        )
+        s = it["seller"]
+        if s == "NO VENDIDO":
+            rows.append("NO VENDIDO")
+        elif isinstance(s, tuple):
+            name, city, depto, decoy = s
+            if decoy:
+                rows.append("VENDIDO POR DECOY NAME, NOWHERE")
+            parts = [name] + [p for p in (city, depto) if p is not None]
+            rows.append("VENDIDO POR " + ", ".join(parts))
+    return rows
+
+
+def _expected_premios(spec) -> list[tuple]:
+    out = []
+    for it in spec["items"]:
+        s = it["seller"]
+        vend = ciu = dep = None
+        if s == "NO VENDIDO":
+            vend = "NO VENDIDO"
+        elif isinstance(s, tuple):
+            name, city, depto, _decoy = s
+            # the formatted line is "name[, city][, depto]" with Nones
+            # omitted — the PARSED fields are positional on commas
+            parts = [name] + [p for p in (city, depto) if p is not None]
+            vend = parts[0]
+            ciu = parts[1] if len(parts) > 1 else None
+            dep = parts[2] if len(parts) > 2 else None
+            if ciu == "DE ESTA CAPITAL":
+                dep = "GUATEMALA"
+        out.append(
+            (
+                str(spec["num"]),
+                str(it["numero"]),
+                it["letras"],
+                it["cents"] / 100.0,
+                vend,
+                ciu,
+                dep,
+            )
+        )
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(specs=st.lists(_SPEC, min_size=1, max_size=4))
+def test_format_parse_roundtrip_property(spark, specs):
+    docs = [
+        (
+            f"d{i}.txt",
+            format_bronze_document(
+                s["num"], s["tipo"], s["fecha"], s["cad"],
+                s["p"][0], s["p"][1], s["p"][2], s["r"], _body_rows(s),
+            ),
+        )
+        for i, s in enumerate(specs)
+    ]
+    headers, premios = parse_draws(
+        spark.createDataFrame(docs, "file string, content string"),
+        strict=True,
+    )
+    hdr = {r["file"]: r.asDict() for r in headers.collect()}
+    for i, s in enumerate(specs):
+        h = hdr[f"d{i}.txt"]
+        assert h["numero_sorteo"] == str(s["num"])
+        assert h["tipo_sorteo"] == s["tipo"]
+        assert h["fecha_sorteo"] == s["fecha"]
+        assert h["fecha_caducidad"] == s["cad"]
+        assert (h["primer_premio"], h["segundo_premio"], h["tercer_premio"]) \
+            == tuple(str(x) for x in s["p"])
+        assert h["reintegros"] == ",".join(str(x) for x in s["r"])
+    got = sorted(
+        (
+            (
+                r["file"], r["numero_sorteo"], r["numero_premiado"],
+                r["letras"], r["monto"], r["vendedor"], r["ciudad"],
+                r["departamento"],
+            )
+            for r in premios.collect()
+        ),
+        key=repr,  # None-safe total order on mixed tuples
+    )
+    want = sorted(
+        (
+            (f"d{i}.txt", *row)
+            for i, s in enumerate(specs)
+            for row in _expected_premios(s)
+        ),
+        key=repr,
+    )
+    assert got == want
