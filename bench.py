@@ -264,6 +264,9 @@ HEADLINE = [
     "bronze_parser_roundtrip",
     "quality_calibration_ece",
     "tokenizer_fertility_audit",
+    "scrape_extract_roundtrip",
+    "csv_roundtrip_audit",
+    "json_audited_roundtrip",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4661,22 +4661,28 @@ _DRIVER_WINDOW_PRIORITY = [
     # Round-10 rotation (VERDICT r9 asks #1/#3). Composition, by the
     # standing reproducible rule over CORRECTNESS_r0*.json:
     #   never_green + (last_green == r03) + (last_green == r04)[:27]
-    # (a) never-green first: the THREE new r10 entries —
+    # (a) never-green first: the SIX new r10 entries —
     #     bronze_parser_roundtrip (the P1-P6 Bronze parser's first
     #     driver surface, VERDICT r9 #1), quality_calibration_ece,
-    #     and tokenizer_fertility_audit;
+    #     tokenizer_fertility_audit, and the three source/sink
+    #     round-trips that close the remaining pytest-only S-rows
+    #     (scrape_extract_roundtrip S1, csv_roundtrip_audit S10,
+    #     json_audited_roundtrip);
     # (b) all 20 remaining last-green-r03 entries, registry order
     #     (window_function_surface .. dsir_importance_by_lang — the
     #     exact queue the r9 comment promised r10);
-    # (c) fill to 50 with the OLDEST remaining: the first 27
+    # (c) fill to 50 with the OLDEST remaining: the first 24
     #     last-green-r04 entries in registry order (r04 has 50
-    #     total; the other 23 lead the r11 fill, starting with
-    #     session_window_native).
+    #     total; the other 26 lead the r11 fill, starting with
+    #     event_transition_matrix).
     # After r10 lands, no oracled entry's newest driver record is
     # older than r04.
     "bronze_parser_roundtrip",
     "quality_calibration_ece",
     "tokenizer_fertility_audit",
+    "scrape_extract_roundtrip",
+    "csv_roundtrip_audit",
+    "json_audited_roundtrip",
     "window_function_surface",
     "set_ops_surface",
     "array_functions_surface",
@@ -4721,9 +4727,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "cross_source_contamination",
     "semdedup_stats",
     "hard_negative_mining",
-    "event_transition_matrix",
-    "top_tfidf_terms",
-    "weighted_sample_events",
 ]
 
 
@@ -18922,6 +18925,355 @@ def tokenizer_fertility_audit(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 continuation: the remaining pytest-only source/sink surfaces
+# (S1 scrape extraction, S10 CSV, JSON-audited ingest), each driver-
+# checked with the same synthesize→operate→aggregate round-trip shape
+# the Bronze parser entry established.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scrape_extract_roundtrip",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderkey % 8 AS m,
+             CASE o_orderstatus WHEN 'O' THEN 'ORDINARIO'
+                  WHEN 'F' THEN 'EXTRAORDINARIO'
+                  ELSE 'NAVIDENO' END AS tipo,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders WHERE o_orderkey % 13 = 5
+    ),
+    page AS (
+      SELECT k, m, year(d) AS yr,
+             'SORTEO ' || tipo || ' NO. ' || k AS title,
+             strftime(d, '%d/%m/%Y') AS fecha,
+             CASE WHEN k % 5 = 0 THEN '00MIL ' ELSE '20MIL ' END
+               || (k * 7) || ' Q' || chr(10) || 'NO VENDIDO' AS body,
+             CASE WHEN k % 5 = 0 THEN '' ELSE 'CENTENARES' || chr(10) END
+               AS cent
+      FROM o
+    ),
+    docs AS (
+      SELECT k, m, yr,
+             m IN (3, 4, 5, 6, 7) AS ok,
+             'HEADER' || chr(10)
+               || CASE WHEN m = 3 THEN title
+                       ELSE title || ' FECHA DEL SORTEO: ' || fecha END
+               || chr(10) || chr(10) || 'BODY' || chr(10) || cent || body
+               AS doc,
+             'results_raw_lottery_url_id_' || k || '_'
+               || trim(regexp_replace(lower(title), '[^a-z0-9_.]+', '_', 'g'),
+                       '_')
+               || '.txt' AS fname
+      FROM page
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(*) FILTER (WHERE ok) AS BIGINT) AS n_ok,
+           CAST(COUNT(*) FILTER (WHERE m = 0) AS BIGINT) AS n_err_h2,
+           CAST(COUNT(*) FILTER (WHERE m = 1) AS BIGINT) AS n_err_draw,
+           CAST(COUNT(*) FILTER (WHERE m = 2) AS BIGINT) AS n_err_rows,
+           CAST(COUNT(*) FILTER (WHERE m = 3) AS BIGINT) AS n_year_unknown,
+           CAST(SUM(k) FILTER (WHERE ok) AS BIGINT) AS sum_numero,
+           CAST(SUM(yr) FILTER (WHERE ok AND m <> 3) AS BIGINT) AS sum_year,
+           CAST(COUNT(*) FILTER (WHERE ok AND k % 5 <> 0) AS BIGINT)
+             AS n_centenares,
+           CAST(SUM(('0x' || substr(md5(doc), 1, 15))::UBIGINT % 100000)
+                FILTER (WHERE ok) AS BIGINT) AS doc_checksum,
+           CAST(SUM(('0x' || substr(md5(fname), 1, 15))::UBIGINT % 100000)
+                FILTER (WHERE ok) AS BIGINT) AS fname_checksum
+    FROM docs
+    """,
+)
+def scrape_extract_roundtrip(spark, sf_dir):
+    """S1 award-page HTML extraction
+    (sources/scrape.py::extract_award_pages — previously pytest-only,
+    the same no-driver-record gap class VERDICT r9 #1 closed for the
+    Bronze parser): synthesize award pages AS HTML from orders with
+    pure Spark expressions, run the real stack-based HTMLParser
+    kernel over them, and aggregate every extracted field; the oracle
+    predicts each field directly from the source rows, so a selector
+    miss, a broken regex, a wrong error route, or a drifted
+    document/filename byte breaks the hash.
+
+    Per-field coverage keyed on m = k % 8: m=0 drops the <h2> (error
+    'no h2 title' — and pins that the extractor errors BEFORE parsing
+    fecha: those pages count in no year bucket), m=1 strips the draw
+    number from the title ('no draw number in title' — also proves
+    the SORTEO.*?NO regex does not false-match the NO inside
+    NAVIDENO), m=2 renames card-body ('no results section' — reached
+    AFTER fecha parsing, so these pages carry a known year), m=3
+    omits FECHA (ok page, year='unknown' sentinel,
+    scraping.py:117-122), m>=4 fully well-formed. k%5==0 bodies start
+    with 00MIL (no CENTENARES sentinel injected); the doc_checksum /
+    fname_checksum columns pin the exact reference document format
+    and slugged filename (md5-low-60-bit % 1e5 per page, summed —
+    exact integers).
+
+    Scale shape: page synthesis is a narrow projection; extraction is
+    the production plan itself — one Arrow-batched mapInPandas stage,
+    no shuffle, each page independent (the 100 TB crawl-ingest
+    shape); the final aggregate reduces to 1 row. The mod-13 subset
+    bounds bench cost without losing any branch."""
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.scrape import (
+        extract_award_pages,
+    )
+
+    o = t(spark, sf_dir, "orders").filter((F.col("o_orderkey") % 13) == 5)
+    k = F.col("o_orderkey")
+    m = k % 8
+    tipo = (
+        F.when(F.col("o_orderstatus") == "O", "ORDINARIO")
+        .when(F.col("o_orderstatus") == "F", "EXTRAORDINARIO")
+        .otherwise("NAVIDENO")
+    )
+    title = F.when(m == 1, F.format_string("SORTEO %s", tipo)).otherwise(
+        F.format_string("SORTEO %s NO. %d", tipo, k)
+    )
+    fecha = F.date_format(F.col("o_orderdate").cast("date"), "dd/MM/yyyy")
+    h2 = F.when(m == 0, F.lit("")).otherwise(
+        F.format_string("<h2>%s</h2>\n", title)
+    )
+    fecha_p = F.when(m == 3, F.lit("")).otherwise(
+        F.format_string("<p>FECHA DEL SORTEO: %s</p>\n", fecha)
+    )
+    body = F.format_string(
+        "%s %d Q\nNO VENDIDO",
+        F.when(k % 5 == 0, "00MIL").otherwise("20MIL"),
+        k * 7,
+    )
+    card_class = F.when(m == 2, "other-body").otherwise("card-body")
+    html = F.concat(
+        F.lit('<html><body>\n<div class="heading_s1 text-center">\n'),
+        h2,
+        fecha_p,
+        F.lit('</div>\n<div class="'),
+        card_class,
+        F.lit('">\n<div class="row">nav junk</div>\n'
+              '<div class="row">ads</div>\n<div class="row">\n'),
+        body,
+        F.lit("\n</div>\n</div>\n</body></html>"),
+    )
+    ex = extract_award_pages(
+        o.select(k.alias("page_id"), html.alias("html"))
+    )
+    ok = F.col("error").isNull()
+    low = lambda c: (  # noqa: E731 — md5-low-60-bit % 1e5, exact BIGINT
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % 100000
+    )
+    return ex.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.count(F.when(ok, 1)).cast("long").alias("n_ok"),
+        F.count(F.when(F.col("error") == "no h2 title", 1))
+        .cast("long")
+        .alias("n_err_h2"),
+        F.count(F.when(F.col("error") == "no draw number in title", 1))
+        .cast("long")
+        .alias("n_err_draw"),
+        F.count(F.when(F.col("error") == "no results section", 1))
+        .cast("long")
+        .alias("n_err_rows"),
+        F.count(F.when(F.col("year") == "unknown", 1))
+        .cast("long")
+        .alias("n_year_unknown"),
+        F.sum(F.when(ok, F.col("numero_sorteo"))).cast("long").alias("sum_numero"),
+        F.sum(
+            F.when(ok & (F.col("year") != "unknown"), F.col("year").cast("long"))
+        )
+        .cast("long")
+        .alias("sum_year"),
+        F.count(
+            F.when(ok & F.col("document").contains("BODY\nCENTENARES"), 1)
+        )
+        .cast("long")
+        .alias("n_centenares"),
+        F.sum(F.when(ok, low(F.col("document")))).cast("long").alias("doc_checksum"),
+        F.sum(F.when(ok, low(F.col("file_name")))).cast("long").alias("fname_checksum"),
+    )
+
+
+@query(
+    "csv_roundtrip_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(COUNT(DISTINCT CASE WHEN c_custkey % 7 <> 0
+                                    THEN c_mktsegment END) AS BIGINT)
+             AS n_segments,
+           CAST(COUNT(*) FILTER (WHERE c_custkey % 7 = 0) AS BIGINT)
+             AS n_null_seg,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS sum_bal_cents,
+           CAST(SUM(('0x' || substr(md5('He said "' || c_name
+                                        || '", then, left'), 1, 15))::UBIGINT
+                    % 100000) AS BIGINT) AS tricky_checksum,
+           CAST(MIN(c_custkey % 2000) AS BIGINT) AS min_d_days,
+           CAST(MAX(c_custkey % 2000) AS BIGINT) AS max_d_days
+    FROM customer
+    """,
+)
+def csv_roundtrip_audit(spark, sf_dir):
+    """S10 CSV sink + source, driver-checked end to end
+    (sources/writers.py::write_csv / readers.py::read_csv —
+    previously pytest-only): the customer table is written to CSV and
+    read back with an explicit schema (the at-scale contract — no
+    inference pass), then aggregated; the oracle predicts every
+    aggregate from the parquet source, so any quoting/escape defect,
+    a null↔empty confusion, a mangled date, or a dropped row breaks
+    the hash. The adversarial surface: `tricky` embeds double quotes
+    AND commas (writer must quote + escape, reader must reverse both
+    — pinned byte-exact via md5 checksums), `seg` is NULL for
+    custkey%7==0 (CSV's classic null↔"" round-trip trap; segment
+    values are never empty strings so the mapping is injective), the
+    date column crosses the text representation both ways, and money
+    rides as exact integer cents. Scale shape: flat columnar write +
+    schema'd scan, both embarrassingly parallel; the aggregate
+    reduces to 1 row."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.readers import read_csv
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.writers import write_csv
+
+    c = t(spark, sf_dir, "customer")
+    src = c.select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.concat(
+            F.lit('He said "'), F.col("c_name"), F.lit('", then, left')
+        ).alias("tricky"),
+        F.when((F.col("c_custkey") % 7) == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.date_add(
+            F.lit("1992-01-01").cast("date"),
+            (F.col("c_custkey") % 2000).cast("int"),
+        ).alias("d"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_csv_{tag}"
+    write_csv(src, path)
+    back = read_csv(
+        spark,
+        path,
+        schema=T.StructType.fromDDL(
+            "k BIGINT, tricky STRING, seg STRING, bal_cents BIGINT, d DATE"
+        ),
+    )
+    epoch = F.lit("1992-01-01").cast("date")
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("sum_key"),
+        F.countDistinct("seg").cast("long").alias("n_segments"),
+        F.count(F.when(F.col("seg").isNull(), 1)).cast("long").alias("n_null_seg"),
+        F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+        F.sum(
+            F.conv(F.substring(F.md5("tricky"), 1, 15), 16, 10).cast("long")
+            % 100000
+        )
+        .cast("long")
+        .alias("tricky_checksum"),
+        F.min(F.datediff(F.col("d"), epoch)).cast("long").alias("min_d_days"),
+        F.max(F.datediff(F.col("d"), epoch)).cast("long").alias("max_d_days"),
+    )
+
+
+@query(
+    "json_audited_roundtrip",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders WHERE o_orderkey % 13 = 2
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE k % 11 <> 0) AS BIGINT) AS n_good,
+           CAST(SUM(k) FILTER (WHERE k % 11 <> 0) AS BIGINT) AS sum_key_good,
+           CAST(SUM(cents) FILTER (WHERE k % 11 <> 0) AS BIGINT)
+             AS sum_cents_good,
+           CAST(MIN(d - DATE '1970-01-01') FILTER (WHERE k % 11 <> 0)
+                AS BIGINT) AS min_d_days,
+           CAST(MAX(d - DATE '1970-01-01') FILTER (WHERE k % 11 <> 0)
+                AS BIGINT) AS max_d_days,
+           CAST(COUNT(*) FILTER (WHERE k % 11 = 0) AS BIGINT) AS n_corrupt,
+           CAST(SUM(('0x' || substr(md5(
+                  '{"k":' || k || ',"s":"' || st || '","cents":' || cents
+                  || ',"d":"' || strftime(d, '%Y-%m-%d') || '"'
+                ), 1, 15))::UBIGINT % 100000)
+                FILTER (WHERE k % 11 = 0) AS BIGINT) AS corrupt_checksum
+    FROM s
+    """,
+)
+def json_audited_roundtrip(spark, sf_dir):
+    """JSON-lines sink + PERMISSIVE audited source + quarantine split,
+    driver-checked end to end (sources/writers.py::write_json /
+    readers.py::read_json_audited / malformed_rows — previously
+    pytest-only): clean orders rows are written with the engine's
+    JSON sink; a 'bad upstream deploy' batch (every to_json line for
+    k%11==0 with its closing brace cut) is appended as raw text into
+    the same directory; the audited reader must land every clean row
+    typed (BIGINT/STRING/DATE through the text representation) and
+    every mangled line in the corrupt column BYTE-EXACT — the
+    corrupt_checksum pins the raw-line-preservation contract, because
+    the oracle reconstructs the exact mangled bytes from the source
+    rows. `malformed_rows` provides the quarantine side (its internal
+    cache() is the documented answer to Spark's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction); the 1x1 cross-join
+    joins the clean- and quarantine-side aggregates, the scalar
+    broadcast shape. Scale shape: schema'd JSON scan (no inference
+    pass), narrow filters, two 1-row aggregates."""
+    import hashlib
+    import tempfile
+
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.readers import (
+        malformed_rows,
+        read_json_audited,
+    )
+    from lottery_end_to_end_etl_data_pipeline_spark.sources.writers import write_json
+
+    o = t(spark, sf_dir, "orders").filter((F.col("o_orderkey") % 13) == 2)
+    src = o.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_json_{tag}"
+    write_json(src.filter(F.col("k") % 11 != 0), path)
+    (
+        src.filter(F.col("k") % 11 == 0)
+        .select(F.to_json(F.struct("k", "s", "cents", "d")).alias("js"))
+        .selectExpr("substring(js, 1, length(js) - 1) AS value")
+        .write.mode("append")
+        .text(path)
+    )
+    back = read_json_audited(spark, path, "k BIGINT, s STRING, cents BIGINT, d DATE")
+    clean = back.filter(F.col("_corrupt_record").isNull())
+    epoch = F.lit("1970-01-01").cast("date")
+    a = clean.agg(
+        F.count(F.lit(1)).cast("long").alias("n_good"),
+        F.sum("k").cast("long").alias("sum_key_good"),
+        F.sum("cents").cast("long").alias("sum_cents_good"),
+        F.min(F.datediff(F.col("d"), epoch)).cast("long").alias("min_d_days"),
+        F.max(F.datediff(F.col("d"), epoch)).cast("long").alias("max_d_days"),
+    )
+    b = malformed_rows(back).agg(
+        F.count(F.lit(1)).cast("long").alias("n_corrupt"),
+        F.sum(
+            F.conv(F.substring(F.md5("_corrupt_record"), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % 100000
+        )
+        .cast("long")
+        .alias("corrupt_checksum"),
+    )
+    return a.crossJoin(F.broadcast(b))
 
 
 # must run after every @query registration in this module

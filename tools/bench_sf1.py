@@ -84,6 +84,10 @@ SF1_QUERIES = [
     # r10: the Bronze parser round-trip is data-bound (doc synthesis +
     # parse windows over the mod-17 orders subset) — track it at sf1
     "bronze_parser_roundtrip",
+    # r10 continuation: the scrape HTML extraction is data-bound (the
+    # Python HTMLParser kernel runs per page over the mod-13 orders
+    # subset) — the one new source/sink round-trip worth an sf1 point
+    "scrape_extract_roundtrip",
 ]
 
 
