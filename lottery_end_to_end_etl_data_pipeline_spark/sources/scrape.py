@@ -47,7 +47,12 @@ AWARD_PAGE_SCHEMA = T.StructType(
         T.StructField("page_id", T.LongType(), False),
         T.StructField("header_text", T.StringType(), True),
         T.StructField("header_title", T.StringType(), True),
-        T.StructField("numero_sorteo", T.IntegerType(), True),
+        # LONG, not int: draw ids are synthetic-key-sized in tests and
+        # at-scale ingest replays (10^9+ at the sf10 probe) — an int32
+        # field overflows Arrow's safe cast exactly when the corpus
+        # gets big, the silent-at-small-scale trap this schema exists
+        # to avoid.
+        T.StructField("numero_sorteo", T.LongType(), True),
         T.StructField("fecha_sorteo", T.StringType(), True),
         T.StructField("year", T.StringType(), True),
         T.StructField("body_results", T.StringType(), True),
