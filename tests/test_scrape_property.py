@@ -1,0 +1,170 @@
+"""Property test for the S1 HTML extractor: a randomized award page —
+with adversarial-but-benign HTML perturbations (extra attributes,
+shuffled class lists, wrapper junk, decoy rows outside card-body, a
+second h2, comments, <br/>, indentation) — must extract exactly the
+fields the spec predicts, per the documented selector semantics
+(reference scraping.py:88-160): heading = first div.heading_s1.
+text-center (all descendant text lines, cleaned, space-joined),
+title = FIRST h2, body = THIRD div.row under div.card-body
+(lines cleaned, newline-joined), CENTENARES sentinel unless the body
+starts with 00MIL, filename slug from the lowered title.
+
+The model here is computed from the generating spec, independent of
+the extractor code — if a selector, a regex, the error routing, or
+the document format drifts, the comparison breaks."""
+
+from __future__ import annotations
+
+import random
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lottery_end_to_end_etl_data_pipeline_spark.sources.scrape import (
+    extract_award_page,
+)
+
+# single-spaced, no digits (so the SORTEO.*?NO regex can only bind the
+# real draw number), no HTML specials
+_TIPO = st.from_regex(r"[A-Z]{2,8}( [A-Z]{2,8})?", fullmatch=True)
+# body-line alphabet: printable, no &<>, no leading/trailing spaces;
+# never 00MIL-prefixed (the zeromil flag controls that sentinel)
+_LINE = st.from_regex(
+    r"[A-Z0-9][A-Z0-9 .,]{0,18}[A-Z0-9.]", fullmatch=True
+).filter(lambda s: not s.startswith("00MIL"))
+
+_SPEC = st.fixed_dictionaries(
+    {
+        "num": st.integers(1, 10**12),  # exercises the LONG id range
+        "tipo": _TIPO,
+        "fecha": st.one_of(
+            st.none(),
+            st.dates(
+                min_value=__import__("datetime").date(1900, 1, 1),
+                max_value=__import__("datetime").date(2100, 12, 31),
+            ),
+        ),
+        "lines": st.lists(_LINE, min_size=1, max_size=5),
+        "zeromil": st.booleans(),  # body starts with 00MIL -> no sentinel
+        "drop_h2": st.booleans(),
+        "drop_number": st.booleans(),
+        "seed": st.integers(0, 2**31),
+    }
+)
+
+
+def _perturbed_page(spec) -> str:
+    """Render the spec to HTML with randomized benign noise."""
+    rng = random.Random(spec["seed"])
+
+    def ind() -> str:  # random indentation / blank noise
+        return rng.choice(["", " ", "   ", "\n", "\n  ", "\n\n "])
+
+    def attrs(*classes: str) -> str:
+        cl = list(classes) + rng.sample(["x1", "mt-2", "z"], rng.randint(0, 2))
+        rng.shuffle(cl)
+        extra = rng.choice(["", ' id="a7"', ' data-k="v"'])
+        return f'class="{" ".join(cl)}"{extra}'
+
+    title = (
+        f"SORTEO {spec['tipo']}"
+        if spec["drop_number"]
+        else f"SORTEO {spec['tipo']} NO. {spec['num']}"
+    )
+    h2 = "" if spec["drop_h2"] else f"<h2>{ind()}{title}{ind()}</h2>"
+    fecha_txt = (
+        spec["fecha"].strftime("%d/%m/%Y") if spec["fecha"] is not None else None
+    )
+    fecha_p = (
+        f"<p>{ind()}FECHA DEL SORTEO: {fecha_txt}{ind()}</p>" if fecha_txt else ""
+    )
+    body_lines = (["00MIL " + spec["lines"][0]] if spec["zeromil"] else []) + (
+        spec["lines"][1:] if spec["zeromil"] else spec["lines"]
+    )
+    rendered = []
+    for ln in body_lines:
+        wrap = rng.choice(["plain", "span", "div"])
+        if wrap == "span":
+            rendered.append(f"<span>{ind()}{ln}{ind()}</span>")
+        elif wrap == "div":
+            rendered.append(f'<div {attrs("inner")}>{ind()}{ln}{ind()}</div>')
+        else:
+            rendered.append(f"{ind()}{ln}{ind()}")
+        if rng.random() < 0.3:
+            rendered.append("<br/>")
+    # exactly TWO junk rows: the selector is POSITIONAL (rows[2] is
+    # the body), matching the reference page structure
+    junk_rows = "\n".join(
+        f'<div {attrs("row")}>junk {i}</div>' for i in range(2)
+    )
+    second_h2 = (
+        "" if spec["drop_h2"]
+        else "<h2>SECOND H2 MUST BE IGNORED NO. 99999</h2>"
+    )
+    return f"""
+<html><body>
+<!-- comment noise -->
+<div {attrs("row")}>DECOY ROW OUTSIDE CARD-BODY</div>
+<div {attrs("container")}>
+  <div {attrs("heading_s1", "text-center")}>
+    {h2}
+    {fecha_p}
+  </div>
+  {second_h2}
+  <div {attrs("card")}>
+    <div {attrs("card-body")}>
+      {junk_rows}
+      <div {attrs("row")}>
+        {chr(10).join(rendered)}
+      </div>
+      <div {attrs("row")}>trailing row ignored</div>
+    </div>
+  </div>
+</div>
+</body></html>"""
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(spec=_SPEC)
+def test_extraction_matches_spec(spec):
+    out = extract_award_page(7, _perturbed_page(spec))
+
+    if spec["drop_h2"]:
+        assert out["error"] == "no h2 title" and out["document"] is None
+        return
+    if spec["drop_number"]:
+        assert out["error"] == "no draw number in title"
+        assert out["document"] is None
+        return
+    assert out["error"] is None
+    title = f"SORTEO {spec['tipo']} NO. {spec['num']}"
+    assert out["header_title"] == title
+    assert out["numero_sorteo"] == spec["num"]
+
+    if spec["fecha"] is not None:
+        fecha_txt = spec["fecha"].strftime("%d/%m/%Y")
+        assert out["fecha_sorteo"] == fecha_txt
+        assert out["year"] == f"{spec['fecha'].year:04d}"
+        expected_header = f"{title} FECHA DEL SORTEO: {fecha_txt}"
+    else:
+        assert out["fecha_sorteo"] is None and out["year"] == "unknown"
+        expected_header = title
+    assert out["header_text"] == expected_header
+
+    body_lines = (["00MIL " + spec["lines"][0]] if spec["zeromil"] else []) + (
+        spec["lines"][1:] if spec["zeromil"] else spec["lines"]
+    )
+    assert out["body_results"] == "\n".join(body_lines)
+
+    cent = "" if spec["zeromil"] else "CENTENARES\n"
+    assert out["document"] == (
+        f"HEADER\n{expected_header}\n\nBODY\n{cent}" + "\n".join(body_lines)
+    )
+
+    slug = re.sub(r"[^\w.]+", "_", title.lower()).strip("_")
+    assert out["file_name"] == f"results_raw_lottery_url_id_7_{slug}.txt"
