@@ -10301,9 +10301,13 @@ def personalized_pagerank_knn(spark, sf_dir):
 
 
 def _fl_oracle(k: int = 5) -> str:
+    # Every CTE is MATERIALIZED: the unrolled greedy chain references
+    # cov{i}/fedges many times, and DuckDB's default inlining re-evaluates
+    # the whole upstream expression tree per reference — measured 54 s at
+    # sf0.01 vs 0.15 s materialized, byte-identical results.
     head = """
-    WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
-    scored AS (
+    WITH emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+    scored AS MATERIALIZED (
       SELECT q.vec_id AS src, c.vec_id AS dst,
              round(
                list_sum(list_transform(list_zip(c.embedding, q.embedding),
@@ -10313,16 +10317,16 @@ def _fl_oracle(k: int = 5) -> str:
              4) AS cosine
       FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
     ),
-    rankededge AS (
+    rankededge AS MATERIALIZED (
       SELECT src, dst, cosine,
              row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
       FROM scored
     ),
-    fedges AS (
+    fedges AS MATERIALIZED (
       SELECT src AS v, dst AS c, GREATEST(cosine, 0.0) AS w
       FROM rankededge WHERE rnk <= 5
     ),
-    cov0 AS (
+    cov0 AS MATERIALIZED (
       SELECT DISTINCT id AS v, 0.0 AS cov FROM (
         SELECT v AS id FROM fedges UNION ALL SELECT c FROM fedges
       )
@@ -10338,21 +10342,21 @@ def _fl_oracle(k: int = 5) -> str:
             else f"SELECT id FROM pick{i}"
         )
         parts.append(f""",
-    g{i} AS (
+    g{i} AS MATERIALIZED (
       SELECT e.c, round(SUM(GREATEST(e.w - cv.cov, 0.0)), 4) AS gain
       FROM fedges e JOIN cov{i} cv ON cv.v = e.v
       {not_in}
       GROUP BY e.c
     ),
-    pick{i} AS (SELECT c AS id, gain FROM g{i} ORDER BY gain DESC, c LIMIT 1),
-    picked{i} AS ({picked_acc}),
-    cov{i + 1} AS (
+    pick{i} AS MATERIALIZED (SELECT c AS id, gain FROM g{i} ORDER BY gain DESC, c LIMIT 1),
+    picked{i} AS MATERIALIZED ({picked_acc}),
+    cov{i + 1} AS MATERIALIZED (
       SELECT cv.v, GREATEST(cv.cov, COALESCE(se.w, 0.0)) AS cov
       FROM cov{i} cv LEFT JOIN (
         SELECT e.v, e.w FROM fedges e JOIN pick{i} p ON e.c = p.id
       ) se ON se.v = cv.v
     ),
-    obj{i} AS (SELECT round(SUM(cov), 4) AS o FROM cov{i + 1})""")
+    obj{i} AS MATERIALIZED (SELECT round(SUM(cov), 4) AS o FROM cov{i + 1})""")
     finals = " UNION ALL ".join(
         f"SELECT {i + 1} AS step, pick{i}.id AS selected_id, pick{i}.gain, "
         f"obj{i}.o AS objective FROM pick{i}, obj{i}"
