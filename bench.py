@@ -342,7 +342,7 @@ def main() -> None:
     # round 5). Per-entry ratios are divided by the control factor
     # (clamped to >= 1 so a FASTER machine never hides a real
     # regression); the factor itself is recorded, and a control
-    # factor > 1.3 is surfaced as its own entry so a shared-library
+    # factor > 1.15 is surfaced as its own entry so a shared-library
     # slowdown cannot silently normalize itself away.
     prev_path = Path(__file__).with_name("BENCH_DETAIL.json")
     prev_queries: dict = {}
@@ -365,7 +365,13 @@ def main() -> None:
         ),
         key=lambda kv: -kv[1],
     )
-    if control > 1.3:
+    # Surface the control well below the per-entry flag threshold
+    # (r10 review): in the 1.15-1.3 window the normalization relaxes
+    # every per-entry gate (1.3x raw becomes up to ~1.7x), which is
+    # exactly where a shared-helper regression that also slows the
+    # gold pipeline could hide — so a control that large must be
+    # visible and adjudicated (environment vs code), not silent.
+    if control > 1.15:
         regressions.insert(0, ("reference_pipeline_CONTROL", round(control, 2)))
 
     # The driver captures only the TAIL of stdout; round 3's full

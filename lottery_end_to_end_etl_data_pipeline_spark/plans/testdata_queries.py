@@ -70,6 +70,31 @@ _LCM_FACTORS_SQL = ", ".join(str(_LCM_49 // d) for d in range(1, 50))
 ORACLE: dict[str, str] = {}
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(kind: str, tag: str) -> str:
+    """Per-PROCESS scratch dir for write-audit entries (r10 review):
+    the previous fixed /tmp/spark_graft_<kind>_<tag> paths were shared
+    world-wide, so two concurrent executions against the same sf_dir
+    (driver gate + local mirror, two adjudication runs, two users on a
+    shared box) could overwrite each other's directories mid-read, and
+    a second user's overwrite into the first user's directory fails on
+    permissions. mkdtemp gives each process a private root (also
+    immune to stale streaming checkpoints from dead processes); the
+    per-sf `tag` keeps multi-SF runs within one process distinct; the
+    root is removed at interpreter exit."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return f"{_SCRATCH_ROOT}/{kind}_{tag}"
+
+
 class scoped_conf:
     """Save/restore a session conf around a block — query functions
     must NOT leave session confs changed (a round-4 advisory:
@@ -1713,7 +1738,7 @@ def knn_lsh_indexed_cosine(spark, sf_dir):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     planes = hyperplanes(len(qvec), n_planes=4, seed=42)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_lshidx_{tag}"
+    path = _scratch("lshidx", tag)
     write_lsh_index(emb, planes, path)
     approx = knn_lsh_indexed(
         spark, path, planes, qvec, k=10, probe_radius=1, exclude_id=0
@@ -1758,7 +1783,7 @@ def knn_ivf_cosine(spark, sf_dir):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     cents = kmeans_fit(emb, k=8, n_iters=2)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_ivf_{tag}"
+    path = _scratch("ivf", tag)
     write_ivf_index(emb, cents, path)
     approx = knn_ivf(spark, path, cents, qvec, k=10, n_probe=4, exclude_id=0)
     brute = knn_brute(emb, qvec, k=10, id_col="vec_id", exclude_id=0)
@@ -2136,7 +2161,7 @@ def dedup_incremental_index(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_mhidx_{tag}"
+    path = _scratch("mhidx", tag)
     write_minhash_index(corpus, path, num_hashes=64, bands=16)
     survivors = dedup_against_index(spark, batch, path, threshold=0.5)
     n_batch = batch.count()
@@ -2732,7 +2757,7 @@ def hypertable_rollup(spark, sf_dir):
     )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_cagg_{tag}"
+    path = _scratch("cagg", tag)
     events = t(spark, sf_dir, "events")
     build_continuous_aggregate(events, path)
     served = query_continuous_aggregate(spark, path, tail=None)
@@ -3709,7 +3734,7 @@ def hypertable_refresh(spark, sf_dir):
     events = t(spark, sf_dir, "events")
     cutoff = "2024-01-20 00:00:00"
     tag = hashlib.md5(f"{sf_dir}refresh".encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_cagg_refresh_{tag}"
+    path = _scratch("cagg_refresh", tag)
     build_continuous_aggregate(events.filter(F.col("ts") < cutoff), path)
     # refresh contract: all raw rows >= hwm (the last built bucket
     # start, 01-19) — pass everything from the day before the cutoff
@@ -3767,7 +3792,7 @@ def upsert_merge_counts(spark, sf_dir):
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )
     tag = hashlib.md5(f"{sf_dir}upsert".encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_upsert_{tag}"
+    path = _scratch("upsert", tag)
     base = orders.filter(F.col("o_orderkey") % 7 != 0)
     base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     upd = orders.filter(F.col("o_orderkey") % 5 == 0)
@@ -4441,7 +4466,7 @@ def repeated_span_incremental(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_spanidx_{tag}"
+    path = _scratch("spanidx", tag)
     write_span_index(corpus, path, "text", "doc_id", 10)
     return repeated_spans_against_index(batch, path, "text", "doc_id", 10)
 
@@ -5926,7 +5951,7 @@ def semdedup_incremental_index(spark, sf_dir):
     batch = emb.filter(F.col("vec_id") % 3 == 0)
     cents = kmeans_fit(hist, k=8, n_iters=2)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_ivfsem_{tag}"
+    path = _scratch("ivfsem", tag)
     write_ivf_index(hist, cents, path)
     res = semantic_dedup_against_index(spark, batch, path, cents, threshold=0.95)
     agg = res.agg(
@@ -7896,7 +7921,7 @@ def schema_evolution_roundtrip(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = f"{tempfile.gettempdir()}/spark_graft_evolve_{tag}"
+    base = _scratch("evolve", tag)
     docs.filter(F.col("doc_id") < 100).select("doc_id", "lang").write.mode(
         "overwrite"
     ).parquet(f"{base}/b1")
@@ -8275,7 +8300,7 @@ def small_file_compaction_stats(spark, sf_dir):
     )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_compact_{tag}"
+    path = _scratch("compact", tag)
     t(spark, sf_dir, "orders").repartition(64).write.mode("overwrite").parquet(
         path
     )
@@ -8418,7 +8443,7 @@ def streaming_exactly_once_counts(spark, sf_dir):
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = f"{tempfile.gettempdir()}/spark_graft_e1x_{tag}"
+    base = _scratch("e1x", tag)
     shutil.rmtree(base, ignore_errors=True)
     ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{base}/in/d1")
@@ -8860,7 +8885,7 @@ def cdc_apply_tombstones(spark, sf_dir):
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )
     tag = hashlib.md5(f"{sf_dir}cdc".encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_cdc_{tag}"
+    path = _scratch("cdc", tag)
     base = orders.filter(F.col("o_orderkey") % 7 != 0)
     base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     changes = orders.filter(F.col("o_orderkey") % 3 == 0).select(
@@ -12613,7 +12638,7 @@ def streaming_late_drop_audit(spark, sf_dir):
     import tempfile
 
     tag = abs(hash(sf_dir)) % 10**8
-    base = f"{tempfile.gettempdir()}/spark_graft_wmaudit_{tag}"
+    base = _scratch("wmaudit", tag)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(f"{base}/src")
 
@@ -13277,7 +13302,7 @@ def time_travel_versions(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_tblfmt_{tag}"
+    root = _scratch("tblfmt", tag)
     base = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -13336,7 +13361,7 @@ def incremental_mv_refresh(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_mv_{tag}"
+    root = _scratch("mv", tag)
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     tf.create(spark, root, ev.filter(F.col("event_id") % 4 != 0))
     mv0 = (
@@ -13400,7 +13425,7 @@ def streaming_tablefmt_sink(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    base = f"{tempfile.gettempdir()}/spark_graft_tfsink_{tag}"
+    base = _scratch("tfsink", tag)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(f"{base}/src")
     ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
@@ -13668,7 +13693,7 @@ def tar_shard_roundtrip(spark, sf_dir):
     )
 
     tag = abs(hash(sf_dir)) % 10**8
-    out = f"{tempfile.gettempdir()}/spark_graft_tars_{tag}"
+    out = _scratch("tars", tag)
     docs = t(spark, sf_dir, "documents").select(
         F.concat(
             F.lit("doc_"),
@@ -14528,7 +14553,7 @@ def partition_pruned_scan_audit(spark, sf_dir):
     import tempfile
 
     tag = abs(hash(sf_dir)) % 10**8
-    path = f"{tempfile.gettempdir()}/spark_graft_prune_{tag}"
+    path = _scratch("prune", tag)
     shutil.rmtree(path, ignore_errors=True)
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     (
@@ -14591,7 +14616,7 @@ def tablefmt_optimize_roundtrip(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_opt_{tag}"
+    root = _scratch("opt", tag)
     shutil.rmtree(root, ignore_errors=True)
     cust = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
@@ -14646,7 +14671,7 @@ def tablefmt_schema_evolution(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_evo_{tag}"
+    root = _scratch("evo", tag)
     shutil.rmtree(root, ignore_errors=True)
     orders = t(spark, sf_dir, "orders")
     tf.create(
@@ -14708,7 +14733,7 @@ def tablefmt_stats_pruned_read(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_prune_{tag}"
+    root = _scratch("prune", tag)
     shutil.rmtree(root, ignore_errors=True)
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     n = o.agg(F.max("o_orderkey")).collect()[0][0]
@@ -14764,7 +14789,7 @@ def tablefmt_zorder_skipping(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_zorder_{tag}"
+    root = _scratch("zorder", tag)
     shutil.rmtree(root, ignore_errors=True)
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -14840,7 +14865,7 @@ def tablefmt_cdf_counts(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_cdf_{tag}"
+    root = _scratch("cdf", tag)
     shutil.rmtree(root, ignore_errors=True)
     cust = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
@@ -14913,7 +14938,7 @@ def tablefmt_merge_audit(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_merge_{tag}"
+    root = _scratch("merge", tag)
     shutil.rmtree(root, ignore_errors=True)
     part = t(spark, sf_dir, "part").select(
         "p_partkey", "p_size", "p_retailprice"
@@ -14995,7 +15020,7 @@ def tablefmt_concurrency_audit(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_conc_{tag}"
+    root = _scratch("conc", tag)
     shutil.rmtree(root, ignore_errors=True)
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     n = cust.agg(F.max("c_custkey")).collect()[0][0]
@@ -16430,7 +16455,7 @@ def time_travel_timestamp(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_tbl_ts_{tag}"
+    root = _scratch("tbl_ts", tag)
     base = t(spark, sf_dir, "events").select("event_id", "value")
     tf.create(spark, root, base)
     tf.commit_append(spark, root, base.filter(F.col("event_id") % 7 == 0))
@@ -16509,7 +16534,7 @@ def tablefmt_upgrade_audit(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_upgrade_{tag}"
+    root = _scratch("upgrade", tag)
     shutil.rmtree(root, ignore_errors=True)
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     n = o.agg(F.max("o_orderkey")).collect()[0][0]
@@ -16585,7 +16610,7 @@ def tablefmt_staging_vacuum_audit(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_stagevac_{tag}"
+    root = _scratch("stagevac", tag)
     shutil.rmtree(root, ignore_errors=True)
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     tf.create(spark, root, o.coalesce(1))
@@ -16654,7 +16679,7 @@ def tablefmt_mor_delete_audit(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_mor_{tag}"
+    root = _scratch("mor", tag)
     shutil.rmtree(root, ignore_errors=True)
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
@@ -16739,7 +16764,7 @@ def tablefmt_bloom_skipping(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_bloom_{tag}"
+    root = _scratch("bloom", tag)
     shutil.rmtree(root, ignore_errors=True)
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -16814,7 +16839,7 @@ def streaming_mor_cdc_sink(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    base = f"{tempfile.gettempdir()}/spark_graft_morcdc_{tag}"
+    base = _scratch("morcdc", tag)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(f"{base}/src")
     o = t(spark, sf_dir, "orders").select(
@@ -16914,7 +16939,7 @@ def tablefmt_constraints_audit(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_constr_{tag}"
+    root = _scratch("constr", tag)
     shutil.rmtree(root, ignore_errors=True)
     ev = t(spark, sf_dir, "events").select("event_id", "value")
     tf.create(spark, root, ev.filter(F.col("event_id") % 2 == 0))
@@ -16983,7 +17008,7 @@ def tablefmt_restore_clone_audit(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    base = f"{tempfile.gettempdir()}/spark_graft_restore_{tag}"
+    base = _scratch("restore", tag)
     shutil.rmtree(base, ignore_errors=True)
     src, dst = f"{base}/src", f"{base}/dst"
     ev = t(spark, sf_dir, "events").select("event_id", "value")
@@ -17047,7 +17072,7 @@ def tablefmt_metadata_agg_audit(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_metaagg_{tag}"
+    root = _scratch("metaagg", tag)
     shutil.rmtree(root, ignore_errors=True)
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     tf.create(spark, root, o.repartitionByRange(4, F.col("o_orderkey")))
@@ -17110,7 +17135,7 @@ def tablefmt_partition_pruning(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_hpart_{tag}"
+    root = _scratch("hpart", tag)
     shutil.rmtree(root, ignore_errors=True)
     ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
     tf.create(spark, root, ev, partition_by=["day(ts)"])
@@ -17162,7 +17187,7 @@ def tablefmt_replace_where_audit(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_rwhere_{tag}"
+    root = _scratch("rwhere", tag)
     shutil.rmtree(root, ignore_errors=True)
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     tf.create(spark, root, ev, partition_by=["event_type"])
@@ -17228,7 +17253,7 @@ def tablefmt_partition_evolution_audit(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_pevol_{tag}"
+    root = _scratch("pevol", tag)
     shutil.rmtree(root, ignore_errors=True)
     ev = t(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
@@ -17301,7 +17326,7 @@ def tablefmt_readstream_audit(spark, sf_dir):
 
     tstream.register(spark)
     tag = abs(hash(sf_dir)) % 10**8
-    base = f"{tempfile.gettempdir()}/spark_graft_rstream_{tag}"
+    base = _scratch("rstream", tag)
     shutil.rmtree(base, ignore_errors=True)
     root, ckpt, out = f"{base}/t", f"{base}/ck", f"{base}/out"
     ev = t(spark, sf_dir, "events").select("event_id", "value")
@@ -17382,7 +17407,7 @@ def tablefmt_metadata_tables(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_metatbl_{tag}"
+    root = _scratch("metatbl", tag)
     shutil.rmtree(root, ignore_errors=True)
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     tf.create(spark, root, ev, partition_by=["event_type"])
@@ -17547,7 +17572,7 @@ def tablefmt_stream_sink_roundtrip(spark, sf_dir):
     tsink.register(spark)
     tstream.register(spark)
     tag = abs(hash(sf_dir)) % 10**8
-    base = f"{tempfile.gettempdir()}/spark_graft_t2t_{tag}"
+    base = _scratch("t2t", tag)
     shutil.rmtree(base, ignore_errors=True)
     src_t, dst_t, ckpt = f"{base}/src", f"{base}/dst", f"{base}/ck"
     ev = t(spark, sf_dir, "events").select("event_id", "value")
@@ -17636,7 +17661,7 @@ def streaming_mor_upsert_sink(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    base = f"{tempfile.gettempdir()}/spark_graft_morups_{tag}"
+    base = _scratch("morups", tag)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(f"{base}/src")
     o = t(spark, sf_dir, "orders").select(
@@ -17747,7 +17772,7 @@ def tablefmt_rebase_audit(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_rebase_{tag}"
+    root = _scratch("rebase", tag)
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
     )
@@ -17844,7 +17869,7 @@ def tablefmt_cdf_mor_audit(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = f"{tempfile.gettempdir()}/spark_graft_cdfmor_{tag}"
+    root = _scratch("cdfmor", tag)
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
     )
@@ -18233,7 +18258,7 @@ def orc_roundtrip_audit(spark, sf_dir):
         "part", (F.col("event_id") % 4).cast("int")
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_orc_{tag}"
+    path = _scratch("orc", tag)
     write_orc(ev, path, partition_cols=["part"])
     back = read_orc(spark, path).filter(F.col("part").isin(1, 3))
     return back.agg(
@@ -18304,7 +18329,7 @@ def knn_int8_indexed_recall(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_int8_{tag}"
+    path = _scratch("int8", tag)
     write_quantized_index(corpus, path)
     qrow = corpus.filter(F.col("vec_id") == 8).first()
     if qrow is None:  # audit needs >= 9 embeddings rows to have a query
@@ -18526,7 +18551,7 @@ def token_shard_write_audit(spark, sf_dir):
         "doc_id", "lang", (1 + F.col("n_chars") % 97).cast("long").alias("tok")
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_tokshards_{tag}"
+    path = _scratch("tokshards", tag)
     manifest = write_token_shards(docs, path, "doc_id", "tok", budget, n_shards=8)
     return (
         manifest.groupBy("shard")
@@ -19159,7 +19184,7 @@ def csv_roundtrip_audit(spark, sf_dir):
         ).alias("d"),
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_csv_{tag}"
+    path = _scratch("csv", tag)
     write_csv(src, path)
     back = read_csv(
         spark,
@@ -19247,7 +19272,7 @@ def json_audited_roundtrip(spark, sf_dir):
         F.col("o_orderdate").cast("date").alias("d"),
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_json_{tag}"
+    path = _scratch("json", tag)
     write_json(src.filter(F.col("k") % 11 != 0), path)
     (
         src.filter(F.col("k") % 11 == 0)

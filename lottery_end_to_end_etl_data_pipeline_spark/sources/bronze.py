@@ -368,10 +368,22 @@ def format_bronze_documents(spec: DataFrame) -> DataFrame:
     )
     # Section-marker rule: a body not opening with `00MIL` gets a
     # CENTENARES marker line first (empty bodies included — same
-    # falsy-short-circuit as the scalar form).
+    # falsy-short-circuit as the scalar form). The scalar form tests
+    # body_rows[0].strip() with PYTHON's whitespace set; F.trim strips
+    # ASCII spaces only, so a tab/newline/NBSP-prefixed first row
+    # would diverge — left-strip the exact set str.isspace() accepts
+    # (ASCII \t-\r + space, the \x1c-\x1f separators, NEL, NBSP, and
+    # the Unicode space blocks).
+    _py_ws = (
+        "\t-\r \x1c-\x1f\x85\xa0\u1680\u2000-\u200a"
+        "\u2028\u2029\u202f\u205f\u3000"
+    )
     marker = F.when(
         (F.size("body_rows") > 0)
-        & F.startswith(F.trim(F.get("body_rows", 0)), F.lit("00MIL")),
+        & F.startswith(
+            F.regexp_replace(F.get("body_rows", 0), f"^[{_py_ws}]+", ""),
+            F.lit("00MIL"),
+        ),
         F.array().cast("array<string>"),
     ).otherwise(F.array(F.lit("CENTENARES")))
     return spec.select(

@@ -44,6 +44,16 @@ _CASES = [
     # empty body: marker still inserted (falsy short-circuit)
     ("c.txt", 9, "NAVIDENO", "24/12/2021", "24/03/2022",
      28, 19, 10, 9, 0, 0, []),
+    # marker rule under NON-SPACE leading whitespace: the scalar form
+    # strips with Python str.strip() (tabs, CR, NBSP included) while
+    # F.trim strips ASCII spaces only — the r10 review found the
+    # vectorized form diverging here; these pin the fixed parity
+    ("d.txt", 11, "ORDINARIO", "01/01/2022", "01/04/2022",
+     5, 3, 2, 1, 1, 1,
+     ["\t00MIL", "00001  A  ...  10.00"]),
+    ("e.txt", 12, "ORDINARIO", "02/01/2022", "02/04/2022",
+     5, 3, 2, 1, 1, 1,
+     [" \r00MIL SECTION", "00002  B  ...  20.00"]),
 ]
 
 
