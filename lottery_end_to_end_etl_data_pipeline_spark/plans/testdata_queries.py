@@ -83,14 +83,35 @@ def _scratch(kind: str, tag: str) -> str:
     permissions. mkdtemp gives each process a private root (also
     immune to stale streaming checkpoints from dead processes); the
     per-sf `tag` keeps multi-SF runs within one process distinct; the
-    root is removed at interpreter exit."""
+    root is removed at interpreter exit. atexit does not fire on
+    SIGKILL/crash, so the first call also sweeps stale roots whose
+    embedded owner PID is dead (r10 ADVICE): the root name encodes
+    the creating PID as spark_graft_scratch_p<pid>_<rand> so a later
+    process can tell abandoned roots from live concurrent ones."""
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
         import atexit
+        import glob
+        import os
+        import re
         import shutil
         import tempfile
 
-        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        tmpdir = tempfile.gettempdir()
+        for stale in glob.glob(f"{tmpdir}/spark_graft_scratch_p*"):
+            m = re.match(r".*/spark_graft_scratch_p(\d+)_", stale)
+            if not m:
+                continue
+            pid = int(m.group(1))
+            try:
+                os.kill(pid, 0)  # raises if the owning process is gone
+            except ProcessLookupError:
+                shutil.rmtree(stale, ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another uid — leave it alone
+        _SCRATCH_ROOT = tempfile.mkdtemp(
+            prefix=f"spark_graft_scratch_p{os.getpid()}_"
+        )
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
     return f"{_SCRATCH_ROOT}/{kind}_{tag}"
 
@@ -1722,7 +1743,6 @@ def knn_lsh_indexed_cosine(spark, sf_dir):
     Pruning is pytest-gated
     (`test_lsh_index_probe_prunes_partitions`)."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
         hyperplanes,
@@ -1767,7 +1787,6 @@ def knn_ivf_cosine(spark, sf_dir):
     Exactness properties are pytest-gated (probe-all == brute;
     recall grows with n_probe; cost non-increasing per iteration)."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
         kmeans_fit,
@@ -2150,7 +2169,6 @@ def dedup_incremental_index(spark, sf_dir):
     verified at sf0.001/0.01/0.1). Chain behavior and index append
     stay pytest-gated (`test_incremental_dedup_*`)."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
         dedup_against_index,
@@ -2749,7 +2767,6 @@ def hypertable_rollup(spark, sf_dir):
     round trip is lossless for the mergeable measures. (The HLL
     distinct-user sketch column is engine-specific and excluded.)"""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.rollup import (
         build_continuous_aggregate,
@@ -3723,7 +3740,6 @@ def hypertable_refresh(spark, sf_dir):
     dynamic-overwrite only its partitions) equals a from-scratch
     rebuild. HLL sketch column excluded (engine-specific bytes)."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.rollup import (
         build_continuous_aggregate,
@@ -3784,7 +3800,6 @@ def upsert_merge_counts(spark, sf_dir):
     Price bump is +1.00 (2dp-exact), not *1.1 — a multiplier lands on
     3-decimal half-way points where engines round differently."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import upsert_by_key
 
@@ -4455,7 +4470,6 @@ def repeated_span_incremental(spark, sf_dir):
     oracle recomputes the flagged set from raw text (corpus
     membership OR within-batch repeat)."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
         repeated_spans_against_index,
@@ -4683,75 +4697,73 @@ def cross_source_contamination(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # Round-10 rotation (VERDICT r9 asks #1/#3). Composition, by the
-    # standing reproducible rule over CORRECTNESS_r0*.json:
-    #   never_green + (last_green == r03) + (last_green == r04)[:27]
-    # (a) never-green first: the SIX new r10 entries —
-    #     bronze_parser_roundtrip (the P1-P6 Bronze parser's first
-    #     driver surface, VERDICT r9 #1), quality_calibration_ece,
-    #     tokenizer_fertility_audit, and the three source/sink
-    #     round-trips that close the remaining pytest-only S-rows
-    #     (scrape_extract_roundtrip S1, csv_roundtrip_audit S10,
-    #     json_audited_roundtrip);
-    # (b) all 20 remaining last-green-r03 entries, registry order
-    #     (window_function_surface .. dsir_importance_by_lang — the
-    #     exact queue the r9 comment promised r10);
-    # (c) fill to 50 with the OLDEST remaining: the first 24
-    #     last-green-r04 entries in registry order (r04 has 50
-    #     total; the other 26 lead the r11 fill, starting with
-    #     event_transition_matrix).
-    # After r10 lands, no oracled entry's newest driver record is
-    # older than r04.
-    "bronze_parser_roundtrip",
-    "quality_calibration_ece",
-    "tokenizer_fertility_audit",
-    "scrape_extract_roundtrip",
-    "csv_roundtrip_audit",
-    "json_audited_roundtrip",
-    "window_function_surface",
-    "set_ops_surface",
-    "array_functions_surface",
-    "time_weighted_avg_by_type",
-    "gapfill_locf_daily",
-    "sessionize_batch_30m",
-    "bm25_topk",
-    "full_outer_user_totals",
-    "correlated_exists_sql",
-    "rolling_zscore_anomalies",
-    "hypertable_refresh",
-    "upsert_merge_counts",
-    "corr_cov_stats",
-    "string_functions_surface",
-    "regression_surface",
-    "interval_union_coverage",
-    "knn_label_agreement",
-    "chunk_overlap_stats",
-    "stratified_exact_n_sample",
-    "dsir_importance_by_lang",
-    "iqr_filter_approx",
-    "dedup_minhash_lsh",
-    "knn_graph_centrality",
-    "knn_ivf_cosine",
-    "dedup_incremental_index",
-    "dedup_near_e2e",
-    "recursive_cte_month_spine",
-    "lateral_topk_per_region",
-    "heavy_hitters_users",
-    "mad_outliers_by_type",
-    "reservoir_sample_by_lang",
-    "embedding_quantize_stats",
-    "funnel_conversion",
-    "cohort_retention",
-    "scd2_priority_history",
-    "seasonal_dow_anomaly",
-    "chunk_dedup_stats",
-    "char_entropy_quality",
-    "length_bucket_padding",
-    "tfidf_cosine_pairs",
-    "bigram_lm_quality",
-    "cross_source_contamination",
-    "semdedup_stats",
-    "hard_negative_mining",
+    # Round-11 rotation (VERDICT r10 ask #1). Composition, by the
+    # standing reproducible rule over CORRECTNESS_r01..r10.json
+    # (never-green first, then oldest last-green, registry order):
+    #   never_green (EMPTY — every entry has a green driver record)
+    #   + all 26 remaining last-green-r04 entries
+    #     (event_transition_matrix .. dau_wau_stickiness — the exact
+    #     queue the r10 comment promised r11)
+    #   + the first 24 last-green-r05 entries in registry order to
+    #     fill 50 (multimodal_decode_roundtrip ..
+    #     label_propagation_knn; r05 has 50 total, so the other 26
+    #     lead the r12 fill, starting with pagerank_knn_graph's
+    #     cohort — recompute with the one-liner below).
+    # Reproduce: for each registry entry take max round r where
+    # CORRECTNESS_r{r}.json has rows+schema+hash green; sort by
+    # (last_green_round, registry_position); take the first 50.
+    # After r11 lands, no oracled entry's newest driver record is
+    # older than r05.
+    "event_transition_matrix",
+    "top_tfidf_terms",
+    "weighted_sample_events",
+    "session_window_native",
+    "streaming_sliding_counts",
+    "pandas_api_parity",
+    "collocations_pmi",
+    "curation_pipeline_counts",
+    "dim_truncation_recall",
+    "lang_source_chisq",
+    "data_contract_report",
+    "pareto_revenue_concentration",
+    "rrf_quality_fusion",
+    "winsorized_value_stats",
+    "daily_autocorrelation",
+    "fk_integrity_report",
+    "benford_digit_audit",
+    "cdc_chunk_stats",
+    "partition_key_advisor",
+    "lexicon_filter_stats",
+    "zipf_fit_audit",
+    "split_leakage_audit",
+    "dow_hour_heatmap",
+    "gini_user_activity",
+    "equidepth_histogram",
+    "dau_wau_stickiness",
+    "multimodal_decode_roundtrip",
+    "odds_by_draw_type",
+    "bucketed_join_no_shuffle",
+    "grouping_sets_sales",
+    "stat_moments_surface",
+    "map_functions_surface",
+    "triangle_count_knn",
+    "streaming_session_stats",
+    "streaming_dedup_counts",
+    "streaming_join_attribution",
+    "udtf_lateral_segments",
+    "datetime_functions_surface",
+    "null_semantics_surface",
+    "regexp_functions_surface",
+    "hof_functions_surface",
+    "fuzzy_join_blocked",
+    "schema_evolution_roundtrip",
+    "secrets_scan_stats",
+    "dp_noisy_counts",
+    "small_file_compaction_stats",
+    "streaming_exactly_once_counts",
+    "dedup_prefix_filter_join",
+    "clustering_coefficient_knn",
+    "label_propagation_knn",
 ]
 
 
@@ -5936,7 +5948,6 @@ def semdedup_incremental_index(spark, sf_dir):
     co-cells — true for this corpus family (verified at all three
     SFs). Cogroup-kernel exactness stays pytest-gated."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
         semantic_dedup_against_index,
@@ -7910,7 +7921,6 @@ def schema_evolution_roundtrip(spark, sf_dir):
     at 100 TB-many files pin the merged schema once and reopen with
     an explicit schema (the readers.py docstring contract)."""
     import hashlib
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -8293,7 +8303,6 @@ def small_file_compaction_stats(spark, sf_dir):
     maintenance schedule — the entry is the same code path on a
     pruned prefix."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import (
         compact_small_files,
@@ -8440,7 +8449,6 @@ def streaming_exactly_once_counts(spark, sf_dir):
     invocation so the entry is idempotent."""
     import hashlib
     import shutil
-    import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = _scratch("e1x", tag)
@@ -8877,7 +8885,6 @@ def cdc_apply_tombstones(spark, sf_dir):
     once. Price bump +1.00 (2dp-exact) for cross-engine rounding
     safety."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.maintenance import apply_cdc
 
@@ -12635,7 +12642,6 @@ def streaming_late_drop_audit(spark, sf_dir):
     over events per batch file."""
     import os
     import shutil
-    import tempfile
 
     tag = abs(hash(sf_dir)) % 10**8
     base = _scratch("wmaudit", tag)
@@ -13297,7 +13303,6 @@ def time_travel_versions(spark, sf_dir):
     gold rebuild (purge Lambda + CTAS) gets snapshot isolation and
     rollback for free under this layer. Snapshot reads pin a manifest
     (immutable files), so concurrent rebuilds never tear a reader."""
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -13356,7 +13361,6 @@ def incremental_mv_refresh(spark, sf_dir):
     rows. At 100 TB: refresh cost tracks the APPEND size, not the
     table; the pytest companion asserts the delta scan touches only
     the new files."""
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -13420,7 +13424,6 @@ def streaming_tablefmt_sink(spark, sf_dir):
     shows the same guarantee for an idempotent-overwrite sink."""
     import os
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -13685,7 +13688,6 @@ def tar_shard_roundtrip(spark, sf_dir):
     list, shard assignment, byte counts, and payload checksums from
     the source table — so a dropped, duplicated, or corrupted member
     anywhere in the pack/unpack path hash-mismatches."""
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.sources.shards import (
         read_tar_shards,
@@ -14550,7 +14552,6 @@ def partition_pruned_scan_audit(spark, sf_dir):
     partitionBy turns a type-filtered query from a full-corpus scan
     into a directory listing plus the matching files."""
     import shutil
-    import tempfile
 
     tag = abs(hash(sf_dir)) % 10**8
     path = _scratch("prune", tag)
@@ -14611,7 +14612,6 @@ def tablefmt_optimize_roundtrip(spark, sf_dir):
     reclaims fragments under retention — layout changes, data
     provably does not."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -14666,7 +14666,6 @@ def tablefmt_schema_evolution(spark, sf_dir):
     which rows must carry the column from the commit predicate, so a
     wrong fill or a failed union breaks the hash."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -14728,12 +14727,11 @@ def tablefmt_stats_pruned_read(spark, sf_dir):
     the shape that makes a point query on a 100 TB table touch only
     the files whose ranges can match."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
     tag = abs(hash(sf_dir)) % 10**8
-    root = _scratch("prune", tag)
+    root = _scratch("statsprune", tag)
     shutil.rmtree(root, ignore_errors=True)
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     n = o.agg(F.max("o_orderkey")).collect()[0][0]
@@ -14784,7 +14782,6 @@ def tablefmt_zorder_skipping(spark, sf_dir):
     skipping is the 100 TB payoff: a linear sort prunes one column,
     Z-order prunes every clustered column at once."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -14860,7 +14857,6 @@ def tablefmt_cdf_counts(spark, sf_dir):
     from-source reconstruction. Layout-independent by construction:
     whatever files COW chose to rewrite, unchanged rows hash-cancel."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -14933,7 +14929,6 @@ def tablefmt_merge_audit(spark, sf_dir):
     manifest-stats pruning that lets a 100 TB table absorb a MERGE by
     rewriting only the files the source keys can touch."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -15015,7 +15010,6 @@ def tablefmt_concurrency_audit(spark, sf_dir):
        exactly 1 rewritten (v3 - v4 set difference) — min/max file
        pruning, not a full-table rewrite."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -16450,7 +16444,6 @@ def time_travel_timestamp(spark, sf_dir):
     version read. Resolution is pure driver-side manifest metadata —
     no data IO — so the same lookup costs the same on a 100 TB
     table."""
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -16529,7 +16522,6 @@ def tablefmt_upgrade_audit(spark, sf_dir):
     import json as _json
     import os as _os
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -16605,7 +16597,6 @@ def tablefmt_staging_vacuum_audit(spark, sf_dir):
     production lake."""
     import os as _os
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -16674,7 +16665,6 @@ def tablefmt_mor_delete_audit(spark, sf_dir):
     `optimize` materializes and clears; `read_cdf` refuses to diff
     across an un-compacted MOR delete."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -16759,7 +16749,6 @@ def tablefmt_bloom_skipping(spark, sf_dir):
     only bloom-positive files, and a false positive costs a scan,
     never a wrong answer."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -16834,7 +16823,6 @@ def streaming_mor_cdc_sink(spark, sf_dir):
     SQL: inserts, key-overlapping updates, then tombstones."""
     import os
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -16934,7 +16922,6 @@ def tablefmt_constraints_audit(spark, sf_dir):
     source: exactly the full events table, because only the valid
     halves ever committed."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -17003,7 +16990,6 @@ def tablefmt_restore_clone_audit(spark, sf_dir):
     delete."""
     import os as _os
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -17067,7 +17053,6 @@ def tablefmt_metadata_agg_audit(spark, sf_dir):
     stale pre-delete answer (pinned), the difference between a fast
     path and a wrong one."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -17130,7 +17115,6 @@ def tablefmt_partition_pruning(spark, sf_dir):
     read only the days it asks for."""
     import datetime as _dtm
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -17182,7 +17166,6 @@ def tablefmt_replace_where_audit(spark, sf_dir):
     idempotent daily-reload primitive: rewrite one partition, swap
     manifests, readers never see a half-replaced table."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -17248,7 +17231,6 @@ def tablefmt_partition_evolution_audit(spark, sf_dir):
     changes its partitioning strategy without rewriting history."""
     import datetime as _dtm
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -17317,7 +17299,6 @@ def tablefmt_readstream_audit(spark, sf_dir):
     rows move as Arrow RecordBatches with one input partition per
     added file — the fan-out a 100 TB backfill needs."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
     from lottery_end_to_end_etl_data_pipeline_spark.sources import (
@@ -17402,7 +17383,6 @@ def tablefmt_metadata_tables(spark, sf_dir):
     table answers "what does my layout look like" without reading
     data."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -17559,7 +17539,6 @@ def tablefmt_stream_sink_roundtrip(spark, sf_dir):
     silver->gold hop of a 100 TB lakehouse, expressed as two manifest
     reads and one bounded write per trigger."""
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
     from lottery_end_to_end_etl_data_pipeline_spark.sources import (
@@ -17656,7 +17635,6 @@ def streaming_mor_upsert_sink(spark, sf_dir):
     in SQL."""
     import os
     import shutil
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -17767,7 +17745,6 @@ def tablefmt_rebase_audit(spark, sf_dir):
     raise. Pins the rebase counter (exactly one rebase, zero
     conflicts), the head version, and full read parity of the merged
     + compacted table against the SQL oracle."""
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -17864,7 +17841,6 @@ def tablefmt_cdf_mor_audit(spark, sf_dir):
     required. The oracle recomputes the exact per-change-type row
     counts and value sums from the same CDC log in SQL. Predicate MOR
     deletes still refuse (pinned in tests)."""
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators import tablefmt as tf
 
@@ -18249,7 +18225,6 @@ def orc_roundtrip_audit(spark, sf_dir):
     any ORC stripe is opened — same pruning class as
     `tablefmt_partition_pruning`, here on the builtin format."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.sources.readers import read_orc
     from lottery_end_to_end_etl_data_pipeline_spark.sources.writers import write_orc
@@ -18296,7 +18271,6 @@ def knn_int8_indexed_recall(spark, sf_dir):
     inline `knn_quantized` path (both re-rank on exact cosine with
     the same deterministic tiebreak)."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
         knn_quantized,
@@ -18540,7 +18514,6 @@ def token_shard_write_audit(spark, sf_dir):
     Token counts are synthesized exactly (1 + n_chars % 97) so every
     hashed column is BIGINT/boolean."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.operators.packing import (
         write_token_shards,
@@ -19161,7 +19134,6 @@ def csv_roundtrip_audit(spark, sf_dir):
     schema'd scan, both embarrassingly parallel; the aggregate
     reduces to 1 row."""
     import hashlib
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -19256,7 +19228,6 @@ def json_audited_roundtrip(spark, sf_dir):
     broadcast shape. Scale shape: schema'd JSON scan (no inference
     pass), narrow filters, two 1-row aggregates."""
     import hashlib
-    import tempfile
 
     from lottery_end_to_end_etl_data_pipeline_spark.sources.readers import (
         malformed_rows,
