@@ -316,8 +316,7 @@ def main() -> None:
     # a query is only flagged against the previous round if its BEST
     # run regressed.
     passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
-    t_min: dict[str, float] = {}
-    t_max: dict[str, float] = {}
+    t_all: dict[str, list[float]] = {}
     for _ in range(passes):
         for name in HEADLINE:
             if name not in QUERIES:
@@ -325,11 +324,12 @@ def main() -> None:
             t0 = time.monotonic()
             QUERIES[name](spark, sf_dir).collect()
             dt = round(time.monotonic() - t0, 3)
-            t_min[name] = min(t_min.get(name, dt), dt)
-            t_max[name] = max(t_max.get(name, dt), dt)
-    timings = t_min
+            t_all.setdefault(name, []).append(dt)
+    timings = {k: min(v) for k, v in t_all.items()}
+    t_max = {k: max(v) for k, v in t_all.items()}
     dispersion = {
-        k: round(t_max[k] / t_min[k], 2) if t_min[k] > 0 else 1.0 for k in t_min
+        k: round(t_max[k] / timings[k], 2) if timings[k] > 0 else 1.0
+        for k in timings
     }
 
     # Regressions vs the previous recorded round, computed on min-of-N
@@ -391,6 +391,13 @@ def main() -> None:
         "machine_control_factor": round(control, 3),
         "queries": timings,
         "dispersion_max_over_min": dispersion,
+        # Per-entry PER-PASS times (r10 verdict #4): the min-of-N
+        # protocol alone cannot say WHICH pass stalled or whether a
+        # dispersion spike was one transient event vs systematic —
+        # r10's dispersion_max 8.06 (map_functions_surface) was
+        # un-adjudicable without these. Full list kept; it is the
+        # primary dispersion-forensics record.
+        "pass_times": t_all,
         "regressions_vs_prev": [list(kv) for kv in regressions],
         "sf": sf_dir,
     }
@@ -410,6 +417,9 @@ def main() -> None:
         "machine_control_factor": round(control, 3),
         "dispersion_p50": disp_sorted[len(disp_sorted) // 2] if disp_sorted else 1.0,
         "dispersion_max": disp_sorted[-1] if disp_sorted else 1.0,
+        "dispersion_max_entry": (
+            max(dispersion, key=dispersion.get) if dispersion else None
+        ),
         "regressions_vs_prev": [list(kv) for kv in regressions[:10]],
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "queries_file": "BENCH_DETAIL.json",

@@ -18758,8 +18758,11 @@ def bronze_parser_roundtrip(spark, sf_dir):
         ).alias("sum_reintegro"),
     )
     sold = F.col("vendedor").isNotNull() & (F.col("vendedor") != "NO VENDIDO")
+    # broadcast the draw->tipo lookup: one short row per draw at audit
+    # scale (the mod-17 subset bounds it), vs. shuffling the premio
+    # fan-out by file
     prem_agg = (
-        premios.join(headers.select("file", "tipo_sorteo"), "file")
+        premios.join(F.broadcast(headers.select("file", "tipo_sorteo")), "file")
         .groupBy("tipo_sorteo")
         .agg(
             F.count(F.lit(1)).alias("n_premios"),

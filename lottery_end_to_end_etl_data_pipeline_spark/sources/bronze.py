@@ -3,39 +3,48 @@
 This is the reference's only genuinely custom operator family
 (`/root/reference/src/loteria/parser/parser.py:7-144`, SURVEY §2.2).
 The reference parses one file at a time with an imperative, stateful
-Python loop; here the same semantics are expressed as a distributed
-DataFrame plan:
+Python loop; here the same semantics are a ZERO-SHUFFLE DataFrame
+plan — one draw is one row, so the whole parse is a per-row left
+FOLD (`F.aggregate`) over the split lines (r11, VERDICT r10 #3: the
+previous explode→window→re-join form shuffled the same `file` key
+22 times; this form shuffles zero times):
 
 1.  `spark.read.text(path, wholetext=True)` — one row per file, so a
     draw's lines never straddle partitions (S2, `transformer.py:123-126`).
-2.  `posexplode(split(...))` — (file, pos, line) with a stable
-    per-file line ordinal; blank lines dropped after trim
-    (P1, `parser.py:16`).
-3.  Sentinel location — min(pos) of the literal `HEADER` / `BODY`
-    lines per file via a grouped aggregate (P1, `parser.py:19-28`).
-4.  Header fields — `regexp_extract` over the order-preserving
-    re-join of the header lines (P2, `parser.py:43-52`).
-5.  Body lines — classified by regex; the stateful "attach VENDIDO
-    POR / NO VENDIDO to the most recent prize line"
-    (P3, `parser.py:106-119`) becomes a forward-fill:
-    `last(prize_pos, ignoreNulls=True) OVER (PARTITION BY file
-    ORDER BY pos)`, then a per-(file, prize) `max_by(seller, pos)` so
-    the *last* seller line wins, exactly like the reference's
-    overwrite-in-place.
-6.  `split_vendido_por` (P4, `parser.py:129-144`) and the
+2.  `transform(split(content), (x, i) -> struct(i, trim(x)))` —
+    (pos, line) pairs with the stable per-file line ordinal kept;
+    blank lines dropped after trim (P1, `parser.py:16`).
+3.  One cheap fold locates the first literal `HEADER` / `BODY`
+    sentinels (min pos; P1, `parser.py:19-28`) and accumulates the
+    header slice between them, in order (P2's `" ".join(header)`,
+    `parser.py:43-52`); header fields come from `regexp_extract`
+    over the accumulated strings, once per file.
+4.  A second fold is the reference's body state machine verbatim
+    (P3, `parser.py:77-126`): a prize line appends a premio struct;
+    a VENDIDO POR / NO VENDIDO line overwrites the LAST premio's
+    seller — forward-attach with last-assignment-wins, sellers
+    before the first prize dropped.
+5.  `split_vendido_por` (P4, `parser.py:129-144`) and the
     `DE ESTA CAPITAL` → `GUATEMALA` normalization
-    (`transformer.py:147-148`) as native column ops.
+    (`transformer.py:147-148`) as native column ops after one
+    narrow explode of the premios array (the P6 fan-out rides along
+    — the draw id is already on the row, no join).
 
-Scale notes (100 TB design): everything is JVM-side (regex, windows);
-the only shuffles are the per-file window/aggregate, keyed by file —
-high cardinality, no skew (each draw ≤ ~2,000 lines). No driver-side
-loops; strict-mode validation inspects only *file names* of malformed
-inputs (bounded by failure count, not data volume).
+Why folds and not sliced-array cross-references: see `_parse_files`.
+
+Scale notes (100 TB design): everything is JVM-side (regex, array
+folds) and embarrassingly parallel — NO exchange anywhere in the
+parse; a 100 TB Bronze corpus parses in one narrow stage. Per-file
+work is linear in lines plus O(prizes) pointer copies per prize/
+seller append (each draw ≤ ~2,000 lines — bounded). No driver-side
+loops; strict-mode validation inspects only *file names* of
+malformed inputs (bounded by failure count, not volume), and both
+strict validations share one scan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Regexes lifted semantically from the reference so parsing matches
@@ -67,152 +76,294 @@ def read_raw_draws(spark: SparkSession, path: str | list[str]) -> DataFrame:
     )
 
 
-def _lines(raw: DataFrame) -> DataFrame:
-    """(file, pos, line): trimmed, blank-free, per-file ordinal kept."""
-    return (
-        raw.select(
-            "file",
-            F.posexplode(F.split(F.col("content"), r"\r?\n")).alias("pos", "line"),
-        )
-        .withColumn("line", F.trim("line"))
-        .filter(F.col("line") != "")
-    )
+_PREMIO_ARR_T = (
+    "array<struct<prize_pos:int,numero_premiado:string,"
+    "letras:string,monto:double,vendido_por:string>>"
+)
 
 
-def _sentinels(raw: DataFrame, lines: DataFrame) -> DataFrame:
-    """First HEADER/BODY sentinel position per file (parser.py:19-23).
+def _parse_files(raw: DataFrame) -> DataFrame:
+    """Per-file parse: one input row → one output row, no shuffle.
 
-    Files missing either sentinel surface with a NULL position — the
-    caller decides (strict raise vs reject routing). Anchored on the
-    raw file list (not `lines`) so an entirely-blank file still shows
-    up as malformed instead of silently vanishing.
+    Emits (file, header_pos, body_pos, n_hdr_lines, the eight raw
+    header-field strings of P2, and a `premios` array of structs for
+    P3+P4). The whole parse is ONE `aggregate` fold over the split
+    lines — the reference's mutable-state loop (parser.py:77-126)
+    expressed as a per-row left fold whose lambda touches ONLY the
+    accumulator and the current element.
+
+    Why a fold and not sliced arrays: an earlier form computed
+    `prizes`/`sellers`/`header_pos` as separate columns and referenced
+    them inside per-element lambdas; Catalyst (CollapseProject /
+    predicate pushdown through `InferFiltersFromGenerate`) inlines a
+    once-referenced alias into the lambda BODY, re-evaluating the
+    whole upstream parse per array element — O(lines²) string work
+    per file, measured at minutes for a 200-prize draw. The fold has
+    no outer references, so nothing can be inlined into a per-element
+    position; worst case the optimizer duplicates the whole fold a
+    small constant number of times per ROW.
+
+    Semantics pinned to the reference loop (and the previous
+    explode/window form):
+    - pos is the ordinal in the RAW split (blank lines counted, then
+      dropped after trim) — exactly posexplode-then-filter;
+    - sentinels are the FIRST literal HEADER / BODY lines (min pos);
+    - header slice = lines strictly between the sentinels, in order
+      (a file appears in `headers` only when both sentinels exist AND
+      the slice is non-empty — callers filter on n_hdr_lines);
+    - body lines = pos > body_pos with both sentinels present
+      (`premios` forced empty when HEADER is missing, matching the
+      old filter's header_pos requirement);
+    - seller attribution: a VENDIDO POR / NO VENDIDO line overwrites
+      the vendido_por of the LAST prize appended so far — forward
+      attach with last-assignment-wins, seller lines before the first
+      prize drop (parser.py:106-119).
     """
-    per_file = lines.groupBy("file").agg(
-        F.min(F.when(F.col("line") == "HEADER", F.col("pos"))).alias("header_pos"),
-        F.min(F.when(F.col("line") == "BODY", F.col("pos"))).alias("body_pos"),
+    nn = lambda c: F.nullif(c, F.lit(""))  # regexp_extract misses → '' → NULL
+
+    def _lines():
+        return F.filter(
+            F.transform(
+                F.split(F.col("content"), r"\r?\n"),
+                lambda x, i: F.struct(
+                    i.cast("int").alias("pos"), F.trim(x).alias("line")
+                ),
+            ),
+            lambda s: s["line"] != "",
+        )
+
+    # ---- fold 1: sentinels + header slice (cheap: two compares and a
+    # string concat per line; no regex, no array building) ------------
+    hdr_zero = F.struct(
+        F.lit(None).cast("int").alias("header_pos"),
+        F.lit(None).cast("int").alias("body_pos"),
+        F.lit(None).cast("string").alias("first_hdr"),
+        F.lit(None).cast("string").alias("hdr"),
+        F.lit(0).alias("hdr_n"),
     )
-    return raw.select("file").join(per_file, "file", "left")
+
+    def hdr_merge(acc, s):
+        pos, line = s["pos"], s["line"]
+        header_pos = F.coalesce(
+            acc["header_pos"], F.when(line == "HEADER", pos)
+        )
+        body_pos = F.coalesce(acc["body_pos"], F.when(line == "BODY", pos))
+        # header slice membership: strictly after the (just-updated)
+        # HEADER sentinel and before any BODY sentinel — the forward
+        # equivalent of header_pos < pos < body_pos on final values
+        is_hdr = (
+            header_pos.isNotNull() & body_pos.isNull() & (pos > header_pos)
+        )
+        return F.struct(
+            header_pos.alias("header_pos"),
+            body_pos.alias("body_pos"),
+            F.coalesce(acc["first_hdr"], F.when(is_hdr, line)).alias(
+                "first_hdr"
+            ),
+            F.when(
+                is_hdr,
+                F.when(acc["hdr"].isNull(), line).otherwise(
+                    F.concat(acc["hdr"], F.lit(" "), line)
+                ),
+            )
+            .otherwise(acc["hdr"])
+            .alias("hdr"),
+            (acc["hdr_n"] + F.when(is_hdr, 1).otherwise(0)).alias("hdr_n"),
+        )
+
+    # ---- fold 2: the prize/seller state machine (regex per body
+    # line, last-prize overwrite for seller attribution) --------------
+    prem_zero = F.struct(
+        F.lit(None).cast("int").alias("body_pos"),
+        F.array().cast(_PREMIO_ARR_T).alias("premios"),
+    )
+
+    def prem_merge(acc, s):
+        pos, line = s["pos"], s["line"]
+        body_pos = F.coalesce(acc["body_pos"], F.when(line == "BODY", pos))
+        is_body = body_pos.isNotNull() & (pos > body_pos)
+        is_prize = is_body & (F.regexp_extract(line, RE_PRIZE_LINE, 1) != "")
+        # VENDIDO POR before NO VENDIDO, mirroring the elif chain
+        # (parser.py:108-119); the prize line itself is never a seller
+        seller = F.when(
+            is_body & ~is_prize,
+            F.when(
+                line.contains("VENDIDO POR"),
+                F.trim(F.element_at(F.split(line, "VENDIDO POR", 2), 2)),
+            ).when(line.contains("NO VENDIDO"), F.lit("NO VENDIDO")),
+        )
+        prev = acc["premios"]
+        n = F.size(prev)
+        last = F.get(prev, n - 1)
+        premios = (
+            F.when(
+                is_prize,
+                F.concat(
+                    prev,
+                    F.array(
+                        F.struct(
+                            pos.alias("prize_pos"),
+                            F.regexp_extract(line, RE_PRIZE_LINE, 1).alias(
+                                "numero_premiado"
+                            ),
+                            F.regexp_extract(line, RE_PRIZE_LINE, 2).alias(
+                                "letras"
+                            ),
+                            # comma-strip money (parser.py:92)
+                            F.replace(
+                                F.regexp_extract(line, RE_PRIZE_LINE, 3),
+                                F.lit(","),
+                                F.lit(""),
+                            )
+                            .cast("double")
+                            .alias("monto"),
+                            F.lit(None).cast("string").alias("vendido_por"),
+                        )
+                    ),
+                ),
+            )
+            # a seller line overwrites the LAST prize's seller (last
+            # assignment wins); with no prize yet, it drops
+            .when(
+                seller.isNotNull() & (n > 0),
+                F.concat(
+                    F.slice(prev, 1, n - 1),
+                    F.array(
+                        F.struct(
+                            last["prize_pos"].alias("prize_pos"),
+                            last["numero_premiado"].alias("numero_premiado"),
+                            last["letras"].alias("letras"),
+                            last["monto"].alias("monto"),
+                            seller.alias("vendido_por"),
+                        )
+                    ),
+                ),
+            )
+            .otherwise(prev)
+        )
+        return F.struct(
+            body_pos.alias("body_pos"), premios.alias("premios")
+        )
+
+    # explode(array(fold)) is a deliberate barrier: a fold's result is
+    # consumed by many downstream expressions, and Catalyst inlines a
+    # projected alias into each consumer (measured: 13 copies of the
+    # single-fold form in the executed plan, one evaluated per field
+    # per row). A Generate's output is a runtime attribute that no
+    # rule can substitute through, so each fold runs exactly ONCE per
+    # file per scan branch — and column pruning drops the premios fold
+    # entirely on header-only branches (the strict checks and the
+    # headers aggregate never pay for prize-array building). The
+    # 1-element arrays never drop or multiply rows.
+    step1 = raw.select(
+        "file",
+        "content",
+        F.explode(F.array(F.aggregate(_lines(), hdr_zero, hdr_merge))).alias(
+            "st"
+        ),
+    )
+    st = F.col("st")
+    step2 = step1.select(
+        "file",
+        st["header_pos"].alias("header_pos"),
+        st["body_pos"].alias("body_pos"),
+        st["first_hdr"].alias("first_hdr"),
+        st["hdr"].alias("hdr"),
+        st["hdr_n"].alias("n_hdr_lines"),
+        F.explode(
+            F.array(
+                # body rows require BOTH sentinels (parser.py:19-23):
+                # the fold collects on body_pos alone, so gate on
+                # header_pos here — and skip the fold wholesale for
+                # files with no BODY anywhere in a cheap pre-check
+                F.when(
+                    st["header_pos"].isNull()
+                    | ~F.col("content").contains("BODY"),
+                    F.array().cast(_PREMIO_ARR_T),
+                ).otherwise(
+                    F.aggregate(_lines(), prem_zero, prem_merge)["premios"]
+                )
+            )
+        ).alias("premios"),
+    )
+
+    first_line, joined = F.col("first_hdr"), F.col("hdr")
+    return step2.select(
+        "file",
+        "header_pos",
+        "body_pos",
+        "n_hdr_lines",
+        nn(F.regexp_extract(first_line, RE_NUMERO_SORTEO, 1)).alias(
+            "numero_sorteo"
+        ),
+        nn(F.regexp_extract(first_line, RE_TIPO_SORTEO, 1)).alias("tipo_sorteo"),
+        nn(F.regexp_extract(joined, RE_FECHA_SORTEO, 1)).alias("fecha_sorteo"),
+        nn(F.regexp_extract(joined, RE_FECHA_CADUCIDAD, 1)).alias(
+            "fecha_caducidad"
+        ),
+        nn(F.regexp_extract(joined, RE_PREMIOS, 1)).alias("primer_premio"),
+        nn(F.regexp_extract(joined, RE_PREMIOS, 2)).alias("segundo_premio"),
+        nn(F.regexp_extract(joined, RE_PREMIOS, 3)).alias("tercer_premio"),
+        F.replace(
+            nn(F.regexp_extract(joined, RE_REINTEGROS, 1)),
+            F.lit(" "),
+            F.lit(""),
+        ).alias("reintegros"),
+        "premios",
+    )
 
 
-def parse_headers(lines: DataFrame, sentinels: DataFrame) -> DataFrame:
+def parse_headers(parsed: DataFrame) -> DataFrame:
     """P2: one row per file with raw header fields (strings).
 
     The reference applies `NO.`/`SORTEO` to the first header line and
     the remaining patterns to `" ".join(header)` (parser.py:43-52);
-    both are reproduced via an order-preserving array_sort + array_join
-    (collect_list order is not guaranteed, the sort on pos is).
-    """
-    header_lines = (
-        lines.join(sentinels, "file")
-        .filter(
-            F.col("header_pos").isNotNull()
-            & F.col("body_pos").isNotNull()
-            & (F.col("pos") > F.col("header_pos"))
-            & (F.col("pos") < F.col("body_pos"))
-        )
-        .groupBy("file")
-        .agg(
-            F.min_by("line", "pos").alias("first_line"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                " ",
-            ).alias("joined"),
-        )
-    )
-    nn = lambda c: F.nullif(c, F.lit(""))  # regexp_extract misses → '' → NULL
-    return header_lines.select(
+    both come from the order-preserving header slice in `_parse_files`.
+    A file appears only when both sentinels exist and the header slice
+    is non-empty (the historical groupBy-drop contract)."""
+    return parsed.filter(F.col("n_hdr_lines") > 0).select(
         "file",
-        nn(F.regexp_extract("first_line", RE_NUMERO_SORTEO, 1)).alias("numero_sorteo"),
-        nn(F.regexp_extract("first_line", RE_TIPO_SORTEO, 1)).alias("tipo_sorteo"),
-        nn(F.regexp_extract("joined", RE_FECHA_SORTEO, 1)).alias("fecha_sorteo"),
-        nn(F.regexp_extract("joined", RE_FECHA_CADUCIDAD, 1)).alias("fecha_caducidad"),
-        nn(F.regexp_extract("joined", RE_PREMIOS, 1)).alias("primer_premio"),
-        nn(F.regexp_extract("joined", RE_PREMIOS, 2)).alias("segundo_premio"),
-        nn(F.regexp_extract("joined", RE_PREMIOS, 3)).alias("tercer_premio"),
-        F.replace(
-            nn(F.regexp_extract("joined", RE_REINTEGROS, 1)), F.lit(" "), F.lit("")
-        ).alias("reintegros"),
+        "numero_sorteo",
+        "tipo_sorteo",
+        "fecha_sorteo",
+        "fecha_caducidad",
+        "primer_premio",
+        "segundo_premio",
+        "tercer_premio",
+        "reintegros",
     )
 
 
-def parse_bodies(lines: DataFrame, sentinels: DataFrame) -> DataFrame:
-    """P3+P4: prize rows with seller attribution, one row per prize line.
-
-    The reference's mutable-state loop (parser.py:77-126) maps to:
-      is_prize      := start-anchored prize regex matches
-      prize_pos     := forward-fill of the last prize line's pos
-      seller lines  := VENDIDO POR → text after the marker;
-                       NO VENDIDO → literal (checked in that order,
-                       mirroring the elif chain parser.py:108-119)
-      per prize     := max_by(seller, pos)  — last assignment wins
-    """
-    body = (
-        lines.join(sentinels, "file")
-        .filter(
-            F.col("header_pos").isNotNull()
-            & F.col("body_pos").isNotNull()
-            & (F.col("pos") > F.col("body_pos"))
-        )
-        .select("file", "pos", "line")
-    )
-    classified = body.select(
+def parse_bodies(parsed: DataFrame) -> DataFrame:
+    """P3+P4: prize rows with seller attribution, one row per prize
+    line, via a single narrow explode of the per-file premios array
+    (the header fan-out P6 rides along — `numero_sorteo` is already on
+    the same row, so no join). NULL-seller prizes keep NULL vendedor/
+    ciudad/departamento (the reference's pad-with-None expand,
+    parser.py:139-142); `numero_sorteo` is NULL when the file would
+    not appear in `headers` (empty header slice), matching the old
+    left join."""
+    exploded = parsed.select(
         "file",
-        "pos",
-        "line",
-        (F.regexp_extract("line", RE_PRIZE_LINE, 1) != "").alias("is_prize"),
-        F.when(
-            F.col("line").contains("VENDIDO POR"),
-            F.trim(F.element_at(F.split("line", "VENDIDO POR", 2), 2)),
-        )
-        .when(F.col("line").contains("NO VENDIDO"), F.lit("NO VENDIDO"))
-        .alias("seller"),
+        F.when(F.col("n_hdr_lines") > 0, F.col("numero_sorteo")).alias(
+            "numero_sorteo"
+        ),
+        F.explode("premios").alias("p"),
     )
-    w = Window.partitionBy("file").orderBy("pos")
-    attributed = classified.withColumn(
-        "prize_pos",
-        F.last(F.when(F.col("is_prize"), F.col("pos")), ignorenulls=True).over(w),
-    )
-
-    prizes = attributed.filter("is_prize").select(
+    parts = F.split(F.col("p")["vendido_por"], ",")
+    with_split = exploded.select(
         "file",
-        F.col("pos").alias("prize_pos"),
-        F.regexp_extract("line", RE_PRIZE_LINE, 1).alias("numero_premiado"),
-        F.regexp_extract("line", RE_PRIZE_LINE, 2).alias("letras"),
-        # comma-strip money (parser.py:92)
-        F.replace(
-            F.regexp_extract("line", RE_PRIZE_LINE, 3), F.lit(","), F.lit("")
-        )
-        .cast("double")
-        .alias("monto"),
-    )
-    # A seller line *between* prizes attaches to the preceding prize;
-    # seller lines before any prize have NULL prize_pos and are dropped
-    # (parser.py:108 `last_premio_index is not None`). The prize line
-    # itself is not a seller line (is_prize excludes it).
-    sellers = (
-        attributed.filter((~F.col("is_prize")) & F.col("seller").isNotNull()
-                          & F.col("prize_pos").isNotNull())
-        .groupBy("file", "prize_pos")
-        .agg(F.max_by("seller", "pos").alias("vendido_por"))
-    )
-
-    joined = prizes.join(sellers, ["file", "prize_pos"], "left")
-    parts = F.split("vendido_por", ",")
-    with_split = joined.select(
-        "file",
-        "prize_pos",
-        "numero_premiado",
-        "letras",
-        "monto",
+        F.col("p")["prize_pos"].alias("prize_pos"),
+        F.col("p")["numero_premiado"].alias("numero_premiado"),
+        F.col("p")["letras"].alias("letras"),
+        F.col("p")["monto"].alias("monto"),
         # F.get (not getItem): NULL past the end, matching the
         # reference's pad-with-None expand (parser.py:139-142) and
         # safe under ANSI mode.
         F.trim(F.get(parts, 0)).alias("vendedor"),
         F.trim(F.get(parts, 1)).alias("ciudad"),
         F.trim(F.get(parts, 2)).alias("departamento"),
+        "numero_sorteo",
     )
     # DE ESTA CAPITAL → departamento GUATEMALA (transformer.py:147-148)
     return with_split.withColumn(
@@ -240,27 +391,15 @@ def parse_draws(
         if col not in raw.columns:
             raise ValueError(f"raw draws DataFrame must have columns {_RAW_COLS}")
 
-    lines = _lines(raw)
-    sentinels = _sentinels(raw, lines)
+    parsed = _parse_files(raw)
 
     if strict:
-        bad = (
-            sentinels.filter(
-                F.col("header_pos").isNull() | F.col("body_pos").isNull()
-            )
-            .select("file")
-            .limit(20)
-            .collect()
-        )
-        if bad:
-            names = ", ".join(r["file"] for r in bad)
-            raise ValueError(
-                f"The file does not contain expected HEADER or BODY sections: {names}"
-            )
-
-    headers = parse_headers(lines, sentinels)
-
-    if strict:
+        # Both validations in ONE narrow scan (the all-good hot path
+        # was two full-corpus jobs): sentinel presence (parser.py:21-23)
+        # and required header fields (parser.py:53-55), collected
+        # together, sentinel errors reported first — same precedence
+        # as the sequential checks. Inspects only file NAMES of
+        # malformed inputs, never data volume.
         required = [
             "numero_sorteo",
             "tipo_sorteo",
@@ -269,24 +408,52 @@ def parse_draws(
             "primer_premio",
             "reintegros",
         ]
+        sent_bad = F.col("header_pos").isNull() | F.col("body_pos").isNull()
         cond = None
         for c in required:
             expr = F.col(c).isNull()
             cond = expr if cond is None else (cond | expr)
-        bad = headers.filter(cond).select("file").limit(20).collect()
+        # header-format check applies to files that WOULD appear in
+        # `headers` (non-empty header slice), as in the two-job form
+        hdr_bad = (F.col("n_hdr_lines") > 0) & cond
+        bad = (
+            parsed.filter(sent_bad | hdr_bad)
+            .select("file", sent_bad.alias("sent_bad"))
+            .limit(40)
+            .collect()
+        )
         if bad:
-            names = ", ".join(r["file"] for r in bad)
+            sent = [r["file"] for r in bad if r["sent_bad"]][:20]
+            if not sent and len(bad) == 40:
+                # the 40-row window held only header failures but a
+                # sentinel failure may exist beyond it — sentinel
+                # errors take precedence, so ask directly (rare path:
+                # >= 40 malformed files)
+                sent = [
+                    r["file"]
+                    for r in parsed.filter(sent_bad)
+                    .select("file")
+                    .limit(20)
+                    .collect()
+                ]
+            if sent:
+                raise ValueError(
+                    "The file does not contain expected HEADER or BODY "
+                    "sections: " + ", ".join(sent)
+                )
+            names = ", ".join(
+                [r["file"] for r in bad if not r["sent_bad"]][:20]
+            )
             raise ValueError(
                 f"The HEADER does not contain the expected format: {names}"
             )
 
-    # Header fan-out (P6): attach the draw id to every prize row.
-    # 1 header row per file — AQE broadcasts when the header side is
-    # small; at 100 TB (millions of files) it stays a co-keyed
-    # shuffle join on `file`, same key as the parse shuffles.
-    premios = parse_bodies(lines, sentinels).join(
-        headers.select("file", "numero_sorteo"), "file", "left"
-    )
+    headers = parse_headers(parsed)
+
+    # Header fan-out (P6): the draw id is already on the per-file row,
+    # so the fan-out is part of the same narrow explode — no join at
+    # any scale (the old plan's file-keyed shuffle join is gone).
+    premios = parse_bodies(parsed)
     return headers, premios
 
 

@@ -141,6 +141,96 @@ def test_sink_enforces_check_constraints(spark, dirs):
     assert not os.path.isdir(staging) or os.listdir(staging) == []
 
 
+def test_sink_torn_batch_redrain_exactly_once(spark, dirs):
+    """Crash-recovery corner of the AvailableNow single-batch fallback
+    (r10 verdict #2): Spark logs that the Python micro-batch source's
+    fallback "may not guarantee processing new data if there is an
+    uncommitted batch". This pins what the ledger design guarantees:
+    a TORN batch — executor-staged files present in `_streaming/`, NO
+    manifest published, checkpoint offset log already advanced (the
+    offset WAL is written before the batch runs) — re-drains from the
+    same checkpoint with its rows published EXACTLY once: no skip
+    (the offsets replay the commit range; manifests are immutable) and
+    no duplicate (the re-run re-stages fresh files; the torn attempt's
+    staged files are never referenced by any manifest)."""
+    import json
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tsink.register(spark)
+    tstream.register(spark)
+    src_t = dirs["root"] + "_src"
+    tf.create(spark, src_t, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    tf.create(spark, dirs["root"], spark.createDataFrame([], "k long, v string"))
+
+    def pump():
+        q = (
+            spark.readStream.format("tablefmt_stream")
+            .option("startingVersion", -1)
+            .load(src_t)
+            .writeStream.format("tablefmt_sink")
+            .option("path", dirs["root"])
+            .option("txnAppId", "torn")
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    pump()  # batch 0: rows A land normally
+    assert sorted(
+        (r.k, r.v) for r in tf.read(spark, dirs["root"]).collect()
+    ) == [(1, "a"), (2, "b")]
+
+    # Rows B enter the source; now fabricate the torn batch 1 the way a
+    # crash between executor staging and driver commit leaves it:
+    # offsets/1 written (the WAL precedes execution), staged parquet in
+    # _streaming/, no commits/1, no manifest.
+    tf.commit_append(
+        spark, src_t, spark.createDataFrame([(3, "c"), (4, "d")], ["k", "v"])
+    )
+    src_ver = tf.current_version(src_t)
+    off_dir = os.path.join(dirs["ckpt"], "offsets")
+    header, meta, _ = open(os.path.join(off_dir, "0")).read().splitlines()
+    with open(os.path.join(off_dir, "1"), "w") as f:
+        f.write("\n".join([header, meta, json.dumps({"version": src_ver})]))
+    os.makedirs(tsink._staging_dir(dirs["root"]), exist_ok=True)
+    orphan = f"{uuid.uuid4().hex}.parquet"
+    pq.write_table(
+        pa.table({"k": [3, 4], "v": ["c", "d"]}),
+        os.path.join(tsink._staging_dir(dirs["root"]), orphan),
+    )
+
+    pump()  # re-drain: must re-run batch 1 from the checkpointed offsets
+    rows = sorted((r.k, r.v) for r in tf.read(spark, dirs["root"]).collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]  # once each
+    assert os.path.exists(os.path.join(dirs["ckpt"], "commits", "1"))
+    # one new append commit, not two (the torn attempt published nothing)
+    assert [h["action"] for h in tf.history(dirs["root"])] == [
+        "create",
+        "append",
+        "append",
+    ]
+    # the torn attempt's staged file is inert: still in staging, never
+    # moved to data/, never referenced by a manifest
+    assert os.path.exists(os.path.join(tsink._staging_dir(dirs["root"]), orphan))
+    assert not os.path.exists(os.path.join(tf._data_dir(dirs["root"]), orphan))
+    man_files = set(tf._load_manifest(dirs["root"], None)["files"])
+    assert orphan not in man_files
+
+    # data arriving AFTER the torn batch still flows (the fallback's
+    # "may not process new data" caveat is bounded to needing another
+    # invocation, which the checkpoint makes equivalent) — and an
+    # extra drain is a no-op
+    tf.commit_append(spark, src_t, spark.createDataFrame([(5, "e")], ["k", "v"]))
+    pump()
+    pump()
+    rows2 = sorted((r.k, r.v) for r in tf.read(spark, dirs["root"]).collect())
+    assert rows2 == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+
+
 def test_sink_zombie_twin_same_batch_not_duplicated(spark, dirs, monkeypatch):
     # Zombie-driver scenario: an OLD driver and its NEW replacement both
     # commit batchId=0. The loser's FileExistsError retry must re-check
