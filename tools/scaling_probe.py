@@ -20,6 +20,17 @@ query sets) are expected near b=0 and labeled "bounded".
 
 Usage: python tools/scaling_probe.py            # all 4 decades
        python tools/scaling_probe.py --no-sf1   # driver decades only
+       python tools/scaling_probe.py --decade-check   # top-decade gate
+
+--decade-check (r11, VERDICT r10 #5) is the per-round superlinear
+gate: it takes the TOP-10 most expensive entries from BENCH_SF1.json,
+measures each once (warmed) at sf1 and sf10, recomputes the top-decade
+exponent b = log10(t10/t1), appends the table to docs/SCALING.md, and
+EXITS 1 if any b > 1.05 without an entry in _DECADE_ALLOW (superlinear
+shapes that are documented cost-for-correctness, with the reason
+recorded here and in SCALING.md). This is the only gate that catches
+superlinear onset and at-scale overflows (the r10 probes found a real
+int32 draw-id overflow at sf10).
 """
 
 from __future__ import annotations
@@ -99,10 +110,99 @@ PROBES = [
 ]
 
 
+# Entries allowed to exceed the 1.05 top-decade threshold, each with
+# the documented reason (must match a "## Decade check" adjudication
+# note in docs/SCALING.md). Keep this list SHORT and justified.
+_DECADE_ALLOW: dict[str, str] = {}
+
+
+def decade_check() -> int:
+    """Top-decade (sf1→sf10) exponent gate over the 10 most expensive
+    BENCH_SF1.json entries. Returns a process exit code."""
+    import json
+
+    bench_path = _REPO / "BENCH_SF1.json"
+    sf10 = _REPO / "localdata" / "sf10"
+    sf1 = _REPO / "localdata" / "sf1"
+    if not bench_path.exists():
+        print("BENCH_SF1.json missing — run tools/bench_sf1.py first", file=sys.stderr)
+        return 1
+    for d in (sf1, sf10):
+        if not d.is_dir():
+            print(f"{d} missing — build it with tools/make_sf1.py", file=sys.stderr)
+            return 1
+    recorded = json.loads(bench_path.read_text())["queries"]
+    top = [k for k, _ in sorted(recorded.items(), key=lambda kv: -kv[1])[:10]]
+
+    spark = get_session("decade-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in top:  # warm codegen/JIT at the smallest sf
+        try:
+            QUERIES[name](spark, SFS[0][2]).collect()
+        except Exception:
+            pass
+
+    rows, flagged = [], []
+    for name in top:
+        ts = []
+        for sdir in (str(sf1), str(sf10)):
+            t0 = time.monotonic()
+            QUERIES[name](spark, sdir).collect()
+            ts.append(time.monotonic() - t0)
+        b = math.log10(ts[1] / ts[0])  # decade spacing: log10(sf10/sf1)=1
+        rows.append((name, ts[0], ts[1], b))
+        note = ""
+        if b > 1.05:
+            if name in _DECADE_ALLOW:
+                note = f"ALLOWED: {_DECADE_ALLOW[name]}"
+            else:
+                flagged.append(name)
+                note = "FLAGGED"
+        print(f"{name:32s} sf1={ts[0]:7.2f} sf10={ts[1]:8.2f} b={b:+.2f} {note}")
+
+    out = _REPO / "docs" / "SCALING.md"
+    lines = [
+        "\n## Decade check (sf1 -> sf10, top-10 sf1 costs)\n",
+        "\nPer-round superlinear gate (`tools/scaling_probe.py",
+        "--decade-check`): one warmed pass per entry at each scale,",
+        "`b = log10(t_sf10 / t_sf1)`; `b > 1.05` fails the gate unless",
+        "allow-listed with a documented reason in `_DECADE_ALLOW`.\n",
+        "\n| query | sf1 s | sf10 s | b | status |",
+        "|---|---|---|---|---|",
+    ]
+    for name, t1, t10, b in rows:
+        status = (
+            "allowed" if name in _DECADE_ALLOW and b > 1.05
+            else ("FLAGGED" if b > 1.05 else "ok")
+        )
+        lines.append(f"| `{name}` | {t1:.2f} | {t10:.2f} | {b:+.2f} | {status} |")
+    lines.append("")
+    old = out.read_text() if out.exists() else ""
+    idx = old.find("\n## Decade check")
+    if idx != -1:
+        # replace the previous decade section (it runs every round);
+        # keep anything AFTER the table's trailing blank (subsequent
+        # sections start with "## ")
+        rest = old[idx + 1 :]
+        nxt = rest.find("\n## ")
+        tail = rest[nxt + 1 :] if nxt != -1 else ""
+        old = old[:idx] + ("\n" + tail if tail else "")
+    out.write_text(old.rstrip() + "\n" + "\n".join(lines))
+    print(f"updated {out}")
+    if flagged:
+        print(f"DECADE GATE FAILED: b > 1.05 for {flagged}", file=sys.stderr)
+        return 1
+    print("decade gate OK")
+    return 0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-sf1", action="store_true")
+    ap.add_argument("--decade-check", action="store_true")
     args = ap.parse_args()
+    if args.decade_check:
+        sys.exit(decade_check())
     sfs = list(SFS)
     if args.no_sf1 or not os.path.isdir(SFS[-1][2]):
         if not args.no_sf1:

@@ -9,9 +9,12 @@ Runs, in order (stopping on first failure):
      entry's output expressions — r09, VERDICT r8 #4)
   5. tools/plan_audit.py       (regenerates docs/PLAN_AUDIT.md)
   6. bench.py                  (refreshes BENCH_DETAIL.json)
+  7. tools/scaling_probe.py --decade-check  (top-decade superlinear
+     gate over the 10 most expensive BENCH_SF1 entries; r11, VERDICT
+     r10 #5 — auto-skipped when localdata/sf10 is absent)
 
 Usage: python tools/verify_all.py [--skip-bench] [--skip-audit]
-       [--skip-invariance]
+       [--skip-invariance] [--skip-decade]
 Exit code 0 only if every stage passes.
 """
 
@@ -42,6 +45,7 @@ def main() -> None:
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument("--skip-audit", action="store_true")
     ap.add_argument("--skip-invariance", action="store_true")
+    ap.add_argument("--skip-decade", action="store_true")
     args = ap.parse_args()
 
     run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
@@ -56,6 +60,14 @@ def main() -> None:
         run("plan-audit", [sys.executable, "tools/plan_audit.py"])
     if not args.skip_bench:
         run("bench", [sys.executable, "bench.py"])
+    if not args.skip_decade:
+        if (ROOT / "localdata" / "sf10").is_dir():
+            run(
+                "decade-gate",
+                [sys.executable, "tools/scaling_probe.py", "--decade-check"],
+            )
+        else:
+            print("== decade-gate SKIPPED (localdata/sf10 absent)", flush=True)
     print("== ALL VERIFICATION STAGES PASSED", flush=True)
 
 
