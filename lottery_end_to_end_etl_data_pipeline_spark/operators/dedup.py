@@ -1218,23 +1218,36 @@ def semdedup_prune(
 
     Output: (id_col, sem_cluster, pruned) for every input row.
 
-    Scale shape: the only exchange is the groupBy(sem_cluster) that
-    feeds one Arrow-batched gram-matrix kernel per cluster — the
-    whole point of clustering first is that the pair space is
-    sum_c(n_c^2), not n^2, and each cluster's vectors fit one worker
-    (exactly the assumption SemDeDup itself makes when it runs
-    per-cluster pairwise sims). At 100 TB pick k ~ corpus/5e4 so
-    clusters stay bounded (the paper uses 50k clusters for
-    LAION-440M). The matmul is the repo's documented
-    "Pandas where built-ins lose" case (see
-    embedding_cosine_pairs_pandas): the HOF self-join form measured
-    19s at sf0.1 vs sub-second for BLAS on identical outputs."""
+    Scale shape: EXACT duplicates collapse first — one representative
+    (min id) per distinct vector, grouped on the vector value itself
+    (no hash-collision risk). This is semantics-preserving at any
+    threshold < 1: identical vectors have identical similarities to
+    everything, so every non-min id of an identical group is pruned
+    (its min-id twin is a >= threshold neighbor), and a vector has a
+    smaller-id neighbor in some group iff it has one at that group's
+    min id. The r11 decade gate motivated this: a duplicate-heavy
+    corpus concentrates its copies into ONE k-means cell no matter
+    how k scales (that co-clustering is exactly the property the
+    oracle relies on), so the per-cell gram matrix grew quadratically
+    with input — sf10 measured b=+1.66 / 709 s / ~5 GB matmuls;
+    after the collapse the cell holds one row per DISTINCT vector and
+    sf10 runs in seconds. After collapsing, the only exchanges are
+    the groupBy on the vector (linear), the per-cell groupBy feeding
+    one Arrow-batched gram-matrix kernel per cluster — pair space
+    sum_c(n_c^2) over distinct vectors, never n^2 — and the fan-out
+    join back to members. At 100 TB pick k ~ distinct-corpus/5e4 so
+    cells stay bounded (the paper uses 50k clusters for LAION-440M).
+    The matmul is the repo's documented "Pandas where built-ins lose"
+    case (see embedding_cosine_pairs_pandas): the HOF self-join form
+    measured 19s at sf0.1 vs sub-second for BLAS on identical
+    outputs."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    a = ivf_assign(
-        df.select(id_col, vec_col), centroids, vec_col, out_col="sem_cluster"
-    )
+    members = df.select(id_col, vec_col)
+    reps = members.groupBy(vec_col).agg(F.min(id_col).alias(id_col))
+
+    a = ivf_assign(reps, centroids, vec_col, out_col="sem_cluster")
 
     # Within-cluster pruning as one gram-matrix kernel per cluster —
     # the same "Pandas where built-ins lose" call as
@@ -1260,7 +1273,22 @@ def semdedup_prune(
         )
 
     out_schema = f"{id_col} LONG, sem_cluster INT, pruned BOOLEAN"
-    return a.groupBy("sem_cluster").applyInPandas(per_cluster, out_schema)
+    rep_res = a.groupBy("sem_cluster").applyInPandas(per_cluster, out_schema)
+    # fan back out to every input row: a member inherits its
+    # representative's cluster, and every non-representative is
+    # pruned by definition (its identical min-id twin is a
+    # >= threshold neighbor at any threshold < 1)
+    return (
+        members.join(reps.withColumnRenamed(id_col, "_rep_id"), vec_col)
+        .join(rep_res.withColumnRenamed(id_col, "_rep_id"), "_rep_id")
+        .select(
+            id_col,
+            "sem_cluster",
+            ((F.col(id_col) != F.col("_rep_id")) | F.col("pruned")).alias(
+                "pruned"
+            ),
+        )
+    )
 
 
 def doc_chunks_overlap(

@@ -4815,12 +4815,26 @@ def semdedup_stats(spark, sf_dir):
     at all three SFs; at 0.9 near-dups are near-identical vectors,
     which k-means cannot split). A spurious prune OR a missed
     co-clustered dup both surface as hash mismatches; the per-cluster
-    kernel's exactness stays pytest-gated on fixed centroids."""
+    kernel's exactness stays pytest-gated on fixed centroids.
+
+    Scale shape (r11 decade gate: the fixed-k, fit-on-everything form
+    measured b=+1.66 / 709 s at sf10 — duplicate-heavy corpora
+    concentrate their copies into one cell no matter what k is, and
+    Lloyd's over every copy re-pays the assignment for each
+    duplicate): k-means is FIT ON THE DISTINCT VECTORS (the paper's
+    own recipe — cluster the deduplicated corpus) with
+    k = max(8, distinct/2500) so cells stay ~2,500 vectors, and
+    `semdedup_prune` itself collapses exact duplicates before the
+    per-cell gram kernel. Every oracle-checked SF here is
+    duplicate-free with <= 2,500 distinct vectors, so distinct-fit
+    k=8 is bit-identical to the old fixed-k fit-on-everything form."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import semdedup_prune
     from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import kmeans_fit
 
     emb = t(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=8, n_iters=3)
+    distinct = emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    k = max(8, distinct.count() // 2500)
+    cents = kmeans_fit(distinct, k=k, n_iters=3)
     res = semdedup_prune(emb, cents, threshold=0.9)
     return res.agg(
         F.count(F.lit(1)).alias("n_vecs"),
