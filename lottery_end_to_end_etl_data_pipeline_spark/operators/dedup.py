@@ -1590,14 +1590,32 @@ def ngram_jaccard_prefix_filtered(
 
     Reference anchor: SURVEY §2 north-star dedup family; same
     semantics as `ngram_jaccard_pairs` (distinct word k-shingles,
-    `word_shingles`)."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    `word_shingles`).
+
+    Exact-duplicate texts are COLLAPSED before candidate generation
+    (r11 decade gate: a 100x-replicated corpus made hot-shingle
+    postings collide df² times and the sf10 probe died in the verify
+    join): identical texts share every shingle relation, so the
+    member pair set decomposes exactly into rep-level pairs fanned
+    out over member lists plus within-group J=1 cliques
+    (`expand_pairs_to_duplicates`). Candidate work is bounded by
+    DISTINCT texts; the emitted volume — unavoidably quadratic in
+    duplicate multiplicity, it IS the answer — is produced by a
+    linear-in-output fan-out, the optimal shape. Duplicate-free
+    inputs pass through bit-identically (oracle-pinned)."""
     t_eff = threshold - 1e-4
-    sh = (
-        df.repartition(n_part, F.col(id_col))
-        .select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+    # one row per distinct text: rep id, members, shingles — shingled
+    # ONCE, text dropped, then checkpointed (3 downstream branches)
+    groups = (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("id"),
+            F.collect_list(id_col).alias("_members"),
+        )
+        .select("id", "_members", word_shingles(text_col, k).alias("sh"))
         .localCheckpoint(eager=True)
     )
+    sh = groups.select("id", "sh")
     cand = _ppjoin_candidates(_ppjoin_prefix(sh, t_eff), t_eff)
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_sh_b"))
@@ -1619,7 +1637,75 @@ def ngram_jaccard_prefix_filtered(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("id_a", "id_b", "n_common", "jaccard")
+    return expand_pairs_to_duplicates(
+        verified.select("id_a", "id_b", "n_common", "jaccard"),
+        groups.select("id", F.size("sh").alias("_nsh"), "_members"),
+    )
+
+
+def expand_pairs_to_duplicates(rep_pairs: DataFrame, groups: DataFrame) -> DataFrame:
+    """Fan rep-level similarity pairs back out to every exact-duplicate
+    member — the output half of collapse-before-near-dedup.
+
+    ``rep_pairs``: (id_a, id_b, n_common, jaccard) between group
+    representatives (min id per distinct text). ``groups``: one row
+    per distinct text with (id, _nsh = shingle-set size, _members =
+    all member ids). Emits, exactly as a member-level join would:
+
+    - every cross-group member pair (x, y) for each rep pair, with
+      the rep pair's payload columns (identical texts have identical
+      relations), normalized to id_a < id_b;
+    - every within-group pair of a group with >= 2 members and a
+      NON-EMPTY shingle set, with n_common = |shingles| and
+      jaccard = 1.0 (empty-shingle duplicates have NULL/0 jaccard at
+      member level and never verify — so they are skipped here too).
+
+    Payload columns are whatever rides rep_pairs beyond the ids —
+    any of n_common (long) and jaccard (double).
+
+    Cost is one row per OUTPUT pair — linear in the answer, with no
+    candidate-space amplification. Duplicate-free inputs (all groups
+    singleton) return rep_pairs unchanged."""
+    payload = [c for c in rep_pairs.columns if c not in ("id_a", "id_b")]
+    within_payload = {
+        "n_common": F.col("_nsh").cast("long"),
+        "jaccard": F.lit(1.0),
+    }
+    unknown = [c for c in payload if c not in within_payload]
+    if unknown:
+        raise ValueError(
+            f"expand_pairs_to_duplicates: no within-group value defined "
+            f"for payload column(s) {unknown}"
+        )
+    mem_a = groups.select(
+        F.col("id").alias("id_a"), F.col("_members").alias("_ma")
+    )
+    mem_b = groups.select(
+        F.col("id").alias("id_b"), F.col("_members").alias("_mb")
+    )
+    cross = (
+        rep_pairs.join(mem_a, "id_a")
+        .join(mem_b, "id_b")
+        .select(*payload, F.explode("_ma").alias("_x"), "_mb")
+        .select(*payload, "_x", F.explode("_mb").alias("_y"))
+        .select(
+            F.least("_x", "_y").alias("id_a"),
+            F.greatest("_x", "_y").alias("id_b"),
+            *payload,
+        )
+    )
+    within = (
+        groups.filter((F.size("_members") >= 2) & (F.col("_nsh") > 0))
+        .select(F.col("_nsh"), F.explode("_members").alias("_x"), "_members")
+        .select("_nsh", "_x", F.explode("_members").alias("_y"))
+        .filter(F.col("_x") < F.col("_y"))
+        .select(
+            F.col("_x").alias("id_a"),
+            F.col("_y").alias("id_b"),
+            *[within_payload[c].alias(c) for c in payload],
+        )
+    )
+    return cross.unionByName(within)
 
 
 def prefix_filter_candidate_count(

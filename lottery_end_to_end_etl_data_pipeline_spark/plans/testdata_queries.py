@@ -1321,17 +1321,48 @@ def dedup_minhash_lsh(spark, sf_dir):
     vanishing above), which the oracle asserts on real values — a
     missed pair or a hash-scheme bug shows up as a hash mismatch,
     not a silent recall dip. Raw candidate quality (est_jaccard vs
-    exact) stays pytest-gated."""
+    exact) stays pytest-gated.
+
+    Exact-duplicate texts collapse before the LSH (r11 decade gate:
+    identical texts have identical signatures, so every band bucket
+    held every copy and the bucket self-join grew quadratically with
+    replication — b=+1.27 at sf10). Identical texts share signatures
+    AND shingle relations, so the member pair set is exactly the
+    rep-level verified pairs fanned over member lists plus
+    within-group J=1 cliques (`expand_pairs_to_duplicates`);
+    duplicate-free inputs (every oracle-checked SF) are
+    bit-identical to the uncollapsed form."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        expand_pairs_to_duplicates,
         minhash_lsh_pairs,
         verify_pairs_exact,
+        word_shingles,
     )
 
     docs = t(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    g = (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.collect_list("doc_id").alias("_members"),
+        )
+        .localCheckpoint(eager=True)
     )
-    return verify_pairs_exact(cand, docs, "doc_id", "text", k=3, threshold=0.8)
+    reps = g.select("doc_id", "text")
+    cand = minhash_lsh_pairs(
+        reps, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    )
+    rep_pairs = verify_pairs_exact(
+        cand, reps, "doc_id", "text", k=3, threshold=0.8
+    )
+    return expand_pairs_to_duplicates(
+        rep_pairs,
+        g.select(
+            F.col("doc_id").alias("id"),
+            F.size(word_shingles("text", 3)).alias("_nsh"),
+            "_members",
+        ),
+    ).select("id_a", "id_b", "jaccard")
 
 
 @query(
@@ -8095,19 +8126,66 @@ def dup_cluster_size_dist(spark, sf_dir):
     #5): the truth pairs come from `ngram_jaccard_prefix_filtered` —
     the PPJoin prefix/length/positional filters are LOSSLESS (proven
     identical pair set, tests/test_curation_ops.py), so the output is
-    byte-identical while the candidate join shrinks ~8.8x at sf1."""
+    byte-identical while the candidate join shrinks ~8.8x at sf1.
+
+    Scale shape (r11 decade gate: pair materialization is quadratic in
+    exact-duplicate multiplicity): the graph is built over DISTINCT
+    texts and blown back up arithmetically. This is EXACT for the
+    bounded propagation, not an approximation: identical texts share
+    every jaccard relation, so the member graph is the rep graph with
+    each node expanded to a clique and each edge to a full bipartite
+    join — every member of a group then has the same neighborhood
+    (group ∪ adjacent groups) and, by induction over rounds, the same
+    min-label as its rep, with group minima equal to rep ids (rep =
+    min doc_id). Member cluster size = sum of group multiplicities
+    over the rep cluster. Groups of m>=2 identical docs with
+    non-empty shingles but NO cross-text pair are self-cliques the
+    rep-level pair set cannot see (no self-pairs) — they are unioned
+    in as their own clusters. Duplicate-free inputs reduce to the
+    member-level form exactly (the oracle pins sf0.01)."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
         ngram_jaccard_prefix_filtered,
         resolve_components,
+        word_shingles,
     )
 
     docs = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_prefix_filtered(docs, threshold=0.8)
+    g = (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("m"),
+        )
+        .withColumn("_sh_ok", F.size(word_shingles("text", 3)) > 0)
+        .drop("text")
+        .localCheckpoint(eager=True)
+    )
+    reps = t(spark, sf_dir, "documents").join(
+        g.select("doc_id"), "doc_id"
+    )  # one row per distinct text, with its text column back
+    pairs = ngram_jaccard_prefix_filtered(reps, threshold=0.8)
     labels = resolve_components(pairs, rounds=3)
-    clusters = labels.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return clusters.groupBy(
-        F.col("cluster_size").cast("int").alias("cluster_size")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    linked = (
+        labels.join(g.select(F.col("doc_id").alias("id"), "m"), "id")
+        .groupBy("rep")
+        .agg(F.sum("m").alias("cluster_size"))
+        .select("cluster_size")
+    )
+    # self-cliques invisible to the rep-level pair set: m>=2 identical
+    # docs (non-empty shingles => within-group J=1 edges) with no
+    # cross-text neighbor
+    lonely = (
+        g.filter((F.col("m") >= 2) & F.col("_sh_ok"))
+        .join(
+            labels.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+        )
+        .select(F.col("m").alias("cluster_size"))
+    )
+    return (
+        linked.unionByName(lonely)
+        .groupBy(F.col("cluster_size").cast("int").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
 
 
 @query(
@@ -15310,68 +15388,111 @@ def blocking_quality_metrics(spark, sf_dir):
     blocking; the recall you silently traded) and REDUCTION RATIO
     (what fraction of the n^2 pair space you avoided). The truth
     side reuses the PPJoin-filtered `ngram_jaccard_prefix_filtered`
-    (r09, VERDICT r8 #5 — lossless vs the full inverted index, so the
-    metrics are byte-identical at ~8.8x fewer candidates); the
-    candidate join is block-keyed and bounded by block sizes. This
-    is the measurement loop for `fuzzy_join_blocked` /
-    `sorted_neighborhood_pairs`: tune keys until completeness holds
-    and reduction stays high, at any corpus size."""
+    (r09, VERDICT r8 #5 — lossless vs the full inverted index); the
+    candidate count is block-keyed. This is the measurement loop for
+    `fuzzy_join_blocked` / `sorted_neighborhood_pairs`.
+
+    Scale shape (r11 decade gate: the pair-materializing form OOM'd
+    at sf10 — a duplicate-heavy corpus makes every pair set quadratic
+    in the replication factor): all five outputs are COUNTS, and
+    identical texts share shingles, jaccard, and block key, so the
+    counts decompose EXACTLY over duplicate-text groups —
+      n_truth      = sum_g C(m_g,2)[shingles non-empty]           (J=1)
+                   + sum_{rep pairs J>=0.8} m_a*m_b
+      n_candidates = sum_blocks C(M,2),  M = sum of m in the block
+      n_found      = the within-group truth term (same text -> same
+                     block, always found) + the cross term restricted
+                     to rep pairs sharing a block key.
+    Empty-shingle groups (texts under k words) are NOT truth (their
+    jaccard is 0/0 -> NULL, as in the pair-level filter); empty-token
+    docs are in no block. PPJoin runs on DISTINCT texts only, pair
+    spaces are bounded by distinct-text counts, and nothing
+    materializes a member-level pair. On duplicate-free inputs every
+    m=1, the within terms vanish, and all five numbers equal the
+    pair-materializing form's (the oracle pins this at sf0.01)."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
         ngram_jaccard_prefix_filtered,
+        word_shingles,
     )
 
     docs = t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_prefix_filtered(docs, threshold=0.8).select(
-        "id_a", "id_b"
+    # one row per distinct text: representative id + multiplicity;
+    # checkpointed because four count branches reuse it
+    g = (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("m"),
+        )
+        .localCheckpoint(eager=True)
     )
-    toks = docs.select(
+    truth_reps = ngram_jaccard_prefix_filtered(
+        g.select("doc_id", "text"), threshold=0.8
+    ).select("id_a", "id_b")
+    toks = g.select(
         "doc_id",
+        "m",
         F.filter(
             F.split(F.lower("text"), "\\s+"), lambda x: x != ""
         ).alias("tk"),
+        (F.size(word_shingles("text", 3)) > 0).alias("_sh_ok"),
     )
     blocks = toks.filter(F.size("tk") > 0).select(
         "doc_id",
+        "m",
         F.concat(
             F.element_at("tk", 1),
             F.lit("|"),
             F.floor(F.size("tk") / 10).cast("string"),
         ).alias("bk"),
     )
-    cand = (
-        blocks.alias("a")
-        .join(
-            blocks.alias("b"),
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    pairs2 = lambda c: (c * (c - F.lit(1))) / F.lit(2)  # C(c,2), exact on longs
+    within = toks.filter("_sh_ok").agg(
+        F.coalesce(F.sum(pairs2(F.col("m"))), F.lit(0)).cast("long").alias("w")
+    )
+    n_cand = (
+        blocks.groupBy("bk")
+        .agg(F.sum("m").alias("M"))
+        .agg(
+            F.coalesce(F.sum(pairs2(F.col("M"))), F.lit(0))
+            .cast("long")
+            .alias("v")
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
+    )
+    ma = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("m").alias("m_a"), F.col("bk").alias("bk_a")
+    )
+    mb = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("m").alias("m_b"), F.col("bk").alias("bk_b")
+    )
+    # truth reps all have non-empty shingles, hence a block key
+    cross = truth_reps.join(ma, "id_a").join(mb, "id_b")
+    n_truth_cross = cross.agg(
+        F.coalesce(F.sum(F.col("m_a") * F.col("m_b")), F.lit(0))
+        .cast("long")
+        .alias("v")
+    )
+    n_found_cross = cross.filter(F.col("bk_a") == F.col("bk_b")).agg(
+        F.coalesce(F.sum(F.col("m_a") * F.col("m_b")), F.lit(0))
+        .cast("long")
+        .alias("v")
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    n_truth = truth.agg(F.count(F.lit(1)).alias("v"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("v"))
-    n_found = cand.join(truth, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).alias("v")
-    )
     return (
-        n_truth.select(F.col("v").cast("long").alias("n_truth"))
-        .crossJoin(
-            F.broadcast(n_cand.select(F.col("v").cast("long").alias("n_candidates")))
+        within.crossJoin(
+            F.broadcast(n_truth_cross.select(F.col("v").alias("tc")))
         )
-        .crossJoin(
-            F.broadcast(n_found.select(F.col("v").cast("long").alias("n_found")))
-        )
+        .crossJoin(F.broadcast(n_cand.select(F.col("v").alias("n_candidates"))))
+        .crossJoin(F.broadcast(n_found_cross.select(F.col("v").alias("fc"))))
         .crossJoin(F.broadcast(n_docs))
         .select(
-            "n_truth",
+            (F.col("w") + F.col("tc")).alias("n_truth"),
             "n_candidates",
-            "n_found",
-            F.round(F.col("n_found") * 1.0 / F.col("n_truth"), 4).alias(
-                "pair_completeness"
-            ),
+            (F.col("w") + F.col("fc")).alias("n_found"),
+            F.round(
+                (F.col("w") + F.col("fc")) * 1.0 / (F.col("w") + F.col("tc")),
+                4,
+            ).alias("pair_completeness"),
             F.round(
                 1.0
                 - F.col("n_candidates")

@@ -63,7 +63,12 @@ def get_session(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # Overwrite only the partitions present in the write, not the table.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local-mode heap: the driver JVM hosts all 32 task slots, so
+        # 8g gave each task ~250 MB of unified memory — the sf10 decade
+        # probes hit UNABLE_TO_ACQUIRE_MEMORY in sort/agg buffers (r11).
+        # 24g ~ 750 MB/task on the 128 GiB box; a real cluster sizes
+        # executor memory per core the same way.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():

@@ -144,11 +144,22 @@ def decade_check() -> int:
 
     rows, flagged = [], []
     for name in top:
-        ts = []
+        ts, err = [], None
         for sdir in (str(sf1), str(sf10)):
             t0 = time.monotonic()
-            QUERIES[name](spark, sdir).collect()
+            try:
+                QUERIES[name](spark, sdir).collect()
+            except Exception as e:  # an entry that cannot RUN at scale
+                err = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
+                break
             ts.append(time.monotonic() - t0)
+        if err is not None:
+            # failing at sf10 is the worst possible scaling result —
+            # record it, flag it, keep sweeping the other entries
+            rows.append((name, ts[0] if ts else float("nan"), float("nan"), float("inf")))
+            flagged.append(name)
+            print(f"{name:32s} ERROR at scale: {err}", flush=True)
+            continue
         b = math.log10(ts[1] / ts[0])  # decade spacing: log10(sf10/sf1)=1
         rows.append((name, ts[0], ts[1], b))
         note = ""
@@ -158,7 +169,10 @@ def decade_check() -> int:
             else:
                 flagged.append(name)
                 note = "FLAGGED"
-        print(f"{name:32s} sf1={ts[0]:7.2f} sf10={ts[1]:8.2f} b={b:+.2f} {note}")
+        print(
+            f"{name:32s} sf1={ts[0]:7.2f} sf10={ts[1]:8.2f} b={b:+.2f} {note}",
+            flush=True,
+        )
 
     out = _REPO / "docs" / "SCALING.md"
     lines = [
@@ -171,6 +185,9 @@ def decade_check() -> int:
         "|---|---|---|---|---|",
     ]
     for name, t1, t10, b in rows:
+        if math.isinf(b):
+            lines.append(f"| `{name}` | {t1:.2f} | ERROR | — | FLAGGED |")
+            continue
         status = (
             "allowed" if name in _DECADE_ALLOW and b > 1.05
             else ("FLAGGED" if b > 1.05 else "ok")
