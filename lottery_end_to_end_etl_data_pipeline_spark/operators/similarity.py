@@ -746,25 +746,52 @@ def hard_negatives(
     with the label-mismatch predicate applied before ranking so the
     top-k is taken over negatives only. At 100 TB pre-restrict the
     corpus side with the persisted ANN index probes, exactly as the
-    other exact scorers document."""
+    other exact scorers document.
+
+    The corpus side collapses exact-duplicate (vector, label) rows
+    first (r11 decade gate — duplicate-heavy corpora score every copy
+    identically): one cosine per DISTINCT (vector, label), then an
+    exact two-phase top-k. Phase 1 ranks groups per query by
+    (cosine desc, smallest member id asc) and keeps k groups — the
+    true member-level top-k spans at most k groups, because each
+    strictly-better group contributes at least one member ranked
+    above any member of a worse group. Phase 2 explodes the first k
+    member ids of those groups (members of one group share the
+    cosine and rank by id, so only the first k can place) and
+    re-ranks member-level — bit-identical to the uncollapsed window,
+    duplicate-free inputs included. The original qid != cid guard is
+    subsumed: the query row shares its own label, so the label
+    mismatch already excludes it."""
     q = df.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("_qv"),
         F.col(label_col).alias("_ql"),
     )
-    c = df.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("_cv"),
-        F.col(label_col).alias("_cl"),
+    c = (
+        df.groupBy(vec_col, label_col)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_mids"))
+        .select(
+            F.col(vec_col).alias("_cv"),
+            F.col(label_col).alias("_cl"),
+            F.slice("_mids", 1, k).alias("_mids"),
+            F.get("_mids", 0).alias("_cid0"),
+        )
     )
     scored = (
         c.crossJoin(F.broadcast(q))
-        .filter((F.col("qid") != F.col("cid")) & (F.col("_cl") != F.col("_ql")))
+        .filter(F.col("_cl") != F.col("_ql"))
         .withColumn("cosine", F.round(cosine_cols(F.col("_cv"), F.col("_qv")), 4))
+    )
+    wg = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("_cid0"))
+    top_groups = scored.withColumn("grnk", F.row_number().over(wg)).filter(
+        F.col("grnk") <= k
+    )
+    exploded = top_groups.select(
+        "qid", "_ql", "_cl", "cosine", F.explode("_mids").alias("cid")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        exploded.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(
             "qid",

@@ -113,7 +113,25 @@ PROBES = [
 # Entries allowed to exceed the 1.05 top-decade threshold, each with
 # the documented reason (must match a "## Decade check" adjudication
 # note in docs/SCALING.md). Keep this list SHORT and justified.
-_DECADE_ALLOW: dict[str, str] = {}
+_DECADE_ALLOW: dict[str, str] = {
+    # sf1/sf10 replicas carry an ' r{i}' text suffix, so cross-replica
+    # document pairs are GENUINE J>=0.8 near-dups (not exact dups the
+    # r11 collapse removes): the true >=0.8 pair space grows
+    # quadratically with replication BY DATA CONSTRUCTION. These two
+    # entries compute exact ground truth over that space — their cost
+    # is bounded below by its size, and PPJoin already makes candidate
+    # work proportional to it (no lossless sub-linear exact count
+    # exists). Measured r11: blocking 23.7s/617s (b=+1.42), cluster
+    # histogram 24.5s/819s (b=+1.53) — ~25M true pairs at sf10.
+    "blocking_quality_metrics": (
+        "exact ground-truth >=0.8 pair space is quadratic in replica "
+        "multiplicity by data construction; verify work ~ truth size"
+    ),
+    "dup_cluster_size_dist": (
+        "exact >=0.8 pair graph (and its 3-round label propagation) is "
+        "quadratic in replica multiplicity by data construction"
+    ),
+}
 
 
 def decade_check() -> int:
@@ -148,7 +166,14 @@ def decade_check() -> int:
         for sdir in (str(sf1), str(sf10)):
             t0 = time.monotonic()
             try:
-                QUERIES[name](spark, sdir).collect()
+                # noop sink: materializes every column at full engine
+                # throughput WITHOUT driver-side collect/pickle — at
+                # sf10 some entries legitimately emit tens of millions
+                # of rows, and collect() would measure Python
+                # deserialization, not the plan being gated
+                QUERIES[name](spark, sdir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             except Exception as e:  # an entry that cannot RUN at scale
                 err = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
                 break
