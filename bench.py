@@ -267,6 +267,8 @@ HEADLINE = [
     "scrape_extract_roundtrip",
     "csv_roundtrip_audit",
     "json_audited_roundtrip",
+    # r11 addition: the duplicate-collapse blow-up path (PPJoin rework)
+    "dedup_pairs_duplicate_heavy",
 ]
 
 # The reference's only published latency (BASELINE.md: p50 = 135 s,

@@ -4728,18 +4728,21 @@ def cross_source_contamination(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
+    "dedup_pairs_duplicate_heavy",
     # Round-11 rotation (VERDICT r10 ask #1). Composition, by the
     # standing reproducible rule over CORRECTNESS_r01..r10.json
     # (never-green first, then oldest last-green, registry order):
-    #   never_green (EMPTY — every entry has a green driver record)
+    #   never_green FIRST: dedup_pairs_duplicate_heavy (NEW this
+    #     round — the duplicate-collapse blow-up path of the r11
+    #     PPJoin rework, which no duplicate-free SF exercises)
     #   + all 26 remaining last-green-r04 entries
     #     (event_transition_matrix .. dau_wau_stickiness — the exact
     #     queue the r10 comment promised r11)
-    #   + the first 24 last-green-r05 entries in registry order to
+    #   + the first 23 last-green-r05 entries in registry order to
     #     fill 50 (multimodal_decode_roundtrip ..
-    #     label_propagation_knn; r05 has 50 total, so the other 26
-    #     lead the r12 fill, starting with pagerank_knn_graph's
-    #     cohort — recompute with the one-liner below).
+    #     clustering_coefficient_knn; r05 has 50 total, so the other
+    #     27, starting with label_propagation_knn, lead the r12
+    #     fill — recompute with the one-liner below).
     # Reproduce: for each registry entry take max round r where
     # CORRECTNESS_r{r}.json has rows+schema+hash green; sort by
     # (last_green_round, registry_position); take the first 50.
@@ -4794,7 +4797,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "streaming_exactly_once_counts",
     "dedup_prefix_filter_join",
     "clustering_coefficient_knn",
-    "label_propagation_knn",
 ]
 
 
@@ -19412,6 +19414,92 @@ def json_audited_roundtrip(spark, sf_dir):
         .alias("corrupt_checksum"),
     )
     return a.crossJoin(F.broadcast(b))
+
+
+@query(
+    "dedup_pairs_duplicate_heavy",
+    oracle="""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
+      FROM docs2
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                              i -> array_to_string(tk[i:i+2], ' ')),
+               x -> x <> '')) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b, n_common,
+             round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 4) >= 0.8
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(id_a) AS BIGINT) AS sum_id_a,
+           CAST(SUM(id_b) AS BIGINT) AS sum_id_b,
+           CAST(SUM(n_common) AS BIGINT) AS sum_common,
+           CAST(SUM(CAST(round(j * 10000) AS BIGINT)) AS BIGINT) AS sum_j_e4
+    FROM pairs
+    """,
+)
+def dedup_pairs_duplicate_heavy(spark, sf_dir):
+    """The duplicate-collapse blow-up path of
+    `operators/dedup.py::ngram_jaccard_prefix_filtered`
+    (`expand_pairs_to_duplicates`), driver-checked on a corpus where
+    it actually fires: every document is doubled with an offset id
+    (exact text duplicates — the regime the r11 decade gate showed
+    the testdata SFs never oracle, since sf0.001-0.1 are
+    duplicate-free and sf1/sf10 are never hash-compared). The oracle
+    computes the member-level exact pair set from the full inverted
+    index over the SAME doubled corpus, so the hash pins all three
+    expansion legs at once: within-group J=1 cliques (each doc and
+    its twin), cross-group fan-out (every rep pair must appear in
+    all four member combinations with the rep relation's
+    n_common/jaccard), and id normalization (id_a < id_b after
+    least/greatest). Checksums are exact integers (id sums, shingle
+    counts, jaccard scaled e4 and rounded on BOTH engines).
+
+    Scale shape: the point of the construction under test — candidate
+    generation runs on DISTINCT texts only; the quadratic-in-
+    multiplicity member pair set is produced by a linear-in-output
+    explode, never by hot-shingle postings collisions."""
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_prefix_filtered,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 10**7).alias("doc_id"), "text")
+    )
+    pairs = ngram_jaccard_prefix_filtered(
+        doubled, "doc_id", "text", k=3, threshold=0.8
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("id_a").cast("long").alias("sum_id_a"),
+        F.sum("id_b").cast("long").alias("sum_id_b"),
+        F.sum("n_common").cast("long").alias("sum_common"),
+        F.sum(F.round(F.col("jaccard") * 10000).cast("long"))
+        .cast("long")
+        .alias("sum_j_e4"),
+    )
 
 
 # must run after every @query registration in this module

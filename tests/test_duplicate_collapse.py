@@ -1,0 +1,134 @@
+"""Duplicate-collapse correctness (r11): the operators that collapse
+exact-duplicate rows before pair generation / scoring must be
+bit-identical to their uncollapsed member-level semantics — pinned
+here on corpora where the collapse actually fires (the parquet SFs the
+oracle gate hashes are duplicate-free, so these paths need their own
+coverage)."""
+
+from pyspark.sql import functions as F
+
+from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    ngram_jaccard_prefix_filtered,
+    semdedup_prune,
+)
+from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+    hard_negatives,
+    kmeans_fit,
+)
+
+# near-dup family: 1/2 identical, 3 a near-dup of them, 4 unrelated,
+# 5/6 an identical pair whose shingle set is EMPTY (empty text — short
+# non-empty texts still produce one truncated shingle, mirroring the
+# oracle's greatest(len-2, 1) rule) — the member-level jaccard is
+# NULL/0 for those, so they must emit no pair. 7 duplicates doc 1
+# again (3-member identical group).
+_DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta"),
+    (3, "alpha beta gamma delta epsilon zeta eta iota"),
+    (4, "completely different words about another topic entirely here"),
+    (5, ""),
+    (6, ""),
+    (7, "alpha beta gamma delta epsilon zeta eta theta"),
+]
+
+
+def _pairs(df):
+    return sorted(
+        (r.id_a, r.id_b, r.n_common, r.jaccard) for r in df.collect()
+    )
+
+
+def test_prefix_filtered_equals_inverted_index_on_duplicates(spark):
+    docs = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    expected = _pairs(ngram_jaccard_pairs(docs, threshold=0.8))
+    got = _pairs(ngram_jaccard_prefix_filtered(docs, threshold=0.8))
+    assert got == expected
+    # sanity on the structure: the 3-member identical group {1,2,7}
+    # contributes its 3 within-group J=1.0 pairs
+    within = [(a, b) for a, b, _, j in got if j == 1.0]
+    assert set(within) >= {(1, 2), (1, 7), (2, 7)}
+    # the empty-shingle identical pair (5,6) must NOT appear
+    assert all((a, b) != (5, 6) for a, b, _, _ in got)
+
+
+def test_prefix_filtered_duplicate_free_passthrough(spark):
+    docs = spark.createDataFrame(
+        [(i, txt + f" tail{i}") for i, txt in enumerate(d[1] for d in _DOCS)],
+        ["doc_id", "text"],
+    )
+    assert _pairs(ngram_jaccard_prefix_filtered(docs, threshold=0.5)) == _pairs(
+        ngram_jaccard_pairs(docs, threshold=0.5)
+    )
+
+
+def test_hard_negatives_duplicate_ties_interleave_by_id(spark):
+    # corpus: query vector q (id 0, label "q"); two DISTINCT negative
+    # vectors with the SAME rounded cosine to q, each duplicated —
+    # members must interleave by id across the groups exactly as the
+    # uncollapsed window would rank them.
+    rows = [
+        (0, [1.0, 0.0], "q"),
+        (10, [0.6, 0.8], "a"),  # cos 0.6
+        (13, [0.6, 0.8], "a"),
+        (11, [0.6, -0.8], "b"),  # cos 0.6 too
+        (14, [0.6, -0.8], "b"),
+        (12, [0.0, 1.0], "c"),  # cos 0.0 — never in top-3
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negatives(df, k=3, n_queries=1)
+    got = [(r.negative_id, r.cosine) for r in out.orderBy("negative_id").collect()]
+    # ranking: (cosine desc, id asc) -> 10, 11, 13 (14 is 4th)
+    assert got == [(10, 0.6), (11, 0.6), (13, 0.6)]
+
+
+def test_hard_negatives_matches_bruteforce_on_duplicated_corpus(spark):
+    base = [
+        (i, [float(i % 5) + 1.0, float((i * 7) % 3)], f"l{i % 3}")
+        for i in range(1, 40)
+    ]
+    dup = base + [(i + 1000, v, l) for i, v, l in base]
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0], "l9")] + dup, ["vec_id", "embedding", "label"]
+    )
+    got = sorted(
+        (r.qid, r.negative_id, r.cosine)
+        for r in hard_negatives(df, k=5, n_queries=1).collect()
+    )
+    # brute force the uncollapsed semantics in plain python
+    import math
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u)) or 1.0
+        nv = math.sqrt(sum(a * a for a in v)) or 1.0
+        return round(d / (nu * nv), 4)
+
+    q = [1.0, 1.0]
+    scored = sorted(
+        ((-cos(v, q), i) for i, v, l in dup if l != "l9"),
+    )[:5]
+    expected = sorted((0, i, -negc) for negc, i in scored)
+    assert got == expected
+
+
+def test_semdedup_prunes_exact_duplicates(spark):
+    base = [(i, [float(i), float(2 * i), 1.0]) for i in range(1, 9)]
+    dup = base + [(i + 100, v) for i, v in base] + [(i + 200, v) for i, v in base]
+    df = spark.createDataFrame(dup, ["vec_id", "embedding"])
+    cents = kmeans_fit(
+        df.groupBy("embedding").agg(F.min("vec_id").alias("vec_id")),
+        k=2,
+        n_iters=2,
+    )
+    res = semdedup_prune(df, cents, threshold=0.999999)
+    rows = {r.vec_id: r.pruned for r in res.collect()}
+    assert len(rows) == len(dup)  # every member surfaced
+    # every non-min duplicate is pruned; each distinct vector's min id
+    # survives at this threshold (no cross-vector cosine reaches it...
+    # except collinear pairs like (1,2,1)x(2,4,...)? vectors (i,2i,1)
+    # are NOT collinear across i because of the constant third
+    # component, so survivors are exactly the 8 base ids)
+    assert all(rows[i + 100] and rows[i + 200] for i in range(1, 9))
+    assert not any(rows[i] for i in range(1, 9))
