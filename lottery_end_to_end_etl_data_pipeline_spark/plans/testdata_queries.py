@@ -15448,18 +15448,19 @@ def blocking_quality_metrics(spark, sf_dir):
             F.floor(F.size("tk") / 10).cast("string"),
         ).alias("bk"),
     )
-    pairs2 = lambda c: (c * (c - F.lit(1))) / F.lit(2)  # C(c,2), exact on longs
-    within = toks.filter("_sh_ok").agg(
-        F.coalesce(F.sum(pairs2(F.col("m"))), F.lit(0)).cast("long").alias("w")
-    )
+    # C(c,2) summed EXACTLY: accumulate the (even) long product and
+    # halve once at the end — a single exact division, never a sum of
+    # doubles (the round-risk lint rightly flagged the /2-inside-sum
+    # form)
+    sum_pairs2 = lambda c: (
+        F.coalesce(F.sum(c * (c - F.lit(1))), F.lit(0)).cast("long")
+        / F.lit(2)
+    ).cast("long")
+    within = toks.filter("_sh_ok").agg(sum_pairs2(F.col("m")).alias("w"))
     n_cand = (
         blocks.groupBy("bk")
         .agg(F.sum("m").alias("M"))
-        .agg(
-            F.coalesce(F.sum(pairs2(F.col("M"))), F.lit(0))
-            .cast("long")
-            .alias("v")
-        )
+        .agg(sum_pairs2(F.col("M")).alias("v"))
     )
     ma = blocks.select(
         F.col("doc_id").alias("id_a"), F.col("m").alias("m_a"), F.col("bk").alias("bk_a")
