@@ -287,6 +287,17 @@ REFERENCE_PIPELINE = [
 ]
 
 
+def is_contended(control: float, dispersion_p50: float) -> bool:
+    """True when a bench run measured ITSELF as contended and must not
+    overwrite the committed baseline (r11 verdict #2: the r11 record,
+    taken at control 1.21 / dispersion_p50 1.39, poisoned later
+    comparisons). Thresholds match the adjudication protocol:
+    control > 1.15 (the per-entry flag normalization already relaxes
+    gates to ~1.5x raw there) or dispersion_p50 > 1.25 (the median
+    entry's passes disagree by >25% — session-wide noise)."""
+    return control > 1.15 or dispersion_p50 > 1.25
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("bench")
@@ -403,7 +414,25 @@ def main() -> None:
         "regressions_vs_prev": [list(kv) for kv in regressions],
         "sf": sf_dir,
     }
-    prev_path.write_text(json.dumps(detail, indent=1) + "\n")
+    # Contention guard (r11 verdict #2): the r11 record was taken at
+    # control 1.21 / dispersion_p50 1.39 and, once committed, poisoned
+    # every later comparison (phantom improvements, hidden regressions
+    # up to ~1.5x). A run that measures ITSELF as contended must not
+    # become the new baseline: write the full detail to a quarantine
+    # file instead and keep the committed record. Thresholds: the
+    # control is the stable 7-gold pipeline's drift vs the committed
+    # record (>1.15 = the box is slow), dispersion_p50 is the median
+    # per-entry max/min over passes (>1.25 = the run itself was noisy).
+    disp_vals = sorted(dispersion.values())
+    disp_p50 = disp_vals[len(disp_vals) // 2] if disp_vals else 1.0
+    quarantined = is_contended(control, disp_p50)
+    record_path = (
+        prev_path.with_name("BENCH_DETAIL.quarantine.json")
+        if quarantined
+        else prev_path
+    )
+    detail["quarantined"] = quarantined
+    record_path.write_text(json.dumps(detail, indent=1) + "\n")
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:25]
     )
@@ -423,6 +452,7 @@ def main() -> None:
             max(dispersion, key=dispersion.get) if dispersion else None
         ),
         "regressions_vs_prev": [list(kv) for kv in regressions[:10]],
+        "quarantined": quarantined,
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "queries_file": "BENCH_DETAIL.json",
         "sf": sf_dir,

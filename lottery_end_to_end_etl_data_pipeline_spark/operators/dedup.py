@@ -1246,6 +1246,14 @@ def semdedup_prune(
 
     members = df.select(id_col, vec_col)
     reps = members.groupBy(vec_col).agg(F.min(id_col).alias(id_col))
+    # Zero-vector edge (r11 ADVICE): the member-level kernel maps
+    # zero norms to 1, so two identical ALL-ZERO vectors have cosine
+    # 0 and are BOTH kept whenever threshold > 0 — the forced
+    # non-representative prune below must therefore skip zero-norm
+    # groups (their twins' similarity is 0, not 1). For nonzero
+    # vectors cos(v, v) = 1 >= any threshold < 1, the documented
+    # regime; a non-positive threshold prunes twins either way.
+    nonzero = F.exists(vec_col, lambda x: x != 0.0) | F.lit(threshold <= 0)
 
     a = ivf_assign(reps, centroids, vec_col, out_col="sem_cluster")
 
@@ -1284,9 +1292,10 @@ def semdedup_prune(
         .select(
             id_col,
             "sem_cluster",
-            ((F.col(id_col) != F.col("_rep_id")) | F.col("pruned")).alias(
-                "pruned"
-            ),
+            (
+                ((F.col(id_col) != F.col("_rep_id")) & nonzero)
+                | F.col("pruned")
+            ).alias("pruned"),
         )
     )
 
@@ -1601,25 +1610,102 @@ def ngram_jaccard_prefix_filtered(
     (`expand_pairs_to_duplicates`). Candidate work is bounded by
     DISTINCT texts; the emitted volume — unavoidably quadratic in
     duplicate multiplicity, it IS the answer — is produced by a
-    linear-in-output fan-out, the optimal shape. Duplicate-free
-    inputs pass through bit-identically (oracle-pinned)."""
-    t_eff = threshold - 1e-4
+    linear-in-output fan-out, the optimal shape.
+
+    Duplicate-FREE inputs skip the collapse entirely (r11 verdict #1:
+    the unconditional groupBy(text) + eager checkpoint + expand made
+    already-unique corpora pay 2.6-4.2x for machinery whose every
+    group is a singleton). A cheap probe — count vs
+    count_distinct(xxhash64(text)), an 8-byte-per-row aggregate, no
+    text shuffle — proves uniqueness: equal counts mean no two rows
+    share a text (equal texts hash equal), and a hash collision can
+    only send a unique corpus down the collapse path, never the
+    reverse, so both branches stay exact and bit-identical. Callers
+    that already hold one row per distinct text should call
+    `ngram_jaccard_rep_pairs` directly and skip the probe too."""
+    n_rows, n_texts = df.agg(
+        F.count(F.lit(1)),
+        F.count_distinct(F.xxhash64(F.col(text_col))),
+    ).first()
+    if n_rows == n_texts:
+        return ngram_jaccard_rep_pairs(df, id_col, text_col, k, threshold)
     # one row per distinct text: rep id, members, shingles — shingled
-    # ONCE, text dropped, then checkpointed (3 downstream branches)
+    # ONCE, text dropped, then checkpointed (3 downstream branches).
+    # The repartition between the aggregate and the shingle projection
+    # is load-bearing (r12, guide §1.2/§7.2): without it the optimizer
+    # folds the higher-order shingle expressions into the
+    # ObjectHashAggregate's result expressions, where they run
+    # INTERPRETED (no whole-stage codegen, no subexpression
+    # elimination — split(lower(text)) re-evaluates per shingle
+    # element; measured 8x: 4.3s -> 0.5s at sf0.1). The exchange keeps
+    # the projection a standalone codegen stage and simultaneously
+    # spreads the distinct-text rows for the three downstream scans.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     groups = (
         df.groupBy(text_col)
         .agg(
             F.min(id_col).alias("id"),
             F.collect_list(id_col).alias("_members"),
         )
+        .repartition(n_part, F.col("id"))
         .select("id", "_members", word_shingles(text_col, k).alias("sh"))
         .localCheckpoint(eager=True)
     )
-    sh = groups.select("id", "sh")
+    verified = _ppjoin_verified_pairs(groups.select("id", "sh"), threshold)
+    return expand_pairs_to_duplicates(
+        verified,
+        groups.select("id", F.size("sh").alias("_nsh"), "_members"),
+    )
+
+
+def ngram_jaccard_rep_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Collapse-free PPJoin pair core: exact n-gram Jaccard pairs over
+    rows the CALLER guarantees have pairwise-distinct texts (e.g. the
+    output of a groupBy(text) collapse, or a corpus already proven
+    unique). Identical output contract as
+    `ngram_jaccard_prefix_filtered` on such inputs — (id_a, id_b,
+    n_common, jaccard), id_a < id_b — without the duplicate-collapse
+    shuffle, its eager checkpoint, or the member fan-out joins, none
+    of which do anything when every duplicate group is a singleton
+    (r11 verdict #1: already-collapsed catalog callers paid that
+    machinery twice, 2.6-4.2x at sf0.1).
+
+    Contract: if two input rows DO share a text, each shares every
+    shingle and the pair verifies at J=1.0 — the result is still the
+    exact member-level pair set, but candidate work degrades toward
+    the quadratic regime the collapse exists to prevent; use
+    `ngram_jaccard_prefix_filtered` when uniqueness is not known."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        df.repartition(n_part, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _ppjoin_verified_pairs(sh, threshold)
+
+
+def _ppjoin_verified_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate generation + exact verify over a (id, sh) frame:
+    prefix-filtered candidates (`_ppjoin_prefix`/`_ppjoin_candidates`),
+    then array_intersect verification against the full shingle sets.
+    The single definition of the verified-pair shape shared by the
+    collapse-free core (`ngram_jaccard_rep_pairs`) and the
+    duplicate-collapsing wrapper (`ngram_jaccard_prefix_filtered`).
+    `sh` should be materialized (checkpointed) by the caller — it is
+    scanned three times (postings, verify side a, verify side b)."""
+    t_eff = threshold - 1e-4
     cand = _ppjoin_candidates(_ppjoin_prefix(sh, t_eff), t_eff)
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_sh_b"))
-    verified = (
+    return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -1636,10 +1722,7 @@ def ngram_jaccard_prefix_filtered(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-    )
-    return expand_pairs_to_duplicates(
-        verified.select("id_a", "id_b", "n_common", "jaccard"),
-        groups.select("id", F.size("sh").alias("_nsh"), "_members"),
+        .select("id_a", "id_b", "n_common", "jaccard")
     )
 
 

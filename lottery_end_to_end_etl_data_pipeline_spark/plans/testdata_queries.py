@@ -8146,17 +8146,27 @@ def dup_cluster_size_dist(spark, sf_dir):
     in as their own clusters. Duplicate-free inputs reduce to the
     member-level form exactly (the oracle pins sf0.01)."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
-        ngram_jaccard_prefix_filtered,
+        ngram_jaccard_rep_pairs,
         resolve_components,
         word_shingles,
     )
 
     docs = t(spark, sf_dir, "documents")
+    # the repartition between the aggregate and the _sh_ok projection
+    # is load-bearing (r12, guide §1.2): higher-order shingle
+    # expressions that share a stage with an aggregate run INTERPRETED
+    # (no codegen, no subexpression elimination) — measured 3.8s vs
+    # 0.5s at sf0.1 whether placed above OR below the agg; an exchange
+    # isolates them in their own codegen stage
     g = (
         docs.groupBy("text")
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).cast("long").alias("m"),
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id"),
         )
         .withColumn("_sh_ok", F.size(word_shingles("text", 3)) > 0)
         .drop("text")
@@ -8165,7 +8175,10 @@ def dup_cluster_size_dist(spark, sf_dir):
     reps = t(spark, sf_dir, "documents").join(
         g.select("doc_id"), "doc_id"
     )  # one row per distinct text, with its text column back
-    pairs = ngram_jaccard_prefix_filtered(reps, threshold=0.8)
+    # reps are distinct-text by construction -> collapse-free core
+    # (r12: ngram_jaccard_prefix_filtered re-collapsed these singleton
+    # groups and paid a second full-text shuffle + checkpoint + expand)
+    pairs = ngram_jaccard_rep_pairs(reps, threshold=0.8)
     labels = resolve_components(pairs, rounds=3)
     linked = (
         labels.join(g.select(F.col("doc_id").alias("id"), "m"), "id")
@@ -15413,32 +15426,46 @@ def blocking_quality_metrics(spark, sf_dir):
     m=1, the within terms vanish, and all five numbers equal the
     pair-materializing form's (the oracle pins this at sf0.01)."""
     from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
-        ngram_jaccard_prefix_filtered,
+        ngram_jaccard_rep_pairs,
         word_shingles,
     )
 
     docs = t(spark, sf_dir, "documents")
-    # one row per distinct text: representative id + multiplicity;
-    # checkpointed because four count branches reuse it
+    # one row per distinct text: representative id + multiplicity,
+    # tokens and shingle flag; checkpointed because four count branches
+    # reuse it. tk/_sh_ok are materialized HERE, in a projection
+    # isolated behind the repartition exchange: higher-order lambda
+    # expressions that share a stage with an aggregate run INTERPRETED
+    # (r12, guide §1.2 — measured 8x), and the four downstream agg
+    # branches would each have re-evaluated them
     g = (
         docs.groupBy("text")
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).cast("long").alias("m"),
         )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id"),
+        )
+        .select(
+            "doc_id",
+            "m",
+            "text",
+            F.filter(
+                F.split(F.lower("text"), "\\s+"), lambda x: x != ""
+            ).alias("tk"),
+            (F.size(word_shingles("text", 3)) > 0).alias("_sh_ok"),
+        )
         .localCheckpoint(eager=True)
     )
-    truth_reps = ngram_jaccard_prefix_filtered(
+    # g is distinct-text by construction -> collapse-free core (r12:
+    # the wrapper re-collapsed g's singleton groups at full-text
+    # shuffle + eager checkpoint cost before every run)
+    truth_reps = ngram_jaccard_rep_pairs(
         g.select("doc_id", "text"), threshold=0.8
     ).select("id_a", "id_b")
-    toks = g.select(
-        "doc_id",
-        "m",
-        F.filter(
-            F.split(F.lower("text"), "\\s+"), lambda x: x != ""
-        ).alias("tk"),
-        (F.size(word_shingles("text", 3)) > 0).alias("_sh_ok"),
-    )
+    toks = g.select("doc_id", "m", "tk", "_sh_ok")
     blocks = toks.filter(F.size("tk") > 0).select(
         "doc_id",
         "m",

@@ -46,6 +46,24 @@ def get_session(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+    # Local-mode heap: the driver JVM hosts every task slot, so 8g gave
+    # each of 32 tasks ~250 MB of unified memory — the sf10 decade
+    # probes hit UNABLE_TO_ACQUIRE_MEMORY in sort/agg buffers (r11).
+    # But a flat 24g default OOM-kills the JVM on smaller machines
+    # (r11 ADVICE), so derive it from physical RAM: ~1/5 of the box,
+    # clamped to [4g, 24g] — 24g on the 128 GiB bench box (~750 MB per
+    # task slot, the same per-core sizing a real cluster uses), never
+    # more than the machine can give. $SPARK_GRAFT_DRIVER_MEM overrides.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if driver_mem is None:
+        try:
+            total_gib = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            ) / (1024**3)
+        except (ValueError, OSError, AttributeError):
+            total_gib = 40.0  # unknown platform: the historical 8g
+        driver_mem = f"{max(4, min(24, int(total_gib // 5)))}g"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -63,12 +81,8 @@ def get_session(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # Overwrite only the partitions present in the write, not the table.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # Local-mode heap: the driver JVM hosts all 32 task slots, so
-        # 8g gave each task ~250 MB of unified memory — the sf10 decade
-        # probes hit UNABLE_TO_ACQUIRE_MEMORY in sort/agg buffers (r11).
-        # 24g ~ 750 MB/task on the 128 GiB box; a real cluster sizes
-        # executor memory per core the same way.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # RAM-derived local-mode heap (see driver_mem above).
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():

@@ -320,8 +320,17 @@ def parse_headers(parsed: DataFrame) -> DataFrame:
     the remaining patterns to `" ".join(header)` (parser.py:43-52);
     both come from the order-preserving header slice in `_parse_files`.
     A file appears only when both sentinels exist and the header slice
-    is non-empty (the historical groupBy-drop contract)."""
-    return parsed.filter(F.col("n_hdr_lines") > 0).select(
+    is non-empty (the historical groupBy-drop contract): the fold
+    counts every post-HEADER line while body_pos is still NULL, so a
+    HEADER-without-BODY file has n_hdr_lines > 0 and must be excluded
+    by the explicit body_pos check (r11 ADVICE — the fold rewrite had
+    dropped it, surfacing such files in the strict=False path with
+    fields regex-scraped from the whole file tail; n_hdr_lines stops
+    incrementing at BODY, so the conjunction exactly restores the
+    both-sentinels-plus-non-empty-slice contract)."""
+    return parsed.filter(
+        (F.col("n_hdr_lines") > 0) & F.col("body_pos").isNotNull()
+    ).select(
         "file",
         "numero_sorteo",
         "tipo_sorteo",
@@ -345,9 +354,10 @@ def parse_bodies(parsed: DataFrame) -> DataFrame:
     left join."""
     exploded = parsed.select(
         "file",
-        F.when(F.col("n_hdr_lines") > 0, F.col("numero_sorteo")).alias(
-            "numero_sorteo"
-        ),
+        F.when(
+            (F.col("n_hdr_lines") > 0) & F.col("body_pos").isNotNull(),
+            F.col("numero_sorteo"),
+        ).alias("numero_sorteo"),
         F.explode("premios").alias("p"),
     )
     parts = F.split(F.col("p")["vendido_por"], ",")

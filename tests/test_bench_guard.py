@@ -1,0 +1,29 @@
+"""bench.py contention guard (r11 verdict #2): a bench run that
+measures itself as contended (machine-drift control or pass dispersion
+over threshold) must quarantine its record instead of overwriting the
+committed BENCH_DETAIL.json baseline — the r11 record was taken at
+control 1.21 / dispersion_p50 1.39 and poisoned every later comparison."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import is_contended  # noqa: E402
+
+
+def test_quiet_run_is_committed():
+    assert not is_contended(control=1.0, dispersion_p50=1.0)
+    assert not is_contended(control=1.1, dispersion_p50=1.2)
+    # boundary values are NOT contended (strict >)
+    assert not is_contended(control=1.15, dispersion_p50=1.25)
+
+
+def test_contended_control_quarantines():
+    # the r11 failure mode: whole-box slowdown
+    assert is_contended(control=1.21, dispersion_p50=1.0)
+
+
+def test_noisy_dispersion_quarantines():
+    # the r11 failure mode: per-pass chaos even with a plausible control
+    assert is_contended(control=1.0, dispersion_p50=1.39)

@@ -78,6 +78,24 @@ def test_missing_sentinels_raise(spark, tmp_path):
         parse_draws(raw)
 
 
+def test_nonstrict_header_without_body_is_excluded(spark, tmp_path):
+    # r11 ADVICE: the fold counts post-HEADER lines while body_pos is
+    # still NULL, so a HEADER-without-BODY file has n_hdr_lines > 0 —
+    # the strict=False path must still exclude it (both-sentinels
+    # contract; the reference always rejects such files)
+    p = tmp_path / "headeronly.txt"
+    p.write_text(
+        "HEADER\nSORTEO ORDINARIO NO. 1\n"
+        "FECHA DEL SORTEO: 01/01/2024\nno body sentinel here\n"
+    )
+    raw = read_raw_draws(spark, str(p))
+    sorteos_raw, premios_raw = parse_draws(raw, strict=False)
+    assert sorteos_raw.count() == 0
+    assert premios_raw.filter(
+        F.col("numero_sorteo").isNotNull()
+    ).count() == 0
+
+
 def test_malformed_header_raises(spark, tmp_path):
     p = tmp_path / "bad2.txt"
     p.write_text("HEADER\ngibberish line with no fields\nBODY\n1 P .... 10.00\n")

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
     ngram_jaccard_pairs,
     ngram_jaccard_prefix_filtered,
+    ngram_jaccard_rep_pairs,
+    resolve_components,
     semdedup_prune,
 )
 from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
@@ -63,6 +65,98 @@ def test_prefix_filtered_duplicate_free_passthrough(spark):
     )
 
 
+def test_rep_pairs_equals_wrapper_and_index_on_distinct_texts(spark):
+    # the collapse-free core (r12: exposed so already-collapsed callers
+    # skip the redundant second groupBy(text) + checkpoint + expand)
+    # must agree pair-for-pair with both the probe-gated wrapper and
+    # the full inverted index on a distinct-text corpus
+    docs = spark.createDataFrame(
+        [(i, txt + f" tail{i}") for i, txt in enumerate(d[1] for d in _DOCS)],
+        ["doc_id", "text"],
+    )
+    expected = _pairs(ngram_jaccard_pairs(docs, threshold=0.5))
+    assert _pairs(ngram_jaccard_rep_pairs(docs, threshold=0.5)) == expected
+    assert _pairs(ngram_jaccard_prefix_filtered(docs, threshold=0.5)) == expected
+
+
+def _write_doubled_documents(spark, tmp_path):
+    """A duplicate-heavy documents.parquet (every text twice, offset
+    ids) under tmp_path — the regime the decomposed catalog entries
+    exist for but the duplicate-free oracle SFs never execute
+    (r11 ADVICE #3)."""
+    base = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    doubled = base.unionByName(
+        base.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    )
+    doubled.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return doubled
+
+
+def test_dup_cluster_size_dist_matches_member_level_on_duplicates(
+    spark, tmp_path
+):
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (
+        QUERIES,
+    )
+
+    doubled = _write_doubled_documents(spark, tmp_path)
+    got = sorted(
+        (r.cluster_size, r.n_clusters)
+        for r in QUERIES["dup_cluster_size_dist"](spark, str(tmp_path)).collect()
+    )
+    # naive member-level form: inverted-index pairs over ALL rows
+    # (duplicates included), same bounded propagation, sizes, histogram
+    labels = resolve_components(
+        ngram_jaccard_pairs(doubled, threshold=0.8), rounds=3
+    )
+    sizes = labels.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    expected = sorted(
+        (r.cluster_size, r.n_clusters)
+        for r in sizes.groupBy(
+            F.col("cluster_size").cast("int").alias("cluster_size")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .collect()
+    )
+    assert got == expected
+
+
+def test_blocking_quality_metrics_matches_member_level_on_duplicates(
+    spark, tmp_path
+):
+    from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (
+        QUERIES,
+    )
+
+    doubled = _write_doubled_documents(spark, tmp_path)
+    got = QUERIES["blocking_quality_metrics"](spark, str(tmp_path)).collect()[0]
+    # naive member-level form in plain python over the collected corpus
+    rows = [(r.doc_id, r.text) for r in doubled.collect()]
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(doubled, threshold=0.8).collect()
+    }
+    blocks = {}
+    for i, txt in rows:
+        tk = [w for w in txt.lower().split() if w]
+        if tk:
+            blocks[i] = f"{tk[0]}|{len(tk) // 10}"
+    n = len(rows)
+    n_candidates = 0
+    from collections import Counter
+
+    for c in Counter(blocks.values()).values():
+        n_candidates += c * (c - 1) // 2
+    n_found = sum(
+        1 for a, b in truth if a in blocks and blocks.get(a) == blocks.get(b)
+    )
+    assert got.n_truth == len(truth)
+    assert got.n_candidates == n_candidates
+    assert got.n_found == n_found
+    assert got.pair_completeness == round(n_found / len(truth), 4)
+    assert got.reduction_ratio == round(1 - n_candidates / (n * (n - 1) / 2), 6)
+
+
 def test_hard_negatives_duplicate_ties_interleave_by_id(spark):
     # corpus: query vector q (id 0, label "q"); two DISTINCT negative
     # vectors with the SAME rounded cosine to q, each duplicated —
@@ -111,6 +205,21 @@ def test_hard_negatives_matches_bruteforce_on_duplicated_corpus(spark):
     )[:5]
     expected = sorted((0, i, -negc) for negc, i in scored)
     assert got == expected
+
+
+def test_semdedup_zero_vector_twins_are_kept(spark):
+    # r11 ADVICE: the member-level kernel maps zero norms to 1, so two
+    # identical ALL-ZERO vectors have cosine 0 < threshold and are
+    # both kept — the collapse fan-out must not force-prune the twin
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),
+        (3, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit(df, k=1, n_iters=1)
+    res = {r.vec_id: r.pruned for r in semdedup_prune(df, cents, 0.9).collect()}
+    assert res == {1: False, 2: False, 3: False}
 
 
 def test_semdedup_prunes_exact_duplicates(spark):

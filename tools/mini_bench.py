@@ -1,0 +1,65 @@
+"""Time named catalog entries in isolation: bench-identical methodology
+(same session config, warm every named entry at sf0.001 first, then N
+timed passes at --sf via ``collect()``), min-of-N reported. For
+adjudicating individual regressions/improvements without paying for a
+full 238-entry bench pass.
+
+Usage:
+  python tools/mini_bench.py [--sf /root/testdata/sf0.1] [--passes 4] \
+      name [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lottery_end_to_end_etl_data_pipeline_spark import get_session  # noqa: E402
+from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (  # noqa: E402
+    QUERIES,
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--passes", type=int, default=4)
+    ap.add_argument("names", nargs="+")
+    args = ap.parse_args()
+    spark = get_session("mini_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        for name in args.names:
+            QUERIES[name](spark, warm_sf).collect()
+    t_all: dict[str, list[float]] = {}
+    for _ in range(args.passes):
+        for name in args.names:
+            spark.sparkContext.setJobDescription(f"mini_bench: {name}")
+            t0 = time.monotonic()
+            QUERIES[name](spark, args.sf).collect()
+            t_all.setdefault(name, []).append(
+                round(time.monotonic() - t0, 3)
+            )
+    spark.sparkContext.setJobDescription(None)
+    print(
+        json.dumps(
+            {
+                "min": {k: min(v) for k, v in t_all.items()},
+                "passes": t_all,
+                "sf": args.sf,
+            },
+            indent=1,
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
