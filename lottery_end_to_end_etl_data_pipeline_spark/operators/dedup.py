@@ -882,19 +882,23 @@ def doc_chunks(
     shuffle-order-dependent)."""
     toks = df.select(id_col, tokens(text_col).alias("_toks"))
     words = toks.select(id_col, F.posexplode("_toks").alias("pos", "word"))
+    # rebuild isolated behind an exchange (r12): the lambda transform
+    # would otherwise fold into the ObjectHashAggregate's result
+    # expressions and run interpreted (see ngram_jaccard_prefix_filtered)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         words.groupBy(
             id_col,
             F.floor(F.col("pos") / chunk_words).cast("long").alias("chunk_idx"),
         )
-        .agg(
+        .agg(F.collect_list(F.struct("pos", "word")).alias("_parts"))
+        .repartition(n_part, F.col(id_col))
+        .select(
+            id_col,
+            "chunk_idx",
             F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                    lambda s: s["word"],
-                ),
-                " ",
-            ).alias("chunk_text")
+                F.transform(F.array_sort("_parts"), lambda s: s["word"]), " "
+            ).alias("chunk_text"),
         )
         .withColumn("_ck", F.md5("chunk_text"))
     )
@@ -1245,7 +1249,17 @@ def semdedup_prune(
     import pandas as pd  # noqa: PLC0415
 
     members = df.select(id_col, vec_col)
-    reps = members.groupBy(vec_col).agg(F.min(id_col).alias(id_col))
+    # materialized once (r12): reps feed BOTH the centroid assignment
+    # and the member fan-out join; without the checkpoint the distinct
+    # aggregate re-executes for each consumer AND the assignment's
+    # lambda cosine folds into the aggregate's result expressions,
+    # where it runs interpreted (guide §1.2 — see
+    # ngram_jaccard_prefix_filtered for the measured 8x)
+    reps = (
+        members.groupBy(vec_col)
+        .agg(F.min(id_col).alias(id_col))
+        .localCheckpoint(eager=True)
+    )
     # Zero-vector edge (r11 ADVICE): the member-level kernel maps
     # zero norms to 1, so two identical ALL-ZERO vectors have cosine
     # 0 and are BOTH kept whenever threshold > 0 — the forced
@@ -1443,17 +1457,27 @@ def doc_chunks_cdc(
     cids = flagged.withColumn(
         "cid", F.coalesce(F.sum("_brk").over(w_run), F.lit(0))
     )
+    # the chunk-text rebuild (sort + transform + join over the
+    # collected parts) is isolated behind an exchange (r12, guide
+    # §1.2): lambda expressions folded into the ObjectHashAggregate's
+    # result expressions run interpreted, per array element, with no
+    # subexpression elimination — see ngram_jaccard_prefix_filtered
+    # for the measured 8x
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         cids.groupBy(id_col, "cid")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-                " ",
-            ).alias("chunk_text"),
+            F.collect_list(F.struct("pos", "w")).alias("_parts"),
             F.count(F.lit(1)).alias("n_tok"),
+        )
+        .repartition(n_part, F.col(id_col))
+        .select(
+            id_col,
+            "cid",
+            F.array_join(
+                F.transform(F.array_sort("_parts"), lambda s: s["w"]), " "
+            ).alias("chunk_text"),
+            "n_tok",
         )
         .withColumn("_ck", F.md5("chunk_text"))
     )

@@ -4865,7 +4865,13 @@ def semdedup_stats(spark, sf_dir):
     from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import kmeans_fit
 
     emb = t(spark, sf_dir, "embeddings")
-    distinct = emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    # materialized once (r12): count(), the k-means seed, and three
+    # Lloyd iterations all re-read this distinct aggregate otherwise
+    distinct = (
+        emb.groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .localCheckpoint(eager=True)
+    )
     k = max(8, distinct.count() // 2500)
     cents = kmeans_fit(distinct, k=k, n_iters=3)
     res = semdedup_prune(emb, cents, threshold=0.9)
@@ -13343,17 +13349,27 @@ def paragraph_dedup_reassembly(spark, sf_dir):
         F.countDistinct("doc_id").alias("df")
     )
     kept = chunks.join(freq, "chunk").filter(F.col("df") < 3)
+    # reassembly isolated behind an exchange (r12): the transform
+    # lambda would otherwise fold into the ObjectHashAggregate's
+    # result expressions and run interpreted (guide §1.2, see
+    # ngram_jaccard_prefix_filtered for the measured 8x)
     rebuilt = (
         kept.groupBy("doc_id")
         .agg(
             F.first("lang").alias("lang"),
+            F.collect_list(F.struct("idx", "chunk")).alias("_parts"),
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            F.col("doc_id"),
+        )
+        .select(
+            "doc_id",
+            "lang",
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("idx", "chunk"))
-                    ),
-                    lambda s: s.getField("chunk"),
+                    F.sort_array("_parts"), lambda s: s.getField("chunk")
                 ),
             ).alias("new_text"),
         )

@@ -151,6 +151,25 @@ def test_docs_track_catalog_size():
     assert missing == [], f"entries with no PLAN_AUDIT row: {missing}"
 
 
+def test_docs_describe_fold_parser():
+    """Drift guard (r11 verdict #5): docs/COVERAGE.md §2.2 kept
+    describing the pre-r11 window/join parser after bronze.py was
+    rewritten as per-file folds. Pin the doc to the implementation:
+    the P1/P3 rows must name the fold (`_parse_files`), and the stale
+    window/join vocabulary must be gone from §2.2."""
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    doc = (repo / "docs" / "COVERAGE.md").read_text()
+    sec = doc.split("## §2.2", 1)[1].split("## §2.3", 1)[0]
+    assert "_parse_files" in sec, "COVERAGE §2.2 must name the fold parser"
+    assert "fold" in sec
+    assert "join of body rows" not in sec, (
+        "P6 must describe the join-free fan-out"
+    )
+    assert "join-free" in sec
+
+
 def test_detects_wide_expand_multi_distinct(spark):
     # 12 exact countDistincts over one table: Catalyst plans ONE pass
     # via Expand — every row replayed 13x before the shuffle. The

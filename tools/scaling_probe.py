@@ -133,6 +133,26 @@ _DECADE_ALLOW: dict[str, str] = {
     ),
 }
 
+# Output-work extractors for allow-listed entries (r11 verdict #6):
+# the allow-list must be CHECKABLE, not trusted prose. Each maps the
+# entry's own output frame to the size of the answer it is bounded
+# below by (the exact >=0.8 pair space both entries compute over).
+# The gate then requires the OUTPUT-NORMALIZED exponent
+# b_norm = log10((t10/w10) / (t1/w1)) <= 0.1 — time per unit of
+# answer must stay flat across the decade even when raw time does not.
+_ALLOW_WORK = {
+    # single audit row carries the exact truth-pair count
+    "blocking_quality_metrics": lambda df: float(df.first()["n_truth"]),
+    # histogram of cluster sizes -> within-cluster pair count
+    # sum_c n_clusters(c) * C(c, 2), the edge volume the propagation
+    # and histogram are bounded by
+    "dup_cluster_size_dist": lambda df: float(
+        df.selectExpr(
+            "sum(n_clusters * cluster_size * (cluster_size - 1) / 2) AS w"
+        ).first()["w"]
+    ),
+}
+
 
 def decade_check() -> int:
     """Top-decade (sf1→sf10) exponent gate over the 10 most expensive
@@ -162,7 +182,7 @@ def decade_check() -> int:
 
     rows, flagged = [], []
     for name in top:
-        ts, err = [], None
+        ts, works, err = [], [], None
         for sdir in (str(sf1), str(sf10)):
             t0 = time.monotonic()
             try:
@@ -178,19 +198,39 @@ def decade_check() -> int:
                 err = f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"
                 break
             ts.append(time.monotonic() - t0)
+            if name in _ALLOW_WORK:
+                # outside the timed window: size of the answer the
+                # allow-listed entry is bounded below by (r11 verdict
+                # #6 — the allow-list must be checkable, not trusted)
+                works.append(_ALLOW_WORK[name](QUERIES[name](spark, sdir)))
         if err is not None:
             # failing at sf10 is the worst possible scaling result —
             # record it, flag it, keep sweeping the other entries
-            rows.append((name, ts[0] if ts else float("nan"), float("nan"), float("inf")))
+            rows.append(
+                (name, ts[0] if ts else float("nan"), float("nan"),
+                 float("inf"), None)
+            )
             flagged.append(name)
             print(f"{name:32s} ERROR at scale: {err}", flush=True)
             continue
         b = math.log10(ts[1] / ts[0])  # decade spacing: log10(sf10/sf1)=1
-        rows.append((name, ts[0], ts[1], b))
+        b_norm = None
+        if len(works) == 2 and min(works) > 0:
+            # time-per-unit-of-answer exponent: must stay ~flat for an
+            # output-bound adjudication to hold
+            b_norm = math.log10((ts[1] / works[1]) / (ts[0] / works[0]))
+        rows.append((name, ts[0], ts[1], b, b_norm))
         note = ""
         if b > 1.05:
-            if name in _DECADE_ALLOW:
-                note = f"ALLOWED: {_DECADE_ALLOW[name]}"
+            if name in _DECADE_ALLOW and b_norm is not None and b_norm <= 0.1:
+                note = f"ALLOWED (b_norm={b_norm:+.2f}): {_DECADE_ALLOW[name]}"
+            elif name in _DECADE_ALLOW:
+                flagged.append(name)
+                note = (
+                    f"FLAGGED (allow-listed but b_norm="
+                    f"{'n/a' if b_norm is None else format(b_norm, '+.2f')} "
+                    "> 0.1 — output-bound claim not supported)"
+                )
             else:
                 flagged.append(name)
                 note = "FLAGGED"
@@ -205,19 +245,27 @@ def decade_check() -> int:
         "\nPer-round superlinear gate (`tools/scaling_probe.py",
         "--decade-check`): one warmed pass per entry at each scale,",
         "`b = log10(t_sf10 / t_sf1)`; `b > 1.05` fails the gate unless",
-        "allow-listed with a documented reason in `_DECADE_ALLOW`.\n",
-        "\n| query | sf1 s | sf10 s | b | status |",
-        "|---|---|---|---|---|",
+        "allow-listed in `_DECADE_ALLOW` AND output-normalized flat",
+        "(r11 verdict #6): `b_norm = log10((t10/w10)/(t1/w1)) <= 0.1`,",
+        "where w is the entry's own answer size (`_ALLOW_WORK`) — time",
+        "per unit of answer must not grow across the decade.\n",
+        "\n| query | sf1 s | sf10 s | b | b_norm | status |",
+        "|---|---|---|---|---|---|",
     ]
-    for name, t1, t10, b in rows:
+    for name, t1, t10, b, b_norm in rows:
+        bn = "—" if b_norm is None else f"{b_norm:+.2f}"
         if math.isinf(b):
-            lines.append(f"| `{name}` | {t1:.2f} | ERROR | — | FLAGGED |")
+            lines.append(f"| `{name}` | {t1:.2f} | ERROR | — | — | FLAGGED |")
             continue
         status = (
-            "allowed" if name in _DECADE_ALLOW and b > 1.05
+            "allowed"
+            if name in _DECADE_ALLOW and b > 1.05
+            and b_norm is not None and b_norm <= 0.1
             else ("FLAGGED" if b > 1.05 else "ok")
         )
-        lines.append(f"| `{name}` | {t1:.2f} | {t10:.2f} | {b:+.2f} | {status} |")
+        lines.append(
+            f"| `{name}` | {t1:.2f} | {t10:.2f} | {b:+.2f} | {bn} | {status} |"
+        )
     lines.append("")
     old = out.read_text() if out.exists() else ""
     idx = old.find("\n## Decade check")
