@@ -4728,75 +4728,81 @@ def cross_source_contamination(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    "dedup_pairs_duplicate_heavy",
-    # Round-11 rotation (VERDICT r10 ask #1). Composition, by the
-    # standing reproducible rule over CORRECTNESS_r01..r10.json
-    # (never-green first, then oldest last-green, registry order):
-    #   never_green FIRST: dedup_pairs_duplicate_heavy (NEW this
-    #     round — the duplicate-collapse blow-up path of the r11
-    #     PPJoin rework, which no duplicate-free SF exercises)
-    #   + all 26 remaining last-green-r04 entries
-    #     (event_transition_matrix .. dau_wau_stickiness — the exact
-    #     queue the r10 comment promised r11)
-    #   + the first 23 last-green-r05 entries in registry order to
-    #     fill 50 (multimodal_decode_roundtrip ..
-    #     clustering_coefficient_knn; r05 has 50 total, so the other
-    #     27, starting with label_propagation_knn, lead the r12
-    #     fill — recompute with the one-liner below).
-    # Reproduce: for each registry entry take max round r where
-    # CORRECTNESS_r{r}.json has rows+schema+hash green; sort by
-    # (last_green_round, registry_position); take the first 50.
-    # After r11 lands, no oracled entry's newest driver record is
-    # older than r05.
-    "event_transition_matrix",
-    "top_tfidf_terms",
-    "weighted_sample_events",
-    "session_window_native",
-    "streaming_sliding_counts",
-    "pandas_api_parity",
-    "collocations_pmi",
-    "curation_pipeline_counts",
-    "dim_truncation_recall",
-    "lang_source_chisq",
-    "data_contract_report",
-    "pareto_revenue_concentration",
-    "rrf_quality_fusion",
-    "winsorized_value_stats",
-    "daily_autocorrelation",
-    "fk_integrity_report",
-    "benford_digit_audit",
-    "cdc_chunk_stats",
-    "partition_key_advisor",
-    "lexicon_filter_stats",
-    "zipf_fit_audit",
-    "split_leakage_audit",
-    "dow_hour_heatmap",
-    "gini_user_activity",
-    "equidepth_histogram",
-    "dau_wau_stickiness",
-    "multimodal_decode_roundtrip",
-    "odds_by_draw_type",
-    "bucketed_join_no_shuffle",
-    "grouping_sets_sales",
-    "stat_moments_surface",
-    "map_functions_surface",
-    "triangle_count_knn",
-    "streaming_session_stats",
-    "streaming_dedup_counts",
-    "streaming_join_attribution",
-    "udtf_lateral_segments",
-    "datetime_functions_surface",
-    "null_semantics_surface",
-    "regexp_functions_surface",
-    "hof_functions_surface",
-    "fuzzy_join_blocked",
-    "schema_evolution_roundtrip",
-    "secrets_scan_stats",
-    "dp_noisy_counts",
-    "small_file_compaction_stats",
-    "streaming_exactly_once_counts",
+    # Round-12 rotation (VERDICT r11 ask #3). The rule gains a FIRST
+    # tier: entries whose IMPLEMENTING MODULE changed since their
+    # newest driver record jump the queue — r11 rewrote bronze.py and
+    # the dedup collapse while bronze_parser_roundtrip's hard record
+    # stayed r10 (old code), which the oldest-last-green rule alone
+    # cannot see. Composition:
+    #   tier 1 — implementation changed in r11/r12 with no newer
+    #     record: the r11-rewritten parser/collapse entries the
+    #     verdict names (bronze_parser_roundtrip, dedup_minhash_lsh,
+    #     semdedup_stats, hard_negative_mining,
+    #     dedup_ngram_jaccard_capped) plus every entry calling an
+    #     operator edited in r12 (PPJoin collapse/rep core, expand,
+    #     ivf_assign/kmeans_fit, doc_chunks/doc_chunks_cdc,
+    #     semdedup_prune, parse_headers/parse_bodies) — found by AST
+    #     scan of entry bodies for the changed operator names.
+    #   tier 2 — the 27 remaining last-green-r05 entries
+    #     (label_propagation_knn .. churn_labels_audit), the exact
+    #     queue the r11 comment promised.
+    #   tier 3 — fill to 50 from the last-green-r06 queue head.
+    # Reproduce tiers 2-3: for each registry entry take max round r
+    # where CORRECTNESS_r{r}.json is rows+schema+hash green; sort by
+    # (last_green_round, registry_position).
+    # tier 1: implementation changed since last record
+    "bronze_parser_roundtrip",
+    "dedup_minhash_lsh",
+    "semdedup_stats",
+    "hard_negative_mining",
+    "dedup_ngram_jaccard_capped",
     "dedup_prefix_filter_join",
-    "clustering_coefficient_knn",
+    "blocking_quality_metrics",
+    "dup_cluster_size_dist",
+    "dedup_pairs_duplicate_heavy",
+    "knn_ivf_cosine",
+    "semdedup_incremental_index",
+    "cdc_chunk_stats",
+    "chunk_dedup_stats",
+    "cross_source_contamination",
+    "paragraph_dedup_reassembly",
+    "udtf_lateral_segments",
+    # tier 2: the 27 last-green-r05 entries, registry order
+    "label_propagation_knn",
+    "personalized_pagerank_knn",
+    "streaming_zscore_alerts",
+    "kcore_mutual_knn",
+    "hits_authority_knn",
+    "snapshot_delta_stats",
+    "k_anonymity_audit",
+    "cascade_delete_audit",
+    "column_profile_all",
+    "column_profile_approx",
+    "bfs_blast_radius",
+    "streaming_late_drop_audit",
+    "knn_reciprocity",
+    "bitwise_functions_surface",
+    "time_travel_versions",
+    "incremental_mv_refresh",
+    "streaming_tablefmt_sink",
+    "try_functions_surface",
+    "pseudonymization_roundtrip",
+    "partition_pruned_scan_audit",
+    "tablefmt_optimize_roundtrip",
+    "tablefmt_schema_evolution",
+    "tablefmt_concurrency_audit",
+    "decimal_money_surface",
+    "xml_parse_surface",
+    "group_mean_imputation",
+    "churn_labels_audit",
+    # tier 3: last-green-r06 queue head, minus tier-1 duplicates
+    "knn_lsh_indexed_cosine",
+    "percentiles_by_group_approx",
+    "temperature_mixture_counts",
+    "repeated_span_stats",
+    "repeated_span_incremental",
+    "compression_ratio_by_lang",
+    "activity_streaks",
 ]
 
 
