@@ -1574,6 +1574,7 @@ def ngram_jaccard_prefix_filtered(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    assume_distinct: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via PPJoin-style PREFIX FILTERING —
     same output contract as `ngram_jaccard_pairs`, asymptotically
@@ -1646,12 +1647,31 @@ def ngram_jaccard_prefix_filtered(
     only send a unique corpus down the collapse path, never the
     reverse, so both branches stay exact and bit-identical. Callers
     that already hold one row per distinct text should call
-    `ngram_jaccard_rep_pairs` directly and skip the probe too."""
-    n_rows, n_texts = df.agg(
-        F.count(F.lit(1)),
-        F.count_distinct(F.xxhash64(F.col(text_col))),
-    ).first()
-    if n_rows == n_texts:
+    `ngram_jaccard_rep_pairs` directly and skip the probe too.
+
+    ``assume_distinct`` makes the probe an OPT-OUT, not a tax (r12
+    verdict #2: the probe is an eager action at CALL time — it
+    re-executes df's full upstream lineage once before either branch
+    runs it again, a full extra pass of the text column at scale, and
+    on duplicate-bearing corpora it is pure added cost on top of the
+    collapse it cannot skip). None (default) = probe as before;
+    True = caller guarantees pairwise-distinct texts, go straight to
+    the collapse-free core (a violated guarantee degrades candidate
+    work toward the quadratic regime but output stays the exact
+    member-level pair set — see `ngram_jaccard_rep_pairs`); False =
+    caller knows duplicates exist (or wants the always-safe path),
+    go straight to the collapse, skipping the probe scan.
+
+    NOTE the probe (and nothing else here) runs a real Spark job
+    during plan construction — pass an explicit ``assume_distinct``
+    when building plans for inspection without triggering jobs."""
+    if assume_distinct is None:
+        n_rows, n_texts = df.agg(
+            F.count(F.lit(1)),
+            F.count_distinct(F.xxhash64(F.col(text_col))),
+        ).first()
+        assume_distinct = n_rows == n_texts
+    if assume_distinct:
         return ngram_jaccard_rep_pairs(df, id_col, text_col, k, threshold)
     # one row per distinct text: rep id, members, shingles — shingled
     # ONCE, text dropped, then checkpointed (3 downstream branches).

@@ -326,8 +326,16 @@ def ivf_assign(
     best = F.aggregate(
         pairs,
         F.struct(
+            # i starts NULL, not 0 (r12 ADVICE): a NULL embedding (or
+            # NULL dot) never satisfies s > acc.s, so i would stay at
+            # its seed and idx = i - 1 must come out NULL — matching
+            # the pre-r12 array_position semantics — not a silent -1
+            # cell id flowing into downstream groupBy/partitioning.
+            # Seeding NULL costs nothing per row and avoids a second
+            # reference to the fold expression (a when(best.i == 0)
+            # guard would re-evaluate the whole interpreted fold).
             F.lit(float("-inf")).alias("s"),
-            F.lit(0).alias("i"),
+            F.lit(None).cast("int").alias("i"),
             F.lit(0).alias("j"),
             nv.alias("nv"),
         ),
@@ -409,7 +417,11 @@ def kmeans_fit(
     vector collapse) whose re-execution per iteration also dragged
     the assignment lambdas into an interpreted aggregate stage —
     semdedup_stats measured kmeans_fit 4.7s -> ~1s at sf0.1. The
-    checkpoint is released before returning."""
+    checkpoint's RDD blocks are released before returning: plain
+    DataFrame.unpersist() is a cache-manager no-op on a checkpointed
+    frame (r12 ADVICE — the blocks live on the RDD, not in the SQL
+    cache), so the release goes through the underlying RDD and
+    repeated fits in one session do not accumulate block storage."""
     work = df.select(id_col, vec_col).localCheckpoint(eager=True)
     try:
         seed_rows = (
@@ -437,7 +449,17 @@ def kmeans_fit(
             centroids = new
         return centroids
     finally:
-        work.unpersist()
+        # localCheckpoint blocks live on the materialized INTERNAL
+        # RDD; DataFrame.unpersist() is a cache-manager no-op on a
+        # checkpointed frame and `.rdd` is a fresh derived
+        # (never-persisted) pickle RDD — only the LogicalRDD's own
+        # RDD releases the blocks (verified against the storage
+        # registry; r12 ADVICE named the leak, this is the working
+        # release).
+        try:
+            work._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # pragma: no cover - py4j surface drift
+            work.unpersist()
 
 
 def kmeans_cost(

@@ -57,11 +57,27 @@ def get_session(
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if driver_mem is None:
         try:
-            total_gib = (
-                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-            ) / (1024**3)
+            total_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
         except (ValueError, OSError, AttributeError):
-            total_gib = 40.0  # unknown platform: the historical 8g
+            total_bytes = 40 * 1024**3  # unknown platform: the historical 8g
+        # In a container, physical RAM overstates what the JVM may
+        # use (r12 ADVICE, medium): a memory-capped cgroup below
+        # ~RAM/5 would let -Xmx exceed the cap and get the JVM
+        # OOM-killed. Take min(cgroup limit, physical RAM); cgroup v2
+        # writes "max" (no limit) as text, v1 encodes it as a huge
+        # number that the min() ignores naturally.
+        for limit_file in (
+            "/sys/fs/cgroup/memory.max",  # v2
+            "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # v1
+        ):
+            try:
+                raw = open(limit_file).read().strip()
+                if raw.isdigit():
+                    total_bytes = min(total_bytes, int(raw))
+                break
+            except OSError:
+                continue
+        total_gib = total_bytes / (1024**3)
         driver_mem = f"{max(4, min(24, int(total_gib // 5)))}g"
 
     builder = (

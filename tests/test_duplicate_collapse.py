@@ -79,6 +79,66 @@ def test_rep_pairs_equals_wrapper_and_index_on_distinct_texts(spark):
     assert _pairs(ngram_jaccard_prefix_filtered(docs, threshold=0.5)) == expected
 
 
+def test_assume_distinct_skips_probe_without_changing_results(spark):
+    # r12 verdict #4: the uniqueness probe is an opt-out, not a tax.
+    # Both explicit hints must reproduce the default (probed) output
+    # exactly on a corpus where each hint short-circuits a branch:
+    # assume_distinct=False on the duplicate-bearing corpus (probe
+    # would have said False anyway), assume_distinct=True on the
+    # unique corpus (probe would have said True anyway).
+    dup_docs = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    expected_dup = _pairs(ngram_jaccard_prefix_filtered(dup_docs, threshold=0.8))
+    assert (
+        _pairs(
+            ngram_jaccard_prefix_filtered(
+                dup_docs, threshold=0.8, assume_distinct=False
+            )
+        )
+        == expected_dup
+    )
+    uniq_docs = spark.createDataFrame(
+        [(i, txt + f" tail{i}") for i, txt in enumerate(d[1] for d in _DOCS)],
+        ["doc_id", "text"],
+    )
+    expected_uniq = _pairs(ngram_jaccard_prefix_filtered(uniq_docs, threshold=0.5))
+    assert (
+        _pairs(
+            ngram_jaccard_prefix_filtered(
+                uniq_docs, threshold=0.5, assume_distinct=True
+            )
+        )
+        == expected_uniq
+    )
+    # and the always-safe collapse path stays exact on unique input
+    assert (
+        _pairs(
+            ngram_jaccard_prefix_filtered(
+                uniq_docs, threshold=0.5, assume_distinct=False
+            )
+        )
+        == expected_uniq
+    )
+
+
+def test_ivf_assign_null_embedding_yields_null_cell(spark):
+    # r12 ADVICE: a NULL embedding must produce a NULL cell id (the
+    # pre-r12 array_position semantics), never a silent -1; all-zero
+    # embeddings still land in cell 0.
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None), (4, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.ivf_cell
+        for r in ivf_assign(df, [[1.0, 0.0], [0.0, 1.0]]).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: None, 4: 0}
+
+
 def _write_doubled_documents(spark, tmp_path):
     """A duplicate-heavy documents.parquet (every text twice, offset
     ids) under tmp_path — the regime the decomposed catalog entries
@@ -205,6 +265,22 @@ def test_hard_negatives_matches_bruteforce_on_duplicated_corpus(spark):
     )[:5]
     expected = sorted((0, i, -negc) for negc, i in scored)
     assert got == expected
+
+
+def test_kmeans_fit_releases_checkpoint_blocks(spark):
+    # r12 ADVICE: DataFrame.unpersist() is a no-op on a checkpointed
+    # frame — the release must go through the LogicalRDD's own RDD,
+    # or repeated fits accumulate block storage for the session's
+    # lifetime. Pin: a fit leaves the persistent-RDD registry no
+    # larger than it found it.
+    sc = spark.sparkContext
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 9)], ["vec_id", "embedding"]
+    )
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    kmeans_fit(df, k=2, n_iters=2)
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert after <= before
 
 
 def test_semdedup_zero_vector_twins_are_kept(spark):

@@ -4,8 +4,16 @@ The optimization-round evidence trail (plans/rNN/<query>_before.txt /
 _after.txt): the judge cannot run Spark, so every plan claim in
 OPTIMIZATION_rNN.md must be backed by a committed explain dump.
 
+`localCheckpoint` truncates lineage to an ExistingRDD scan, so for
+checkpointed entries the final frame's explain can't show the stage a
+fix changed (r12 verdict #3: dup_cluster_size_dist's before/after
+dumps were identical node lists). This tool therefore ALSO captures
+the pre-checkpoint plan of every frame the entry checkpoints while
+being built, appended as "pre-checkpoint frame N" sections — the dump
+stands alone without microbench tables.
+
 Usage:
-  python tools/dump_plans.py --out plans/r12 --suffix _after.txt \
+  python tools/dump_plans.py --out plans/r13 --suffix _after.txt \
       [--sf /root/testdata/sf0.1] name [name ...]
 """
 
@@ -18,6 +26,8 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame  # noqa: E402
 
 from lottery_end_to_end_etl_data_pipeline_spark import get_session  # noqa: E402
 from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (  # noqa: E402
@@ -37,13 +47,34 @@ def main() -> int:
     out_dir = Path(__file__).resolve().parent.parent / args.out
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in args.names:
-        df = QUERIES[name](spark, args.sf)
+        pre_ckpt: list[str] = []
+        orig_ckpt = DataFrame.localCheckpoint
+
+        def capture_ckpt(self, *a, **kw):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                self.explain("formatted")
+            pre_ckpt.append(buf.getvalue())
+            return orig_ckpt(self, *a, **kw)
+
+        DataFrame.localCheckpoint = capture_ckpt
+        try:
+            df = QUERIES[name](spark, args.sf)
+        finally:
+            DataFrame.localCheckpoint = orig_ckpt
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
+        sections = [buf.getvalue()]
+        for i, text in enumerate(pre_ckpt):
+            sections.append(
+                f"\n=== pre-checkpoint frame {i} "
+                f"(plan materialized by localCheckpoint during entry "
+                f"construction) ===\n{text}"
+            )
         path = out_dir / f"{name}{args.suffix}"
-        path.write_text(buf.getvalue())
-        print(f"wrote {path}")
+        path.write_text("".join(sections))
+        print(f"wrote {path} ({len(pre_ckpt)} pre-checkpoint frames)")
     return 0
 
 

@@ -1,0 +1,118 @@
+"""Decompose the AvailableNow drain fixed cost (r12 verdict #2).
+
+Runs representative streaming drains while capturing each
+micro-batch's ``durationMs`` breakdown from the StreamingQuery
+progress API (triggerExecution, addBatch, getBatch, latestOffset,
+queryPlanning, walCommit, commitOffsets) plus the state-store commit
+times — the evidence for WHERE the ~1.5-2 s per-drain floor goes
+before touching any engine config.
+
+Usage:
+  python tools/stream_profile.py [--sf /root/testdata/sf0.1] [--passes 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lottery_end_to_end_etl_data_pipeline_spark import get_session  # noqa: E402
+from lottery_end_to_end_etl_data_pipeline_spark.plans import testdata_queries as tq  # noqa: E402
+
+
+def drain_with_progress(q):
+    q.awaitTermination()
+    prog = [json.loads(p.json) for p in q.recentProgress]
+    out = []
+    for p in prog:
+        d = dict(p.get("durationMs", {}))
+        d["batchId"] = p.get("batchId")
+        d["numInputRows"] = p.get("numInputRows")
+        ss = p.get("stateOperators", [])
+        if ss:
+            d["state_commit_ms"] = sum(s.get("allUpdatesTimeMs", 0) for s in ss)
+            d["state_n_partitions"] = sum(
+                s.get("customMetrics", {}).get("loadedMapCacheHitCount", 0) * 0
+                + 1
+                for s in ss
+            )
+        out.append(d)
+    return out
+
+
+def profile_empty_drain(spark, sf_dir, label, state_width=8):
+    """The floor: a drain of a trivial stateless stream."""
+    stream = tq.events_stream(spark, sf_dir).select("event_id")
+    name = f"prof_{label}_{int(time.monotonic_ns() % 10**9)}"
+    with tq.stream_state_width(spark, state_width):
+        t0 = time.monotonic()
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        prog = drain_with_progress(q)
+        wall = round(time.monotonic() - t0, 3)
+    spark.catalog.dropTempView(name)
+    return {"wall": wall, "batches": prog}
+
+
+def profile_session_stats(spark, sf_dir, state_width=8):
+    from lottery_end_to_end_etl_data_pipeline_spark.streaming.incremental import (
+        sessionize,
+    )
+
+    stream = tq.events_stream(spark, sf_dir)
+    sess = sessionize(stream, gap_seconds=1800)
+    name = f"prof_sess_{int(time.monotonic_ns() % 10**9)}"
+    with tq.stream_state_width(spark, state_width):
+        t0 = time.monotonic()
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        prog = drain_with_progress(q)
+        wall = round(time.monotonic() - t0, 3)
+    spark.catalog.dropTempView(name)
+    return {"wall": wall, "batches": prog}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--state-width", type=int, default=8)
+    args = ap.parse_args()
+    spark = get_session("stream_profile")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm
+    profile_empty_drain(spark, "/root/testdata/sf0.001", "warm")
+    profile_session_stats(spark, "/root/testdata/sf0.001")
+
+    results: dict[str, list] = {"stateless": [], "session_stats": []}
+    for _ in range(args.passes):
+        results["stateless"].append(
+            profile_empty_drain(spark, args.sf, "stateless", args.state_width)
+        )
+        results["session_stats"].append(
+            profile_session_stats(spark, args.sf, args.state_width)
+        )
+    print(json.dumps(results, indent=1, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
