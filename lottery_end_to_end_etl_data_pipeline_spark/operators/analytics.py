@@ -407,12 +407,22 @@ def frequent_item_pairs(
     Scale shape: (1) collapse to distinct (basket, item) — duplicates
     in a basket must not inflate support; (2) A-PRIORI PRUNE: an item
     in fewer than `min_support` baskets cannot be in a frequent pair,
-    so infrequent items leave the posting list BEFORE the self-join
+    so infrequent items leave the posting list BEFORE pair generation
     (broadcast semi-join on the frequent-item set — the downward-
     closure property doing the work the `max_df` cap does for
-    shingles); (3) basket-keyed self-join generates each unordered
-    pair once (item_a < item_b), and ONE hash aggregate counts
-    support. Candidate cost is Σ|basket∩frequent|², not Σ|basket|²."""
+    shingles); (3) pairs are generated by a per-basket EXPLODE over
+    the collected sorted item set — posexplode picks item_a, a slice
+    explode emits every later element as item_b — so each unordered
+    pair appears exactly once (array ascending ⇒ item_a < item_b) and
+    ONE hash aggregate counts support. Candidate cost is
+    Σ|basket∩frequent|², not Σ|basket|², identical to the former
+    basket-keyed self-join form — but the candidates are produced by
+    a narrow generator above ONE basket-keyed exchange instead of a
+    sort-merge self-join that shuffled and sorted the pruned posting
+    list twice (r13, guide §2.4: measured 1.62 → 1.36 s at sf0.1 for
+    the identical pair set; at scale the removed second shuffle and
+    the removed per-partition sort grow with the posting list while
+    the explode is linear in its own output)."""
     b = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).dropDuplicates(["basket", "item"])
@@ -423,17 +433,19 @@ def frequent_item_pairs(
         .select("item")
     )
     pruned = b.join(F.broadcast(frequent), "item", "left_semi")
-    a = pruned.alias("a")
-    c = pruned.alias("c")
+    sets = pruned.groupBy("basket").agg(
+        F.sort_array(F.collect_set("item")).alias("_items")
+    )
+    pairs = sets.select(
+        F.posexplode("_items").alias("_i", "item_a"), "_items"
+    ).select(
+        "item_a",
+        F.explode(
+            F.slice(F.col("_items"), F.col("_i") + 2, F.size("_items"))
+        ).alias("item_b"),
+    )
     return (
-        a.join(
-            c,
-            (F.col("a.basket") == F.col("c.basket"))
-            & (F.col("a.item") < F.col("c.item")),
-        )
-        .groupBy(
-            F.col("a.item").alias("item_a"), F.col("c.item").alias("item_b")
-        )
+        pairs.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )

@@ -19538,8 +19538,13 @@ def dedup_pairs_duplicate_heavy(spark, sf_dir):
     doubled = docs.unionByName(
         docs.select((F.col("doc_id") + 10**7).alias("doc_id"), "text")
     )
+    # assume_distinct=False (r13, r12 verdict #4): the corpus is
+    # duplicate-heavy BY CONSTRUCTION (every text twice), so the
+    # uniqueness probe could never say "distinct" — skipping it saves
+    # a full extra pass over the doubled text column while the
+    # collapse path (the thing under test) is unchanged.
     pairs = ngram_jaccard_prefix_filtered(
-        doubled, "doc_id", "text", k=3, threshold=0.8
+        doubled, "doc_id", "text", k=3, threshold=0.8, assume_distinct=False
     )
     return pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
