@@ -1736,7 +1736,9 @@ def ngram_jaccard_rep_pairs(
     return _ppjoin_verified_pairs(sh, threshold)
 
 
-def _ppjoin_verified_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+def _ppjoin_verified_pairs(
+    sh: DataFrame, threshold: float, sid_min_docs: int = 20_000
+) -> DataFrame:
     """Candidate generation + exact verify over a (id, sh) frame:
     prefix-filtered candidates (`_ppjoin_prefix`/`_ppjoin_candidates`),
     then array_intersect verification against the full shingle sets.
@@ -1744,24 +1746,69 @@ def _ppjoin_verified_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     collapse-free core (`ngram_jaccard_rep_pairs`) and the
     duplicate-collapsing wrapper (`ngram_jaccard_prefix_filtered`).
     `sh` should be materialized (checkpointed) by the caller — it is
-    scanned three times (postings, verify side a, verify side b)."""
+    scanned three times (postings, verify side a, verify side b).
+
+    Above `sid_min_docs` documents the verify intersects INTEGER
+    SHINGLE IDS, not shingle strings
+    (r13, guide §2.3 — shuffle fewer bytes): attaching the full
+    string-shingle arrays to every candidate shipped ~1.5 KB per
+    pair through the second verify join's exchange (~1.9 GB at sf1's
+    1.27M candidates — the single largest byte mover in the plan).
+    A dictionary over the DISTINCT shingles assigns each a unique
+    int64 via monotonically_increasing_id — a bijection, so
+    |sidsA ∩ sidsB| is EXACTLY |A ∩ B| (no hashing, no collision
+    risk) and set sizes are unchanged; per-doc sid arrays are ~4x
+    smaller than the string arrays and int64 intersection beats
+    string intersection on CPU too. The sid frame is eagerly
+    checkpointed: both verify sides scan it, and materializing it
+    freezes the (partition-dependent but then-immutable) id
+    assignment so the bijection cannot drift between the two scans.
+
+    The sid representation pays 3 extra stages (dict distinct, sid
+    attach, per-doc collect) whose FIXED cost loses at small corpora
+    — measured construction+noop at t=0.8: sf0.1 (5k docs) 1.03 s
+    string vs 1.60 s sid, sf1 (50k docs) 9.8-10.7 s string vs
+    7.7-9.2 s sid — so the representation is chosen by a count of
+    the (already-materialized) `sh` frame: string arrays below
+    `sid_min_docs` (metadata-cheap corpora where stage overhead
+    dominates), sid arrays above it (where verify bytes/CPU
+    dominate and keep growing with candidate volume). Both branches
+    are exact, so the switch can never change the pair set —
+    the same probe-selects-a-branch discipline as
+    `ngram_jaccard_prefix_filtered`'s uniqueness probe."""
     t_eff = threshold - 1e-4
     cand = _ppjoin_candidates(_ppjoin_prefix(sh, t_eff), t_eff)
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sh_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_sh_b"))
+    if sh.count() < sid_min_docs:
+        va = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("_sa"))
+        vb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("_sb"))
+    else:
+        postings = sh.select("id", F.explode("sh").alias("shingle"))
+        sdict = (
+            postings.select("shingle")
+            .distinct()
+            .withColumn("_sid", F.monotonically_increasing_id())
+        )
+        sids = (
+            postings.join(sdict, "shingle")
+            .groupBy("id")
+            .agg(F.collect_list("_sid").alias("_sids"))
+            .localCheckpoint(eager=True)
+        )
+        va = sids.select(F.col("id").alias("id_a"), F.col("_sids").alias("_sa"))
+        vb = sids.select(F.col("id").alias("id_b"), F.col("_sids").alias("_sb"))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
-            "n_common", F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long")
+            "n_common", F.size(F.array_intersect("_sa", "_sb")).cast("long")
         )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
-                / (
-                    F.size("_sh_a") + F.size("_sh_b") - F.col("n_common")
-                ).cast("double"),
+                / (F.size("_sa") + F.size("_sb") - F.col("n_common")).cast(
+                    "double"
+                ),
                 4,
             ),
         )

@@ -267,6 +267,40 @@ def test_hard_negatives_matches_bruteforce_on_duplicated_corpus(spark):
     assert got == expected
 
 
+def test_sid_verify_branch_equals_string_verify(spark):
+    # r13: above sid_min_docs the PPJoin verify intersects integer
+    # shingle ids (a monotonically_increasing_id bijection over the
+    # distinct shingles) instead of string arrays. Force the sid
+    # branch on a toy corpus and pin it pair-for-pair against the
+    # string branch and the full inverted index.
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from lottery_end_to_end_etl_data_pipeline_spark.operators.dedup import (
+        _ppjoin_verified_pairs,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, txt + f" tail{i}") for i, txt in enumerate(d[1] for d in _DOCS)],
+        ["doc_id", "text"],
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh")
+    ).localCheckpoint(eager=True)
+    sid_pairs = sorted(
+        tuple(r) for r in _ppjoin_verified_pairs(sh, 0.5, sid_min_docs=0).collect()
+    )
+    str_pairs = sorted(
+        tuple(r)
+        for r in _ppjoin_verified_pairs(sh, 0.5, sid_min_docs=10**9).collect()
+    )
+    expected = sorted(
+        (r.id_a, r.id_b, r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    assert sid_pairs == str_pairs == expected
+
+
 def test_kmeans_fit_releases_checkpoint_blocks(spark):
     # r12 ADVICE: DataFrame.unpersist() is a no-op on a checkpointed
     # frame — the release must go through the LogicalRDD's own RDD,
