@@ -172,6 +172,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc as an array<int> column.
 
@@ -191,11 +192,24 @@ def minhash_signatures(
     7x at sf0.1, where the one-file parquet otherwise pins the whole
     fold to one task). At 100 TB the scan parallelism makes this
     shuffle redundant-but-harmless relative to the fold cost.
+
+    ``shingles``: optional pre-computed (id, sh) frame (the
+    `word_shingles` arrays, ideally checkpointed). The shingle fold
+    is the most expensive interpreted expression in the dedup family
+    and callers that also verify candidates exactly need the SAME
+    arrays again — passing them here instead of re-deriving from
+    text removes a full duplicate fold pass (r13, guide §1.2: don't
+    compute things twice). Must contain columns `id` and `sh` built
+    with the same `shingle_k`; signatures are identical either way.
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sh = df.repartition(n_part, F.col(id_col)).select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
-    )
+    if shingles is not None:
+        sh = shingles.select("id", "sh")
+    else:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        sh = df.repartition(n_part, F.col(id_col)).select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, shingle_k).alias("sh"),
+        )
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = F.aggregate(
         "sh",
@@ -214,6 +228,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
 
@@ -242,9 +257,9 @@ def minhash_lsh_pairs(
     # barrier leaks under the Generate (see ngram_jaccard_pairs).
     # localCheckpoint truncates the lineage for real; a .persist()
     # would pay ~6s of columnar-cache codegen instead.
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(
-        eager=True
-    )
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, shingles=shingles
+    ).localCheckpoint(eager=True)
     # Band bucket ids as one compact expression: hash the signature
     # slice per band (posexplode supplies the band index). Buckets
     # carry only (id, band, bh) — the 64-component signature itself is
@@ -580,6 +595,7 @@ def verify_pairs_exact(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (id_a, id_b).
 
@@ -590,13 +606,24 @@ def verify_pairs_exact(
 
     The shingle fold is localCheckpointed: both join sides (a and b)
     reference it, and without a hard barrier each side re-derives the
-    interpreted fold (see ngram_jaccard_pairs)."""
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    sh = (
-        df.repartition(n_part, F.col(id_col))
-        .select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
-        .localCheckpoint(eager=True)
-    )
+    interpreted fold (see ngram_jaccard_pairs).
+
+    ``shingles``: optional pre-computed-and-materialized (id, sh)
+    frame; a caller whose candidate stage already shingled the corpus
+    (minhash over the same k, a PPJoin prefix pass) passes it here so
+    the most expensive interpreted expression in the family runs ONCE
+    per pipeline, not once per stage (r13, guide §1.2)."""
+    if shingles is not None:
+        sh = shingles.select("id", "sh")
+    else:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        sh = (
+            df.repartition(n_part, F.col(id_col))
+            .select(
+                F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+            )
+            .localCheckpoint(eager=True)
+        )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")

@@ -1349,17 +1349,40 @@ def dedup_minhash_lsh(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     reps = g.select("doc_id", "text")
+    # ONE shingle fold for the whole pipeline (r13, guide §1.2): the
+    # minhash signature fold, the exact verify, and the expand's
+    # shingle sizes all consume the same word_shingles arrays — the
+    # family's most expensive interpreted expression previously ran
+    # three separate times over the full corpus. Shingled once,
+    # repartitioned for fold parallelism, checkpointed for its three
+    # consumers.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    shingled = (
+        reps.repartition(n_part, F.col("doc_id"))
+        .select(
+            F.col("doc_id").alias("id"), word_shingles("text", 3).alias("sh")
+        )
+        .localCheckpoint(eager=True)
+    )
     cand = minhash_lsh_pairs(
-        reps, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+        reps,
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        threshold=0.5,
+        shingles=shingled,
     )
     rep_pairs = verify_pairs_exact(
-        cand, reps, "doc_id", "text", k=3, threshold=0.8
+        cand, reps, "doc_id", "text", k=3, threshold=0.8, shingles=shingled
     )
     return expand_pairs_to_duplicates(
         rep_pairs,
-        g.select(
-            F.col("doc_id").alias("id"),
-            F.size(word_shingles("text", 3)).alias("_nsh"),
+        g.select(F.col("doc_id").alias("id"), "_members").join(
+            shingled.select("id", F.size("sh").alias("_nsh")), "id"
+        ).select(
+            "id",
+            "_nsh",
             "_members",
         ),
     ).select("id_a", "id_b", "jaccard")
