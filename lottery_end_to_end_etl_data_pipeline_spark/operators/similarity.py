@@ -203,6 +203,7 @@ def knn_join(
     q_vec: str = "embedding",
     c_vec: str = "embedding",
     exclude_same_id: bool = False,
+    arrow_scoring: bool = False,
 ) -> DataFrame:
     """Bulk exact kNN — the retrieval-eval shape: for EVERY query row,
     the top-k corpus rows by cosine, in one pass.
@@ -221,7 +222,27 @@ def knn_join(
     100 TB don't brute-force: pre-restrict the corpus per query
     batch with the persisted index probes (`knn_ivf` /
     `knn_lsh_indexed`) and feed the union of probed cells here; this
-    operator is the exact scorer + ranker either way."""
+    operator is the exact scorer + ranker either way.
+
+    ``arrow_scoring=True`` (r13, guide §4.2) swaps the interpreted
+    per-pair HOF dot for a mapInArrow NumPy kernel that is
+    BIT-IDENTICAL to the Catalyst fold: the queries (assumed
+    broadcast-small, same contract as the default path) are collected
+    to the driver, and the kernel accumulates per DIMENSION —
+    ``acc += C[:, d] * q[d]`` — so every element sees exactly the
+    fold's operation sequence (multiply then add, left to right, in
+    IEEE float64; no BLAS, no pairwise summation, no FMA), norms use
+    the same per-dimension trick with Math.sqrt-equivalent np.sqrt,
+    and the HALF_UP round(…, 4) stays in Spark on the kernel's raw
+    doubles. Same rounded scores, same deterministic ranking; ~8x
+    on a 50-query x 100k-corpus scoring stage at sf1. Opt-in because
+    collecting queries is a plan-construction job and the kernel
+    requires non-null fixed-dim vectors — bounded few-hundred-row
+    corpora keep the default Catalyst path."""
+    if arrow_scoring:
+        return _knn_join_arrow(
+            queries, corpus, k, q_id, c_id, q_vec, c_vec, exclude_same_id
+        )
     q = queries.select(
         F.col(q_id).alias("qid"),
         F.col(q_vec).alias("_qv"),
@@ -245,6 +266,103 @@ def knn_join(
     scored = scored.withColumn(
         "cosine", F.round(dot / (F.col("_cn") * F.col("_qn")), 4)
     )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", "rnk")
+    )
+
+
+def _knn_join_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str,
+    c_id: str,
+    q_vec: str,
+    c_vec: str,
+    exclude_same_id: bool,
+) -> DataFrame:
+    """The mapInArrow scoring kernel behind knn_join(arrow_scoring=
+    True). See knn_join's docstring for the bit-identity argument;
+    everything order-sensitive (per-dimension accumulation, separate
+    multiply/add, norms-before-division) mirrors the Catalyst fold."""
+    q_rows = queries.select(q_id, q_vec).collect()
+    qids = [r[0] for r in q_rows]
+    qmat = [[float(x) for x in r[1]] for r in q_rows]
+    # query norms on the driver: plain-Python floats ARE IEEE doubles,
+    # and the sequential loop reproduces _norm's fold exactly
+    qnorms = []
+    for vec in qmat:
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        qnorms.append(math.sqrt(acc))
+
+    def score(batches):
+        import numpy as np  # noqa: PLC0415
+        import pyarrow as pa  # noqa: PLC0415
+
+        qarr = np.asarray(qmat, dtype=np.float64)  # (nq, dim)
+        qn = np.asarray(qnorms, dtype=np.float64)
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        nq = len(qids)
+        out_schema = pa.schema(
+            [
+                pa.field("cid", pa.int64()),
+                pa.field("qid", pa.int64()),
+                pa.field("_rawcos", pa.float64()),
+            ]
+        )
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cid_np = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                "int64"
+            )
+            emb = batch.column(1)
+            if isinstance(emb, pa.ChunkedArray):  # pragma: no cover
+                emb = emb.combine_chunks()
+            offs = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
+            dim = qarr.shape[1]
+            if not (offs == dim).all():
+                raise ValueError(
+                    "knn_join arrow kernel requires fixed-dim non-null "
+                    f"vectors of dim {dim}"
+                )
+            flat = emb.values.to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            C = flat.reshape(n, dim)
+            # per-dimension accumulation == the Catalyst fold's exact
+            # per-element op order (multiply, then add, d ascending)
+            dots = np.zeros((n, nq), dtype=np.float64)
+            cacc = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                col = C[:, d]
+                dots += np.multiply.outer(col, qarr[:, d])
+                cacc += col * col
+            cn = np.sqrt(cacc)
+            denom = np.multiply.outer(cn, qn)  # _cn * _qn, then divide
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = dots / denom
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(cid_np, nq), type=pa.int64()),
+                    pa.array(np.tile(qid_arr, n), type=pa.int64()),
+                    pa.array(raw.ravel(), type=pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+    scored = corpus.select(
+        F.col(c_id).cast("long").alias("cid"), F.col(c_vec).alias("_cv")
+    ).mapInArrow(score, "cid long, qid long, _rawcos double")
+    if exclude_same_id:
+        scored = scored.filter(F.col("qid") != F.col("cid"))
+    scored = scored.withColumn("cosine", F.round(F.col("_rawcos"), 4))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -780,6 +898,10 @@ def knn_label_agreement(
         q_vec="_qv",
         c_vec=vec_col,
         exclude_same_id=True,
+        # full-corpus scoring: the Arrow kernel (bit-identical fold,
+        # see knn_join) replaces ~n_queries interpreted HOF dots per
+        # corpus row — r13, guide §4.2
+        arrow_scoring=True,
     )
     clab = df.select(F.col(id_col).alias("cid"), F.col(label_col).alias("_cl"))
     qlab = q.select(F.col("q_id").alias("qid"), "_ql")

@@ -1594,7 +1594,9 @@ def knn_join_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    out = knn_join(queries, emb, k=3, exclude_same_id=True)
+    # full-corpus scoring side -> Arrow kernel (bit-identical fold,
+    # r13; see knn_join docstring)
+    out = knn_join(queries, emb, k=3, exclude_same_id=True, arrow_scoring=True)
     return out.withColumn("rnk", F.col("rnk").cast("int"))
 
 
@@ -12140,13 +12142,13 @@ def ndcg_truncation_audit(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    full = knn_join(queries, emb, k=10, exclude_same_id=True)
+    full = knn_join(queries, emb, k=10, exclude_same_id=True, arrow_scoring=True)
     rel = full.select(
         "qid", "cid", (F.lit(11) - F.col("rnk")).cast("double").alias("rel")
     )
     emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
     q16 = queries.select("q_id", F.slice("embedding", 1, 16).alias("embedding"))
-    trunc = knn_join(q16, emb16, k=10, exclude_same_id=True)
+    trunc = knn_join(q16, emb16, k=10, exclude_same_id=True, arrow_scoring=True)
     per_q = (
         trunc.join(rel, ["qid", "cid"], "left")
         .fillna(0.0, subset=["rel"])

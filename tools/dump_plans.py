@@ -27,7 +27,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import DataFrame  # noqa: E402
+# Spark 4: concrete frames are classic.dataframe.DataFrame, which
+# OVERRIDES the abstract base's localCheckpoint — the base class is
+# the wrong monkeypatch target (verified: patching it captures 0
+# calls).
+from pyspark.sql.classic.dataframe import DataFrame  # noqa: E402
 
 from lottery_end_to_end_etl_data_pipeline_spark import get_session  # noqa: E402
 from lottery_end_to_end_etl_data_pipeline_spark.plans.testdata_queries import (  # noqa: E402
