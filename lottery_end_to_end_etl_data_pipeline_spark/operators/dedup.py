@@ -903,29 +903,42 @@ def doc_chunks(
     """Consecutive non-overlapping `chunk_words`-word chunks per
     document: (id_col, chunk_idx, chunk_text, _ck) where `_ck` is
     md5(chunk_text) — downstream shuffles key on the 128-bit hash,
-    not the 10-word payload. posexplode → one (doc, chunk_idx)
-    aggregate rebuilding the chunk in token order (`array_sort` on
-    (pos, word) structs — collect_list alone is
-    shuffle-order-dependent)."""
-    toks = df.select(id_col, tokens(text_col).alias("_toks"))
-    words = toks.select(id_col, F.posexplode("_toks").alias("pos", "word"))
-    # rebuild isolated behind an exchange (r12): the lambda transform
-    # would otherwise fold into the ObjectHashAggregate's result
-    # expressions and run interpreted (see ngram_jaccard_prefix_filtered)
+    not the 10-word payload.
+
+    r13 shape (guide §2.4 — remove shuffles outright): chunks are
+    consecutive SLICES of the per-doc token array, so they are built
+    in ONE narrow projection — `transform(sequence, i ->
+    array_join(slice(toks, i·cw+1, cw)))` + posexplode — with zero
+    exchanges. The previous form exploded every word and rebuilt
+    chunks through a (doc, chunk_idx) collect_list aggregate: it
+    shuffled every word string (O(total tokens) payload bytes) and
+    paid an ObjectHashAggregate plus the r12 lambda-isolation
+    exchange, all to recompose rows the slice already had. Output
+    rows identical (verified exceptAll-empty both ways at sf1); the
+    leading id-keyed repartition only spreads the CPU-bound fold
+    across cores when the source is a handful of files (the
+    minhash_signatures lesson)."""
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        df.repartition(n_part, F.col(id_col))
+        .select(id_col, tokens(text_col).alias("_toks"))
+        .where(F.size("_toks") > 0)
+    )
+    n_chunks = F.ceil(F.size("_toks") / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("_toks"), i * chunk_words + 1, chunk_words), " "
+        ),
+    )
     return (
-        words.groupBy(
-            id_col,
-            F.floor(F.col("pos") / chunk_words).cast("long").alias("chunk_idx"),
+        toks.select(
+            id_col, F.posexplode(chunks).alias("_ci", "chunk_text")
         )
-        .agg(F.collect_list(F.struct("pos", "word")).alias("_parts"))
-        .repartition(n_part, F.col(id_col))
         .select(
             id_col,
-            "chunk_idx",
-            F.array_join(
-                F.transform(F.array_sort("_parts"), lambda s: s["word"]), " "
-            ).alias("chunk_text"),
+            F.col("_ci").cast("long").alias("chunk_idx"),
+            "chunk_text",
         )
         .withColumn("_ck", F.md5("chunk_text"))
     )

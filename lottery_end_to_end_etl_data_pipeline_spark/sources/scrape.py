@@ -40,6 +40,7 @@ from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 AWARD_PAGE_SCHEMA = T.StructType(
@@ -206,7 +207,12 @@ def extract_award_pages(
     Input: rows of (id, page HTML). Output: AWARD_PAGE_SCHEMA rows;
     `document` feeds straight into the Bronze parser (`parse_draws`
     over (file_name, document) matches `read_raw_draws` output).
-    Narrow Arrow-batched stage — scales with the scan.
+    Arrow-batched stage, repartitioned by id first (r13 — the same
+    lesson as `minhash_signatures`/`_window_hashes`): the HTMLParser
+    kernel is CPU-bound at ~0.6 ms/page, and a one-file input pinned
+    the whole parse to a couple of scan tasks (measured 7.3 -> 1.3 s
+    at sf1 for the identical output). At crawl scale the scan's own
+    parallelism makes the exchange redundant-but-harmless.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -217,4 +223,9 @@ def extract_award_pages(
             ]
             yield pd.DataFrame(rows, columns=[f.name for f in AWARD_PAGE_SCHEMA.fields])
 
-    return df.select(id_col, html_col).mapInPandas(kernel, AWARD_PAGE_SCHEMA)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        df.select(id_col, html_col)
+        .repartition(n_part, F.col(id_col))
+        .mapInPandas(kernel, AWARD_PAGE_SCHEMA)
+    )
