@@ -13358,18 +13358,29 @@ def paragraph_dedup_reassembly(spark, sf_dir):
     lookup could swap to a broadcast bloom of frequent chunks at
     100 TB."""
     docs = t(spark, sf_dir, "documents")
+    # split ONCE per row into a named column consumed by the chunk
+    # lambda (r13, guide §1.2): lambda bodies are never hoisted, so
+    # the previous inline F.split("text") re-tokenized the document
+    # for EVERY chunk slice (~32 splits/doc — measured 5.4 s of the
+    # 6.0 s sf1 noop); the id-keyed repartition spreads the CPU-bound
+    # fold across cores on few-file inputs (minhash_signatures
+    # lesson) and the Generate boundary materializes _tk once per row.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = docs.repartition(n_part, F.col("doc_id")).select(
+        "doc_id", "lang", F.split("text", " ").alias("_tk")
+    )
     chunks = (
-        docs.select(
+        base.select(
             "doc_id",
             "lang",
             F.posexplode(
                 F.transform(
                     F.sequence(
                         F.lit(1),
-                        F.ceil(F.size(F.split("text", " ")) / 8.0).cast("int"),
+                        F.ceil(F.size("_tk") / 8.0).cast("int"),
                     ),
                     lambda i: F.concat_ws(
-                        " ", F.slice(F.split("text", " "), (i - 1) * 8 + 1, 8)
+                        " ", F.slice(F.col("_tk"), (i - 1) * 8 + 1, 8)
                     ),
                 )
             ).alias("idx0", "chunk"),
