@@ -4753,81 +4753,74 @@ def cross_source_contamination(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # Round-12 rotation (VERDICT r11 ask #3). The rule gains a FIRST
-    # tier: entries whose IMPLEMENTING MODULE changed since their
-    # newest driver record jump the queue — r11 rewrote bronze.py and
-    # the dedup collapse while bronze_parser_roundtrip's hard record
-    # stayed r10 (old code), which the oldest-last-green rule alone
-    # cannot see. Composition:
-    #   tier 1 — implementation changed in r11/r12 with no newer
-    #     record: the r11-rewritten parser/collapse entries the
-    #     verdict names (bronze_parser_roundtrip, dedup_minhash_lsh,
-    #     semdedup_stats, hard_negative_mining,
-    #     dedup_ngram_jaccard_capped) plus every entry calling an
-    #     operator edited in r12 (PPJoin collapse/rep core, expand,
-    #     ivf_assign/kmeans_fit, doc_chunks/doc_chunks_cdc,
-    #     semdedup_prune, parse_headers/parse_bodies) — found by AST
-    #     scan of entry bodies for the changed operator names.
-    #   tier 2 — the 27 remaining last-green-r05 entries
-    #     (label_propagation_knn .. churn_labels_audit), the exact
-    #     queue the r11 comment promised.
-    #   tier 3 — fill to 50 from the last-green-r06 queue head.
-    # Reproduce tiers 2-3: for each registry entry take max round r
-    # where CORRECTNESS_r{r}.json is rows+schema+hash green; sort by
-    # (last_green_round, registry_position).
-    # tier 1: implementation changed since last record
-    "bronze_parser_roundtrip",
-    "dedup_minhash_lsh",
-    "semdedup_stats",
-    "hard_negative_mining",
-    "dedup_ngram_jaccard_capped",
+    # Round-13 rotation (VERDICT r12 ask #9; same rule as r12).
+    # Composition:
+    #   tier 1 — entries whose IMPLEMENTING OPERATOR changed in r13
+    #     with no newer driver record: the streaming stateful fns
+    #     (sessionize/zscore vectorization), the PPJoin sid verify +
+    #     probe opt-out, the minhash shared-shingles pipeline +
+    #     verify_pairs_exact, ivf_assign NULL seed / kmeans release
+    #     (every ivf/kmeans entry), the Arrow kNN kernel callers,
+    #     doc_chunks narrow slices, _window_hashes kernel, the scrape
+    #     kernel repartition, frequent_item_pairs explode generator,
+    #     and the paragraph reassembly split fix — found by reading
+    #     the r13 commit set (OPTIMIZATION_r13.md table).
+    #   tier 2 — the 27 remaining last-green-r06 entries, the exact
+    #     queue head the r12 comment promised, registry order by
+    #     (last_green_round, registry_position) from
+    #     CORRECTNESS_r01..r12.
+    # tier 1: implementation changed in r13
+    "streaming_session_stats",
+    "streaming_zscore_alerts",
     "dedup_prefix_filter_join",
-    "blocking_quality_metrics",
     "dup_cluster_size_dist",
+    "blocking_quality_metrics",
+    "dedup_ngram_jaccard_capped",
     "dedup_pairs_duplicate_heavy",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "semdedup_stats",
     "knn_ivf_cosine",
     "semdedup_incremental_index",
-    "cdc_chunk_stats",
-    "chunk_dedup_stats",
-    "cross_source_contamination",
-    "paragraph_dedup_reassembly",
-    "udtf_lateral_segments",
-    # tier 2: the 27 last-green-r05 entries, registry order
-    "label_propagation_knn",
-    "personalized_pagerank_knn",
-    "streaming_zscore_alerts",
-    "kcore_mutual_knn",
-    "hits_authority_knn",
-    "snapshot_delta_stats",
-    "k_anonymity_audit",
-    "cascade_delete_audit",
-    "column_profile_all",
-    "column_profile_approx",
-    "bfs_blast_radius",
-    "streaming_late_drop_audit",
-    "knn_reciprocity",
-    "bitwise_functions_surface",
-    "time_travel_versions",
-    "incremental_mv_refresh",
-    "streaming_tablefmt_sink",
-    "try_functions_surface",
-    "pseudonymization_roundtrip",
-    "partition_pruned_scan_audit",
-    "tablefmt_optimize_roundtrip",
-    "tablefmt_schema_evolution",
-    "tablefmt_concurrency_audit",
-    "decimal_money_surface",
-    "xml_parse_surface",
-    "group_mean_imputation",
-    "churn_labels_audit",
-    # tier 3: last-green-r06 queue head, minus tier-1 duplicates
-    "knn_lsh_indexed_cosine",
-    "percentiles_by_group_approx",
-    "temperature_mixture_counts",
+    "knn_pq_cluster_recall",
+    "knn_label_agreement",
+    "knn_join_topk",
+    "ndcg_truncation_audit",
+    "frequent_item_pairs",
     "repeated_span_stats",
     "repeated_span_incremental",
-    "compression_ratio_by_lang",
-    "activity_streaks",
+    "chunk_dedup_stats",
+    "cross_source_contamination",
+    "scrape_extract_roundtrip",
+    "paragraph_dedup_reassembly",
+    # tier 2: the 27 last-green-r06 entries, registry order
+    "ngram_diversity_by_lang",
+    "count_min_heavy_hitters",
+    "bloom_semi_join_audit",
+    "ewma_daily_value",
+    "trend_slope_by_type",
+    "hll_set_ops_audit",
+    "rendezvous_shard_assignment",
+    "ivm_join_delta",
+    "neyman_allocation_sample",
+    "decile_shift_by_source",
+    "quality_classifier_scores",
+    "token_budget_selection",
+    "canonical_doc_per_cluster",
+    "chunk_embedding_pooling",
+    "approx_percentile_audit",
+    "epoch_shuffle_orders",
+    "cdc_apply_tombstones",
+    "bpe_pair_counts",
+    "sorted_neighborhood_pairs",
+    "skyline_orders",
+    "pca_variance_audit",
+    "welch_ab_test",
+    "phrase_search_positional",
+    "attribution_models",
+    "ols_normal_equations",
+    "quantile_normalize_lengths",
+    "bootstrap_ci_mean",
 ]
 
 

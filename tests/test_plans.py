@@ -212,10 +212,14 @@ def test_repetition_two_keyed_exchanges(spark):
 
 
 def test_knn_join_single_window_no_shuffle_scoring(spark):
-    """Scoring is scan-local (queries broadcast); the window over
+    """Scoring is scan-local: r13's Arrow kernel scores each corpus
+    batch against the driver-collected query set inside ONE
+    MapInArrow node — no join operator at all (the pre-r13 shape was
+    a broadcast nested-loop over the query table); the window over
     scored pairs is the only wide stage before the final agg."""
     plan = plan_of(QUERIES["knn_join_topk"](spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInArrow" in plan
+    assert "Join" not in plan
     assert "SortMergeJoin" not in plan
 
 
